@@ -1,0 +1,137 @@
+"""Lakehouse-style catalog: parquet-backed managed tables + provenance log.
+
+Replaces the reference's SQLAlchemy engine/metadata layer:
+
+* table DDL (``create_all``/``drop_all``,
+  ``/root/reference/src/bio2bel/manager/abstract_manager.py:232-247``) becomes
+  parquet directory management under a warehouse root;
+* the append-only ``Action`` provenance table
+  (``/root/reference/src/bio2bel/models.py:40-133``) becomes an append-mode
+  parquet table with the same ``(resource, action, created)`` shape;
+* ``Action.ls`` ordering and "latest action per resource" (docstring pattern at
+  ``models.py:16``) become ``orderBy(desc)`` and a ``row_number`` window.
+
+Scale notes
+-----------
+Tables are plain parquet directories: writes are distributed, reads get
+predicate pushdown + column pruning for free, and the same layout works on
+HDFS/S3 paths. Partition columns can be supplied per table (e.g. partition a
+100 TB edges table by source prefix). The provenance table is tiny and
+append-only; appends produce one small file per event, which is fine at any
+scale (compaction is a maintenance job, not a correctness concern).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Provenance action labels (reference: ``src/bio2bel/models.py:70-113``).
+ACTION_POPULATE = "populate"
+ACTION_POPULATE_FAILED = "populate_failed"
+ACTION_DROP = "drop"
+
+ACTIONS_TABLE = "_actions"
+
+ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("resource", T.StringType(), False),
+        T.StructField("action", T.StringType(), False),
+        T.StructField("created", T.TimestampType(), False),
+    ]
+)
+
+
+class Catalog:
+    """Parquet-backed table catalog rooted at a warehouse directory."""
+
+    def __init__(self, spark: SparkSession, warehouse: Optional[str] = None):
+        self.spark = spark
+        self.warehouse = warehouse or spark.conf.get("spark.sql.warehouse.dir")
+        if self.warehouse.startswith("file:"):
+            self.warehouse = self.warehouse[len("file:") :]
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------------ tables
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def table_exists(self, name: str) -> bool:
+        path = self.table_path(name)
+        if not os.path.isdir(path):
+            return False
+        # a parquet dir is "real" once it has a _SUCCESS marker or data files
+        entries = os.listdir(path)
+        return any(e == "_SUCCESS" or e.endswith(".parquet") for e in entries)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: Optional[Iterable[str]] = None,
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(name))
+
+    def read_table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    def drop_table(self, name: str) -> bool:
+        """DROP TABLE IF EXISTS semantics; returns whether anything was dropped."""
+        path = self.table_path(name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+            return True
+        return False
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            e for e in os.listdir(self.warehouse) if os.path.isdir(self.table_path(e))
+        )
+
+    def register_views(self, names: Optional[Iterable[str]] = None) -> None:
+        """Expose managed tables to Spark SQL as temp views."""
+        for name in names if names is not None else self.list_tables():
+            if self.table_exists(name):
+                self.read_table(name).createOrReplaceTempView(name.lstrip("_") or name)
+
+    # -------------------------------------------------------------- provenance
+    def store_action(self, resource: str, action: str) -> None:
+        """Append one provenance event (reference: ``models.py:70-113``)."""
+        row_df = self.spark.createDataFrame(
+            [(resource, action)], schema="resource string, action string"
+        ).withColumn("created", F.current_timestamp())
+        row_df.coalesce(1).write.mode("append").parquet(self.table_path(ACTIONS_TABLE))
+
+    def actions(self) -> DataFrame:
+        """All provenance events, newest first (``Action.ls``, ``models.py:116-123``)."""
+        if not self.table_exists(ACTIONS_TABLE):
+            return self.spark.createDataFrame([], ACTION_SCHEMA)
+        return self.read_table(ACTIONS_TABLE).orderBy(F.desc("created"))
+
+    def count_actions(self) -> int:
+        """``Action.count`` (``models.py:125-133``)."""
+        if not self.table_exists(ACTIONS_TABLE):
+            return 0
+        return self.read_table(ACTIONS_TABLE).count()
+
+    def latest_actions(self) -> DataFrame:
+        """Latest event per resource — the ``order_by(desc).first()`` docstring
+        pattern (``models.py:16``) as a single window plan (SURVEY §2.6 O1)."""
+        w = Window.partitionBy("resource").orderBy(F.desc("created"))
+        return (
+            self.actions()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )

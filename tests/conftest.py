@@ -1,0 +1,52 @@
+"""Shared fixtures: local SparkSession + temp warehouse per test.
+
+Mirrors the reference's temp-SQLite-per-test mixins
+(``/root/reference/src/bio2bel/testing.py:31-176``) with a session-scoped
+SparkSession (expensive to start) and a function-scoped temp warehouse dir
+(cheap isolation).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from bio2bel_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bio2bel-spark-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return TESTDATA
+
+
+@pytest.fixture(scope="session")
+def tables(spark, sf_dir):
+    """The driver's TPC-H-ish parquet tables as a name->DataFrame dict."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
