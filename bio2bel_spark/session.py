@@ -76,6 +76,9 @@ def get_spark(
         # filter pushdown + vectorized reads explicitly (defaults, pinned).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # driver testdata stores TIMESTAMP(NANOS); read as long and convert
+        # explicitly (see bio2bel_spark.tables.load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

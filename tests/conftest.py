@@ -45,8 +45,6 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def tables(spark, sf_dir):
     """The driver's TPC-H-ish parquet tables as a name->DataFrame dict."""
-    names = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    from bio2bel_spark.tables import load_tables
+
+    return load_tables(spark, sf_dir)

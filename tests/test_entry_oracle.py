@@ -1,0 +1,73 @@
+"""Differential correctness harness: every __spark_entry__ query vs DuckDB.
+
+Local replica of the driver's t2 gate: same parquet inputs, row-count +
+column-name + order-insensitive value comparison. Uses the conftest sf_dir
+(sf0.001 by default; run with SPARK_GRAFT_TESTDATA=/root/testdata/sf0.01 to
+match the driver exactly).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _normalize_cell(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_cell(x) for x in v)
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return tuple(_normalize_cell(x) for x in v)
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _records(df):
+    cols = sorted(df.columns)
+    out = [tuple(_normalize_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for name in entrymod.QUERIES and [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
+def test_query_matches_oracle(spark, sf_dir, oracle, name):
+    oracles = entrymod.oracle_sql()
+    sdf = entrymod.QUERIES[name](spark, sf_dir).toPandas()
+    assert name in oracles, f"no oracle for {name}"
+    odf = oracle.execute(oracles[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != oracle {len(odf)}"
+    scols, srec = _records(sdf)
+    ocols, orec = _records(odf)
+    assert scols == ocols, f"{name}: columns {scols} != {ocols}"
+    assert srec == orec, f"{name}: value mismatch, first spark={srec[:2]} oracle={orec[:2]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
