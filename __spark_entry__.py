@@ -238,7 +238,75 @@ def q_first_prefixed_token(spark, sf_dir):
     )
 
 
+def _kg(spark, sf_dir):
+    """Knowledge graph from the driver tables: customer/supplier → nation
+    'partOf'-style edges (bipartite star graph, deterministic)."""
+    from bio2bel_spark.operators.graph import KnowledgeGraph
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    c_edges = customer.select(
+        F.lit("customer").alias("source_ns"),
+        F.col("c_custkey").cast("string").alias("source_id"),
+        F.lit("memberOf").alias("relation"),
+        F.lit("nation").alias("target_ns"),
+        F.col("c_nationkey").cast("string").alias("target_id"),
+    )
+    s_edges = supplier.select(
+        F.lit("supplier").alias("source_ns"),
+        F.col("s_suppkey").cast("string").alias("source_id"),
+        F.lit("memberOf").alias("relation"),
+        F.lit("nation").alias("target_ns"),
+        F.col("s_nationkey").cast("string").alias("target_id"),
+    )
+    edges = c_edges.unionByName(s_edges)
+    kg = KnowledgeGraph(None, edges)
+    kg.nodes = kg.induced_nodes()
+    return kg
+
+
+def q_kg_triples(spark, sf_dir):
+    """G1/S16: edges → (h, r, t) triples export shape."""
+    return _kg(spark, sf_dir).triples()
+
+
+def q_kg_edge_list(spark, sf_dir):
+    """S15/J8: integer edge list via sorted node enumeration."""
+    return _kg(spark, sf_dir).edge_list()
+
+
+def q_kg_components(spark, sf_dir):
+    """G4: connected components (distributed min-label propagation). Oracle
+    by graph theory: each referenced nation forms exactly one component."""
+    comp = _kg(spark, sf_dir).connected_components()
+    return comp.agg(F.countDistinct("component").alias("n_components"))
+
+
+def q_kg_descendants(spark, sf_dir):
+    """G5: hierarchy BFS — all nodes under region 0 in the
+    region←nation←customer containment hierarchy."""
+    from bio2bel_spark.operators.graph import KnowledgeGraph
+
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    hier = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+    ).unionByName(
+        customer.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("child"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent"),
+        )
+    )
+    roots = spark.createDataFrame([("r0",)], "node string")
+    return KnowledgeGraph.descendants(hier, roots, "child", "parent")
+
+
 QUERIES: dict[str, Callable] = {
+    "kg_triples": q_kg_triples,
+    "kg_edge_list": q_kg_edge_list,
+    "kg_components": q_kg_components,
+    "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
     "pathway_size_distribution": q_pathway_size_distribution,
     "gene_pathway_counts": q_gene_pathway_counts,
@@ -265,6 +333,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_triples": """
+            SELECT 'customer:' || c_custkey AS h, 'memberOf' AS r,
+                   'nation:' || c_nationkey AS t
+            FROM customer
+            UNION ALL
+            SELECT 'supplier:' || s_suppkey AS h, 'memberOf' AS r,
+                   'nation:' || s_nationkey AS t
+            FROM supplier
+        """,
+        "kg_edge_list": """
+            WITH nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT 'customer:' || c_custkey AS node FROM customer
+                    UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+                    UNION ALL SELECT 'nation:' || c_nationkey FROM customer
+                    UNION ALL SELECT 'nation:' || s_nationkey FROM supplier
+                )
+            ), idx AS (
+                SELECT node, (ROW_NUMBER() OVER (ORDER BY node) - 1)::BIGINT AS node_id
+                FROM nodes
+            ), el AS (
+                SELECT 'customer:' || c_custkey AS src, 'nation:' || c_nationkey AS dst
+                FROM customer
+                UNION ALL
+                SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+            )
+            SELECT si.node_id AS source_id, ti.node_id AS target_id
+            FROM el JOIN idx si ON el.src = si.node JOIN idx ti ON el.dst = ti.node
+        """,
+        "kg_components": """
+            SELECT COUNT(DISTINCT n)::BIGINT AS n_components FROM (
+                SELECT c_nationkey AS n FROM customer
+                UNION SELECT s_nationkey FROM supplier
+            )
+        """,
+        "kg_descendants": """
+            SELECT 'r0' AS node
+            UNION ALL
+            SELECT 'n' || n_nationkey FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT 'c' || c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+        """,
         "pathway_enrichment": f"""
             WITH pairs AS (
                 SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey, p_name

@@ -1,0 +1,308 @@
+"""Knowledge-graph layer: BEL property multigraph as nodes/edges DataFrames.
+
+Replaces the reference's driver-resident ``pybel.BELGraph``
+(``/root/reference/src/bio2bel/manager/bel_manager.py:61-94``; edge qualifiers
+per ``sources/intact.py:626-631``) with two distributed DataFrames whose
+schemas are FIXTURES.md §9:
+
+* ``nodes(dsl_type, namespace, identifier, name)`` (+ optional variants)
+* ``edges(source_ns, source_id, relation, target_ns, target_id, citation,
+  evidence, annotations, source_modifier, target_modifier)``
+
+Multigraph semantics (SURVEY §7.4 hard part 2): node identity is
+``(namespace, identifier)``; edge identity is the sha2 of endpoints +
+relation + citation + annotations, so duplicate qualified edges are
+well-defined for dedup/counting while plain duplicates keep multiplicity.
+
+Everything here is a pure DataFrame transform — the graph is never collected
+to the driver (the reference holds the whole graph in RAM,
+``compath/manager.py:384-394``; at 100 TB that is not an option).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NODE_KEY = ["namespace", "identifier"]
+
+EDGE_COLS = [
+    "source_ns",
+    "source_id",
+    "relation",
+    "target_ns",
+    "target_id",
+    "citation",
+    "evidence",
+    "annotations",
+    "source_modifier",
+    "target_modifier",
+]
+
+
+def node_key_col(prefix: str = "") -> F.Column:
+    """Canonical string key for a node: ``namespace:identifier``."""
+    return F.concat_ws(":", F.col(f"{prefix}namespace"), F.col(f"{prefix}identifier"))
+
+
+def edge_key(edges: DataFrame) -> DataFrame:
+    """Deterministic 64-hex edge identity over endpoints + qualifiers.
+
+    Annotations (MapType) are serialized with sorted keys so the hash is
+    order-independent (maps have no defined iteration order).
+    """
+    ann = (
+        F.when(
+            F.col("annotations").isNotNull(),
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(F.map_keys(F.col("annotations"))),
+                    lambda k: F.concat_ws("=", k, F.col("annotations")[k]),
+                ),
+            ),
+        ).otherwise(F.lit(""))
+        if "annotations" in edges.columns
+        else F.lit("")
+    )
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in EDGE_COLS
+        if c != "annotations" and c in edges.columns
+    ]
+    return edges.withColumn("edge_key", F.sha2(F.concat_ws("|", *parts, ann), 256))
+
+
+class KnowledgeGraph:
+    """Distributed property multigraph."""
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+
+    # ------------------------------------------------------------------ algebra
+    def union(self, other: "KnowledgeGraph") -> "KnowledgeGraph":
+        """Graph merge (U2): nodes deduped by value, edges keep multiplicity
+        (BELGraph add-edge semantics, reference ``sources/rhea.py:50-62``)."""
+        nodes = (
+            self.nodes.unionByName(other.nodes, allowMissingColumns=True)
+            .dropDuplicates(NODE_KEY)
+        )
+        edges = self.edges.unionByName(other.edges, allowMissingColumns=True)
+        return KnowledgeGraph(nodes, edges)
+
+    def dedup_edges(self) -> "KnowledgeGraph":
+        """Collapse exactly-duplicate qualified edges by edge identity."""
+        return KnowledgeGraph(
+            self.nodes, edge_key(self.edges).dropDuplicates(["edge_key"]).drop("edge_key")
+        )
+
+    def induced_nodes(self) -> DataFrame:
+        """Node set implied by the edge endpoints (namespace, identifier)."""
+        s = self.edges.select(
+            F.col("source_ns").alias("namespace"), F.col("source_id").alias("identifier")
+        )
+        t = self.edges.select(
+            F.col("target_ns").alias("namespace"), F.col("target_id").alias("identifier")
+        )
+        return s.unionByName(t).dropDuplicates(NODE_KEY)
+
+    # ------------------------------------------------------------ summary (G4)
+    def summary(self, with_components: bool = True) -> dict:
+        """Graph summary stats matching the reference's published metrics
+        (``sources/intact.py:174-190``): nodes, edges, citations, components,
+        density. One job per scalar; components via the distributed loop."""
+        n_nodes = self.nodes.count()
+        n_edges = self.edges.count()
+        n_citations = (
+            self.edges.filter(F.col("citation").isNotNull())
+            .select("citation")
+            .distinct()
+            .count()
+            if "citation" in self.edges.columns
+            else 0
+        )
+        density = (
+            float(n_edges) / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else 0.0
+        )
+        out = {
+            "nodes": n_nodes,
+            "edges": n_edges,
+            "citations": n_citations,
+            "density": density,
+        }
+        if with_components:
+            out["components"] = self.connected_components().select(
+                "component"
+            ).distinct().count()
+        return out
+
+    # ------------------------------------------------------ components (G4/G5)
+    def connected_components(self, max_iterations: int = 50) -> DataFrame:
+        """Connected components via distributed min-label propagation.
+
+        Returns ``(namespace, identifier, component)`` where ``component`` is
+        the minimum 64-bit node hash in the component.
+
+        Scale notes: each iteration is one shuffle (groupBy on node);
+        convergence is O(graph diameter) — small for interaction networks
+        (the reference's own published stats imply short diameters). Lineage
+        is truncated every iteration with ``localCheckpoint`` so plans don't
+        grow unboundedly. For adversarial long-chain graphs swap in
+        GraphFrames' large-star/small-star; the API here is the stable
+        surface.
+        """
+        nodes = self.nodes.select(
+            node_key_col().alias("node"),
+            F.xxhash64(node_key_col()).alias("label"),
+        ).dropDuplicates(["node"])
+
+        sym = (
+            self.edges.select(
+                F.concat_ws(":", "source_ns", "source_id").alias("a"),
+                F.concat_ws(":", "target_ns", "target_id").alias("b"),
+            )
+            .union(
+                self.edges.select(
+                    F.concat_ws(":", "target_ns", "target_id").alias("a"),
+                    F.concat_ws(":", "source_ns", "source_id").alias("b"),
+                )
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        sym = sym.localCheckpoint(eager=True)
+
+        labels = nodes.localCheckpoint(eager=True)
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy("a")
+                .agg(F.min("label").alias("nmin"))
+                .withColumnRenamed("a", "node")
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        # identifiers may themselves contain ':' (e.g. 'GO:0001'), so split
+        # only on the first separator
+        ns = F.substring_index(F.col("node"), ":", 1)
+        return labels.select(
+            ns.alias("namespace"),
+            F.expr("substring(node, length(substring_index(node, ':', 1)) + 2)").alias(
+                "identifier"
+            ),
+            F.col("label").alias("component"),
+        )
+
+    # ------------------------------------------------------ hierarchy BFS (G5)
+    @staticmethod
+    def descendants(
+        edges: DataFrame,
+        roots: DataFrame,
+        child_col: str = "child",
+        parent_col: str = "parent",
+        max_depth: int = 30,
+    ) -> DataFrame:
+        """Subhierarchy traversal (``pyobo.get_subhierarchy`` usage,
+        reference ``sources/go.py:106-122``): all nodes reachable downward
+        from ``roots(node)`` via ``edges(child, parent)``.
+
+        Iterative frontier-expansion joins with checkpointing; the broadcast
+        side is the (small) frontier each round.
+        """
+        reached = roots.select(F.col("node")).distinct().localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(max_depth):
+            step = (
+                edges.join(
+                    F.broadcast(frontier.withColumnRenamed("node", parent_col)),
+                    parent_col,
+                )
+                .select(F.col(child_col).alias("node"))
+                .distinct()
+            )
+            new = step.join(reached, "node", "left_anti").localCheckpoint(eager=True)
+            if new.limit(1).count() == 0:
+                break
+            reached = reached.union(new).localCheckpoint(eager=True)
+            frontier = new
+        return reached
+
+    # ------------------------------------------------------------ exports (S15/S16)
+    def triples(self) -> DataFrame:
+        """(h, r, t) triples for ML interchange (PyKEEN TSV,
+        reference ``io/automate.py:30-46`` / ``io/pykeen.py:39-50``)."""
+        return self.edges.select(
+            F.concat_ws(":", "source_ns", "source_id").alias("h"),
+            F.col("relation").alias("r"),
+            F.concat_ws(":", "target_ns", "target_id").alias("t"),
+        )
+
+    def node_index(self) -> DataFrame:
+        """Stable node enumeration: sorted node keys → 0-based ids
+        (``bel_manager.py:145-161``). Global sort is the documented contract
+        (O4 deterministic-ordering); ranges partition the sort at scale."""
+        w = Window.orderBy("node")
+        return (
+            self.nodes.select(node_key_col().alias("node"))
+            .dropDuplicates(["node"])
+            .withColumn("node_id", (F.row_number().over(w) - 1).cast("long"))
+        )
+
+    def edge_list(self) -> DataFrame:
+        """Integer edge list via two joins against the node index (J8)."""
+        idx = self.node_index()
+        return (
+            self.edges.select(
+                F.concat_ws(":", "source_ns", "source_id").alias("src"),
+                F.concat_ws(":", "target_ns", "target_id").alias("dst"),
+            )
+            .join(idx.withColumnRenamed("node", "src").withColumnRenamed("node_id", "source_id"), "src")
+            .join(idx.withColumnRenamed("node", "dst").withColumnRenamed("node_id", "target_id"), "dst")
+            .select("source_id", "target_id")
+        )
+
+
+def pathway_membership_to_edges(
+    membership: DataFrame,
+    pathway: DataFrame,
+    protein: DataFrame,
+    pathway_key: str = "pathway_id",
+    protein_key: str = "protein_id",
+) -> DataFrame:
+    """Pathway→graph expansion (G3): one ``partOf`` edge per member protein
+    (``compath/mixins.py:56-62``, full dump ``compath/manager.py:384-394``)
+    as a single join plan."""
+    return (
+        membership.join(F.broadcast(pathway), pathway_key)
+        .join(protein, protein_key)
+        .select(
+            F.lit("hgnc").alias("source_ns"),
+            F.col("hgnc_id").alias("source_id"),
+            F.lit("partOf").alias("relation"),
+            F.col("prefix").alias("target_ns"),
+            F.col("identifier").alias("target_id"),
+            F.lit(None).cast("string").alias("citation"),
+            F.lit(None).cast("string").alias("evidence"),
+            F.lit(None).cast("map<string,string>").alias("annotations"),
+            F.lit(None).cast("string").alias("source_modifier"),
+            F.lit(None).cast("string").alias("target_modifier"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Namespace (controlled-vocabulary) management: build, hash, upsert, export.
+
+Re-expresses the reference's ``BELNamespaceManagerMixin``
+(``/root/reference/src/bio2bel/manager/namespace_manager.py``):
+
+* ``_make_namespace`` (``:242-260``) — one entry per model row;
+* ``_update_namespace`` (``:262-296``) — insert-if-absent by identifier,
+  here a left-anti join (A7/U1) instead of a driver-side id-set scan;
+* content hash over ordered ``name:encoding`` pairs
+  (``/root/reference/src/bio2bel/utils.py:189-199``, used at
+  ``namespace_manager.py:435-445``) — deterministic ordering is the contract
+  (SURVEY §2.6 O4), implemented as a sorted aggregate so it runs distributed
+  and matches any single-node implementation byte-for-byte;
+* ``write_bel_namespace`` (``:347-367``) / ``write_directory`` md5
+  skip-if-unchanged (``:388-415``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ENTRY_SCHEMA = "identifier STRING, name STRING, encoding STRING"
+
+
+def make_namespace(
+    df: DataFrame,
+    identifier_col: str = "identifier",
+    name_col: str = "name",
+    encoding: str = "GRP",
+) -> DataFrame:
+    """Build namespace entries from a model table (``:242-260``)."""
+    return df.select(
+        F.col(identifier_col).cast("string").alias("identifier"),
+        F.col(name_col).cast("string").alias("name"),
+        F.lit(encoding).alias("encoding"),
+    ).dropDuplicates(["identifier"])
+
+
+def update_namespace(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Rows of ``incoming`` not already present by identifier (``:262-296``)."""
+    return incoming.join(existing.select("identifier"), "identifier", "left_anti")
+
+
+def namespace_hash(entries: DataFrame, use_names: bool = True) -> str:
+    """Order-sensitive md5 of the namespace contents (``utils.py:189-199``).
+
+    The reference hashes ``f'{name}:{encoding}'`` lines in iteration order;
+    we pin the order by sorting the lines, making the hash well-defined and
+    reproducible across partitionings. Single sorted aggregate: the
+    collect_list + sort_array runs on one reducer only for the final fold —
+    fine because namespaces are vocabulary-sized (≤ millions of short rows),
+    not fact-table-sized.
+    """
+    key = F.concat_ws(":", F.col("name" if use_names else "identifier"), "encoding")
+    row = (
+        entries.select(key.alias("line"))
+        .agg(F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("line")))).alias("h"))
+        .collect()[0]
+    )
+    return row["h"]
+
+
+def write_bel_namespace(
+    entries: DataFrame,
+    path: str,
+    use_names: bool = True,
+    keyword: str = "NS",
+    version: str = "1.0.0",
+) -> None:
+    """BEL namespace file: header + ``value|encoding`` lines (``:347-367``).
+
+    Values are pulled ordered to the driver — namespace files are small by
+    construction (they are vocabularies, not data).
+    """
+    col = "name" if use_names else "identifier"
+    rows = (
+        entries.select(F.col(col).alias("v"), "encoding")
+        .orderBy("v")
+        .collect()
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"[Namespace]\nKeyword={keyword}\nVersionString={version}\n\n[Values]\n")
+        for r in rows:
+            f.write(f"{r['v']}|{r['encoding']}\n")
+
+
+def write_directory(
+    entries: DataFrame,
+    directory: str,
+    keyword: str = "NS",
+    use_names: bool = True,
+) -> bool:
+    """Skip-if-unchanged directory export (``:388-415``): compare the content
+    hash against the sidecar from the previous write; rewrite only on change.
+    Returns True if a new file was written."""
+    os.makedirs(directory, exist_ok=True)
+    target = os.path.join(directory, f"{keyword.lower()}.belns")
+    sidecar = target + ".md5"
+    new_hash = namespace_hash(entries, use_names=use_names)
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            if f.read().strip() == new_hash:
+                return False
+    write_bel_namespace(entries, target, use_names=use_names, keyword=keyword)
+    with open(sidecar, "w", encoding="utf-8") as f:
+        f.write(new_hash)
+    return True

@@ -1,0 +1,141 @@
+"""Knowledge-graph layer tests: union/dedup, summary, components, BFS,
+exports (reference expectations FIXTURES.md §9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bio2bel_spark.operators.graph import (
+    KnowledgeGraph,
+    edge_key,
+    pathway_membership_to_edges,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "source_ns string, source_id string, relation string, target_ns string, "
+        "target_id string, citation string, evidence string, "
+        "annotations map<string,string>, source_modifier string, target_modifier string",
+    )
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(
+        rows, "dsl_type string, namespace string, identifier string, name string"
+    )
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    nodes = _nodes(
+        spark,
+        [
+            ("Protein", "hgnc", "1", "A"),
+            ("Protein", "hgnc", "2", "B"),
+            ("Protein", "hgnc", "3", "C"),
+            ("Protein", "hgnc", "4", "D"),
+            ("Protein", "hgnc", "5", "E"),  # isolated
+        ],
+    )
+    edges = _edges(
+        spark,
+        [
+            ("hgnc", "1", "increases", "hgnc", "2", "pubmed:1", "ev1", {"db": "x"}, None, None),
+            ("hgnc", "2", "binds", "hgnc", "3", "pubmed:2", "ev2", None, None, None),
+            # duplicate qualified edge (same everything)
+            ("hgnc", "2", "binds", "hgnc", "3", "pubmed:2", "ev2", None, None, None),
+            # same endpoints, different citation → distinct qualified edge
+            ("hgnc", "2", "binds", "hgnc", "3", "pubmed:9", "ev3", None, None, None),
+            ("hgnc", "4", "association", "hgnc", "4b", None, None, None, None, None),
+        ],
+    )
+    return KnowledgeGraph(nodes, edges)
+
+
+def test_edge_key_distinguishes_citations(spark, kg):
+    keyed = edge_key(kg.edges)
+    assert keyed.select("edge_key").distinct().count() == 4  # dup collapses
+
+
+def test_dedup_edges(kg):
+    assert kg.dedup_edges().edges.count() == 4
+
+
+def test_union_dedups_nodes_keeps_edge_multiplicity(spark, kg):
+    other = KnowledgeGraph(
+        _nodes(spark, [("Protein", "hgnc", "1", "A"), ("Protein", "hgnc", "9", "Z")]),
+        _edges(spark, [("hgnc", "1", "increases", "hgnc", "9", None, None, None, None, None)]),
+    )
+    merged = kg.union(other)
+    assert merged.nodes.count() == 6  # hgnc:1 deduped
+    assert merged.edges.count() == 6  # multiplicity kept
+
+
+def test_summary_and_components(kg):
+    s = kg.summary()
+    assert s["nodes"] == 5 and s["edges"] == 5
+    assert s["citations"] == 3  # pubmed:1, pubmed:2, pubmed:9
+    assert s["density"] == pytest.approx(5 / (5 * 4))
+    # components over declared nodes: {1,2,3} together; {4} (4b is edge-only,
+    # merged via induced side); {5} isolated
+    comp = kg.connected_components()
+    by_node = {r["identifier"]: r["component"] for r in comp.collect()}
+    assert by_node["1"] == by_node["2"] == by_node["3"]
+    assert by_node["5"] not in (by_node["1"], by_node["4"])
+
+
+def test_components_with_induced_nodes(spark, kg):
+    full = KnowledgeGraph(kg.induced_nodes(), kg.edges)
+    comp = full.connected_components()
+    assert comp.select("component").distinct().count() == 2  # {1,2,3}, {4,4b}
+    # identifier containing ':' survives the key roundtrip
+    weird = KnowledgeGraph(
+        spark.createDataFrame(
+            [("go", "GO:0001")], "namespace string, identifier string"
+        ),
+        _edges(spark, []),
+    )
+    rows = weird.connected_components().collect()
+    assert rows[0]["identifier"] == "GO:0001"
+
+
+def test_descendants_bfs(spark):
+    hier = spark.createDataFrame(
+        [("b", "is_a", "a"), ("c", "is_a", "b"), ("d", "is_a", "c"), ("x", "is_a", "y")],
+        "child string, relation string, parent string",
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    reached = {r["node"] for r in KnowledgeGraph.descendants(hier, roots).collect()}
+    assert reached == {"a", "b", "c", "d"}
+
+
+def test_node_index_and_edge_list(kg):
+    idx = {r["node"]: r["node_id"] for r in kg.node_index().collect()}
+    assert sorted(idx.values()) == list(range(5))
+    assert list(idx) == sorted(idx)  # ids follow sorted node keys
+    el = kg.edge_list()
+    assert el.count() == 4  # hgnc:4b is not in the declared node set
+    assert set(el.columns) == {"source_id", "target_id"}
+
+
+def test_triples(kg):
+    t = kg.triples().collect()
+    assert ("hgnc:1", "increases", "hgnc:2") in {(r["h"], r["r"], r["t"]) for r in t}
+
+
+def test_pathway_membership_to_edges(spark):
+    pathway = spark.createDataFrame(
+        [(1, "pid.pathway", "PW1", "p53")],
+        "pathway_id long, prefix string, identifier string, name string",
+    )
+    protein = spark.createDataFrame(
+        [(10, "7157", "11998", "TP53")],
+        "protein_id long, entrez_id string, hgnc_id string, hgnc_symbol string",
+    )
+    membership = spark.createDataFrame([(1, 10)], "pathway_id long, protein_id long")
+    edges = pathway_membership_to_edges(membership, pathway, protein)
+    row = edges.collect()[0]
+    assert (row["source_ns"], row["source_id"], row["relation"]) == ("hgnc", "11998", "partOf")
+    assert (row["target_ns"], row["target_id"]) == ("pid.pathway", "PW1")
