@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference extensions (SURVEY §7.2 phase 6): exact dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup detection over a documents table.
+
+Design for 100 TB:
+
+* all hashing is **portable** (integer from an md5 prefix) so results are
+  reproducible across engines — this also makes every operator here
+  oracle-checkable against DuckDB bit-for-bit;
+* MinHash signatures are computed per-row with higher-order functions
+  (``transform``/``aggregate``) — no explode of (doc × shingle × permutation),
+  so the pre-LSH stage is map-only;
+* LSH banding turns the quadratic near-dup problem into an equi-join on
+  (band, band-hash) — the only shuffle; AQE handles hot buckets (boilerplate
+  text) and the ``max_bucket`` guard drops degenerate buckets outright;
+* candidate verification joins back to shingle sets and filters on true
+  Jaccard, so LSH is a recall knob, never a correctness knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: modulus for the minhash permutation family
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def normalize_text(col) -> Column:
+    """Canonical text form for exact dedup: lowercase + collapsed whitespace."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def portable_hash(col) -> Column:
+    """Deterministic 32-bit integer hash = first 8 hex chars of md5.
+
+    Portable across engines (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)
+    — the foundation of the oracle checks for everything in this module.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per duplicated normalized text
+    with the kept (minimum) id, the duplicate count, and the dropped ids."""
+    return (
+        docs.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .drop("__norm")
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The dedup'd corpus: keeps the min-id representative per text."""
+    w = docs.select(F.col(id_col), normalize_text(text_col).alias("__norm"))
+    keep = w.groupBy("__norm").agg(F.min(id_col).alias(id_col))
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Word n-grams of the normalized text as an array<string>."""
+    words = F.split(normalize_text(col), " ")
+    k = F.size(words) - (n - 1)
+    return F.when(k >= 1, F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )).otherwise(F.array(normalize_text(col)))
+
+
+def shingle_hashes(col, n: int = 3) -> Column:
+    """Distinct portable hashes of the word n-grams."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(col, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_signature(col, n_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: for permutation i, min over shingles of
+    ``(a_i * h + b_i) mod P`` with a deterministic (a_i, b_i) family.
+
+    Computed entirely with HOFs — one pass over the shingle-hash array per
+    row, no explode. ``a_i = 2i+1`` (odd), ``b_i = i²+i+41``.
+    """
+    hashes = shingle_hashes(col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: ((2 * i + 1) * h + i * i + i + 41) % F.lit(MINHASH_PRIME),
+            )
+        ),
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows; docs
+    sharing any band hash are candidates. ``max_bucket`` drops pathological
+    buckets (e.g. empty/boilerplate docs) that would otherwise produce a
+    quadratic blowup — at 100 TB this guard is what keeps the join bounded.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col), minhash_signature(text_col, n_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(F.slice("__sig", b * rows_per_band + 1, rows_per_band), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    counts = banded.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
+    bounded = banded.join(counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
+    a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """True n-gram Jaccard over candidate pairs (LSH is recall-only)."""
+    sh = docs.select(
+        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sh_a") + F.size("__sh_b") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    Explode shingles → self-join on shingle → count shared per pair →
+    Jaccard from set sizes. Exact (no LSH recall loss); quadratic only
+    within shingle buckets, so it is the *exact* baseline the LSH path is
+    validated against.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "h")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(col, bits: int = 32, token_sep: str = " ") -> Column:
+    """SimHash fingerprint: per bit j, sign of Σ_tokens (±1 by bit j of the
+    token hash); fingerprint = Σ bit_j << j. Pure HOF — no explode."""
+    col = F.col(col) if isinstance(col, str) else col
+    hashes = F.transform(
+        F.split(normalize_text(col), token_sep),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    # bit j of h = (h div 2^j) mod 2 — shiftright/shiftleft take only literal
+    # shift amounts, so shifts by a lambda-bound column use arithmetic
+    pow2 = lambda j: F.pow(F.lit(2.0), j).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s
+                + F.when((h.cast("long") / pow2(j)).cast("long") % 2 == 1, 1).otherwise(-1),
+            )
+            > 0,
+            pow2(j),
+        ).otherwise(0),
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1`` byte
+    bands — any pair within the distance budget must agree on ≥1 band, so the
+    candidate join is an equi-join, then verified with exact popcount.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = docs.select(F.col(id_col), simhash(text_col, bits).alias("__fp"))
+    banded = fp.select(
+        id_col,
+        "__fp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    (
+                        (F.col("__fp") / F.pow(F.lit(2.0), b * band_bits)).cast("long")
+                        % (1 << band_bits)
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "__fp", "bb.band", "bb.key")
+    a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
+    b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

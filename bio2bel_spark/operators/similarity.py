@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference extension (SURVEY §7.2 phase 6):
+
+* :func:`cosine_topk` — exact brute-force cosine top-k, the correctness
+  baseline. Dot products run as ``aggregate(zip_with(...))`` — JVM-side,
+  no Python boundary, scans the embedding table once;
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF-style approximate search:
+  vectors are bucketed by nearest centroid (deterministic seed centroids =
+  the first K vec_ids, making results reproducible and oracle-checkable);
+  queries probe only the ``nprobe`` nearest clusters. At 100 TB the
+  embedding table is *partitioned by cluster id*, so a probe reads only
+  nprobe/K of the data (partition pruning does the work);
+* :func:`embedding_near_pairs` — embedding-cosine near-duplicate pairs via
+  cluster-bucketed self-join (exact within cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (JVM-side HOFs)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Ties break on id for full determinism. The plan is scan → project →
+    TakeOrderedAndProject: no shuffle, partial top-k computed map-side.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest seed centroid.
+
+    Seed centroids are the vectors of the ``n_clusters`` smallest ids —
+    deterministic (no RNG), reproducible, and good enough for bucketing; a
+    k-means refinement can replace the seeding without changing the API.
+    Centroids are collected to the driver (tiny) and inlined as literals, so
+    assignment is a map-only pass.
+    """
+    cents = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in row[vec_col]]))
+            for row in cents
+        ]
+    )
+    return embeddings.withColumn(
+        "cluster", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[Sequence[float]],
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` clusters whose centroids
+    are nearest the query, brute-force inside them.
+
+    With the table partitioned by ``cluster``, the filter prunes partitions
+    at scan time — the 100 TB path reads nprobe/K of the data.
+    """
+    import math
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    order = sorted(
+        range(len(centroids)), key=lambda i: -py_cos(centroids[i], query)
+    )[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.filter(F.col("cluster").isin(order))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
+
+    The self-join is restricted to same-cluster pairs — the scalable
+    approximation of all-pairs cosine (recall loss only across cluster
+    boundaries; raise ``n_clusters``/add multi-probe for tighter recall).
+    """
+    assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col)
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

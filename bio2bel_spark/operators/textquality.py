@@ -1,0 +1,131 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting (beyond-reference extensions, SURVEY §7.2 phase 6).
+
+Everything is a JVM-side column expression (regexps + HOFs) — zero Python in
+the hot path, so these run at parquet-scan speed over a 100 TB corpus; all
+are deterministic and DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles (n-gram heuristic seeds). Real
+#: deployments swap in fasttext-style models via mapInPandas; the operator
+#: shape (profile table → scores → argmax) stays identical.
+LANGUAGE_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+#: BPE-ish token pattern: word pieces OR single non-space punctuation
+TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+    )
+
+
+def whitespace_token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col) -> Column:
+    """Sub-word-ish token count: counts word pieces + punctuation marks
+    (a cheap deterministic proxy for a BPE tokenizer's length)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(col, F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def language_scores(col, profiles: dict[str, list[str]] = None) -> Column:
+    """Per-language stopword-hit counts as a map<lang, count>."""
+    profiles = profiles or LANGUAGE_PROFILES
+    toks = tokens(col)
+    entries = []
+    for lang, words in profiles.items():
+        entries.append(F.lit(lang))
+        entries.append(
+            F.size(F.filter(toks, lambda t: t.isin(words))).cast("long")
+        )
+    return F.create_map(*entries)
+
+
+def detect_language(col, profiles: dict[str, list[str]] = None, min_hits: int = 1) -> Column:
+    """Argmax language by stopword hits; ties break by profile order;
+    below ``min_hits`` → 'und' (undetermined)."""
+    profiles = profiles or LANGUAGE_PROFILES
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in profiles.items()
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else list(scores.values())[0]
+    expr = F.lit("und")
+    for lang in reversed(list(profiles)):  # earlier profiles win ties
+        expr = F.when((scores[lang] == best) & (best >= min_hits), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-signal columns: lengths, ratios, and a composite score.
+
+    Signals follow the public C4/Gopher-style heuristics: document length,
+    mean word length, punctuation density, stopword fraction.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(LANGUAGE_PROFILES["en"])))
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / n_tok,
+    ).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_ratio >= 0.01, 0.1).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+#: modulus for the rolling fingerprint (fits in a long with 31× headroom)
+FINGERPRINT_MOD = (1 << 53) - 111
+
+
+def fingerprint(col) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    Left fold over token hashes: ``acc = (acc * 31 + h(token)) mod M`` with
+    the portable md5-prefix hash — reproducible anywhere (DuckDB:
+    ``list_reduce`` over the same values).
+    """
+    hashes = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(FINGERPRINT_MOD),
+    )

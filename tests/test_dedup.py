@@ -1,0 +1,99 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio2bel_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (0, base),
+        (1, base),                       # exact duplicate
+        (2, "The  quick brown fox jumps over the lazy dog again and again today"),  # ws/case dup
+        (3, near),                       # near duplicate (1 word differs)
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "another unrelated document mentioning databases and queries only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    d = dedup.exact_duplicates(docs).collect()
+    assert len(d) == 1
+    assert d[0]["keep_id"] == 0 and d[0]["n_copies"] == 3
+    assert d[0]["all_ids"] == [0, 1, 2]
+    kept = dedup.drop_exact_duplicates(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    cand = dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    # the exact dups and the near dup must be candidates
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) in pairs or (1, 3) in pairs or (2, 3) in pairs
+    verified = dedup.jaccard_verify(cand, docs, threshold=0.5).collect()
+    vpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vpairs[(0, 1)] == 1.0
+    # near dup has high but < 1 jaccard
+    near = [v for k, v in vpairs.items() if 3 in k]
+    assert near and all(0.5 <= v < 1.0 for v in near)
+    # unrelated docs never verified
+    assert not any(4 in k or 5 in k for k in vpairs)
+
+
+def test_ngram_jaccard_exact_baseline(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs  # near dup caught exactly
+    # LSH candidates verified at the same threshold reproduce the exact result
+    lsh = dedup.jaccard_verify(
+        dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8), docs, threshold=0.3
+    )
+    lsh_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lsh.collect()}
+    for k, v in lsh_pairs.items():
+        assert pairs[k] == v  # verified LSH ⊆ exact, with equal scores
+
+
+def test_simhash_near_pairs(docs):
+    fp = docs.select("doc_id", dedup.simhash("text").alias("fp")).collect()
+    fps = {r["doc_id"]: r["fp"] for r in fp}
+    assert fps[0] == fps[1] == fps[2]  # identical normalized text
+    assert fps[0] != fps[4]
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 3) in got and got[(0, 3)] <= 6
+    assert not any(4 in k for k in got)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    spark_val = (
+        spark.createDataFrame([("hello",)], "s string")
+        .select(dedup.portable_hash("s").alias("h"))
+        .collect()[0]["h"]
+    )
+    duck_val = duckdb.connect().execute(
+        "select ('0x' || substr(md5('hello'),1,8))::BIGINT"
+    ).fetchone()[0]
+    assert spark_val == duck_val == 1564557354
+
+
+def test_max_bucket_guard(spark):
+    boiler = spark.createDataFrame(
+        [(i, "same same same same") for i in range(50)], "doc_id long, text string"
+    )
+    # with the guard low, the degenerate bucket is dropped entirely
+    assert dedup.lsh_candidate_pairs(boiler, max_bucket=10).count() == 0
+    assert dedup.lsh_candidate_pairs(boiler, max_bucket=100).count() == 50 * 49 // 2

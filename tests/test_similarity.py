@@ -1,0 +1,86 @@
+"""Similarity-search tests: brute-force cosine, IVF bucketing, near-pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio2bel_spark.operators import similarity
+
+
+def _py_cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, tables):
+    return tables["embeddings"]
+
+
+def test_cosine_matches_python(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert got == pytest.approx(_py_cos(a, b))
+
+
+def test_cosine_topk_exact(emb):
+    rows = emb.limit(200).collect()
+    query = rows[7]["embedding"]
+    got = similarity.cosine_topk(emb, query, k=5).collect()
+    # query vector itself must rank first with similarity 1.0
+    assert got[0]["vec_id"] == rows[7]["vec_id"]
+    assert got[0]["cos_sim"] == pytest.approx(1.0, abs=1e-5)
+    # verify ordering against a python recomputation over the full table
+    all_rows = emb.collect()
+    expected = sorted(
+        ((r["vec_id"], round(_py_cos(query, r["embedding"]), 6)) for r in all_rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"], pytest.approx(r["cos_sim"], abs=1e-5)) for r in got] == [
+        (v, pytest.approx(c, abs=1e-5)) for v, c in expected
+    ]
+
+
+def test_ivf_assign_and_topk_recall(emb):
+    n_clusters = 8
+    assigned = similarity.ivf_assign(emb, n_clusters=n_clusters)
+    dist = assigned.groupBy("cluster").count().collect()
+    assert 1 <= len(dist) <= n_clusters
+    assert sum(r["count"] for r in dist) == emb.count()
+
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(n_clusters).collect()
+    ]
+    query = emb.collect()[17]["embedding"]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, cents, query, k=10, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 clusters: at least half recalled
+    # probing everything reproduces the exact result
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, cents, query, k=10, nprobe=n_clusters).collect()
+    ]
+    assert full == exact
+
+
+def test_embedding_near_pairs_self_consistency(spark):
+    # seed centroids are the first n_clusters ids: 0 and 1 must separate
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 0
+        (3, [1.0, 0.001, 0.0]),    # near dup of 0 and 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_pairs(df, threshold=0.999, n_clusters=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 2), (0, 3), (2, 3)}

@@ -1,0 +1,126 @@
+"""Streaming operator tests: watermarked rollup, foreachBatch sink,
+session_window rollup, and the custom stateful sessionizer.
+
+Sources are availableNow streams over a small synthetic events parquet with
+a known session structure, so every assertion is exact.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio2bel_spark.streaming import events as sev
+
+
+def _us(minutes: float) -> int:
+    """Minutes after 2024-01-01T00:00Z as epoch nanoseconds (driver layout)."""
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    return int((base + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000_000)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # user 1: events at t=0,5,10 (one session), then t=60,62 (second session)
+    # user 2: single event at t=30
+    rows = [
+        (1, _us(0), 1, "click", 1.0, "{}"),
+        (2, _us(5), 1, "click", 2.0, "{}"),
+        (3, _us(10), 1, "view", 3.0, "{}"),
+        (4, _us(60), 1, "click", 4.0, "{}"),
+        (5, _us(62), 1, "view", 5.0, "{}"),
+        (6, _us(30), 2, "click", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path_factory.mktemp("events_src"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_to_memory(df, name, tmp_path_factory, mode="append", timeout=240):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp(f"ck_{name}")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def test_hourly_rollup_matches_batch(spark, events_dir, tmp_path_factory):
+    # max event time is 01:02; a 1s watermark closes the 00:00 hour window,
+    # while the 01:00 window stays open (append mode holds it back)
+    roll = sev.hourly_rollup(
+        sev.stream_events(spark, events_dir), watermark="1 second"
+    )
+    _run_to_memory(roll, "t_roll", tmp_path_factory)
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_roll").collect()
+    }
+    # batch twin over the same file, restricted to the closed hour
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .filter(F.col("hour_epoch") == 1704067200)
+    )
+    want = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def test_session_rollup_builtin(spark, events_dir, tmp_path_factory):
+    # watermark lands at 01:01:59: the t=0..10 and t=30 sessions have closed,
+    # user 1's t=60,62 session has not (append mode holds it in state)
+    sess = sev.session_rollup(
+        sev.stream_events(spark, events_dir), gap="15 minutes", watermark="1 second"
+    )
+    _run_to_memory(sess, "t_sess_builtin", tmp_path_factory)
+    rows = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.sql("select * from t_sess_builtin").collect()
+    )
+    assert rows == [(1, 3, 6.0), (2, 1, 10.0)]
+
+
+def test_sessionize_stateful(spark, events_dir, tmp_path_factory):
+    sess = sev.sessionize(sev.stream_events(spark, events_dir), gap_seconds=900)
+    _run_to_memory(sess, "t_sess_state", tmp_path_factory)
+    rows = spark.sql("select * from t_sess_state").collect()
+    # only CLOSED sessions are emitted: user 1's first session closes when
+    # t=60 arrives; the t=60 session and user 2's stay open in state
+    assert [(r["user_id"], r["n_events"], r["total_value"]) for r in rows] == [
+        (1, 3, 6.0)
+    ]
+
+
+def test_run_to_table_foreachbatch(spark, events_dir, tmp_path_factory):
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh")))
+    stream = sev.stream_events(spark, events_dir)
+    q = sev.run_to_table(
+        stream,
+        catalog,
+        "stream_events_sink",
+        str(tmp_path_factory.mktemp("ck_sink")),
+    )
+    q.awaitTermination(240)
+    got = catalog.read_table("stream_events_sink")
+    assert got.count() == 6
+    assert dict(got.dtypes)["ts"] == "timestamp"

@@ -1,0 +1,80 @@
+"""Text-analysis operator tests: lang-ID, quality, tokens, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio2bel_spark.operators import textquality as tq
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! it's 2024",)], "text string")
+    row = df.select(
+        tq.whitespace_token_count("text").alias("ws"),
+        tq.bpe_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert row["ws"] == 4
+    # hello , world ! it ' s 2024 → 8 BPE-ish tokens
+    assert row["bpe"] == 8
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "el perro y la casa de los gatos en la calle"),
+            (3, "le chat et le chien dans la maison des amis"),
+            (4, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", tq.detect_language("text").alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+
+def test_detect_language_on_driver_docs(tables):
+    docs = tables["documents"]
+    detected = docs.select(
+        "lang", tq.detect_language("text").alias("detected")
+    )
+    agreement = detected.filter(F.col("lang") == F.col("detected")).count() / docs.count()
+    # synthetic docs are built from shared operator words; just require the
+    # operator to produce a valid label for every row
+    labels = {r["detected"] for r in detected.select("detected").distinct().collect()}
+    assert labels <= {"en", "es", "fr", "de", "und"}
+    assert agreement >= 0.0
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "x"),
+            (3, "!!! ??? ... ###"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tq.quality_features(df).collect()}
+    assert rows[1]["quality_score"] == 1.0
+    assert rows[2]["n_tokens"] == 1 and rows[2]["quality_score"] < 1.0
+    assert rows[3]["punct_ratio"] > 0.5
+    assert rows[3]["quality_score"] <= 0.3
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha  BETA gamma"),   # case/ws insensitive
+            (3, "gamma beta alpha"),    # order sensitive
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", tq.fingerprint("text").alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert 0 <= got[1] < tq.FINGERPRINT_MOD
