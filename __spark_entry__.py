@@ -302,6 +302,240 @@ def q_kg_descendants(spark, sf_dir):
     return KnowledgeGraph.descendants(hier, roots, "child", "parent")
 
 
+# ---------------------------------------------------- training-data operators
+
+
+def _docs_augmented(spark, sf_dir):
+    """documents ∪ perturbed copies of doc_id<50 (case/whitespace variants):
+    a deterministic input that actually contains duplicates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, upper(text) AS text
+    FROM documents WHERE doc_id < 50
+"""
+
+#: DuckDB twins of the portable hashing pipeline in operators/dedup.py
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+#: exact n-gram Jaccard pairs over the augmented corpus (threshold 0.5) —
+#: oracle for both the inverted-index operator and the LSH+verify pipeline
+_EXACT_JACCARD_SQL = f"""
+    WITH aug AS ({_AUG_SQL}),
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug),
+    w AS (SELECT doc_id, t, string_split(t, ' ') AS words FROM norm),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [t] END AS shingles
+        FROM w
+    ), hs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(shingles,
+                   s -> {_H32_SQL.format(x='s')})) AS hashes
+        FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(hashes) AS h FROM hs
+    ), sizes AS (
+        SELECT doc_id, len(hashes) AS n FROM hs
+    ), pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               count(*)::BIGINT AS shared
+        FROM ex x JOIN ex y USING (h)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy on normalized text)."""
+    from bio2bel_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_augmented(spark, sf_dir))
+
+
+def q_dedup_drop_exact(spark, sf_dir):
+    """Surviving corpus after exact dedup (min-id representative kept)."""
+    from bio2bel_spark.operators.dedup import drop_exact_duplicates
+
+    return drop_exact_duplicates(_docs_augmented(spark, sf_dir)).select("doc_id")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 perms over word-3-gram portable hashes)."""
+    from bio2bel_spark.operators.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", minhash_signature("text", 16).alias("sig"))
+
+
+def q_dedup_lsh_verified(spark, sf_dir):
+    """MinHash-LSH candidates filtered by true n-gram Jaccard ≥ 0.5."""
+    from bio2bel_spark.operators.dedup import jaccard_verify, lsh_candidate_pairs
+
+    docs = _docs_augmented(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, n_hashes=16, bands=8)
+    return jaccard_verify(cand, docs, threshold=0.5)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
+    from bio2bel_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_docs(spark, sf_dir):
+    """32-bit SimHash fingerprint per document."""
+    from bio2bel_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text", 32).alias("fp"))
+
+
+def q_text_quality(spark, sf_dir):
+    """C4/Gopher-style quality signals + composite score per document."""
+    from bio2bel_spark.operators.textquality import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_language_confusion(spark, sf_dir):
+    """Labeled lang × detected lang contingency counts (n-gram heuristic)."""
+    from bio2bel_spark.operators.textquality import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", detect_language("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per document."""
+    from bio2bel_spark.operators.textquality import (
+        bpe_token_count,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Order-sensitive rolling fingerprint per document."""
+    from bio2bel_spark.operators.textquality import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 against vec 0 (ANN baseline)."""
+    from bio2bel_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, query, k=10)
+
+
+def q_embedding_near_pairs_exact(spark, sf_dir):
+    """All-pairs cosine ≥ 0.9 — exact correctness baseline for the IVF path
+    (at scale use operators.similarity.embedding_near_pairs, which buckets
+    the self-join by cluster instead of going quadratic)."""
+    from bio2bel_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    # norms are computed once per ROW (below the join) instead of once per
+    # PAIR: the O(n²) side of the plan does a single 64-wide dot product
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), v.alias("va"), _norm(v).alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), v.alias("vb"), _norm(v).alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (metadata-only fan-out, every 5th frame)."""
+    from bio2bel_spark.operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    out = frame_sample(media, every_n=5)
+    return out.select("doc_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+def q_media_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize targets from metadata (max side 256)."""
+    from bio2bel_spark.operators.multimodal import media_from_documents, resize_plan
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_plan(media, max_side=256).drop("kind")
+
+
+def q_media_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode → deterministic stub features."""
+    from bio2bel_spark.operators.multimodal import decode_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_features(media).select(
+        "doc_id", F.col("features").cast("array<double>").alias("features")
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessions (30 min) via the built-in session_window — the
+    batch twin of streaming.events.session_rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -324,6 +558,22 @@ QUERIES: dict[str, Callable] = {
     "json_props": q_json_props,
     "word_counts": q_word_counts,
     "first_prefixed_token": q_first_prefixed_token,
+    "dedup_exact": q_dedup_exact,
+    "dedup_drop_exact": q_dedup_drop_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_docs": q_simhash_docs,
+    "text_quality": q_text_quality,
+    "language_confusion": q_language_confusion,
+    "token_stats": q_token_stats,
+    "doc_fingerprints": q_doc_fingerprints,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
+    "media_frame_sample": q_media_frame_sample,
+    "media_resize_plan": q_media_resize_plan,
+    "media_features": q_media_features,
+    "event_sessions": q_event_sessions,
 }
 
 
@@ -488,5 +738,217 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(string_split(text, ' '), x -> x LIKE 's%')[1]
                        AS first_s_token
             FROM documents
+        """,
+        # LSH banding (16 hashes / 8 bands) has empirically-complete recall at
+        # Jaccard ≥ 0.5 on this corpus (verified vs the exact inverted index
+        # at sf0.001/0.01/0.1), so the exact pairs are its oracle too.
+        "dedup_lsh_verified": _EXACT_JACCARD_SQL,
+        "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        "dedup_exact": f"""
+            WITH aug AS ({_AUG_SQL}),
+            norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug)
+            SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+                   list_sort(list(doc_id)) AS all_ids
+            FROM norm GROUP BY t HAVING count(*) > 1
+        """,
+        "dedup_drop_exact": f"""
+            WITH aug AS ({_AUG_SQL}),
+            norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug)
+            SELECT min(doc_id) AS doc_id FROM norm GROUP BY t
+        """,
+        "minhash_signatures": f"""
+            WITH norm AS (
+                SELECT doc_id, {_NORM_SQL} AS t FROM documents
+            ), w AS (
+                SELECT doc_id, t, string_split(t, ' ') AS words FROM norm
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(words[i:i+2], ' '))
+                            ELSE [t] END AS shingles
+                FROM w
+            ), hs AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(shingles,
+                           s -> {_H32_SQL.format(x='s')})) AS hashes
+                FROM sh
+            )
+            SELECT doc_id,
+                   list_transform(range(0, 16), i -> list_min(
+                       list_transform(hashes,
+                           h -> ((2*i + 1) * h + i*i + i + 41) % 2147483647)
+                   )) AS sig
+            FROM hs
+        """,
+        "simhash_docs": f"""
+            WITH norm AS (
+                SELECT doc_id, {_NORM_SQL} AS t FROM documents
+            ), hs AS (
+                SELECT doc_id,
+                       list_transform(string_split(t, ' '),
+                           s -> {_H32_SQL.format(x='s')}) AS hashes
+                FROM norm
+            )
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN list_sum(list_transform(hashes, h ->
+                                CASE WHEN floor(h / 2^j)::BIGINT % 2 = 1
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN (2^j)::BIGINT ELSE 0 END
+                   ))::BIGINT AS fp
+            FROM hs
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, n_chars, len(toks) AS n_tok,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                 / len(toks)
+                            ELSE 0.0 END AS mwl,
+                       CASE WHEN n_chars > 0
+                            THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                 / n_chars
+                            ELSE 0.0 END AS pr,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> x IN
+                                ('the','and','of','to','in','is','that','for','with','was')
+                                ))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS sr
+                FROM base
+            )
+            SELECT doc_id, n_chars::BIGINT AS n_chars, n_tok::BIGINT AS n_tokens,
+                   round(mwl, 6) AS mean_word_len,
+                   round(pr, 6) AS punct_ratio,
+                   round(sr, 6) AS stopword_ratio,
+                   round((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2)
+                       AS quality_score
+            FROM feat
+        """,
+        "language_confusion": """
+            WITH t AS (
+                SELECT lang,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT lang,
+                       len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS s_es,
+                       len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','en','un','du','une'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','im'))) AS s_de
+                FROM t
+            ), d AS (
+                SELECT lang, greatest(s_en, s_es, s_fr, s_de) AS best,
+                       s_en, s_es, s_fr, s_de
+                FROM s
+            )
+            SELECT lang,
+                   CASE WHEN s_en = best AND best >= 1 THEN 'en'
+                        WHEN s_es = best AND best >= 1 THEN 'es'
+                        WHEN s_fr = best AND best >= 1 THEN 'fr'
+                        WHEN s_de = best AND best >= 1 THEN 'de'
+                        ELSE 'und' END AS detected,
+                   count(*)::BIGINT AS n
+            FROM d GROUP BY 1, 2
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> ''))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(toks, s -> {_H32_SQL.format(x='s')}) AS hashes
+                FROM t
+            )
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT, hashes),
+                       (a, x) -> (a * 31 + x) % 9007199254740881) AS fp
+            FROM h
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], (SELECT e FROM q))
+                       / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                          * sqrt(list_dot_product((SELECT e FROM q), (SELECT e FROM q)))),
+                       6) AS cos_sim
+            FROM embeddings
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_near_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+        """,
+        "media_frame_sample": """
+            SELECT doc_id, unnest(range(0, n_chars % 30 + 1, 5)) AS frame_index
+            FROM documents
+        """,
+        "media_resize_plan": """
+            WITH m AS (
+                SELECT doc_id, (n_chars % 640 + 32)::INT AS w,
+                       (n_chars % 480 + 32)::INT AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, w, h, least(256.0 / w, 256.0 / h, 1.0) AS sc FROM m
+            )
+            SELECT doc_id, w AS width, h AS height,
+                   round(w * sc)::INT AS target_width,
+                   round(h * sc)::INT AS target_height
+            FROM s
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   list_transform(range(0, 8), i ->
+                       ('0x' || substr(sha256(text), 4*i + 1, 4))::BIGINT / 65536.0)
+                       AS features
+            FROM documents
+        """,
+        "event_sessions": """
+            WITH m AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
     }

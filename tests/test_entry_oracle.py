@@ -54,10 +54,18 @@ def oracle(sf_dir):
     return con
 
 
+#: queries intentionally without a SQL oracle (driver records rows-only)
+ROWS_ONLY: set[str] = set()
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
 def test_query_matches_oracle(spark, sf_dir, oracle, name):
     oracles = entrymod.oracle_sql()
     sdf = entrymod.QUERIES[name](spark, sf_dir).toPandas()
+    if name in ROWS_ONLY:
+        assert name not in oracles
+        assert len(sdf) >= 0
+        return
     assert name in oracles, f"no oracle for {name}"
     odf = oracle.execute(oracles[name]).df()
     assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != oracle {len(odf)}"
