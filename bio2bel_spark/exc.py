@@ -24,3 +24,7 @@ class Bio2BELMissingModelsError(Bio2BELSparkError, TypeError):
 
 class Bio2BELTestMissingManagerError(Bio2BELSparkError, TypeError):
     """Raised by the testing harness when no Dataset class is configured."""
+
+
+class Bio2BELMissingInputError(Bio2BELSparkError, ValueError):
+    """Raised when a SourceDataset populate lacks a required input."""
