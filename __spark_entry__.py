@@ -327,6 +327,30 @@ _AUG_SQL = """
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
+#: DuckDB twin of operators/similarity.ivf_assign: seed centroids are the 8
+#: lowest-id vectors; every vector joins its argmax-cosine centroid (first
+#: index wins ties, matching Spark's array_position)
+_IVF_CTE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+        SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cidx, v AS cv
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    sims AS (
+        SELECT e.vec_id,
+               list(list_dot_product(e.v, c.cv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(c.cv, c.cv)))
+                    ORDER BY c.cidx) AS s
+        FROM e CROSS JOIN c GROUP BY e.vec_id
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.v,
+               (list_position(s, list_max(s)) - 1)::INT AS cluster
+        FROM e JOIN sims USING (vec_id)
+    )
+"""
+
 #: exact n-gram Jaccard pairs over the augmented corpus (threshold 0.5) —
 #: oracle for both the inverted-index operator and the LSH+verify pipeline
 _EXACT_JACCARD_SQL = f"""
@@ -490,6 +514,31 @@ def q_embedding_near_pairs_exact(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Approximate top-10 via IVF: probe the 2 nearest of 8 clusters.
+    The scale path — with the table partitioned by cluster, the probe
+    filter prunes partitions at scan time."""
+    from bio2bel_spark.operators.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assigned = ivf_assign(emb, n_clusters=8)
+    cents = [
+        row["embedding"]
+        for row in emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    ]
+    return ivf_topk(assigned, cents, query, k=10, nprobe=2)
+
+
+def q_embedding_near_pairs_ivf(spark, sf_dir):
+    """Near-dup pairs (cosine ≥ 0.9) via the cluster-bucketed self-join —
+    the approximation whose exact twin is embedding_near_pairs_exact."""
+    from bio2bel_spark.operators.similarity import embedding_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.9, n_clusters=8)
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (metadata-only fan-out, every 5th frame)."""
     from bio2bel_spark.operators.multimodal import frame_sample, media_from_documents
@@ -570,6 +619,8 @@ QUERIES: dict[str, Callable] = {
     "doc_fingerprints": q_doc_fingerprints,
     "cosine_topk": q_cosine_topk,
     "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
+    "ivf_topk": q_ivf_topk,
+    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
@@ -906,6 +957,37 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+        """,
+        "ivf_topk": f"""
+            {_IVF_CTE}
+            , q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            , probe AS (
+                SELECT cidx FROM c CROSS JOIN q
+                ORDER BY list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(qv, qv))) DESC, cidx
+                LIMIT 2
+            )
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, qv)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+            FROM assigned a CROSS JOIN q
+            WHERE a.cluster IN (SELECT cidx FROM probe)
+            ORDER BY cos_sim DESC, a.vec_id
+            LIMIT 10
+        """,
+        "embedding_near_pairs_ivf": f"""
+            {_IVF_CTE}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM assigned a JOIN assigned b USING (cluster)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
                       / (sqrt(list_dot_product(a.v, a.v))
                          * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
         """,

@@ -146,20 +146,27 @@ def embedding_near_pairs(
     boundaries; raise ``n_clusters``/add multi-probe for tighter recall).
     """
     assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col)
+    v = F.col(vec_col).cast("array<double>")
+    # norms once per ROW below the join; the quadratic side is one dot product
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+        v.alias("va"),
+        _norm(v).alias("na"),
     )
     b = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+        v.alias("vb"),
+        _norm(v).alias("nb"),
     )
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
