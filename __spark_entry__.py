@@ -814,7 +814,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, t, string_split(t, ' ') AS words FROM norm
             ), sh AS (
                 SELECT doc_id,
-                       CASE WHEN len(words) >= 3
+                       CASE WHEN t IS NULL THEN NULL
+                            WHEN len(words) >= 3
                             THEN list_transform(range(1, len(words) - 1),
                                  i -> array_to_string(words[i:i+2], ' '))
                             ELSE [t] END AS shingles
@@ -826,10 +827,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh
             )
             SELECT doc_id,
+                   CASE WHEN hashes IS NULL THEN NULL ELSE
                    list_transform(range(0, 16), i -> list_min(
                        list_transform(hashes,
                            h -> ((2*i + 1) * h + i*i + i + 41) % 2147483647)
-                   )) AS sig
+                   )) END AS sig
             FROM hs
         """,
         "simhash_docs": f"""

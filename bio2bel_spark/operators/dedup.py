@@ -99,10 +99,11 @@ def minhash_signature(col, n_hashes: int = 16, shingle_n: int = 3) -> Column:
     at sf0.1). Single-pass keeps the hash array evaluated exactly once per
     row regardless of ``n_hashes``.
     """
+    raw = F.col(col) if isinstance(col, str) else col
     hashes = shingle_hashes(col, shingle_n)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), n_hashes)
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    return F.aggregate(
+    sig = F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
@@ -113,6 +114,9 @@ def minhash_signature(col, n_hashes: int = 16, shingle_n: int = 3) -> Column:
             ),
         ),
     )
+    # null text → null signature (otherwise least() would silently skip the
+    # null hash and return the init vector — a fake "empty doc" signature)
+    return F.when(raw.isNotNull(), sig)
 
 
 def lsh_candidate_pairs(
