@@ -56,3 +56,21 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
         _finalize_single(tmp, path, ".json")
     else:
         df.write.mode("overwrite").json(path)
+
+
+def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> None:
+    """Excel sink for SMALL exports (S10 — reference
+    ``src/bio2bel/compath/utils.py:18-31`` ``to_excel``).
+
+    Driver-side pandas conversion: Excel is a human-report format, never a
+    data-scale sink, so ``toPandas`` is the right tool. Gated on openpyxl so
+    environments without it get a clear error at call time, not import time.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise ImportError(
+            "write_xlsx needs the optional 'openpyxl' package; install it or "
+            "use write_tsv/write_json instead"
+        ) from e
+    df.toPandas().to_excel(path, index=False, sheet_name=sheet_name)

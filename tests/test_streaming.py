@@ -109,6 +109,46 @@ def test_sessionize_stateful(spark, events_dir, tmp_path_factory):
     ]
 
 
+def test_source_transform_reused_on_stream(spark, tmp_path_factory):
+    """SURVEY §2.9 extension: the batch source transforms run unchanged
+    inside foreachBatch over a streamed raw feed — declaring pipelines as
+    DataFrame plans is what makes ingest readStream-compatible."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.sources import tfregulons
+
+    src = tmp_path_factory.mktemp("tf_stream")
+    (src / "part1.tsv").write_text(
+        "TP53\tMDM2\t1\tA\t111, 222\nTP53\tBCL2\t-1\tB\t333\n"
+    )
+    hgnc_map = spark.createDataFrame(
+        [("TP53", "11998"), ("MDM2", "6973"), ("BCL2", "990")],
+        "hgnc_symbol string, hgnc_id string",
+    )
+    raw_stream = (
+        spark.readStream.schema(
+            "tf_hgnc_symbol string, target_hgnc_symbol string, effect int, "
+            "score string, pmids string"
+        )
+        .option("sep", "\t")
+        .csv(str(src))
+    )
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("tf_wh")))
+
+    def ingest(batch_df, batch_id):
+        edges = tfregulons.to_edges(tfregulons.prepare(batch_df, hgnc_map))
+        catalog.write_table(edges, "tfregulons_edges", mode="append")
+
+    q = (
+        raw_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("tf_ck")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = catalog.read_table("tfregulons_edges")
+    assert got.count() == 8  # same fan-out as the batch CLI test
+
+
 def test_run_to_table_foreachbatch(spark, events_dir, tmp_path_factory):
     from bio2bel_spark.catalog import Catalog
 
