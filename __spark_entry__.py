@@ -282,6 +282,21 @@ def q_kg_components(spark, sf_dir):
     return comp.agg(F.countDistinct("component").alias("n_components"))
 
 
+def q_kg_summary(spark, sf_dir):
+    """G4: one-row graph summary (nodes, edges, density) — the reference's
+    published BEL-graph statistics (intact.py:174-190) as a single plan."""
+    kg = _kg(spark, sf_dir)
+    n_nodes = kg.nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = kg.edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
+        ).alias("density"),
+    )
+
+
 def q_kg_descendants(spark, sf_dir):
     """G5: hierarchy BFS — all nodes under region 0 in the
     region←nation←customer containment hierarchy."""
@@ -589,6 +604,7 @@ QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
+    "kg_summary": q_kg_summary,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
     "pathway_size_distribution": q_pathway_size_distribution,
@@ -668,6 +684,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_nationkey AS n FROM customer
                 UNION SELECT s_nationkey FROM supplier
             )
+        """,
+        "kg_summary": """
+            WITH nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT 'customer:' || c_custkey AS node FROM customer
+                    UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+                    UNION ALL SELECT 'nation:' || c_nationkey FROM customer
+                    UNION ALL SELECT 'nation:' || s_nationkey FROM supplier
+                )
+            ), n AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+            e AS (
+                SELECT ((SELECT count(*) FROM customer)
+                      + (SELECT count(*) FROM supplier))::BIGINT AS n_edges
+            )
+            SELECT n_nodes, n_edges,
+                   round(n_edges::DOUBLE / (n_nodes * (n_nodes - 1)), 6) AS density
+            FROM n, e
         """,
         "kg_descendants": """
             SELECT 'r0' AS node

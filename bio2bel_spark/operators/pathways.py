@@ -144,20 +144,27 @@ class PathwayStore:
         ``(pathway_id, pathway_name, mapped_proteins, pathway_size,
         gene_set)``.
 
-        Physical shape: broadcast the seed symbols; one shuffle for the
-        groupBy on pathway id; pathway sizes computed in the same pass via a
-        conditional aggregate instead of a second scan + join.
+        Physical shape: broadcast the seed symbols; membership pairs are
+        deduplicated FIRST (one shuffle with map-side partial dedup), so the
+        per-pathway aggregate needs only plain counts — two distinct
+        aggregates in one groupBy would force Catalyst's Expand (3× row
+        inflation) through both exchanges. Pathway sizes come from the same
+        pass via a conditional count instead of a second scan + join.
         """
         seeds = list(symbols)
         # no null-symbol filter here: pathway_size counts ALL members (the
         # reference's len(pathway.proteins)); a null symbol never matches isin
-        pairs = self.membership.join(self.protein, self.rk)
+        pairs = (
+            self.membership.select(self.pk, self.rk)
+            .distinct()
+            .join(self.protein, self.rk)
+        )
         hit = F.col(self.symbol).isin(seeds)
         per_pathway = (
             pairs.groupBy(self.pk)
             .agg(
-                F.countDistinct(F.when(hit, F.col(self.rk))).alias("mapped_proteins"),
-                F.countDistinct(self.rk).alias("pathway_size"),
+                F.count(F.when(hit, F.col(self.rk))).alias("mapped_proteins"),
+                F.count(F.lit(1)).alias("pathway_size"),
                 F.sort_array(
                     F.collect_set(F.when(hit, F.col(self.symbol)))
                 ).alias("gene_set"),
