@@ -320,6 +320,18 @@ def q_kg_descendants(spark, sf_dir):
 # ---------------------------------------------------- training-data operators
 
 
+def _spread(spark, df):
+    """Repartition an expression-heavy input to full parallelism.
+
+    The driver's small tables arrive as single-row-group parquet files → 1-2
+    scan partitions, which would run the per-row hash pipelines on 1-2 of the
+    32 cores. At production scale inputs arrive in many splits and this is a
+    no-op decision; the tiny shuffle here expresses the requirement (heavy
+    map stages need partitions ≈ cores) without touching global scan config.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs_augmented(spark, sf_dir):
     """documents ∪ perturbed copies of doc_id<50 (case/whitespace variants):
     a deterministic input that actually contains duplicates."""
@@ -328,7 +340,7 @@ def _docs_augmented(spark, sf_dir):
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.upper(F.col("text")).alias("text"),
     )
-    return docs.unionByName(dups)
+    return _spread(spark, docs.unionByName(dups))
 
 
 _AUG_SQL = """
@@ -422,7 +434,7 @@ def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures (16 perms over word-3-gram portable hashes)."""
     from bio2bel_spark.operators.dedup import minhash_signature
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", minhash_signature("text", 16).alias("sig"))
 
 
@@ -446,7 +458,7 @@ def q_simhash_docs(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
     from bio2bel_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash("text", 32).alias("fp"))
 
 
@@ -511,7 +523,7 @@ def q_embedding_near_pairs_exact(spark, sf_dir):
     v = F.col("embedding").cast("array<double>")
     # norms are computed once per ROW (below the join) instead of once per
     # PAIR: the O(n²) side of the plan does a single 64-wide dot product
-    a = emb.select(
+    a = _spread(spark, emb).select(
         F.col("vec_id").alias("id_a"), v.alias("va"), _norm(v).alias("na")
     )
     b = emb.select(

@@ -152,6 +152,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # the banded table feeds three consumers (bucket counts, the semi-join,
+    # and both sides of the pair join) — without persistence each one would
+    # re-run the whole minhash pipeline. It is tiny relative to the corpus
+    # (bands × one hash per doc), so MEMORY_AND_DISK is safe at any scale.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     counts = banded.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
     bounded = banded.join(counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
@@ -173,9 +180,11 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """True n-gram Jaccard over candidate pairs (LSH is recall-only)."""
+    from pyspark import StorageLevel
+
     sh = docs.select(
         F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # joined from both pair sides
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -205,7 +214,13 @@ def ngram_jaccard_pairs(
     within shingle buckets, so it is the *exact* baseline the LSH path is
     validated against.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h"))
+    from pyspark import StorageLevel
+
+    # consumed three times (both join sides + sizes) — persist the exploded
+    # inverted index instead of re-hashing the corpus per consumer
+    sh = docs.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("x")
@@ -292,6 +307,9 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "__fp", "bb.band", "bb.key")
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
     b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
     cand = (
