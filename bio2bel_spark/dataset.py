@@ -47,6 +47,21 @@ def get_dataset_classes() -> dict[str, type["Dataset"]]:
     return dict(_REGISTRY)
 
 
+def ensure_dataset(name: str) -> type["Dataset"]:
+    """Resolve a registered dataset by name, mirroring the lookup half of
+    ``ensure_bio2bel_installation`` (``io/automate.py:72-101``). The
+    reference's pip-install fallback (M5) is deliberately out of engine
+    scope — package management belongs to the deployment layer."""
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"dataset {name!r} is not registered; auto-installing source "
+            f"packages is out of scope — import its module first "
+            f"(registered: {sorted(_REGISTRY)})"
+        ) from None
+
+
 class Dataset:
     """Base class every source dataset extends.
 
