@@ -183,21 +183,19 @@ class KnowledgeGraph:
                 .agg(F.min("label").alias("nmin"))
                 .withColumnRenamed("a", "node")
             )
-            new_labels = (
+            # carry the improved flag through the checkpoint so convergence
+            # detection reads the materialized result instead of re-running
+            # the join (one extra join + groupBy per iteration otherwise)
+            joined = (
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
                     F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("_improved"),
                 )
             ).localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = joined.filter(F.col("_improved")).limit(1).count()
+            labels = joined.drop("_improved")
             if changed == 0:
                 break
         # identifiers may themselves contain ':' (e.g. 'GO:0001'), so split
