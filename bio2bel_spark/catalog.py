@@ -84,6 +84,38 @@ class Catalog:
     def read_table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
+    # ------------------------------------------------------- bucketed tables
+    def write_bucketed_table(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: Iterable[str],
+        n_buckets: int = 32,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed managed table for co-located joins (SURVEY §4 partitioning).
+
+        Two tables bucketed on the same key with the same bucket count join
+        WITHOUT a shuffle (verified by plan assertion in
+        ``tests/test_catalog_bucketing.py``) — the strategy for repeated big
+        joins (e.g. membership ⋈ protein at 100 TB). Bucket metadata lives in
+        the session catalog; on a production deployment back the
+        SparkSession with a shared metastore so bucketing survives sessions.
+        """
+        cols = list(bucket_cols)
+        (
+            df.write.mode(mode)
+            .bucketBy(n_buckets, *cols)
+            .sortBy(*cols)
+            .option("path", self.table_path(name))
+            .saveAsTable(name)
+        )
+
+    def read_bucketed_table(self, name: str) -> DataFrame:
+        """Session-catalog read that preserves bucketing metadata (a plain
+        ``read.parquet`` of the same path loses it)."""
+        return self.spark.table(name)
+
     def drop_table(self, name: str) -> bool:
         """DROP TABLE IF EXISTS semantics; returns whether anything was dropped."""
         path = self.table_path(name)
