@@ -132,6 +132,45 @@ def test_minhash_matches_python_model(spark, texts):
         assert got[i] == want, (t, got[i], want)
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_simhash_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dedup.simhash("text", 16).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _norm(t).split(" ")  # simhash splits WITHOUT dropping empties
+        hashes = [_h32(tok) for tok in toks]
+        fp = 0
+        for j in range(16):
+            s = sum(1 if (h >> j) & 1 else -1 for h in hashes)
+            if s > 0:
+                fp += 1 << j
+        assert got[i] == fp, (t, got[i], fp)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_quality_features_match_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in textquality.quality_features(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _tokens(t)
+        assert got[i]["n_chars"] == len(t)
+        assert got[i]["n_tokens"] == len(toks)
+        if toks:
+            mwl = sum(len(x) for x in toks) / len(toks)
+            assert got[i]["mean_word_len"] == pytest.approx(round(mwl, 6))
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=TEXTS)
 def test_drop_exact_duplicates_matches_python_model(spark, texts):
