@@ -51,6 +51,19 @@ def _build_parser() -> argparse.ArgumentParser:
     act = sub.add_parser("actions", help="list the provenance log")
     act.add_argument("--limit", type=int, default=20)
     sub.add_parser("ls", help="list registered dataset modules")
+
+    ns = sub.add_parser(
+        "namespace", help="export a BEL namespace file from a catalog table"
+    )
+    ns.add_argument("--table", required=True, help="catalog table name")
+    ns.add_argument("--id-col", default="identifier")
+    ns.add_argument("--name-col", default="name")
+    ns.add_argument("--encoding", default="GRP")
+    ns.add_argument("--keyword", default="NS")
+    ns.add_argument("--out-dir", required=True)
+    ns.add_argument(
+        "--use-ids", action="store_true", help="values are identifiers, not names"
+    )
     return p
 
 
@@ -140,6 +153,29 @@ def main(argv: Optional[list[str]] = None, spark=None) -> int:
             cat = Catalog(spark, args.warehouse)
             for r in cat.actions().limit(args.limit).collect():
                 print(f"{r['created']}\t{r['resource']}\t{r['action']}")
+        elif args.command == "namespace":
+            # namespace export CLI (reference namespace_manager.py:467-488):
+            # build entries from any catalog table, skip-if-unchanged write
+            from bio2bel_spark.catalog import Catalog
+            from bio2bel_spark.operators.namespace import (
+                make_namespace,
+                write_directory,
+            )
+
+            cat = Catalog(spark, args.warehouse)
+            entries = make_namespace(
+                cat.read_table(args.table),
+                identifier_col=args.id_col,
+                name_col=args.name_col,
+                encoding=args.encoding,
+            )
+            wrote = write_directory(
+                entries,
+                args.out_dir,
+                keyword=args.keyword,
+                use_names=not args.use_ids,
+            )
+            print(f"{args.keyword}: {'written' if wrote else 'unchanged (md5 match)'}")
     finally:
         if owns_spark:
             spark.stop()

@@ -95,6 +95,34 @@ def test_populate_all_isolates_failures(spark, tmp_path, tf_inputs, capsys):
     assert "populate_failed" in acts
 
 
+def test_namespace_export_cli(spark, tmp_path, tf_inputs, capsys):
+    raw, hgnc = tf_inputs
+    wh = str(tmp_path / "whns")
+    out = str(tmp_path / "ns")
+    cli.main(
+        [
+            "--warehouse", wh,
+            "populate", "--module", "tfregulons",
+            "--input", f"tfregulons.raw={raw}",
+            "--input", f"tfregulons.hgnc_map={hgnc}",
+        ],
+        spark=spark,
+    )
+    args = [
+        "--warehouse", wh,
+        "namespace", "--table", "tfregulons_edges",
+        "--id-col", "target_id", "--name-col", "target_name",
+        "--keyword", "TFTARGETS", "--out-dir", out,
+    ]
+    assert cli.main(args, spark=spark) == 0
+    assert "TFTARGETS: written" in capsys.readouterr().out
+    belns = (tmp_path / "ns" / "tftargets.belns").read_text()
+    assert "[Namespace]" in belns and "MDM2|GRP" in belns
+    # second export with unchanged data skips the write (md5 sidecar)
+    assert cli.main(args, spark=spark) == 0
+    assert "unchanged" in capsys.readouterr().out
+
+
 def test_missing_required_input_raises(spark, tmp_path):
     ds = TFRegulonsDataset(spark, str(tmp_path / "wh3"))
     with pytest.raises(Bio2BELMissingInputError):
