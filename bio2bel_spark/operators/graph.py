@@ -198,6 +198,18 @@ class KnowledgeGraph:
             labels = joined.drop("_improved")
             if changed == 0:
                 break
+        else:
+            # silent partial labels are worse than a loud approximation
+            import warnings
+
+            warnings.warn(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (graph diameter exceeds the budget); labels may "
+                "merge further — raise max_iterations or use a star-contraction "
+                "variant for long-chain graphs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # identifiers may themselves contain ':' (e.g. 'GO:0001'), so split
         # only on the first separator
         ns = F.substring_index(F.col("node"), ":", 1)

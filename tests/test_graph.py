@@ -139,3 +139,38 @@ def test_pathway_membership_to_edges(spark):
     row = edges.collect()[0]
     assert (row["source_ns"], row["source_id"], row["relation"]) == ("hgnc", "11998", "partOf")
     assert (row["target_ns"], row["target_id"]) == ("pid.pathway", "PW1")
+
+
+def test_components_long_chain_converges(spark):
+    """Min-label propagation needs O(diameter) rounds: a 30-node path is the
+    adversarial shape (diameter 29) and must still produce ONE component."""
+    from bio2bel_spark.operators.graph import KnowledgeGraph
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [("x", str(i), "link", "x", str(i + 1)) for i in range(29)],
+        "source_ns string, source_id string, relation string, "
+        "target_ns string, target_id string",
+    )
+    kg = KnowledgeGraph(None, edges)
+    kg.nodes = kg.induced_nodes()
+    comp = kg.connected_components()
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 30
+
+
+def test_components_nonconvergence_warns(spark):
+    from bio2bel_spark.operators.graph import KnowledgeGraph
+    import warnings
+
+    edges = spark.createDataFrame(
+        [("x", str(i), "link", "x", str(i + 1)) for i in range(9)],
+        "source_ns string, source_id string, relation string, "
+        "target_ns string, target_id string",
+    )
+    kg = KnowledgeGraph(None, edges)
+    kg.nodes = kg.induced_nodes()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        kg.connected_components(max_iterations=2)
+    assert any("did not converge" in str(w.message) for w in caught)
