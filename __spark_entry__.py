@@ -549,7 +549,7 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    assigned = ivf_assign(emb, n_clusters=8)
+    assigned = ivf_assign(_spread(spark, emb), n_clusters=8)
     cents = [
         row["embedding"]
         for row in emb.orderBy("vec_id").limit(8).select("embedding").collect()
@@ -562,7 +562,7 @@ def q_embedding_near_pairs_ivf(spark, sf_dir):
     the approximation whose exact twin is embedding_near_pairs_exact."""
     from bio2bel_spark.operators.similarity import embedding_near_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return embedding_near_pairs(emb, threshold=0.9, n_clusters=8)
 
 
