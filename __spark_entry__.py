@@ -297,6 +297,34 @@ def q_kg_summary(spark, sf_dir):
     )
 
 
+def q_kg_pathway_edges(spark, sf_dir):
+    """G3: pathway→graph expansion — one partOf edge per distinct membership
+    pair, as a single join plan (no per-pathway loop)."""
+    from bio2bel_spark.operators.graph import pathway_membership_to_edges
+
+    membership = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("pathway_id"),
+            F.col("l_partkey").alias("protein_id"),
+        )
+        .distinct()
+    )
+    pathway = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pathway_id"),
+        F.lit("orders").alias("prefix"),
+        F.col("o_orderkey").cast("string").alias("identifier"),
+    )
+    protein = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("protein_id"),
+        F.col("p_partkey").cast("string").alias("hgnc_id"),
+    )
+    edges = pathway_membership_to_edges(membership, pathway, protein)
+    return edges.select(
+        "source_ns", "source_id", "relation", "target_ns", "target_id"
+    )
+
+
 def q_kg_descendants(spark, sf_dir):
     """G5: hierarchy BFS — all nodes under region 0 in the
     region←nation←customer containment hierarchy."""
@@ -617,6 +645,7 @@ QUERIES: dict[str, Callable] = {
     "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
     "kg_summary": q_kg_summary,
+    "kg_pathway_edges": q_kg_pathway_edges,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
     "pathway_size_distribution": q_pathway_size_distribution,
@@ -713,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nodes, n_edges,
                    round(n_edges::DOUBLE / (n_nodes * (n_nodes - 1)), 6) AS density
             FROM n, e
+        """,
+        "kg_pathway_edges": """
+            SELECT DISTINCT 'hgnc' AS source_ns, l_partkey::VARCHAR AS source_id,
+                   'partOf' AS relation, 'orders' AS target_ns,
+                   l_orderkey::VARCHAR AS target_id
+            FROM lineitem
         """,
         "kg_descendants": """
             SELECT 'r0' AS node
