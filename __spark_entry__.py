@@ -30,6 +30,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _arr_str(col) -> F.Column:
+    """Encode an array column as a ','-joined string for the driver compare.
+
+    The driver canonicalizer sorts result rows with pandas, which raises
+    ``unhashable type: 'list'`` on array cells — so every query that returns
+    an array encodes it as a string on BOTH sides (Spark ``array_join`` ↔
+    DuckDB ``array_to_string``). Elements are cast to string first so
+    integer/long arrays work too (Spark's array_join is string-only).
+    """
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+
 def _pathway_store(spark: SparkSession, sf_dir: str):
     """Bind the ComPath operators to the driver's M2M trio:
     orders (pathways) ↔ part (proteins) via lineitem (membership)."""
@@ -61,7 +73,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_pathway_enrichment(spark, sf_dir):
     """SURVEY §3.2 / J1-J3 + A5-A6: single-plan enrichment."""
-    return _pathway_store(spark, sf_dir).query_symbols(SEED_PART_NAMES)
+    df = _pathway_store(spark, sf_dir).query_symbols(SEED_PART_NAMES)
+    return df.withColumn("gene_set", _arr_str("gene_set"))
 
 
 def q_pathway_size_distribution(spark, sf_dir):
@@ -76,7 +89,8 @@ def q_gene_pathway_counts(spark, sf_dir):
 
 def q_pathway_to_symbols(spark, sf_dir):
     """A6: grouped multidict (collect_set)."""
-    return _pathway_store(spark, sf_dir).pathway_to_symbols()
+    df = _pathway_store(spark, sf_dir).pathway_to_symbols()
+    return df.withColumn("symbols", _arr_str("symbols"))
 
 
 def q_substring_search(spark, sf_dir):
@@ -169,7 +183,9 @@ def q_nation_segments(spark, sf_dir):
     return (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            _arr_str(F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
+        )
     )
 
 
@@ -448,7 +464,8 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash-groupBy on normalized text)."""
     from bio2bel_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_docs_augmented(spark, sf_dir))
+    df = exact_duplicates(_docs_augmented(spark, sf_dir))
+    return df.withColumn("all_ids", _arr_str("all_ids"))
 
 
 def q_dedup_drop_exact(spark, sf_dir):
@@ -463,7 +480,7 @@ def q_minhash_signatures(spark, sf_dir):
     from bio2bel_spark.operators.dedup import minhash_signature
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", minhash_signature("text", 16).alias("sig"))
+    return docs.select("doc_id", _arr_str(minhash_signature("text", 16)).alias("sig"))
 
 
 def q_dedup_lsh_verified(spark, sf_dir):
@@ -616,8 +633,16 @@ def q_media_features(spark, sf_dir):
     from bio2bel_spark.operators.multimodal import decode_features, media_from_documents
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
+    # features[i] = k_i / 65536 with k_i a 16-bit int, so *65536 recovers the
+    # exact integer — a float-format-proof string encoding on both sides.
     return decode_features(media).select(
-        "doc_id", F.col("features").cast("array<double>").alias("features")
+        "doc_id",
+        _arr_str(
+            F.transform(
+                F.col("features").cast("array<double>"),
+                lambda x: F.round(x * 65536).cast("long"),
+            )
+        ).alias("features"),
     )
 
 
@@ -766,8 +791,9 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT p_partkey) FILTER (WHERE p_name IN {_SEED_SQL})
                            AS mapped_proteins,
                        COUNT(DISTINCT p_partkey) AS pathway_size,
-                       list_sort(list(DISTINCT p_name) FILTER (WHERE p_name IN {_SEED_SQL}))
-                           AS gene_set
+                       array_to_string(list_sort(
+                           list(DISTINCT p_name) FILTER (WHERE p_name IN {_SEED_SQL})
+                       ), ',') AS gene_set
                 FROM pairs GROUP BY o_orderkey
             )
             SELECT a.o_orderkey, o.o_orderpriority AS pathway_name,
@@ -788,7 +814,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pathway_to_symbols": """
             SELECT l_orderkey AS o_orderkey,
-                   list_sort(list(DISTINCT p_name)) AS symbols
+                   array_to_string(list_sort(list(DISTINCT p_name)), ',') AS symbols
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_name IS NOT NULL
             GROUP BY l_orderkey
@@ -840,7 +866,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment FROM customer
         """,
         "nation_segments": """
-            SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments
+            SELECT n_name,
+                   array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                       AS segments
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
@@ -879,7 +907,7 @@ def oracle_sql() -> dict[str, str]:
             WITH aug AS ({_AUG_SQL}),
             norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug)
             SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
-                   list_sort(list(doc_id)) AS all_ids
+                   array_to_string(list_sort(list(doc_id)), ',') AS all_ids
             FROM norm GROUP BY t HAVING count(*) > 1
         """,
         "dedup_drop_exact": f"""
@@ -907,11 +935,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh
             )
             SELECT doc_id,
+                   array_to_string(
                    CASE WHEN hashes IS NULL THEN NULL ELSE
                    list_transform(range(0, 16), i -> list_min(
                        list_transform(hashes,
                            h -> ((2*i + 1) * h + i*i + i + 41) % 2147483647)
-                   )) END AS sig
+                   )) END, ',') AS sig
             FROM hs
         """,
         "simhash_docs": f"""
@@ -1092,8 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             SELECT doc_id,
-                   list_transform(range(0, 8), i ->
-                       ('0x' || substr(sha256(text), 4*i + 1, 4))::BIGINT / 65536.0)
+                   array_to_string(list_transform(range(0, 8), i ->
+                       ('0x' || substr(sha256(text), 4*i + 1, 4))::BIGINT), ',')
                        AS features
             FROM documents
         """,

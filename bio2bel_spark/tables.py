@@ -30,6 +30,11 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # Runtime-settable SQL conf; the driver's oracle harness builds its own
+        # SparkSession without the session-factory confs, so the loader must be
+        # self-sufficient (PARQUET_TYPE_ILLEGAL otherwise).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -61,7 +61,19 @@ ROWS_ONLY: set[str] = set()
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
 def test_query_matches_oracle(spark, sf_dir, oracle, name):
     oracles = entrymod.oracle_sql()
-    sdf = entrymod.QUERIES[name](spark, sf_dir).toPandas()
+    result = entrymod.QUERIES[name](spark, sf_dir)
+    # The driver's canonicalizer sorts rows with pandas and dies on list cells
+    # ("unhashable type: 'list'", CORRECTNESS_r01) — reject array/map/struct
+    # result columns outright so that failure class can't ship again. Queries
+    # must string-encode them (see __spark_entry__._arr_str).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in result.schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: result column {field.name!r} is {field.dataType.simpleString()}"
+            " — driver canonicalizer can't sort it; string-encode with _arr_str"
+        )
+    sdf = result.toPandas()
     if name in ROWS_ONLY:
         assert name not in oracles
         assert len(sdf) >= 0
