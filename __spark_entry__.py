@@ -205,6 +205,32 @@ def q_content_hash(spark, sf_dir):
     )
 
 
+def q_content_hash_tree(spark, sf_dir):
+    """F11/A9 at scale: tree-folded content digest (namespace_hash shape).
+    Lines bucket by a pure hash of the line; each bucket folds in parallel;
+    the final fold sees only 64 bucket digests — no full-table single
+    reducer, unlike the flat `content_hash` baseline."""
+    part = _t(spark, sf_dir, "part")
+    kv = F.concat_ws(":", F.col("p_partkey").cast("string"), "p_name")
+    h32 = F.conv(F.substring(F.md5(kv), 1, 8), 16, 10).cast("long")
+    per_bucket = (
+        part.select(kv.alias("kv"), F.pmod(h32, F.lit(64)).alias("b"))
+        .groupBy("b")
+        .agg(F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("kv")))).alias("h"))
+    )
+    return per_bucket.agg(
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "h"))),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("content_hash")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Windowed temporal rollup (batch form of the streaming agg)."""
     ev = _t(spark, sf_dir, "events")
@@ -685,6 +711,7 @@ QUERIES: dict[str, Callable] = {
     "distinct_segments": q_distinct_segments,
     "nation_segments": q_nation_segments,
     "content_hash": q_content_hash,
+    "content_hash_tree": q_content_hash_tree,
     "events_hourly": q_events_hourly,
     "json_props": q_json_props,
     "word_counts": q_word_counts,
@@ -875,6 +902,18 @@ def oracle_sql() -> dict[str, str]:
         "content_hash": """
             SELECT md5(string_agg(kv, '|' ORDER BY kv)) AS content_hash
             FROM (SELECT p_partkey || ':' || p_name AS kv FROM part)
+        """,
+        "content_hash_tree": """
+            WITH kv AS (SELECT p_partkey || ':' || p_name AS kv FROM part),
+            bk AS (
+                SELECT kv, ('0x' || substr(md5(kv), 1, 8))::BIGINT % 64 AS b
+                FROM kv
+            ),
+            per AS (
+                SELECT b, md5(string_agg(kv, chr(10) ORDER BY kv)) AS h
+                FROM bk GROUP BY b
+            )
+            SELECT md5(string_agg(h, chr(10) ORDER BY b)) AS content_hash FROM per
         """,
         "events_hourly": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,

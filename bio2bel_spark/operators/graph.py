@@ -267,13 +267,49 @@ class KnowledgeGraph:
 
     def node_index(self) -> DataFrame:
         """Stable node enumeration: sorted node keys → 0-based ids
-        (``bel_manager.py:145-161``). Global sort is the documented contract
-        (O4 deterministic-ordering); ranges partition the sort at scale."""
-        w = Window.orderBy("node")
-        return (
+        (``bel_manager.py:145-161``; O4 deterministic-ordering contract).
+
+        Scale shape: a global ``row_number() OVER (ORDER BY node)`` funnels
+        every node through ONE task. Instead the sort is range-partitioned:
+        ``repartitionByRange`` splits the key space into ordered ranges,
+        ``row_number`` runs per range (parallel), and each range's offset is
+        the sum of the counts of the ranges before it — a partition-count-
+        sized aggregate, broadcast back. The output ids are identical to the
+        global window for any choice of range boundaries, so the enumeration
+        stays deterministic while the sort scales with the cluster.
+        """
+        distinct_nodes = (
             self.nodes.select(node_key_col().alias("node"))
             .dropDuplicates(["node"])
-            .withColumn("node_id", (F.row_number().over(w) - 1).cast("long"))
+        )
+        n_ranges = distinct_nodes.sparkSession.sparkContext.defaultParallelism
+        ranged = distinct_nodes.repartitionByRange(n_ranges, "node").withColumn(
+            "_range", F.spark_partition_id()
+        )
+        local = ranged.withColumn(
+            "_local",
+            F.row_number().over(Window.partitionBy("_range").orderBy("node")),
+        )
+        # offsets: one row per range — tiny, safe to window globally + broadcast
+        offsets = (
+            ranged.groupBy("_range")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn(
+                "_offset",
+                F.coalesce(
+                    F.sum("_cnt").over(
+                        Window.orderBy("_range").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("_range", "_offset")
+        )
+        return local.join(F.broadcast(offsets), "_range").select(
+            "node",
+            (F.col("_offset") + F.col("_local") - 1).cast("long").alias("node_id"),
         )
 
     def edge_list(self) -> DataFrame:

@@ -45,22 +45,44 @@ def update_namespace(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     return incoming.join(existing.select("identifier"), "identifier", "left_anti")
 
 
-def namespace_hash(entries: DataFrame, use_names: bool = True) -> str:
-    """Order-sensitive md5 of the namespace contents (``utils.py:189-199``).
+def namespace_hash(
+    entries: DataFrame, use_names: bool = True, n_buckets: int = 64
+) -> str:
+    """Deterministic content digest of the namespace (``utils.py:189-199``).
 
     The reference hashes ``f'{name}:{encoding}'`` lines in iteration order;
-    we pin the order by sorting the lines, making the hash well-defined and
-    reproducible across partitionings. Single sorted aggregate: the
-    collect_list + sort_array runs on one reducer only for the final fold —
-    fine because namespaces are vocabulary-sized (≤ millions of short rows),
-    not fact-table-sized.
+    we pin a well-defined order instead. Digest definition (tree fold):
+
+    1. each line goes to bucket ``crc32(line) % n_buckets`` — a pure function
+       of the line, so the digest never depends on physical partitioning;
+    2. per bucket: md5 of the sorted, newline-joined lines (parallel across
+       buckets — no single reducer sees more than ~1/n_buckets of the data);
+    3. final: md5 of the bucket digests in bucket order (n_buckets rows).
+
+    A flat ``md5(concat(sort(all lines)))`` funnels the whole table through
+    one reducer — fine for vocabularies, an OOM for fact tables; the tree
+    form costs one extra (tiny) aggregate and scales to either.
     """
     key = F.concat_ws(":", F.col("name" if use_names else "identifier"), "encoding")
-    row = (
+    per_bucket = (
         entries.select(key.alias("line"))
-        .agg(F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("line")))).alias("h"))
-        .collect()[0]
+        .withColumn("_b", F.pmod(F.crc32(F.col("line")), F.lit(n_buckets)))
+        .groupBy("_b")
+        .agg(
+            F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("line")))).alias("h")
+        )
     )
+    row = per_bucket.agg(
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_b", "h"))),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("h")
+    ).collect()[0]
     return row["h"]
 
 

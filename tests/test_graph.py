@@ -114,10 +114,39 @@ def test_descendants_bfs(spark):
 def test_node_index_and_edge_list(kg):
     idx = {r["node"]: r["node_id"] for r in kg.node_index().collect()}
     assert sorted(idx.values()) == list(range(5))
-    assert list(idx) == sorted(idx)  # ids follow sorted node keys
+    # ids follow sorted node keys
+    assert idx == {n: i for i, n in enumerate(sorted(idx))}
     el = kg.edge_list()
     assert el.count() == 4  # hgnc:4b is not in the declared node set
     assert set(el.columns) == {"source_id", "target_id"}
+
+
+def test_node_index_parallel_and_partition_invariant(spark):
+    """The enumeration must (a) equal the global sorted rank, (b) not funnel
+    the sort through one task: the row_number window is partitioned by the
+    range id, and the ranged stage runs with >1 partition."""
+    from pyspark.sql import functions as F
+
+    nodes = spark.range(500).select(
+        F.concat(F.lit("ns"), (F.col("id") % 7).cast("string")).alias("namespace"),
+        F.col("id").cast("string").alias("identifier"),
+    )
+    empty_edges = spark.createDataFrame(
+        [], "source_ns string, source_id string, relation string, "
+        "target_ns string, target_id string",
+    )
+    idx_df = KnowledgeGraph(nodes.repartition(13), empty_edges).node_index()
+    plan = idx_df._jdf.queryExecution().optimizedPlan().toString()
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines and all("_range" in ln for ln in rn_lines), plan
+    idx = {r["node"]: r["node_id"] for r in idx_df.collect()}
+    assert idx == {n: i for i, n in enumerate(sorted(idx))}
+    # same ids regardless of input partitioning
+    idx1 = {
+        r["node"]: r["node_id"]
+        for r in KnowledgeGraph(nodes.coalesce(1), empty_edges).node_index().collect()
+    }
+    assert idx1 == idx
 
 
 def test_triples(kg):
