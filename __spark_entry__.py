@@ -426,9 +426,14 @@ _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 #: DuckDB twin of operators/similarity.ivf_assign: seed centroids are the 8
 #: lowest-id vectors; every vector joins its argmax-cosine centroid (first
-#: index wins ties, matching Spark's array_position)
-_IVF_CTE = """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: index wins ties, matching Spark's array_position). Parametrized by the
+#: vector source so the near-pair query can run over the augmented table.
+_IVF_SRC = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def _ivf_cte(src: str = _IVF_SRC) -> str:
+    return f"""
+    WITH e AS ({src}),
     c AS (
         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cidx, v AS cv
         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
@@ -447,6 +452,9 @@ _IVF_CTE = """
         FROM e JOIN sims USING (vec_id)
     )
 """
+
+
+_IVF_CTE = _ivf_cte()
 
 #: exact n-gram Jaccard pairs over the augmented corpus (threshold 0.5) —
 #: oracle for both the inverted-index operator and the LSH+verify pipeline
@@ -584,13 +592,37 @@ def q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, query, k=10)
 
 
+def _emb_augmented(spark, sf_dir):
+    """embeddings ∪ deterministic near-duplicates of vec_id<20 (affine
+    perturbation x*0.9 + 0.01, cosine ≈ 0.99) — so the near-pair oracles
+    return nonzero rows and actually discriminate (round-1 review: a 0-vs-0
+    match is a powerless test)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.9 + 0.01).alias("embedding"),
+    )
+    return emb.unionByName(dups)
+
+
+_EMB_AUG_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.01) AS v
+    FROM embeddings WHERE vec_id < 20
+"""
+
+
 def q_embedding_near_pairs_exact(spark, sf_dir):
     """All-pairs cosine ≥ 0.9 — exact correctness baseline for the IVF path
     (at scale use operators.similarity.embedding_near_pairs, which buckets
     the self-join by cluster instead of going quadratic)."""
     from bio2bel_spark.operators.similarity import _dot, _norm
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_augmented(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     # norms are computed once per ROW (below the join) instead of once per
     # PAIR: the O(n²) side of the plan does a single 64-wide dot product
@@ -621,10 +653,18 @@ def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     assigned = ivf_assign(_spread(spark, emb), n_clusters=8)
-    cents = [
-        row["embedding"]
-        for row in emb.orderBy("vec_id").limit(8).select("embedding").collect()
-    ]
+    # centroids stay a DataFrame end-to-end: ranking happens via the same
+    # cosine column expr (no Python loop; the window is over 8 rows)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cidx"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
     return ivf_topk(assigned, cents, query, k=10, nprobe=2)
 
 
@@ -633,7 +673,7 @@ def q_embedding_near_pairs_ivf(spark, sf_dir):
     the approximation whose exact twin is embedding_near_pairs_exact."""
     from bio2bel_spark.operators.similarity import embedding_near_pairs
 
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    emb = _spread(spark, _emb_augmented(spark, sf_dir))
     return embedding_near_pairs(emb, threshold=0.9, n_clusters=8)
 
 
@@ -1099,8 +1139,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cos_sim DESC, vec_id
             LIMIT 10
         """,
-        "embedding_near_pairs_exact": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        "embedding_near_pairs_exact": f"""
+            WITH e AS ({_EMB_AUG_SQL})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.v, b.v)
                        / (sqrt(list_dot_product(a.v, a.v))
@@ -1130,7 +1170,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embedding_near_pairs_ivf": f"""
-            {_IVF_CTE}
+            {_ivf_cte(_EMB_AUG_SQL)}
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.v, b.v)
                        / (sqrt(list_dot_product(a.v, a.v))

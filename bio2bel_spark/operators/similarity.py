@@ -96,7 +96,7 @@ def ivf_assign(
 
 def ivf_topk(
     assigned: DataFrame,
-    centroids: list[Sequence[float]],
+    centroids: "list[Sequence[float]] | DataFrame",
     query: Sequence[float],
     k: int = 10,
     nprobe: int = 2,
@@ -106,23 +106,31 @@ def ivf_topk(
     """Approximate top-k: probe only the ``nprobe`` clusters whose centroids
     are nearest the query, brute-force inside them.
 
-    With the table partitioned by ``cluster``, the filter prunes partitions
-    at scan time — the 100 TB path reads nprobe/K of the data.
+    ``centroids`` is a DataFrame ``(cidx int, cv array<double>)`` (or a
+    driver list, converted to one). Centroid ranking runs through the same
+    ``cosine`` column expression as everything else — one distributed top-
+    nprobe job — so a 65k-list IVF index never funnels through a Python
+    ``sorted``; only the ``nprobe`` winning ids are collected. Keeping the
+    probe set as literals in an ``isin`` filter is what lets a
+    cluster-partitioned table prune at scan time (the 100 TB path reads
+    nprobe/K of the data).
     """
-    import math
-
-    def py_cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return d / (na * nb) if na and nb else 0.0
-
-    order = sorted(
-        range(len(centroids)), key=lambda i: -py_cos(centroids[i], query)
-    )[:nprobe]
+    spark = assigned.sparkSession
+    if not isinstance(centroids, DataFrame):
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cidx int, cv array<double>",
+        )
     q = F.array(*[F.lit(float(x)) for x in query])
+    probe = (
+        centroids.select("cidx", cosine(F.col("cv"), q).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.col("cidx"))
+        .limit(nprobe)
+        .collect()
+    )
+    probe_ids = [r["cidx"] for r in probe]
     return (
-        assigned.filter(F.col("cluster").isin(order))
+        assigned.filter(F.col("cluster").isin(probe_ids))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
