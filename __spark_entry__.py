@@ -280,6 +280,114 @@ def q_first_prefixed_token(spark, sf_dir):
     )
 
 
+#: synthesized MITAB interaction-type codes for the F9 dispatch query —
+#: covers increases+pmod, regulates, association, decreases (plain and
+#: Gene-target), binds, decreases+pmod, and an unmapped code (reject path)
+_DISPATCH_CODES = [
+    'psi-mi:"MI:0217"(phosphorylation reaction)',
+    'psi-mi:"MI:0407"(direct interaction)',
+    'psi-mi:"MI:0915"(physical association)',
+    'psi-mi:"MI:0194"(cleavage reaction)',
+    'psi-mi:"MI:0195"(covalent binding)',
+    'psi-mi:"MI:0203"(dephosphorylation reaction)',
+    'psi-mi:"MI:0701"(dna strand elongation)',
+    'psi-mi:"MI:9999"(unmapped reaction)',
+]
+
+#: synthesized raw identifier tokens for the F1 normalization query —
+#: prefix synonyms, canonical prefixes, and a no-colon token (null path)
+_CURIE_PREFIXES = [
+    "uniprotkb",
+    "Entrez Gene/LocusLink",
+    "CHEBI",
+    "uniprot/swiss-prot",
+    "ec-code",
+]
+
+
+def q_curie_normalize(spark, sf_dir):
+    """F1: CURIE normalization (prefix synonym fold + split) over a
+    synthesized raw-identifier column — hash-level evidence for the
+    reference's densest parse logic (intact.py:458-510)."""
+    from bio2bel_spark.functions.curie import normalize_curie_cols
+
+    part = _t(spark, sf_dir, "part")
+    pre = F.element_at(
+        F.array(*[F.lit(p) for p in _CURIE_PREFIXES]),
+        (F.pmod(F.col("p_partkey"), F.lit(5)) + 1).cast("int"),
+    )
+    raw = F.when(
+        F.pmod(F.col("p_partkey"), F.lit(7)) == 0,
+        F.concat(F.lit("token"), F.col("p_partkey").cast("string")),
+    ).otherwise(F.concat_ws(":", pre, F.col("p_partkey").cast("string")))
+    with_raw = part.select("p_partkey", raw.alias("raw"))
+    prefix, identifier = normalize_curie_cols("raw")
+    return with_raw.select(
+        "p_partkey", "raw", prefix.alias("prefix"), identifier.alias("identifier")
+    )
+
+
+def q_relation_dispatch(spark, sf_dir):
+    """F9: the reference's ~280-line if/elif relation cascade
+    (intact.py:595-875) as ONE broadcast join against the relation table —
+    dispatch counts per (relation, variant_kind) including the reject path."""
+    from bio2bel_spark.sources.intact import relation_table
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    psi = F.element_at(
+        F.array(*[F.lit(c) for c in _DISPATCH_CODES]),
+        (F.pmod(F.col("l_orderkey") + F.col("l_partkey"), F.lit(8)) + 1).cast("int"),
+    )
+    keyed = li.withColumn("psi_mi", psi)
+    joined = keyed.join(F.broadcast(relation_table(spark)), "psi_mi", "left")
+    return joined.groupBy(
+        F.coalesce("relation", F.lit("unhandled_relation")).alias("relation"),
+        F.coalesce("variant_kind", F.lit("none")).alias("variant_kind"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_kg_union_dedup(spark, sf_dir):
+    """U2: multigraph union + qualified-edge dedup (BELGraph add-edge
+    semantics, reference sources/rhea.py:50-62). Exact duplicates collapse
+    by edge identity; a differently-cited copy of the same endpoints
+    survives. Digest of the sorted edge keys pins the sha2 identity."""
+    from bio2bel_spark.operators.graph import KnowledgeGraph, edge_key
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+
+    def _edges(df, key, nkey, ns, citation):
+        return df.select(
+            F.lit(ns).alias("source_ns"),
+            F.col(key).cast("string").alias("source_id"),
+            F.lit("memberOf").alias("relation"),
+            F.lit("nation").alias("target_ns"),
+            F.col(nkey).cast("string").alias("target_id"),
+            F.lit(citation).alias("citation"),
+        )
+
+    e1 = _edges(customer, "c_custkey", "c_nationkey", "customer", "pubmed:1")
+    e_dup = _edges(customer, "c_custkey", "c_nationkey", "customer", "pubmed:1")
+    e_recited = _edges(
+        customer.filter(F.pmod(F.col("c_custkey"), F.lit(10)) == 0),
+        "c_custkey", "c_nationkey", "customer", "pubmed:2",
+    )
+    e_sup = _edges(supplier, "s_suppkey", "s_nationkey", "supplier", "pubmed:1")
+    g = KnowledgeGraph(
+        None, e1.unionByName(e_dup).unionByName(e_recited).unionByName(e_sup)
+    )
+    deduped = edge_key(g.dedup_edges().edges)
+    return deduped.groupBy("source_ns").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.md5(F.concat_ws("\n", F.sort_array(F.collect_list("edge_key")))).alias(
+            "keys_digest"
+        ),
+    )
+
+
 def _kg(spark, sf_dir):
     """Knowledge graph from the driver tables: customer/supplier → nation
     'partOf'-style edges (bipartite star graph, deterministic)."""
@@ -737,6 +845,9 @@ QUERIES: dict[str, Callable] = {
     "kg_components": q_kg_components,
     "kg_summary": q_kg_summary,
     "kg_pathway_edges": q_kg_pathway_edges,
+    "kg_union_dedup": q_kg_union_dedup,
+    "curie_normalize": q_curie_normalize,
+    "relation_dispatch": q_relation_dispatch,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
     "pathway_size_distribution": q_pathway_size_distribution,
@@ -782,7 +893,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bio2bel_spark.functions.curie import PREFIX_SYNONYMS
+    from bio2bel_spark.sources.intact import RELATION_ROWS
+
+    def _q(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    # the relation table inlined as VALUES — generated from the same constant
+    # the Spark side joins against, so both sides dispatch identically
+    rel_values = ",\n".join(
+        "(" + ", ".join(_q(x) for x in row) + ")" for row in RELATION_ROWS
+    )
+    code_values = ",\n".join(
+        f"({i}, {_q(c)})" for i, c in enumerate(_DISPATCH_CODES)
+    )
+    prefix_list = "[" + ", ".join(_q(p) for p in _CURIE_PREFIXES) + "]"
+    synonym_cases = "\n".join(
+        f"WHEN {_q(raw)} THEN {_q(canon)}" for raw, canon in PREFIX_SYNONYMS.items()
+    )
     return {
+        "curie_normalize": f"""
+            WITH raw AS (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 7 = 0 THEN 'token' || p_partkey
+                            ELSE {prefix_list}[(p_partkey % 5) + 1]
+                                 || ':' || p_partkey END AS raw
+                FROM part
+            )
+            SELECT p_partkey, raw,
+                   CASE WHEN contains(raw, ':') THEN
+                       CASE lower(trim(split_part(raw, ':', 1)))
+                           {synonym_cases}
+                           ELSE lower(trim(split_part(raw, ':', 1)))
+                       END
+                   END AS prefix,
+                   CASE WHEN contains(raw, ':')
+                        THEN regexp_extract(raw, '^[^:]+:(.*)$', 1)
+                   END AS identifier
+            FROM raw
+        """,
+        "relation_dispatch": f"""
+            WITH rel(psi_mi, relation, variant_kind, variant_ns, variant_id,
+                     variant_name, target_dsl, source_modifier, target_modifier)
+                 AS (VALUES {rel_values}),
+            codes(i, psi_mi) AS (VALUES {code_values}),
+            keyed AS (
+                SELECT l.l_partkey, c.psi_mi
+                FROM lineitem l
+                JOIN codes c ON (l.l_orderkey + l.l_partkey) % 8 = c.i
+            )
+            SELECT coalesce(r.relation, 'unhandled_relation') AS relation,
+                   coalesce(r.variant_kind, 'none') AS variant_kind,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT k.l_partkey)::BIGINT AS n_parts
+            FROM keyed k LEFT JOIN rel r USING (psi_mi)
+            GROUP BY 1, 2
+        """,
+        "kg_union_dedup": """
+            WITH e1 AS (
+                SELECT 'customer' AS source_ns, c_custkey::VARCHAR AS source_id,
+                       'memberOf' AS relation, 'nation' AS target_ns,
+                       c_nationkey::VARCHAR AS target_id, 'pubmed:1' AS citation
+                FROM customer
+            ), e_recited AS (
+                SELECT 'customer', c_custkey::VARCHAR, 'memberOf', 'nation',
+                       c_nationkey::VARCHAR, 'pubmed:2'
+                FROM customer WHERE c_custkey % 10 = 0
+            ), e_sup AS (
+                SELECT 'supplier', s_suppkey::VARCHAR, 'memberOf', 'nation',
+                       s_nationkey::VARCHAR, 'pubmed:1'
+                FROM supplier
+            ), allx AS (
+                SELECT * FROM e1 UNION ALL SELECT * FROM e1
+                UNION ALL SELECT * FROM e_recited UNION ALL SELECT * FROM e_sup
+            ), ded AS (SELECT DISTINCT * FROM allx),
+            k AS (
+                SELECT source_ns,
+                       sha256(source_ns || '|' || source_id || '|' || relation
+                              || '|' || target_ns || '|' || target_id || '|'
+                              || citation || '|') AS key
+                FROM ded
+            )
+            SELECT source_ns, count(*)::BIGINT AS n_edges,
+                   md5(string_agg(key, chr(10) ORDER BY key)) AS keys_digest
+            FROM k GROUP BY source_ns
+        """,
         "kg_triples": """
             SELECT 'customer:' || c_custkey AS h, 'memberOf' AS r,
                    'nation:' || c_nationkey AS t
