@@ -634,6 +634,20 @@ def q_dedup_lsh_verified(spark, sf_dir):
     return jaccard_verify(cand, docs, threshold=0.5)
 
 
+def q_dedup_lsh_fast(spark, sf_dir):
+    """Production speed tier of dedup_lsh_verified: identical operator
+    shapes, xxhash64 backend instead of portable md5 (~order cheaper per
+    hash). Verified output is hash-invariant — candidate recall may differ,
+    but the exact-Jaccard verify step keeps precision exact, so the exact
+    inverted-index pairs remain its oracle (equality asserted at
+    sf0.001/0.01/0.1; fixed data + deterministic pipeline keep it stable)."""
+    from bio2bel_spark.operators.dedup import jaccard_verify, lsh_candidate_pairs
+
+    docs = _docs_augmented(spark, sf_dir)
+    cand = lsh_candidate_pairs(docs, n_hashes=16, bands=8, backend="xxhash64")
+    return jaccard_verify(cand, docs, threshold=0.5, backend="xxhash64")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
     from bio2bel_spark.operators.dedup import ngram_jaccard_pairs
@@ -871,6 +885,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_drop_exact": q_dedup_drop_exact,
     "minhash_signatures": q_minhash_signatures,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_lsh_fast": q_dedup_lsh_fast,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "text_quality": q_text_quality,
@@ -1176,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard ≥ 0.5 on this corpus (verified vs the exact inverted index
         # at sf0.001/0.01/0.1), so the exact pairs are its oracle too.
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
+        "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
         "dedup_exact": f"""
             WITH aug AS ({_AUG_SQL}),

@@ -33,14 +33,29 @@ def normalize_text(col) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def portable_hash(col) -> Column:
-    """Deterministic 32-bit integer hash = first 8 hex chars of md5.
+def _hasher(backend: str):
+    """String → nonnegative 32-bit-range long hash, by backend.
 
-    Portable across engines (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``)
-    — the foundation of the oracle checks for everything in this module.
+    * ``md5`` (default): first 8 hex chars of md5 — portable across engines
+      (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``), the foundation of
+      the DuckDB oracle checks. Cryptographic md5 is ~an order of magnitude
+      more expensive than needed for dedup.
+    * ``xxhash64``: Spark's built-in non-cryptographic hash folded into the
+      same nonneg 32-bit range (``pmod`` keeps products inside long range in
+      the minhash permutations). The production speed tier — same operator
+      shapes, no oracle parity.
     """
+    if backend == "md5":
+        return lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    if backend == "xxhash64":
+        return lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 32)).cast("long")
+    raise ValueError(f"unknown hash backend {backend!r} (md5 | xxhash64)")
+
+
+def portable_hash(col, backend: str = "md5") -> Column:
+    """Deterministic 32-bit-range integer hash of a string column."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return _hasher(backend)(col)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,17 +91,14 @@ def word_shingles(col, n: int = 3) -> Column:
     )).otherwise(F.array(normalize_text(col)))
 
 
-def shingle_hashes(col, n: int = 3) -> Column:
+def shingle_hashes(col, n: int = 3, backend: str = "md5") -> Column:
     """Distinct portable hashes of the word n-grams."""
-    return F.array_distinct(
-        F.transform(
-            word_shingles(col, n),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-        )
-    )
+    return F.array_distinct(F.transform(word_shingles(col, n), _hasher(backend)))
 
 
-def minhash_signature(col, n_hashes: int = 16, shingle_n: int = 3) -> Column:
+def minhash_signature(
+    col, n_hashes: int = 16, shingle_n: int = 3, backend: str = "md5"
+) -> Column:
     """MinHash signature: for permutation i, min over shingles of
     ``(a_i * h + b_i) mod P`` with a deterministic (a_i, b_i) family
     (``a_i = 2i+1`` odd, ``b_i = i²+i+41``).
@@ -100,7 +112,7 @@ def minhash_signature(col, n_hashes: int = 16, shingle_n: int = 3) -> Column:
     row regardless of ``n_hashes``.
     """
     raw = F.col(col) if isinstance(col, str) else col
-    hashes = shingle_hashes(col, shingle_n)
+    hashes = shingle_hashes(col, shingle_n, backend)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), n_hashes)
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
     sig = F.aggregate(
@@ -126,6 +138,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 1000,
+    backend: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b).
 
@@ -136,7 +149,8 @@ def lsh_candidate_pairs(
     """
     rows_per_band = n_hashes // bands
     sig = docs.select(
-        F.col(id_col), minhash_signature(text_col, n_hashes).alias("__sig")
+        F.col(id_col),
+        minhash_signature(text_col, n_hashes, backend=backend).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -178,12 +192,13 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    backend: str = "md5",
 ) -> DataFrame:
     """True n-gram Jaccard over candidate pairs (LSH is recall-only)."""
     from pyspark import StorageLevel
 
     sh = docs.select(
-        F.col(id_col), shingle_hashes(text_col, shingle_n).alias("__sh")
+        F.col(id_col), shingle_hashes(text_col, shingle_n, backend).alias("__sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # joined from both pair sides
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -206,6 +221,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    backend: str = "md5",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -219,7 +235,8 @@ def ngram_jaccard_pairs(
     # consumed three times (both join sides + sizes) — persist the exploded
     # inverted index instead of re-hashing the corpus per consumer
     sh = docs.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, shingle_n)).alias("h")
+        F.col(id_col),
+        F.explode(shingle_hashes(text_col, shingle_n, backend)).alias("h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -240,7 +257,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(col, bits: int = 32, token_sep: str = " ") -> Column:
+def simhash(col, bits: int = 32, token_sep: str = " ", backend: str = "md5") -> Column:
     """SimHash fingerprint: per bit j, sign of Σ_tokens (±1 by bit j of the
     token hash); fingerprint = Σ bit_j << j.
 
@@ -250,10 +267,7 @@ def simhash(col, bits: int = 32, token_sep: str = " ") -> Column:
     lambda makes Catalyst recompute the md5 pipeline ``bits`` times).
     """
     col = F.col(col) if isinstance(col, str) else col
-    hashes = F.transform(
-        F.split(normalize_text(col), token_sep),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
+    hashes = F.transform(F.split(normalize_text(col), token_sep), _hasher(backend))
     # bit j of h = (h div 2^j) mod 2 — shiftright/shiftleft take only literal
     # shift amounts, so shifts by a lambda-bound column use arithmetic
     pow2 = lambda j: F.pow(F.lit(2.0), j).cast("long")  # noqa: E731
@@ -281,6 +295,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     bits: int = 32,
     max_hamming: int = 3,
+    backend: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -290,7 +305,7 @@ def simhash_near_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    fp = docs.select(F.col(id_col), simhash(text_col, bits).alias("__fp"))
+    fp = docs.select(F.col(id_col), simhash(text_col, bits, backend=backend).alias("__fp"))
     banded = fp.select(
         id_col,
         "__fp",

@@ -48,6 +48,28 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert not any(4 in k or 5 in k for k in vpairs)
 
 
+def test_xxhash64_backend_matches_md5_verified_pairs(docs):
+    """The speed tier must agree with the portable tier after verification:
+    candidate recall may differ per backend, but exact-Jaccard verify pins
+    the final pairs (and, collision-free, the jaccard values)."""
+    v_md5 = dedup.jaccard_verify(
+        dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8), docs, threshold=0.5
+    )
+    v_xx = dedup.jaccard_verify(
+        dedup.lsh_candidate_pairs(docs, n_hashes=16, bands=8, backend="xxhash64"),
+        docs,
+        threshold=0.5,
+        backend="xxhash64",
+    )
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    assert as_set(v_md5) == as_set(v_xx)
+
+
+def test_simhash_xxhash64_backend_runs(docs):
+    fps = docs.select(dedup.simhash("text", 32, backend="xxhash64").alias("fp")).collect()
+    assert all(r["fp"] is not None and 0 <= r["fp"] < (1 << 32) for r in fps)
+
+
 def test_ngram_jaccard_exact_baseline(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
