@@ -36,7 +36,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 8
 
-_FEATURES_SCHEMA = f"doc_id BIGINT, kind STRING, features ARRAY<FLOAT>"
+_FEATURES_SCHEMA = "doc_id BIGINT, kind STRING, features ARRAY<FLOAT>"
 
 
 def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
