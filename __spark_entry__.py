@@ -853,6 +853,72 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (kdb ``aj`` / pandas ``merge_asof`` / DuckDB ``ASOF JOIN``):
+    latest purchase at or before each click, per user. Union-sort plan — one
+    shuffle on the key, no inequality nested-loop (operators/temporal.py)."""
+    from bio2bel_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # one row per (user, ts) so equal-timestamp ties can't differ between
+    # engines (DuckDB ASOF leaves the duplicate-ts pick unspecified)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("p_event_id_r").alias("p_event_id"),
+        F.round("p_value_r", 6).alias("p_value"),
+    )
+
+
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval range join, bucketed: signup → 1 h activity window,
+    count the user's events inside it. Explode-to-buckets + equi-join — no
+    BroadcastNestedLoop (operators/temporal.py)."""
+    from bio2bel_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        F.col("event_id").alias("iv_id"),
+    )
+    pts = ev.select("user_id", "ts")
+    return (
+        interval_join(iv, pts, by="user_id", bucket_sec=3600)
+        .groupBy("iv_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """Hour/day/week rollup in ONE pass via GROUPING SETS (TimescaleDB
+    continuous-aggregate shape) — one scan + one shuffle for all grains."""
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return hypertable_rollup(ev).select(
+        "grain",
+        "event_type",
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "n_events",
+        "total_value",
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -900,6 +966,9 @@ QUERIES: dict[str, Callable] = {
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "hypertable_rollup": q_hypertable_rollup,
 }
 
 
@@ -1433,5 +1502,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 2) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), pur AS (
+                SELECT user_id, ts, max(event_id) AS p_event_id,
+                       max(value) AS p_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.user_id, epoch_us(c.ts) AS t_us, c.event_id,
+                   p.p_event_id, round(p.p_value, 6) AS p_value
+            FROM clicks c ASOF LEFT JOIN pur p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": """
+            WITH iv AS (
+                SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts,
+                       event_id AS iv_id
+                FROM events WHERE event_type = 'signup'
+            ), pt AS (SELECT user_id, ts FROM events)
+            SELECT iv.iv_id, count(*)::BIGINT AS n_in_window
+            FROM iv JOIN pt ON pt.user_id = iv.user_id
+                 AND pt.ts >= iv.start_ts AND pt.ts < iv.end_ts
+            GROUP BY 1
+        """,
+        "hypertable_rollup": """
+            WITH g AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS gh,
+                       date_trunc('day', ts)  AS gd,
+                       date_trunc('week', ts) AS gw,
+                       value
+                FROM events
+            )
+            SELECT CASE WHEN GROUPING(gh) = 0 THEN 'hour'
+                        WHEN GROUPING(gd) = 0 THEN 'day'
+                        ELSE 'week' END AS grain,
+                   event_type,
+                   floor(epoch(coalesce(gh, gd, gw)))::BIGINT AS bucket_epoch,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM g
+            GROUP BY GROUPING SETS ((event_type, gh), (event_type, gd),
+                                    (event_type, gw))
         """,
     }

@@ -1,0 +1,206 @@
+"""Temporal join and rollup operators: as-of join, interval (range) join,
+multi-granularity hypertable rollup.
+
+Beyond-reference extensions (SURVEY §7.2): the reference's event handling is
+row-at-a-time pandas; a training-data pipeline at 100 TB needs the classic
+time-series operators expressed as shuffle-bounded DataFrame plans:
+
+* :func:`asof_join` — the "latest right row at or before each left row" join
+  (kdb ``aj``, pandas ``merge_asof``, DuckDB ``ASOF JOIN``). Implemented as
+  the union-sort trick: ONE shuffle on the ``by`` key, a sort within
+  partitions, and a running ``last(..., ignorenulls=True)`` window — the same
+  cost shape as a sort-merge join, with no row explosion and no inequality
+  nested-loop.
+* :func:`interval_join` — point-in-interval range join. A naive inequality
+  join degenerates to BroadcastNestedLoop; here intervals are exploded into
+  fixed-width time buckets (bounded fan-out = interval_len/bucket + 1) and
+  the join becomes an equi-join on ``(by, bucket)`` + an exact residual
+  filter. Each point lives in exactly one bucket, so no post-join dedup is
+  needed.
+* :func:`hypertable_rollup` — hour/day/week rollups computed in ONE pass via
+  ``GROUPING SETS`` (TimescaleDB continuous-aggregate shape): one shuffle
+  produces every granularity instead of one scan+shuffle per grain.
+
+All three are pure Catalyst plans — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join", "hypertable_rollup"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] = "user_id",
+    tolerance_sec: float | None = None,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the latest right row with ``right.on <=
+    left.on`` within the same ``by`` group (backward as-of, inclusive).
+
+    Union-sort plan (scale rationale in the module docstring):
+
+    1. tag sides (right=0, left=1 so a right row at the exact same timestamp
+       sorts first and is therefore visible to the left row — inclusive
+       semantics, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``);
+    2. union on ``(by, on, side, right-payload struct)``;
+    3. ``last(payload, ignorenulls=True)`` over a running window per ``by``;
+    4. keep left rows, unpack the struct, apply the optional tolerance.
+
+    Right-side ties on ``(by, on)`` are broken deterministically by the
+    payload struct's natural ordering (max wins). Left columns keep their
+    names; right payload columns get ``right_suffix``.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    rpay_cols = [c for c in right.columns if c not in set(by_cols)]
+    lpay_cols = [c for c in left.columns if c not in {*by_cols, on}]
+
+    r = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in rpay_cols]).alias("__rpay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lpay_cols],
+    )
+    l = left.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rpay"].dataType).alias("__rpay"),
+        *[F.col(c).alias(f"__l_{c}") for c in lpay_cols],
+    )
+
+    # secondary sort on the payload struct makes equal-timestamp right rows
+    # resolve deterministically (last == struct-max)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__rpay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+
+    if tolerance_sec is not None:
+        within = (
+            F.col("__m").isNotNull()
+            & (
+                F.unix_micros(F.col("__t"))
+                - F.unix_micros(F.col("__m")[on])
+                <= int(tolerance_sec * 1_000_000)
+            )
+        )
+        matched = matched.withColumn(
+            "__m", F.when(within, F.col("__m"))
+        )
+
+    out_cols = [F.col(c) for c in by_cols]
+    out_cols.append(F.col("__t").alias(on))
+    out_cols += [F.col(f"__l_{c}").alias(c) for c in lpay_cols]
+    out_cols += [
+        F.col("__m")[c].alias(c + right_suffix) for c in rpay_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    point_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: str | Sequence[str] | None = None,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Join each point to every interval containing it: ``start <= ts < end``
+    (end-exclusive), optionally per ``by`` key.
+
+    The interval side explodes into the fixed-width buckets it covers
+    (``sequence`` over bucket ids — fan-out bounded by
+    ``ceil(interval_len / bucket_sec) + 1``); the point side maps each row to
+    its single bucket; the join is then a plain shuffled equi-join on
+    ``(by, bucket)`` with the exact containment predicate as a residual
+    filter. Because a point has exactly one bucket, matches are already
+    unique — no dedup shuffle.
+    """
+    by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
+    bucket_us = bucket_sec * 1_000_000
+
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start)) / bucket_us).cast("long"),
+                # end-exclusive: an interval ending exactly on a bucket edge
+                # does not cover that bucket
+                ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
+    )
+    cond = [pt["__bucket"] == iv["__bucket"]]
+    for c in by_cols:
+        cond.append(pt[c] == iv[c])
+    cond.append(pt[point_ts] >= iv[start])
+    cond.append(pt[point_ts] < iv[end])
+
+    joined = pt.join(iv, cond, "inner")
+    keep = [pt[c] for c in points.columns]
+    keep += [iv[c] for c in intervals.columns if c not in set(by_cols)]
+    return joined.select(*keep)
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts: str = "ts",
+    dims: Sequence[str] = ("event_type",),
+    grains: Sequence[str] = ("hour", "day", "week"),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Multi-granularity time rollup in a single pass.
+
+    Materializes one ``date_trunc`` column per grain, then aggregates with
+    ``GROUPING SETS`` — Catalyst expands the sets inside one shuffle, so an
+    hour+day+week rollup of a 100 TB events table costs one scan and one
+    exchange instead of three. Output: ``(grain, *dims, bucket, <aggs>)``
+    with ``bucket`` the truncated timestamp for that row's grain.
+    """
+    aggs = list(aggs) if aggs is not None else [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ]
+    g = events
+    for grain in grains:
+        g = g.withColumn(f"__g_{grain}", F.date_trunc(grain, F.col(ts)))
+    grain_cols = [f"__g_{grain}" for grain in grains]
+
+    sets = [[*dims, gc] for gc in grain_cols]
+    grouped = g.groupingSets(sets, *[F.col(c) for c in [*dims, *grain_cols]])
+
+    # label each output row with its grain and coalesce the bucket column;
+    # grouping() is 0 for the column actually present in the row's set
+    grain_label = F.coalesce(
+        *[
+            F.when(F.grouping(gc) == 0, F.lit(grain))
+            for grain, gc in zip(grains, grain_cols)
+        ]
+    )
+    out = grouped.agg(
+        grain_label.alias("grain"),
+        F.coalesce(*[F.col(gc) for gc in grain_cols]).alias("bucket"),
+        *aggs,
+    ).drop(*grain_cols)
+    agg_names = [c for c in out.columns if c not in {*dims, "grain", "bucket"}]
+    return out.select("grain", *dims, "bucket", *agg_names)

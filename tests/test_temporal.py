@@ -1,0 +1,156 @@
+"""Semantic tests for the temporal operators (asof/interval/rollup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:00:05"), 101.0),
+            (1, _ts("2024-01-01 09:00:00"), 99.0),  # before any quote
+            (2, _ts("2024-01-01 10:00:03"), 50.0),
+        ],
+        "sym BIGINT, ts TIMESTAMP, price DOUBLE",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.5),  # exact tie with trade 1
+            (1, _ts("2024-01-01 10:00:04"), 100.7),
+            (2, _ts("2024-01-01 09:59:00"), 49.9),
+        ],
+        "sym BIGINT, ts TIMESTAMP, bid DOUBLE",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    rows = {
+        (r.sym, r.ts.isoformat()): (r.bid_r, r.ts_r.isoformat() if r.ts_r else None)
+        for r in out.collect()
+    }
+    # exact-timestamp quote IS visible (inclusive semantics)
+    assert rows[(1, "2024-01-01T10:00:00")] == (100.5, "2024-01-01T10:00:00")
+    # latest earlier quote wins, not the first
+    assert rows[(1, "2024-01-01T10:00:05")] == (100.7, "2024-01-01T10:00:04")
+    # no quote at or before -> null match, left row preserved
+    assert rows[(1, "2024-01-01T09:00:00")] == (None, None)
+    # per-key isolation: sym 2 never sees sym 1 quotes
+    assert rows[(2, "2024-01-01T10:00:03")] == (49.9, "2024-01-01T09:59:00")
+    assert out.count() == 4  # left-join shape: every trade survives
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym", tolerance_sec=2)
+    rows = {(r.sym, r.ts.isoformat()): r.bid_r for r in out.collect()}
+    assert rows[(1, "2024-01-01T10:00:00")] == 100.5  # 0s gap: within
+    assert rows[(1, "2024-01-01T10:00:05")] == 100.7  # 1s gap: within
+    assert rows[(2, "2024-01-01T10:00:03")] is None  # 63s gap: nulled out
+
+
+def test_asof_right_tie_is_deterministic(spark):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:01"))], "k BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 10:00:00"), "b"),
+        ],
+        "k BIGINT, ts TIMESTAMP, v STRING",
+    )
+    vals = {
+        asof_join(left, right, on="ts", by="k").collect()[0].v_r
+        for _ in range(3)
+    }
+    assert vals == {"b"}  # struct-max tiebreak, stable across runs
+
+
+def test_interval_join_end_exclusive_and_span(spark):
+    from bio2bel_spark.operators.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 12:30:00"), "iv1"),
+        ],
+        "u BIGINT, start TIMESTAMP, end TIMESTAMP, iv_id STRING",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00"), "at-start"),   # inclusive
+            (1, _ts("2024-01-01 11:59:59"), "mid"),        # different bucket
+            (1, _ts("2024-01-01 12:30:00"), "at-end"),     # exclusive
+            (1, _ts("2024-01-01 09:00:00"), "before"),
+            (2, _ts("2024-01-01 11:00:00"), "other-user"),
+        ],
+        "u BIGINT, ts TIMESTAMP, tag STRING",
+    )
+    out = interval_join(intervals, points, by="u", bucket_sec=3600)
+    tags = sorted(r.tag for r in out.collect())
+    assert tags == ["at-start", "mid"]
+    # interval spans 3 hourly buckets but each match appears exactly once
+    assert out.count() == out.distinct().count() == 2
+
+
+def test_interval_join_no_key(spark):
+    from bio2bel_spark.operators.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), "day1")],
+        "start TIMESTAMP, end TIMESTAMP, iv_id STRING",
+    )
+    points = spark.createDataFrame(
+        [(_ts("2024-01-01 13:37:00"), 1), (_ts("2024-01-02 00:00:00"), 2)],
+        "ts TIMESTAMP, pid BIGINT",
+    )
+    out = interval_join(intervals, points, bucket_sec=3600)
+    assert [r.pid for r in out.collect()] == [1]
+
+
+def test_hypertable_rollup_grains_consistent(spark):
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 10:15:00"), "a", 1.0),
+            (_ts("2024-01-01 10:45:00"), "a", 2.0),
+            (_ts("2024-01-01 11:15:00"), "a", 4.0),
+            (_ts("2024-01-02 10:15:00"), "a", 8.0),
+            (_ts("2024-01-01 10:15:00"), "b", 16.0),
+        ],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    out = hypertable_rollup(ev).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r.grain, []).append(r)
+    # every grain partitions the same data: totals agree across grains
+    for grain, rows in by_grain.items():
+        assert sum(r.n_events for r in rows) == 5, grain
+        assert sum(r.total_value for r in rows) == 31.0, grain
+    assert len(by_grain["hour"]) == 4  # (a,10h),(a,11h),(a,d2-10h),(b,10h)
+    assert len(by_grain["day"]) == 3
+    # Jan 1-2 2024 are the same ISO week
+    assert len(by_grain["week"]) == 2
+    # single-pass plan: exactly one Aggregate subtree feeding an Expand
+    plan = hypertable_rollup(ev)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Expand") == 1
