@@ -919,6 +919,63 @@ def q_hypertable_rollup(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (Bar-Yossef et al.): deterministic synopsis,
+    so even the *estimate* is oracle-checkable (unlike HLL)."""
+    from bio2bel_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=256)
+
+
+def q_hash_split_counts(spark, sf_dir):
+    """Deterministic train/val/test split by hashed key — pure projection,
+    stable under appends; audit query returns per-split counts."""
+    from bio2bel_spark.operators.sketch import split_counts
+
+    return split_counts(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-k frequent combinations (map-side partial agg +
+    TakeOrderedAndProject)."""
+    from bio2bel_spark.operators.sketch import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["event_type", "user_id"], k=20)
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Concat-then-chunk sequence packing (GPT pretraining layout): window
+    cumsum partitioned by source — no global sort. Per-pack summary."""
+    from bio2bel_spark.operators.packing import pack_concat_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_concat_chunks(docs, "n_chars", budget=2048, by="source")
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("pack_chars"),
+    )
+
+
+def q_pack_first_fit(spark, sf_dir):
+    """First-fit-decreasing packing via applyInPandas — inherently
+    sequential per group, so no single-pass SQL twin exists (driver records
+    the rows-only check)."""
+    from bio2bel_spark.operators.packing import pack_first_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_first_fit(docs, "n_chars", budget=2048, by="source")
+    return packed.groupBy("source").agg(
+        (F.max("pack_id") + 1).alias("n_packs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -969,6 +1026,11 @@ QUERIES: dict[str, Callable] = {
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "hypertable_rollup": q_hypertable_rollup,
+    "kmv_distinct": q_kmv_distinct,
+    "hash_split_counts": q_hash_split_counts,
+    "heavy_hitters": q_heavy_hitters,
+    "pack_chunks": q_pack_chunks,
+    "pack_first_fit": q_pack_first_fit,
 }
 
 
@@ -1547,5 +1609,48 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             GROUP BY GROUPING SETS ((event_type, gh), (event_type, gd),
                                     (event_type, gw))
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), k AS (SELECT h FROM h ORDER BY h LIMIT 256)
+            SELECT count(*)::BIGINT AS n_hashes,
+                   round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                              ELSE 255 / (max(h) / 4294967296.0) END,
+                         6) AS estimate
+            FROM k
+        """,
+        "hash_split_counts": """
+            WITH b AS (
+                SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS b
+                FROM documents
+            )
+            SELECT CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_rows
+            FROM b GROUP BY 1
+        """,
+        "heavy_hitters": """
+            SELECT event_type, user_id, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+            ORDER BY n DESC, event_type ASC, user_id ASC LIMIT 20
+        """,
+        "pack_chunks": """
+            WITH c AS (
+                SELECT source, doc_id, n_chars,
+                       coalesce(sum(n_chars) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM documents
+            )
+            SELECT source, floor(cb / 2048)::BIGINT AS pack_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS pack_chars
+            FROM c GROUP BY 1, 2
         """,
     }

@@ -1,0 +1,101 @@
+"""Sequence packing: group documents into context-window-sized bins.
+
+Beyond-reference extension (SURVEY §7.2): LLM pretraining concatenates
+documents and slices the token stream into fixed-size context windows.
+Two packers, two cost/quality points:
+
+* :func:`pack_concat_chunks` — the GPT-style "concatenate then chunk"
+  packer: documents are laid out in a deterministic order inside each
+  ``by`` group and assigned ``pack_id = floor(cumulative_tokens_before /
+  budget)``. A document that straddles a boundary starts the next pack
+  (no splitting — the conservative variant). Pure window arithmetic, ONE
+  shuffle, partitioned by the group key — no global sort, so the plan
+  scales with the number of groups, not corpus size. SQL-expressible →
+  DuckDB-oracle-checkable.
+* :func:`pack_first_fit` — greedy first-fit-decreasing bin packing per
+  group (tighter packs, canonical NP-hard heuristic). Inherently
+  sequential within a group → Arrow-batched ``applyInPandas`` per group
+  key; deterministic (sort by tokens desc, then id). Not expressible in
+  one SQL pass — the driver records the weaker rows-only check for it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pack_concat_chunks", "pack_first_fit"]
+
+
+def pack_concat_chunks(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    by: str = "source",
+    order: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a ``pack_id`` within its ``by`` group.
+
+    ``pack_id = floor(running_token_total_before_this_doc / budget)`` over
+    the group ordered by ``order`` — i.e. the pack a concatenated token
+    stream would place the document's first token in. Oversized documents
+    (> budget) still get exactly one pack.
+    """
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
+    )
+
+
+def pack_first_fit(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-decreasing packing per group via ``applyInPandas``.
+
+    Each group is processed by one task: documents sorted by (tokens desc,
+    id asc) drop into the first open pack with room; a document larger than
+    the budget gets a singleton pack. Output adds ``pack_id`` (dense ids in
+    first-opened order) — deterministic for fixed input data.
+
+    Scale note: state is one int per open pack and groups are processed
+    independently, so the operator scales with the largest single group —
+    choose ``by`` with bounded group size (e.g. source × date shard).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(docs.schema.fields) + [StructField("pack_id", LongType())]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []  # remaining capacity per open pack
+        assigned = []
+        for tok in pdf[token_col]:
+            placed = None
+            for i, cap in enumerate(remaining):
+                if tok <= cap:
+                    placed = i
+                    break
+            if placed is None:
+                remaining.append(max(budget - tok, 0))
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= tok
+            assigned.append(placed)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    return docs.groupBy(by).applyInPandas(_pack, schema=schema)

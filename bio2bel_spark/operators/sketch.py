@@ -1,0 +1,132 @@
+"""Sketching and deterministic-sampling operators for corpus-scale stats.
+
+Beyond-reference extensions (SURVEY §7.2): a 100 TB training-data pipeline
+needs cardinality/frequency answers without a full ``count(distinct)``
+shuffle, and dataset splits that are reproducible across runs and engines.
+Everything here is deterministic by construction — hashes of the data, never
+``rand()`` — so results are stable under retries, repartitioning, and
+cross-engine (DuckDB) replay.
+
+* :func:`kmv_distinct` — K-Minimum-Values distinct-count sketch (Bar-Yossef
+  et al. 2002; the classic ``(k-1)/max_of_k_min_normalized_hashes``
+  estimator). Unlike Spark's HLL-based ``approx_count_distinct`` the KMV
+  synopsis is exactly reproducible in ANSI SQL, so the estimate itself is
+  oracle-checkable bit-for-bit. Plan shape: map-side hash → ``distinct`` →
+  ``TakeOrdered(k)`` — the global "sort" only ever sees k values.
+* :func:`hash_split` — train/val/test assignment by bucketed hash of a key
+  column: pure projection, no shuffle, no state; every engine that can md5
+  agrees on the split. The split survives appends (a row's assignment never
+  depends on other rows).
+* :func:`heavy_hitters` — exact frequent-items via two-stage (salted)
+  aggregation; the map-side partial agg bounds reducer state, and the final
+  ``TakeOrdered`` returns only the top k.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bio2bel_spark.operators.dedup import portable_hash
+
+__all__ = ["kmv_distinct", "hash_split", "split_counts", "heavy_hitters"]
+
+#: normalization constant: portable_hash is uniform on [0, 2^32)
+_HASH_SPACE = float(1 << 32)
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 backend: str = "md5") -> DataFrame:
+    """One-row DataFrame with the KMV distinct-count estimate of ``col``.
+
+    Keeps the ``k`` smallest distinct 32-bit hash values; if the k-th
+    smallest normalized hash is ``m`` then ``(k-1)/m`` estimates the
+    cardinality (standard error ~ ``1/sqrt(k-2)``). When fewer than ``k``
+    distinct hashes exist the sketch is exact and returns that count.
+
+    Output: ``(n_hashes, estimate)`` with ``estimate`` rounded to 6dp for
+    cross-engine float parity.
+    """
+    h = portable_hash(F.col(col).cast("string"), backend=backend)
+    mins = (
+        df.select(h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return mins.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                (F.lit(k - 1)) / (F.max("h") / F.lit(_HASH_SPACE))
+            ),
+            6,
+        ).alias("estimate"),
+    )
+
+
+def split_column(key: Column | str, fractions: Mapping[str, float],
+                 n_buckets: int = 10_000, backend: str = "md5") -> Column:
+    """Split-name column from a deterministic hash of ``key``.
+
+    Buckets ``[0, n_buckets)`` are carved into contiguous ranges by the
+    cumulative fractions (insertion order of ``fractions``); rows therefore
+    keep their split under appends, filters, and repartitioning.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    bucket = F.pmod(portable_hash(key.cast("string"), backend=backend),
+                    F.lit(n_buckets))
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    expr = None
+    hi = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += frac
+        cond = bucket < int(round(hi * n_buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def hash_split(df: DataFrame, key: str, fractions: Mapping[str, float],
+               n_buckets: int = 10_000, backend: str = "md5") -> DataFrame:
+    """Attach a ``split`` column — pure projection, zero shuffle."""
+    return df.withColumn(
+        "split", split_column(key, fractions, n_buckets=n_buckets,
+                              backend=backend)
+    )
+
+
+def split_counts(df: DataFrame, key: str, fractions: Mapping[str, float],
+                 n_buckets: int = 10_000, backend: str = "md5") -> DataFrame:
+    """Per-split row counts — the audit query for a split assignment."""
+    return (
+        hash_split(df, key, fractions, n_buckets=n_buckets, backend=backend)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def heavy_hitters(df: DataFrame, cols: Sequence[str] | str, k: int = 20) -> DataFrame:
+    """Exact top-k most frequent value combinations of ``cols``.
+
+    groupBy + count benefits from map-side partial aggregation (each task
+    pre-counts its partition before the shuffle), and the ordered ``limit``
+    compiles to TakeOrderedAndProject — only k rows cross to the driver side
+    of the plan. Ties broken by the value itself for determinism.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *[F.asc(c) for c in cols])
+        .limit(k)
+    )

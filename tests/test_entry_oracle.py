@@ -54,8 +54,9 @@ def oracle(sf_dir):
     return con
 
 
-#: queries intentionally without a SQL oracle (driver records rows-only)
-ROWS_ONLY: set[str] = set()
+#: queries intentionally without a SQL oracle (driver records rows-only):
+#: first-fit-decreasing packing is sequential per group — no single-pass SQL
+ROWS_ONLY: set[str] = {"pack_first_fit"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))

@@ -1,0 +1,99 @@
+"""Tests for the sequence-packing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source STRING, doc_id BIGINT, toks BIGINT")
+
+
+def test_pack_concat_chunks_boundaries(spark):
+    from bio2bel_spark.operators.packing import pack_concat_chunks
+
+    docs = _docs(
+        spark,
+        [
+            ("s", 1, 600),
+            ("s", 2, 500),   # cum_before=600  -> pack 0
+            ("s", 3, 100),   # cum_before=1100 -> pack 1
+            ("s", 4, 2500),  # oversized doc: still exactly one pack
+            ("s", 5, 10),    # cum_before=3700 -> pack 3
+        ],
+    )
+    out = {r.doc_id: r.pack_id for r in
+           pack_concat_chunks(docs, "toks", budget=1000, by="source").collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 3}
+
+
+def test_pack_concat_chunks_groups_independent(spark):
+    from bio2bel_spark.operators.packing import pack_concat_chunks
+
+    docs = _docs(spark, [("a", 1, 900), ("b", 2, 900), ("a", 3, 900)])
+    out = {(r.source, r.doc_id): r.pack_id for r in
+           pack_concat_chunks(docs, "toks", budget=1000, by="source").collect()}
+    # each source starts its own pack 0
+    assert out == {("a", 1): 0, ("a", 3): 0, ("b", 2): 0}
+
+
+def test_pack_first_fit_respects_budget(spark):
+    from bio2bel_spark.operators.packing import pack_first_fit
+
+    docs = _docs(
+        spark,
+        [("s", i, t) for i, t in enumerate([700, 600, 400, 300, 300, 200])],
+    )
+    out = pack_first_fit(docs, "toks", budget=1000, by="source")
+    per_pack = (
+        out.groupBy("pack_id").agg(F.sum("toks").alias("t")).collect()
+    )
+    assert all(r.t <= 1000 for r in per_pack)
+    # FFD packs [700+300, 600+400, 300+200] -> 3 packs (optimal)
+    assert len(per_pack) == 3
+
+
+def test_pack_first_fit_oversized_singleton(spark):
+    from bio2bel_spark.operators.packing import pack_first_fit
+
+    docs = _docs(spark, [("s", 1, 5000), ("s", 2, 100)])
+    out = {r.doc_id: r.pack_id for r in
+           pack_first_fit(docs, "toks", budget=1000, by="source").collect()}
+    assert out[1] != out[2]  # the giant doc doesn't absorb the small one
+
+
+def test_pack_first_fit_deterministic(spark):
+    from bio2bel_spark.operators.packing import pack_first_fit
+
+    docs = _docs(
+        spark, [("s", i, (i * 37) % 500 + 50) for i in range(40)]
+    ).repartition(7)
+    a = sorted(
+        (r.doc_id, r.pack_id)
+        for r in pack_first_fit(docs, "toks", budget=1000).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.pack_id)
+        for r in pack_first_fit(docs.repartition(3), "toks", budget=1000).collect()
+    )
+    assert a == b
+
+
+def test_first_fit_never_looser_than_chunks(spark):
+    from bio2bel_spark.operators.packing import (
+        pack_concat_chunks,
+        pack_first_fit,
+    )
+
+    docs = _docs(
+        spark, [("s", i, (i * 53) % 700 + 20) for i in range(60)]
+    )
+    n_chunk = (
+        pack_concat_chunks(docs, "toks", budget=1000)
+        .select("pack_id").distinct().count()
+    )
+    n_ffd = (
+        pack_first_fit(docs, "toks", budget=1000)
+        .select("pack_id").distinct().count()
+    )
+    assert n_ffd <= n_chunk
