@@ -976,6 +976,70 @@ def q_pack_first_fit(spark, sf_dir):
     )
 
 
+def q_extractor_suite(spark, sf_dir):
+    """F4/F5/F7/F10: CURIE-list split + prefix strip + whitespace normalize +
+    identifiers.org URL, over a synthesized pipe-separated column."""
+    from bio2bel_spark.functions.extractors import (
+        identifiers_url,
+        normalize_whitespace,
+        split_curies,
+        strip_prefix,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("  HGNC:"),
+        F.col("p_partkey").cast("string"),
+        F.lit(" | go:GO:"),
+        (F.col("p_partkey") + 1).cast("string"),
+        F.lit(" |  malformed token | uniprot:P"),
+        F.col("p_partkey").cast("string"),
+    )
+    exploded = (
+        part.select(
+            "p_partkey",
+            normalize_whitespace(F.concat(F.lit("  a  b "), F.col("p_name"), F.lit("  "))).alias("norm_name"),
+            F.explode(split_curies(raw)).alias("c"),
+        )
+    )
+    return exploded.select(
+        "p_partkey",
+        "norm_name",
+        F.col("c.prefix").alias("prefix"),
+        F.col("c.identifier").alias("identifier"),
+        strip_prefix(F.col("c.identifier"), "GO:").alias("stripped"),
+        identifiers_url(F.col("c.prefix"), F.col("c.identifier")).alias("url"),
+    )
+
+
+def q_filter_suite(spark, sf_dir):
+    """P6 not-in / P8 not-contains / P9 prefix / P10 equality in one plan
+    (the intact/go row-filter stack, reference sources/intact.py:246-321)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        ~F.col("p_brand").isin("Brand#13", "Brand#19")
+        & ~F.col("p_name").contains("bolt")
+        & F.col("p_name").startswith("small")
+        & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+def q_semi_join_enrich(spark, sf_dir):
+    """P12: left-semi enrichment (tfregulons.enrich_targets shape) — parts
+    that appear in at least one high-value order's lineitems."""
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = orders.filter(F.col("o_totalprice") > 40000).select("o_orderkey")
+    hit = (
+        li.join(big, li.l_orderkey == big.o_orderkey, "left_semi")
+        .select("l_partkey")
+    )
+    return part.join(
+        hit, part.p_partkey == hit.l_partkey, "left_semi"
+    ).select("p_partkey", "p_name")
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1031,6 +1095,9 @@ QUERIES: dict[str, Callable] = {
     "heavy_hitters": q_heavy_hitters,
     "pack_chunks": q_pack_chunks,
     "pack_first_fit": q_pack_first_fit,
+    "extractor_suite": q_extractor_suite,
+    "filter_suite": q_filter_suite,
+    "semi_join_enrich": q_semi_join_enrich,
 }
 
 
@@ -1638,6 +1705,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2
             ORDER BY n DESC, event_type ASC, user_id ASC LIMIT 20
+        """,
+        "extractor_suite": r"""
+            WITH raw AS (
+                SELECT p_partkey, p_name,
+                       '  HGNC:' || p_partkey || ' | go:GO:' || (p_partkey + 1)
+                       || ' |  malformed token | uniprot:P' || p_partkey AS raw
+                FROM part
+            ), tok AS (
+                SELECT p_partkey,
+                       trim(regexp_replace('  a  b ' || p_name || '  ',
+                                           '\s+', ' ', 'g')) AS norm_name,
+                       trim(t) AS t
+                FROM raw, unnest(string_split(raw, '|')) AS u(t)
+            ), parsed AS (
+                SELECT p_partkey, norm_name,
+                       lower(regexp_extract(t, '^([^:]+):', 1)) AS prefix,
+                       regexp_extract(t, '^[^:]+:(.*)$', 1) AS identifier
+                FROM tok
+            )
+            SELECT p_partkey, norm_name, prefix, identifier,
+                   substr(identifier, 4) AS stripped,
+                   'https://identifiers.org/' || prefix || ':' || identifier AS url
+            FROM parsed WHERE prefix <> '' AND identifier <> ''
+        """,
+        "filter_suite": """
+            SELECT p_partkey, p_name, p_brand, p_type FROM part
+            WHERE p_brand NOT IN ('Brand#13', 'Brand#19')
+              AND NOT contains(p_name, 'bolt')
+              AND p_name LIKE 'small%'
+              AND p_type = 'ECONOMY'
+        """,
+        "semi_join_enrich": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey IN (
+                SELECT l_partkey FROM lineitem WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders WHERE o_totalprice > 40000))
         """,
         "pack_chunks": """
             WITH c AS (
