@@ -41,9 +41,8 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     ``FlatMapGroupsInPandasWithStateExec`` when the lineage is reused).
     """
     raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer DIV: float division of large nanos values loses the low bits
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -63,6 +62,24 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose ``keys`` were already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming half of the exact-dedup operator family
+    (operators/dedup.py): at-least-once sources (Kafka replays, S3
+    redeliveries) become effectively-once downstream. State is one entry per
+    distinct key and is EVICTED once the watermark passes — bounded memory,
+    unlike plain ``dropDuplicates`` whose state grows forever on a stream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_to_table(

@@ -164,3 +164,26 @@ def test_run_to_table_foreachbatch(spark, events_dir, tmp_path_factory):
     got = catalog.read_table("stream_events_sink")
     assert got.count() == 6
     assert dict(got.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    """Replayed event_ids are dropped; distinct ids all survive."""
+    rows = [
+        (1, _us(0), 1, "click", 1.0, "{}"),
+        (1, _us(0), 1, "click", 1.0, "{}"),   # exact replay
+        (1, _us(1), 1, "click", 1.0, "{}"),   # same id, later ts: still a dup
+        (2, _us(2), 1, "view", 2.0, "{}"),
+        (3, _us(3), 2, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path_factory.mktemp("dedup_src"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    deduped = sev.stream_dedup(sev.stream_events(spark, path))
+    _run_to_memory(deduped, "t_dedup", tmp_path_factory)
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
