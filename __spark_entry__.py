@@ -1040,6 +1040,19 @@ def q_semi_join_enrich(spark, sf_dir):
     ).select("p_partkey", "p_name")
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact per-type quantiles of events.value (`percentile`, linear
+    interpolation — same convention as DuckDB quantile_cont). At 100 TB swap
+    in `approx_percentile` (Greenwald-Khanna sketch, mergeable map-side):
+    identical query shape, bounded state, no exact-sort of the group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1098,6 +1111,7 @@ QUERIES: dict[str, Callable] = {
     "extractor_suite": q_extractor_suite,
     "filter_suite": q_filter_suite,
     "semi_join_enrich": q_semi_join_enrich,
+    "value_quantiles": q_value_quantiles,
 }
 
 
@@ -1741,6 +1755,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_orderkey IN (
                     SELECT o_orderkey FROM orders WHERE o_totalprice > 40000))
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6)  AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
         """,
         "pack_chunks": """
             WITH c AS (
