@@ -1,0 +1,56 @@
+"""Fleet-wide physical-plan guardrails over every driver query.
+
+Catches the two classic scale-killers at plan level, for ALL of
+``__spark_entry__.QUERIES`` at once, so a regression in any operator's plan
+shape fails CI even while its small-data answer stays correct:
+
+* ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan. The package
+  contract is built-ins + Arrow-batched pandas UDFs only.
+* ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an unbucketed
+  quadratic join. Only the explicitly-labeled exact correctness baseline is
+  allowed to go quadratic.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: queries that are *documented* quadratic correctness baselines, plus
+#: cross joins whose both sides are single-row aggregates (scalar stitching,
+#: O(1) by construction)
+QUADRATIC_OK = {"embedding_near_pairs_exact", "kg_summary"}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
+def test_plan_has_no_scale_killers(spark, sf_dir, name):
+    df = entrymod.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan"
+    )
+    if name not in QUADRATIC_OK:
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{name}: {node} in plan"
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union-sort as-of join must cost exactly one exchange for the
+    union'd stream (plus nothing quadratic) — the property that makes it
+    viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.temporal import asof_join
+    from bio2bel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = (
+        asof_join(left, right, on="ts", by="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one Exchange for the window partitioning; no join node at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
