@@ -121,6 +121,7 @@ def interval_join(
     end: str = "end",
     by: str | Sequence[str] | None = None,
     bucket_sec: int = 3600,
+    max_buckets: int = 10_000,
 ) -> DataFrame:
     """Join each point to every interval containing it: ``start <= ts < end``
     (end-exclusive), optionally per ``by`` key.
@@ -132,21 +133,39 @@ def interval_join(
     ``(by, bucket)`` with the exact containment predicate as a residual
     filter. Because a point has exactly one bucket, matches are already
     unique — no dedup shuffle.
+
+    ``max_buckets`` fails the job LOUDLY (ANSI error, names the limit) if any
+    single interval would explode past it — one corrupt row (end = year
+    9999) must not silently materialize millions of bucket rows at 100 TB.
+    Widen ``bucket_sec`` or raise the cap for genuinely long intervals.
     """
     by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
     bucket_us = bucket_sec * 1_000_000
 
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                (F.unix_micros(F.col(start)) / bucket_us).cast("long"),
-                # end-exclusive: an interval ending exactly on a bucket edge
-                # does not cover that bucket
-                ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long"),
-            )
-        ),
+    b0 = (F.unix_micros(F.col(start)) / bucket_us).cast("long")
+    # end-exclusive: an interval ending exactly on a bucket edge does not
+    # cover that bucket
+    b1 = ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long")
+    # assert_true returns NULL on pass; folding it into the live sequence
+    # bound (coalesce -> +0) keeps the check in the plan — a detached column
+    # would be pruned by the optimizer
+    guard = F.coalesce(
+        F.assert_true(
+            b1 - b0 < F.lit(max_buckets),
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans more than {max_buckets}"
+                    f" buckets of {bucket_sec}s (start="
+                ),
+                F.col(start).cast("string"),
+                F.lit(", end="),
+                F.col(end).cast("string"),
+                F.lit("); widen bucket_sec or raise max_buckets"),
+            ),
+        ).cast("long"),
+        F.lit(0),
     )
+    iv = intervals.withColumn("__bucket", F.explode(F.sequence(b0, b1 + guard)))
     pt = points.withColumn(
         "__bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
     )

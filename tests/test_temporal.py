@@ -154,3 +154,24 @@ def test_hypertable_rollup_grains_consistent(spark):
     # single-pass plan: exactly one Aggregate subtree feeding an Expand
     plan = hypertable_rollup(ev)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Expand") == 1
+
+
+def test_interval_join_fanout_guard(spark):
+    from bio2bel_spark.operators.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("9999-01-01 00:00:00"), "bad")],
+        "start TIMESTAMP, end TIMESTAMP, iv_id STRING",
+    )
+    points = spark.createDataFrame(
+        [(_ts("2024-01-01 01:00:00"), 1)], "ts TIMESTAMP, pid BIGINT"
+    )
+    out = interval_join(intervals, points, bucket_sec=3600, max_buckets=100)
+    with pytest.raises(Exception, match="spans more than 100 buckets"):
+        out.collect()
+    # a sane interval under the same cap still joins
+    ok = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"), "ok")],
+        "start TIMESTAMP, end TIMESTAMP, iv_id STRING",
+    )
+    assert interval_join(ok, points, bucket_sec=3600, max_buckets=100).count() == 1
