@@ -31,3 +31,30 @@ def test_ivf_partitioned_probe_prunes(spark, tmp_path, sf_dir):
     assert got <= {0, 1}
     full = cat.read_table("emb_by_cluster").count()
     assert probe.count() < full
+
+
+def test_time_partitioned_events_rollup_prunes(spark, tmp_path, sf_dir):
+    """Hypertable layout: events partitioned by day; a one-day rollup must
+    read only that day's partition (the TimescaleDB chunk-exclusion shape)."""
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+    from bio2bel_spark.tables import load_table
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    cat.write_table(ev, "events_by_day", partition_by=["day"])
+
+    day1 = cat.read_table("events_by_day").filter(
+        F.col("day") == "2024-01-02"
+    )
+    plan = day1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:200]
+
+    rolled = hypertable_rollup(day1.drop("day"), grains=("hour", "day"))
+    got_days = {
+        r.bucket.date().isoformat()
+        for r in rolled.filter(F.col("grain") == "day").collect()
+    }
+    assert got_days == {"2024-01-02"}

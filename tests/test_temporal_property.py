@@ -1,0 +1,62 @@
+"""Property test: asof_join vs the pandas ``merge_asof`` reference model.
+
+``merge_asof(direction='backward', allow_exact_matches=True)`` is the
+industry-standard definition of the backward-inclusive as-of join; random
+inputs here pin the union-sort implementation to it, including tolerance
+handling and keys that exist on only one side.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset) event lists; seconds are unique per side so the
+# pandas model has no within-key ties to disambiguate
+LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),
+    min_size=1, max_size=30, unique=True,
+)
+RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),
+    min_size=1, max_size=30, unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=LEFT, right=RIGHT, tol=st.one_of(st.none(), st.integers(1, 100)))
+def test_asof_matches_pandas_merge_asof(spark, left, right, tol):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    # dedupe (key, ts) pairs: both engines need a deterministic pick
+    left = sorted(set(left))
+    right = sorted(set(right))
+    lrows = [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    rrows = [(k, BASE + dt.timedelta(seconds=s), float(s)) for k, s in right]
+
+    ldf = spark.createDataFrame(lrows, "k BIGINT, ts TIMESTAMP, lid BIGINT")
+    rdf = spark.createDataFrame(rrows, "k BIGINT, ts TIMESTAMP, rv DOUBLE")
+    got = {
+        r.lid: r.rv_r
+        for r in asof_join(
+            ldf, rdf, on="ts", by="k", tolerance_sec=tol
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+    kwargs = {"tolerance": pd.Timedelta(seconds=tol)} if tol is not None else {}
+    exp = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward",
+        allow_exact_matches=True, **kwargs,
+    )
+    expected = {
+        int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+        for r in exp.itertuples(index=False)
+    }
+    assert got == expected
