@@ -1053,6 +1053,33 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source quota sample (5 docs/source by hash order) —
+    reproducible corpus curation, no RNG."""
+    from bio2bel_spark.operators.sketch import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, by="source", key="doc_id", n=5).select(
+        "source", "doc_id"
+    )
+
+
+def q_weighted_mixture(spark, sf_dir):
+    """Deterministic data-mixture downsampling: per-source keep rates via
+    hashed key threshold (no shuffle, append-stable)."""
+    from bio2bel_spark.operators.sketch import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_mixture(
+        docs,
+        by="source",
+        key="doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1112,6 +1139,8 @@ QUERIES: dict[str, Callable] = {
     "filter_suite": q_filter_suite,
     "semi_join_enrich": q_semi_join_enrich,
     "value_quantiles": q_value_quantiles,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mixture": q_weighted_mixture,
 }
 
 
@@ -1755,6 +1784,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_orderkey IN (
                     SELECT o_orderkey FROM orders WHERE o_totalprice > 40000))
+        """,
+        "stratified_sample": """
+            WITH r AS (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source, doc_id FROM r WHERE rn <= 5
+        """,
+        "weighted_mixture": """
+            WITH h AS (
+                SELECT source,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 1000000 AS h
+                FROM documents
+            )
+            SELECT source, count(*)::BIGINT AS n_kept
+            FROM h
+            WHERE h < CASE source WHEN 'src0' THEN 1000000
+                                  WHEN 'src1' THEN 500000
+                                  WHEN 'src2' THEN 250000
+                                  ELSE 100000 END
+            GROUP BY 1
         """,
         "value_quantiles": """
             SELECT event_type,

@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 
 from bio2bel_spark.operators.dedup import portable_hash
 
-__all__ = ["kmv_distinct", "hash_split", "split_counts", "heavy_hitters"]
+__all__ = [
+    "kmv_distinct",
+    "hash_split",
+    "split_counts",
+    "heavy_hitters",
+    "sample_per_group",
+    "weighted_mixture",
+]
 
 #: normalization constant: portable_hash is uniform on [0, 2^32)
 _HASH_SPACE = float(1 << 32)
@@ -113,6 +120,65 @@ def split_counts(df: DataFrame, key: str, fractions: Mapping[str, float],
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def sample_per_group(
+    df: DataFrame, by: str, key: str, n: int, backend: str = "md5"
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |group|)`` rows per
+    ``by`` group, chosen by hash order of ``key`` (corpus-curation quota
+    sampling — every engine and every run picks the same rows).
+
+    One shuffle (window by group); per-group state is a row counter. Hash
+    ordering makes the quota independent of input order and partitioning —
+    unlike ``df.limit`` per group, which is nondeterministic under shuffles.
+    Ties on the hash (colliding keys) break by ``key`` itself.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(key).cast("string"), backend=backend)
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    by: str,
+    key: str,
+    rates: Mapping[str, float],
+    backend: str = "md5",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data-mixture downsampling: keep each row with its group's rate,
+    decided by a deterministic hash of ``key`` — the standard way to hit a
+    target source mixture (e.g. 3x web, 0.3x forums) reproducibly.
+
+    Pure projection+filter: no shuffle, no RNG, append-stable (a row's fate
+    never depends on other rows), and pushdown-friendly. Rates > 1 should be
+    handled by epoch repetition downstream, not here (kept ``<= 1``).
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    h = F.pmod(portable_hash(F.col(key).cast("string"), backend=backend),
+               F.lit(1_000_000))
+    rate_col = None
+    for name, rate in rates.items():
+        cond = F.col(by) == name
+        thr = F.lit(int(round(rate * 1_000_000)))
+        rate_col = F.when(cond, thr) if rate_col is None else rate_col.when(cond, thr)
+    rate_col = (
+        rate_col.otherwise(F.lit(int(round(default_rate * 1_000_000))))
+        if rate_col is not None
+        else F.lit(int(round(default_rate * 1_000_000)))
+    )
+    return df.filter(h < rate_col)
 
 
 def heavy_hitters(df: DataFrame, cols: Sequence[str] | str, k: int = 20) -> DataFrame:

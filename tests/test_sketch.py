@@ -82,3 +82,57 @@ def test_heavy_hitters_plan_is_take_ordered(spark):
     df = spark.range(100).select((F.col("id") % 7).alias("v"))
     plan = heavy_hitters(df, "v", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_per_group_quota_and_determinism(spark):
+    from bio2bel_spark.operators.sketch import sample_per_group
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(100)] + [("tiny", 999)],
+        "g STRING, k BIGINT",
+    )
+    a = sorted(
+        (r.g, r.k) for r in sample_per_group(df, "g", "k", n=7).collect()
+    )
+    b = sorted(
+        (r.g, r.k)
+        for r in sample_per_group(df.repartition(11), "g", "k", n=7).collect()
+    )
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    counts = Counter(g for g, _ in a)
+    assert counts == {"g0": 7, "g1": 7, "g2": 7, "tiny": 1}
+
+
+def test_weighted_mixture_nested_keep_sets(spark):
+    from bio2bel_spark.operators.sketch import weighted_mixture
+
+    df = spark.createDataFrame(
+        [("s", i) for i in range(400)], "src STRING, k BIGINT"
+    )
+
+    def kept(rate):
+        return {
+            r.k
+            for r in weighted_mixture(
+                df, by="src", key="k", rates={"s": rate}
+            ).collect()
+        }
+
+    assert kept(1.0) == set(range(400))
+    assert kept(0.0) == set()
+    quarter, half = kept(0.25), kept(0.5)
+    assert quarter <= half  # thresholds nest: raising a rate only adds rows
+    assert 0.15 < len(quarter) / 400 < 0.35
+    assert 0.4 < len(half) / 400 < 0.6
+
+
+def test_weighted_mixture_rejects_bad_rate(spark):
+    from bio2bel_spark.operators.sketch import weighted_mixture
+
+    with pytest.raises(ValueError, match="must be in"):
+        weighted_mixture(
+            spark.range(1).select(F.lit("s").alias("src"), "id"),
+            by="src", key="id", rates={"s": 3.0},
+        )
