@@ -136,3 +136,11 @@ def test_weighted_mixture_rejects_bad_rate(spark):
             spark.range(1).select(F.lit("s").alias("src"), "id"),
             by="src", key="id", rates={"s": 3.0},
         )
+
+
+def test_kmv_empty_input(spark):
+    from bio2bel_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([], "v STRING")
+    row = kmv_distinct(df, "v", k=16).collect()[0]
+    assert (row.n_hashes, row.estimate) == (0, 0.0)

@@ -175,3 +175,38 @@ def test_interval_join_fanout_guard(spark):
         "start TIMESTAMP, end TIMESTAMP, iv_id STRING",
     )
     assert interval_join(ok, points, bucket_sec=3600, max_buckets=100).count() == 1
+
+
+def test_asof_empty_right_side(spark):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0)], "k BIGINT, ts TIMESTAMP, v DOUBLE"
+    )
+    right = spark.createDataFrame([], "k BIGINT, ts TIMESTAMP, bid DOUBLE")
+    rows = asof_join(left, right, on="ts", by="k").collect()
+    assert len(rows) == 1 and rows[0].bid_r is None and rows[0].v == 5.0
+
+
+def test_asof_multi_key_by(spark):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:01"))], "k BIGINT, s STRING, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00"), 1.0),
+            (1, "b", _ts("2024-01-01 10:00:00"), 2.0),  # other subkey: invisible
+        ],
+        "k BIGINT, s STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    rows = asof_join(left, right, on="ts", by=["k", "s"]).collect()
+    assert [r.v_r for r in rows] == [1.0]
+
+
+def test_hypertable_rollup_empty_input(spark):
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+
+    ev = spark.createDataFrame([], "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    assert hypertable_rollup(ev).count() == 0
