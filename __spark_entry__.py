@@ -1080,6 +1080,77 @@ def q_weighted_mixture(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def q_dict_lookup(spark, sf_dir):
+    """F6/J5: the Series.map(dict.get) primitive as an explicit broadcast
+    left join — nation names onto customers, counted per name."""
+    from bio2bel_spark.functions.curie import broadcast_lookup
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    mapped = broadcast_lookup(
+        customer.withColumn("n_key", F.col("c_nationkey").cast("long")),
+        "n_key",
+        nation.withColumn("n_key", F.col("n_nationkey").cast("long")),
+        "n_key",
+        "n_name",
+        "nation_name",
+    )
+    return mapped.groupBy("nation_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def q_grounding_retry(spark, sf_dir):
+    """F8 + A8: grounding with comma-swap retries and a rejects side-output.
+    Raw text is synthesized three ways per part — exact name (grounds on
+    attempt 0), '<rest>, <first-word>' (grounds only after the comma-swap
+    retry), and an unmatchable string (reject) — so the oracle checks the
+    whole retry cascade row by row."""
+    from bio2bel_spark.sources.hmdd import ground_column
+
+    part = _t(spark, sf_dir, "part")
+    grounding = part.groupBy(F.col("p_name").alias("text")).agg(
+        F.min("p_partkey").cast("string").alias("identifier")
+    ).select(
+        "text",
+        F.lit("part").alias("prefix"),
+        "identifier",
+        F.col("text").alias("name"),
+    )
+    sp = F.instr(F.col("p_name"), " ")
+    swapped = F.when(
+        sp > 0,
+        F.concat(
+            F.substring(F.col("p_name"), sp + 1, F.lit(1 << 20)),
+            F.lit(", "),
+            F.substring(F.col("p_name"), F.lit(1), sp - 1),
+        ),
+    ).otherwise(F.col("p_name"))
+    raw = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_name"))
+        .when(F.col("p_partkey") % 3 == 1, swapped)
+        .otherwise(F.concat(F.lit("zzz "), F.col("p_name")))
+        .alias("mir"),
+    )
+    out = ground_column(raw, "mir", grounding, "source")
+    return out.select(
+        "p_partkey",
+        F.col("source_id"),
+        F.when(F.col("source_id").isNull(), F.lit("ungrounded"))
+        .otherwise(F.lit("grounded"))
+        .alias("status"),
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    """O3: one-or-none point lookup by primary key."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1141,6 +1212,9 @@ QUERIES: dict[str, Callable] = {
     "value_quantiles": q_value_quantiles,
     "stratified_sample": q_stratified_sample,
     "weighted_mixture": q_weighted_mixture,
+    "dict_lookup": q_dict_lookup,
+    "grounding_retry": q_grounding_retry,
+    "point_lookup": q_point_lookup,
 }
 
 
@@ -1784,6 +1858,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_orderkey IN (
                     SELECT o_orderkey FROM orders WHERE o_totalprice > 40000))
+        """,
+        "dict_lookup": """
+            SELECT n.n_name AS nation_name, count(*)::BIGINT AS n_customers
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "grounding_retry": """
+            WITH g AS (
+                SELECT p_name AS text, min(p_partkey)::VARCHAR AS ident
+                FROM part GROUP BY 1
+            ), raw AS (
+                SELECT p_partkey,
+                       CASE p_partkey % 3
+                           WHEN 0 THEN p_name
+                           WHEN 1 THEN CASE WHEN position(' ' IN p_name) > 0
+                               THEN substr(p_name, position(' ' IN p_name) + 1)
+                                    || ', '
+                                    || substr(p_name, 1, position(' ' IN p_name) - 1)
+                               ELSE p_name END
+                           ELSE 'zzz ' || p_name END AS mir
+                FROM part
+            ), sw AS (
+                SELECT p_partkey, mir,
+                       CASE WHEN position(', ' IN mir) > 0
+                            THEN substr(mir, position(', ' IN mir) + 2)
+                                 || ' ' || substr(mir, 1, position(', ' IN mir) - 1)
+                       END AS mir_sw,
+                       CASE WHEN contains(mir, ',')
+                            THEN array_to_string(
+                                list_reverse(list_transform(
+                                    string_split(mir, ','), x -> trim(x))), ' ')
+                       END AS mir_rev
+                FROM raw
+            )
+            SELECT r.p_partkey,
+                   coalesce(g0.ident, g1.ident, g2.ident) AS source_id,
+                   CASE WHEN coalesce(g0.ident, g1.ident, g2.ident) IS NULL
+                        THEN 'ungrounded' ELSE 'grounded' END AS status
+            FROM sw r
+            LEFT JOIN g g0 ON r.mir = g0.text
+            LEFT JOIN g g1 ON r.mir_sw = g1.text
+            LEFT JOIN g g2 ON r.mir_rev = g2.text
+        """,
+        "point_lookup": """
+            SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderkey = 42
         """,
         "stratified_sample": """
             WITH r AS (
