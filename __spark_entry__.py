@@ -1151,6 +1151,38 @@ def q_point_lookup(spark, sf_dir):
     )
 
 
+def q_kg_degree_distribution(spark, sf_dir):
+    """Degree histogram of the knowledge graph — two map-side-combinable
+    aggregations over the edge table, no node materialization."""
+    return _kg(spark, sf_dir).degree_distribution()
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: three-table join + grouped revenue + top-10
+    (TakeOrderedAndProject; the dimension filter is pushed to the scans)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.unix_timestamp("o_orderdate").alias("odate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1215,6 +1247,8 @@ QUERIES: dict[str, Callable] = {
     "dict_lookup": q_dict_lookup,
     "grounding_retry": q_grounding_retry,
     "point_lookup": q_point_lookup,
+    "kg_degree_distribution": q_kg_degree_distribution,
+    "shipping_priority": q_shipping_priority,
 }
 
 
@@ -1858,6 +1892,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (
                 SELECT l_partkey FROM lineitem WHERE l_orderkey IN (
                     SELECT o_orderkey FROM orders WHERE o_totalprice > 40000))
+        """,
+        "kg_degree_distribution": """
+            WITH e AS (
+                SELECT 'customer:' || c_custkey AS s,
+                       'nation:' || c_nationkey AS t FROM customer
+                UNION ALL
+                SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey
+                FROM supplier
+            ), ends AS (
+                SELECT s AS node FROM e UNION ALL SELECT t FROM e
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS degree FROM ends GROUP BY 1
+            )
+            SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   floor(epoch(o_orderdate))::BIGINT AS odate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "dict_lookup": """
             SELECT n.n_name AS nation_name, count(*)::BIGINT AS n_customers

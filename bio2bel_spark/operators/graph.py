@@ -255,6 +255,24 @@ class KnowledgeGraph:
             frontier = new
         return reached
 
+    def degree_distribution(self) -> DataFrame:
+        """Histogram of total (in+out) node degree: ``(degree, n_nodes)``.
+
+        Two aggregations, both map-side combinable; endpoint extraction is a
+        projection of the edge table (nodes never materialize). The
+        reference computes per-node degrees in networkx RAM
+        (``summary.py``-style stats); this shape survives any edge count.
+        """
+        ends = self.edges.select(
+            F.concat_ws(":", "source_ns", "source_id").alias("node")
+        ).unionAll(
+            self.edges.select(
+                F.concat_ws(":", "target_ns", "target_id").alias("node")
+            )
+        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
     # ------------------------------------------------------------ exports (S15/S16)
     def triples(self) -> DataFrame:
         """(h, r, t) triples for ML interchange (PyKEEN TSV,
