@@ -602,6 +602,52 @@ _EXACT_JACCARD_SQL = f"""
 """
 
 
+#: exact cross-table Jaccard twin of q_fuzzy_join. The right side uppercases
+#: its text, but normalization lowercases, so {_NORM_SQL} applies unchanged.
+_FUZZY_JOIN_SQL = f"""
+    WITH ln AS (SELECT doc_id AS lid, {_NORM_SQL} AS t FROM documents),
+    rn AS (SELECT doc_id + 50000 AS rid, {_NORM_SQL} AS t
+           FROM documents WHERE doc_id % 7 = 0),
+    lw AS (SELECT lid, t, string_split(t, ' ') AS words FROM ln),
+    rw AS (SELECT rid, t, string_split(t, ' ') AS words FROM rn),
+    lsh AS (
+        SELECT lid,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [t] END AS shingles
+        FROM lw
+    ), rsh AS (
+        SELECT rid,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(words[i:i+2], ' '))
+                    ELSE [t] END AS shingles
+        FROM rw
+    ), lh AS (
+        SELECT lid, list_distinct(list_transform(shingles,
+                   s -> {_H32_SQL.format(x='s')})) AS hashes FROM lsh
+    ), rh AS (
+        SELECT rid, list_distinct(list_transform(shingles,
+                   s -> {_H32_SQL.format(x='s')})) AS hashes FROM rsh
+    ), exl AS (SELECT lid, unnest(hashes) AS h FROM lh),
+    exr AS (SELECT rid, unnest(hashes) AS h FROM rh),
+    lsz AS (SELECT lid, len(hashes) AS n FROM lh),
+    rsz AS (SELECT rid, len(hashes) AS n FROM rh),
+    pairs AS (
+        SELECT exl.lid, exr.rid, count(*)::BIGINT AS shared
+        FROM exl JOIN exr USING (h)
+        GROUP BY 1, 2
+    )
+    SELECT lid, rid,
+           round(shared::DOUBLE / (la.n + rb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN lsz la USING (lid)
+    JOIN rsz rb USING (rid)
+    WHERE shared::DOUBLE / (la.n + rb.n - shared) >= 0.5
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash-groupBy on normalized text)."""
     from bio2bel_spark.operators.dedup import exact_duplicates
@@ -1183,6 +1229,24 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Cross-table similarity join (record linkage): documents vs a
+    perturbed-copy table, LSH band-bucket equi-join + true-Jaccard verify.
+    The scalable form of the reference's string-at-a-time grounding."""
+    from bio2bel_spark.operators.dedup import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    left = _spread(spark, docs)
+    right = _spread(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        ),
+    )
+    return fuzzy_join(left, right, threshold=0.5)
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1249,6 +1313,7 @@ QUERIES: dict[str, Callable] = {
     "point_lookup": q_point_lookup,
     "kg_degree_distribution": q_kg_degree_distribution,
     "shipping_priority": q_shipping_priority,
+    "fuzzy_join": q_fuzzy_join,
 }
 
 
@@ -1541,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         # at sf0.001/0.01/0.1), so the exact pairs are its oracle too.
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
+        "fuzzy_join": _FUZZY_JOIN_SQL,
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
         "dedup_exact": f"""
             WITH aug AS ({_AUG_SQL}),

@@ -131,22 +131,23 @@ def minhash_signature(
     return F.when(raw.isNotNull(), sig)
 
 
-def lsh_candidate_pairs(
+def _banded_buckets(
     docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_hashes: int = 16,
-    bands: int = 4,
-    max_bucket: int = 1000,
-    backend: str = "md5",
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    backend: str,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (id_a < id_b).
+    """(id, band, bucket) LSH banding rows, persisted.
 
-    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows; docs
-    sharing any band hash are candidates. ``max_bucket`` drops pathological
-    buckets (e.g. empty/boilerplate docs) that would otherwise produce a
-    quadratic blowup — at 100 TB this guard is what keeps the join bounded.
+    The banded table feeds several consumers (bucket counts, semi-joins,
+    both sides of a pair join) — without persistence each one would re-run
+    the whole minhash pipeline. It is tiny relative to the corpus (bands ×
+    one hash per doc), so MEMORY_AND_DISK is safe at any scale.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = n_hashes // bands
     sig = docs.select(
         F.col(id_col),
@@ -166,13 +167,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    # the banded table feeds three consumers (bucket counts, the semi-join,
-    # and both sides of the pair join) — without persistence each one would
-    # re-run the whole minhash pipeline. It is tiny relative to the corpus
-    # (bands × one hash per doc), so MEMORY_AND_DISK is safe at any scale.
-    from pyspark import StorageLevel
+    return banded.persist(StorageLevel.MEMORY_AND_DISK)
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    backend: str = "md5",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows; docs
+    sharing any band hash are candidates. ``max_bucket`` drops pathological
+    buckets (e.g. empty/boilerplate docs) that would otherwise produce a
+    quadratic blowup — at 100 TB this guard is what keeps the join bounded.
+    """
+    banded = _banded_buckets(docs, text_col, id_col, n_hashes, bands, backend)
     counts = banded.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
     bounded = banded.join(counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
@@ -213,6 +227,77 @@ def jaccard_verify(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    backend: str = "md5",
+) -> DataFrame:
+    """Similarity join ACROSS two tables (record linkage / entity
+    resolution): pairs ``(lid, rid, jaccard)`` with n-gram Jaccard ≥
+    ``threshold``.
+
+    Same LSH machinery as :func:`lsh_candidate_pairs`, but the band-bucket
+    equi-join runs left-vs-right instead of self — the scalable form of the
+    grounding problem (reference ``sources/hmdd.py:34-75`` matches free text
+    to a vocabulary string-by-string at the driver; this links two whole
+    tables in one bounded join). ``max_bucket`` caps each side's bucket
+    population, so a single bucket contributes at most ``max_bucket²``
+    candidate pairs regardless of corpus size. Candidates are verified with
+    true Jaccard — LSH only costs recall, never precision.
+    """
+    bl = _banded_buckets(left, text_col, left_id, n_hashes, bands, backend)
+    br = _banded_buckets(right, text_col, right_id, n_hashes, bands, backend)
+
+    def _bounded(banded, idc):
+        counts = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+        )
+        return banded.join(
+            counts.select("band", "bucket"), ["band", "bucket"], "left_semi"
+        ).select("band", "bucket", F.col(idc))
+
+    cand = (
+        _bounded(bl, left_id)
+        .withColumnRenamed(left_id, "lid")
+        .join(
+            _bounded(br, right_id).withColumnRenamed(right_id, "rid"),
+            ["band", "bucket"],
+        )
+        .select("lid", "rid")
+        .distinct()
+    )
+    shl = left.select(
+        F.col(left_id).alias("lid"),
+        shingle_hashes(text_col, shingle_n, backend).alias("__sh_l"),
+    )
+    shr = right.select(
+        F.col(right_id).alias("rid"),
+        shingle_hashes(text_col, shingle_n, backend).alias("__sh_r"),
+    )
+    return (
+        cand.join(shl, "lid")
+        .join(shr, "rid")
+        .withColumn("__inter", F.size(F.array_intersect("__sh_l", "__sh_r")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sh_l") + F.size("__sh_r") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("lid", "rid", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(

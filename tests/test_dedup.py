@@ -119,3 +119,38 @@ def test_max_bucket_guard(spark):
     # with the guard low, the degenerate bucket is dropped entirely
     assert dedup.lsh_candidate_pairs(boiler, max_bucket=10).count() == 0
     assert dedup.lsh_candidate_pairs(boiler, max_bucket=100).count() == 50 * 49 // 2
+
+
+def test_fuzzy_join_links_perturbed_copies(spark):
+    from bio2bel_spark.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different sentence about spark plans"),
+            (3, "one more unrelated document body here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, "THE  QUICK  BROWN FOX jumps over the lazy dog"),  # ≈ doc 1
+            (102, "completely novel text with no counterpart at all"),
+        ],
+        "rid BIGINT, text STRING",
+    )
+    out = fuzzy_join(left, right, right_id="rid", threshold=0.5).collect()
+    assert [(r.lid, r.rid, r.jaccard) for r in out] == [(1, 101, 1.0)]
+
+
+def test_fuzzy_join_max_bucket_caps_pairs(spark):
+    from bio2bel_spark.operators.dedup import fuzzy_join
+
+    same = [(i, "identical boilerplate text repeated everywhere") for i in range(20)]
+    left = spark.createDataFrame(same, "doc_id BIGINT, text STRING")
+    right = spark.createDataFrame(
+        [(i + 1000, t) for i, t in same], "rid BIGINT, text STRING"
+    )
+    # bucket cap of 5 drops the 20-doc boilerplate bucket on both sides
+    out = fuzzy_join(left, right, right_id="rid", threshold=0.5, max_bucket=5)
+    assert out.count() == 0
