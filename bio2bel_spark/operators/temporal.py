@@ -41,9 +41,13 @@ def asof_join(
     by: str | Sequence[str] = "user_id",
     tolerance_sec: float | None = None,
     right_suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with ``right.on <=
-    left.on`` within the same ``by`` group (backward as-of, inclusive).
+    left.on`` within the same ``by`` group (backward as-of, inclusive), or —
+    with ``direction="forward"`` — the earliest right row with ``right.on >=
+    left.on`` (pandas ``merge_asof`` direction semantics). Forward is the
+    same one-shuffle plan scanned in descending time order.
 
     Union-sort plan (scale rationale in the module docstring):
 
@@ -58,6 +62,8 @@ def asof_join(
     payload struct's natural ordering (max wins). Left columns keep their
     names; right payload columns get ``right_suffix``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     rpay_cols = [c for c in right.columns if c not in set(by_cols)]
     lpay_cols = [c for c in left.columns if c not in {*by_cols, on}]
@@ -80,9 +86,10 @@ def asof_join(
 
     # secondary sort on the payload struct makes equal-timestamp right rows
     # resolve deterministically (last == struct-max)
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__rpay"))
+        .orderBy(t_order, F.col("__side"), F.col("__rpay"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -92,13 +99,11 @@ def asof_join(
     )
 
     if tolerance_sec is not None:
-        within = (
-            F.col("__m").isNotNull()
-            & (
-                F.unix_micros(F.col("__t"))
-                - F.unix_micros(F.col("__m")[on])
-                <= int(tolerance_sec * 1_000_000)
-            )
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__m")[on])
+        if direction == "forward":
+            gap = -gap
+        within = F.col("__m").isNotNull() & (
+            gap <= int(tolerance_sec * 1_000_000)
         )
         matched = matched.withColumn(
             "__m", F.when(within, F.col("__m"))

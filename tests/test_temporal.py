@@ -210,3 +210,48 @@ def test_hypertable_rollup_empty_input(spark):
 
     ev = spark.createDataFrame([], "ts TIMESTAMP, event_type STRING, value DOUBLE")
     assert hypertable_rollup(ev).count() == 0
+
+
+def test_asof_forward_direction(spark, trades_quotes):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on="ts", by="sym", direction="forward")
+    rows = {(r.sym, r.ts.isoformat()): r.bid_r for r in out.collect()}
+    # earliest quote at-or-after each trade
+    assert rows[(1, "2024-01-01T09:00:00")] == 100.5
+    assert rows[(1, "2024-01-01T10:00:00")] == 100.5  # inclusive at equal ts
+    assert rows[(1, "2024-01-01T10:00:05")] is None   # nothing after
+    assert rows[(2, "2024-01-01T10:00:03")] is None
+
+    with_tol = asof_join(
+        trades, quotes, on="ts", by="sym", direction="forward", tolerance_sec=60
+    )
+    t_rows = {(r.sym, r.ts.isoformat()): r.bid_r for r in with_tol.collect()}
+    assert t_rows[(1, "2024-01-01T09:00:00")] is None  # 1h away: outside tol
+    assert t_rows[(1, "2024-01-01T10:00:00")] == 100.5
+
+
+def test_asof_forward_matches_pandas(spark):
+    import pandas as pd
+
+    from bio2bel_spark.operators.temporal import asof_join
+
+    lrows = [(1, _ts(f"2024-01-01 10:00:{s:02d}"), i) for i, s in enumerate([0, 7, 13, 40])]
+    rrows = [(1, _ts(f"2024-01-01 10:00:{s:02d}"), float(s)) for s in [5, 13, 20]]
+    ldf = spark.createDataFrame(lrows, "k BIGINT, ts TIMESTAMP, lid BIGINT")
+    rdf = spark.createDataFrame(rrows, "k BIGINT, ts TIMESTAMP, rv DOUBLE")
+    got = {
+        r.lid: r.rv_r
+        for r in asof_join(ldf, rdf, on="ts", by="k", direction="forward").collect()
+    }
+    exp_df = pd.merge_asof(
+        pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts"),
+        pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts"),
+        on="ts", by="k", direction="forward",
+    )
+    exp = {
+        int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+        for r in exp_df.itertuples(index=False)
+    }
+    assert got == exp
