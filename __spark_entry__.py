@@ -1247,6 +1247,25 @@ def q_fuzzy_join(spark, sf_dir):
     return fuzzy_join(left, right, threshold=0.5)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-source survivor counts after dropping
+    corpus docs that fuzzy-match the benchmark table (fuzzy_join +
+    left-anti)."""
+    from bio2bel_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = _spread(spark, docs.select("doc_id", "source", "text"))
+    bench = _spread(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        ),
+    )
+    clean, _hits = decontaminate(corpus, bench, threshold=0.5)
+    return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1314,6 +1333,7 @@ QUERIES: dict[str, Callable] = {
     "kg_degree_distribution": q_kg_degree_distribution,
     "shipping_priority": q_shipping_priority,
     "fuzzy_join": q_fuzzy_join,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -1607,6 +1627,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "fuzzy_join": _FUZZY_JOIN_SQL,
+        "decontaminate": f"""
+            WITH hits AS ({_FUZZY_JOIN_SQL})
+            SELECT source, count(*)::BIGINT AS n_clean
+            FROM documents
+            WHERE doc_id NOT IN (SELECT lid FROM hits)
+            GROUP BY 1
+        """,
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
         "dedup_exact": f"""
             WITH aug AS ({_AUG_SQL}),

@@ -300,6 +300,42 @@ def fuzzy_join(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str = "text",
+    corpus_id: str = "doc_id",
+    benchmark_id: str = "doc_id",
+    threshold: float = 0.5,
+    **fuzzy_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Benchmark decontamination: drop corpus documents that n-gram-overlap
+    any benchmark/eval document (training-data hygiene for LLM corpora).
+
+    Returns ``(clean, contaminated)`` — the surviving corpus and the audit
+    side-output ``(lid, rid, jaccard)`` naming each hit. Built on
+    :func:`fuzzy_join`, so the match is LSH-bucketed (no corpus×benchmark
+    quadratic scan) and verified with true Jaccard before anything is
+    dropped. The left-anti removal keys on the corpus id only, so one
+    benchmark hit removes the document everywhere.
+    """
+    hits = fuzzy_join(
+        corpus,
+        benchmarks,
+        text_col=text_col,
+        left_id=corpus_id,
+        right_id=benchmark_id,
+        threshold=threshold,
+        **fuzzy_kwargs,
+    )
+    clean = corpus.join(
+        hits.select(F.col("lid").alias(corpus_id)).distinct(),
+        corpus_id,
+        "left_anti",
+    )
+    return clean, hits
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -154,3 +154,23 @@ def test_fuzzy_join_max_bucket_caps_pairs(spark):
     # bucket cap of 5 drops the 20-doc boilerplate bucket on both sides
     out = fuzzy_join(left, right, right_id="rid", threshold=0.5, max_bucket=5)
     assert out.count() == 0
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    from bio2bel_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different training document body"),
+            (3, "yet another clean piece of text for training"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(900, "The quick brown fox jumps over the LAZY dog")],
+        "doc_id BIGINT, text STRING",
+    )
+    clean, hits = decontaminate(corpus, bench, threshold=0.5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    assert [(r.lid, r.rid) for r in hits.collect()] == [(1, 900)]
