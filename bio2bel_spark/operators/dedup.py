@@ -319,6 +319,8 @@ def decontaminate(
     dropped. The left-anti removal keys on the corpus id only, so one
     benchmark hit removes the document everywhere.
     """
+    from pyspark import StorageLevel
+
     hits = fuzzy_join(
         corpus,
         benchmarks,
@@ -328,11 +330,15 @@ def decontaminate(
         threshold=threshold,
         **fuzzy_kwargs,
     )
-    clean = corpus.join(
-        hits.select(F.col("lid").alias(corpus_id)).distinct(),
-        corpus_id,
-        "left_anti",
+    # the anti-join (often a broadcast) and the returned audit DataFrame are
+    # separate consumers of the whole fuzzy pipeline — persist the tiny
+    # hit-id set so the LSH+verify plan runs once, not once per consumer
+    hit_ids = (
+        hits.select(F.col("lid").alias(corpus_id))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    clean = corpus.join(hit_ids, corpus_id, "left_anti")
     return clean, hits
 
 
