@@ -331,8 +331,15 @@ class KnowledgeGraph:
         )
 
     def edge_list(self) -> DataFrame:
-        """Integer edge list via two joins against the node index (J8)."""
-        idx = self.node_index()
+        """Integer edge list via two joins against the node index (J8).
+
+        The index feeds both the source and the target join; persisting it
+        runs the range-partitioned enumeration once instead of once per
+        side (node-id-sized rows — the artifact the reference writes to
+        disk at this point, ``bel_manager.py:145-161``)."""
+        from pyspark import StorageLevel
+
+        idx = self.node_index().persist(StorageLevel.MEMORY_AND_DISK)
         return (
             self.edges.select(
                 F.concat_ws(":", "source_ns", "source_id").alias("src"),
