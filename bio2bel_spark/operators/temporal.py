@@ -193,14 +193,56 @@ def hypertable_rollup(
     grains: Sequence[str] = ("hour", "day", "week"),
     aggs: Sequence[Column] | None = None,
 ) -> DataFrame:
-    """Multi-granularity time rollup in a single pass.
+    """Multi-granularity time rollup in a single scan.
 
-    Materializes one ``date_trunc`` column per grain, then aggregates with
-    ``GROUPING SETS`` — Catalyst expands the sets inside one shuffle, so an
-    hour+day+week rollup of a 100 TB events table costs one scan and one
-    exchange instead of three. Output: ``(grain, *dims, bucket, <aggs>)``
-    with ``bucket`` the truncated timestamp for that row's grain.
+    Default path (``aggs=None``) is HIERARCHICAL: aggregate raw rows once at
+    the finest grain, then re-aggregate that (tiny) result for each coarser
+    grain — every grain truncates from the finest bucket, which is exact for
+    any coarser ``date_trunc``. The full-size shuffle moves each raw row
+    ONCE; a ``GROUPING SETS`` plan's Expand would multiply shuffle input by
+    the number of grains (3× a 100 TB table). Raw sums are kept unrounded
+    until output so re-aggregation stays exact to 2dp.
+
+    Custom ``aggs`` fall back to the single-pass ``GROUPING SETS`` plan
+    (correct for non-reaggregable aggregates like count-distinct, at the
+    Expand cost). ``grains`` must be ordered finest-first (the default is).
+    Output either way: ``(grain, *dims, bucket, <aggs>)``.
     """
+    if aggs is None:
+        finest, coarser = grains[0], list(grains[1:])
+        fine = events.groupBy(
+            *dims, F.date_trunc(finest, F.col(ts)).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("value").alias("__sum"),
+        )
+        from pyspark import StorageLevel
+
+        if coarser:
+            fine = fine.persist(StorageLevel.MEMORY_AND_DISK)
+        out = fine.select(
+            F.lit(finest).alias("grain"),
+            *dims,
+            "bucket",
+            F.col("__n").alias("n_events"),
+            F.round(F.col("__sum"), 2).alias("total_value"),
+        )
+        for grain in coarser:
+            rolled = (
+                fine.groupBy(
+                    *dims, F.date_trunc(grain, F.col("bucket")).alias("bucket")
+                )
+                .agg(F.sum("__n").alias("__n"), F.sum("__sum").alias("__sum"))
+                .select(
+                    F.lit(grain).alias("grain"),
+                    *dims,
+                    "bucket",
+                    F.col("__n").alias("n_events"),
+                    F.round(F.col("__sum"), 2).alias("total_value"),
+                )
+            )
+            out = out.unionByName(rolled)
+        return out
     aggs = list(aggs) if aggs is not None else [
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),

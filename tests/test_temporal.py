@@ -151,9 +151,16 @@ def test_hypertable_rollup_grains_consistent(spark):
     assert len(by_grain["day"]) == 3
     # Jan 1-2 2024 are the same ISO week
     assert len(by_grain["week"]) == 2
-    # single-pass plan: exactly one Aggregate subtree feeding an Expand
+    # hierarchical default path: NO Expand node — raw rows shuffle once at
+    # the finest grain; coarser grains re-aggregate the hourly result
     plan = hypertable_rollup(ev)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Expand") == 1
+    assert "Expand" not in plan
+    # custom aggs fall back to the single-pass GROUPING SETS plan
+    gs_plan = (
+        hypertable_rollup(ev, aggs=[F.count_distinct("value").alias("nv")])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert gs_plan.count("Expand") == 1
 
 
 def test_interval_join_fanout_guard(spark):
