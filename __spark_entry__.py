@@ -1266,6 +1266,14 @@ def q_decontaminate(spark, sf_dir):
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+def q_quality_topk(spark, sf_dir):
+    """Per-source top-3 docs by composite quality score (curation
+    selection) — quality scoring + one window shuffle."""
+    from bio2bel_spark.operators.textquality import top_quality_per_group
+
+    return top_quality_per_group(_t(spark, sf_dir, "documents"), k=3)
+
+
 QUERIES: dict[str, Callable] = {
     "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
@@ -1334,6 +1342,7 @@ QUERIES: dict[str, Callable] = {
     "shipping_priority": q_shipping_priority,
     "fuzzy_join": q_fuzzy_join,
     "decontaminate": q_decontaminate,
+    "quality_topk": q_quality_topk,
 }
 
 
@@ -1727,6 +1736,45 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2)
                        AS quality_score
             FROM feat
+        """,
+        "quality_topk": """
+            WITH base AS (
+                SELECT doc_id, source, text,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, source, n_chars, len(toks) AS n_tok,
+                       CASE WHEN len(toks) > 0
+                            THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                 / len(toks)
+                            ELSE 0.0 END AS mwl,
+                       CASE WHEN n_chars > 0
+                            THEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                                 / n_chars
+                            ELSE 0.0 END AS pr,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, x -> x IN
+                                ('the','and','of','to','in','is','that','for','with','was')
+                                ))::DOUBLE / len(toks)
+                            ELSE 0.0 END AS sr
+                FROM base
+            ), q AS (
+                SELECT doc_id, source,
+                       round((CASE WHEN n_tok BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2)
+                       AS quality_score
+                FROM feat
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY quality_score DESC, doc_id ASC) AS rn
+                FROM q
+            )
+            SELECT source, doc_id, quality_score FROM r WHERE rn <= 3
         """,
         "language_confusion": """
             WITH t AS (

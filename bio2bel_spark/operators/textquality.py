@@ -73,11 +73,18 @@ def detect_language(col, profiles: dict[str, list[str]] = None, min_hits: int = 
     return expr
 
 
-def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: "tuple[str, ...]" = (),
+) -> DataFrame:
     """Quality-signal columns: lengths, ratios, and a composite score.
 
     Signals follow the public C4/Gopher-style heuristics: document length,
-    mean word length, punctuation density, stopword fraction.
+    mean word length, punctuation density, stopword fraction. ``keep``
+    passes extra input columns through (e.g. a group key for downstream
+    per-group selection).
     """
     t = F.col(text_col)
     toks = tokens(text_col)
@@ -100,12 +107,37 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_chars.cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 2).alias("quality_score"),
+    )
+
+
+def top_quality_per_group(
+    docs: DataFrame,
+    by: str = "source",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per group by composite quality score (curation
+    selection). One window shuffle on the group key; deterministic ordering
+    (rounded score desc, id asc) so ties never flap between runs or engines.
+    """
+    from pyspark.sql import Window
+
+    feats = quality_features(docs, text_col, id_col, keep=(by,))
+    w = Window.partitionBy(by).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        feats.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(by, id_col, "quality_score")
     )
 
 
