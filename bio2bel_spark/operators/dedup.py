@@ -81,6 +81,48 @@ def drop_exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str =
     return docs.join(keep.select(id_col), id_col, "left_semi")
 
 
+def incremental_dedup(
+    catalog,
+    new_docs: DataFrame,
+    seen_table: str = "dedup_seen_hashes",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against the full historical corpus without
+    rescanning it: the catalog keeps a ``(text_hash)`` table of everything
+    ever admitted; the batch is deduped within itself (min-id survivor),
+    anti-joined against history, and the surviving hashes are appended.
+
+    This is the production crawl-snapshot shape — each increment costs
+    O(batch + history-index), not O(corpus). The hash table is one long per
+    distinct historical document; at 100 TB of text that index is ~0.1% of
+    corpus size and partitions like any other table. Exactly-once admission
+    per hash holds as long as increments are applied serially (the same
+    contract as the reference's upsert, A7).
+
+    Returns the admitted (new-unique) rows of ``new_docs``.
+    """
+    h = F.xxhash64(normalize_text(text_col)).alias("text_hash")
+    batch = new_docs.withColumn("text_hash", h)
+    # within-batch survivors: min id per hash
+    keep = batch.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    survivors = batch.join(
+        keep, ["text_hash", id_col], "left_semi"
+    )
+    if catalog.table_exists(seen_table):
+        seen = catalog.read_table(seen_table)
+        survivors = survivors.join(seen, "text_hash", "left_anti")
+    # truncate lineage BEFORE appending: a persist() is not enough — writing
+    # to the seen-table path invalidates caches that scan it (recache-by-
+    # path), and the re-executed plan would read its own append and admit
+    # nothing. localCheckpoint detaches the result from the source entirely.
+    survivors = survivors.localCheckpoint(eager=True)
+    catalog.write_table(
+        survivors.select("text_hash").distinct(), seen_table, mode="append"
+    )
+    return survivors.drop("text_hash")
+
+
 def word_shingles(col, n: int = 3) -> Column:
     """Word n-grams of the normalized text as an array<string>."""
     words = F.split(normalize_text(col), " ")

@@ -174,3 +174,40 @@ def test_decontaminate_drops_benchmark_overlaps(spark):
     clean, hits = decontaminate(corpus, bench, threshold=0.5)
     assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
     assert [(r.lid, r.rid) for r in hits.collect()] == [(1, 900)]
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.dedup import incremental_dedup
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha document text"),
+            (2, "Alpha  Document  TEXT"),  # dup of 1 after normalization
+            (3, "beta document text"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got1 = sorted(r.doc_id for r in incremental_dedup(cat, b1).collect())
+    assert got1 == [1, 3]  # min-id survivor within the batch
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "beta document text"),    # seen in batch 1 -> dropped
+            (11, "gamma document text"),   # new
+            (12, "gamma document text"),   # dup within batch 2
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got2 = sorted(r.doc_id for r in incremental_dedup(cat, b2).collect())
+    assert got2 == [11]
+
+    # a third run of only-seen content admits nothing
+    b3 = spark.createDataFrame(
+        [(20, "alpha document text"), (21, "gamma document text")],
+        "doc_id BIGINT, text STRING",
+    )
+    assert incremental_dedup(cat, b3).count() == 0
+    # history index holds one hash per distinct admitted text
+    assert cat.read_table("dedup_seen_hashes").distinct().count() == 3
