@@ -929,6 +929,33 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of: earliest purchase at or after each click, per user —
+    same one-shuffle union-sort plan scanned in descending time order."""
+    from bio2bel_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("p_event_id_r").alias("p_event_id"),
+        F.round("p_value_r", 6).alias("p_value"),
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Point-in-interval range join, bucketed: signup → 1 h activity window,
     count the user's events inside it. Explode-to-buckets + equi-join — no
@@ -1322,6 +1349,7 @@ QUERIES: dict[str, Callable] = {
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
     "interval_join": q_interval_join,
     "hypertable_rollup": q_hypertable_rollup,
     "kmv_distinct": q_kmv_distinct,
@@ -1937,6 +1965,20 @@ def oracle_sql() -> dict[str, str]:
                    p.p_event_id, round(p.p_value, 6) AS p_value
             FROM clicks c ASOF LEFT JOIN pur p
                  ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "asof_join_forward": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), pur AS (
+                SELECT user_id, ts, max(event_id) AS p_event_id,
+                       max(value) AS p_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.user_id, epoch_us(c.ts) AS t_us, c.event_id,
+                   p.p_event_id, round(p.p_value, 6) AS p_value
+            FROM clicks c ASOF LEFT JOIN pur p
+                 ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         "interval_join": """
             WITH iv AS (
