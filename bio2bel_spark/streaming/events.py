@@ -45,12 +45,18 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def hourly_rollup(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
     """Watermarked tumbling-window rollup: the streaming twin of the batch
-    ``events_hourly`` query."""
+    ``events_hourly`` query. ``window`` sets the grain ("1 hour", "1 day",
+    ...) — the streaming counterpart of one hypertable_rollup level (state
+    per open window only; closed windows are emitted and evicted at the
+    watermark, so coarser grains hold *fewer* open windows, not more
+    state)."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),

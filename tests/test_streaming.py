@@ -187,3 +187,34 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory):
     _run_to_memory(deduped, "t_dedup", tmp_path_factory)
     got = spark.sql("SELECT event_id FROM t_dedup").collect()
     assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
+def test_rollup_daily_grain(spark, tmp_path_factory):
+    """The generalized window grain: day-1 bucket closes once a day-2 event
+    advances the watermark past its end (append emits closed windows only)."""
+    rows = [
+        (1, _us(0), 1, "click", 1.0, "{}"),
+        (2, _us(5), 1, "click", 2.0, "{}"),
+        (3, _us(10), 1, "view", 3.0, "{}"),
+        # next-day event pushes the watermark past day-1's window end
+        (4, _us(25 * 60), 2, "view", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path_factory.mktemp("daily_src"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    roll = sev.hourly_rollup(
+        sev.stream_events(spark, path), watermark="1 second", window="1 day"
+    )
+    _run_to_memory(roll, "t_roll_day", tmp_path_factory)
+    got = spark.sql(
+        "SELECT event_type, n_events, sum_value FROM t_roll_day ORDER BY 1"
+    ).collect()
+    assert [(r.event_type, r.n_events, r.sum_value) for r in got] == [
+        ("click", 2, 3.0),
+        ("view", 1, 3.0),
+    ]
