@@ -977,6 +977,28 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join with owner-bucket dedup: signup
+    2h-windows vs error 1h-windows per user, pair counts per user."""
+    from bio2bel_spark.operators.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        F.col("event_id").alias("lid"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        F.col("event_id").alias("rid"),
+    )
+    out = interval_overlap_join(signups, errors, by="user_id", bucket_sec=3600)
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
 def q_hypertable_rollup(spark, sf_dir):
     """Hour/day/week rollup in ONE pass via GROUPING SETS (TimescaleDB
     continuous-aggregate shape) — one scan + one shuffle for all grains."""
@@ -1351,6 +1373,7 @@ QUERIES: dict[str, Callable] = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "interval_join": q_interval_join,
+    "interval_overlap": q_interval_overlap,
     "hypertable_rollup": q_hypertable_rollup,
     "kmv_distinct": q_kmv_distinct,
     "hash_split_counts": q_hash_split_counts,
@@ -1989,6 +2012,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT iv.iv_id, count(*)::BIGINT AS n_in_window
             FROM iv JOIN pt ON pt.user_id = iv.user_id
                  AND pt.ts >= iv.start_ts AND pt.ts < iv.end_ts
+            GROUP BY 1
+        """,
+        "interval_overlap": """
+            WITH s AS (
+                SELECT user_id, ts AS s_start, ts + INTERVAL 2 HOUR AS s_end
+                FROM events WHERE event_type = 'signup'
+            ), e AS (
+                SELECT user_id, ts AS e_start, ts + INTERVAL 1 HOUR AS e_end
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT s.user_id, count(*)::BIGINT AS n_overlaps
+            FROM s JOIN e ON s.user_id = e.user_id
+                 AND s.s_start < e.e_end AND e.e_start < s.s_end
             GROUP BY 1
         """,
         "hypertable_rollup": """

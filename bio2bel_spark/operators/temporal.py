@@ -31,7 +31,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "hypertable_rollup"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "interval_overlap_join",
+    "hypertable_rollup",
+]
 
 
 def asof_join(
@@ -183,6 +188,77 @@ def interval_join(
     joined = pt.join(iv, cond, "inner")
     keep = [pt[c] for c in points.columns]
     keep += [iv[c] for c in intervals.columns if c not in set(by_cols)]
+    return joined.select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: str | Sequence[str] | None = None,
+    bucket_sec: int = 3600,
+    max_buckets: int = 10_000,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval×interval overlap join: pairs where ``l.start < r.end AND
+    r.start < l.end`` (half-open intervals), optionally per ``by`` key.
+
+    Both sides explode into covered buckets and equi-join on ``(by,
+    bucket)``. An overlapping pair shares every bucket its intersection
+    covers, which would duplicate it once per shared bucket — instead each
+    pair is emitted ONLY from its owner bucket, the bucket of
+    ``max(l.start, r.start)`` (the first bucket of the intersection). The
+    ownership predicate is a pure residual filter, so no post-join
+    ``distinct`` shuffle is needed. Fan-out guards as in
+    :func:`interval_join`.
+    """
+    by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
+    bucket_us = bucket_sec * 1_000_000
+
+    def _explode(df: DataFrame, start: str, end: str) -> DataFrame:
+        b0 = (F.unix_micros(F.col(start)) / bucket_us).cast("long")
+        b1 = ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long")
+        guard = F.coalesce(
+            F.assert_true(
+                b1 - b0 < F.lit(max_buckets),
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans more than "
+                        f"{max_buckets} buckets of {bucket_sec}s (start="
+                    ),
+                    F.col(start).cast("string"),
+                    F.lit(", end="),
+                    F.col(end).cast("string"),
+                    F.lit("); widen bucket_sec or raise max_buckets"),
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+        return df.withColumn("__bucket", F.explode(F.sequence(b0, b1 + guard)))
+
+    l = _explode(left, left_start, left_end)
+    r = _explode(right, right_start, right_end)
+    cond = [l["__bucket"] == r["__bucket"]]
+    for c in by_cols:
+        cond.append(l[c] == r[c])
+    cond.append(l[left_start] < r[right_end])
+    cond.append(r[right_start] < l[left_end])
+    # owner bucket: emit the pair only where the intersection begins
+    inter_start = F.greatest(
+        F.unix_micros(l[left_start]), F.unix_micros(r[right_start])
+    )
+    cond.append(l["__bucket"] == (inter_start / bucket_us).cast("long"))
+
+    joined = l.join(r, cond, "inner")
+    keep = [l[c] for c in left.columns]
+    keep += [
+        r[c].alias(c + suffix if c in set(left.columns) else c)
+        for c in right.columns
+        if c not in set(by_cols)
+    ]
     return joined.select(*keep)
 
 

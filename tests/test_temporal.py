@@ -262,3 +262,73 @@ def test_asof_forward_matches_pandas(spark):
         for r in exp_df.itertuples(index=False)
     }
     assert got == exp
+
+
+def test_interval_overlap_join_semantics(spark):
+    from bio2bel_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 14:00:00"), "L1"),
+            (1, _ts("2024-01-01 16:00:00"), _ts("2024-01-01 17:00:00"), "L2"),
+            (2, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 14:00:00"), "L3"),
+        ],
+        "u BIGINT, start TIMESTAMP, end TIMESTAMP, lid STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            # overlaps L1 over 3 shared hourly buckets -> must appear ONCE
+            (1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 13:30:00"), "R1"),
+            # touches L1's end exactly: half-open -> no overlap
+            (1, _ts("2024-01-01 14:00:00"), _ts("2024-01-01 15:00:00"), "R2"),
+            # overlaps L2 from before: intersection starts at L2.start
+            (1, _ts("2024-01-01 15:30:00"), _ts("2024-01-01 16:30:00"), "R3"),
+            # other key: never joins key 1
+            (2, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 12:00:00"), "R4"),
+        ],
+        "u BIGINT, start TIMESTAMP, end TIMESTAMP, rid STRING",
+    )
+    out = interval_overlap_join(left, right, by="u", bucket_sec=3600)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [("L1", "R1"), ("L2", "R3"), ("L3", "R4")]
+    # owner-bucket dedup: no pair duplicated despite multi-bucket overlap
+    assert out.count() == out.select("lid", "rid").distinct().count() == 3
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed plan ≡ naive inequality join on dense random-ish intervals."""
+    from bio2bel_spark.operators.temporal import interval_overlap_join
+
+    rows_l = [
+        (i, _ts("2024-01-01 00:00:00"), (i * 37) % 5000, (i * 53) % 3000 + 10)
+        for i in range(60)
+    ]
+    rows_r = [
+        (i, _ts("2024-01-01 00:00:00"), (i * 71) % 5000, (i * 29) % 2000 + 10)
+        for i in range(60)
+    ]
+    import datetime as dt
+
+    def mk(rows, idc):
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(seconds=off), base + dt.timedelta(seconds=off + ln))
+                for i, base, off, ln in rows
+            ],
+            f"{idc} BIGINT, start TIMESTAMP, end TIMESTAMP",
+        )
+
+    left, right = mk(rows_l, "lid"), mk(rows_r, "rid")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(left, right, bucket_sec=600).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(
+            right.withColumnRenamed("start", "rs").withColumnRenamed("end", "re")
+        )
+        .filter((F.col("start") < F.col("re")) & (F.col("rs") < F.col("end")))
+        .collect()
+    )
+    assert got == naive and len(got) > 50
