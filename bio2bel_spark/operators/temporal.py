@@ -73,7 +73,11 @@ def asof_join(
     rpay_cols = [c for c in right.columns if c not in set(by_cols)]
     lpay_cols = [c for c in left.columns if c not in {*by_cols, on}]
 
-    r = right.select(
+    # a null-timestamp right row is "at or before" nothing, but Spark's
+    # nulls-first sort would make it the running match for every left row —
+    # drop it. Null-timestamp LEFT rows sort first, see no payload, and
+    # surface with a null match (left-join contract preserved).
+    r = right.where(F.col(on).isNotNull()).select(
         *[F.col(c) for c in by_cols],
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),

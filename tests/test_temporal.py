@@ -332,3 +332,21 @@ def test_interval_overlap_join_matches_naive(spark):
         .collect()
     )
     assert got == naive and len(got) > 50
+
+
+def test_asof_null_timestamps(spark):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "real"), (1, None, "null-ts")],
+        "k BIGINT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, 666.0),  # null-ts right row must never match anything
+            (1, _ts("2024-01-01 09:00:00"), 1.0),
+        ],
+        "k BIGINT, ts TIMESTAMP, bid DOUBLE",
+    )
+    rows = {r.tag: r.bid_r for r in asof_join(left, right, on="ts", by="k").collect()}
+    assert rows == {"real": 1.0, "null-ts": None}
