@@ -1056,6 +1056,17 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+def q_chunk_spans(spark, sf_dir):
+    """Token-offset chunking of long docs (context-window splitting) —
+    map-only explode, no shuffle."""
+    from bio2bel_spark.operators.packing import chunk_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_spans(docs, "n_chars", budget=150).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_tokens"
+    )
+
+
 def q_pack_first_fit(spark, sf_dir):
     """First-fit-decreasing packing via applyInPandas — inherently
     sequential per group, so no single-pass SQL twin exists (driver records
@@ -1379,6 +1390,7 @@ QUERIES: dict[str, Callable] = {
     "hash_split_counts": q_hash_split_counts,
     "heavy_hitters": q_heavy_hitters,
     "pack_chunks": q_pack_chunks,
+    "chunk_spans": q_chunk_spans,
     "pack_first_fit": q_pack_first_fit,
     "extractor_suite": q_extractor_suite,
     "filter_suite": q_filter_suite,
@@ -2046,6 +2058,13 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             GROUP BY GROUPING SETS ((event_type, gh), (event_type, gd),
                                     (event_type, gw))
+        """,
+        "chunk_spans": """
+            SELECT doc_id, u.i AS chunk_idx, u.i * 150 AS chunk_start,
+                   greatest(least(150, n_chars - u.i * 150), 0) AS chunk_tokens
+            FROM documents,
+                 unnest(range(0, greatest(ceil(n_chars / 150.0)::BIGINT, 1)))
+                 AS u(i)
         """,
         "kmv_distinct": """
             WITH h AS (

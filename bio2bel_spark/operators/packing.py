@@ -25,7 +25,45 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_concat_chunks", "pack_first_fit"]
+__all__ = ["pack_concat_chunks", "pack_first_fit", "chunk_spans"]
+
+
+def chunk_spans(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-offset chunk spans per document: the splitting complement of
+    :func:`pack_concat_chunks`. A document of T tokens yields
+    ``ceil(T/budget)`` rows ``(… , chunk_idx, chunk_start, chunk_tokens)``;
+    the last chunk carries the remainder, and a zero-token document yields
+    one empty chunk (so no document silently disappears).
+
+    Map-only explode — fan-out is ``tokens/budget`` per row, no shuffle at
+    all; the downstream tokenizer slices ``[chunk_start, chunk_start +
+    chunk_tokens)`` out of each document.
+    """
+    n_chunks = F.greatest(
+        F.ceil(F.col(token_col) / F.lit(budget)).cast("long"), F.lit(1)
+    )
+    return (
+        docs.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .withColumn("chunk_start", F.col("chunk_idx") * budget)
+        .withColumn(
+            "chunk_tokens",
+            F.greatest(
+                F.least(
+                    F.lit(budget).cast("long"),
+                    F.col(token_col) - F.col("chunk_start"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
 
 
 def pack_concat_chunks(

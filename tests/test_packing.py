@@ -97,3 +97,32 @@ def test_first_fit_never_looser_than_chunks(spark):
         .select("pack_id").distinct().count()
     )
     assert n_ffd <= n_chunk
+
+
+def test_chunk_spans_covers_exactly(spark):
+    from bio2bel_spark.operators.packing import chunk_spans
+
+    docs = spark.createDataFrame(
+        [(1, 350), (2, 150), (3, 1), (4, 0)], "doc_id BIGINT, toks BIGINT"
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_tokens)
+        for r in chunk_spans(docs, "toks", budget=150).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 150), (1, 1, 150, 150), (1, 2, 300, 50),  # remainder chunk
+        (2, 0, 0, 150),                                      # exact fit: 1 chunk
+        (3, 0, 0, 1),
+        (4, 0, 0, 0),                                        # empty doc kept
+    ]
+    # spans tile each document exactly: sum of chunk_tokens == tokens
+    from pyspark.sql import functions as F2
+
+    recon = (
+        chunk_spans(docs, "toks", budget=150)
+        .groupBy("doc_id")
+        .agg(F2.sum("chunk_tokens").alias("t"))
+        .collect()
+    )
+    toks = {1: 350, 2: 150, 3: 1, 4: 0}
+    assert all(toks[r.doc_id] == r.t for r in recon)
