@@ -845,6 +845,15 @@ def q_embedding_near_pairs_ivf(spark, sf_dir):
     return embedding_near_pairs(emb, threshold=0.9, n_clusters=8)
 
 
+def q_embedding_near_pairs_probe2(spark, sf_dir):
+    """Multi-probe IVF near-pairs (nprobe=2): recovers pairs split across a
+    cluster boundary — recall strictly above the single-probe query."""
+    from bio2bel_spark.operators.similarity import embedding_near_pairs_multiprobe
+
+    emb = _spread(spark, _emb_augmented(spark, sf_dir))
+    return embedding_near_pairs_multiprobe(emb, threshold=0.9, nprobe=2)
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (metadata-only fan-out, every 5th frame)."""
     from bio2bel_spark.operators.multimodal import frame_sample, media_from_documents
@@ -1377,6 +1386,7 @@ QUERIES: dict[str, Callable] = {
     "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
     "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
+    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
@@ -1944,6 +1954,31 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_dot_product(a.v, b.v)
                       / (sqrt(list_dot_product(a.v, a.v))
                          * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+        """,
+        "embedding_near_pairs_probe2": f"""
+            {_ivf_cte(_EMB_AUG_SQL)},
+            ranked AS (
+                SELECT vec_id, (u.i - 1)::INT AS cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s[u.i] DESC, u.i ASC) AS rk
+                FROM sims, unnest(range(1, len(s) + 1)) AS u(i)
+            ),
+            probes AS (SELECT vec_id, cluster FROM ranked WHERE rk <= 2),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM probes a JOIN probes b USING (cluster)
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_dot_product(ea.v, eb.v)
+                       / (sqrt(list_dot_product(ea.v, ea.v))
+                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+            FROM cand
+            JOIN e ea ON ea.vec_id = id_a
+            JOIN e eb ON eb.vec_id = id_b
+            WHERE round(list_dot_product(ea.v, eb.v)
+                      / (sqrt(list_dot_product(ea.v, ea.v))
+                         * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
         """,
         "media_frame_sample": """
             SELECT doc_id, unnest(range(0, n_chars % 30 + 1, 5)) AS frame_index

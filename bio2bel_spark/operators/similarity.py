@@ -140,6 +140,98 @@ def ivf_topk(
     )
 
 
+def ivf_assign_multi(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe assignment: one row per (vector, probed cluster) for the
+    ``nprobe`` nearest centroids (ties: lower cluster index first).
+
+    Still a map-only pass — the sims array is sorted per row and sliced, so
+    fan-out is exactly ``nprobe``. This is the standard IVF recall knob:
+    near-duplicate pairs split across a cluster boundary meet in their
+    shared second-choice cluster.
+    """
+    cents = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in row[vec_col]]))
+            for row in cents
+        ]
+    )
+    # struct (-sim, idx) sorts lexicographically == (sim desc, idx asc)
+    ranked = F.array_sort(
+        F.zip_with(
+            sims,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda s, i: F.struct((-s).alias("ns"), i.alias("i")),
+        )
+    )
+    return embeddings.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(ranked, 1, nprobe), lambda s: s["i"].cast("int")
+            )
+        ),
+    )
+
+
+def embedding_near_pairs_multiprobe(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs with multi-probe candidate generation.
+
+    Candidates are id pairs sharing ANY probed cluster (a pair can share up
+    to ``nprobe`` — deduped while still just ids, before any vector math);
+    survivors verify with exact cosine. Strictly higher recall than
+    :func:`embedding_near_pairs` at ``nprobe×`` the candidate volume.
+    """
+    probes = ivf_assign_multi(
+        embeddings, n_clusters, nprobe, vec_col, id_col
+    ).select(F.col("cluster"), F.col(id_col))
+    cand = (
+        probes.withColumnRenamed(id_col, "id_a")
+        .join(probes.withColumnRenamed(id_col, "id_b"), "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    sides = embeddings.select(F.col(id_col), v.alias("v"), _norm(v).alias("n"))
+    return (
+        cand.join(
+            sides.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("v", "va")
+            .withColumnRenamed("n", "na"),
+            "id_a",
+        )
+        .join(
+            sides.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("v", "vb")
+            .withColumnRenamed("n", "nb"),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
