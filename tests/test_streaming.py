@@ -218,3 +218,23 @@ def test_rollup_daily_grain(spark, tmp_path_factory):
         ("click", 2, 3.0),
         ("view", 1, 3.0),
     ]
+
+
+def test_run_to_table_rerun_is_idempotent(spark, events_dir, tmp_path_factory):
+    """Re-starting the availableNow sink on the SAME checkpoint with no new
+    source data appends nothing — the checkpoint's batch tracking gives
+    exactly-once-per-batch admission."""
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_idem")))
+    ck = str(tmp_path_factory.mktemp("ck_idem"))
+    q1 = sev.run_to_table(
+        sev.stream_events(spark, events_dir), catalog, "idem_sink", ck
+    )
+    q1.awaitTermination(240)
+    n1 = catalog.read_table("idem_sink").count()
+    q2 = sev.run_to_table(
+        sev.stream_events(spark, events_dir), catalog, "idem_sink", ck
+    )
+    q2.awaitTermination(240)
+    assert catalog.read_table("idem_sink").count() == n1 == 6
