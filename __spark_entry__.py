@@ -1335,6 +1335,33 @@ def q_decontaminate(spark, sf_dir):
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible training-order shuffle: seeded-hash enumeration via the
+    range-partitioned sort (no RNG, no single-reducer window)."""
+    from bio2bel_spark.operators.ordering import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", seed=42)
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single aggregate — the whole plan is
+    one scan with every predicate pushed down."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_quality_topk(spark, sf_dir):
     """Per-source top-3 docs by composite quality score (curation
     selection) — quality scoring + one window shuffle."""
@@ -1416,6 +1443,8 @@ QUERIES: dict[str, Callable] = {
     "fuzzy_join": q_fuzzy_join,
     "decontaminate": q_decontaminate,
     "quality_topk": q_quality_topk,
+    "forecast_revenue": q_forecast_revenue,
+    "deterministic_shuffle": q_deterministic_shuffle,
 }
 
 
@@ -1809,6 +1838,22 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN sr >= 0.01 THEN 0.1 ELSE 0.0 END), 2)
                        AS quality_score
             FROM feat
+        """,
+        "deterministic_shuffle": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                        ORDER BY md5('42|' || doc_id::VARCHAR)
+                                 || '|' || doc_id::VARCHAR) - 1)::BIGINT AS seq
+            FROM documents
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
         """,
         "quality_topk": """
             WITH base AS (

@@ -296,39 +296,13 @@ class KnowledgeGraph:
         global window for any choice of range boundaries, so the enumeration
         stays deterministic while the sort scales with the cluster.
         """
+        from bio2bel_spark.operators.ordering import enumerate_sorted
+
         distinct_nodes = (
             self.nodes.select(node_key_col().alias("node"))
             .dropDuplicates(["node"])
         )
-        n_ranges = distinct_nodes.sparkSession.sparkContext.defaultParallelism
-        ranged = distinct_nodes.repartitionByRange(n_ranges, "node").withColumn(
-            "_range", F.spark_partition_id()
-        )
-        local = ranged.withColumn(
-            "_local",
-            F.row_number().over(Window.partitionBy("_range").orderBy("node")),
-        )
-        # offsets: one row per range — tiny, safe to window globally + broadcast
-        offsets = (
-            ranged.groupBy("_range")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .withColumn(
-                "_offset",
-                F.coalesce(
-                    F.sum("_cnt").over(
-                        Window.orderBy("_range").rowsBetween(
-                            Window.unboundedPreceding, -1
-                        )
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .select("_range", "_offset")
-        )
-        return local.join(F.broadcast(offsets), "_range").select(
-            "node",
-            (F.col("_offset") + F.col("_local") - 1).cast("long").alias("node_id"),
-        )
+        return enumerate_sorted(distinct_nodes, "node", "node_id")
 
     def edge_list(self) -> DataFrame:
         """Integer edge list via two joins against the node index (J8).
