@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 from bio2bel_spark.operators.dedup import portable_hash
 
 __all__ = [
+    "kmv_state",
+    "kmv_merge",
+    "kmv_estimate",
     "kmv_distinct",
     "hash_split",
     "split_counts",
@@ -44,27 +47,37 @@ __all__ = [
 _HASH_SPACE = float(1 << 32)
 
 
-def kmv_distinct(df: DataFrame, col: str, k: int = 256,
-                 backend: str = "md5") -> DataFrame:
-    """One-row DataFrame with the KMV distinct-count estimate of ``col``.
+def kmv_state(df: DataFrame, col: str, k: int = 256,
+              backend: str = "md5") -> DataFrame:
+    """The KMV synopsis itself: the ``k`` smallest distinct hash values of
+    ``col``, as a ``(h)`` DataFrame of ≤ k rows.
 
-    Keeps the ``k`` smallest distinct 32-bit hash values; if the k-th
-    smallest normalized hash is ``m`` then ``(k-1)/m`` estimates the
-    cardinality (standard error ~ ``1/sqrt(k-2)``). When fewer than ``k``
-    distinct hashes exist the sketch is exact and returns that count.
-
-    Output: ``(n_hashes, estimate)`` with ``estimate`` rounded to 6dp for
-    cross-engine float parity.
+    States are MERGEABLE: ``min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B)``
+    exactly, so per-shard/per-day sketches combine into the global sketch
+    with :func:`kmv_merge` — the property that lets a 1000-executor job
+    keep k longs per partition instead of a distinct-count shuffle.
     """
     h = portable_hash(F.col(col).cast("string"), backend=backend)
-    mins = (
+    return (
         df.select(h.alias("h"))
         .where(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)
     )
-    return mins.agg(
+
+
+def kmv_merge(states: Sequence[DataFrame], k: int = 256) -> DataFrame:
+    """Combine KMV states into the state of the union of their inputs."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(state: DataFrame, k: int = 256) -> DataFrame:
+    """Estimate row ``(n_hashes, estimate)`` from a KMV state."""
+    return state.agg(
         F.count(F.lit(1)).alias("n_hashes"),
         F.round(
             F.when(
@@ -76,6 +89,25 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256,
             6,
         ).alias("estimate"),
     )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256,
+                 backend: str = "md5") -> DataFrame:
+    """One-row DataFrame with the KMV distinct-count estimate of ``col``.
+
+    Keeps the ``k`` smallest distinct 32-bit hash values; if the k-th
+    smallest normalized hash is ``m`` then ``(k-1)/m`` estimates the
+    cardinality (standard error ~ ``1/sqrt(k-2)``). When fewer than ``k``
+    distinct hashes exist the sketch is exact and returns that count.
+
+    Composition of :func:`kmv_state` → :func:`kmv_estimate`; build
+    per-shard states and :func:`kmv_merge` them when the input is already
+    partitioned by source.
+
+    Output: ``(n_hashes, estimate)`` with ``estimate`` rounded to 6dp for
+    cross-engine float parity.
+    """
+    return kmv_estimate(kmv_state(df, col, k=k, backend=backend), k=k)
 
 
 def split_column(key: Column | str, fractions: Mapping[str, float],

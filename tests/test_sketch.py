@@ -36,6 +36,26 @@ def test_kmv_ignores_nulls_and_duplicates(spark):
     assert (row.n_hashes, row.estimate) == (2, 2.0)
 
 
+def test_kmv_merge_equals_union_state(spark):
+    """min-k of merged per-shard states == min-k of the union (mergeability)."""
+    from bio2bel_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+
+    k = 64
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(1500, 5000).select(F.col("id").alias("v"))
+    merged = kmv_merge([kmv_state(a, "v", k=k), kmv_state(b, "v", k=k)], k=k)
+    direct = kmv_state(a.unionByName(b), "v", k=k)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+    est = kmv_estimate(merged, k=k).collect()[0]
+    assert abs(est.estimate - 5000) / 5000 < 0.5  # 4-sigma-ish at k=64
+
+
 def test_hash_split_is_stable_and_rowwise(spark):
     from bio2bel_spark.operators.sketch import hash_split
 
