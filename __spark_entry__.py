@@ -566,8 +566,10 @@ _IVF_CTE = _ivf_cte()
 
 #: exact n-gram Jaccard pairs over the augmented corpus (threshold 0.5) —
 #: oracle for both the inverted-index operator and the LSH+verify pipeline
-_EXACT_JACCARD_SQL = f"""
-    WITH aug AS ({_AUG_SQL}),
+#: shared CTE chain: augmented docs → portable shingle hashes → verified
+#: near-dup pairs at jaccard >= 0.5 (the exact twin of LSH+verify)
+_JACCARD_CTES = f"""
+    aug AS ({_AUG_SQL}),
     norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug),
     w AS (SELECT doc_id, t, string_split(t, ' ') AS words FROM norm),
     sh AS (
@@ -592,13 +594,41 @@ _EXACT_JACCARD_SQL = f"""
         FROM ex x JOIN ex y USING (h)
         WHERE x.doc_id < y.doc_id
         GROUP BY 1, 2
+    ), vpairs AS (
+        SELECT id_a, id_b,
+               round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5
     )
-    SELECT id_a, id_b,
-           round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5
+"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {_JACCARD_CTES}
+    SELECT id_a, id_b, jaccard FROM vpairs
+"""
+
+#: cluster-dedup twin: connected components over the verified pairs via a
+#: recursive reachability CTE (label L reaches node n ⇒ same component;
+#: min reachable label = cluster id), then every doc joins its cluster
+_FUZZY_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM vpairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM vpairs
+    ),
+    reach(node, label) AS (
+        SELECT a AS node, a AS label FROM edges
+        UNION
+        SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           coalesce(c.component, d.doc_id) = d.doc_id AS keep
+    FROM aug d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
@@ -692,6 +722,15 @@ def q_dedup_lsh_fast(spark, sf_dir):
     docs = _docs_augmented(spark, sf_dir)
     cand = lsh_candidate_pairs(docs, n_hashes=16, bands=8, backend="xxhash64")
     return jaccard_verify(cand, docs, threshold=0.5, backend="xxhash64")
+
+
+def q_dedup_fuzzy_clusters(spark, sf_dir):
+    """Cluster-level fuzzy dedup: LSH pairs → connected components → one
+    survivor (min id) per near-dup cluster; one row per input doc."""
+    from bio2bel_spark.operators.dedup import dedup_fuzzy
+
+    docs = _docs_augmented(spark, sf_dir)
+    return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -1403,6 +1442,7 @@ QUERIES: dict[str, Callable] = {
     "minhash_signatures": q_minhash_signatures,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_lsh_fast": q_dedup_lsh_fast,
+    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "text_quality": q_text_quality,
@@ -1737,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         # at sf0.001/0.01/0.1), so the exact pairs are its oracle too.
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
+        "dedup_fuzzy_clusters": _FUZZY_CLUSTER_SQL,
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "decontaminate": f"""
             WITH hits AS ({_FUZZY_JOIN_SQL})

@@ -271,6 +271,76 @@ def jaccard_verify(
     return out
 
 
+def dedup_fuzzy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    backend: str = "md5",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: cluster near-duplicates and pick one survivor
+    per cluster.
+
+    Pairwise near-dup detection (``lsh_candidate_pairs`` → ``jaccard_verify``)
+    is not yet dedup: A~B and B~C must collapse to ONE kept doc even when A
+    and C never pair directly. This runs connected components (min-label
+    propagation, :func:`bio2bel_spark.operators.graph.min_label_components`)
+    over the verified pairs, so the transitive closure of near-duplicates
+    forms a cluster and the minimum ``id_col`` in each cluster survives.
+
+    Returns one row per input doc: ``(id_col, cluster, keep)`` where
+    ``cluster`` is the min doc id of the doc's near-dup cluster (its own id
+    for singletons) and ``keep`` marks the survivor.
+
+    Scale shape: pairs are bounded by the LSH ``max_bucket`` guard; component
+    iterations are O(cluster diameter) — near-dup clusters are shallow (dups
+    of a common original), so this converges in a handful of rounds. The
+    final join back to ``docs`` is on the doc id — the natural partitioning
+    key of the corpus.
+    """
+    from bio2bel_spark.operators.graph import min_label_components
+
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(
+            docs, text_col, id_col, n_hashes, bands, max_bucket, backend
+        ),
+        docs,
+        text_col,
+        id_col,
+        shingle_n,
+        threshold,
+        backend,
+    )
+    comp = min_label_components(
+        pairs, src="id_a", dst="id_b", max_iterations=max_iterations
+    )
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
+def drop_fuzzy_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Surviving corpus after cluster-level fuzzy dedup (full doc rows)."""
+    keep = dedup_fuzzy(docs, text_col, id_col, **kwargs).filter("keep")
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,

@@ -75,6 +75,83 @@ def edge_key(edges: DataFrame) -> DataFrame:
     return edges.withColumn("edge_key", F.sha2(F.concat_ws("|", *parts, ann), 256))
 
 
+def _propagate_min_labels(
+    sym: DataFrame, labels: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Min-label propagation core shared by the KG components and the
+    cluster-dedup operator.
+
+    ``sym`` is a symmetric ``(a, b)`` edge list; ``labels`` is the seed
+    ``(node, label)`` assignment. Each iteration is one shuffle (groupBy on
+    node); convergence is O(graph diameter). Lineage is truncated with
+    ``localCheckpoint`` each round so plans don't grow unboundedly, and the
+    improved flag rides through the checkpoint so the convergence test reads
+    the materialized result instead of re-running the join.
+    """
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("a", "node")
+        )
+        joined = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_improved"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = joined.filter(F.col("_improved")).limit(1).count()
+        labels = joined.drop("_improved")
+        if changed == 0:
+            break
+    else:
+        # silent partial labels are worse than a loud approximation
+        import warnings
+
+        warnings.warn(
+            f"min-label propagation did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the budget); labels may "
+            "merge further — raise max_iterations or use a star-contraction "
+            "variant for long-chain graphs",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return labels
+
+
+def min_label_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair list, labeled by the
+    MINIMUM node value in each component.
+
+    Returns ``(node, component)`` for every node that appears in ``pairs``;
+    nodes absent from ``pairs`` are singletons and are simply not emitted
+    (callers coalesce to the node's own id). Using the node value itself as
+    the label (vs. a hash) makes the component id meaningful — for dedup it
+    IS the surviving doc id.
+    """
+    sym = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    seeds = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = _propagate_min_labels(sym, seeds, max_iterations)
+    return labels.select("node", F.col("label").alias("component"))
+
+
 class KnowledgeGraph:
     """Distributed property multigraph."""
 
@@ -173,43 +250,7 @@ class KnowledgeGraph:
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        sym = sym.localCheckpoint(eager=True)
-
-        labels = nodes.localCheckpoint(eager=True)
-        for _ in range(max_iterations):
-            neighbor_min = (
-                sym.join(labels.withColumnRenamed("node", "b"), "b")
-                .groupBy("a")
-                .agg(F.min("label").alias("nmin"))
-                .withColumnRenamed("a", "node")
-            )
-            # carry the improved flag through the checkpoint so convergence
-            # detection reads the materialized result instead of re-running
-            # the join (one extra join + groupBy per iteration otherwise)
-            joined = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                    (F.col("nmin") < F.col("label")).alias("_improved"),
-                )
-            ).localCheckpoint(eager=True)
-            changed = joined.filter(F.col("_improved")).limit(1).count()
-            labels = joined.drop("_improved")
-            if changed == 0:
-                break
-        else:
-            # silent partial labels are worse than a loud approximation
-            import warnings
-
-            warnings.warn(
-                f"connected_components did not converge in {max_iterations} "
-                "iterations (graph diameter exceeds the budget); labels may "
-                "merge further — raise max_iterations or use a star-contraction "
-                "variant for long-chain graphs",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+        labels = _propagate_min_labels(sym, nodes, max_iterations)
         # identifiers may themselves contain ':' (e.g. 'GO:0001'), so split
         # only on the first separator
         ns = F.substring_index(F.col("node"), ":", 1)

@@ -48,6 +48,35 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert not any(4 in k or 5 in k for k in vpairs)
 
 
+def test_dedup_fuzzy_transitive_cluster(docs):
+    """A~B and B~C collapse into ONE cluster with the min id surviving."""
+    out = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in dedup.dedup_fuzzy(docs, bands=8, threshold=0.5).collect()}
+    assert len(out) == 6  # one row per input doc
+    # 0,1,2 exact/ws dups and 3 a near dup of them -> single cluster rooted at 0
+    assert out[0] == (0, True)
+    for i in (1, 2, 3):
+        assert out[i] == (0, False)
+    # singletons keep themselves
+    assert out[4] == (4, True) and out[5] == (5, True)
+
+    kept = dedup.drop_fuzzy_duplicates(docs, bands=8, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 4, 5]
+    assert kept.columns == docs.columns
+
+
+def test_min_label_components_chain(spark):
+    """Chain a-b, b-c, c-d (never a-d directly) -> one component labeled a."""
+    from bio2bel_spark.operators.graph import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in min_label_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_xxhash64_backend_matches_md5_verified_pairs(docs):
     """The speed tier must agree with the portable tier after verification:
     candidate recall may differ per backend, but exact-Jaccard verify pins
