@@ -748,6 +748,69 @@ def q_simhash_docs(spark, sf_dir):
     return docs.select("doc_id", simhash("text", 32).alias("fp"))
 
 
+def _docs_multiline(spark, sf_dir):
+    """documents wrapped with deterministic boilerplate lines: a shared promo
+    header on every doc and a footer shared by the even half — the input a
+    C4-style line-dedup stage expects."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("promo header line"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe footer")).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id"))
+            ),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup: drop lines present in >= 2 docs,
+    reassemble surviving lines in order; one row per doc."""
+    from bio2bel_spark.operators.cleaning import drop_boilerplate_lines
+
+    return drop_boilerplate_lines(_docs_multiline(spark, sf_dir), min_docs=2)
+
+
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style within-doc repetition fractions (lines/words/2-grams)."""
+    from bio2bel_spark.operators.cleaning import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+def q_top_word_fraction(spark, sf_dir):
+    """Most frequent word per doc and its share of the doc's words."""
+    from bio2bel_spark.operators.cleaning import top_word_fraction
+
+    return top_word_fraction(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit over docs with planted emails/IPs/phones."""
+    from bio2bel_spark.operators.cleaning import pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 250)),
+            )
+            .otherwise(F.lit(" call +1 555 867 5309")),
+        ).alias("text"),
+    )
+    return pii_counts(planted)
+
+
 def q_text_quality(spark, sf_dir):
     """C4/Gopher-style quality signals + composite score per document."""
     from bio2bel_spark.operators.textquality import quality_features
@@ -1445,6 +1508,10 @@ QUERIES: dict[str, Callable] = {
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
+    "line_dedup": q_line_dedup,
+    "repetition_metrics": q_repetition_metrics,
+    "top_word_fraction": q_top_word_fraction,
+    "pii_scrub": q_pii_scrub,
     "text_quality": q_text_quality,
     "language_confusion": q_language_confusion,
     "token_stats": q_token_stats,
@@ -1844,6 +1911,120 @@ def oracle_sql() -> dict[str, str]:
                             THEN (2^j)::BIGINT ELSE 0 END
                    ))::BIGINT AS fp
             FROM hs
+        """,
+        "line_dedup": """
+            WITH ml AS (
+                SELECT doc_id,
+                       'promo header line' || chr(10) || text || chr(10) ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'subscribe footer'
+                            ELSE 'unique tail ' || doc_id::VARCHAR END AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10))))) AS pos
+                FROM ml
+            ), freq AS (
+                SELECT k FROM (
+                    SELECT DISTINCT doc_id, trim(line) AS k
+                    FROM lines WHERE trim(line) <> ''
+                ) GROUP BY k HAVING count(*) >= 2
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l LEFT JOIN freq f ON trim(l.line) = f.k
+                WHERE f.k IS NULL
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT m.doc_id,
+                   coalesce(r.clean, '') AS text,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   (len(string_split(m.text, chr(10))) - coalesce(r.n_kept, 0))::BIGINT
+                       AS n_dropped
+            FROM ml m LEFT JOIN reb r USING (doc_id)
+        """,
+        "repetition_metrics": """
+            WITH arrs AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                    ' ') AS words
+                FROM documents
+            ), g AS (
+                SELECT doc_id, lines, words,
+                       CASE WHEN len(words) >= 2
+                            THEN list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i + 1])
+                            ELSE [] END AS grams2
+                FROM arrs
+            )
+            SELECT doc_id,
+                   CASE WHEN len(lines) <= 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+                                   / len(lines), 6) END AS dup_line_frac,
+                   CASE WHEN len(words) <= 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(words))::DOUBLE
+                                   / len(words), 6) END AS dup_word_frac,
+                   CASE WHEN len(grams2) <= 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(grams2))::DOUBLE
+                                   / len(grams2), 6) END AS dup_2gram_frac
+            FROM g
+        """,
+        "top_word_fraction": """
+            WITH w AS (
+                SELECT doc_id, unnest(
+                    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                ) AS word
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, word FROM w WHERE word <> ''
+            ), counts AS (
+                SELECT doc_id, word, count(*)::BIGINT AS n
+                FROM nz GROUP BY doc_id, word
+            ), best AS (
+                SELECT doc_id, word AS top_word, n,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, word DESC) AS rn
+                FROM counts
+            ), totals AS (
+                SELECT doc_id, count(*)::BIGINT AS total FROM nz GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.top_word,
+                   round(b.n::DOUBLE / t.total, 6) AS top_word_frac
+            FROM best b JOIN totals t USING (doc_id) WHERE b.rn = 1
+        """,
+        "pii_scrub": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 3 = 0 THEN ' contact user' ||
+                                doc_id::VARCHAR || '@example.com'
+                           WHEN doc_id % 3 = 1 THEN ' from 10.0.0.' ||
+                                (doc_id % 250)::VARCHAR
+                           ELSE ' call +1 555 867 5309' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))::INT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}'))::INT
+                       AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g'),
+                       '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+                       '<PHONE>', 'g') AS redacted
+            FROM planted
         """,
         "text_quality": """
             WITH base AS (
