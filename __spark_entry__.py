@@ -539,12 +539,12 @@ _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 _IVF_SRC = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
 
-def _ivf_cte(src: str = _IVF_SRC) -> str:
+def _ivf_cte(src: str = _IVF_SRC, k: int = 8) -> str:
     return f"""
     WITH e AS ({src}),
     c AS (
         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cidx, v AS cv
-        FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+        FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
     ),
     sims AS (
         SELECT e.vec_id,
@@ -953,7 +953,12 @@ def q_embedding_near_pairs_probe2(spark, sf_dir):
     from bio2bel_spark.operators.similarity import embedding_near_pairs_multiprobe
 
     emb = _spread(spark, _emb_augmented(spark, sf_dir))
-    return embedding_near_pairs_multiprobe(emb, threshold=0.9, nprobe=2)
+    # 16 IVF lists, not 8: more lists = smaller buckets (quadratic win on the
+    # per-bucket self-join) AND more join-key parallelism — the standard
+    # lists ~ sqrt(N) scaling; nprobe keeps the recall
+    return embedding_near_pairs_multiprobe(
+        emb, threshold=0.9, n_clusters=16, nprobe=2
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):
@@ -2223,7 +2228,7 @@ def oracle_sql() -> dict[str, str]:
                          * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
         """,
         "embedding_near_pairs_probe2": f"""
-            {_ivf_cte(_EMB_AUG_SQL)},
+            {_ivf_cte(_EMB_AUG_SQL, k=16)},
             ranked AS (
                 SELECT vec_id, (u.i - 1)::INT AS cluster,
                        row_number() OVER (PARTITION BY vec_id

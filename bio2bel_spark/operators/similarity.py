@@ -198,9 +198,22 @@ def embedding_near_pairs_multiprobe(
     survivors verify with exact cosine. Strictly higher recall than
     :func:`embedding_near_pairs` at ``nprobe×`` the candidate volume.
     """
-    probes = ivf_assign_multi(
-        embeddings, n_clusters, nprobe, vec_col, id_col
-    ).select(F.col("cluster"), F.col(id_col))
+    from pyspark import StorageLevel
+
+    # the input feeds FOUR consumers (centroid take, probe assignment, and
+    # both verify sides) — persist the narrow projection once so upstream
+    # reads/augmentation don't re-run per consumer
+    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # (cluster, id) rides through a self-join and the ranking expression
+    # behind it is 8 cosines + an array_sort per row — persist the narrow
+    # probe table so that work happens once, not once per join side
+    probes = (
+        ivf_assign_multi(embeddings, n_clusters, nprobe, vec_col, id_col)
+        .select(F.col("cluster"), F.col(id_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cand = (
         probes.withColumnRenamed(id_col, "id_a")
         .join(probes.withColumnRenamed(id_col, "id_b"), "cluster")
@@ -209,7 +222,10 @@ def embedding_near_pairs_multiprobe(
         .distinct()
     )
     v = F.col(vec_col).cast("array<double>")
-    sides = embeddings.select(F.col(id_col), v.alias("v"), _norm(v).alias("n"))
+    # consumed by both pair sides: persist so the scan+norm runs once
+    sides = embeddings.select(
+        F.col(id_col), v.alias("v"), _norm(v).alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         cand.join(
             sides.withColumnRenamed(id_col, "id_a")
@@ -245,6 +261,13 @@ def embedding_near_pairs(
     approximation of all-pairs cosine (recall loss only across cluster
     boundaries; raise ``n_clusters``/add multi-probe for tighter recall).
     """
+    from pyspark import StorageLevel
+
+    # three consumers (centroid take + both join sides): persist the narrow
+    # projection so upstream reads/augmentation run once
+    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
     # norms once per ROW below the join; the quadratic side is one dot product
