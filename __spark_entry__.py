@@ -349,6 +349,117 @@ def q_relation_dispatch(spark, sf_dir):
     )
 
 
+def _fixture_path(name: str, content: str) -> str:
+    """Write a deterministic scan-format fixture under the system temp dir
+    and return its path. Content is fixed per name, so rewriting on every
+    call is idempotent; fixtures let the driver hash-check the OBO/RDF/CX
+    scan surface (S7-S9), which has no parquet twin in the test tables."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "bio2bel_entry_fixtures")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, name)
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(content)
+    return p
+
+
+_OBO_FIXTURE = """format-version: 1.2
+
+[Term]
+id: GO:0001
+name: alpha process
+namespace: biological_process
+
+[Term]
+id: GO:0002
+name: beta process
+namespace: biological_process
+is_a: GO:0001 ! alpha process
+
+[Term]
+id: GO:0003
+name: gamma part
+namespace: cellular_component
+relationship: part_of GO:0001 ! alpha process
+
+[Term]
+id: GO:0004
+name: old thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+"""
+
+
+def q_obo_scan(spark, sf_dir):
+    """S8: OBO ontology scan — hierarchy edges joined with both endpoint
+    names (non-obsolete children only)."""
+    from bio2bel_spark.ingest import read_obo
+
+    terms, edges = read_obo(spark, _fixture_path("mini.obo", _OBO_FIXTURE))
+    live = terms.filter(~F.col("is_obsolete"))
+    return (
+        edges.join(
+            live.select(F.col("id").alias("child"), F.col("name").alias("child_name")),
+            "child",
+        )
+        .join(
+            live.select(F.col("id").alias("parent"), F.col("name").alias("parent_name")),
+            "parent",
+        )
+        .select("child", "relation", "parent", "child_name", "parent_name")
+    )
+
+
+_NT_FIXTURE = """\
+<http://rdf.rhea-db.org/10001> <http://rdf.rhea-db.org/equation> "A + B = C" .
+<http://rdf.rhea-db.org/10001> <http://rdf.rhea-db.org/bidirectionalReaction> <http://rdf.rhea-db.org/10003> .
+<http://rdf.rhea-db.org/10001> <http://rdf.rhea-db.org/id> "10001"^^<http://www.w3.org/2001/XMLSchema#long> .
+<http://rdf.rhea-db.org/10005> <http://rdf.rhea-db.org/equation> "D = E" .
+<http://rdf.rhea-db.org/10005> <http://rdf.rhea-db.org/bidirectionalReaction> <http://rdf.rhea-db.org/10007> .
+<http://rdf.rhea-db.org/10005> <http://rdf.rhea-db.org/id> "10005" .
+<http://rdf.rhea-db.org/10009> <http://rdf.rhea-db.org/equation> "orphan without id" .
+"""
+
+
+def q_rdf_reactions(spark, sf_dir):
+    """S7: N-Triples scan + SPARQL-SELECT-as-joins (rhea reaction query);
+    the orphan reaction without an id drops out of the inner join."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sources.rhea import reactions
+
+    triples = read_ntriples(spark, _fixture_path("mini.nt", _NT_FIXTURE))
+    return reactions(triples)
+
+
+_CX_FIXTURE = """\
+[{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
+            {"@id": 2, "n": "complex X", "r": "cx:2"}]},
+ {"nodeAttributes": [{"po": 1, "n": "type", "v": "protein"},
+                     {"po": 2, "n": "type", "v": "complex"},
+                     {"po": 2, "n": "member", "v": "TP53"},
+                     {"po": 1, "n": "alias", "v": "p53"}]}]
+"""
+
+
+def q_cx_pivot(spark, sf_dir):
+    """S9: NDEx CX aspect scan + node-attribute pivot joined to node names."""
+    from bio2bel_spark.ingest import read_cx_aspect
+    from bio2bel_spark.sources.pid import pivot_node_attributes
+
+    path = _fixture_path("mini.cx", _CX_FIXTURE)
+    nodes = read_cx_aspect(spark, path, "nodes")
+    attrs = read_cx_aspect(spark, path, "nodeAttributes")
+    return (
+        pivot_node_attributes(attrs)
+        .join(nodes.select(F.col("@id").alias("po"), F.col("n").alias("name")), "po")
+        .select("po", "name", "type", "alias", "member")
+    )
+
+
 def q_kg_union_dedup(spark, sf_dir):
     """U2: multigraph union + qualified-edge dedup (BELGraph add-edge
     semantics, reference sources/rhea.py:50-62). Exact duplicates collapse
@@ -1484,6 +1595,9 @@ QUERIES: dict[str, Callable] = {
     "kg_summary": q_kg_summary,
     "kg_pathway_edges": q_kg_pathway_edges,
     "kg_union_dedup": q_kg_union_dedup,
+    "obo_scan": q_obo_scan,
+    "rdf_reactions": q_rdf_reactions,
+    "cx_pivot": q_cx_pivot,
     "curie_normalize": q_curie_normalize,
     "relation_dispatch": q_relation_dispatch,
     "kg_descendants": q_kg_descendants,
@@ -1620,6 +1734,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT k.l_partkey)::BIGINT AS n_parts
             FROM keyed k LEFT JOIN rel r USING (psi_mi)
             GROUP BY 1, 2
+        """,
+        "obo_scan": """
+            SELECT * FROM (VALUES
+                ('GO:0002', 'is_a', 'GO:0001', 'beta process', 'alpha process'),
+                ('GO:0003', 'part_of', 'GO:0001', 'gamma part', 'alpha process')
+            ) t(child, relation, parent, child_name, parent_name)
+        """,
+        "rdf_reactions": """
+            SELECT * FROM (VALUES
+                ('http://rdf.rhea-db.org/10001', 'A + B = C', '10001'),
+                ('http://rdf.rhea-db.org/10005', 'D = E', '10005')
+            ) t(reaction, equation, rhea_id)
+        """,
+        "cx_pivot": """
+            SELECT * FROM (VALUES
+                (1::BIGINT, 'TP53', 'protein', 'p53', CAST(NULL AS VARCHAR)),
+                (2::BIGINT, 'complex X', 'complex', CAST(NULL AS VARCHAR), 'TP53')
+            ) t(po, name, type, alias, member)
         """,
         "kg_union_dedup": """
             WITH e1 AS (
