@@ -720,6 +720,38 @@ _EXACT_JACCARD_SQL = f"""
     SELECT id_a, id_b, jaccard FROM vpairs
 """
 
+#: shared CTE chain for the line-dedup stage: boilerplate-wrapped docs →
+#: exploded lines → cross-doc frequent-line set → surviving lines → rebuilt
+#: text (consumed by line_dedup and the composed training_pipeline oracle)
+_LINE_DEDUP_CTES = """
+    ml AS (
+        SELECT doc_id,
+               'promo header line' || chr(10) || text || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'subscribe footer'
+                    ELSE 'unique tail ' || doc_id::VARCHAR END AS text
+        FROM documents
+    ), lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(range(len(string_split(text, chr(10))))) AS pos
+        FROM ml
+    ), freq AS (
+        SELECT k FROM (
+            SELECT DISTINCT doc_id, trim(line) AS k
+            FROM lines WHERE trim(line) <> ''
+        ) GROUP BY k HAVING count(*) >= 2
+    ), kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN freq f ON trim(l.line) = f.k
+        WHERE f.k IS NULL
+    ), reb AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean,
+               count(*)::BIGINT AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+"""
+
 #: cluster-dedup twin: connected components over the verified pairs via a
 #: recursive reachability CTE (label L reaches node n ⇒ same component;
 #: min reachable label = cluster id), then every doc joins its cluster
@@ -920,6 +952,28 @@ def q_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     return pii_counts(planted)
+
+
+def q_training_pipeline(spark, sf_dir):
+    """End-to-end corpus pipeline in ONE plan: boilerplate-line removal →
+    token-count quality gate → exact dedup (min-id survivor) → context-window
+    chunk spans. The composition a training-data job actually runs; every
+    stage is the same operator the standalone queries check."""
+    from bio2bel_spark.operators.cleaning import drop_boilerplate_lines
+    from bio2bel_spark.operators.dedup import drop_exact_duplicates
+    from bio2bel_spark.operators.packing import chunk_spans
+    from bio2bel_spark.operators.textquality import whitespace_token_count
+
+    cleaned = drop_boilerplate_lines(
+        _docs_multiline(spark, sf_dir), min_docs=2
+    ).select("doc_id", "text")
+    quality = cleaned.withColumn(
+        "n_tokens", whitespace_token_count(F.col("text")).cast("long")
+    ).filter(F.col("n_tokens") >= 5)
+    survivors = drop_exact_duplicates(quality)
+    return chunk_spans(survivors, "n_tokens", budget=40).select(
+        "doc_id", "chunk_idx", "chunk_start", "chunk_tokens"
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -1628,6 +1682,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "line_dedup": q_line_dedup,
+    "training_pipeline": q_training_pipeline,
     "repetition_metrics": q_repetition_metrics,
     "top_word_fraction": q_top_word_fraction,
     "pii_scrub": q_pii_scrub,
@@ -2049,39 +2104,40 @@ def oracle_sql() -> dict[str, str]:
                    ))::BIGINT AS fp
             FROM hs
         """,
-        "line_dedup": """
-            WITH ml AS (
-                SELECT doc_id,
-                       'promo header line' || chr(10) || text || chr(10) ||
-                       CASE WHEN doc_id % 2 = 0 THEN 'subscribe footer'
-                            ELSE 'unique tail ' || doc_id::VARCHAR END AS text
-                FROM documents
-            ), lines AS (
-                SELECT doc_id,
-                       unnest(string_split(text, chr(10))) AS line,
-                       unnest(range(len(string_split(text, chr(10))))) AS pos
-                FROM ml
-            ), freq AS (
-                SELECT k FROM (
-                    SELECT DISTINCT doc_id, trim(line) AS k
-                    FROM lines WHERE trim(line) <> ''
-                ) GROUP BY k HAVING count(*) >= 2
-            ), kept AS (
-                SELECT l.doc_id, l.pos, l.line
-                FROM lines l LEFT JOIN freq f ON trim(l.line) = f.k
-                WHERE f.k IS NULL
-            ), reb AS (
-                SELECT doc_id,
-                       string_agg(line, chr(10) ORDER BY pos) AS clean,
-                       count(*)::BIGINT AS n_kept
-                FROM kept GROUP BY doc_id
-            )
+        "line_dedup": f"""
+            WITH {_LINE_DEDUP_CTES}
             SELECT m.doc_id,
                    coalesce(r.clean, '') AS text,
                    coalesce(r.n_kept, 0)::BIGINT AS n_kept,
                    (len(string_split(m.text, chr(10))) - coalesce(r.n_kept, 0))::BIGINT
                        AS n_dropped
             FROM ml m LEFT JOIN reb r USING (doc_id)
+        """,
+        "training_pipeline": f"""
+            WITH {_LINE_DEDUP_CTES},
+            cleaned AS (
+                SELECT m.doc_id, coalesce(r.clean, '') AS text
+                FROM ml m LEFT JOIN reb r USING (doc_id)
+            ), quality AS (
+                SELECT * FROM (
+                    SELECT doc_id, text,
+                           len(list_filter(
+                               regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               x -> x <> ''))::BIGINT AS n_tokens
+                    FROM cleaned
+                ) WHERE n_tokens >= 5
+            ), surv AS (
+                SELECT min(doc_id) AS doc_id
+                FROM quality
+                GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+            ), final AS (
+                SELECT q.doc_id, q.n_tokens FROM quality q JOIN surv s USING (doc_id)
+            )
+            SELECT doc_id, u.i AS chunk_idx, u.i * 40 AS chunk_start,
+                   greatest(least(40, n_tokens - u.i * 40), 0) AS chunk_tokens
+            FROM final,
+                 unnest(range(0, greatest(ceil(n_tokens / 40.0)::BIGINT, 1)))
+                 AS u(i)
         """,
         "repetition_metrics": """
             WITH arrs AS (
