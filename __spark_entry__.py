@@ -394,6 +394,75 @@ id: part_of
 """
 
 
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank over the symmetrized pathway-membership
+    bipartite graph (order o:<id> ↔ part p:<id>); ranks scaled by N so the
+    6dp round carries signal."""
+    from bio2bel_spark.operators.graph import pagerank
+
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("a"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = m.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        m.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    n = F.lit(pr.count())
+    return pr.select(
+        "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
+    )
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> str:
+    """Unrolled power iteration: one CTE per round (recursive CTEs can't
+    aggregate in the recursive term, so the loop is spelled out)."""
+    ctes = [
+        """m AS (
+            SELECT DISTINCT 'o:' || l_orderkey::VARCHAR AS a,
+                            'p:' || l_partkey::VARCHAR AS b
+            FROM lineitem
+        )""",
+        """edges AS (
+            SELECT a AS src, b AS dst FROM m
+            UNION ALL SELECT b AS src, a AS dst FROM m
+        )""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        """nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        )""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+            SELECT nd.node,
+                   (1 - {damping}) / (SELECT n FROM nn)
+                       + {damping} * coalesce(s.s, 0) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+                FROM edges e
+                JOIN deg d ON e.src = d.src
+                JOIN r{i - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            ) s ON nd.node = s.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled"
+        + f" FROM r{iters}"
+    )
+
+
 def q_obo_scan(spark, sf_dir):
     """S8: OBO ontology scan — hierarchy edges joined with both endpoint
     names (non-obsolete children only)."""
@@ -1649,6 +1718,7 @@ QUERIES: dict[str, Callable] = {
     "kg_summary": q_kg_summary,
     "kg_pathway_edges": q_kg_pathway_edges,
     "kg_union_dedup": q_kg_union_dedup,
+    "pagerank": q_pagerank,
     "obo_scan": q_obo_scan,
     "rdf_reactions": q_rdf_reactions,
     "cx_pivot": q_cx_pivot,
@@ -1790,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k LEFT JOIN rel r USING (psi_mi)
             GROUP BY 1, 2
         """,
+        "pagerank": _pagerank_sql(),
         "obo_scan": """
             SELECT * FROM (VALUES
                 ('GO:0002', 'is_a', 'GO:0001', 'beta process', 'alpha process'),

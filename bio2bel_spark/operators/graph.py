@@ -152,6 +152,63 @@ def min_label_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Distributed PageRank over a directed edge list: ``(node, rank)``.
+
+    Power iteration with a fixed iteration budget — each round is one join
+    (rank onto out-edges) plus one groupBy-sum shuffle keyed by destination,
+    both map-side combinable; lineage is truncated per round with
+    ``localCheckpoint`` so the plan stays O(1) deep. Degrees and the node
+    set are computed once and reused across rounds.
+
+    Simplified dangling-node handling: nodes without out-edges contribute
+    nothing (their mass is not redistributed), which keeps every round a
+    pure join+agg — pass a symmetrized edge list if the graph has sinks.
+    Fixed iterations (not convergence detection) make the result
+    deterministic and replayable in unrolled SQL.
+    """
+    from pyspark import StorageLevel
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    ed = (
+        edges.select(src, dst)
+        .join(deg, src)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 class KnowledgeGraph:
     """Distributed property multigraph."""
 

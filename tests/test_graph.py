@@ -203,3 +203,38 @@ def test_components_nonconvergence_warns(spark):
         warnings.simplefilter("always")
         kg.connected_components(max_iterations=2)
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+def test_pagerank_matches_power_iteration_model(spark):
+    """Spark loop == driver-side power iteration with the same update rule."""
+    import pytest as _pytest
+
+    from bio2bel_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=8).collect()}
+
+    n, d = 4, 0.85
+    out_deg = {0: 2, 1: 1, 2: 1, 3: 1}
+    r = {i: 1.0 / n for i in range(n)}
+    for _ in range(8):
+        contrib = {i: 0.0 for i in range(n)}
+        for s, t in edges:
+            contrib[t] += r[s] / out_deg[s]
+        r = {i: (1 - d) / n + d * contrib[i] for i in range(n)}
+    for i in range(n):
+        assert got[i] == _pytest.approx(r[i], abs=1e-12)
+    # cycle core outranks the dangling-feeder node
+    assert got[2] > got[3]
+
+
+def test_pagerank_symmetric_graph_conserves_mass(spark):
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.graph import pagerank
+
+    e = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(e + [(b, a) for a, b in e], "src long, dst long")
+    total = pagerank(df, iterations=6).agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
