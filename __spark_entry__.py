@@ -1195,6 +1195,21 @@ def q_embedding_near_pairs_probe2(spark, sf_dir):
     )
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch ANN: top-5 corpus neighbors per query (25 queries re-keyed
+    +500000), IVF-bucketed with nprobe=2 over the corpus's own index."""
+    from bio2bel_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    out = knn_join(queries, _spread(spark, emb), k=5, n_clusters=8, nprobe=2)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Video frame-sampling plan (metadata-only fan-out, every 5th frame)."""
     from bio2bel_spark.operators.multimodal import frame_sample, media_from_documents
@@ -1765,6 +1780,7 @@ QUERIES: dict[str, Callable] = {
     "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
+    "knn_join": q_knn_join,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
@@ -2510,6 +2526,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(ea.v, eb.v)
                       / (sqrt(list_dot_product(ea.v, ea.v))
                          * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
+        """,
+        "knn_join": f"""
+            {_ivf_cte()},
+            qprobe AS (
+                SELECT vec_id + 500000 AS query_id, (u.i - 1)::INT AS cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s[u.i] DESC, u.i ASC) AS rk
+                FROM sims, unnest(range(1, len(s) + 1)) AS u(i)
+                WHERE vec_id < 25
+            ),
+            probes AS (SELECT query_id, cluster FROM qprobe WHERE rk <= 2),
+            qv AS (
+                SELECT vec_id + 500000 AS query_id, v FROM e WHERE vec_id < 25
+            ),
+            cand AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_dot_product(q.v, a.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+                FROM probes p
+                JOIN assigned a USING (cluster)
+                JOIN qv q ON q.query_id = p.query_id
+            ),
+            rankd AS (
+                SELECT query_id, vec_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC)
+                           AS knn_rank
+                FROM cand
+            )
+            SELECT query_id, vec_id, cos_sim, knn_rank
+            FROM rankd WHERE knn_rank <= 5
         """,
         "media_frame_sample": """
             SELECT doc_id, unnest(range(0, n_chars % 30 + 1, 5)) AS frame_index

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,30 +65,46 @@ def cosine_topk(
     )
 
 
+def seed_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Deterministic seed centroids: the vectors of the ``n_clusters``
+    smallest ids (no RNG; a k-means refinement can replace this without
+    changing any caller). Driver-side list — centroid sets are tiny."""
+    rows = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _centroid_sims(cents: list, vec: Column) -> Column:
+    """Per-row array of cosines against every (inlined literal) centroid."""
+    return F.array(
+        *[cosine(vec, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_clusters: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: "list | None" = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest seed centroid.
+    """Assign each vector to its nearest centroid (map-only pass).
 
-    Seed centroids are the vectors of the ``n_clusters`` smallest ids —
-    deterministic (no RNG), reproducible, and good enough for bucketing; a
-    k-means refinement can replace the seeding without changing the API.
-    Centroids are collected to the driver (tiny) and inlined as literals, so
-    assignment is a map-only pass.
+    ``centroids`` defaults to :func:`seed_centroids` of the input; pass an
+    explicit list to assign one table against another table's index (the
+    k-NN join path). Centroids are inlined as literals, so assignment never
+    shuffles.
     """
-    cents = (
-        embeddings.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    cents = centroids if centroids is not None else seed_centroids(
+        embeddings, n_clusters, vec_col, id_col
     )
-    vec = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            cosine(vec, F.array(*[F.lit(float(x)) for x in row[vec_col]]))
-            for row in cents
-        ]
-    )
+    sims = _centroid_sims(cents, F.col(vec_col).cast("array<double>"))
     return embeddings.withColumn(
         "cluster", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     )
@@ -146,6 +162,7 @@ def ivf_assign_multi(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: "list | None" = None,
 ) -> DataFrame:
     """Multi-probe assignment: one row per (vector, probed cluster) for the
     ``nprobe`` nearest centroids (ties: lower cluster index first).
@@ -155,16 +172,10 @@ def ivf_assign_multi(
     near-duplicate pairs split across a cluster boundary meet in their
     shared second-choice cluster.
     """
-    cents = (
-        embeddings.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    cents = centroids if centroids is not None else seed_centroids(
+        embeddings, n_clusters, vec_col, id_col
     )
-    vec = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            cosine(vec, F.array(*[F.lit(float(x)) for x in row[vec_col]]))
-            for row in cents
-        ]
-    )
+    sims = _centroid_sims(cents, F.col(vec_col).cast("array<double>"))
     # struct (-sim, idx) sorts lexicographically == (sim desc, idx asc)
     ranked = F.array_sort(
         F.zip_with(
@@ -292,4 +303,70 @@ def embedding_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Batch ANN search: for every query row, the top-``k`` corpus
+    neighbors by cosine — ``(query_id, vec_id, cos_sim, rank)``.
+
+    The corpus is bucketed once by its own IVF index (one cluster per
+    vector); each query probes its ``nprobe`` nearest clusters of THAT
+    index, so the join touches ``nprobe/n_clusters`` of the corpus per
+    query instead of all of it. Ranking uses the 6dp-rounded cosine with id
+    tie-breaks, making the result reproducible across engines.
+
+    Scale shape: centroids are literals (map-only assignment on both
+    sides); the only shuffles are the cluster equi-join and the per-query
+    top-k window, both keyed well. With the corpus written
+    cluster-partitioned, scan pruning keeps each query's read to its probed
+    lists.
+    """
+    from pyspark import StorageLevel
+
+    cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    v = F.col(vec_col).cast("array<double>")
+    c = (
+        ivf_assign(corpus, n_clusters, vec_col, id_col, centroids=cents)
+        .select(
+            "cluster",
+            F.col(id_col),
+            v.alias("__cv"),
+            _norm(v).alias("__cn"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    q = ivf_assign_multi(
+        queries, n_clusters, nprobe, vec_col, id_col, centroids=cents
+    ).select(
+        "cluster",
+        F.col(id_col).alias(query_id),
+        v.alias("__qv"),
+        _norm(v).alias("__qn"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cos_sim"), F.col(id_col).asc()
+    )
+    return (
+        q.join(c, "cluster")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cos_sim", "rank")
     )

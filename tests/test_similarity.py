@@ -84,3 +84,72 @@ def test_embedding_near_pairs_self_consistency(spark):
     pairs = similarity.embedding_near_pairs(df, threshold=0.999, n_clusters=2)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(0, 2), (0, 3), (2, 3)}
+
+
+def test_knn_join_exact_on_small_corpus(spark):
+    """With nprobe == n_clusters the probe covers everything, so knn_join
+    must equal brute-force per-query top-k."""
+    import itertools
+    import math
+
+    from bio2bel_spark.operators.similarity import knn_join
+
+    def vec(i):
+        return [math.cos(0.7 * i + j) + 2.0 for j in range(4)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(12)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, vec(3 * i + 1)) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r["rank"]): (r.vec_id, r.cos_sim)
+        for r in knn_join(queries, corpus, k=3, n_clusters=4, nprobe=4).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for qi in range(3):
+        qid = 100 + qi
+        scored = sorted(
+            ((cos(vec(3 * qi + 1), vec(ci)), ci) for ci in range(12)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, ci) in enumerate(scored[:3], start=1):
+            assert got[(qid, rank)] == (ci, s), (qid, rank)
+
+
+def test_knn_join_probes_restrict_candidates(spark):
+    """nprobe < n_clusters: every reported neighbor shares a probed cluster
+    with its query, and ranks are dense from 1."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.similarity import knn_join
+
+    import math
+
+    corpus = spark.createDataFrame(
+        [(i, [math.sin(i + j) + 1.5 for j in range(4)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    out = knn_join(queries, corpus, k=4, n_clusters=6, nprobe=2)
+    rows = out.collect()
+    assert rows, "knn_join returned nothing"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    # each query's top hit is its identical corpus twin (cos == 1.0)
+    top = {r.query_id: (r.vec_id, r.cos_sim) for r in rows if r["rank"] == 1}
+    for qid, (vid, sim) in top.items():
+        assert vid == qid - 500 and sim == 1.0
