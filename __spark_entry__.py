@@ -1195,6 +1195,68 @@ def q_embedding_near_pairs_probe2(spark, sf_dir):
     )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """IVF index refinement: 2 Lloyd iterations from the deterministic seed
+    centroids, then the final map-only assignment (vec_id, cluster)."""
+    from bio2bel_spark.operators.similarity import ivf_assign, kmeans_refine
+
+    emb = _spread(
+        spark,
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+    )
+    cents = kmeans_refine(emb, n_clusters=8, iterations=2)
+    return ivf_assign(emb, centroids=cents).select("vec_id", "cluster")
+
+
+def _kmeans_sql(iters: int = 2, k: int = 8) -> str:
+    """Unrolled Lloyd twin: per round, cosine-argmax assignment against the
+    current centroids, then per-dimension means rounded to 9dp (the same
+    cross-engine stability contract as kmeans_refine)."""
+    sim = (
+        "list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))"
+        " * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cidx,
+                   v AS cv
+            FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(iters + 1):
+        ctes.append(f"""s{i} AS (
+            SELECT e.vec_id, list({sim} ORDER BY c.cidx) AS s
+            FROM e CROSS JOIN c{i} c GROUP BY e.vec_id
+        )""")
+        ctes.append(f"""a{i} AS (
+            SELECT e.vec_id, e.v,
+                   (list_position(s.s, list_max(s.s)) - 1)::INT AS cluster
+            FROM e JOIN s{i} s USING (vec_id)
+        )""")
+        if i == iters:
+            break
+        ctes.append(f"""m{i} AS (
+            SELECT cluster, u.j AS j,
+                   round(sum(v[u.j]) / count(*), 9) AS m
+            FROM a{i}, unnest(range(1, len(v) + 1)) AS u(j)
+            GROUP BY cluster, u.j
+        )""")
+        ctes.append(f"""c{i + 1} AS (
+            SELECT c.cidx,
+                   CASE WHEN count(m.m) > 0 THEN list(m.m ORDER BY m.j)
+                        ELSE any_value(c.cv) END AS cv
+            FROM c{i} c LEFT JOIN m{i} m ON m.cluster = c.cidx
+            GROUP BY c.cidx
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster FROM a{iters}"
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """Batch ANN: top-5 corpus neighbors per query (25 queries re-keyed
     +500000), IVF-bucketed with nprobe=2 over the corpus's own index."""
@@ -1781,6 +1843,7 @@ QUERIES: dict[str, Callable] = {
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "knn_join": q_knn_join,
+    "kmeans_assign": q_kmeans_assign,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
@@ -2527,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
                       / (sqrt(list_dot_product(ea.v, ea.v))
                          * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
         """,
+        "kmeans_assign": _kmeans_sql(),
         "knn_join": f"""
             {_ivf_cte()},
             qprobe AS (

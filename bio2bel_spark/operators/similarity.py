@@ -370,3 +370,45 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cos_sim", "rank")
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "list | None" = None,
+) -> list:
+    """Lloyd's refinement of the IVF centroids; returns the refined centroid
+    list (driver-side, K×d — tiny by construction).
+
+    Each iteration is ONE distributed pass: map-only assignment against
+    literal centroids, then a groupBy(cluster) with per-dimension ``sum``
+    aggregates — 100% map-side combinable, so executor state is K×d
+    regardless of corpus size (the posexplode alternative would shuffle
+    N×d rows). Empty clusters keep their previous centroid.
+
+    Centroid components are rounded to 9dp after every averaging step: the
+    cross-engine stability contract (float sums are order-dependent; 9dp is
+    far above the ~1e-13 drift and far below any real signal).
+    """
+    cents = centroids if centroids is not None else seed_centroids(
+        embeddings, n_clusters, vec_col, id_col
+    )
+    dim = len(cents[0])
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            embeddings, n_clusters, vec_col, id_col, centroids=cents
+        )
+        rows = assigned.groupBy("cluster").agg(
+            *[F.sum(vec[i]).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        means = {
+            r["cluster"]: [round(r[f"s{i}"] / r["n"], 9) for i in range(dim)]
+            for r in rows
+        }
+        cents = [means.get(i, cents[i]) for i in range(len(cents))]
+    return cents

@@ -153,3 +153,26 @@ def test_knn_join_probes_restrict_candidates(spark):
     top = {r.query_id: (r.vec_id, r.cos_sim) for r in rows if r["rank"] == 1}
     for qid, (vid, sim) in top.items():
         assert vid == qid - 500 and sim == 1.0
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Two tight planted blobs: refined centroids land on the blob means and
+    the refined assignment separates the blobs exactly."""
+    from bio2bel_spark.operators.similarity import ivf_assign, kmeans_refine
+
+    blob_a = [[1.0 + 0.01 * i, 0.1, 0.1, 0.1] for i in range(10)]
+    blob_b = [[0.1, 0.1, 0.1, 1.0 + 0.01 * i] for i in range(10)]
+    rows = [(i, v) for i, v in enumerate(blob_a + blob_b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_refine(df, n_clusters=2, iterations=3)
+    assert len(cents) == 2
+    got = {r.vec_id: r.cluster for r in
+           ivf_assign(df, centroids=cents).collect()}
+    a_clusters = {got[i] for i in range(10)}
+    b_clusters = {got[i] for i in range(10, 20)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # centroid of blob A ~ its mean
+    mean_a0 = sum(v[0] for v in blob_a) / 10
+    ca = cents[next(iter(a_clusters))]
+    assert abs(ca[0] - mean_a0) < 1e-6
