@@ -1441,6 +1441,17 @@ def q_hypertable_rollup(spark, sf_dir):
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch point estimates (1024×4 grid) for the first 20 part
+    keys of lineitem — the mergeable frequency synopsis, hash-checked."""
+    from bio2bel_spark.operators.sketch import cms_estimate, cms_state
+
+    li = _t(spark, sf_dir, "lineitem")
+    st = cms_state(li, "l_partkey", width=1024, depth=4)
+    keys = li.filter(F.col("l_partkey") < 20).select("l_partkey").distinct()
+    return cms_estimate(st, keys, "l_partkey", width=1024, depth=4)
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (Bar-Yossef et al.): deterministic synopsis,
     so even the *estimate* is oracle-checkable (unlike HLL)."""
@@ -1854,6 +1865,7 @@ QUERIES: dict[str, Callable] = {
     "interval_overlap": q_interval_overlap,
     "hypertable_rollup": q_hypertable_rollup,
     "kmv_distinct": q_kmv_distinct,
+    "cms_counts": q_cms_counts,
     "hash_split_counts": q_hash_split_counts,
     "heavy_hitters": q_heavy_hitters,
     "pack_chunks": q_pack_chunks,
@@ -2743,6 +2755,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(range(0, greatest(ceil(n_chars / 150.0)::BIGINT, 1)))
                  AS u(i)
+        """,
+        "cms_counts": """
+            WITH src AS (SELECT l_partkey::VARCHAR AS x FROM lineitem),
+            grid AS (
+                SELECT d.d,
+                       ('0x' || substr(md5(d.d::VARCHAR || ':' || x), 1, 8))::BIGINT
+                           % 1024 AS w,
+                       count(*)::BIGINT AS cnt
+                FROM src, unnest(range(0, 4)) AS d(d)
+                GROUP BY 1, 2
+            ),
+            keys AS (
+                SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey < 20
+            ),
+            probes AS (
+                SELECT l_partkey, d.d,
+                       ('0x' || substr(md5(d.d::VARCHAR || ':'
+                           || l_partkey::VARCHAR), 1, 8))::BIGINT % 1024 AS w
+                FROM keys, unnest(range(0, 4)) AS d(d)
+            )
+            SELECT l_partkey, min(coalesce(g.cnt, 0))::BIGINT AS estimate
+            FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
+            GROUP BY l_partkey
         """,
         "kmv_distinct": """
             WITH h AS (

@@ -36,6 +36,9 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_distinct",
+    "cms_state",
+    "cms_merge",
+    "cms_estimate",
     "hash_split",
     "split_counts",
     "heavy_hitters",
@@ -227,4 +230,85 @@ def heavy_hitters(df: DataFrame, cols: Sequence[str] | str, k: int = 20) -> Data
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), *[F.asc(c) for c in cols])
         .limit(k)
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    backend: str = "md5",
+) -> DataFrame:
+    """Count-min sketch state: sparse ``(d, w, cnt)`` counters.
+
+    Row ``d`` uses hash ``portable_hash(d || ':' || value) % width`` — a
+    salted family from the one portable hash, so every engine (and every
+    shard) builds the identical grid. The state is MERGEABLE: summing two
+    states' counters gives the state of the concatenated inputs, which is
+    what lets per-partition/per-day sketches roll up without a raw recount.
+    groupBy(d, w) is map-side combinable; state size is ≤ depth×width rows
+    regardless of input size.
+    """
+    salted = [
+        df.select(
+            F.lit(j).alias("d"),
+            F.pmod(
+                portable_hash(
+                    F.concat_ws(":", F.lit(str(j)), F.col(col).cast("string")),
+                    backend=backend,
+                ),
+                F.lit(width),
+            ).alias("w"),
+        )
+        for j in range(depth)
+    ]
+    u = salted[0]
+    for s in salted[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(states: Sequence[DataFrame]) -> DataFrame:
+    """Sum counters cell-wise: the state of the unioned inputs."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    backend: str = "md5",
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: ``(key_col, estimate)``.
+
+    Classic CMS read: min over the ``depth`` counters each key hashes to
+    (missing cell ⇒ 0). One fan-out of ``depth`` rows per key, one join
+    against the (tiny, broadcastable) state, one min-agg back to the key —
+    never touches the original data. Estimates are upper bounds:
+    ``true ≤ est ≤ true + εN`` with ``ε ≈ e/width``.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).withColumn(
+        "w",
+        F.pmod(
+            portable_hash(
+                F.concat_ws(":", F.col("d").cast("string"),
+                            F.col(key_col).cast("string")),
+                backend=backend,
+            ),
+            F.lit(width),
+        ),
+    )
+    return (
+        probes.join(state, ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
     )

@@ -164,3 +164,29 @@ def test_kmv_empty_input(spark):
     df = spark.createDataFrame([], "v STRING")
     row = kmv_distinct(df, "v", k=16).collect()[0]
     assert (row.n_hashes, row.estimate) == (0, 0.0)
+
+
+def test_cms_estimate_bounds_and_merge(spark):
+    """CMS point estimates are upper bounds, exact for a wide sketch, and
+    merged per-shard states equal the single-pass state."""
+    from bio2bel_spark.operators.sketch import cms_estimate, cms_merge, cms_state
+
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1, "v STRING"
+    )
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "v STRING")
+    st = cms_state(df, "v", width=256, depth=4)
+    est = {r.v: r.estimate for r in
+           cms_estimate(st, keys, "v", width=256, depth=4).collect()}
+    # wide sketch, 3 distinct values -> collision-free, estimates exact
+    assert est == {"a": 50, "b": 7, "c": 1, "zz": 0}
+
+    s1 = cms_state(spark.createDataFrame([("a",)] * 25, "v STRING"), "v", width=256, depth=4)
+    s2 = cms_state(
+        spark.createDataFrame([("a",)] * 25 + [("b",)] * 7 + [("c",)] * 1, "v STRING"),
+        "v", width=256, depth=4,
+    )
+    merged = cms_merge([s1, s2])
+    est2 = {r.v: r.estimate for r in
+            cms_estimate(merged, keys, "v", width=256, depth=4).collect()}
+    assert est2 == est
