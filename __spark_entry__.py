@@ -719,9 +719,9 @@ _H32_SQL = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 _IVF_SRC = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
 
 
-def _ivf_cte(src: str = _IVF_SRC, k: int = 8) -> str:
+def _ivf_cte(src: str = _IVF_SRC, k: int = 8, recursive: bool = False) -> str:
     return f"""
-    WITH e AS ({src}),
+    WITH {"RECURSIVE " if recursive else ""}e AS ({src}),
     c AS (
         SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cidx, v AS cv
         FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
@@ -743,6 +743,36 @@ def _ivf_cte(src: str = _IVF_SRC, k: int = 8) -> str:
 
 
 _IVF_CTE = _ivf_cte()
+
+#: multi-probe verified cosine pairs (k=16 lists, nprobe=2, thr 0.9) —
+#: appended after an _ivf_cte(...) chain; ends with the `vp` CTE consumed by
+#: the probe2 and embedding_dedup oracles
+_EMB_PAIR_CTES = """
+    ranked AS (
+        SELECT vec_id, (u.i - 1)::INT AS cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s[u.i] DESC, u.i ASC) AS rk
+        FROM sims, unnest(range(1, len(s) + 1)) AS u(i)
+    ),
+    probes AS (SELECT vec_id, cluster FROM ranked WHERE rk <= 2),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b USING (cluster)
+        WHERE a.vec_id < b.vec_id
+    ),
+    vp AS (
+        SELECT id_a, id_b,
+               round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
+    )
+"""
 
 #: exact n-gram Jaccard pairs over the augmented corpus (threshold 0.5) —
 #: oracle for both the inverted-index operator and the LSH+verify pipeline
@@ -1255,6 +1285,15 @@ def _kmeans_sql(iters: int = 2, k: int = 8) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vec_id, cluster FROM a{iters}"
     )
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Cluster-level embedding dedup: transitive cosine near-dups collapse
+    to the min-id survivor; one row per vector."""
+    from bio2bel_spark.operators.similarity import embedding_dedup
+
+    emb = _spread(spark, _emb_augmented(spark, sf_dir))
+    return embedding_dedup(emb, threshold=0.9, n_clusters=16, nprobe=2)
 
 
 def q_knn_join(spark, sf_dir):
@@ -1855,6 +1894,7 @@ QUERIES: dict[str, Callable] = {
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "knn_join": q_knn_join,
     "kmeans_assign": q_kmeans_assign,
+    "embedding_dedup": q_embedding_dedup,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
@@ -2579,28 +2619,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_pairs_probe2": f"""
             {_ivf_cte(_EMB_AUG_SQL, k=16)},
-            ranked AS (
-                SELECT vec_id, (u.i - 1)::INT AS cluster,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY s[u.i] DESC, u.i ASC) AS rk
-                FROM sims, unnest(range(1, len(s) + 1)) AS u(i)
+            {_EMB_PAIR_CTES}
+            SELECT id_a, id_b, cos_sim FROM vp
+        """,
+        "embedding_dedup": f"""
+            {_ivf_cte(_EMB_AUG_SQL, k=16, recursive=True)},
+            {_EMB_PAIR_CTES},
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM vp
+                UNION
+                SELECT id_b AS a, id_a AS b FROM vp
             ),
-            probes AS (SELECT vec_id, cluster FROM ranked WHERE rk <= 2),
-            cand AS (
-                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM probes a JOIN probes b USING (cluster)
-                WHERE a.vec_id < b.vec_id
-            )
-            SELECT id_a, id_b,
-                   round(list_dot_product(ea.v, eb.v)
-                       / (sqrt(list_dot_product(ea.v, ea.v))
-                          * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
-            FROM cand
-            JOIN e ea ON ea.vec_id = id_a
-            JOIN e eb ON eb.vec_id = id_b
-            WHERE round(list_dot_product(ea.v, eb.v)
-                      / (sqrt(list_dot_product(ea.v, ea.v))
-                         * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9
+            reach(node, label) AS (
+                SELECT a AS node, a AS label FROM sym
+                UNION
+                SELECT s.b AS node, r.label
+                FROM reach r JOIN sym s ON s.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS cluster,
+                   coalesce(c.component, e.vec_id) = e.vec_id AS keep
+            FROM e LEFT JOIN comp c ON e.vec_id = c.node
         """,
         "kmeans_assign": _kmeans_sql(),
         "knn_join": f"""

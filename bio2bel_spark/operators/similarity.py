@@ -412,3 +412,39 @@ def kmeans_refine(
         }
         cents = [means.get(i, cents[i]) for i in range(len(cents))]
     return cents
+
+
+def embedding_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Cluster-level embedding dedup: ``(id, cluster, keep)`` — the
+    embedding-space twin of ``dedup.dedup_fuzzy``.
+
+    Multi-probe cosine near-pairs feed connected components
+    (:func:`bio2bel_spark.operators.graph.min_label_components`), so
+    transitive near-duplicates (A≈B≈C with A,C never paired directly)
+    collapse to one surviving vector — the min id per cluster.
+    """
+    from bio2bel_spark.operators.graph import min_label_components
+
+    pairs = embedding_near_pairs_multiprobe(
+        embeddings, threshold, n_clusters, nprobe, vec_col, id_col
+    )
+    comp = min_label_components(
+        pairs, src="id_a", dst="id_b", max_iterations=max_iterations
+    )
+    return (
+        embeddings.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )

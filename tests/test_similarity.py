@@ -176,3 +176,22 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     mean_a0 = sum(v[0] for v in blob_a) / 10
     ca = cents[next(iter(a_clusters))]
     assert abs(ca[0] - mean_a0) < 1e-6
+
+
+def test_embedding_dedup_collapses_transitive_chain(spark):
+    """v, v*1.01+eps, v*1.02+eps2 all near-dup -> one cluster, min id kept."""
+    from bio2bel_spark.operators.similarity import embedding_dedup
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (0, base),
+        (1, [x * 1.01 + 0.001 for x in base]),
+        (2, [x * 1.02 + 0.002 for x in base]),
+        (3, [4.0, -3.0, 2.0, -1.0]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster, r.keep) for r in
+           embedding_dedup(df, threshold=0.999, n_clusters=2, nprobe=2).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)
