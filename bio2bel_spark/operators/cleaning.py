@@ -141,20 +141,33 @@ def repetition_features(
             F.round(1.0 - F.size(F.array_distinct(arr)) / n, 6)
         )
 
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
-    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    grams2 = F.when(F.size(words) >= 2,
-                    F.transform(
-                        F.slice(words, 1, F.size(words) - 1),
-                        lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
-                    )).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    # materialize the split arrays as columns FIRST: referencing the split
+    # expression inside a HOF lambda would re-evaluate the full regex split
+    # per array element (O(tokens²) — the classic HOF re-evaluation trap)
+    arrs = docs.select(
         F.col(id_col),
-        frac(lines).alias("dup_line_frac"),
-        frac(words).alias("dup_word_frac"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ).alias("__lines"),
+        F.split(
+            F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+        ).alias("__words"),
+    )
+    w = F.col("__words")
+    # consecutive 2-grams = zip of the array with itself shifted by one
+    grams2 = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return arrs.select(
+        F.col(id_col),
+        frac(F.col("__lines")).alias("dup_line_frac"),
+        frac(w).alias("dup_word_frac"),
         frac(grams2).alias("dup_2gram_frac"),
     )
 
