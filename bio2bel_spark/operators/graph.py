@@ -195,6 +195,10 @@ def pagerank(
             .groupBy(F.col(dst).alias("node"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__s"))
         )
+        # lazy checkpoint: lineage is still truncated at materialization,
+        # but rounds pipeline inside one job instead of paying a blocking
+        # driver barrier each; with a fixed iteration budget there is no
+        # convergence count that would force eager materialization
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -204,7 +208,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("__s", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
