@@ -90,21 +90,27 @@ def _propagate_min_labels(
     """
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iterations):
+
+    def _step(lbls: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(lbls.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "node")
         )
-        joined = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_improved"),
-            )
-        ).localCheckpoint(eager=True)
+        return lbls.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("_improved"),
+        )
+
+    # two propagation rounds per convergence check: the count() barrier is
+    # the dominant per-round cost on shallow graphs (dup clusters, short
+    # diameters), and a converged graph only wastes one no-op round — the
+    # first step's lineage is truncated lazily inside the same job
+    for _ in range(max(1, max_iterations // 2)):
+        once = _step(labels).drop("_improved").localCheckpoint(eager=False)
+        joined = _step(once).localCheckpoint(eager=True)
         changed = joined.filter(F.col("_improved")).limit(1).count()
         labels = joined.drop("_improved")
         if changed == 0:
@@ -139,6 +145,10 @@ def min_label_components(
     the label (vs. a hash) makes the component id meaningful — for dedup it
     IS the surviving doc id.
     """
+    # materialize the pair list ONCE before symmetrizing: the union reads
+    # `pairs` twice, and without this the whole upstream pipeline (e.g. an
+    # LSH+verify chain) executes once per branch
+    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
