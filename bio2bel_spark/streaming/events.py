@@ -201,3 +201,48 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def run_sketch_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    k: int = 256,
+    backend: str = "md5",
+):
+    """Maintain a KMV distinct-count sketch incrementally over a stream.
+
+    Each micro-batch builds the batch's KMV state (``≤ k`` hash rows, tiny)
+    and merges it into the persistent ``state_table`` via
+    ``sketch.kmv_merge`` — mergeability makes the update O(k), never a
+    re-scan of history. The merged state OVERWRITES the state table inside
+    foreachBatch (atomic per batch id on the checkpoint), so a restart
+    replays at most one batch and min-k merge is idempotent under replay:
+    re-merging rows already in the state changes nothing.
+
+    Read the estimate at any time with ``sketch.kmv_estimate`` over the
+    state table.
+    """
+    from bio2bel_spark.operators.sketch import kmv_merge, kmv_state
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = kmv_state(batch_df, col, k=k, backend=backend)
+        try:
+            prev = catalog.read_table(state_table)
+            merged = kmv_merge([prev, batch_state], k=k)
+        except Exception:  # first batch: no state yet
+            merged = batch_state
+        # two consumers below (count via write) read `merged` whose lineage
+        # includes the OLD state table being overwritten — materialize first
+        rows = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(rows or [], "h BIGINT")
+        catalog.write_table(out, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -238,3 +238,46 @@ def test_run_to_table_rerun_is_idempotent(spark, events_dir, tmp_path_factory):
     )
     q2.awaitTermination(240)
     assert catalog.read_table("idem_sink").count() == n1 == 6
+
+
+def test_kmv_sketch_maintenance_incremental(spark, tmp_path_factory):
+    """Two incremental maintenance runs == the direct sketch of all data
+    (mergeable state), and the estimate is exact below k."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import kmv_estimate, kmv_state
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_kmv")))
+    src = str(tmp_path_factory.mktemp("kmv_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us(i), i % 5, "click", 1.0, "{}") for i in range(20)])
+    ck = str(tmp_path_factory.mktemp("ck_kmv"))
+    q = sev.run_sketch_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "kmv_state", ck, k=64
+    )
+    q.awaitTermination(240)
+
+    batch([(100 + i, _us(100 + i), 3 + i, "view", 1.0, "{}") for i in range(10)])
+    q2 = sev.run_sketch_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "kmv_state", ck, k=64
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("kmv_state")
+    # distinct user_ids: {0..4} ∪ {3..12} = 13
+    est = kmv_estimate(state, k=64).collect()[0]
+    assert (est.n_hashes, est.estimate) == (13, 13.0)
+    # state == single-pass state over the concatenated source
+    direct = kmv_state(
+        spark.read.parquet(src).select("user_id"), "user_id", k=64
+    )
+    assert sorted(r.h for r in state.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
