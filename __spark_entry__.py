@@ -360,8 +360,12 @@ def _fixture_path(name: str, content: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "bio2bel_entry_fixtures")
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, name)
-    with open(p, "w", encoding="utf-8") as f:
+    # atomic replace: a concurrent harness process re-writing the same
+    # fixture must never expose a torn file to a reader
+    tmp = p + f".{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write(content)
+    os.replace(tmp, p)
     return p
 
 
