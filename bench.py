@@ -2,7 +2,14 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Each query is forced end-to-end with the no-op sink (full execution, no
-driver collect). Timings are per-query wall seconds; `value` is the total.
+driver collect). Timings are per-query wall seconds; `value` is the total
+across ALL queries.
+
+Output-size contract: the driver captures only the tail of stdout (2000
+chars), so the printed line must stay well under that. The line carries
+per-query timings for the HEADLINE set (the first 50 queries — the same
+window the driver's correctness harness checks); the full per-query map for
+every query is written to BENCH_FULL.json next to this file.
 """
 
 from __future__ import annotations
@@ -13,7 +20,10 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+HEADLINE = 50
 
 
 def main() -> None:
@@ -24,7 +34,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from bio2bel_spark.session import get_spark
 
-    spark = get_spark(app_name="bio2bel-spark-bench")
+    spark = get_spark(
+        app_name="bio2bel-spark-bench",
+        # keep stdout/stderr clean so the final JSON line survives the
+        # driver's 2000-char tail capture
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + file listing so the first timed query isn't penalized
@@ -43,19 +58,49 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 2)
 
-    print(
-        json.dumps(
+    with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(timings.values()), 2),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            fh,
+            indent=1,
         )
+
+    headline = dict(list(timings.items())[:HEADLINE])
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": round(sum(timings.values()), 2),
+            "unit": "sec",
+            "queries": headline,
+            "sf": sf,
+            "n_queries": len(timings),
+            "full": "BENCH_FULL.json",
+        },
+        separators=(",", ":"),
     )
+    # hard guard: never exceed the driver's tail-capture window
+    if len(line) > 1900:
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "queries": dict(list(headline.items())[:40]),
+                "sf": sf,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
+        )
+    print(line)
     spark.stop()
 
 
