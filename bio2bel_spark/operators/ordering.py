@@ -33,8 +33,17 @@ def enumerate_sorted(
     order — distributed (see module docstring), deterministic for unique
     keys. Input rows must be unique on ``order_col``."""
     n_ranges = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_ranges, order_col).withColumn(
-        "_range", F.spark_partition_id()
+    # materialize the ranged table ONCE before deriving both branches: the
+    # offsets branch is column-pruned, so its exchange is not canonically
+    # identical to the local-rank branch's and ReuseExchange may not dedupe
+    # them — two executions would sample range boundaries independently and
+    # could disagree, making offsets inconsistent with local ranks. An eager
+    # localCheckpoint pins one physical partitioning for both consumers (and
+    # truncates lineage, as the iterative graph operators already do).
+    ranged = (
+        df.repartitionByRange(n_ranges, order_col)
+        .withColumn("_range", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = ranged.withColumn(
         "_local",

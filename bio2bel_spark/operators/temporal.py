@@ -94,8 +94,14 @@ def asof_join(
     )
 
     # secondary sort on the payload struct makes equal-timestamp right rows
-    # resolve deterministically (last == struct-max)
-    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    # resolve deterministically (last == struct-max). The forward scan must
+    # put NULL timestamps FIRST (desc sorts nulls last by default) so a
+    # null-timestamp left row still sees no payload and keeps its null match.
+    t_order = (
+        F.col("__t").asc()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(t_order, F.col("__side"), F.col("__rpay"))
@@ -179,7 +185,12 @@ def interval_join(
         ).cast("long"),
         F.lit(0),
     )
-    iv = intervals.withColumn("__bucket", F.explode(F.sequence(b0, b1 + guard)))
+    # empty/reversed intervals (end <= start) cover no buckets: gate the
+    # sequence on b1 >= b0 so they emit zero rows instead of a DESCENDING
+    # sequence (negative span also passes the < max_buckets assert)
+    iv = intervals.withColumn(
+        "__bucket", F.explode(F.when(b1 >= b0, F.sequence(b0, b1 + guard)))
+    )
     pt = points.withColumn(
         "__bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
     )
@@ -241,7 +252,10 @@ def interval_overlap_join(
             ).cast("long"),
             F.lit(0),
         )
-        return df.withColumn("__bucket", F.explode(F.sequence(b0, b1 + guard)))
+        # reversed/empty intervals: no buckets (see interval_join)
+        return df.withColumn(
+            "__bucket", F.explode(F.when(b1 >= b0, F.sequence(b0, b1 + guard)))
+        )
 
     l = _explode(left, left_start, left_end)
     r = _explode(right, right_start, right_end)
@@ -272,6 +286,7 @@ def hypertable_rollup(
     dims: Sequence[str] = ("event_type",),
     grains: Sequence[str] = ("hour", "day", "week"),
     aggs: Sequence[Column] | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Multi-granularity time rollup in a single scan.
 
@@ -287,14 +302,22 @@ def hypertable_rollup(
     (correct for non-reaggregable aggregates like count-distinct, at the
     Expand cost). ``grains`` must be ordered finest-first (the default is).
     Output either way: ``(grain, *dims, bucket, <aggs>)``.
+
+    The default path sums ``value_col`` (``"value"``); tables without that
+    column must either rename, pass ``value_col``, or supply custom ``aggs``.
     """
     if aggs is None:
+        if value_col not in events.columns:
+            raise ValueError(
+                f"hypertable_rollup: default aggregates need a {value_col!r} "
+                f"column (have {events.columns}); pass value_col= or aggs=[...]"
+            )
         finest, coarser = grains[0], list(grains[1:])
         fine = events.groupBy(
             *dims, F.date_trunc(finest, F.col(ts)).alias("bucket")
         ).agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum("value").alias("__sum"),
+            F.sum(value_col).alias("__sum"),
         )
         from pyspark import StorageLevel
 
@@ -323,10 +346,7 @@ def hypertable_rollup(
             )
             out = out.unionByName(rolled)
         return out
-    aggs = list(aggs) if aggs is not None else [
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    ]
+    aggs = list(aggs)
     g = events
     for grain in grains:
         g = g.withColumn(f"__g_{grain}", F.date_trunc(grain, F.col(ts)))

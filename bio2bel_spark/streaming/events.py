@@ -229,10 +229,13 @@ def run_sketch_maintenance(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_state = kmv_state(batch_df, col, k=k, backend=backend)
-        try:
+        # branch on existence explicitly: a blanket except here would turn a
+        # transient read failure into an overwrite that destroys the
+        # accumulated state — let real read errors fail the batch instead
+        if catalog.table_exists(state_table):
             prev = catalog.read_table(state_table)
             merged = kmv_merge([prev, batch_state], k=k)
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             merged = batch_state
         # two consumers below (count via write) read `merged` whose lineage
         # includes the OLD state table being overwritten — materialize first

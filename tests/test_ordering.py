@@ -22,10 +22,20 @@ def test_enumerate_sorted_runs_multiple_tasks(spark):
     df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
     out = enumerate_sorted(df, "k")
     # the sort is range-partitioned (parallel), not a global unpartitioned
-    # window funneling every row through one task
+    # window funneling every row through one task. The ranged table is
+    # materialized via localCheckpoint (so ReuseExchange ambiguity can't
+    # give the two branches different boundaries), which truncates lineage —
+    # assert on the checkpointed RDD's partitioning + range ids instead of
+    # the (now-opaque) plan string.
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan.split("Window")[0]
+    ranges = out.withColumn(
+        "_pid", F.spark_partition_id()
+    ).select("_pid").distinct().count()
+    assert ranges > 1  # work is spread across tasks, not one reducer
+    # and ids are still the exact global enumeration
+    got = {r.k: r.seq for r in out.collect()}
+    assert got == {k: i for i, k in enumerate(sorted(got))}
 
 
 def test_deterministic_shuffle_properties(spark):

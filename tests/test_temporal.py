@@ -350,3 +350,71 @@ def test_asof_null_timestamps(spark):
     )
     rows = {r.tag: r.bid_r for r in asof_join(left, right, on="ts", by="k").collect()}
     assert rows == {"real": 1.0, "null-ts": None}
+
+
+def test_asof_forward_null_left_timestamp(spark):
+    # forward scan orders by __t desc, which sorts nulls LAST by default —
+    # regression: a null-ts left row must keep the null-match contract in
+    # BOTH directions (desc_nulls_first)
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "real"), (1, None, "null-ts")],
+        "k BIGINT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:00:00"), 7.0)],
+        "k BIGINT, ts TIMESTAMP, bid DOUBLE",
+    )
+    rows = {
+        r.tag: r.bid_r
+        for r in asof_join(left, right, on="ts", by="k", direction="forward").collect()
+    }
+    assert rows == {"real": 7.0, "null-ts": None}
+
+
+def test_interval_join_reversed_interval_is_empty(spark):
+    # end <= start covers nothing; a reversed interval (end in 1970) has a
+    # NEGATIVE bucket span that passes the `< max_buckets` assert — it must
+    # emit zero bucket rows, not a descending sequence
+    from bio2bel_spark.operators.temporal import interval_join, interval_overlap_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("1970-01-01 00:00:00"), "corrupt"),
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"), "empty"),
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "good"),
+        ],
+        "k BIGINT, start TIMESTAMP, end TIMESTAMP, tag STRING",
+    )
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"))], "k BIGINT, ts TIMESTAMP"
+    )
+    got = interval_join(intervals, points, by="k", max_buckets=10).collect()
+    assert [r.tag for r in got] == ["good"]
+
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("1970-01-01 00:00:00"), "corrupt"),
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"), "empty"),
+            (1, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 11:30:00"), "good"),
+        ],
+        "k BIGINT, start TIMESTAMP, end TIMESTAMP, rtag STRING",
+    )
+    overl = interval_overlap_join(intervals, right, by="k", max_buckets=10).collect()
+    assert [(r.tag, r.rtag) for r in overl] == [("good", "good")]
+
+
+def test_hypertable_rollup_missing_value_column_errors(spark):
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 10:00:00"), "a")], "ts TIMESTAMP, event_type STRING"
+    )
+    with pytest.raises(ValueError, match="value"):
+        hypertable_rollup(df)
+    # value_col= redirect works without a literal 'value' column
+    out = hypertable_rollup(
+        df.withColumn("amount", F.lit(2.0)), value_col="amount", grains=("hour",)
+    ).collect()
+    assert [(r.n_events, r.total_value) for r in out] == [(1, 2.0)]
