@@ -1373,7 +1373,7 @@ def q_asof_join(spark, sf_dir):
     """As-of join (kdb ``aj`` / pandas ``merge_asof`` / DuckDB ``ASOF JOIN``):
     latest purchase at or before each click, per user. Union-sort plan — one
     shuffle on the key, no inequality nested-loop (operators/temporal.py)."""
-    from bio2bel_spark.operators.temporal import asof_join
+    from bio2bel_spark.operators.temporal import asof_join, epoch_us
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1392,7 +1392,7 @@ def q_asof_join(spark, sf_dir):
     out = asof_join(clicks, purchases, on="ts", by="user_id")
     return out.select(
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
+        epoch_us("ts").alias("t_us"),
         "event_id",
         F.col("p_event_id_r").alias("p_event_id"),
         F.round("p_value_r", 6).alias("p_value"),
@@ -1402,7 +1402,7 @@ def q_asof_join(spark, sf_dir):
 def q_asof_join_forward(spark, sf_dir):
     """Forward as-of: earliest purchase at or after each click, per user —
     same one-shuffle union-sort plan scanned in descending time order."""
-    from bio2bel_spark.operators.temporal import asof_join
+    from bio2bel_spark.operators.temporal import asof_join, epoch_us
 
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1419,7 +1419,7 @@ def q_asof_join_forward(spark, sf_dir):
     out = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
     return out.select(
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
+        epoch_us("ts").alias("t_us"),
         "event_id",
         F.col("p_event_id_r").alias("p_event_id"),
         F.round("p_value_r", 6).alias("p_value"),

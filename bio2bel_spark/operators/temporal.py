@@ -26,17 +26,33 @@ All three are pure Catalyst plans — no Python in the hot path.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "epoch_us",
     "asof_join",
     "interval_join",
     "interval_overlap_join",
     "hypertable_rollup",
 ]
+
+
+def epoch_us(col: Union[str, Column]) -> Column:
+    """Microseconds since epoch for a timestamp of ANY flavor.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ (the type the driver's parquet
+    testdata now yields — no-timezone micros), so every temporal operator
+    goes through this helper: the cast to TIMESTAMP interprets NTZ values in
+    the session timezone, which :mod:`bio2bel_spark.tables` pins to UTC, so
+    the result equals the naive wall-clock epoch and matches DuckDB's
+    ``epoch_us`` on the same parquet values bit-for-bit. On a column that is
+    already TIMESTAMP the cast is a no-op.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -114,7 +130,7 @@ def asof_join(
     )
 
     if tolerance_sec is not None:
-        gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__m")[on])
+        gap = epoch_us("__t") - epoch_us(F.col("__m")[on])
         if direction == "forward":
             gap = -gap
         within = F.col("__m").isNotNull() & (
@@ -162,10 +178,10 @@ def interval_join(
     by_cols = ([by] if isinstance(by, str) else list(by)) if by else []
     bucket_us = bucket_sec * 1_000_000
 
-    b0 = (F.unix_micros(F.col(start)) / bucket_us).cast("long")
+    b0 = (epoch_us(start) / bucket_us).cast("long")
     # end-exclusive: an interval ending exactly on a bucket edge does not
     # cover that bucket
-    b1 = ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long")
+    b1 = ((epoch_us(end) - 1) / bucket_us).cast("long")
     # assert_true returns NULL on pass; folding it into the live sequence
     # bound (coalesce -> +0) keeps the check in the plan — a detached column
     # would be pruned by the optimizer
@@ -192,7 +208,7 @@ def interval_join(
         "__bucket", F.explode(F.when(b1 >= b0, F.sequence(b0, b1 + guard)))
     )
     pt = points.withColumn(
-        "__bucket", (F.unix_micros(F.col(point_ts)) / bucket_us).cast("long")
+        "__bucket", (epoch_us(point_ts) / bucket_us).cast("long")
     )
     cond = [pt["__bucket"] == iv["__bucket"]]
     for c in by_cols:
@@ -234,8 +250,8 @@ def interval_overlap_join(
     bucket_us = bucket_sec * 1_000_000
 
     def _explode(df: DataFrame, start: str, end: str) -> DataFrame:
-        b0 = (F.unix_micros(F.col(start)) / bucket_us).cast("long")
-        b1 = ((F.unix_micros(F.col(end)) - 1) / bucket_us).cast("long")
+        b0 = (epoch_us(start) / bucket_us).cast("long")
+        b1 = ((epoch_us(end) - 1) / bucket_us).cast("long")
         guard = F.coalesce(
             F.assert_true(
                 b1 - b0 < F.lit(max_buckets),
@@ -266,7 +282,7 @@ def interval_overlap_join(
     cond.append(r[right_start] < l[left_end])
     # owner bucket: emit the pair only where the intersection begins
     inter_start = F.greatest(
-        F.unix_micros(l[left_start]), F.unix_micros(r[right_start])
+        epoch_us(l[left_start]), epoch_us(r[right_start])
     )
     cond.append(l["__bucket"] == (inter_start / bucket_us).cast("long"))
 

@@ -76,9 +76,13 @@ def get_spark(
         # filter pushdown + vectorized reads explicitly (defaults, pinned).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
-        # driver testdata stores TIMESTAMP(NANOS); read as long and convert
-        # explicitly (see bio2bel_spark.tables.load_tables)
+        # driver testdata has shipped TIMESTAMP(NANOS) and bare-micros
+        # layouts; read nanos as long and normalize explicitly
+        # (see bio2bel_spark.tables._normalize_ts)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # deterministic NTZ<->TIMESTAMP casts and epochs everywhere; also
+        # what makes DuckDB's epoch_us on naive parquet values match ours
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

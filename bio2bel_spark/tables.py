@@ -1,11 +1,16 @@
 """Loaders for the driver's synthetic parquet tables (TESTDATA.md).
 
 Tables: region nation customer supplier part orders lineitem events documents
-embeddings. The ``events.ts`` column is parquet TIMESTAMP(NANOS), which the
-Spark vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-(set in the session factory) it arrives as nanoseconds-since-epoch LongType
-and is converted here to a proper microsecond TimestampType column once, at
-scan time — keeping every downstream plan in native timestamp functions.
+embeddings. The physical type of ``events.ts`` has changed between driver
+data drops (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS) without a
+timezone — read as TIMESTAMP_NTZ — since round 3), so the loader normalizes
+whichever of {nanos-as-long, TIMESTAMP_NTZ, TIMESTAMP} arrives into ONE
+canonical type, ``timestamp_ntz``, at scan time and asserts the result.
+The session timezone is pinned to UTC here (runtime-settable conf) so the
+NTZ↔TIMESTAMP casts and ``unix_micros`` epochs are wall-clock exact and
+match DuckDB's ``epoch_us`` on the same naive parquet values bit-for-bit,
+regardless of which session built the plan (the driver's oracle harness
+constructs its own SparkSession without the session-factory confs).
 """
 
 from __future__ import annotations
@@ -53,16 +58,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        # Runtime-settable SQL conf; the driver's oracle harness builds its own
-        # SparkSession without the session-factory confs, so the loader must be
-        # self-sufficient (PARQUET_TYPE_ILLEGAL otherwise).
+        # Runtime-settable SQL confs; the driver's oracle harness builds its
+        # own SparkSession without the session-factory confs, so the loader
+        # must be self-sufficient (PARQUET_TYPE_ILLEGAL on nanos otherwise,
+        # and the NTZ/LTZ casts below need a deterministic timezone).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not `/`: float division of large nanos values loses
-        # the low bits and lands 1us off DuckDB's truncating conversion
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = _normalize_ts(df, "ts")
     cache[cache_key] = df
+    return df
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a timestamp column to the canonical ``timestamp_ntz`` type.
+
+    Accepts any of the layouts the driver's testdata has shipped:
+
+    * ``bigint`` — TIMESTAMP(NANOS) read via ``nanosAsLong``; integer DIV
+      (not ``/``) because float division of large nanos values loses the low
+      bits and lands 1us off DuckDB's truncating conversion;
+    * ``timestamp_ntz`` — parquet TIMESTAMP(MICROS) with no timezone (the
+      current layout) — already canonical;
+    * ``timestamp`` — TIMESTAMP(MICROS) with timezone; cast is exact under
+      the UTC session timezone pinned by the caller.
+
+    Raises loudly on any other dtype: a silent new layout must fail the scan,
+    not corrupt every downstream temporal operator (this bit rounds 1 and 3).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(F.expr(f"{col} DIV 1000")).cast("timestamp_ntz"),
+        )
+    elif dtype == "timestamp":
+        df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    elif dtype != "timestamp_ntz":
+        raise TypeError(
+            f"events.{col}: unexpected dtype {dtype!r}; expected one of "
+            "bigint (nanos-as-long), timestamp, timestamp_ntz — the driver's "
+            "testdata layout changed again; extend _normalize_ts"
+        )
+    assert dict(df.dtypes)[col] == "timestamp_ntz"
     return df
 
 
