@@ -1,9 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
+Two passes:
+
+1. **Pre-flight smoke** at $SPARK_GRAFT_SMOKE_DIR (default sf0.001): every
+   query runs once end-to-end with per-query exception capture. A broken
+   query lands in ``errs`` instead of aborting the whole bench — round 3
+   lost its entire bench record to one crashing query, never again.
+2. **Timed pass** at the bench scale over the queries that smoked clean.
+
 Each query is forced end-to-end with the no-op sink (full execution, no
 driver collect). Timings are per-query wall seconds; `value` is the total
-across ALL queries.
+across all clean queries. Exit code is nonzero when ``errs`` is non-empty so
+the driver still sees red — but with numbers for everything that works.
 
 Output-size contract: the driver captures only the tail of stdout (2000
 chars), so the printed line must stay well under that. The line carries
@@ -26,8 +35,11 @@ sys.path.insert(0, HERE)
 HEADLINE = 50
 
 
-def main() -> None:
+def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    smoke_dir = os.environ.get(
+        "SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"
+    )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -42,23 +54,34 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + file listing so the first timed query isn't penalized
-    entrymod.q_distinct_segments(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    all_queries = entrymod.queries()
 
-    # each query is measured twice and the MIN is reported: the first
+    # pre-flight: run everything once at smoke scale, quarantine crashers
+    errs: dict[str, str] = {}
+    for name, fn in all_queries.items():
+        try:
+            fn(spark, smoke_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — quarantine, don't abort
+            first_line = str(exc).strip().splitlines()[0][:160]
+            errs[name] = first_line
+            print(f"SMOKE FAIL {name}: {first_line}", file=sys.stderr)
+        # drop any MEMORY_AND_DISK blocks a query persisted during its run
+        spark.catalog.clearCache()
+    clean = {n: f for n, f in all_queries.items() if n not in errs}
+
+    # each clean query is measured twice and the MIN is reported: the first
     # execution pays one-off costs (file listing, codegen, Python worker
     # spin-up) and single runs on this shared box swing ±50% under host
     # noise; min-of-2 reads the steady-state plan cost
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in clean.items():
         best = float("inf")
         for _ in range(2):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 2)
+        spark.catalog.clearCache()
 
     with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
         json.dump(
@@ -68,41 +91,36 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "errs": errs,
             },
             fh,
             indent=1,
         )
 
-    headline = dict(list(timings.items())[:HEADLINE])
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": round(sum(timings.values()), 2),
-            "unit": "sec",
-            "queries": headline,
-            "sf": sf,
-            "n_queries": len(timings),
-            "full": "BENCH_FULL.json",
-        },
-        separators=(",", ":"),
-    )
-    # hard guard: never exceed the driver's tail-capture window
-    if len(line) > 1900:
-        line = json.dumps(
+    def _line(n_headline: int) -> str:
+        headline = dict(list(timings.items())[:n_headline])
+        return json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(sum(timings.values()), 2),
                 "unit": "sec",
-                "queries": dict(list(headline.items())[:40]),
+                "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
+                "errs": sorted(errs),
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),
         )
+
+    # hard guard: never exceed the driver's tail-capture window
+    line = _line(HEADLINE)
+    if len(line) > 1900:
+        line = _line(40)
     print(line)
     spark.stop()
+    return 1 if errs else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
