@@ -249,24 +249,25 @@ def cms_state(
     what lets per-partition/per-day sketches roll up without a raw recount.
     groupBy(d, w) is map-side combinable; state size is ≤ depth×width rows
     regardless of input size.
+
+    SINGLE PASS over the input: each row explodes into its ``depth`` grid
+    cells in the projection — a union of ``depth`` full selects would scan a
+    100 TB table ``depth`` times for a sketch whose whole point is one pass.
     """
-    salted = [
-        df.select(
-            F.lit(j).alias("d"),
-            F.pmod(
-                portable_hash(
-                    F.concat_ws(":", F.lit(str(j)), F.col(col).cast("string")),
-                    backend=backend,
-                ),
-                F.lit(width),
-            ).alias("w"),
-        )
-        for j in range(depth)
-    ]
-    u = salted[0]
-    for s in salted[1:]:
-        u = u.unionByName(s)
-    return u.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cells = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.col(col).cast("string").alias("__v"),
+    ).select(
+        "d",
+        F.pmod(
+            portable_hash(
+                F.concat_ws(":", F.col("d").cast("string"), F.col("__v")),
+                backend=backend,
+            ),
+            F.lit(width),
+        ).alias("w"),
+    )
+    return cells.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def cms_merge(states: Sequence[DataFrame]) -> DataFrame:
