@@ -207,6 +207,21 @@ class RheaDataset(SourceDataset):
         return {"reactions": rhea.to_reaction_nodes(self._input("triples"))}
 
 
+class CircRNADiseaseDataset(SourceDataset):
+    """circRNA–disease association rows (reference
+    ``sources/circrnadisease.py``)."""
+
+    module_name = "circrnadisease"
+    tables = {"associations": None}
+    inputs = {"raw": (True, None)}
+
+    def _populate_tables(self, **kwargs):
+        from bio2bel_spark.sources import circrnadisease
+
+        prepared = circrnadisease.prepare(self._input("raw"))
+        return {"associations": circrnadisease.associations(prepared)}
+
+
 class PIDDataset(SourceDataset):
     """Pathway membership edges from CX aspects (reference ``sources/pid.py``)."""
 
@@ -243,4 +258,5 @@ ALL_DATASETS = [
     GODataset,
     RheaDataset,
     PIDDataset,
+    CircRNADiseaseDataset,
 ]

@@ -163,3 +163,64 @@ def test_go_subhierarchy(spark):
     edges = go.subhierarchy_edges(onto, "GO:1").collect()
     got = {(r["source_id"], r["relation"], r["target_id"]) for r in edges}
     assert got == {("GO:2", "isA", "GO:1"), ("GO:3", "partOf", "GO:2")}
+
+
+# ------------------------------------------------------------- circrnadisease
+
+def test_circrnadisease_prepare_projects_and_renames(spark):
+    from bio2bel_spark.sources import circrnadisease
+
+    raw = spark.createDataFrame(
+        [
+            ("1", "hsa_circ_1", "circA", "synA", "glioma", "RNA-seq",
+             "human", "Up", "EXTRA"),
+            ("2", "hsa_circ_2", "circB", None, "gastric cancer", "qRT-PCR",
+             "human", "Down", "EXTRA"),
+        ],
+        "`pmid` string, `circRNA id` string, `circRNA name` string, "
+        "`circRNA synonyms` string, `disease` string, "
+        "`method of circRNA detection` string, `species` string, "
+        "`expression pattern` string, `unused` string",
+    )
+    prepared = circrnadisease.prepare(raw)
+    assert prepared.columns == [
+        "pmid", "circrna_id", "circrna_name", "circrna_synonyms",
+        "disease", "detection_method", "species", "expression_pattern",
+    ]
+    # snake_case input round-trips too
+    assert circrnadisease.prepare(prepared).columns == prepared.columns
+    out = {r["circrna_id"]: r for r in
+           circrnadisease.associations(prepared).collect()}
+    assert out["hsa_circ_1"]["expression_pattern"] == "up"
+    assert out["hsa_circ_2"]["disease"] == "gastric cancer"
+
+
+def test_circrnadisease_prepare_missing_column_raises(spark):
+    from bio2bel_spark.sources import circrnadisease
+
+    raw = spark.createDataFrame([("1",)], "`pmid` string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing column"):
+        circrnadisease.prepare(raw)
+
+
+def test_circrnadisease_dataset_populate(spark, warehouse):
+    from bio2bel_spark.sources.datasets import CircRNADiseaseDataset
+
+    raw = spark.createDataFrame(
+        [
+            ("1", "hsa_circ_1", "circA", "synA", " glioma ", "RNA-seq",
+             "human", "Up"),
+            ("1", "hsa_circ_1", "circA", "synA", "glioma", "RNA-seq",
+             "human", "Up"),   # duplicate (circrna_id, disease, pmid)
+        ],
+        "`pmid` string, `circRNA id` string, `circRNA name` string, "
+        "`circRNA synonyms` string, `disease` string, "
+        "`method of circRNA detection` string, `species` string, "
+        "`expression pattern` string",
+    )
+    ds = CircRNADiseaseDataset(spark, warehouse, input_dfs={"raw": raw})
+    ds.populate()
+    assert ds.is_populated()
+    assert ds.table("associations").count() == 1
