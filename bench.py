@@ -45,6 +45,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from bio2bel_spark.session import get_spark
+    from bio2bel_spark.operators.caching import release_cached
 
     spark = get_spark(
         app_name="bio2bel-spark-bench",
@@ -65,8 +66,8 @@ def main() -> int:
             first_line = str(exc).strip().splitlines()[0][:160]
             errs[name] = first_line
             print(f"SMOKE FAIL {name}: {first_line}", file=sys.stderr)
-        # drop any MEMORY_AND_DISK blocks a query persisted during its run
-        spark.catalog.clearCache()
+        # drop the MEMORY_AND_DISK blocks the query's operators pinned
+        release_cached(spark)
     clean = {n: f for n, f in all_queries.items() if n not in errs}
 
     # each clean query is measured twice and the MIN is reported: the first
@@ -81,7 +82,7 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 2)
-        spark.catalog.clearCache()
+        release_cached(spark)
 
     with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
         json.dump(

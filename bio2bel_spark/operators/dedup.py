@@ -188,7 +188,7 @@ def _banded_buckets(
     the whole minhash pipeline. It is tiny relative to the corpus (bands ×
     one hash per doc), so MEMORY_AND_DISK is safe at any scale.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     rows_per_band = n_hashes // bands
     sig = docs.select(
@@ -209,7 +209,7 @@ def _banded_buckets(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    return banded.persist(StorageLevel.MEMORY_AND_DISK)
+    return banded.transform(tracked_persist)
 
 
 def lsh_candidate_pairs(
@@ -251,11 +251,11 @@ def jaccard_verify(
     backend: str = "md5",
 ) -> DataFrame:
     """True n-gram Jaccard over candidate pairs (LSH is recall-only)."""
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     sh = docs.select(
         F.col(id_col), shingle_hashes(text_col, shingle_n, backend).alias("__sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # joined from both pair sides
+    ).transform(tracked_persist)  # joined from both pair sides
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -431,7 +431,7 @@ def decontaminate(
     dropped. The left-anti removal keys on the corpus id only, so one
     benchmark hit removes the document everywhere.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     hits = fuzzy_join(
         corpus,
@@ -448,7 +448,7 @@ def decontaminate(
     hit_ids = (
         hits.select(F.col("lid").alias(corpus_id))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     clean = corpus.join(hit_ids, corpus_id, "left_anti")
     return clean, hits
@@ -469,14 +469,14 @@ def ngram_jaccard_pairs(
     within shingle buckets, so it is the *exact* baseline the LSH path is
     validated against.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     # consumed three times (both join sides + sizes) — persist the exploded
     # inverted index instead of re-hashing the corpus per consumer
     sh = docs.select(
         F.col(id_col),
         F.explode(shingle_hashes(text_col, shingle_n, backend)).alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sh.alias("x")
@@ -561,9 +561,9 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "__fp", "bb.band", "bb.key")
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = banded.transform(tracked_persist)
     a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
     b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
     cand = (

@@ -183,20 +183,20 @@ def pagerank(
     Fixed iterations (not convergence detection) make the result
     deterministic and replayable in unrolled SQL.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     n = nodes.count()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     ed = (
         edges.select(src, dst)
         .join(deg, src)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -423,9 +423,9 @@ class KnowledgeGraph:
         runs the range-partitioned enumeration once instead of once per
         side (node-id-sized rows — the artifact the reference writes to
         disk at this point, ``bel_manager.py:145-161``)."""
-        from pyspark import StorageLevel
+        from bio2bel_spark.operators.caching import tracked_persist
 
-        idx = self.node_index().persist(StorageLevel.MEMORY_AND_DISK)
+        idx = self.node_index().transform(tracked_persist)
         return (
             self.edges.select(
                 F.concat_ws(":", "source_ns", "source_id").alias("src"),

@@ -209,21 +209,19 @@ def embedding_near_pairs_multiprobe(
     survivors verify with exact cosine. Strictly higher recall than
     :func:`embedding_near_pairs` at ``nprobe×`` the candidate volume.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     # the input feeds FOUR consumers (centroid take, probe assignment, and
     # both verify sides) — persist the narrow projection once so upstream
     # reads/augmentation don't re-run per consumer
-    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).transform(tracked_persist)
     # (cluster, id) rides through a self-join and the ranking expression
     # behind it is 8 cosines + an array_sort per row — persist the narrow
     # probe table so that work happens once, not once per join side
     probes = (
         ivf_assign_multi(embeddings, n_clusters, nprobe, vec_col, id_col)
         .select(F.col("cluster"), F.col(id_col))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     cand = (
         probes.withColumnRenamed(id_col, "id_a")
@@ -236,7 +234,7 @@ def embedding_near_pairs_multiprobe(
     # consumed by both pair sides: persist so the scan+norm runs once
     sides = embeddings.select(
         F.col(id_col), v.alias("v"), _norm(v).alias("n")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     return (
         cand.join(
             sides.withColumnRenamed(id_col, "id_a")
@@ -272,13 +270,11 @@ def embedding_near_pairs(
     approximation of all-pairs cosine (recall loss only across cluster
     boundaries; raise ``n_clusters``/add multi-probe for tighter recall).
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     # three consumers (centroid take + both join sides): persist the narrow
     # projection so upstream reads/augmentation run once
-    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).transform(tracked_persist)
     assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
     # norms once per ROW below the join; the quadratic side is one dot product
@@ -331,7 +327,7 @@ def knn_join(
     cluster-partitioned, scan pruning keeps each query's read to its probed
     lists.
     """
-    from pyspark import StorageLevel
+    from bio2bel_spark.operators.caching import tracked_persist
 
     cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
     v = F.col(vec_col).cast("array<double>")
@@ -343,7 +339,7 @@ def knn_join(
             v.alias("__cv"),
             _norm(v).alias("__cn"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     q = ivf_assign_multi(
         queries, n_clusters, nprobe, vec_col, id_col, centroids=cents

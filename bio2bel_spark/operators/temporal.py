@@ -335,10 +335,10 @@ def hypertable_rollup(
             F.count(F.lit(1)).alias("__n"),
             F.sum(value_col).alias("__sum"),
         )
-        from pyspark import StorageLevel
+        from bio2bel_spark.operators.caching import tracked_persist
 
         if coarser:
-            fine = fine.persist(StorageLevel.MEMORY_AND_DISK)
+            fine = fine.transform(tracked_persist)
         out = fine.select(
             F.lit(finest).alias("grain"),
             *dims,
