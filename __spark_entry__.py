@@ -2869,22 +2869,27 @@ def oracle_sql() -> dict[str, str]:
                  AS u(i)
         """,
         "cms_counts": """
-            WITH src AS (SELECT l_partkey::VARCHAR AS x FROM lineitem),
+            WITH src AS (SELECT md5(l_partkey::VARCHAR) AS h FROM lineitem),
+            hh AS (
+                SELECT ('0x' || substr(h, 1, 8))::BIGINT AS h1,
+                       ('0x' || substr(h, 9, 8))::BIGINT AS h2
+                FROM src
+            ),
             grid AS (
-                SELECT d.d,
-                       ('0x' || substr(md5(d.d::VARCHAR || ':' || x), 1, 8))::BIGINT
-                           % 1024 AS w,
+                SELECT d.d, (h1 + d.d * h2) % 1024 AS w,
                        count(*)::BIGINT AS cnt
-                FROM src, unnest(range(0, 4)) AS d(d)
+                FROM hh, unnest(range(0, 4)) AS d(d)
                 GROUP BY 1, 2
             ),
             keys AS (
-                SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey < 20
+                SELECT DISTINCT l_partkey,
+                       md5(l_partkey::VARCHAR) AS h
+                FROM lineitem WHERE l_partkey < 20
             ),
             probes AS (
                 SELECT l_partkey, d.d,
-                       ('0x' || substr(md5(d.d::VARCHAR || ':'
-                           || l_partkey::VARCHAR), 1, 8))::BIGINT % 1024 AS w
+                       (('0x' || substr(h, 1, 8))::BIGINT
+                        + d.d * ('0x' || substr(h, 9, 8))::BIGINT) % 1024 AS w
                 FROM keys, unnest(range(0, 4)) AS d(d)
             )
             SELECT l_partkey, min(coalesce(g.cnt, 0))::BIGINT AS estimate

@@ -233,41 +233,94 @@ def heavy_hitters(df: DataFrame, cols: Sequence[str] | str, k: int = 20) -> Data
     )
 
 
+def _cms_h1_h2(col: Column, backend: str) -> tuple[Column, Column]:
+    """The two base hashes of the Kirsch-Mitzenmacher family, from ONE
+    hash evaluation per value.
+
+    ``md5``: halves of a single digest — ``h1`` = hex chars 1-8, ``h2`` =
+    chars 9-16, each a uniform 32-bit value (DuckDB replays with
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT`` / ``substr(..., 9, 8)``).
+    ``xxhash64``: two seeded evaluations (still cheap; no oracle parity).
+    """
+    if backend == "md5":
+        digest = F.md5(col)
+        h1 = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(digest, 9, 8), 16, 10).cast("long")
+        return h1, h2
+    if backend == "xxhash64":
+        space = F.lit(1 << 32)
+        return (
+            F.pmod(F.xxhash64(col), space).cast("long"),
+            F.pmod(F.xxhash64(F.lit(1), col), space).cast("long"),
+        )
+    raise ValueError(f"unknown hash backend {backend!r} (md5 | xxhash64)")
+
+
+def _cms_w(h1: Column, h2: Column, d, width: int) -> Column:
+    """Row-``d`` bucket: ``(h1 + d*h2) mod width``. With h1, h2 < 2^32 and
+    small ``d`` the product stays far inside long range — no ANSI overflow."""
+    d = F.lit(d) if isinstance(d, int) else d
+    return F.pmod(h1 + d * h2, F.lit(width))
+
+
 def cms_state(
     df: DataFrame,
     col: str,
     width: int = 1024,
     depth: int = 4,
     backend: str = "md5",
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Count-min sketch state: sparse ``(d, w, cnt)`` counters.
 
-    Row ``d`` uses hash ``portable_hash(d || ':' || value) % width`` — a
-    salted family from the one portable hash, so every engine (and every
-    shard) builds the identical grid. The state is MERGEABLE: summing two
+    Row ``d``'s bucket is ``(h1 + d*h2) mod width`` with ``h1``/``h2`` the
+    two halves of ONE portable digest per value — the Kirsch-Mitzenmacher
+    double-hashing family ("Less Hashing, Same Performance", 2006), which
+    preserves the CMS error bounds while hashing each row once instead of
+    ``depth`` times. Every engine (and every shard) builds the identical
+    grid, so the state is oracle-replayable AND MERGEABLE: summing two
     states' counters gives the state of the concatenated inputs, which is
     what lets per-partition/per-day sketches roll up without a raw recount.
     groupBy(d, w) is map-side combinable; state size is ≤ depth×width rows
     regardless of input size.
 
-    SINGLE PASS over the input: each row explodes into its ``depth`` grid
-    cells in the projection — a union of ``depth`` full selects would scan a
-    100 TB table ``depth`` times for a sketch whose whole point is one pass.
+    SINGLE PASS over the input: the digest is computed in the pre-explode
+    projection (once per value), then each value fans out into its ``depth``
+    grid cells — a union of ``depth`` full selects would scan a 100 TB
+    table ``depth`` times for a sketch whose whole point is one pass.
+
+    ``pre_aggregate`` (default): count per distinct VALUE first (map-side
+    combinable groupBy), then hash each value once and scale by its count —
+    frequency sketches target skewed/bounded domains, where distinct values
+    are orders of magnitude fewer than rows, so this slashes digest cost and
+    parallelizes the hashing past the scan's split count. For a near-unique
+    domain (where the per-partition agg state would rival the input) pass
+    ``pre_aggregate=False``: pure map-side hashing, zero pre-shuffle state.
     """
-    cells = df.select(
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
-        F.col(col).cast("string").alias("__v"),
-    ).select(
-        "d",
-        F.pmod(
-            portable_hash(
-                F.concat_ws(":", F.col("d").cast("string"), F.col("__v")),
-                backend=backend,
-            ),
-            F.lit(width),
-        ).alias("w"),
-    )
-    return cells.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    if pre_aggregate:
+        base = df.groupBy(F.col(col).cast("string").alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        h1, h2 = _cms_h1_h2(F.col("__v"), backend)
+        base = base.select(h1.alias("__h1"), h2.alias("__h2"), "__n")
+    else:
+        h1, h2 = _cms_h1_h2(F.col(col).cast("string"), backend)
+        base = df.select(
+            h1.alias("__h1"), h2.alias("__h2"), F.lit(1).alias("__n")
+        )
+    cells = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.struct(
+                    d.alias("d"),
+                    _cms_w(F.col("__h1"), F.col("__h2"), d, width).alias("w"),
+                ),
+            )
+        ).alias("c"),
+        F.col("__n"),
+    ).select("c.d", "c.w", "__n")
+    return cells.groupBy("d", "w").agg(F.sum("__n").cast("long").alias("cnt"))
 
 
 def cms_merge(states: Sequence[DataFrame]) -> DataFrame:
@@ -294,20 +347,17 @@ def cms_estimate(
     never touches the original data. Estimates are upper bounds:
     ``true ≤ est ≤ true + εN`` with ``ε ≈ e/width``.
     """
+    h1, h2 = _cms_h1_h2(F.col(key_col).cast("string"), backend)
     probes = keys.select(
+        F.col(key_col), h1.alias("__h1"), h2.alias("__h2")
+    ).select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+        F.col("__h1"),
+        F.col("__h2"),
     ).withColumn(
-        "w",
-        F.pmod(
-            portable_hash(
-                F.concat_ws(":", F.col("d").cast("string"),
-                            F.col(key_col).cast("string")),
-                backend=backend,
-            ),
-            F.lit(width),
-        ),
-    )
+        "w", _cms_w(F.col("__h1"), F.col("__h2"), F.col("d"), width)
+    ).drop("__h1", "__h2")
     return (
         probes.join(state, ["d", "w"], "left")
         .groupBy(key_col)
