@@ -1526,6 +1526,28 @@ def q_cms_counts(spark, sf_dir):
     return cms_estimate(st, keys, "l_partkey", width=1024, depth=4)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Exact-membership decontamination via a portable Bloom filter: the
+    benchmark set's texts become a ≤m-bit literal bitmask; the corpus probe
+    is a pure map (getbit inside codegen — no join, no shuffle). Per-source
+    flagged/total counts."""
+    from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    state = bloom_state(bench, "text", m=1 << 16, k=4)
+    probed = bloom_probe(
+        state, docs.select("doc_id", "source", "text"), "text",
+        m=1 << 16, k=4,
+    )
+    return probed.groupBy("source").agg(
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (Bar-Yossef et al.): deterministic synopsis,
     so even the *estimate* is oracle-checkable (unlike HLL)."""
@@ -1907,6 +1929,7 @@ QUERIES: dict[str, Callable] = {
     # sketches + sampling
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
+    "bloom_decontaminate": q_bloom_decontaminate,
     # embeddings (iterative / multi-stage plans)
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
@@ -2895,6 +2918,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, min(coalesce(g.cnt, 0))::BIGINT AS estimate
             FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
             GROUP BY l_partkey
+        """,
+        "bloom_decontaminate": """
+            WITH bench AS (
+                SELECT DISTINCT text AS v FROM documents
+                WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            ),
+            bh AS (
+                SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT AS h1,
+                       ('0x' || substr(md5(v), 9, 8))::BIGINT AS h2
+                FROM bench
+            ),
+            bits AS (
+                SELECT DISTINCT (h1 + j.j * h2) % 65536 AS pos
+                FROM bh, unnest(range(0, 4)) AS j(j)
+            ),
+            ph AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(text), 1, 8))::BIGINT AS h1,
+                       ('0x' || substr(md5(text), 9, 8))::BIGINT AS h2
+                FROM documents WHERE text IS NOT NULL
+            ),
+            probe_pos AS (
+                SELECT doc_id, j.j AS j, (h1 + j.j * h2) % 65536 AS pos
+                FROM ph, unnest(range(0, 4)) AS j(j)
+            ),
+            hits AS (
+                SELECT doc_id, count(DISTINCT j) AS nhit
+                FROM probe_pos JOIN bits USING (pos)
+                GROUP BY doc_id
+            )
+            SELECT d.source,
+                   sum(CASE WHEN h.nhit = 4 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_flagged,
+                   count(*)::BIGINT AS n_docs
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            GROUP BY d.source
         """,
         "kmv_distinct": """
             WITH h AS (

@@ -39,6 +39,9 @@ __all__ = [
     "cms_state",
     "cms_merge",
     "cms_estimate",
+    "bloom_state",
+    "bloom_merge",
+    "bloom_probe",
     "hash_split",
     "split_counts",
     "heavy_hitters",
@@ -60,10 +63,17 @@ def kmv_state(df: DataFrame, col: str, k: int = 256,
     with :func:`kmv_merge` — the property that lets a 1000-executor job
     keep k longs per partition instead of a distinct-count shuffle.
     """
-    h = portable_hash(F.col(col).cast("string"), backend=backend)
+    # distinct on the VALUE before hashing: the map-side-combinable distinct
+    # reduces the stream to unique values first, so digest cost scales with
+    # cardinality instead of row count and the hashing parallelizes past the
+    # scan's split count. The second distinct (on h) preserves the sketch's
+    # exact prior semantics when two distinct values collide on the 32-bit
+    # hash; it runs over cardinality-many rows, not the raw input.
     return (
-        df.select(h.alias("h"))
-        .where(F.col("h").isNotNull())
+        df.select(F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(portable_hash(F.col("__v"), backend=backend).alias("h"))
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -321,6 +331,98 @@ def cms_state(
         F.col("__n"),
     ).select("c.d", "c.w", "__n")
     return cells.groupBy("d", "w").agg(F.sum("__n").cast("long").alias("cnt"))
+
+
+def bloom_state(
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    backend: str = "md5",
+) -> DataFrame:
+    """Bloom filter as a sparse set of set bit positions: a ``(pos)``
+    DataFrame with ≤ ``m`` distinct rows.
+
+    Value positions come from the same Kirsch-Mitzenmacher family as the
+    count-min grid — ``(h1 + j*h2) mod m`` for ``j < k`` with one digest per
+    DISTINCT value — so every engine and every shard sets identical bits.
+    MERGEABLE: the union of two states (distinct) is the state of the union
+    of their inputs, so per-shard/per-day filters roll up for free. The
+    sparse representation keeps the membership sketch joinable: no bitset
+    blob, no UDF, and a filter built from millions of keys is still only
+    ≤ m rows of one int column (broadcastable at the default m ≈ 1M ≈ 8 MB).
+
+    Classic 100 TB use: build the filter over a SMALL benchmark/blocklist
+    table, probe the corpus with :func:`bloom_probe` — a broadcast join
+    instead of shuffling the corpus against the blocklist.
+    """
+    h1, h2 = _cms_h1_h2(F.col("__v"), backend)
+    return (
+        df.select(F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda j: F.pmod(h1 + j * h2, F.lit(m)),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(states: Sequence[DataFrame]) -> DataFrame:
+    """Union of set bits: the state of the unioned inputs."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.distinct()
+
+
+def bloom_probe(
+    state: DataFrame,
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    backend: str = "md5",
+    flag_col: str = "maybe_member",
+) -> DataFrame:
+    """``df`` + boolean ``flag_col``: True iff ALL ``k`` of the value's bit
+    positions are set in ``state`` (standard Bloom semantics — no false
+    negatives; false positives at rate ``≈ (1 - e^{-kn/m})^k``).
+
+    The state is bounded by construction (≤ m bits = m/8 bytes — 128 KB at
+    the default m), so it is collected ONCE into a driver-side bitmask and
+    embedded in the plan as a literal array of longs. The probe is then a
+    PURE MAP — ``getbit`` lookups inside whole-stage codegen, no join, no
+    shuffle, nothing wide touching the corpus — the same shape as Spark's
+    own DPP bloom pushdown, but with an engine-portable hash family. A null
+    probe value yields False (it was never inserted).
+    """
+    n_words = (m + 63) // 64
+    words = [0] * n_words
+    for row in state.collect():
+        words[row["pos"] >> 6] |= 1 << (row["pos"] & 63)
+    # two's-complement fold: Spark long literals are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    wcol = F.lit(words)
+
+    val = F.col(col).cast("string")
+    h1, h2 = _cms_h1_h2(val, backend)
+    conds = []
+    for j in range(k):
+        pos = F.pmod(h1 + j * h2, F.lit(m))
+        word = F.element_at(wcol, F.floor(pos / F.lit(64)).cast("int") + 1)
+        conds.append(F.getbit(word, F.pmod(pos, F.lit(64))) == 1)
+    member = conds[0]
+    for c in conds[1:]:
+        member = member & c
+    return df.withColumn(
+        flag_col, F.when(val.isNull(), F.lit(False)).otherwise(member)
+    )
 
 
 def cms_merge(states: Sequence[DataFrame]) -> DataFrame:

@@ -190,3 +190,45 @@ def test_cms_estimate_bounds_and_merge(spark):
     est2 = {r.v: r.estimate for r in
             cms_estimate(merged, keys, "v", width=256, depth=4).collect()}
     assert est2 == est
+
+
+# ----------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives(spark):
+    from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
+
+    members = spark.createDataFrame([(f"doc-{i}",) for i in range(50)], "v string")
+    state = bloom_state(members, "v", m=1 << 12, k=4)
+    probed = bloom_probe(state, members, "v", m=1 << 12, k=4)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_bloom_rejects_most_non_members_and_nulls(spark):
+    from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
+
+    members = spark.createDataFrame([(f"in-{i}",) for i in range(20)], "v string")
+    state = bloom_state(members, "v", m=1 << 14, k=4)
+    others = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(200)] + [(None,)], "v string"
+    )
+    probed = bloom_probe(state, others, "v", m=1 << 14, k=4)
+    fp = probed.filter(F.col("maybe_member")).count()
+    # 20 keys in 16384 bits: FP rate ~ (80/16384)^4 ~ 1e-9; allow slack
+    assert fp <= 2
+    assert probed.filter(F.col("v").isNull()).collect()[0]["maybe_member"] is False
+
+
+def test_bloom_merge_is_union(spark):
+    from bio2bel_spark.operators.sketch import bloom_merge, bloom_probe, bloom_state
+
+    a = spark.createDataFrame([("x",), ("y",)], "v string")
+    b = spark.createDataFrame([("z",)], "v string")
+    merged = bloom_merge(
+        [bloom_state(a, "v", m=1 << 10, k=3), bloom_state(b, "v", m=1 << 10, k=3)]
+    )
+    direct = bloom_state(a.unionByName(b), "v", m=1 << 10, k=3)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in direct.collect()
+    )
+    probed = bloom_probe(merged, a.unionByName(b), "v", m=1 << 10, k=3)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
