@@ -1860,6 +1860,15 @@ def q_decontaminate(spark, sf_dir):
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smooth idf, sklearn formulation):
+    explode → two map-side-combinable aggs → idf join → per-doc window."""
+    from bio2bel_spark.operators.textquality import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+
+
 def q_deterministic_shuffle(spark, sf_dir):
     """Reproducible training-order shuffle: seeded-hash enumeration via the
     range-partitioned sort (no RNG, no single-reducer window)."""
@@ -1954,6 +1963,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "line_dedup": q_line_dedup,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "fuzzy_join": q_fuzzy_join,
     "decontaminate": q_decontaminate,
     "training_pipeline": q_training_pipeline,
@@ -2918,6 +2928,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, min(coalesce(g.cnt, 0))::BIGINT AS estimate
             FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
             GROUP BY l_partkey
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    string_split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ')
+                ) AS term
+                FROM documents
+            ), nz AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM nz GROUP BY doc_id, term
+            ), df_t AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * (ln((n.n_docs + 1) / (df_t.df + 1.0)) + 1.0)
+                           AS score
+                FROM tf JOIN df_t USING (term), n
+            ), ranked AS (
+                SELECT doc_id, term, tf, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, round(score, 6) AS tfidf
+            FROM ranked WHERE rn <= 3
         """,
         "bloom_decontaminate": """
             WITH bench AS (

@@ -8,7 +8,7 @@ are deterministic and DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword profiles (n-gram heuristic seeds). Real
@@ -160,4 +160,58 @@ def fingerprint(col) -> Column:
         hashes,
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document: ``(id, term, tf, score)``.
+
+    Smooth-idf formulation (the scikit-learn default, so results are
+    checkable against any reference): ``idf = ln((N+1)/(df+1)) + 1``,
+    ``score = tf * idf``, ties broken by term ascending for determinism.
+
+    Scale shape: explode is map-only; term frequencies shuffle once on
+    ``(id, term)`` with map-side combine; document frequencies re-aggregate
+    the (already small) tf table by term; N rides in as a broadcast 1-row
+    cross join; the idf join shuffles on term (AQE may broadcast a small
+    vocabulary); the final top-n is one window per document partition. No
+    Python, no collect.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # the corpus count is a 1-row broadcast: the nested-loop join this plans
+    # to is O(1) per probe row (build side is a single scalar), not a
+    # quadratic blow-up — allowlisted in the plan guardrails like kg_summary
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = df_t.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (
+            F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf"),
+        (F.col("tf") * F.col("idf")).alias("__score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(
+            id_col, "term", "tf", F.round("__score", 6).alias("tfidf")
+        )
     )

@@ -20,7 +20,10 @@ import __spark_entry__ as entrymod
 #: queries that are *documented* quadratic correctness baselines, plus
 #: cross joins whose both sides are single-row aggregates (scalar stitching,
 #: O(1) by construction)
-QUADRATIC_OK = {"embedding_near_pairs_exact", "kg_summary"}
+# embedding_near_pairs_exact is the labeled exact baseline; kg_summary and
+# tfidf_top_terms cross-join a ONE-ROW scalar aggregate (corpus count) — the
+# nested loop's build side is a single row, O(1) per probe row, not quadratic
+QUADRATIC_OK = {"embedding_near_pairs_exact", "kg_summary", "tfidf_top_terms"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))

@@ -78,3 +78,41 @@ def test_fingerprint_properties(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert 0 <= got[1] < tq.FINGERPRINT_MOD
+
+
+def test_tfidf_top_terms_basic(spark):
+    from bio2bel_spark.operators.textquality import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "date date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple (tf=2, df=1) outscores banana (tf=1, df=2)
+    assert by_doc[1][0]["term"] == "apple" and by_doc[1][0]["tf"] == 2
+    # doc 3's only term is the rare 'date' with tf=4 — a single row
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["term"] == "date"
+    # smooth idf: score = tf * (ln((N+1)/(df+1)) + 1), N=3
+    import math
+
+    expected = round(2 * (math.log(4 / 2) + 1), 6)
+    assert abs(by_doc[1][0]["tfidf"] - expected) < 1e-9
+    # every doc returns at most top_n rows, ties broken by term asc
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_empty_text_yields_no_rows(spark):
+    from bio2bel_spark.operators.textquality import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "word")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs)
+    assert [r["doc_id"] for r in out.collect()] == [2]
