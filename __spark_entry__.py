@@ -1860,6 +1860,26 @@ def q_decontaminate(spark, sf_dir):
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Triangles in the part co-occurrence graph (parts sharing an order —
+    per-order fan-out is bounded by order size, so edge generation is a
+    bounded explode, not a cartesian). Degree-ordered orientation caps the
+    wedge intermediate at O(m^1.5) regardless of hub skew."""
+    from bio2bel_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))
+    ).select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    return triangle_count(edges, "src", "dst")
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smooth idf, sklearn formulation):
     explode → two map-side-combinable aggs → idf join → per-doc window."""
@@ -1939,6 +1959,7 @@ QUERIES: dict[str, Callable] = {
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "triangle_count": q_triangle_count,
     # embeddings (iterative / multi-stage plans)
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
@@ -2928,6 +2949,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, min(coalesce(g.cnt, 0))::BIGINT AS estimate
             FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
             GROUP BY l_partkey
+        """,
+        "triangle_count": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem WHERE l_partkey % 4 = 0
+            ),
+            e0 AS (
+                SELECT DISTINCT a.pk AS u, b.pk AS v
+                FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            deg AS (
+                SELECT n, count(*)::BIGINT AS d
+                FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+                GROUP BY n
+            ),
+            o AS (
+                SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                            THEN u ELSE v END AS s,
+                       CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                            THEN v ELSE u END AS t,
+                       CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                            THEN dv.d ELSE du.d END AS td
+                FROM e0
+                JOIN deg du ON du.n = e0.u
+                JOIN deg dv ON dv.n = e0.v
+            ),
+            w AS (
+                SELECT x.t AS s, y.t AS t
+                FROM o x JOIN o y
+                ON x.s = y.s
+                   AND (x.td < y.td OR (x.td = y.td AND x.t < y.t))
+            )
+            SELECT (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+                   (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                   (SELECT count(*) FROM w
+                    JOIN o ON w.s = o.s AND w.t = o.t)::BIGINT AS n_triangles
         """,
         "tfidf_top_terms": """
             WITH toks AS (

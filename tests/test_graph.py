@@ -238,3 +238,36 @@ def test_pagerank_symmetric_graph_conserves_mass(spark):
     df = spark.createDataFrame(e + [(b, a) for a, b in e], "src long, dst long")
     total = pagerank(df, iterations=6).agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    from bio2bel_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (no new triangle);
+    # duplicated and reversed edges must not change the counts
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (5, 1), (1, 5),           # pendant, both directions
+            (2, 1), (3, 1),           # reversed duplicates
+            (4, 4),                   # self-loop dropped
+        ],
+        "src int, dst int",
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_edges"] == 7
+    assert row["n_triangles"] == 4
+    # K4 contributes C(2,1) wedges per oriented node... just sanity-bound it
+    assert row["n_wedges"] >= row["n_triangles"]
+
+
+def test_triangle_count_triangle_free(spark):
+    from bio2bel_spark.operators.graph import triangle_count
+
+    # a path graph has zero triangles
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src int, dst int"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_edges"] == 10
+    assert row["n_triangles"] == 0
