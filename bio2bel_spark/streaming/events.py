@@ -249,3 +249,104 @@ def run_sketch_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cms_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    backend: str = "md5",
+):
+    """Maintain a count-min frequency sketch incrementally over a stream.
+
+    Per micro-batch: build the batch's CMS state (≤ depth×width counter
+    rows) and SUM it into the persistent ``state_table`` via
+    ``sketch.cms_merge`` — mergeability keeps each update O(state), never a
+    re-scan of history.
+
+    Unlike KMV's min-k merge, counter SUMMING IS NOT IDEMPOTENT: replaying
+    an already-applied batch after a crash would double-count it. The state
+    therefore carries a companion ``{state_table}__meta(last_batch_id)``
+    row, and a batch whose ``batch_id`` is not strictly greater than the
+    recorded one is skipped — foreachBatch replays are exactly-once against
+    the counters. (Same transactional-marker pattern Spark documents for
+    non-idempotent foreachBatch sinks.)
+    """
+    from bio2bel_spark.operators.sketch import cms_merge, cms_state
+
+    meta_table = f"{state_table}__meta"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if catalog.table_exists(meta_table):
+            last = catalog.read_table(meta_table).collect()[0]["last_batch_id"]
+            if batch_id <= last:  # replay of an applied batch: skip
+                return
+        batch_state = cms_state(
+            batch_df, col, width=width, depth=depth, backend=backend
+        )
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            merged = cms_merge([prev, batch_state])
+        else:
+            merged = batch_state
+        # materialize before overwriting the table the lineage reads
+        rows = merged.collect()
+        out = ss.createDataFrame(rows or [], "d INT, w BIGINT, cnt BIGINT")
+        catalog.write_table(out, state_table, mode="overwrite")
+        catalog.write_table(
+            ss.createDataFrame([(batch_id,)], "last_batch_id LONG"),
+            meta_table,
+            mode="overwrite",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_bloom_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    backend: str = "md5",
+):
+    """Maintain a Bloom membership filter incrementally over a stream.
+
+    Per micro-batch the batch's set bit positions union into the persistent
+    state (``sketch.bloom_merge``). Set union IS idempotent — replaying a
+    batch re-sets bits that are already set — so no batch-id guard is
+    needed; a restart replays at most one batch harmlessly, exactly like
+    the KMV maintenance. Probe the accumulated filter at any time with
+    ``sketch.bloom_probe`` over the state table.
+    """
+    from bio2bel_spark.operators.sketch import bloom_merge, bloom_state
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = bloom_state(batch_df, col, m=m, k=k, backend=backend)
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            merged = bloom_merge([prev, batch_state])
+        else:
+            merged = batch_state
+        rows = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(rows or [], "pos BIGINT")
+        catalog.write_table(out, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

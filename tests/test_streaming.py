@@ -281,3 +281,90 @@ def test_kmv_sketch_maintenance_incremental(spark, tmp_path_factory):
     assert sorted(r.h for r in state.collect()) == sorted(
         r.h for r in direct.collect()
     )
+
+
+def test_cms_maintenance_incremental_and_replay_guarded(spark, tmp_path_factory):
+    """Two incremental CMS runs == direct sketch of all data; the batch-id
+    guard makes counter-summing safe against foreachBatch replays."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import cms_state
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_cms")))
+    src = str(tmp_path_factory.mktemp("cms_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us(i), i % 5, "click", 1.0, "{}") for i in range(20)])
+    ck = str(tmp_path_factory.mktemp("ck_cms"))
+    q = sev.run_cms_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "cms_state", ck,
+        width=64, depth=2,
+    )
+    q.awaitTermination(240)
+
+    batch([(100 + i, _us(100 + i), 3 + i, "view", 1.0, "{}") for i in range(10)])
+    q2 = sev.run_cms_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "cms_state", ck,
+        width=64, depth=2,
+    )
+    q2.awaitTermination(240)
+
+    state = {(r.d, r.w): r.cnt for r in catalog.read_table("cms_state").collect()}
+    direct = cms_state(
+        spark.read.parquet(src).select("user_id"), "user_id",
+        width=64, depth=2,
+    )
+    assert state == {(r.d, r.w): r.cnt for r in direct.collect()}
+    # meta row recorded the last applied batch id
+    assert catalog.table_exists("cms_state__meta")
+
+
+def test_bloom_maintenance_incremental(spark, tmp_path_factory):
+    """Incremental bloom state == direct state; accumulated filter has no
+    false negatives over everything streamed so far."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
+    from pyspark.sql import functions as F
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_bloom")))
+    src = str(tmp_path_factory.mktemp("bloom_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us(i), i, "click", 1.0, "{}") for i in range(10)])
+    ck = str(tmp_path_factory.mktemp("ck_bloom"))
+    q = sev.run_bloom_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "bloom_state", ck,
+        m=1 << 12, k=3,
+    )
+    q.awaitTermination(240)
+
+    batch([(100 + i, _us(100 + i), 10 + i, "view", 1.0, "{}") for i in range(10)])
+    q2 = sev.run_bloom_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "bloom_state", ck,
+        m=1 << 12, k=3,
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("bloom_state")
+    direct = bloom_state(
+        spark.read.parquet(src).select("user_id"), "user_id", m=1 << 12, k=3
+    )
+    assert sorted(r.pos for r in state.collect()) == sorted(
+        r.pos for r in direct.collect()
+    )
+    seen = spark.createDataFrame([(i,) for i in range(20)], "user_id long")
+    probed = bloom_probe(state, seen, "user_id", m=1 << 12, k=3)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
