@@ -1526,6 +1526,20 @@ def q_cms_counts(spark, sf_dir):
     return cms_estimate(st, keys, "l_partkey", width=1024, depth=4)
 
 
+def q_kmv_grouped(spark, sf_dir):
+    """Per-group distinct-count sketch: KMV synopses per event_type (k=64
+    smallest hashes via WindowGroupLimit — per-group top-k, no full sort),
+    estimates exact below k."""
+    from bio2bel_spark.operators.sketch import (
+        kmv_estimate_grouped,
+        kmv_state_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    st = kmv_state_grouped(ev, "user_id", "event_type", k=64)
+    return kmv_estimate_grouped(st, "event_type", k=64)
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Exact-membership decontamination via a portable Bloom filter: the
     benchmark set's texts become a ≤m-bit literal bitmask; the corpus probe
@@ -1957,6 +1971,7 @@ QUERIES: dict[str, Callable] = {
     "hypertable_rollup": q_hypertable_rollup,
     # sketches + sampling
     "kmv_distinct": q_kmv_distinct,
+    "kmv_grouped": q_kmv_grouped,
     "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
     "triangle_count": q_triangle_count,
@@ -3051,6 +3066,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM documents d LEFT JOIN hits h USING (doc_id)
             GROUP BY d.source
+        """,
+        "kmv_grouped": """
+            WITH v AS (
+                SELECT DISTINCT event_type, user_id::VARCHAR AS v
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5(v), 1, 8))::BIGINT AS h
+                FROM v
+            ),
+            r AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM h
+            ),
+            k AS (SELECT event_type, h FROM r WHERE rn <= 64)
+            SELECT event_type, count(*)::BIGINT AS n_hashes,
+                   round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                              ELSE 63 / (max(h) / 4294967296.0) END,
+                         6) AS estimate
+            FROM k GROUP BY event_type
         """,
         "kmv_distinct": """
             WITH h AS (

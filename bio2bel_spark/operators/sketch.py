@@ -36,6 +36,8 @@ __all__ = [
     "kmv_merge",
     "kmv_estimate",
     "kmv_distinct",
+    "kmv_state_grouped",
+    "kmv_estimate_grouped",
     "cms_state",
     "cms_merge",
     "cms_estimate",
@@ -464,4 +466,54 @@ def cms_estimate(
         probes.join(state, ["d", "w"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("estimate"))
+    )
+
+
+def kmv_state_grouped(
+    df: DataFrame,
+    col: str,
+    by: str,
+    k: int = 64,
+    backend: str = "md5",
+) -> DataFrame:
+    """Per-group KMV synopses: the ``k`` smallest distinct hashes of ``col``
+    within each ``by`` group, as ``(by, h)`` rows (≤ k per group).
+
+    Same two-stage shape as the global sketch — distinct on (group, value)
+    first so digests are paid per distinct pair — with the min-k selection
+    as a ``row_number`` window, which Spark executes as WindowGroupLimit
+    (per-partition top-k, no full sort). States merge per group exactly
+    like the global ones: union → distinct → re-take min-k.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("h")
+    return (
+        df.select(F.col(by), F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            F.col(by), portable_hash(F.col("__v"), backend=backend).alias("h")
+        )
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate_grouped(state: DataFrame, by: str, k: int = 64) -> DataFrame:
+    """Per-group ``(by, n_hashes, estimate)`` from a grouped KMV state —
+    the same ``(k-1)/max_normalized_hash`` estimator applied group-wise;
+    groups with fewer than ``k`` distinct hashes are exact."""
+    return state.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(
+                F.lit(k - 1) / (F.max("h") / F.lit(_HASH_SPACE))
+            ),
+            6,
+        ).alias("estimate"),
     )

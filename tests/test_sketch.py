@@ -232,3 +232,42 @@ def test_bloom_merge_is_union(spark):
     )
     probed = bloom_probe(merged, a.unionByName(b), "v", m=1 << 10, k=3)
     assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+# ----------------------------------------------------------- grouped kmv
+
+def test_kmv_grouped_exact_below_k(spark):
+    from bio2bel_spark.operators.sketch import (
+        kmv_estimate_grouped,
+        kmv_state_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(50)],
+        "g string, v long",
+    )
+    est = {
+        r["g"]: (r["n_hashes"], r["estimate"])
+        for r in kmv_estimate_grouped(
+            kmv_state_grouped(df, "v", "g", k=16), "g", k=16
+        ).collect()
+    }
+    assert est == {"a": (7, 7.0), "b": (3, 3.0)}
+
+
+def test_kmv_grouped_state_bounded_and_mergeable(spark):
+    from bio2bel_spark.operators.sketch import kmv_state_grouped
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(200)], "g string, v long"
+    )
+    st = kmv_state_grouped(df, "v", "g", k=8)
+    assert st.count() == 8
+    # mergeability: the k smallest of the union of two per-shard k-min sets
+    # equals the k smallest of the whole group
+    a = df.filter(F.col("v") < 100)
+    b = df.filter(F.col("v") >= 100)
+    ha = [r["h"] for r in kmv_state_grouped(a, "v", "g", k=8).collect()]
+    hb = [r["h"] for r in kmv_state_grouped(b, "v", "g", k=8).collect()]
+    direct = sorted(r["h"] for r in st.collect())
+    assert sorted(set(ha) | set(hb))[:8] == direct
