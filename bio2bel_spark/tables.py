@@ -34,6 +34,16 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+#: columns that are semantically timestamps — normalized to timestamp_ntz at
+#: scan time whatever physical layout the driver's data drop uses (events.ts
+#: has shipped as TIMESTAMP(NANOS) and as bare micros across rounds; the
+#: date columns share the same exposure)
+TEMPORAL_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
 
 #: session -> {(sf_dir, table) -> DataFrame}. A harness run executes dozens
 #: of queries in one session; without this each query re-lists the directory
@@ -57,7 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = cache.get(cache_key)
     if cached is not None:
         return cached
-    if name == "events":
+    temporal = TEMPORAL_COLUMNS.get(name, [])
+    if temporal:
         # Runtime-settable SQL confs; the driver's oracle harness builds its
         # own SparkSession without the session-factory confs, so the loader
         # must be self-sufficient (PARQUET_TYPE_ILLEGAL on nanos otherwise,
@@ -65,8 +76,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _normalize_ts(df, "ts")
+    for col in temporal:
+        df = _normalize_ts(df, col)
     cache[cache_key] = df
     return df
 
@@ -82,7 +93,8 @@ def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
     * ``timestamp_ntz`` — parquet TIMESTAMP(MICROS) with no timezone (the
       current layout) — already canonical;
     * ``timestamp`` — TIMESTAMP(MICROS) with timezone; cast is exact under
-      the UTC session timezone pinned by the caller.
+      the UTC session timezone pinned by the caller;
+    * ``date`` — midnight timestamps, exact under any timezone.
 
     Raises loudly on any other dtype: a silent new layout must fail the scan,
     not corrupt every downstream temporal operator (this bit rounds 1 and 3).
@@ -93,13 +105,13 @@ def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
             col,
             F.timestamp_micros(F.expr(f"{col} DIV 1000")).cast("timestamp_ntz"),
         )
-    elif dtype == "timestamp":
+    elif dtype in ("timestamp", "date"):
         df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     elif dtype != "timestamp_ntz":
         raise TypeError(
-            f"events.{col}: unexpected dtype {dtype!r}; expected one of "
-            "bigint (nanos-as-long), timestamp, timestamp_ntz — the driver's "
-            "testdata layout changed again; extend _normalize_ts"
+            f"{col}: unexpected dtype {dtype!r}; expected one of "
+            "bigint (nanos-as-long), timestamp, timestamp_ntz, date — the "
+            "driver's testdata layout changed again; extend _normalize_ts"
         )
     assert dict(df.dtypes)[col] == "timestamp_ntz"
     return df

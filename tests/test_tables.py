@@ -63,3 +63,23 @@ def test_load_table_events_canonical_dtype(spark, sf_dir):
         )
     ).count()
     assert n == ev.count()
+
+
+def test_normalize_ts_accepts_date_layout(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("2024-03-01",)], "d string").select(
+        F.col("d").cast("date").alias("ts")
+    )
+    out = _normalize_ts(df, "ts")
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    assert str(out.collect()[0]["ts"]) == "2024-03-01 00:00:00"
+
+
+def test_load_table_normalizes_all_temporal_columns(spark, sf_dir):
+    from bio2bel_spark.tables import TEMPORAL_COLUMNS
+
+    for table, cols in TEMPORAL_COLUMNS.items():
+        df = load_table(spark, sf_dir, table)
+        for col in cols:
+            assert dict(df.dtypes)[col] == "timestamp_ntz", (table, col)
