@@ -2,8 +2,10 @@
 
 Beyond-reference extension (SURVEY §7.2 phase 6). The Spark-side design is
 fully real — schema, partitioning, Arrow-batched ``mapInPandas`` signatures,
-batch shapes — while the actual codec work is STUBBED (image/audio libraries
-are not in this container):
+batch shapes. The AUDIO path decodes for real (stdlib ``wave`` + numpy —
+``backend='wav'`` in :func:`decode_features`, generator twin
+:func:`audio_from_documents`); image/video codecs are STUBBED because
+Pillow/ffmpeg are not in this container:
 
 * :data:`MEDIA_SCHEMA` — ``content BINARY`` + typed metadata struct, the
   lakehouse layout for a 100 TB multimodal corpus (partition by ``kind``,
@@ -81,11 +83,15 @@ def decode_features(
         for batch in batches:
             if backend == "stub":
                 feats = [ _stub_features(c) for c in batch["content"] ]
+            elif backend == "wav":
+                # REAL decode: stdlib wave + numpy (see _wav_features)
+                feats = [ _wav_features(c) for c in batch["content"] ]
             else:
                 raise NotImplementedError(
-                    f"decode backend {backend!r}: real codecs (Pillow/ffmpeg/"
-                    "librosa) are not available in this environment; plug the "
-                    "decoder in here — the Spark plumbing is complete"
+                    f"decode backend {backend!r}: image/video codecs (Pillow/"
+                    "ffmpeg) are not available in this environment; plug the "
+                    "decoder in here — the Spark plumbing is complete and the "
+                    "'wav' backend shows the real-decode shape end-to-end"
                 )
             yield pd.DataFrame(
                 {
@@ -130,3 +136,85 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
     )
+
+
+def _wav_bytes(doc_id: int, sample_rate: int = 8000, seconds: float = 0.25) -> bytes:
+    """Deterministic mono PCM16 WAV: a fixed-amplitude tone whose frequency
+    and amplitude derive from ``doc_id``. Real RIFF/WAVE bytes via the
+    stdlib ``wave`` writer — so the decode path exercises an actual codec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(sample_rate * seconds)
+    t = np.arange(n, dtype=np.float64)
+    freq = 110.0 + float(doc_id % 32) * 55.0
+    amp = 0.1 + float(doc_id % 7) * 0.1
+    sig = np.clip(amp * np.sin(2.0 * np.pi * freq * t / sample_rate), -1, 1)
+    pcm = (sig * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Build an audio media table from the documents table: REAL WAV bytes
+    per row (stdlib codec), generated deterministically inside an
+    Arrow-batched ``mapInPandas`` — the write-side twin of the wav decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": "audio",
+                    "content": [_wav_bytes(int(i), sample_rate) for i in ids],
+                    "meta": [
+                        {
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "sample_rate": sample_rate,
+                            "format": "wav",
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL audio features from WAV bytes (stdlib ``wave`` + numpy — no
+    external codec libraries): duration, RMS, zero-crossing rate, peak,
+    mean |x|, and three coarse FFT band energies."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        sr = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    n = len(x)
+    if n == 0:
+        return [0.0] * dim
+    duration = n / float(sr)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    peak = float(np.max(np.abs(x)))
+    mean_abs = float(np.mean(np.abs(x)))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    total = float(spec.sum()) or 1.0
+    thirds = np.array_split(spec, 3)
+    bands = [float(b.sum()) / total for b in thirds]
+    feats = [duration, rms, zcr, peak, mean_abs, *bands]
+    return [float(f) for f in feats[:dim]] + [0.0] * max(0, dim - len(feats))
