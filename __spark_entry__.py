@@ -1374,6 +1374,30 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_image_features(spark, sf_dir):
+    """REAL image pipeline end-to-end: deterministic P6 PPM rasters per
+    document, decoded and nearest-neighbor resized to the resize_plan
+    target inside one Arrow mapInPandas pass, emitting channel statistics.
+    No codec library — pure numpy on real raster bytes. Rows-only check."""
+    from bio2bel_spark.operators.multimodal import (
+        decode_resize_features,
+        image_from_documents,
+    )
+
+    # every 10th document: raster generate+decode is genuinely per-pixel
+    # work, and the bench measures the pipeline shape, not a pixel farm
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    imgs = image_from_documents(docs.select("doc_id", "n_chars"))
+    out = decode_resize_features(imgs, max_side=64)
+    return out.select(
+        "doc_id", "width", "height", "target_width", "target_height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_luma", 4).alias("std_luma"),
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """Gap-based sessions (30 min) via the built-in session_window — the
     batch twin of streaming.events.session_rollup."""
@@ -2012,6 +2036,7 @@ QUERIES: dict[str, Callable] = {
     "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "image_features": q_image_features,
     # packing (window cumsum + applyInPandas FFD)
     "pack_chunks": q_pack_chunks,
     "chunk_spans": q_chunk_spans,

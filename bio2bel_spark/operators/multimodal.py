@@ -2,10 +2,14 @@
 
 Beyond-reference extension (SURVEY §7.2 phase 6). The Spark-side design is
 fully real — schema, partitioning, Arrow-batched ``mapInPandas`` signatures,
-batch shapes. The AUDIO path decodes for real (stdlib ``wave`` + numpy —
-``backend='wav'`` in :func:`decode_features`, generator twin
-:func:`audio_from_documents`); image/video codecs are STUBBED because
-Pillow/ffmpeg are not in this container:
+batch shapes. Two modalities decode FOR REAL with no external codec library:
+audio (stdlib ``wave`` + numpy — ``backend='wav'`` in
+:func:`decode_features`, generator twin :func:`audio_from_documents`) and
+raster images (binary P6 PPM — :func:`decode_resize_features` parses the
+bytes, nearest-neighbor resizes to the :func:`resize_plan` target, and
+emits channel statistics; generator twin :func:`image_from_documents`).
+Compressed-format codecs (JPEG/PNG/video) are STUBBED because Pillow/ffmpeg
+are not in this container:
 
 * :data:`MEDIA_SCHEMA` — ``content BINARY`` + typed metadata struct, the
   lakehouse layout for a 100 TB multimodal corpus (partition by ``kind``,
@@ -218,3 +222,132 @@ def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     bands = [float(b.sum()) / total for b in thirds]
     feats = [duration, rms, zcr, peak, mean_abs, *bands]
     return [float(f) for f in feats[:dim]] + [0.0] * max(0, dim - len(feats))
+
+
+def _ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic P6 (binary) PPM image: a doc_id-seeded RGB gradient.
+    Real raster bytes with a real header — the decode path below parses
+    them as any PPM reader would, no codec library involved."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = ((x * (doc_id % 7 + 1)) % 256).astype(np.uint8)
+    g = ((y * (doc_id % 5 + 1)) % 256).astype(np.uint8)
+    b = ((x + y + doc_id) % 256).astype(np.uint8)
+    pixels = np.dstack([r, g, b])
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + pixels.tobytes()
+
+
+def _ppm_decode(content: bytes):
+    """Parse a binary P6 PPM into an (H, W, 3) uint8 array. Raises on
+    malformed input — a corrupt image must fail loudly, not feature-ify."""
+    import numpy as np
+
+    if not content.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace separated
+    parts = content.split(maxsplit=4)
+    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raw = parts[4] if len(parts) > 4 else b""
+    n = width * height * 3
+    pixels = np.frombuffer(raw[:n], dtype=np.uint8)
+    if pixels.size != n:
+        raise ValueError("truncated PPM payload")
+    return pixels.reshape(height, width, 3)
+
+
+def _nn_resize(img, target_w: int, target_h: int):
+    """Nearest-neighbor resample via index gather — pure numpy."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_from_documents(docs: DataFrame) -> DataFrame:
+    """Build an image media table from the documents table: REAL P6 PPM
+    bytes per row, dimensions derived from ``n_chars`` exactly like
+    :func:`media_from_documents`."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            widths = (batch["n_chars"] % 640 + 32).astype(int)
+            heights = (batch["n_chars"] % 480 + 32).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        _ppm_bytes(int(i), int(w), int(h))
+                        for i, w, h in zip(batch["doc_id"], widths, heights)
+                    ],
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "n_frames": None,
+                            "sample_rate": None,
+                            "format": "ppm",
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL image pipeline: decode P6 PPM → nearest-neighbor resize to the
+    same aspect-preserving target :func:`resize_plan` declares → channel
+    statistics. One Arrow ``mapInPandas`` pass; the binary column never
+    leaves the UDF. Output: ``(doc_id, width, height, target_width,
+    target_height, mean_r, mean_g, mean_b, std_luma)``.
+    """
+    import numpy as np  # noqa: F401 — imported for the closure below
+
+    schema = (
+        "doc_id BIGINT, width INT, height INT, target_width INT, "
+        "target_height INT, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, "
+        "std_luma DOUBLE"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            rows = []
+            for doc_id, content in zip(batch["doc_id"], batch["content"]):
+                img = _ppm_decode(bytes(content))
+                h, w = img.shape[:2]
+                scale = min(max_side / w, max_side / h, 1.0)
+                tw, th = int(round(w * scale)), int(round(h * scale))
+                small = _nn_resize(img, tw, th).astype(np.float64)
+                luma = (
+                    0.299 * small[..., 0]
+                    + 0.587 * small[..., 1]
+                    + 0.114 * small[..., 2]
+                )
+                rows.append(
+                    (
+                        int(doc_id), w, h, tw, th,
+                        float(small[..., 0].mean()),
+                        float(small[..., 1].mean()),
+                        float(small[..., 2].mean()),
+                        float(luma.std()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "target_width",
+                    "target_height", "mean_r", "mean_g", "mean_b", "std_luma",
+                ],
+            )
+
+    return media.select("doc_id", "content").mapInPandas(run, schema=schema)

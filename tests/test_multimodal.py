@@ -51,3 +51,59 @@ def test_decode_features_stub_and_unknown_backend(spark, tables):
     assert decode_features(media, backend="stub").count() == 4
     with pytest.raises(Exception, match="NotImplementedError|backend"):
         decode_features(media, backend="pillow").collect()
+
+
+def test_ppm_roundtrip_decode():
+    import numpy as np
+
+    from bio2bel_spark.operators.multimodal import _ppm_bytes, _ppm_decode
+
+    img = _ppm_decode(_ppm_bytes(3, 40, 20))
+    assert img.shape == (20, 40, 3)
+    # spot-check the generator formula: r = (x * (doc_id%7+1)) % 256
+    assert img[0, 10, 0] == (10 * 4) % 256
+    assert img[5, 0, 1] == (5 * 4) % 256
+    with pytest.raises(ValueError, match="not a P6"):
+        _ppm_decode(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        _ppm_decode(b"P6\n40 20\n255\n" + b"\x00" * 10)
+
+
+def test_nn_resize_shapes_and_values():
+    import numpy as np
+
+    from bio2bel_spark.operators.multimodal import _nn_resize
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = _nn_resize(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    # nearest-neighbor picks source rows {0,2} and cols {0,2,4}
+    assert (small == img[[0, 2]][:, [0, 2, 4]]).all()
+
+
+def test_decode_resize_features_end_to_end(spark):
+    from bio2bel_spark.operators.multimodal import (
+        decode_resize_features,
+        image_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 700)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in decode_resize_features(
+        image_from_documents(docs), max_side=64
+    ).collect()}
+    # n_chars=100 -> 132x132; n_chars=700 -> 92x252 (per the meta formula)
+    assert (out[1]["width"], out[1]["height"]) == (132, 132)
+    assert (out[1]["target_width"], out[1]["target_height"]) == (64, 64)
+    # aspect preserved within rounding for the non-square image
+    r2 = out[2]
+    assert max(r2["target_width"], r2["target_height"]) == 64
+    assert abs(
+        r2["target_width"] / r2["target_height"]
+        - r2["width"] / r2["height"]
+    ) < 0.05
+    for r in out.values():
+        assert 0.0 <= r["mean_r"] <= 255.0
+        assert r["std_luma"] > 0.0
