@@ -35,6 +35,12 @@ sys.path.insert(0, HERE)
 HEADLINE = 50
 
 
+def _exc_line(exc: Exception) -> str:
+    """First non-empty line of the message (type name when there is none)."""
+    lines = str(exc).strip().splitlines()
+    return (lines[0] if lines else type(exc).__name__)[:160]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     smoke_dir = os.environ.get(
@@ -63,9 +69,8 @@ def main() -> int:
         try:
             fn(spark, smoke_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — quarantine, don't abort
-            first_line = str(exc).strip().splitlines()[0][:160]
-            errs[name] = first_line
-            print(f"SMOKE FAIL {name}: {first_line}", file=sys.stderr)
+            errs[name] = _exc_line(exc)
+            print(f"SMOKE FAIL {name}: {errs[name]}", file=sys.stderr)
         # drop the MEMORY_AND_DISK blocks the query's operators pinned
         release_cached(spark)
     clean = {n: f for n, f in all_queries.items() if n not in errs}
@@ -77,11 +82,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name, fn in clean.items():
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 2)
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 2)
+        except Exception as exc:  # noqa: BLE001 — scale-only failures (the
+            # smoke dir is a DIFFERENT data drop) must not zero the record
+            errs[name] = _exc_line(exc)
+            print(f"BENCH FAIL {name}: {errs[name]}", file=sys.stderr)
         release_cached(spark)
 
     with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
@@ -108,7 +118,10 @@ def main() -> int:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
-                "errs": sorted(errs),
+                # names are capped so a mass failure can't blow the line past
+                # the driver's tail capture; the full map is in BENCH_FULL
+                "n_errs": len(errs),
+                "errs": sorted(errs)[:8],
                 "full": "BENCH_FULL.json",
             },
             separators=(",", ":"),

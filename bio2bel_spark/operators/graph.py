@@ -536,8 +536,10 @@ def triangle_count(
             F.coalesce(F.col("__e"), F.lit(0)).alias("is_t"),
         )
     )
+    # coalesce: sum over ZERO rows is NULL, but an empty graph has 0 of
+    # everything (and the SQL oracle's count(*) subqueries return 0)
     return tagged.agg(
-        F.sum("is_e").cast("long").alias("n_edges"),
-        F.sum("is_w").cast("long").alias("n_wedges"),
-        F.sum("is_t").cast("long").alias("n_triangles"),
+        F.coalesce(F.sum("is_e"), F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum("is_w"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.sum("is_t"), F.lit(0)).cast("long").alias("n_triangles"),
     )

@@ -241,17 +241,25 @@ def _ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
 
 def _ppm_decode(content: bytes):
     """Parse a binary P6 PPM into an (H, W, 3) uint8 array. Raises on
-    malformed input — a corrupt image must fail loudly, not feature-ify."""
+    malformed input — a corrupt image must fail loudly, not feature-ify.
+
+    Per the netpbm spec the pixel payload starts after exactly ONE
+    whitespace byte following maxval, so the header is matched with a
+    regex instead of a whitespace split (a split would swallow payload
+    bytes that happen to be 0x09-0x0d/0x20). Header ``#`` comments are
+    not supported (the generators here never emit them).
+    """
+    import re
+
     import numpy as np
 
-    if not content.startswith(b"P6"):
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", content)
+    if m is None:
         raise ValueError("not a P6 PPM")
-    # header = magic, width, height, maxval — whitespace separated
-    parts = content.split(maxsplit=4)
-    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    width, height, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
-    raw = parts[4] if len(parts) > 4 else b""
+    raw = content[m.end():]
     n = width * height * 3
     pixels = np.frombuffer(raw[:n], dtype=np.uint8)
     if pixels.size != n:
@@ -318,6 +326,8 @@ def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for batch in batches:
@@ -326,7 +336,10 @@ def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
                 img = _ppm_decode(bytes(content))
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
-                tw, th = int(round(w * scale)), int(round(h * scale))
+                # floor(x + 0.5), not Python round: resize_plan's F.round is
+                # HALF_UP, Python rounds half-even — targets must agree
+                tw = int(math.floor(w * scale + 0.5))
+                th = int(math.floor(h * scale + 0.5))
                 small = _nn_resize(img, tw, th).astype(np.float64)
                 luma = (
                     0.299 * small[..., 0]

@@ -269,38 +269,41 @@ def run_cms_maintenance(
     re-scan of history.
 
     Unlike KMV's min-k merge, counter SUMMING IS NOT IDEMPOTENT: replaying
-    an already-applied batch after a crash would double-count it. The state
-    therefore carries a companion ``{state_table}__meta(last_batch_id)``
-    row, and a batch whose ``batch_id`` is not strictly greater than the
-    recorded one is skipped — foreachBatch replays are exactly-once against
-    the counters. (Same transactional-marker pattern Spark documents for
-    non-idempotent foreachBatch sinks.)
+    an already-applied batch after a crash would double-count it. The last
+    applied ``batch_id`` therefore rides ON the state rows themselves
+    (``last_batch_id`` column, same value on every row) so counters and
+    marker commit in ONE table overwrite — there is no window where the
+    counters include a batch the marker doesn't know about. A batch whose
+    ``batch_id`` is not strictly greater than the recorded one is skipped.
+    (Transactional-marker pattern Spark documents for non-idempotent
+    foreachBatch sinks; caveat: the guard is scoped to one checkpoint —
+    rebuilding the checkpoint restarts batch ids, so pair a fresh
+    checkpoint with a fresh state table.)
     """
     from bio2bel_spark.operators.sketch import cms_merge, cms_state
 
-    meta_table = f"{state_table}__meta"
+    STATE_DDL = "d INT, w BIGINT, cnt BIGINT, last_batch_id LONG"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
-        if catalog.table_exists(meta_table):
-            last = catalog.read_table(meta_table).collect()[0]["last_batch_id"]
-            if batch_id <= last:  # replay of an applied batch: skip
-                return
+        prev = None
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
+            if marker is not None and batch_id <= marker:
+                return  # replay of an applied batch: skip
         batch_state = cms_state(
             batch_df, col, width=width, depth=depth, backend=backend
         )
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            merged = cms_merge([prev, batch_state])
+        if prev is not None:
+            merged = cms_merge([prev.select("d", "w", "cnt"), batch_state])
         else:
             merged = batch_state
         # materialize before overwriting the table the lineage reads
-        rows = merged.collect()
-        out = ss.createDataFrame(rows or [], "d INT, w BIGINT, cnt BIGINT")
-        catalog.write_table(out, state_table, mode="overwrite")
+        rows = [(r["d"], r["w"], r["cnt"], batch_id) for r in merged.collect()]
         catalog.write_table(
-            ss.createDataFrame([(batch_id,)], "last_batch_id LONG"),
-            meta_table,
+            ss.createDataFrame(rows or [], STATE_DDL),
+            state_table,
             mode="overwrite",
         )
 

@@ -6,11 +6,17 @@ data drops (TIMESTAMP(NANOS) in early rounds, TIMESTAMP(MICROS) without a
 timezone — read as TIMESTAMP_NTZ — since round 3), so the loader normalizes
 whichever of {nanos-as-long, TIMESTAMP_NTZ, TIMESTAMP} arrives into ONE
 canonical type, ``timestamp_ntz``, at scan time and asserts the result.
-The session timezone is pinned to UTC here (runtime-settable conf) so the
-NTZ↔TIMESTAMP casts and ``unix_micros`` epochs are wall-clock exact and
-match DuckDB's ``epoch_us`` on the same naive parquet values bit-for-bit,
-regardless of which session built the plan (the driver's oracle harness
-constructs its own SparkSession without the session-factory confs).
+DOCUMENTED SIDE EFFECT: loading a temporal table pins the SESSION timezone
+to UTC (``spark.sql.session.timeZone``, a runtime conf) — this is a
+deliberate contract, not an accident. The NTZ↔TIMESTAMP casts and
+``unix_micros`` epochs must be wall-clock exact and match DuckDB's
+``epoch_us`` on the same naive parquet values bit-for-bit regardless of
+which session built the plan (the driver's oracle harness constructs its
+own SparkSession without the session-factory confs, and the cast reads the
+tz at EXECUTION time, so a set-and-restore around the loader would not
+survive until the query actually runs). Applications embedding this
+library that need a different display timezone should render through
+``from_utc_timestamp`` rather than repointing the session conf.
 """
 
 from __future__ import annotations

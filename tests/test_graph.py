@@ -271,3 +271,11 @@ def test_triangle_count_triangle_free(spark):
     row = triangle_count(edges).collect()[0]
     assert row["n_edges"] == 10
     assert row["n_triangles"] == 0
+
+
+def test_triangle_count_empty_graph_returns_zeros(spark):
+    from bio2bel_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame([], "src int, dst int")
+    row = triangle_count(edges).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (0, 0, 0)

@@ -107,3 +107,40 @@ def test_decode_resize_features_end_to_end(spark):
     for r in out.values():
         assert 0.0 <= r["mean_r"] <= 255.0
         assert r["std_luma"] > 0.0
+
+
+def test_ppm_decode_payload_starting_with_whitespace_byte():
+    import numpy as np
+
+    from bio2bel_spark.operators.multimodal import _ppm_decode
+
+    # spec-valid P6 whose first pixel byte is 0x20 (space) — a whitespace
+    # split would swallow it and mis-report truncation
+    payload = bytes([0x20, 0x01, 0x02, 0x0A, 0x03, 0x04])
+    img = _ppm_decode(b"P6\n2 1\n255\n" + payload)
+    assert img.shape == (1, 2, 3)
+    assert list(img.reshape(-1)) == [0x20, 0x01, 0x02, 0x0A, 0x03, 0x04]
+
+
+def test_resize_targets_match_resize_plan_exactly(spark):
+    from bio2bel_spark.operators.multimodal import (
+        decode_resize_features,
+        image_from_documents,
+        resize_plan,
+    )
+    from pyspark.sql import functions as F
+
+    # include a half-way rounding case: 45 * 0.1 = 4.5
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 700), (3, 13)], "doc_id long, n_chars long"
+    )
+    media = image_from_documents(docs)
+    plan = {
+        r["doc_id"]: (r["target_width"], r["target_height"])
+        for r in resize_plan(media, max_side=64).collect()
+    }
+    got = {
+        r["doc_id"]: (r["target_width"], r["target_height"])
+        for r in decode_resize_features(media, max_side=64).collect()
+    }
+    assert plan == got

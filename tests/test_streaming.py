@@ -315,14 +315,15 @@ def test_cms_maintenance_incremental_and_replay_guarded(spark, tmp_path_factory)
     )
     q2.awaitTermination(240)
 
-    state = {(r.d, r.w): r.cnt for r in catalog.read_table("cms_state").collect()}
+    rows = catalog.read_table("cms_state").collect()
+    state = {(r.d, r.w): r.cnt for r in rows}
     direct = cms_state(
         spark.read.parquet(src).select("user_id"), "user_id",
         width=64, depth=2,
     )
     assert state == {(r.d, r.w): r.cnt for r in direct.collect()}
-    # meta row recorded the last applied batch id
-    assert catalog.table_exists("cms_state__meta")
+    # the replay marker rides on the state rows — one atomic overwrite
+    assert len({r.last_batch_id for r in rows}) == 1
 
 
 def test_bloom_maintenance_incremental(spark, tmp_path_factory):
