@@ -1942,6 +1942,15 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(edges, "src", "dst")
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Overlapping context windows (200 tokens every 100): the stride-based
+    training-window construction — map-only explode, no shuffle."""
+    from bio2bel_spark.operators.packing import sliding_window_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sliding_window_spans(docs, "n_chars", window=200, stride=100)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smooth idf, sklearn formulation):
     explode → two map-side-combinable aggs → idf join → per-doc window."""
@@ -2040,6 +2049,7 @@ QUERIES: dict[str, Callable] = {
     # packing (window cumsum + applyInPandas FFD)
     "pack_chunks": q_pack_chunks,
     "chunk_spans": q_chunk_spans,
+    "sliding_windows": q_sliding_windows,
     "pack_first_fit": q_pack_first_fit,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -2985,6 +2995,16 @@ def oracle_sql() -> dict[str, str]:
                    greatest(least(150, n_chars - u.i * 150), 0) AS chunk_tokens
             FROM documents,
                  unnest(range(0, greatest(ceil(n_chars / 150.0)::BIGINT, 1)))
+                 AS u(i)
+        """,
+        "sliding_windows": """
+            SELECT doc_id, n_chars, u.i AS window_idx,
+                   u.i * 100 AS window_start,
+                   greatest(least(200, n_chars - u.i * 100), 0)
+                       AS window_tokens
+            FROM documents,
+                 unnest(range(0, greatest(
+                     ceil((n_chars - 200) / 100.0)::BIGINT + 1, 1)))
                  AS u(i)
         """,
         "cms_counts": """

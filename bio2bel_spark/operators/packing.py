@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_concat_chunks", "pack_first_fit", "chunk_spans"]
+__all__ = ["pack_concat_chunks", "pack_first_fit", "chunk_spans", "sliding_window_spans"]
 
 
 def chunk_spans(
@@ -137,3 +137,48 @@ def pack_first_fit(
         return pdf
 
     return docs.groupBy(by).applyInPandas(_pack, schema=schema)
+
+
+def sliding_window_spans(
+    docs: DataFrame,
+    token_col: str,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping training windows per document: spans of ``window`` tokens
+    every ``stride`` tokens (the context-window construction used when
+    training must not lose cross-chunk context — stride < window overlaps
+    consecutive spans by ``window - stride`` tokens).
+
+    Span starts are ``0, stride, 2*stride, …`` up to the LAST start that
+    still begins inside the document; the final window is truncated at the
+    document end (no padding here — padding is the packer's job). A
+    zero-token document yields one empty span so no document disappears.
+    Map-only explode like :func:`chunk_spans` — fan-out ``≈ tokens/stride``
+    per row, no shuffle.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    n_windows = F.greatest(
+        (F.ceil((F.col(token_col) - F.lit(window)) / F.lit(stride)) + 1)
+        .cast("long"),
+        F.lit(1),
+    )
+    return (
+        docs.withColumn(
+            "window_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_windows - 1)),
+        )
+        .withColumn("window_start", F.col("window_idx") * stride)
+        .withColumn(
+            "window_tokens",
+            F.greatest(
+                F.least(
+                    F.lit(window).cast("long"),
+                    F.col(token_col) - F.col("window_start"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )

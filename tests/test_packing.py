@@ -126,3 +126,42 @@ def test_chunk_spans_covers_exactly(spark):
     )
     toks = {1: 350, 2: 150, 3: 1, 4: 0}
     assert all(toks[r.doc_id] == r.t for r in recon)
+
+
+def test_sliding_window_spans_coverage_and_overlap(spark):
+    from bio2bel_spark.operators.packing import sliding_window_spans
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 4), (3, 0), (4, 11)], "doc_id long, n long"
+    )
+    out = sliding_window_spans(docs, "n", window=4, stride=3)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["window_idx"], r["window_start"], r["window_tokens"])
+        )
+    # T=10, W=4, S=3 -> starts 0,3,6; tail truncated at the doc end
+    assert spans[1] == [(0, 0, 4), (1, 3, 4), (2, 6, 4)]
+    # T <= W -> one window of all tokens
+    assert spans[2] == [(0, 0, 4)]
+    # empty doc -> one empty span, not zero rows
+    assert spans[3] == [(0, 0, 0)]
+    # T=11 -> last start 9 covers the 2-token tail; every token covered
+    assert spans[4][-1] == (3, 9, 2)
+    for doc_id, (_, n) in [(1, (0, 10)), (4, (0, 11))]:
+        covered = set()
+        for _, start, tokens in spans[doc_id]:
+            covered.update(range(start, start + tokens))
+        assert covered == set(range(n))
+
+
+def test_sliding_window_spans_rejects_bad_params(spark):
+    from bio2bel_spark.operators.packing import sliding_window_spans
+
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sliding_window_spans(docs, "n", window=0, stride=3)
+    with _pytest.raises(ValueError):
+        sliding_window_spans(docs, "n", window=4, stride=0)
