@@ -2056,12 +2056,12 @@ QUERIES: dict[str, Callable] = {
     "minhash_signatures": q_minhash_signatures,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "tfidf_top_terms": q_tfidf_top_terms,
     "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
