@@ -410,7 +410,10 @@ def bloom_probe(
         words[row["pos"] >> 6] |= 1 << (row["pos"] & 63)
     # two's-complement fold: Spark long literals are signed 64-bit
     words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    wcol = F.lit(words)
+    # explicit element type: when every word happens to fit in 32 bits
+    # (small filters), F.lit would infer array<int> and getbit would then
+    # reject positions >= 32 — the mask must always be 64-bit words
+    wcol = F.lit(words).cast("array<bigint>")
 
     val = F.col(col).cast("string")
     h1, h2 = _cms_h1_h2(val, backend)
