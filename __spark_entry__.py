@@ -1155,31 +1155,14 @@ _EMB_AUG_SQL = """
 
 
 def q_embedding_near_pairs_exact(spark, sf_dir):
-    """All-pairs cosine ≥ 0.9 — exact correctness baseline for the IVF path
-    (at scale use operators.similarity.embedding_near_pairs, which buckets
-    the self-join by cluster instead of going quadratic)."""
-    from bio2bel_spark.operators.similarity import _dot, _norm
+    """All-pairs cosine ≥ 0.9 — exact correctness baseline for the IVF path,
+    evaluated as a B×B block-matrix grid (one Arrow matmul per grid cell)
+    rather than a cartesian HOF join: every pair is still scored, but the
+    plan is a single grid-keyed shuffle with no CartesianProduct node."""
+    from bio2bel_spark.operators.similarity import exact_near_pairs_blocked
 
     emb = _emb_augmented(spark, sf_dir)
-    v = F.col("embedding").cast("array<double>")
-    # norms are computed once per ROW (below the join) instead of once per
-    # PAIR: the O(n²) side of the plan does a single 64-wide dot product
-    a = _spread(spark, emb).select(
-        F.col("vec_id").alias("id_a"), v.alias("va"), _norm(v).alias("na")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), v.alias("vb"), _norm(v).alias("nb")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= 0.9)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return exact_near_pairs_blocked(emb, threshold=0.9, n_blocks=8)
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -17,13 +17,12 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-#: queries that are *documented* quadratic correctness baselines, plus
-#: cross joins whose both sides are single-row aggregates (scalar stitching,
-#: O(1) by construction)
-# embedding_near_pairs_exact is the labeled exact baseline; kg_summary and
-# tfidf_top_terms cross-join a ONE-ROW scalar aggregate (corpus count) — the
-# nested loop's build side is a single row, O(1) per probe row, not quadratic
-QUADRATIC_OK = {"embedding_near_pairs_exact", "kg_summary", "tfidf_top_terms"}
+#: cross joins whose build side is a single-row aggregate (scalar
+#: stitching, O(1) per probe row by construction). The exact all-pairs
+#: baseline no longer needs an exemption: exact_near_pairs_blocked does its
+#: quadratic arithmetic inside grid cells, so its PLAN is a plain hash
+#: shuffle — no CartesianProduct node anywhere in the fleet anymore.
+QUADRATIC_OK = {"kg_summary", "tfidf_top_terms"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))

@@ -195,3 +195,41 @@ def test_embedding_dedup_collapses_transitive_chain(spark):
     assert out[0] == (0, True)
     assert out[1] == (0, False) and out[2] == (0, False)
     assert out[3] == (3, True)
+
+
+def test_exact_blocked_matches_bruteforce(emb, spark):
+    """The grid-cell matmul must reproduce the quadratic python answer
+    pair-for-pair — including pairs whose members hash to the same block,
+    different blocks, and the (empty-side) cells of a sparse grid."""
+    sub = emb.limit(60)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.exact_near_pairs_blocked(
+            sub, threshold=0.2, n_blocks=4
+        ).collect()
+    }
+    rows = sub.collect()
+    want = {}
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            a, b = rows[i], rows[j]
+            if a["vec_id"] >= b["vec_id"]:
+                continue
+            c = round(_py_cos(a["embedding"], b["embedding"]), 6)
+            if c >= 0.2:
+                want[(a["vec_id"], b["vec_id"])] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_exact_blocked_cell_guard_fires(spark):
+    """An oversized grid cell must fail loudly, not OOM an executor."""
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.rand(seed=7)).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="max_block_rows|grid cell"):
+        similarity.exact_near_pairs_blocked(
+            df, threshold=0.0, n_blocks=2, max_block_rows=3
+        ).collect()
