@@ -217,57 +217,31 @@ def embedding_near_pairs_multiprobe(
 ) -> DataFrame:
     """Near-duplicate pairs with multi-probe candidate generation.
 
-    Candidates are id pairs sharing ANY probed cluster (a pair can share up
-    to ``nprobe`` — deduped while still just ids, before any vector math);
-    survivors verify with exact cosine. Strictly higher recall than
-    :func:`embedding_near_pairs` at ``nprobe×`` the candidate volume.
+    Candidate pairs are those sharing ANY probed cluster; each shared
+    cluster's pair space is evaluated by the block-matmul grid
+    (:func:`_grid_near_pairs` keyed by cluster), and a pair meeting in
+    several probed clusters — emitted once per shared cluster with a
+    bit-identical score — dedups on ``(id_a, id_b)``. That dedup shuffle
+    moves only the *surviving* near-pairs (threshold applied inside the
+    cells), not the ``nprobe²``-inflated candidate set the old
+    ids-first-then-verify plan had to distinct. Strictly higher recall than
+    :func:`embedding_near_pairs` at ``nprobe×`` the scored volume.
     """
     from bio2bel_spark.operators.caching import tracked_persist
 
-    # the input feeds FOUR consumers (centroid take, probe assignment, and
-    # both verify sides) — persist the narrow projection once so upstream
-    # reads/augmentation don't re-run per consumer
+    # two consumers (centroid take + probe assignment): persist the narrow
+    # projection so upstream reads/augmentation run once
     embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).transform(tracked_persist)
-    # (cluster, id) rides through a self-join and the ranking expression
-    # behind it is 8 cosines + an array_sort per row — persist the narrow
-    # probe table so that work happens once, not once per join side
-    probes = (
-        ivf_assign_multi(embeddings, n_clusters, nprobe, vec_col, id_col)
-        .select(F.col("cluster"), F.col(id_col))
-        .transform(tracked_persist)
+    probes = ivf_assign_multi(
+        embeddings, n_clusters, nprobe, vec_col, id_col
+    ).select(
+        F.col("cluster"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    cand = (
-        probes.withColumnRenamed(id_col, "id_a")
-        .join(probes.withColumnRenamed(id_col, "id_b"), "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    v = F.col(vec_col).cast("array<double>")
-    # consumed by both pair sides: persist so the scan+norm runs once
-    sides = embeddings.select(
-        F.col(id_col), v.alias("v"), _norm(v).alias("n")
-    ).transform(tracked_persist)
-    return (
-        cand.join(
-            sides.withColumnRenamed(id_col, "id_a")
-            .withColumnRenamed("v", "va")
-            .withColumnRenamed("n", "na"),
-            "id_a",
-        )
-        .join(
-            sides.withColumnRenamed(id_col, "id_b")
-            .withColumnRenamed("v", "vb")
-            .withColumnRenamed("n", "nb"),
-            "id_b",
-        )
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _grid_near_pairs(
+        probes, threshold, n_blocks=4, key_cols=("cluster",)
+    ).dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "cos_sim")
 
 
 def embedding_near_pairs(
@@ -279,40 +253,24 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
 
-    The self-join is restricted to same-cluster pairs — the scalable
+    Pairing is restricted to same-cluster pairs — the scalable
     approximation of all-pairs cosine (recall loss only across cluster
     boundaries; raise ``n_clusters``/add multi-probe for tighter recall).
+    Each cluster's pair space runs through the block-matmul grid
+    (:func:`_grid_near_pairs` keyed by cluster); every vector lives in
+    exactly one cluster, so no pair dedup is needed.
     """
     from bio2bel_spark.operators.caching import tracked_persist
 
-    # three consumers (centroid take + both join sides): persist the narrow
+    # two consumers (centroid take + assignment): persist the narrow
     # projection so upstream reads/augmentation run once
     embeddings = embeddings.select(F.col(id_col), F.col(vec_col)).transform(tracked_persist)
-    assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col)
-    v = F.col(vec_col).cast("array<double>")
-    # norms once per ROW below the join; the quadratic side is one dot product
-    a = assigned.select(
+    assigned = ivf_assign(embeddings, n_clusters, vec_col, id_col).select(
         F.col("cluster"),
-        F.col(id_col).alias("id_a"),
-        v.alias("va"),
-        _norm(v).alias("na"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    b = assigned.select(
-        F.col("cluster"),
-        F.col(id_col).alias("id_b"),
-        v.alias("vb"),
-        _norm(v).alias("nb"),
-    )
-    return (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return _grid_near_pairs(assigned, threshold, n_blocks=4, key_cols=("cluster",))
 
 
 def knn_join(
@@ -459,44 +417,48 @@ def embedding_dedup(
     )
 
 
-def exact_near_pairs_blocked(
-    embeddings: DataFrame,
-    threshold: float = 0.9,
-    n_blocks: int = 8,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _grid_near_pairs(
+    rows: DataFrame,
+    threshold: float,
+    n_blocks: int,
+    key_cols: Sequence[str] = (),
     max_block_rows: int = 200_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine near-pairs via block-matrix multiplication.
+    """Shared block-matrix core for every near-pair operator.
 
-    Same answer as the crossJoin + per-pair HOF formulation, different
-    physical shape: the O(n²) pair space is partitioned into a B×B grid of
-    block pairs. Each vector hashes to one of ``n_blocks`` blocks, each row
-    is replicated to the B grid cells its block participates in (B× shuffle
-    volume — NOT n×), and every cell evaluates all of its pairs with ONE
-    Arrow-batched numpy matmul under ``applyInPandas``. Exactness is
-    untouched — every pair is still scored — but per-pair cost drops from an
-    interpreted 64-term ``aggregate(zip_with(...))`` fold to one row of a
-    BLAS matmul (~10× wall on the bench corpus), and the plan contains no
-    CartesianProduct: one hash shuffle keyed by grid cell.
+    ``rows`` carries ``__id`` (long), ``__v`` (array<double>) and the
+    optional ``key_cols`` that scope which rows may pair (empty = all-pairs;
+    ``["cluster"]`` = same-cluster pairs). Within each key, the pair space
+    is partitioned into a B×B grid of block pairs: each row hashes to one of
+    ``n_blocks`` blocks and is replicated to the B grid cells its block
+    participates in (B× shuffle volume — NOT n×). Each (key, bi, bj) cell
+    then scores ALL of its pairs with ONE Arrow-batched numpy matmul under
+    ``applyInPandas`` — per-pair cost is a row of a BLAS matmul instead of
+    an interpreted 64-term ``aggregate(zip_with(...))`` fold, and the plan
+    is a single hash shuffle keyed by grid cell (no CartesianProduct, no
+    row-explosion join).
 
-    This is the 100 TB shape for *exact* all-pairs work: choose ``n_blocks``
-    so a single block (n/B rows × dim doubles) fits an executor, and the
-    grid spreads the quadratic arithmetic over B(B+1)/2 independent cells.
-    The ``max_block_rows`` guard fails loudly instead of OOMing an executor
-    when blocks outgrow that budget.
+    The grid is also the executor-memory story at 100 TB: pick ``n_blocks``
+    so one block (rows-per-key/B × dim doubles) fits an executor; the
+    ``max_block_rows`` guard fails loudly instead of OOMing when a key
+    outgrows that budget (the skewed-cluster failure mode).
 
-    Output: ``(id_a, id_b, cos_sim)``, ``id_a < id_b``, cosine rounded to
-    6dp and filtered to ``>= threshold``.
+    Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``, cosine rounded
+    to 6dp, filtered to ``>= threshold``. A pair sharing several keys is
+    emitted once per shared key with a bit-identical score (same two
+    vectors, same arithmetic) — callers with overlapping keys dedup on
+    ``(id_a, id_b)``.
     """
     import numpy as np
     import pandas as pd
 
+    key_cols = list(key_cols)
+
     def _cell(key, pdf):
-        bi, bj = int(key[0]), int(key[1])
+        bi, bj = int(key[-2]), int(key[-1])
         if len(pdf) > 2 * max_block_rows:
             raise ValueError(
-                f"exact_near_pairs_blocked: grid cell ({bi},{bj}) holds "
+                f"_grid_near_pairs: grid cell key={tuple(key)} holds "
                 f"{len(pdf)} rows (cap {2 * max_block_rows}); raise n_blocks "
                 "so one block fits an executor"
             )
@@ -537,23 +499,45 @@ def exact_near_pairs_blocked(
             }
         )
 
-    rows = embeddings.select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    rows = rows.withColumn(
+        "__blk", F.pmod(F.hash(F.col("__id")), F.lit(n_blocks)).cast("int")
     ).where(F.col("__v").isNotNull())
     # a row in block k joins grid cell (min(k,o), max(k,o)) for every block
     # o — each unordered block pair owns each row exactly once, so no
-    # cross-cell dedup is ever needed
+    # cross-cell dedup is ever needed (keys never overlap within a cell)
     grid = rows.withColumn(
         "__other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
     ).select(
+        *key_cols,
         F.least("__blk", "__other").alias("__bi"),
         F.greatest("__blk", "__other").alias("__bj"),
         "__id",
         "__v",
         "__blk",
     )
-    return grid.groupBy("__bi", "__bj").applyInPandas(
+    return grid.groupBy(*key_cols, "__bi", "__bj").applyInPandas(
         _cell, "id_a long, id_b long, cos_sim double"
     )
+
+
+def exact_near_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_block_rows: int = 200_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-pairs via the block-matrix grid.
+
+    Same answer as a crossJoin + per-pair HOF formulation — every pair is
+    scored — but evaluated as B(B+1)/2 independent matmul cells
+    (:func:`_grid_near_pairs`), the only viable exact shape at 100 TB.
+    Output: ``(id_a, id_b, cos_sim)``, ``id_a < id_b``, 6dp, ``>=
+    threshold``.
+    """
+    rows = embeddings.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return _grid_near_pairs(rows, threshold, n_blocks, (), max_block_rows)
