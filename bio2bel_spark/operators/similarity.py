@@ -214,6 +214,8 @@ def embedding_near_pairs_multiprobe(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 4,
+    max_block_rows: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs with multi-probe candidate generation.
 
@@ -240,7 +242,7 @@ def embedding_near_pairs_multiprobe(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     return _grid_near_pairs(
-        probes, threshold, n_blocks=4, key_cols=("cluster",)
+        probes, threshold, n_blocks, ("cluster",), max_block_rows
     ).dropDuplicates(["id_a", "id_b"]).select("id_a", "id_b", "cos_sim")
 
 
@@ -250,6 +252,8 @@ def embedding_near_pairs(
     n_clusters: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 4,
+    max_block_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by IVF cluster.
 
@@ -270,7 +274,7 @@ def embedding_near_pairs(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    return _grid_near_pairs(assigned, threshold, n_blocks=4, key_cols=("cluster",))
+    return _grid_near_pairs(assigned, threshold, n_blocks, ("cluster",), max_block_rows)
 
 
 def knn_join(
