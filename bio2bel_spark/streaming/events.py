@@ -24,25 +24,70 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: canonical post-normalization shape of the events stream (documentation;
+#: the physical scan schema is peeked from the parquet footers per layout)
 EVENT_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    """Streaming scan of an events parquet directory (ts arrives as
-    nanosecond longs per the driver files; converted at scan, same as the
-    batch loader).
+    """Streaming scan of an events parquet directory, layout-proof the same
+    way the batch loader is (``tables._normalize_ts``): ``ts`` may arrive as
+    TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ micros, or plain TIMESTAMP —
+    the driver's data drops have shipped all three across rounds — and is
+    normalized to TIMESTAMP under the pinned-UTC session at scan time. A
+    streaming source needs an explicit schema, so the actual layout is
+    peeked from the directory's parquet footers with a driver-side static
+    read (no data scan).
 
     Build a fresh source per started query: sharing one streaming DataFrame
     lineage between two ``writeStream.start()`` calls can break physical
     planning of stateful operators (observed on Spark 4.1: NPE in
     ``FlatMapGroupsInPandasWithStateExec`` when the lineage is reused).
     """
-    raw = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    # integer DIV: float division of large nanos values loses the low bits
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # runtime confs, self-sufficient like tables.load_table: nanos parquet
+    # is unreadable without the legacy flag, and the NTZ→TIMESTAMP cast
+    # below reads the session timezone at execution time
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    dtype = dict(raw.dtypes)["ts"]
+    if dtype == "bigint":
+        # integer DIV: float division of large nanos loses the low bits
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dtype in ("timestamp_ntz", "date"):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dtype == "timestamp":
+        return raw
+    raise TypeError(
+        f"stream_events: unexpected ts dtype {dtype!r}; expected bigint "
+        "(nanos-as-long), timestamp, timestamp_ntz or date — the driver's "
+        "testdata layout changed again; extend stream_events"
+    )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: "str | list[str]",
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to every
+    streaming row (the classic events×users/documents×domain-stats shape in
+    a training-data feed).
+
+    The static side gets an explicit ``broadcast`` hint: Structured
+    Streaming re-plans the join every micro-batch, and broadcasting the dim
+    table keeps each batch map-only — the unbounded side is never shuffled,
+    which is the only sane shape when the stream is the 100 TB feed and the
+    dim fits an executor. ``how="left"`` (default) preserves stream rows
+    with no dim match (nulls downstream gate into a rejects side-output);
+    inner drops them. Stateless — no watermark needed, nothing accumulates.
+    """
+    return stream_df.join(F.broadcast(dim_df), on=on, how=how)
 
 
 def hourly_rollup(

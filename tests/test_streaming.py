@@ -369,3 +369,58 @@ def test_bloom_maintenance_incremental(spark, tmp_path_factory):
     seen = spark.createDataFrame([(i,) for i in range(20)], "user_id long")
     probed = bloom_probe(state, seen, "user_id", m=1 << 12, k=3)
     assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_stream_events_reads_driver_layout(spark, sf_dir, tmp_path_factory):
+    """The streaming source must accept whatever physical ts layout the
+    driver's data drop uses (NTZ micros today) and agree with the batch
+    loader's rollup on closed windows."""
+    import os
+
+    from bio2bel_spark.tables import load_table
+
+    # the driver ships events as a single parquet FILE; the file stream
+    # source requires a directory, so stage a symlink (zero copy)
+    src = str(tmp_path_factory.mktemp("driver_events"))
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    stream = sev.stream_events(spark, src)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    roll = sev.hourly_rollup(stream, watermark="1 second")
+    _run_to_memory(roll, "t_driver_roll", tmp_path_factory)
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from t_driver_roll").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    last_hour = ev.select(
+        F.date_trunc("hour", F.max("ts").cast("timestamp"))
+    ).first()[0]
+    batch = (
+        ev.withColumn("h", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .filter(F.col("h") < F.lit(last_hour))
+        .groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    )
+    assert len(batch) > 0
+    for r in batch:
+        key = (int(r["h"].timestamp()), r["event_type"])
+        assert got[key] == (r["n"], r["s"]), key
+
+
+def test_enrich_stream_broadcast_join(spark, events_dir, tmp_path_factory):
+    dims = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = sev.enrich_stream(
+        sev.stream_events(spark, events_dir), dims, on="user_id"
+    ).select("event_id", "user_id", "tier")
+    _run_to_memory(out, "t_enriched", tmp_path_factory)
+    rows = {r["event_id"]: r["tier"] for r in spark.sql("select * from t_enriched").collect()}
+    assert rows == {1: "gold", 2: "gold", 3: "gold", 4: "gold", 5: "gold", 6: "silver"}
