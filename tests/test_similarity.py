@@ -233,3 +233,47 @@ def test_exact_blocked_cell_guard_fires(spark):
         similarity.exact_near_pairs_blocked(
             df, threshold=0.0, n_blocks=2, max_block_rows=3
         ).collect()
+
+
+def test_grid_near_pairs_property(spark):
+    """Random vectors/dims/block counts: the grid evaluation must equal the
+    brute-force python answer exactly (pair set AND 6dp scores), including
+    n_blocks larger than the row count (empty cells) and n_blocks=1 (single
+    diagonal cell)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(2, 25),
+        dim=st.integers(2, 8),
+        n_blocks=st.sampled_from([1, 2, 3, 7, 40]),
+        threshold=st.sampled_from([-1.0, 0.0, 0.5, 0.9]),
+    )
+    def check(seed, n, dim, n_blocks, threshold):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).round(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in similarity.exact_near_pairs_blocked(
+                df, threshold=threshold, n_blocks=n_blocks
+            ).collect()
+        }
+        want = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                c = round(_py_cos(list(vecs[i]), list(vecs[j])), 6)
+                if c >= threshold:
+                    want[(i, j)] = c
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=2e-6)
+
+    check()
