@@ -979,6 +979,21 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
+def q_dedup_quality_survivor(spark, sf_dir):
+    """Fuzzy dedup with quality-aware survivorship: within each near-dup
+    cluster the LONGEST text survives (ties: lower id) — the curation rule
+    that keeps the best version of a duplicated page rather than whichever
+    id happens to be smallest."""
+    from bio2bel_spark.operators.dedup import dedup_fuzzy
+
+    docs = _docs_augmented(spark, sf_dir).withColumn(
+        "score", F.length("text")
+    )
+    return dedup_fuzzy(
+        docs, n_hashes=16, bands=8, threshold=0.5, score_col="score"
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
     from bio2bel_spark.operators.dedup import ngram_jaccard_pairs
@@ -2045,6 +2060,7 @@ QUERIES: dict[str, Callable] = {
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_quality_survivor": q_dedup_quality_survivor,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
@@ -2402,6 +2418,31 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "dedup_fuzzy_clusters": _FUZZY_CLUSTER_SQL,
+        "dedup_quality_survivor": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM vpairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM vpairs
+            ),
+            reach(node, label) AS (
+                SELECT a AS node, a AS label FROM edges
+                UNION
+                SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+            labeled AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS cluster,
+                       length(d.text) AS score
+                FROM aug d LEFT JOIN comp c ON d.doc_id = c.node
+            )
+            SELECT doc_id, cluster,
+                   (row_number() OVER (
+                        PARTITION BY cluster ORDER BY score DESC, doc_id
+                    ) = 1) AS keep
+            FROM labeled
+        """,
         "fuzzy_join": _FUZZY_JOIN_SQL,
         "decontaminate": f"""
             WITH hits AS ({_FUZZY_JOIN_SQL})

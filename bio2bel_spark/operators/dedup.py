@@ -282,6 +282,7 @@ def dedup_fuzzy(
     max_bucket: int = 1000,
     backend: str = "md5",
     max_iterations: int = 50,
+    score_col: "str | None" = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: cluster near-duplicates and pick one survivor
     per cluster.
@@ -296,6 +297,13 @@ def dedup_fuzzy(
     Returns one row per input doc: ``(id_col, cluster, keep)`` where
     ``cluster`` is the min doc id of the doc's near-dup cluster (its own id
     for singletons) and ``keep`` marks the survivor.
+
+    Survivorship: by default the minimum ``id_col`` per cluster survives
+    (cheapest — no extra shuffle, keep is a comparison against the cluster
+    label). With ``score_col`` the HIGHEST-scoring doc per cluster survives
+    instead (ties: lower id), the curation-grade rule — keep the longest /
+    best-quality version of a near-duplicated page, not whichever crawled
+    first. Costs one additional window shuffle keyed by cluster.
 
     Scale shape: pairs are bounded by the LSH ``max_bucket`` guard; component
     iterations are O(cluster diameter) — near-dup clusters are shallow (dups
@@ -319,14 +327,27 @@ def dedup_fuzzy(
     comp = min_label_components(
         pairs, src="id_a", dst="id_b", max_iterations=max_iterations
     )
-    return (
-        docs.select(id_col)
+    base_cols = [id_col] if score_col is None else [id_col, score_col]
+    labeled = (
+        docs.select(*base_cols)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .select(
+        .withColumn("cluster", F.coalesce("component", F.col(id_col)))
+    )
+    if score_col is None:
+        return labeled.select(
             id_col,
-            F.coalesce("component", F.col(id_col)).alias("cluster"),
-            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias("keep"),
+            "cluster",
+            (F.col("cluster") == F.col(id_col)).alias("keep"),
         )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col,
+        "cluster",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 

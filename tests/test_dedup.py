@@ -240,3 +240,23 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert incremental_dedup(cat, b3).count() == 0
     # history index holds one hash per distinct admitted text
     assert cat.read_table("dedup_seen_hashes").distinct().count() == 3
+
+
+def test_dedup_fuzzy_quality_survivor(docs):
+    """With score_col the highest-scoring cluster member survives (ties:
+    lower id), not the minimum id; cluster labels are unchanged."""
+    scored = docs.withColumn("score", F.length("text"))
+    out = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup.dedup_fuzzy(
+            scored, bands=8, threshold=0.5, score_col="score"
+        ).collect()
+    }
+    # doc 3 ("...tonight") is one char longer than docs 0/1 and equal to
+    # doc 2? -> compute expectation from the fixture directly
+    lengths = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+    cluster_members = [0, 1, 2, 3]
+    best = max(cluster_members, key=lambda i: (lengths[i], -i))
+    for i in cluster_members:
+        assert out[i] == (0, i == best)
+    assert out[4] == (4, True) and out[5] == (5, True)
