@@ -979,6 +979,14 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity per document (CCNet/KenLM-style quality filter),
+    self-trained on the corpus with add-1 smoothing."""
+    from bio2bel_spark.operators.textquality import lm_perplexity
+
+    return lm_perplexity(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -2061,6 +2069,7 @@ QUERIES: dict[str, Callable] = {
     # ---- end of the driver's 50-query correctness window ----
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_quality_survivor": q_dedup_quality_survivor,
+    "lm_perplexity": q_lm_perplexity,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
@@ -2418,6 +2427,48 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "dedup_fuzzy_clusters": _FUZZY_CLUSTER_SQL,
+        "lm_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS w
+                FROM documents
+            ), uni_tok AS (
+                SELECT unnest(w) AS w1 FROM toks
+            ), uni AS (
+                SELECT w1, count(*)::BIGINT AS c_uni FROM uni_tok GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT w1)::DOUBLE AS vs FROM uni_tok
+            ), doc_bi AS (
+                SELECT doc_id, b.g AS g, b.w1 AS w1
+                FROM toks, unnest(
+                    CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                              i -> struct_pack(g := w[i] || ' ' || w[i+1],
+                                               w1 := w[i]))
+                         ELSE []::STRUCT(g VARCHAR, w1 VARCHAR)[] END) AS t(b)
+            ), bic AS (
+                SELECT g, count(*)::BIGINT AS c_bi FROM doc_bi GROUP BY 1
+            ), bits AS (
+                SELECT d.doc_id,
+                       -(ln((coalesce(b.c_bi, 0) + 1.0)
+                            / (coalesce(u.c_uni, 0) + 1.0 * v.vs)) / ln(2.0))
+                           AS bits
+                FROM doc_bi d
+                LEFT JOIN bic b USING (g)
+                LEFT JOIN uni u USING (w1)
+                CROSS JOIN v
+            ), per AS (
+                SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(bits) AS a
+                FROM bits GROUP BY 1
+            )
+            SELECT doc.doc_id,
+                   coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(per.a, 6) AS avg_bits,
+                   round(pow(2.0, per.a), 3) AS perplexity
+            FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        """,
         "dedup_quality_survivor": f"""
             WITH RECURSIVE {_JACCARD_CTES},
             edges AS (

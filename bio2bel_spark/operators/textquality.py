@@ -215,3 +215,95 @@ def tfidf_top_terms(
             id_col, "term", "tf", F.round("__score", 6).alias("tfidf")
         )
     )
+
+
+def bigrams(col) -> Column:
+    """Adjacent token pairs of the lowercased text as ``struct(g, w1)``
+    (the bigram string and its context word). Empty array for texts with
+    fewer than two tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(
+                F.concat(a, F.lit(" "), b).alias("g"), a.alias("w1")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,w1:string>>"))
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality score per document — the CCNet/KenLM-
+    style perplexity filter, self-trained on ``reference`` (default: the
+    scored corpus itself).
+
+    Model: add-``alpha`` smoothed bigram LM,
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)`` with unigram
+    context counts and vocabulary size ``V``. Output per doc:
+    ``(id, n_bigrams, avg_bits, perplexity)`` where ``avg_bits`` is the
+    average negative log2 probability and ``perplexity = 2^avg_bits``
+    (lower = more natural text under the reference distribution). Docs with
+    fewer than two tokens keep a row with ``n_bigrams = 0`` and null scores
+    so a downstream gate can treat them explicitly.
+
+    Scale shape: both count tables are map-side-combinable groupBys; the
+    vocabulary size rides in as a broadcast 1-row cross join (O(1) nested
+    loop, allowlisted like ``tfidf_top_terms``); scoring is two equi-joins
+    keyed by gram/context (AQE broadcasts small vocabularies); the per-doc
+    average is one shuffle on the doc id. No Python, no collect, no
+    iteration.
+    """
+    ref = reference if reference is not None else docs
+
+    ref_bi = ref.select(F.explode(bigrams(text_col)).alias("b"))
+    bi_counts = ref_bi.groupBy(F.col("b.g").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_bi")
+    )
+    ref_uni = ref.select(F.explode(tokens(text_col)).alias("w1"))
+    uni_counts = ref_uni.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c_uni")
+    )
+    vocab = ref_uni.agg(F.count_distinct("w1").cast("double").alias("__v"))
+
+    doc_bi = docs.select(
+        F.col(id_col), F.explode(bigrams(text_col)).alias("b")
+    ).select(id_col, F.col("b.g").alias("g"), F.col("b.w1").alias("w1"))
+    scored = (
+        doc_bi.join(bi_counts, "g", "left")
+        .join(uni_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -(
+                    F.log(
+                        (F.coalesce("c_bi", F.lit(0)) + F.lit(alpha))
+                        / (F.coalesce("c_uni", F.lit(0)) + F.lit(alpha) * F.col("__v"))
+                    )
+                    / F.log(F.lit(2.0))
+                )
+            ).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("bits").alias("__avg"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round("__avg", 6).alias("avg_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("__avg")), 3).alias("perplexity"),
+        )
+    )

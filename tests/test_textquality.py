@@ -116,3 +116,38 @@ def test_tfidf_empty_text_yields_no_rows(spark):
     )
     out = tfidf_top_terms(docs)
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_lm_perplexity_matches_hand_model(spark):
+    """Tiny corpus with hand-computable counts: repeated bigrams must score
+    as more probable (lower bits) than one-off bigrams, and short docs keep
+    a row with null scores."""
+    import math
+
+    from bio2bel_spark.operators.textquality import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),
+            (1, "a b c"),
+            (2, "x"),          # < 2 tokens: n_bigrams 0, null scores
+            (3, None),         # null text: same contract
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert len(out) == 4
+    assert out[2]["n_bigrams"] == 0 and out[2]["avg_bits"] is None
+    assert out[3]["n_bigrams"] == 0 and out[3]["perplexity"] is None
+    # corpus: tokens a,b,a,b,a,b,c,x -> c(a)=3 c(b)=3 c(c)=1 c(x)=1, V=4
+    # bigrams: ab ba ab | ab bc -> c(ab)=3 c(ba)=1 c(bc)=1
+    V = 4.0
+    def p(cb, cu):
+        return (cb + 1.0) / (cu + V)
+    bits0 = [-math.log2(p(3, 3)), -math.log2(p(1, 3)), -math.log2(p(3, 3))]
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_bits"] == pytest.approx(sum(bits0) / 3, abs=1e-6)
+    bits1 = [-math.log2(p(3, 3)), -math.log2(p(1, 3))]
+    assert out[1]["avg_bits"] == pytest.approx(sum(bits1) / 2, abs=1e-6)
+    # the doc made of the dominant bigram is less surprising
+    assert out[0]["perplexity"] < out[1]["perplexity"]
