@@ -1618,10 +1618,21 @@ def q_bloom_decontaminate(spark, sf_dir):
 
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (Bar-Yossef et al.): deterministic synopsis,
-    so even the *estimate* is oracle-checkable (unlike HLL)."""
+    so even the *estimate* is oracle-checkable (unlike Spark's built-in
+    approx_count_distinct, whose HLL++ registers aren't reproducible in
+    SQL — the portable HLL below fixes that with an md5-based register)."""
     from bio2bel_spark.operators.sketch import kmv_distinct
 
     return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=256)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct count (b=9, m=512 registers): md5-based
+    registers make state AND estimate replayable in DuckDB bit-for-bit
+    (modulo a 4dp rounding on the final float)."""
+    from bio2bel_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", b=9)
 
 
 def q_hash_split_counts(spark, sf_dir):
@@ -2070,6 +2081,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
+    "hll_distinct": q_hll_distinct,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
@@ -3234,6 +3246,34 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 63 / (max(h) / 4294967296.0) END,
                          6) AS estimate
             FROM k GROUP BY event_type
+        """,
+        "hll_distinct": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), hv AS (
+                SELECT (h % 512)::INT AS reg, (h >> 9) AS v FROM h
+            ), regs AS (
+                SELECT reg,
+                       max(CASE WHEN v = 0 THEN 52
+                                ELSE 51 - (length(to_base(v, 2)) - 1)
+                           END)::INT AS rho
+                FROM hv GROUP BY reg
+            ), agg AS (
+                SELECT count(*)::BIGINT AS used,
+                       sum(pow(2.0, -rho)) AS s
+                FROM regs
+            ), raw AS (
+                SELECT used,
+                       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0)
+                           * 512.0 * 512.0 / (s + (512 - used)) AS e
+                FROM agg
+            )
+            SELECT 512 AS m, used AS used_registers,
+                   round(CASE WHEN e <= 1280.0 AND (512 - used) > 0
+                              THEN 512.0 * ln(512.0 / (512 - used))
+                              ELSE e END, 4) AS estimate
+            FROM raw
         """,
         "kmv_distinct": """
             WITH h AS (

