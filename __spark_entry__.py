@@ -1380,6 +1380,25 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def q_image_phash_pairs(spark, sf_dir):
+    """Image-level near-duplicate pairs: 64-bit aHash perceptual
+    fingerprints (real PPM decode, Arrow mapInPandas) → pigeonhole-banded
+    hamming join. Images for doc_id % 50 == 0 are regenerated under a
+    shifted id so every such doc has a perceptual twin — those pairs must
+    surface at hamming ≤ 7. Rows-only check (no raster decode in SQL)."""
+    from bio2bel_spark.operators.multimodal import (
+        image_from_documents,
+        image_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = image_from_documents(docs)
+    twins = image_from_documents(
+        docs.filter(F.col("doc_id") % 50 == 0)
+    ).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return image_near_pairs(media.unionByName(twins), max_hamming=7)
+
+
 def q_image_features(spark, sf_dir):
     """REAL image pipeline end-to-end: deterministic P6 PPM rasters per
     document, decoded and nearest-neighbor resized to the resize_plan
@@ -2082,6 +2101,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
     "hll_distinct": q_hll_distinct,
+    "image_phash_pairs": q_image_phash_pairs,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,

@@ -562,31 +562,67 @@ def simhash_near_pairs(
     Pigeonhole banding: split the fingerprint into ``max_hamming + 1`` byte
     bands — any pair within the distance budget must agree on ≥1 band, so the
     candidate join is an equi-join, then verified with exact popcount.
+    Delegates to :func:`hamming_near_pairs` (band keys are identical for
+    these nonnegative 32-bit fingerprints).
+    """
+    fp = docs.select(
+        F.col(id_col), simhash(text_col, bits, backend=backend).alias("__fp")
+    )
+    return hamming_near_pairs(
+        fp, fp_col="__fp", id_col=id_col, bits=bits, max_hamming=max_hamming
+    )
+
+
+def hamming_near_pairs(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup id pairs among integer fingerprints with hamming distance
+    ≤ ``max_hamming`` — the shared pigeonhole core for SimHash text
+    fingerprints and image perceptual hashes.
+
+    The fingerprint splits into ``max_hamming + 1`` bit bands that PARTITION
+    all ``bits`` (the last band absorbs any remainder — un-banded leftover
+    bits would silently lose recall for pairs differing only there); a pair
+    within the distance budget must agree exactly on ≥1 band (pigeonhole),
+    so candidates come from an equi-join on ``(band, key)`` and verify with
+    exact ``bit_count(xor)``. Band keys use ``shiftrightunsigned`` + mask —
+    EXACT for all 64 bits including a set sign bit, where a float-division
+    band key would shave everything past the 53-bit mantissa.
     """
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
-    fp = docs.select(F.col(id_col), simhash(text_col, bits, backend=backend).alias("__fp"))
-    banded = fp.select(
-        id_col,
-        "__fp",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    (
-                        (F.col("__fp") / F.pow(F.lit(2.0), b * band_bits)).cast("long")
-                        % (1 << band_bits)
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "__fp", "bb.band", "bb.key")
+
+    def _band_key(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col(fp_col), i * band_bits)
+        width = bits - i * band_bits if i == n_bands - 1 else band_bits
+        if width >= 64:  # full-width band: the mask literal would overflow
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     from bio2bel_spark.operators.caching import tracked_persist
 
-    banded = banded.transform(tracked_persist)
-    a = banded.select("band", "key", F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a"))
-    b = banded.select("band", "key", F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b"))
+    banded = fps.select(
+        F.col(id_col),
+        F.col(fp_col).alias("__fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), _band_key(i).alias("key"))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__fp", "bb.band", "bb.key").transform(tracked_persist)
+    a = banded.select(
+        "band", "key", F.col(id_col).alias("id_a"), F.col("__fp").alias("fp_a")
+    )
+    b = banded.select(
+        "band", "key", F.col(id_col).alias("id_b"), F.col("__fp").alias("fp_b")
+    )
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -594,7 +630,9 @@ def simhash_near_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

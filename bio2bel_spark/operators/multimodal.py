@@ -364,3 +364,64 @@ def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
             )
 
     return media.select("doc_id", "content").mapInPandas(run, schema=schema)
+
+
+def image_ahash(media: DataFrame, hash_side: int = 8) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per image:
+    decode P6 PPM → luma → nearest-neighbor downsample to
+    ``hash_side × hash_side`` → one bit per cell (1 where the cell exceeds
+    the mean), packed row-major into a signed 64-bit long.
+
+    One Arrow ``mapInPandas`` pass; the binary column never leaves the UDF.
+    Perceptually-similar images (resizes, small crops, brightness shifts)
+    differ in a handful of bits, so near-duplicate detection is a hamming
+    problem — feed the output to
+    :func:`bio2bel_spark.operators.dedup.hamming_near_pairs`.
+    """
+    if hash_side * hash_side != 64:
+        raise ValueError("image_ahash packs exactly 64 bits: hash_side must be 8")
+
+    schema = "doc_id BIGINT, phash BIGINT"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            ids, hashes = [], []
+            for doc_id, content in zip(batch["doc_id"], batch["content"]):
+                img = _ppm_decode(bytes(content)).astype(np.float64)
+                luma = (
+                    0.299 * img[..., 0]
+                    + 0.587 * img[..., 1]
+                    + 0.114 * img[..., 2]
+                )
+                small = _nn_resize(luma, hash_side, hash_side)
+                bits = (small > small.mean()).flatten()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                if v >= 1 << 63:  # two's-complement into a signed long
+                    v -= 1 << 64
+                ids.append(int(doc_id))
+                hashes.append(v)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return media.select("doc_id", "content").mapInPandas(run, schema=schema)
+
+
+def image_near_pairs(
+    media: DataFrame, max_hamming: int = 7, hash_side: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash fingerprints → pigeonhole-banded
+    hamming join (``dedup.hamming_near_pairs``, 64 bits ÷ 8 bands). The
+    decode cost is paid once per image; the pair search never touches
+    pixels again."""
+    from bio2bel_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        image_ahash(media, hash_side),
+        fp_col="phash",
+        id_col="doc_id",
+        bits=64,
+        max_hamming=max_hamming,
+    )

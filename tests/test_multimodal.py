@@ -144,3 +144,44 @@ def test_resize_targets_match_resize_plan_exactly(spark):
         for r in decode_resize_features(media, max_side=64).collect()
     }
     assert plan == got
+
+
+def test_image_ahash_and_near_pairs(spark):
+    """Identical images hash identically (hamming 0); a lightly brightened
+    copy lands within the hamming budget; unrelated gradients do not pair.
+    Verified against brute-force hamming over all pairs."""
+    from itertools import combinations
+
+    from bio2bel_spark.operators import multimodal as mm
+
+    rows = []
+    for doc_id, seed, bright in [
+        (0, 1, 0),
+        (1, 1, 0),     # exact duplicate of 0
+        (2, 1, 6),     # brightened copy of 0 (same structure)
+        (3, 9, 0),     # different gradient
+        (4, 23, 0),    # different gradient
+    ]:
+        content = bytearray(mm._ppm_bytes(seed, 40, 30))
+        if bright:
+            header_end = content.index(b"255\n") + 4
+            for i in range(header_end, len(content)):
+                content[i] = min(255, content[i] + bright)
+        rows.append((doc_id, "image", bytes(content), None))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fps = {r["doc_id"]: r["phash"] for r in mm.image_ahash(media).collect()}
+    assert len(fps) == 5
+    assert fps[0] == fps[1]
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_pairs(media, max_hamming=7).collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(fps), 2):
+        d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 7:
+            want[(a, b)] = d
+    assert got == want
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got  # brightened copy caught
