@@ -979,6 +979,14 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus health report over the augmented (duplicate-bearing)
+    documents table: volumes, shortness, token mass, exact-dup rate."""
+    from bio2bel_spark.operators.textquality import corpus_report
+
+    return corpus_report(_docs_augmented(spark, sf_dir))
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity per document (CCNet/KenLM-style quality filter),
     self-trained on the corpus with add-1 smoothing."""
@@ -2102,6 +2110,7 @@ QUERIES: dict[str, Callable] = {
     "lm_perplexity": q_lm_perplexity,
     "hll_distinct": q_hll_distinct,
     "image_phash_pairs": q_image_phash_pairs,
+    "corpus_report": q_corpus_report,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
@@ -2459,6 +2468,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "dedup_fuzzy_clusters": _FUZZY_CLUSTER_SQL,
+        "corpus_report": f"""
+            WITH aug AS ({_AUG_SQL}),
+            r AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN 0
+                            ELSE len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> '')) END AS nt,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE {_H32_SQL.format(x=_NORM_SQL)} END AS h
+                FROM aug
+            )
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum((nt = 0)::BIGINT)::BIGINT AS n_empty,
+                   sum((nt > 0 AND nt < 20)::BIGINT)::BIGINT AS n_short,
+                   sum(nt)::BIGINT AS n_tokens,
+                   round(avg(nt), 4) AS avg_tokens,
+                   count(DISTINCT h)::BIGINT AS distinct_texts,
+                   round(1.0 - count(DISTINCT h)::DOUBLE
+                         / sum((h IS NOT NULL)::BIGINT), 6) AS exact_dup_rate
+            FROM r
+        """,
         "lm_perplexity": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -307,3 +307,52 @@ def lm_perplexity(
             F.round(F.pow(F.lit(2.0), F.col("__avg")), 3).alias("perplexity"),
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    short_doc_tokens: int = 20,
+) -> DataFrame:
+    """One-row corpus health report in a single scan + single reduce:
+    ``(n_docs, n_empty, n_short, n_tokens, avg_tokens, distinct_texts,
+    exact_dup_rate)``.
+
+    The curation dashboard numbers every ingest round needs before any
+    per-doc decision: volume, emptiness, shortness, token mass, and the
+    exact-duplicate rate (1 - distinct normalized texts / docs). All
+    aggregates are map-side combinable except ``count_distinct``, which
+    Spark plans as a two-stage partial distinct on the 32-bit text hash —
+    the same hash the exact-dedup family uses, so the rate agrees with
+    :func:`bio2bel_spark.operators.dedup.exact_duplicates` by construction.
+    """
+    from bio2bel_spark.operators.dedup import normalize_text, portable_hash
+
+    toks = F.when(
+        F.col(text_col).isNotNull(), F.size(tokens(text_col))
+    ).otherwise(F.lit(0))
+    rows = docs.select(
+        F.col(id_col),
+        toks.alias("__n_tok"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            portable_hash(normalize_text(text_col)),
+        ).alias("__h"),
+    )
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__n_tok") == 0).cast("long")).alias("n_empty"),
+        F.sum(
+            ((F.col("__n_tok") > 0) & (F.col("__n_tok") < short_doc_tokens)).cast("long")
+        ).alias("n_short"),
+        F.sum("__n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("__n_tok"), 4).alias("avg_tokens"),
+        F.count_distinct(F.col("__h")).cast("long").alias("distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct(F.col("__h"))
+            / F.sum((F.col("__h").isNotNull()).cast("long")),
+            6,
+        ).alias("exact_dup_rate"),
+    )

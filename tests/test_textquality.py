@@ -151,3 +151,26 @@ def test_lm_perplexity_matches_hand_model(spark):
     assert out[1]["avg_bits"] == pytest.approx(sum(bits1) / 2, abs=1e-6)
     # the doc made of the dominant bigram is less surprising
     assert out[0]["perplexity"] < out[1]["perplexity"]
+
+
+def test_corpus_report_counts(spark):
+    from bio2bel_spark.operators.textquality import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three"),
+            (1, "one  two   three"),  # whitespace dup of 0
+            (2, " ".join(f"w{i}" for i in range(30))),  # long doc
+            (3, ""),                  # empty
+            (4, None),                # null
+        ],
+        "doc_id long, text string",
+    )
+    r = corpus_report(docs, short_doc_tokens=20).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_empty"] == 2          # "" and NULL both tokenless
+    assert r["n_short"] == 2          # the two three-token docs
+    assert r["n_tokens"] == 3 + 3 + 30
+    assert r["avg_tokens"] == pytest.approx(36 / 5, abs=1e-4)
+    assert r["distinct_texts"] == 3   # {one two three, w..., ""}
+    assert r["exact_dup_rate"] == pytest.approx(1 - 3 / 4, abs=1e-6)
