@@ -398,3 +398,43 @@ def run_bloom_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    by: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream time-bounded join: attribute each purchase to the
+    click(s) by the same ``by`` key that happened at most ``within`` before
+    it (the canonical attribution shape).
+
+    Both sides carry a watermark AND the join condition bounds event time
+    from both directions (``click.ts <= purchase.ts <= click.ts + within``),
+    which is what lets Spark evict join state: without the time bound the
+    state store would grow forever holding every click ever seen. State per
+    key is bounded by the watermark horizon — the 100 TB-stream
+    requirement. Output: ``(by, click_id, click_ts, purchase_id,
+    purchase_ts, value)``.
+    """
+    l = clicks.select(
+        F.col(by),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    r = purchases.select(
+        F.col(by).alias("__rby"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (l[by] == r["__rby"])
+        & (r["purchase_ts"] >= l["click_ts"])
+        & (r["purchase_ts"] <= l["click_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        by, "click_id", "click_ts", "purchase_id", "purchase_ts", "value"
+    )

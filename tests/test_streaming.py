@@ -424,3 +424,39 @@ def test_enrich_stream_broadcast_join(spark, events_dir, tmp_path_factory):
     _run_to_memory(out, "t_enriched", tmp_path_factory)
     rows = {r["event_id"]: r["tier"] for r in spark.sql("select * from t_enriched").collect()}
     assert rows == {1: "gold", 2: "gold", 3: "gold", 4: "gold", 5: "gold", 6: "silver"}
+
+
+def test_attribution_join_time_bounded(spark, tmp_path_factory):
+    """Stream-stream join: purchases attribute to clicks by the same user
+    within the window; a purchase outside the window and a different-user
+    purchase must NOT match."""
+    rows = [
+        # user 1: click at t=0, purchases at t=10 (in) and t=90 (out of 1h)
+        (1, _us(0), 1, "click", 0.0, "{}"),
+        (2, _us(10), 1, "purchase", 9.99, "{}"),
+        (3, _us(90), 1, "purchase", 5.00, "{}"),
+        # user 2: purchase with no prior click
+        (4, _us(20), 2, "purchase", 1.00, "{}"),
+        # user 3: click after its purchase — must not match backwards
+        (5, _us(40), 3, "purchase", 2.00, "{}"),
+        (6, _us(50), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path_factory.mktemp("attr_src"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    ev_c = sev.stream_events(spark, src).filter(F.col("event_type") == "click")
+    ev_p = sev.stream_events(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = sev.attribution_join(ev_c, ev_p, within="1 hour")
+    _run_to_memory(out, "t_attr", tmp_path_factory)
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"]): r["value"]
+        for r in spark.sql("select * from t_attr").collect()
+    }
+    assert got == {(1, 1, 2): 9.99}
