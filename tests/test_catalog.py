@@ -42,3 +42,30 @@ def test_latest_actions_window(spark, warehouse):
     cat.store_action("test", ACTION_DROP)
     latest = {r["resource"]: r["action"] for r in cat.latest_actions().collect()}
     assert latest == {"test": ACTION_DROP}
+
+
+def test_compact_table_preserves_content(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    # simulate append-heavy history: 20 tiny files
+    catalog.write_table(df.repartition(20), "frag")
+    import os
+
+    before = [
+        f
+        for f in os.listdir(catalog.table_path("frag"))
+        if f.endswith(".parquet")
+    ]
+    assert len(before) == 20
+    n = catalog.compact_table("frag", target_file_mb=128)
+    assert n == 1
+    got = catalog.read_table("frag")
+    assert got.count() == 1000
+    assert got.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
+    # provenance recorded
+    acts = {(r["resource"], r["action"]) for r in catalog.actions().collect()}
+    assert ("frag", "compact") in acts
+    # idempotent: nothing to gain on a single file
+    assert catalog.compact_table("frag") == 1
