@@ -2085,15 +2085,19 @@ QUERIES: dict[str, Callable] = {
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
     # multimodal (Arrow mapInPandas plumbing)
-    "media_frame_sample": q_media_frame_sample,
-    "media_resize_plan": q_media_resize_plan,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
+    # round-4 additions: new operators carry the most regression risk, so
+    # they take window slots from four map-only metadata/HOF queries
+    # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
+    # that are fully covered by unit tests + the local oracle sweep
+    "dedup_quality_survivor": q_dedup_quality_survivor,
+    "lm_perplexity": q_lm_perplexity,
+    "hll_distinct": q_hll_distinct,
+    "corpus_report": q_corpus_report,
     # packing (window cumsum + applyInPandas FFD)
     "pack_chunks": q_pack_chunks,
-    "chunk_spans": q_chunk_spans,
-    "sliding_windows": q_sliding_windows,
     "pack_first_fit": q_pack_first_fit,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -2105,12 +2109,12 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "media_frame_sample": q_media_frame_sample,
+    "media_resize_plan": q_media_resize_plan,
+    "chunk_spans": q_chunk_spans,
+    "sliding_windows": q_sliding_windows,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "dedup_quality_survivor": q_dedup_quality_survivor,
-    "lm_perplexity": q_lm_perplexity,
-    "hll_distinct": q_hll_distinct,
     "image_phash_pairs": q_image_phash_pairs,
-    "corpus_report": q_corpus_report,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
