@@ -979,6 +979,26 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
+def q_validate_lineitem(spark, sf_dir):
+    """Declarative data-quality report over lineitem: five row-level
+    constraints compiled into ONE scan + one reduce, plus a uniqueness
+    check. The l_discount <= 0.05 rule genuinely fails (discounts reach
+    0.10), so the report exercises real violation counting."""
+    from bio2bel_spark.operators.validation import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"type": "not_null", "col": "l_orderkey"},
+            {"type": "range", "col": "l_quantity", "min": 1, "max": 50},
+            {"type": "range", "col": "l_discount", "min": 0.0, "max": 0.05},
+            {"type": "in_set", "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {"type": "regex", "col": "l_linestatus", "pattern": "^[OF]$"},
+            {"type": "unique", "cols": ["l_orderkey", "l_linenumber"]},
+        ],
+    )
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health report over the augmented (duplicate-bearing)
     documents table: volumes, shortness, token mass, exact-dup rate."""
@@ -2096,8 +2116,8 @@ QUERIES: dict[str, Callable] = {
     "lm_perplexity": q_lm_perplexity,
     "hll_distinct": q_hll_distinct,
     "corpus_report": q_corpus_report,
-    # packing (window cumsum + applyInPandas FFD)
-    "pack_chunks": q_pack_chunks,
+    "validate_lineitem": q_validate_lineitem,
+    # packing (applyInPandas FFD)
     "pack_first_fit": q_pack_first_fit,
     # dedup family
     "dedup_exact": q_dedup_exact,
@@ -2109,6 +2129,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "pack_chunks": q_pack_chunks,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
     "chunk_spans": q_chunk_spans,
@@ -2472,6 +2493,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": _EXACT_JACCARD_SQL,
         "dedup_lsh_fast": _EXACT_JACCARD_SQL,
         "dedup_fuzzy_clusters": _FUZZY_CLUSTER_SQL,
+        "validate_lineitem": """
+            WITH t AS (
+                SELECT count(*)::BIGINT AS total,
+                       sum((l_orderkey IS NULL)::BIGINT)::BIGINT AS v0,
+                       sum((l_quantity IS NOT NULL AND NOT
+                            (l_quantity >= 1 AND l_quantity <= 50))::BIGINT)::BIGINT AS v1,
+                       sum((l_discount IS NOT NULL AND NOT
+                            (l_discount >= 0.0 AND l_discount <= 0.05))::BIGINT)::BIGINT AS v2,
+                       sum((l_returnflag IS NOT NULL AND
+                            l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT)::BIGINT AS v3,
+                       sum((l_linestatus IS NOT NULL AND NOT
+                            regexp_matches(l_linestatus, '^[OF]$'))::BIGINT)::BIGINT AS v4,
+                       (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT AS v5
+                FROM lineitem
+            )
+            SELECT * FROM (
+                SELECT 'not_null' AS constraint, 'l_orderkey' AS target,
+                       v0 AS violations, total, v0 = 0 AS passed FROM t
+                UNION ALL
+                SELECT 'range', 'l_quantity', v1, total, v1 = 0 FROM t
+                UNION ALL
+                SELECT 'range', 'l_discount', v2, total, v2 = 0 FROM t
+                UNION ALL
+                SELECT 'in_set', 'l_returnflag', v3, total, v3 = 0 FROM t
+                UNION ALL
+                SELECT 'regex', 'l_linestatus', v4, total, v4 = 0 FROM t
+                UNION ALL
+                SELECT 'unique', 'l_orderkey,l_linenumber', v5, total, v5 = 0 FROM t
+            )
+        """,
         "corpus_report": f"""
             WITH aug AS ({_AUG_SQL}),
             r AS (

@@ -1,0 +1,143 @@
+"""Declarative data-quality constraints (Deequ-style, reduced to one pass).
+
+Beyond-reference extension: the reference trusts its feeds and fails inside
+pandas transforms; a 100 TB ingest needs the inverse — declare the contract,
+measure violations, gate on the report. Constraints are data, not code:
+
+``{"type": "not_null", "col": c}``
+``{"type": "range", "col": c, "min": x, "max": y}`` (inclusive, open-ended
+when one bound is omitted)
+``{"type": "in_set", "col": c, "values": [...]}``
+``{"type": "regex", "col": c, "pattern": r"..."}`` (Java∩RE2 subset, like
+:mod:`bio2bel_spark.operators.cleaning`'s PII patterns, so DuckDB replays)
+``{"type": "unique", "cols": [a, b]}``
+``{"type": "ordered", "low": a, "high": b}`` (row-wise ``a <= b``)
+
+Scale shape: every ROW-level constraint compiles to one conditional-sum
+aggregate, so N constraints over a table cost ONE scan + one reduce
+(map-side combinable). ``unique`` constraints genuinely need a distinct
+count each — they run as separate aggregates and union into the same
+report. Output, one row per constraint:
+``(constraint, target, violations, total, passed)``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["check_constraints", "assert_constraints"]
+
+
+def _row_violation(c: Mapping) -> Column:
+    """Boolean column: TRUE where the row violates the constraint."""
+    kind = c["type"]
+    if kind == "not_null":
+        return F.col(c["col"]).isNull()
+    if kind == "range":
+        col = F.col(c["col"])
+        ok = F.lit(True)
+        if "min" in c:
+            ok = ok & (col >= F.lit(c["min"]))
+        if "max" in c:
+            ok = ok & (col <= F.lit(c["max"]))
+        # null is a missing value, not a range violation — not_null is its
+        # own constraint; conflating them double-counts every null
+        return col.isNotNull() & ~ok
+    if kind == "in_set":
+        col = F.col(c["col"])
+        return col.isNotNull() & ~col.isin(list(c["values"]))
+    if kind == "regex":
+        col = F.col(c["col"])
+        return col.isNotNull() & ~col.rlike(c["pattern"])
+    if kind == "ordered":
+        lo, hi = F.col(c["low"]), F.col(c["high"])
+        return lo.isNotNull() & hi.isNotNull() & (lo > hi)
+    raise ValueError(f"unknown constraint type {c['type']!r}")
+
+
+def _target(c: Mapping) -> str:
+    if c["type"] == "unique":
+        return ",".join(c["cols"])
+    if c["type"] == "ordered":
+        return f"{c['low']}<={c['high']}"
+    return c["col"]
+
+
+def check_constraints(
+    df: DataFrame, constraints: Sequence[Mapping]
+) -> DataFrame:
+    """Violation report for the declared constraints — one output row per
+    constraint: ``(constraint, target, violations, total, passed)``.
+
+    All row-level constraints share ONE scan (each is a conditional-sum
+    aggregate in the same ``agg``); each ``unique`` adds one distinct
+    aggregation. Deterministic output order: the constraint declaration
+    order, carried by an explicit index (a union of aggregates has no
+    inherent order).
+    """
+    row_cs = [c for c in constraints if c["type"] != "unique"]
+    uniq_cs = [c for c in constraints if c["type"] == "unique"]
+
+    reports = []
+    if row_cs:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+        for i, c in enumerate(row_cs):
+            aggs.append(
+                F.sum(_row_violation(c).cast("long")).alias(f"__v{i}")
+            )
+        base = df.agg(*aggs)
+        for i, c in enumerate(row_cs):
+            reports.append(
+                base.select(
+                    F.lit(constraints.index(c)).alias("__ord"),
+                    F.lit(c["type"]).alias("constraint"),
+                    F.lit(_target(c)).alias("target"),
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("violations"),
+                    F.col("__total").alias("total"),
+                )
+            )
+    for c in uniq_cs:
+        cols = [F.col(x) for x in c["cols"]]
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("__total"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.struct(*cols))
+            ).cast("long").alias("__v"),
+        )
+        reports.append(
+            agg.select(
+                F.lit(constraints.index(c)).alias("__ord"),
+                F.lit("unique").alias("constraint"),
+                F.lit(_target(c)).alias("target"),
+                F.col("__v").alias("violations"),
+                F.col("__total").alias("total"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("__ord").select(
+        "constraint",
+        "target",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def assert_constraints(df: DataFrame, constraints: Sequence[Mapping]) -> None:
+    """Gate form: raise ``ValueError`` naming every failed constraint.
+
+    The report is tiny (one row per constraint), so the collect is bounded
+    by the declaration, never the data.
+    """
+    failed = [
+        f"{r['constraint']}({r['target']}): {r['violations']}/{r['total']}"
+        for r in check_constraints(df, constraints).collect()
+        if not r["passed"]
+    ]
+    if failed:
+        raise ValueError("constraints failed: " + "; ".join(failed))
