@@ -438,3 +438,46 @@ def attribution_join(
     return l.join(r, cond, "inner").select(
         by, "click_id", "click_ts", "purchase_id", "purchase_ts", "value"
     )
+
+
+def run_hll_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    b: int = 9,
+):
+    """Maintain a HyperLogLog distinct-count sketch incrementally over a
+    stream — the O(m)-state sibling of the KMV maintenance.
+
+    Per micro-batch the batch's register table merges into the persistent
+    state by register-wise max (``sketch.hll_merge``). Max IS idempotent —
+    replaying a batch re-maxes registers to values they already hold — so
+    no batch-id guard is needed; a restart replays at most one batch
+    harmlessly. Read the estimate at any time with ``sketch.hll_estimate``
+    over the state table.
+    """
+    from bio2bel_spark.operators.sketch import hll_merge, hll_state
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = hll_state(batch_df, col, b=b)
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            merged = hll_merge([prev, batch_state])
+        else:
+            merged = batch_state
+        # the merged plan's lineage reads the table being overwritten —
+        # materialize first (same contract as the KMV/Bloom maintainers)
+        rows = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(
+            rows or [], "reg INT, rho INT"
+        )
+        catalog.write_table(out, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

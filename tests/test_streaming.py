@@ -460,3 +460,43 @@ def test_attribution_join_time_bounded(spark, tmp_path_factory):
         for r in spark.sql("select * from t_attr").collect()
     }
     assert got == {(1, 1, 2): 9.99}
+
+
+def test_hll_maintenance_matches_direct_state(spark, tmp_path_factory):
+    """Two incremental batches must produce exactly the register table a
+    single direct pass over everything builds (max-merge is lossless)."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import hll_estimate, hll_state
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_hll")))
+    src = str(tmp_path_factory.mktemp("hll_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us(i), i % 40, "click", 1.0, "{}") for i in range(60)])
+    ck = str(tmp_path_factory.mktemp("ck_hll"))
+    q = sev.run_hll_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "hll_state", ck
+    )
+    q.awaitTermination(240)
+
+    batch([(100 + i, _us(100 + i), 30 + i, "view", 1.0, "{}") for i in range(30)])
+    q2 = sev.run_hll_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "hll_state", ck
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("hll_state")
+    direct = hll_state(spark.read.parquet(src).select("user_id"), "user_id")
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = hll_estimate(state).collect()[0]
+    # 60 distinct user_ids (0..39 and 30..59); m=512 linear counting is tight
+    assert abs(est["estimate"] - 60) / 60 < 0.15
