@@ -979,6 +979,20 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     return dedup_fuzzy(docs, n_hashes=16, bands=8, threshold=0.5)
 
 
+def q_hll_grouped(spark, sf_dir):
+    """Per-group portable HLL: distinct parts per returnflag — the
+    distinct-users-per-day shape, O(m) registers per group."""
+    from bio2bel_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_state_grouped,
+    )
+
+    state = hll_state_grouped(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", by="l_returnflag"
+    )
+    return hll_estimate_grouped(state, by="l_returnflag")
+
+
 def q_validate_lineitem(spark, sf_dir):
     """Declarative data-quality report over lineitem: five row-level
     constraints compiled into ONE scan + one reduce, plus a uniqueness
@@ -2136,6 +2150,7 @@ QUERIES: dict[str, Callable] = {
     "sliding_windows": q_sliding_windows,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "image_phash_pairs": q_image_phash_pairs,
+    "hll_grouped": q_hll_grouped,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,
@@ -3352,6 +3367,35 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 63 / (max(h) / 4294967296.0) END,
                          6) AS estimate
             FROM k GROUP BY event_type
+        """,
+        "hll_grouped": """
+            WITH h AS (
+                SELECT l_returnflag AS grp,
+                       ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), hv AS (
+                SELECT grp, (h % 512)::INT AS reg, (h >> 9) AS v FROM h
+            ), regs AS (
+                SELECT grp, reg,
+                       max(CASE WHEN v = 0 THEN 52
+                                ELSE 51 - (length(to_base(v, 2)) - 1)
+                           END)::INT AS rho
+                FROM hv GROUP BY 1, 2
+            ), agg AS (
+                SELECT grp, count(*)::BIGINT AS used,
+                       sum(pow(2.0, -rho)) AS s
+                FROM regs GROUP BY 1
+            ), raw AS (
+                SELECT grp, used,
+                       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0)
+                           * 512.0 * 512.0 / (s + (512 - used)) AS e
+                FROM agg
+            )
+            SELECT grp AS l_returnflag, used AS used_registers,
+                   round(CASE WHEN e <= 1280.0 AND (512 - used) > 0
+                              THEN 512.0 * ln(512.0 / (512 - used))
+                              ELSE e END, 4) AS estimate
+            FROM raw
         """,
         "hll_distinct": """
             WITH h AS (

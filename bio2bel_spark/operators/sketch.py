@@ -42,6 +42,9 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_distinct",
+    "hll_state_grouped",
+    "hll_merge_grouped",
+    "hll_estimate_grouped",
     "cms_state",
     "cms_merge",
     "cms_estimate",
@@ -624,3 +627,66 @@ def hll_distinct(
 ) -> DataFrame:
     """End-to-end HLL distinct count: state → estimate (one scan)."""
     return hll_estimate(hll_state(df, col, b, backend), b)
+
+
+def hll_state_grouped(
+    df: DataFrame, col: str, by: str, b: int = 9, backend: str = "md5"
+) -> DataFrame:
+    """Per-group HLL register tables: ``(by, reg, rho)`` with ≤ ``2^b``
+    register rows per group — the distinct-users-per-day shape.
+
+    Identical register construction to :func:`hll_state`, grouped by
+    ``(by, reg)``: one map pass + one max aggregation with map-side
+    combine, executor state m counters per group. Per-group states merge
+    with :func:`hll_merge_grouped` (register-wise max within the group).
+    """
+    m = 1 << b
+    w_bits = 60 - b
+    h = _hash60(col, backend)
+    rows = df.where(F.col(col).isNotNull()).select(
+        F.col(by),
+        F.pmod(h, F.lit(m)).cast("int").alias("reg"),
+        F.shiftright(h, b).alias("__v"),
+    )
+    bitlen = F.length(F.conv(F.col("__v").cast("string"), 10, 2))
+    rho = (
+        F.when(F.col("__v") == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - (bitlen - F.lit(1)))
+        .cast("int")
+    )
+    return (
+        rows.select(by, "reg", rho.alias("rho"))
+        .groupBy(by, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_grouped(states: Sequence[DataFrame], by: str) -> DataFrame:
+    """Merge grouped HLL states: register-wise max within each group."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(by, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_grouped(state: DataFrame, by: str, b: int = 9) -> DataFrame:
+    """Per-group ``(by, used_registers, estimate)`` — the same alpha_m
+    estimator with linear-counting correction as :func:`hll_estimate`,
+    applied group-wise in one aggregation."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = state.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("__s") + (F.lit(m) - F.col("used")))
+    zeros = F.lit(m) - F.col("used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(by),
+        F.col("used").alias("used_registers"),
+        F.round(est, 4).alias("estimate"),
+    )

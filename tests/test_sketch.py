@@ -316,3 +316,36 @@ def test_hll_rho_exact_at_powers_of_two(spark):
     regs = hll_state(df, "x", b=9).collect()
     assert regs and all(1 <= r["rho"] <= 52 for r in regs)
     assert len(regs) <= 512
+
+
+def test_hll_grouped_matches_per_group_global(spark, tables):
+    """A group's register table must equal the global state of that group's
+    rows filtered out — grouping changes bookkeeping, never registers."""
+    from bio2bel_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_state,
+        hll_state_grouped,
+    )
+
+    li = tables["lineitem"]
+    grouped = hll_state_grouped(li, "l_partkey", by="l_returnflag")
+    flags = [r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()]
+    for flag in flags:
+        per = sorted(
+            (r["reg"], r["rho"])
+            for r in grouped.filter(F.col("l_returnflag") == flag).collect()
+        )
+        solo = sorted(
+            map(tuple, hll_state(li.filter(F.col("l_returnflag") == flag), "l_partkey").collect())
+        )
+        assert per == solo, flag
+    est = {
+        r["l_returnflag"]: r["estimate"]
+        for r in hll_estimate_grouped(grouped, by="l_returnflag").collect()
+    }
+    for flag in flags:
+        solo_est = hll_estimate(
+            hll_state(li.filter(F.col("l_returnflag") == flag), "l_partkey")
+        ).collect()[0]["estimate"]
+        assert est[flag] == solo_est, flag
