@@ -107,6 +107,17 @@ class Catalog:
         import math
 
         path = self.table_path(name)
+        # a hive-partitioned layout (key=value dirs) must not be flattened:
+        # rewriting it as plain files silently destroys partition pruning
+        # for every downstream scan — refuse loudly; compact per-partition
+        for dp, dirs, _ in os.walk(path):
+            if any("=" in d for d in dirs):
+                raise ValueError(
+                    f"compact_table: {name!r} is hive-partitioned; a flat "
+                    "rewrite would drop the partition layout (and partition "
+                    "pruning with it). Compact each partition directory as "
+                    "its own table instead."
+                )
         files = [
             os.path.join(dp, f)
             for dp, _, fs in os.walk(path)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from bio2bel_spark.catalog import ACTION_DROP, ACTION_POPULATE, Catalog
 
 
@@ -69,3 +71,15 @@ def test_compact_table_preserves_content(spark, tmp_path):
     assert ("frag", "compact") in acts
     # idempotent: nothing to gain on a single file
     assert catalog.compact_table("frag") == 1
+
+
+def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr("id", "id % 3 AS part")
+    catalog.write_table(df, "parted", partition_by=["part"])
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        catalog.compact_table("parted")
+    # data untouched by the refusal
+    assert catalog.read_table("parted").count() == 100
