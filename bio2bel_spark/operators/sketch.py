@@ -605,7 +605,12 @@ def hll_estimate(state: DataFrame, b: int = 9) -> DataFrame:
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = state.agg(
         F.count(F.lit(1)).cast("long").alias("used"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+        # coalesce: an EMPTY state (no rows ever sketched) sums to null;
+        # with 0 the m absent registers drive raw into the linear-counting
+        # branch and the estimate comes out exactly 0, not null
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("__s"),
     )
     raw = (F.lit(alpha * m * m)) / (
         F.col("__s") + (F.lit(m) - F.col("used"))

@@ -349,3 +349,11 @@ def test_hll_grouped_matches_per_group_global(spark, tables):
             hll_state(li.filter(F.col("l_returnflag") == flag), "l_partkey")
         ).collect()[0]["estimate"]
         assert est[flag] == solo_est, flag
+
+
+def test_hll_empty_state_estimates_zero(spark):
+    from bio2bel_spark.operators.sketch import hll_distinct
+
+    empty = spark.createDataFrame([], "x string")
+    r = hll_distinct(empty, "x").collect()[0]
+    assert r["used_registers"] == 0 and r["estimate"] == 0.0
