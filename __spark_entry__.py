@@ -2623,7 +2623,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, cluster,
                    (row_number() OVER (
-                        PARTITION BY cluster ORDER BY score DESC, doc_id
+                        PARTITION BY cluster
+                        ORDER BY score DESC NULLS LAST, doc_id
                     ) = 1) AS keep
             FROM labeled
         """,

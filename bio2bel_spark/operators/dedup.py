@@ -341,8 +341,10 @@ def dedup_fuzzy(
         )
     from pyspark.sql import Window
 
+    # explicit null placement: engines disagree on default null order
+    # under DESC, and a null score must never beat a real one
     w = Window.partitionBy("cluster").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return labeled.select(
         id_col,
