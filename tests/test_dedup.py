@@ -260,3 +260,53 @@ def test_dedup_fuzzy_quality_survivor(docs):
     for i in cluster_members:
         assert out[i] == (0, i == best)
     assert out[4] == (4, True) and out[5] == (5, True)
+
+
+def test_hamming_near_pairs_property(spark):
+    """Random 64-bit fingerprints (sign bit exercised) across non-dividing
+    band budgets: pair recall and distances must equal brute force exactly
+    — the pigeonhole guarantee with the remainder-absorbing last band."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(2, 18),
+        max_hamming=st.sampled_from([0, 3, 6, 7, 9]),
+        flips=st.integers(0, 10),
+    )
+    def check(seed, n, max_hamming, flips):
+        import random
+
+        rng = random.Random(seed)
+        fps = [rng.getrandbits(64) for _ in range(n)]
+        # plant near-duplicates: clone fp[0] with a few bit flips so the
+        # <= max_hamming band is actually populated
+        twin = fps[0]
+        for _ in range(flips):
+            twin ^= 1 << rng.randrange(64)
+        fps.append(twin)
+
+        def signed(v):
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        df = spark.createDataFrame(
+            [(i, signed(v)) for i, v in enumerate(fps)], "doc_id long, fp long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.hamming_near_pairs(
+                df, fp_col="fp", id_col="doc_id", bits=64, max_hamming=max_hamming
+            ).collect()
+        }
+        want = {}
+        for a, b in combinations(range(len(fps)), 2):
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= max_hamming:
+                want[(a, b)] = d
+        assert got == want
+
+    check()
