@@ -174,3 +174,44 @@ def test_corpus_report_counts(spark):
     assert r["avg_tokens"] == pytest.approx(36 / 5, abs=1e-4)
     assert r["distinct_texts"] == 3   # {one two three, w..., ""}
     assert r["exact_dup_rate"] == pytest.approx(1 - 3 / 4, abs=1e-6)
+
+
+def test_lm_perplexity_property(spark):
+    """Random small corpora vs a pure-python bigram model: counts, V, and
+    per-doc average bits must agree to float tolerance."""
+    import math
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bio2bel_spark.operators.textquality import lm_perplexity
+
+    WORD = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+
+    @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(st.lists(WORD, min_size=0, max_size=8), min_size=1, max_size=6))
+    def check(docs):
+        rows = [(i, " ".join(words) if words else None) for i, words in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+
+        uni = Counter(w for ws in docs for w in ws)
+        bi = Counter(
+            (ws[i], ws[i + 1]) for ws in docs for i in range(len(ws) - 1)
+        )
+        V = len(uni)
+        for i, ws in enumerate(docs):
+            grams = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+            assert got[i]["n_bigrams"] == len(grams)
+            if not grams:
+                assert got[i]["avg_bits"] is None
+                continue
+            bits = [
+                -math.log2((bi[g] + 1.0) / (uni[g[0]] + V)) for g in grams
+            ]
+            assert got[i]["avg_bits"] == pytest.approx(
+                sum(bits) / len(bits), abs=2e-6
+            )
+
+    check()
