@@ -878,6 +878,48 @@ _FUZZY_CLUSTER_SQL = f"""
 """
 
 
+#: shared CTE chain for the duplicate-span (substring dedup) queries:
+#: planted-span docs → normalized word arrays → per-position 8-gram hashes →
+#: cross-doc frequent spans → duplicated positions. Consumed by the
+#: dup_span_profile and dup_span_scrub oracles.
+_SPAN_CTES = f"""
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'shared preamble alpha beta gamma delta epsilon zeta eta theta. '
+                    ELSE '' END
+               || text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' closing boilerplate one two three four five six seven eight'
+                    ELSE '' END AS text
+        FROM documents
+    ),
+    spnorm AS (SELECT doc_id, {_NORM_SQL} AS t FROM sp),
+    spw AS (SELECT doc_id, string_split(t, ' ') AS words FROM spnorm),
+    spbase AS (
+        SELECT doc_id, len(words)::BIGINT AS n_tokens,
+               greatest(0, len(words) - 7)::BIGINT AS n_spans, words
+        FROM spw
+    ),
+    sppos AS (
+        SELECT doc_id, unnest(range(0, n_spans)) AS pos, words FROM spbase
+    ),
+    sph AS (
+        SELECT doc_id, pos,
+               {_H32_SQL.format(x="array_to_string(words[pos+1:pos+8], ' ')")} AS h
+        FROM sppos
+    ),
+    spfreq AS (
+        SELECT h FROM (
+            SELECT h, count(DISTINCT doc_id) AS nd FROM sph GROUP BY h
+        ) WHERE nd >= 2
+    ),
+    spdup AS (
+        SELECT doc_id, pos FROM sph WHERE h IN (SELECT h FROM spfreq)
+    )
+"""
+
+
 #: exact cross-table Jaccard twin of q_fuzzy_join. The right side uppercases
 #: its text, but normalization lowercases, so {_NORM_SQL} applies unchanged.
 _FUZZY_JOIN_SQL = f"""
@@ -1184,6 +1226,45 @@ def q_doc_fingerprints(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _docs_spanned(spark, sf_dir):
+    """documents with deterministic cross-document duplicate spans planted:
+    every 7th doc shares a 10-word preamble, every 5th doc shares a 10-word
+    closing sentence — the input a substring-level (span) dedup stage
+    expects. Docs not in either class carry only their own text, so their
+    spans stay unique."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("shared preamble alpha beta gamma delta epsilon zeta eta theta. "),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" closing boilerplate one two three four five six seven eight"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_dup_span_profile(spark, sf_dir):
+    """Exact duplicate-span audit (Lee et al. 2022): per-doc count and
+    union-coverage of 8-token spans repeated across >= 2 documents."""
+    from bio2bel_spark.operators.dedup import duplicate_span_profile
+
+    return duplicate_span_profile(_docs_spanned(spark, sf_dir), n=8, min_docs=2)
+
+
+def q_dup_span_scrub(spark, sf_dir):
+    """Destructive substring dedup: cut every cross-doc duplicated 8-token
+    span, reassemble surviving tokens in order."""
+    from bio2bel_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs_spanned(spark, sf_dir), n=8, min_docs=2)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -2131,18 +2212,23 @@ QUERIES: dict[str, Callable] = {
     "hll_distinct": q_hll_distinct,
     "corpus_report": q_corpus_report,
     "validate_lineitem": q_validate_lineitem,
-    # packing (applyInPandas FFD)
-    "pack_first_fit": q_pack_first_fit,
+    # substring-level dedup (newest operators = highest regression risk, so
+    # they hold window slots; the two displaced queries — pack_first_fit is
+    # rows-only checked either way, tfidf_top_terms is hash-checked by the
+    # local oracle sweep — moved just past the window)
+    "dup_span_profile": q_dup_span_profile,
+    "dup_span_scrub": q_dup_span_scrub,
     # dedup family
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
-    "tfidf_top_terms": q_tfidf_top_terms,
     "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "pack_first_fit": q_pack_first_fit,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "pack_chunks": q_pack_chunks,
     "media_frame_sample": q_media_frame_sample,
     "media_resize_plan": q_media_resize_plan,
@@ -2637,6 +2723,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ngram_jaccard_pairs": _EXACT_JACCARD_SQL,
+        "dup_span_profile": f"""
+            WITH {_SPAN_CTES},
+            cov AS (
+                SELECT doc_id, pos,
+                       greatest(0, pos + 8 - greatest(pos, coalesce(
+                           max(pos + 8) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ), pos))) AS c
+                FROM spdup
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+                       sum(c)::BIGINT AS dup_tokens
+                FROM cov GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_spans,
+                   coalesce(a.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(coalesce(a.dup_tokens, 0)::DOUBLE / b.n_tokens, 6)
+                       AS dup_token_frac
+            FROM spbase b LEFT JOIN agg a USING (doc_id)
+        """,
+        "dup_span_scrub": f"""
+            WITH {_SPAN_CTES},
+            covw AS (
+                SELECT DISTINCT doc_id, pos + u.i AS widx
+                FROM spdup, unnest(range(0, 8)) AS u(i)
+            ),
+            wordsx AS (
+                SELECT doc_id, unnest(words) AS word,
+                       unnest(range(len(words))) AS widx
+                FROM spw
+            ),
+            keptx AS (
+                SELECT w2.doc_id, w2.widx, w2.word
+                FROM wordsx w2 LEFT JOIN covw c
+                  ON w2.doc_id = c.doc_id AND w2.widx = c.widx
+                WHERE c.doc_id IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list(word ORDER BY widx), ' ') AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM keptx GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(r.text, '') AS text,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   (b.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+            FROM spbase b LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "dedup_exact": f"""
             WITH aug AS ({_AUG_SQL}),
             norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM aug)

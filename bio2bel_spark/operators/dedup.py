@@ -638,3 +638,175 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_positions(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+) -> DataFrame:
+    """``(id, pos, h)``: the portable hash of every overlapping ``n``-word
+    span of the normalized text, with its 0-based word position.
+
+    Map-only (one ``posexplode`` per document, fan-out = word count); spans
+    keep their positions — unlike :func:`shingle_hashes` there is no
+    ``array_distinct``, because span-level dedup needs to know WHERE a
+    repeated span sits, not just that it exists. Documents shorter than
+    ``n`` words emit no rows (``posexplode`` of NULL).
+    """
+    words = F.split(normalize_text(text_col), " ")
+    hasher = _hasher(backend)
+    spans = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: hasher(F.array_join(F.slice(words, i + 1, n), " ")),
+        ),
+    )
+    return docs.select(F.col(id_col), F.posexplode(spans).alias("pos", "h"))
+
+
+def _duplicate_positions(
+    docs: DataFrame,
+    n: int,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+    backend: str,
+) -> DataFrame:
+    """``(id, pos)`` of every span whose hash occurs in >= ``min_docs``
+    distinct documents — the shared core of the profile and scrub stages.
+
+    One shuffle to count distinct docs per span hash (map-side combinable on
+    ``(h, id)``), one semi-join back. The frequent-span set is tiny relative
+    to the corpus (it IS the duplicated matter), so AQE broadcasts it.
+    """
+    pos = span_positions(docs, n, text_col, id_col, backend)
+    frequent = (
+        pos.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+    )
+    return pos.join(frequent.select("h"), "h", "left_semi").select(id_col, "pos")
+
+
+def duplicate_span_profile(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+) -> DataFrame:
+    """Per-document exact duplicate-span profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    ``n``-token substrings across documents are the dedup unit, not whole
+    documents).
+
+    Returns one row per input document: ``(id, n_tokens, n_spans,
+    n_dup_spans, dup_tokens, dup_token_frac)`` where ``dup_tokens`` is the
+    size of the UNION of all duplicated span intervals ``[pos, pos+n)`` —
+    overlapping repeated spans are not double-counted. The union is computed
+    with a running-max window over span end positions (per doc, ordered by
+    ``pos``), so the whole operator is two shuffles: the span-frequency
+    count and the per-doc aggregation; no per-pair work anywhere.
+    """
+    dup = _duplicate_positions(docs, n, min_docs, text_col, id_col, backend)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + n).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + n - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    per_doc = (
+        dup.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__c").alias("dup_tokens"),
+        )
+    )
+    n_tokens = F.size(F.split(normalize_text(text_col), " "))
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), n_tokens - (n - 1)).cast("long").alias("n_spans"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+) -> DataFrame:
+    """Cut every cross-document duplicated ``n``-token span out of each
+    document and reassemble the survivors in order (the destructive stage of
+    substring-level dedup; :func:`duplicate_span_profile` is its audit twin).
+
+    A word survives iff NO duplicated span covers it. Covered word indices
+    come from exploding each duplicated span into its ``n`` positions
+    (bounded fan-out ``n``) + distinct; survivors are the anti-join of word
+    positions against that set, reassembled with the same bounded per-doc
+    sort as C4 line dedup. Output text is the NORMALIZED token stream
+    (lowercased, whitespace-collapsed) — span identity is defined on
+    normalized tokens, so the cut has to operate there too.
+
+    Returns ``(id, text, n_kept, n_dropped)``, one row per input document
+    (a fully-duplicated document survives with empty text).
+    """
+    dup = _duplicate_positions(docs, n, min_docs, text_col, id_col, backend)
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("widx"),
+    ).distinct()
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("widx", "word"),
+    )
+    kept = words.join(covered, [id_col, "widx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_tokens = F.size(F.split(normalize_text(text_col), " "))
+    return (
+        docs.select(F.col(id_col), n_tokens.cast("long").alias("__total"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__clean", F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

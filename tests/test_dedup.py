@@ -310,3 +310,71 @@ def test_hamming_near_pairs_property(spark):
         assert got == want
 
     check()
+
+
+def test_duplicate_span_profile(spark):
+    # docs 1 and 2 share the 8-word sentence; doc 3 is all-unique
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two three {shared} tail1"),
+        (2, f"{shared} completely different ending here now"),
+        (3, "nothing here repeats across any other document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicate_span_profile(df, n=8, min_docs=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc 1: 12 words -> 5 spans; only the span at pos 3 (= shared) repeats
+    assert got[1]["n_tokens"] == 12 and got[1]["n_spans"] == 5
+    assert got[1]["n_dup_spans"] == 1 and got[1]["dup_tokens"] == 8
+    # doc 2: shared at pos 0
+    assert got[2]["n_dup_spans"] == 1 and got[2]["dup_tokens"] == 8
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_tokens"] == 0
+    assert got[3]["dup_token_frac"] == 0.0
+
+
+def test_duplicate_span_profile_union_coverage(spark):
+    # two overlapping duplicated spans must count their union, not 2*n
+    shared9 = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 words -> two overlapping 8-spans
+    rows = [
+        (1, f"{shared9} unique-a unique-b"),
+        (2, f"prefix-x {shared9}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.duplicate_span_profile(df, n=8, min_docs=2).collect()
+    }
+    assert got[1]["n_dup_spans"] == 2 and got[1]["dup_tokens"] == 9
+    assert got[2]["n_dup_spans"] == 2 and got[2]["dup_tokens"] == 9
+
+
+def test_remove_duplicate_spans(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two three {shared}"),
+        (2, f"{shared} different ending"),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.remove_duplicate_spans(df, n=8, min_docs=2).collect()
+    }
+    assert got[1]["text"] == "one two three" and got[1]["n_dropped"] == 8
+    assert got[2]["text"] == "different ending" and got[2]["n_kept"] == 2
+    # < n words: untouched (normalized form)
+    assert got[3]["text"] == "short doc" and got[3]["n_dropped"] == 0
+
+
+def test_remove_duplicate_spans_full_doc(spark):
+    shared = "a b c d e f g h"
+    rows = [(1, shared), (2, shared), (3, "something else entirely unique words here are fine")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup.remove_duplicate_spans(df, n=8).collect()}
+    # fully-duplicated docs survive as rows with empty text
+    assert got[1]["text"] == "" and got[1]["n_kept"] == 0
+    assert got[2]["text"] == "" and got[2]["n_dropped"] == 8
+    assert got[3]["n_dropped"] == 0
