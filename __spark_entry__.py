@@ -467,6 +467,64 @@ def _pagerank_sql(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> str:
     )
 
 
+_KCORE_K = 4
+
+
+def q_k_core(spark, sf_dir):
+    """k-core of the symmetrized pathway-membership bipartite graph:
+    iterative peeling to the unique fixpoint; (node, core degree)."""
+    from bio2bel_spark.operators.graph import k_core
+
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(m, k=_KCORE_K)
+
+
+def _k_core_sql(k: int = _KCORE_K, rounds: int = 12) -> str:
+    """Unrolled peeling twin: one (degree, keep, filter) CTE trio per round.
+
+    The k-core fixpoint is unique, so as long as ``rounds`` covers the peel
+    depth at the oracle's scale the unrolled chain equals Spark's
+    early-stopping loop; extra rounds past the fixpoint are no-ops.
+    """
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round ~5 times, so inlined CTEs would expand the plan exponentially
+    # (DuckDB runs out of file handles re-opening the scan)
+    ctes = [
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT 'o:' || l_orderkey::VARCHAR AS u,
+                            'p:' || l_partkey::VARCHAR AS v
+            FROM lineitem
+        )"""
+    ]
+    for i in range(rounds):
+        ctes.append(f"""k{i} AS MATERIALIZED (
+            SELECT n FROM (
+                SELECT n, count(*) AS d FROM (
+                    SELECT u AS n FROM e{i} UNION ALL SELECT v AS n FROM e{i}
+                ) GROUP BY n
+            ) WHERE d >= {k}
+        )""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+            SELECT u, v FROM e{i}
+            WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i})
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT n AS node, count(*)::BIGINT AS degree FROM (
+            SELECT u AS n FROM e{rounds} UNION ALL SELECT v AS n FROM e{rounds}
+        ) GROUP BY n HAVING count(*) >= {k}
+    """
+    )
+
+
 def q_obo_scan(spark, sf_dir):
     """S8: OBO ontology scan — hierarchy edges joined with both endpoint
     names (non-obsolete children only)."""
@@ -2191,6 +2249,7 @@ QUERIES: dict[str, Callable] = {
     "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
     "triangle_count": q_triangle_count,
+    "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
@@ -2347,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "pagerank": _pagerank_sql(),
+        "k_core": _k_core_sql(),
         "obo_scan": """
             SELECT * FROM (VALUES
                 ('GO:0002', 'is_a', 'GO:0001', 'beta process', 'alpha process'),

@@ -543,3 +543,74 @@ def triangle_count(
         F.coalesce(F.sum("is_w"), F.lit(0)).cast("long").alias("n_wedges"),
         F.coalesce(F.sum("is_t"), F.lit(0)).cast("long").alias("n_triangles"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """The ``k``-core of an undirected graph: the maximal subgraph where
+    every node has degree >= ``k`` (Seidman 1983) — the standard coreness
+    screen for graph cleaning (drop leaf chains / sparse fringe before
+    community detection or embedding training).
+
+    Iterative peeling: each round computes degrees (one map-side-combinable
+    shuffle over the tagged endpoint union) and semi-joins the surviving
+    node set back onto both endpoints; edges only ever shrink, and lineage
+    is truncated per round with an eager ``localCheckpoint`` so the
+    convergence test reads materialized data. Early-stops the round after
+    nothing was removed; the peeled fixpoint is unique regardless of
+    removal order, which is what makes an unrolled-SQL oracle twin exact.
+
+    Input edges may be directed/duplicated; canonicalized to distinct
+    undirected pairs, self-loops dropped. Returns ``(node, degree)`` for
+    the k-core nodes with their degree INSIDE the core subgraph.
+    """
+    a, b = F.col(src), F.col(dst)
+    cur = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(max_iterations):
+        keep = _deg(cur).filter(F.col("d") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        import warnings
+
+        warnings.warn(
+            f"k_core did not reach its fixpoint in {max_iterations} rounds; "
+            "the defensive degree filter below keeps the output sound "
+            "(every returned node HAS core degree >= k) but some nodes that "
+            "further peeling would remove may remain — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        _deg(cur)
+        .filter(F.col("d") >= k)
+        .select(F.col("n").alias("node"), F.col("d").cast("long").alias("degree"))
+    )

@@ -76,3 +76,41 @@ def test_descendants_match_bfs(spark, edges, root):
         want |= nxt
         frontier = nxt
     assert got == want
+
+
+def _k_core_model(edges, k):
+    """Pure-python peel: unique fixpoint, returns {node: core_degree}."""
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=EDGES, k=st.integers(1, 4))
+def test_k_core_matches_peeling_model(spark, edges, k):
+    from bio2bel_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=k).collect()}
+    assert got == _k_core_model(edges, k)
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    from bio2bel_spark.operators.graph import k_core
+
+    # triangle {0,1,2} + tail 2-3-4: a 2-core keeps only the triangle
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
