@@ -1292,7 +1292,7 @@ def _docs_spanned(spark, sf_dir):
     closing sentence — the input a substring-level (span) dedup stage
     expects. Docs not in either class carry only their own text, so their
     spans stay unique."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.concat(

@@ -683,7 +683,13 @@ def _duplicate_positions(
     ``(h, id)``), one semi-join back. The frequent-span set is tiny relative
     to the corpus (it IS the duplicated matter), so AQE broadcasts it.
     """
-    pos = span_positions(docs, n, text_col, id_col, backend)
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    # consumed twice (frequency count + join-back side) — persist the
+    # exploded positions so the per-span hash pipeline runs once
+    pos = span_positions(docs, n, text_col, id_col, backend).transform(
+        tracked_persist
+    )
     frequent = (
         pos.select("h", id_col)
         .distinct()
