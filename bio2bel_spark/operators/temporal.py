@@ -68,8 +68,11 @@ def asof_join(
     """For each left row, attach the latest right row with ``right.on <=
     left.on`` within the same ``by`` group (backward as-of, inclusive), or —
     with ``direction="forward"`` — the earliest right row with ``right.on >=
-    left.on`` (pandas ``merge_asof`` direction semantics). Forward is the
-    same one-shuffle plan scanned in descending time order.
+    left.on``, or — with ``direction="nearest"`` — whichever of the two is
+    closer in absolute time, ties preferring backward (pandas ``merge_asof``
+    direction semantics). Forward is the same one-shuffle plan scanned in
+    descending time order; nearest evaluates both frames over one ascending
+    sort, still one shuffle.
 
     Union-sort plan (scale rationale in the module docstring):
 
@@ -84,8 +87,10 @@ def asof_join(
     payload struct's natural ordering (max wins). Left columns keep their
     names; right payload columns get ``right_suffix``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by_cols = [by] if isinstance(by, str) else list(by)
     rpay_cols = [c for c in right.columns if c not in set(by_cols)]
     lpay_cols = [c for c in left.columns if c not in {*by_cols, on}]
@@ -114,26 +119,62 @@ def asof_join(
     # resolve deterministically (last == struct-max). The forward scan must
     # put NULL timestamps FIRST (desc sorts nulls last by default) so a
     # null-timestamp left row still sees no payload and keeps its null match.
-    t_order = (
-        F.col("__t").asc()
-        if direction == "backward"
-        else F.col("__t").desc_nulls_first()
-    )
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(t_order, F.col("__side"), F.col("__rpay"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        r.unionByName(l)
-        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    if direction == "nearest":
+        # still ONE shuffle: both candidates come from two frames over the
+        # SAME ascending sort — a running last() for the backward match and
+        # a following-frame first() for the forward match. A right row at
+        # the exact left timestamp sorts before the left row (side 0), lands
+        # in the backward frame with gap 0, and wins — so its absence from
+        # the forward frame is unobservable. Equal |gap| prefers backward
+        # (pandas merge_asof nearest tie rule).
+        base = Window.partitionBy(*by_cols).orderBy(
+            F.col("__t").asc(), F.col("__side"), F.col("__rpay")
+        )
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        u = (
+            r.unionByName(l)
+            .withColumn("__mb", F.last("__rpay", ignorenulls=True).over(wb))
+            .withColumn("__mf", F.first("__rpay", ignorenulls=True).over(wf))
+        )
+        bgap = epoch_us("__t") - epoch_us(F.col("__mb")[on])
+        fgap = epoch_us(F.col("__mf")[on]) - epoch_us("__t")
+        pick = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(bgap <= fgap, F.col("__mb"))
+            .otherwise(F.col("__mf"))
+        )
+        # a null-timestamp left row sorts first and must match nothing —
+        # without the guard the forward frame would hand it a future payload
+        matched = (
+            u.filter(F.col("__side") == 1)
+            .withColumn("__m", F.when(F.col("__t").isNotNull(), pick))
+            .drop("__mb", "__mf")
+        )
+    else:
+        t_order = (
+            F.col("__t").asc()
+            if direction == "backward"
+            else F.col("__t").desc_nulls_first()
+        )
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(t_order, F.col("__side"), F.col("__rpay"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            r.unionByName(l)
+            .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
 
     if tolerance_sec is not None:
         gap = epoch_us("__t") - epoch_us(F.col("__m")[on])
         if direction == "forward":
             gap = -gap
+        elif direction == "nearest":
+            gap = F.abs(gap)
         within = F.col("__m").isNotNull() & (
             gap <= int(tolerance_sec * 1_000_000)
         )

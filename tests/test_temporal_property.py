@@ -60,3 +60,36 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, tol):
         for r in exp.itertuples(index=False)
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=LEFT, right=RIGHT, tol=st.one_of(st.none(), st.integers(1, 100)))
+def test_asof_nearest_matches_pandas_merge_asof(spark, left, right, tol):
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = sorted(set(left))
+    right = sorted(set(right))
+    lrows = [(k, BASE + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    rrows = [(k, BASE + dt.timedelta(seconds=s), float(s)) for k, s in right]
+
+    ldf = spark.createDataFrame(lrows, "k BIGINT, ts TIMESTAMP, lid BIGINT")
+    rdf = spark.createDataFrame(rrows, "k BIGINT, ts TIMESTAMP, rv DOUBLE")
+    got = {
+        r.lid: r.rv_r
+        for r in asof_join(
+            ldf, rdf, on="ts", by="k", tolerance_sec=tol, direction="nearest"
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+    kwargs = {"tolerance": pd.Timedelta(seconds=tol)} if tol is not None else {}
+    exp = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="nearest",
+        allow_exact_matches=True, **kwargs,
+    )
+    expected = {
+        int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+        for r in exp.itertuples(index=False)
+    }
+    assert got == expected
