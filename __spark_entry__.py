@@ -1839,6 +1839,39 @@ def q_cms_counts(spark, sf_dir):
     return cms_estimate(st, keys, "l_partkey", width=1024, depth=4)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Deterministic bottom-k sampled quantiles of l_extendedprice: the
+    synopsis is the 1024 hash-smallest rows (TakeOrdered, no full shuffle),
+    the estimate is percentile_cont over the sample — SQL-replayable."""
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sample_state,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
+    )
+    st = quantile_sample_state(li, "l_extendedprice", "rid", k=1024)
+    return quantile_estimate(st, probs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+def q_quantile_sketch_grouped(spark, sf_dir):
+    """Per-returnflag sampled quantiles: 256-row synopsis per group via
+    WindowGroupLimit, percentile_cont per group."""
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate_grouped,
+        quantile_sample_state_grouped,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
+    )
+    st = quantile_sample_state_grouped(
+        li, "l_extendedprice", "l_returnflag", "rid", k=256
+    )
+    return quantile_estimate_grouped(st, "l_returnflag", probs=(0.5, 0.9, 0.99))
+
+
 def q_kmv_grouped(spark, sf_dir):
     """Per-group distinct-count sketch: KMV synopses per event_type (k=64
     smallest hashes via WindowGroupLimit — per-group top-k, no full sort),
@@ -2305,8 +2338,8 @@ QUERIES: dict[str, Callable] = {
     "hypertable_rollup": q_hypertable_rollup,
     "timeline_features": q_timeline_features,
     # sketches + sampling
-    "kmv_distinct": q_kmv_distinct,
-    "cms_counts": q_cms_counts,
+    "quantile_sketch": q_quantile_sketch,
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "triangle_count": q_triangle_count,
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
@@ -2344,6 +2377,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "kmv_distinct": q_kmv_distinct,
+    "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
     "kmv_grouped": q_kmv_grouped,
     "cosine_topk": q_cosine_topk,
@@ -3413,6 +3448,43 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN epoch_us(ts) - epoch_us(p_ts) <= 1800000000
                         THEN round(p_value, 6) END AS p_value
             FROM j
+        """,
+        "quantile_sketch": """
+            WITH s AS (
+                SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+                           || l_linenumber::VARCHAR), 1, 8))::BIGINT AS h,
+                       l_extendedprice::DOUBLE AS v
+                FROM lineitem
+            ), samp AS (SELECT h, v FROM s ORDER BY h, v LIMIT 1024),
+            q AS (
+                SELECT quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                FROM samp
+            )
+            SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+                   round(unnest(qs), 6) AS q
+            FROM q
+        """,
+        "quantile_sketch_grouped": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       ('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+                           || l_linenumber::VARCHAR), 1, 8))::BIGINT AS h,
+                       l_extendedprice::DOUBLE AS v
+                FROM lineitem
+            ), rn AS (
+                SELECT l_returnflag, h, v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY h, v) AS rn
+                FROM s
+            ), samp AS (SELECT l_returnflag, v FROM rn WHERE rn <= 256),
+            q AS (
+                SELECT l_returnflag,
+                       quantile_cont(v, [0.5, 0.9, 0.99]) AS qs
+                FROM samp GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, unnest([0.5, 0.9, 0.99]) AS p,
+                   round(unnest(qs), 6) AS q
+            FROM q
         """,
         "asof_join_nearest": """
             WITH clicks AS (

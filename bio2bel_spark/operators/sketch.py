@@ -55,6 +55,11 @@ __all__ = [
     "split_counts",
     "heavy_hitters",
     "sample_per_group",
+    "quantile_sample_state",
+    "quantile_sample_merge",
+    "quantile_estimate",
+    "quantile_sample_state_grouped",
+    "quantile_estimate_grouped",
     "weighted_mixture",
 ]
 
@@ -694,4 +699,120 @@ def hll_estimate_grouped(state: DataFrame, by: str, b: int = 9) -> DataFrame:
         F.col(by),
         F.col("used").alias("used_registers"),
         F.round(est, 4).alias("estimate"),
+    )
+
+
+def quantile_sample_state(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    backend: str = "md5",
+) -> DataFrame:
+    """Quantile synopsis: the ``k`` rows whose row-identity hash is smallest,
+    as ``(h, v)`` — a deterministic uniform sample (the hash is computed on
+    ``id_col``, never the value, so sampling is independent of the value
+    distribution; the classic bottom-k / hash-ordered sample of Cohen &
+    Kaplan 2007).
+
+    Plan shape: map-side hash projection → ``TakeOrdered(k)`` — the global
+    "sort" only ever sees k rows per partition, no full-data shuffle.
+    Deterministic by construction, so the sample (and every quantile read
+    from it) replays bit-for-bit in ANSI SQL and is stable under retries
+    and appends-with-resketch. Null values are excluded (quantiles over
+    nulls are undefined); hash ties break on the value.
+    """
+    return (
+        df.select(
+            portable_hash(F.col(id_col).cast("string"), backend=backend).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def quantile_sample_merge(states: Sequence[DataFrame], k: int = 1024) -> DataFrame:
+    """Merge synopses from disjoint batches: union → distinct → re-take the
+    k hash-smallest rows. Idempotent (re-merging the same batch collapses on
+    the (h, v) distinct) and order-insensitive."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h", "v").limit(k)
+
+
+def quantile_estimate(
+    state: DataFrame, probs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """``(p, q)`` rows: interpolated percentiles of the sampled values —
+    ``percentile_cont`` semantics, matching DuckDB ``quantile_cont`` on the
+    same sample exactly."""
+    arr = F.percentile("v", F.array(*[F.lit(float(p)) for p in probs]))
+    return state.agg(arr.alias("__qs")).select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in probs]).alias("p"),
+                F.col("__qs").alias("q"),
+            )
+        ).alias("__i", "__pq")
+    ).select(
+        F.col("__pq")["p"].alias("p"),
+        F.round(F.col("__pq")["q"], 6).alias("q"),
+    )
+
+
+def quantile_sample_state_grouped(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    id_col: str,
+    k: int = 256,
+    backend: str = "md5",
+) -> DataFrame:
+    """Per-group quantile synopsis: k hash-smallest rows per ``by`` group as
+    ``(by, h, v)``. The min-k selection is a ``row_number`` window that
+    Spark executes as WindowGroupLimit (per-partition top-k, no full sort).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("h", "v")
+    return (
+        df.select(
+            F.col(by),
+            portable_hash(F.col(id_col).cast("string"), backend=backend).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_estimate_grouped(
+    state: DataFrame,
+    by: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group ``(by, p, q)`` from a grouped quantile synopsis."""
+    arr = F.percentile("v", F.array(*[F.lit(float(p)) for p in probs]))
+    return (
+        state.groupBy(by)
+        .agg(arr.alias("__qs"))
+        .select(
+            F.col(by),
+            F.posexplode(
+                F.arrays_zip(
+                    F.array(*[F.lit(float(p)) for p in probs]).alias("p"),
+                    F.col("__qs").alias("q"),
+                )
+            ).alias("__i", "__pq"),
+        )
+        .select(
+            F.col(by),
+            F.col("__pq")["p"].alias("p"),
+            F.round(F.col("__pq")["q"], 6).alias("q"),
+        )
     )

@@ -357,3 +357,69 @@ def test_hll_empty_state_estimates_zero(spark):
     empty = spark.createDataFrame([], "x string")
     r = hll_distinct(empty, "x").collect()[0]
     assert r["used_registers"] == 0 and r["estimate"] == 0.0
+
+
+def test_quantile_sample_state_deterministic_merge(spark):
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sample_merge,
+        quantile_sample_state,
+    )
+
+    rows = [(i, float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    full = quantile_sample_state(df, "v", "rid", k=64)
+    # merging two disjoint halves == sketching the whole
+    h1 = quantile_sample_state(df.filter("rid < 250"), "v", "rid", k=64)
+    h2 = quantile_sample_state(df.filter("rid >= 250"), "v", "rid", k=64)
+    merged = quantile_sample_merge([h1, h2], k=64)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+    # merge is idempotent
+    again = quantile_sample_merge([merged, h1], k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, again.collect()))
+    est = {r["p"]: r["q"] for r in quantile_estimate(full, probs=(0.0, 0.5, 1.0)).collect()}
+    assert est[0.0] >= 0.0 and est[1.0] <= 99.0 and 0.0 <= est[0.5] <= 99.0
+
+
+def test_quantile_sample_small_input_is_exact(spark):
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sample_state,
+    )
+
+    # n < k: the "sample" is the full data, quantiles are exact
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "rid long, v double"
+    )
+    st = quantile_sample_state(df, "v", "rid", k=1024)
+    est = {r["p"]: r["q"] for r in quantile_estimate(st, probs=(0.25, 0.5, 0.9)).collect()}
+    assert est == {0.25: 25.0, 0.5: 50.0, 0.9: 90.0}
+
+
+def test_quantile_grouped_matches_global_per_group(spark):
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_estimate_grouped,
+        quantile_sample_state,
+        quantile_sample_state_grouped,
+    )
+
+    rows = [(i, "g" + str(i % 3), float((i * 13) % 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    got = {
+        (r["g"], r["p"]): r["q"]
+        for r in quantile_estimate_grouped(
+            quantile_sample_state_grouped(df, "v", "g", "rid", k=64),
+            "g",
+            probs=(0.5, 0.9),
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        sub = df.filter(F.col("g") == g)
+        want = {
+            r["p"]: r["q"]
+            for r in quantile_estimate(
+                quantile_sample_state(sub, "v", "rid", k=64), probs=(0.5, 0.9)
+            ).collect()
+        }
+        assert got[(g, 0.5)] == want[0.5] and got[(g, 0.9)] == want[0.9]
