@@ -586,13 +586,20 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    for _ in range(max_iterations):
-        keep = _deg(cur).filter(F.col("d") >= k).select("n")
-        nxt = (
-            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+    def _peel(e: DataFrame) -> DataFrame:
+        keep = _deg(e).filter(F.col("d") >= k).select("n")
+        return e.join(
+            keep.withColumnRenamed("n", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+
+    # two peel rounds per convergence barrier (same trade as
+    # _propagate_min_labels): the count() is the dominant per-round cost
+    # once the fringe is thin, and a converged graph wastes only one no-op
+    # round over the already-shrunken edge set
+    for _ in range(max(1, max_iterations // 2)):
+        nxt = _peel(
+            _peel(cur).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:
