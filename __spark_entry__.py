@@ -2064,6 +2064,30 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_winsorized_stats(spark, sf_dir):
+    """Outlier-robust per-type value stats: clamp to the group's [5%, 95%]
+    quantiles, then aggregate — two grouped passes, broadcast cut points."""
+    from bio2bel_spark.operators.stats import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """Wide per-user summary sheet: sum(value) pivoted over the five event
+    types — explicit category list, single pass, deterministic schema."""
+    from bio2bel_spark.operators.stats import pivot_report
+
+    return pivot_report(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "value",
+        categories=("click", "error", "purchase", "signup", "view"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-source quota sample (5 docs/source by hash order) —
     reproducible corpus curation, no RNG."""
@@ -2339,8 +2363,9 @@ QUERIES: dict[str, Callable] = {
     "timeline_features": q_timeline_features,
     # sketches + sampling
     "quantile_sketch": q_quantile_sketch,
+    "winsorized_stats": q_winsorized_stats,
+    "event_pivot": q_event_pivot,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
-    "triangle_count": q_triangle_count,
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
     "ivf_topk": q_ivf_topk,
@@ -2359,7 +2384,6 @@ QUERIES: dict[str, Callable] = {
     # that are fully covered by unit tests + the local oracle sweep
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
-    "hll_distinct": q_hll_distinct,
     "corpus_report": q_corpus_report,
     "validate_lineitem": q_validate_lineitem,
     # substring-level dedup (newest operators = highest regression risk, so
@@ -2377,6 +2401,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "triangle_count": q_triangle_count,
+    "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -3485,6 +3511,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, unnest([0.5, 0.9, 0.99]) AS p,
                    round(unnest(qs), 6) AS q
             FROM q
+        """,
+        "winsorized_stats": """
+            WITH cuts AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.05) AS lo,
+                       quantile_cont(value, 0.95) AS hi
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_type,
+                   count(*)::BIGINT AS n,
+                   sum((e.value < c.lo)::BIGINT)::BIGINT AS n_clipped_low,
+                   sum((e.value > c.hi)::BIGINT)::BIGINT AS n_clipped_high,
+                   round(min(c.lo), 6) AS p_lo,
+                   round(min(c.hi), 6) AS p_hi,
+                   round(avg(least(greatest(e.value, c.lo), c.hi)), 6)
+                       AS mean_winsorized
+            FROM events e JOIN cuts c USING (event_type)
+            WHERE e.value IS NOT NULL
+            GROUP BY e.event_type
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0) AS click,
+                   coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0) AS error,
+                   coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0) AS purchase,
+                   coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0) AS signup,
+                   coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0) AS view
+            FROM events GROUP BY user_id
         """,
         "asof_join_nearest": """
             WITH clicks AS (

@@ -1,0 +1,95 @@
+"""Robust numeric statistics and pivoted summary reports.
+
+Beyond-reference extensions (SURVEY §7.2): the numeric-hygiene steps of a
+feature/metrics pipeline — outlier-robust aggregates and the wide pivoted
+summary sheet (the distributed analog of the reference's driver-side
+``summarize`` dicts, ``/root/reference/src/bio2bel/manager/abstract_manager.py``
+summary surface).
+
+Design for 100 TB:
+
+* :func:`winsorized_stats` — two passes by construction (cut points, then
+  clamp+aggregate), both plain grouped aggregations; the per-group cut-point
+  table is tiny and broadcast back. Exact ``percentile`` is the correctness
+  tier; at production scale pass ``approx=True`` for the mergeable
+  Greenwald-Khanna sketch (identical plan shape, bounded executor state,
+  no exact per-group sort).
+* :func:`pivot_report` — ``groupBy().pivot()`` with an EXPLICIT category
+  list: with the list given, Spark skips the extra category-discovery job
+  and the output schema is deterministic (required for SQL replay; an
+  inferred pivot schema depends on the data).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winsorized_stats", "pivot_report"]
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group outlier-robust summary: values are clamped (winsorized) to
+    the group's ``[lower, upper]`` quantiles before aggregating.
+
+    Returns ``(by, n, n_clipped_low, n_clipped_high, p_lo, p_hi,
+    mean_winsorized)`` — the mean a corrupt long-tail row cannot drag.
+    Null values are ignored in both passes.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    cuts = df.where(F.col(value_col).isNotNull()).groupBy(by).agg(
+        F.expr(f"{fn}({value_col}, {lower})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {upper})").alias("__hi"),
+    )
+    v = F.col(value_col)
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        df.where(v.isNotNull())
+        .join(F.broadcast(cuts), by)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((v > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+            F.round(F.min("__lo"), 6).alias("p_lo"),
+            F.round(F.min("__hi"), 6).alias("p_hi"),
+            F.round(F.avg(clamped), 6).alias("mean_winsorized"),
+        )
+    )
+
+
+def pivot_report(
+    df: DataFrame,
+    row_key: str,
+    pivot_col: str,
+    value_col: str,
+    categories: Sequence[str],
+    agg: str = "sum",
+    round_dp: int = 2,
+) -> DataFrame:
+    """Wide summary sheet: one row per ``row_key``, one column per category
+    of ``pivot_col`` holding ``agg(value_col)`` (missing cells = 0).
+
+    The explicit ``categories`` list keeps the plan single-pass (no
+    category-discovery job) and the schema deterministic. One shuffle on
+    ``row_key``; the pivot itself is a map-side conditional aggregation.
+    """
+    aggf = getattr(F, agg)
+    pivoted = (
+        df.groupBy(row_key)
+        .pivot(pivot_col, list(categories))
+        .agg(F.round(aggf(value_col), round_dp))
+    )
+    return pivoted.select(
+        row_key,
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in categories],
+    )
