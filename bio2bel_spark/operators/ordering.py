@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["enumerate_sorted", "deterministic_shuffle", "shuffle_hash"]
+__all__ = ["enumerate_sorted", "deterministic_shuffle", "shuffle_hash", "negative_samples"]
 
 
 def enumerate_sorted(
@@ -93,3 +93,56 @@ def deterministic_shuffle(
         F.concat(shuffle_hash(key, seed), F.lit("|"), F.col(key).cast("string")),
     )
     return enumerate_sorted(with_key, "_shuffle_key", out_col).drop("_shuffle_key")
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: int = 0,
+    out_col: str = "neg_id",
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negatives per anchor row — the
+    contrastive-training sampling step, without RNG so pairs are stable
+    under retries, repartitioning, and cross-engine replay.
+
+    Rows are enumerated in seeded-hash order (:func:`deterministic_shuffle`
+    — a permutation that is uncorrelated with the input order), then the
+    anchor at position ``r`` pairs with positions ``(r + s_j) mod n`` for
+    ``j = 1..k`` with strides ``s_j = floor(j*n/(k+1))``. For ``n > k`` the
+    strides are distinct and nonzero, so an anchor never pairs with itself
+    and its k negatives are distinct. Because the underlying order is a
+    seeded hash permutation, a fixed stride in rank space is a fresh
+    pseudo-random pick in id space; a new seed resamples everything.
+
+    Plan: one range-partitioned enumeration + one self-join on rank (the
+    bounded ``n`` comes from a count, the only driver-side scalar). Output:
+    ``(id_col, j, out_col)`` — k rows per anchor.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    enum = deterministic_shuffle(
+        df.select(id_col), id_col, seed=seed, out_col="_r"
+    ).localCheckpoint(eager=True)
+    n = enum.count()
+    if n <= k:
+        raise ValueError(
+            f"negative_samples needs more rows than negatives (n={n}, k={k})"
+        )
+    strides = [(j * n) // (k + 1) for j in range(1, k + 1)]
+    fanned = enum.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j + 1).alias("j"),
+                        ((F.col("_r") + F.lit(s)) % n).alias("_nr"),
+                    )
+                    for j, s in enumerate(strides)
+                ]
+            )
+        ).alias("_js"),
+    ).select(id_col, F.col("_js.j").alias("j"), F.col("_js._nr").alias("_r"))
+    neg = enum.select(F.col("_r"), F.col(id_col).alias(out_col))
+    return fanned.join(neg, "_r").select(id_col, "j", out_col)

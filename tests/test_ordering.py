@@ -51,3 +51,33 @@ def test_deterministic_shuffle_properties(spark):
     assert sorted(a.values()) == list(range(300))  # it IS a permutation
     # and it's not the identity order (the hash actually shuffles)
     assert [a[i] for i in range(300)] != list(range(300))
+
+
+def test_negative_samples_properties(spark):
+    from bio2bel_spark.operators.ordering import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    out = negative_samples(df, "id", k=3, seed=5).collect()
+    # k rows per anchor
+    assert len(out) == 60
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["id"], set()).add(r["neg_id"])
+    for anchor, negs in by_anchor.items():
+        assert anchor not in negs, "anchor paired with itself"
+        assert len(negs) == 3, "negatives must be distinct"
+    # deterministic: same seed → same pairs; new seed → different permutation
+    again = negative_samples(df, "id", k=3, seed=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = negative_samples(df, "id", k=3, seed=6).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_negative_samples_rejects_tiny_input(spark):
+    import pytest as _pytest
+
+    from bio2bel_spark.operators.ordering import negative_samples
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    with _pytest.raises(ValueError, match="more rows than negatives"):
+        negative_samples(df, "id", k=3)
