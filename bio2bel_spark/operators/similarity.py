@@ -556,3 +556,73 @@ def exact_near_pairs_blocked(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     return _grid_near_pairs(rows, threshold, n_blocks, (), max_block_rows)
+
+
+def hard_negative_samples(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    k: int = 2,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``k`` deterministic HARD negatives per vector: negatives drawn from
+    the anchor's OWN IVF cluster, so they are semantically close (the hard
+    tier of contrastive sampling) while still being pseudo-random inside it.
+
+    Within each cluster, rows are ranked by a seeded hash (one window per
+    cluster — no global sort), and rank ``r`` pairs with ranks ``(r + s_j)
+    mod n_c`` for ``s_j = floor(j*n_c/(k+1))``. Cluster sizes ride in on a
+    broadcast (``n_clusters`` rows). Degenerate picks in tiny clusters
+    (stride 0 or collisions between strides) are filtered/dedup'd rather
+    than emitted, so an anchor never sees itself and sees each negative at
+    most once; clusters with one row emit nothing.
+
+    Plan: map-only IVF assignment (literal centroids) → per-cluster window
+    rank → broadcast sizes → bounded explode (k) → rank self-join keyed by
+    (cluster, rank). Output: ``(id_col, cluster, neg_id)``.
+    """
+    from pyspark.sql import Window
+
+    from bio2bel_spark.operators.ordering import shuffle_hash
+
+    assigned = ivf_assign(
+        embeddings.select(id_col, vec_col), n_clusters, vec_col, id_col
+    ).select(id_col, "cluster")
+    okey = F.concat(
+        shuffle_hash(F.col(id_col), seed),
+        F.lit("|"),
+        F.col(id_col).cast("string"),
+    )
+    w = Window.partitionBy("cluster").orderBy("__ok")
+    ranked = (
+        assigned.withColumn("__ok", okey)
+        .withColumn("__r", F.row_number().over(w) - 1)
+        .drop("__ok")
+    )
+    sizes = ranked.groupBy("cluster").agg(F.count(F.lit(1)).alias("__nc"))
+    nc = F.col("__nc")
+    fanned = (
+        ranked.join(F.broadcast(sizes), "cluster")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.col("__nc"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("__r") + F.floor(F.lit(j) * nc / (k + 1))) % nc)
+                        for j in range(1, k + 1)
+                    ]
+                )
+            ).alias("__nr"),
+            F.col("__r"),
+        )
+        .filter(F.col("__nr") != F.col("__r"))
+        .select(id_col, "cluster", "__nr")
+        .distinct()
+    )
+    neg = ranked.select(
+        F.col("cluster"), F.col("__r").alias("__nr"), F.col(id_col).alias("neg_id")
+    )
+    return fanned.join(neg, ["cluster", "__nr"]).select(id_col, "cluster", "neg_id")

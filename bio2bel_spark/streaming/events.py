@@ -481,3 +481,50 @@ def run_hll_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_quantile_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    value_col: str,
+    id_col: str,
+    state_table: str,
+    checkpoint: str,
+    k: int = 1024,
+):
+    """Maintain a bottom-k sampled-quantile synopsis incrementally over a
+    stream (the quantile sibling of the KMV/HLL maintainers).
+
+    Per micro-batch the batch's own bottom-k sample merges into the
+    persistent ``(h, v)`` state by union → distinct → re-take the k
+    hash-smallest rows. The merge is idempotent — replaying a batch re-adds
+    rows the distinct collapses — so no batch-id guard is needed. Read
+    quantiles at any time with ``sketch.quantile_estimate`` over the state
+    table; state is ≤ k rows forever, independent of stream volume.
+    """
+    from bio2bel_spark.operators.sketch import (
+        quantile_sample_merge,
+        quantile_sample_state,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_state = quantile_sample_state(batch_df, value_col, id_col, k=k)
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            merged = quantile_sample_merge([prev, batch_state], k=k)
+        else:
+            merged = batch_state
+        # lineage reads the table being overwritten — materialize first
+        # (k rows at most; same contract as the other maintainers)
+        rows = merged.collect()
+        out = batch_df.sparkSession.createDataFrame(
+            rows or [], "h BIGINT, v DOUBLE"
+        )
+        catalog.write_table(out, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -277,3 +277,37 @@ def test_grid_near_pairs_property(spark):
             assert got[k] == pytest.approx(v, abs=2e-6)
 
     check()
+
+
+def test_hard_negative_samples_in_cluster(spark):
+    from bio2bel_spark.operators.similarity import hard_negative_samples, ivf_assign
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hard_negative_samples(emb, n_clusters=4, k=2, seed=9).collect()
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, n_clusters=4).select("vec_id", "cluster").collect()
+    }
+    assert out, "expected some negatives"
+    seen = set()
+    for r in out:
+        # negative comes from the anchor's own cluster and is never itself
+        assert assigned[r["neg_id"]] == r["cluster"] == assigned[r["vec_id"]]
+        assert r["neg_id"] != r["vec_id"]
+        key = (r["vec_id"], r["neg_id"])
+        assert key not in seen, "duplicate (anchor, negative) pair"
+        seen.add(key)
+    # per-anchor count is bounded by k
+    from collections import Counter
+
+    per_anchor = Counter(r["vec_id"] for r in out)
+    assert max(per_anchor.values()) <= 2
+    # deterministic
+    again = hard_negative_samples(emb, n_clusters=4, k=2, seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -500,3 +500,50 @@ def test_hll_maintenance_matches_direct_state(spark, tmp_path_factory):
     est = hll_estimate(state).collect()[0]
     # 60 distinct user_ids (0..39 and 30..59); m=512 linear counting is tight
     assert abs(est["estimate"] - 60) / 60 < 0.15
+
+
+def test_quantile_maintenance_matches_direct_state(spark, tmp_path_factory):
+    """Two incremental batches must produce exactly the sample a single
+    direct pass over everything builds (bottom-k merge is lossless)."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sample_state,
+    )
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_qs")))
+    src = str(tmp_path_factory.mktemp("qs_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us(i), i % 40, "click", float(i % 97), "{}") for i in range(80)])
+    ck = str(tmp_path_factory.mktemp("ck_qs"))
+    q = sev.run_quantile_maintenance(
+        sev.stream_events(spark, src), catalog, "value", "event_id",
+        "q_state", ck, k=32,
+    )
+    q.awaitTermination(240)
+
+    batch([(200 + i, _us(200 + i), i, "view", float(i), "{}") for i in range(40)])
+    q2 = sev.run_quantile_maintenance(
+        sev.stream_events(spark, src), catalog, "value", "event_id",
+        "q_state", ck, k=32,
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("q_state")
+    direct = quantile_sample_state(
+        spark.read.parquet(src).select("event_id", "value"), "value",
+        "event_id", k=32,
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = {r["p"]: r["q"] for r in quantile_estimate(state, probs=(0.5,)).collect()}
+    assert 0.0 <= est[0.5] <= 97.0
