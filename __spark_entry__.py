@@ -2064,6 +2064,30 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width per-type histogram of events.value (20 bins over
+    [0, 100) + under/overflow): one projection + one combinable count."""
+    from bio2bel_spark.operators.stats import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "events"), "value", by="event_type",
+        lo=0.0, hi=100.0, n_bins=20,
+    )
+
+
+def q_decayed_sum(spark, sf_dir):
+    """Exponentially time-decayed per-user activity (1-day half-life,
+    fixed as-of): the feature-store recency signal, one combinable pass."""
+    import datetime as _dt
+
+    from bio2bel_spark.operators.stats import decayed_sum
+
+    return decayed_sum(
+        _t(spark, sf_dir, "events"), "value", "ts", "user_id",
+        half_life_sec=86400.0, as_of=_dt.datetime(2024, 2, 1),
+    )
+
+
 def q_hard_negative_samples(spark, sf_dir):
     """Hard contrastive negatives: 2 deterministic picks from the anchor's
     own IVF cluster — semantically close, no RNG, map-only assignment."""
@@ -2360,9 +2384,7 @@ QUERIES: dict[str, Callable] = {
     "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
-    "obo_scan": q_obo_scan,
     "rdf_reactions": q_rdf_reactions,
-    "cx_pivot": q_cx_pivot,
     "relation_dispatch": q_relation_dispatch,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
@@ -2381,6 +2403,8 @@ QUERIES: dict[str, Callable] = {
     # sketches + sampling
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
+    "value_histogram": q_value_histogram,
+    "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
     "event_pivot": q_event_pivot,
@@ -2420,6 +2444,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "obo_scan": q_obo_scan,
+    "cx_pivot": q_cx_pivot,
     "curie_normalize": q_curie_normalize,
     "latest_event_per_user": q_latest_event_per_user,
     "triangle_count": q_triangle_count,
@@ -3600,6 +3626,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.vec_id, f.cluster, n.vec_id AS neg_id
             FROM fanned f JOIN ranked n
               ON n.cluster = f.cluster AND n.r = f.nr
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CASE WHEN value < 0 THEN 0
+                        WHEN value >= 100 THEN 21
+                        ELSE floor(value / 5.0)::BIGINT + 1 END AS bin,
+                   round((CASE WHEN value < 0 THEN 0
+                               WHEN value >= 100 THEN 21
+                               ELSE floor(value / 5.0)::BIGINT + 1 END - 1)
+                         * 5.0, 6) AS bin_lo,
+                   round(CASE WHEN value < 0 THEN 0
+                              WHEN value >= 100 THEN 21
+                              ELSE floor(value / 5.0)::BIGINT + 1 END
+                         * 5.0, 6) AS bin_hi,
+                   count(*)::BIGINT AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3, 4
+        """,
+        "decayed_sum": """
+            SELECT user_id,
+                   round(sum(value * pow(0.5,
+                       (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                        - epoch_us(ts)) / 1000000.0 / 86400.0)), 6)
+                       AS decayed_sum,
+                   round(sum(pow(0.5,
+                       (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                        - epoch_us(ts)) / 1000000.0 / 86400.0)), 6)
+                       AS decayed_count
+            FROM events
+            WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+            GROUP BY user_id
         """,
         "asof_join_nearest": """
             WITH clicks AS (

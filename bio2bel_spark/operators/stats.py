@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum"]
 
 
 def winsorized_stats(
@@ -92,4 +92,81 @@ def pivot_report(
     return pivoted.select(
         row_key,
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in categories],
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` (optionally per ``by`` group):
+    ``(by?, bin, bin_lo, bin_hi, n)``.
+
+    Binning is a pure projection (``width_bucket`` semantics: values below
+    ``lo`` land in bin 0, at or above ``hi`` in bin ``n_bins+1``) followed
+    by ONE map-side-combinable count — the reducer sees at most
+    ``groups × (n_bins+2)`` rows regardless of input size. Empty bins are
+    not emitted (at corpus scale the dense-bin join would cost more than
+    the consumer filling gaps).
+    """
+    v = F.col(value_col)
+    width = (hi - lo) / n_bins
+    bin_ = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((v - lo) / width) + 1)
+        .cast("long")
+    )
+    keys = ([F.col(by)] if by else []) + [bin_.alias("bin")]
+    out = (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *([by] if by else []),
+        "bin",
+        F.round(F.lit(lo) + (F.col("bin") - 1) * width, 6).alias("bin_lo"),
+        F.round(F.lit(lo) + F.col("bin") * width, 6).alias("bin_hi"),
+        "n",
+    )
+
+
+def decayed_sum(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    by: str,
+    half_life_sec: float,
+    as_of=None,
+) -> DataFrame:
+    """Exponentially time-decayed aggregate per key — the feature-store
+    "recent activity" signal: ``sum(value * 0.5^((as_of - t)/half_life))``
+    and the equally-decayed event count.
+
+    One map-side-combinable groupBy; the decay factor is a pure column
+    expression, so the whole thing stays in whole-stage codegen. ``as_of``
+    defaults to the maximum timestamp in the frame (computed as a scalar
+    subquery-free two-phase max: pass an explicit datetime at production
+    scale to keep the plan single-pass).
+    """
+    from bio2bel_spark.operators.temporal import epoch_us
+
+    if as_of is None:
+        as_of = df.agg(F.max(ts_col)).collect()[0][0]
+    age_sec = (
+        F.unix_micros(F.lit(as_of).cast("timestamp")) - epoch_us(ts_col)
+    ) / 1_000_000.0
+    w = F.pow(F.lit(0.5), age_sec / F.lit(float(half_life_sec)))
+    return (
+        df.where(F.col(ts_col).isNotNull() & (F.col(ts_col) <= F.lit(as_of)))
+        .groupBy(by)
+        .agg(
+            F.round(F.sum(F.col(value_col) * w), 6).alias("decayed_sum"),
+            F.round(F.sum(w), 6).alias("decayed_count"),
+        )
     )

@@ -39,3 +39,45 @@ def test_pivot_report_explicit_categories(spark):
     }
     assert got[1] == {"uid": 1, "x": 3.0, "y": 5.0, "z": 0.0}
     assert got[2] == {"uid": 2, "x": 0.0, "y": 7.0, "z": 0.0}
+
+
+def test_value_histogram_bins_and_overflow(spark):
+    from bio2bel_spark.operators.stats import value_histogram
+
+    rows = [("a", -1.0), ("a", 0.0), ("a", 4.9), ("a", 5.0), ("a", 100.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["bin"]: r.asDict()
+        for r in value_histogram(df, "v", by="g", lo=0, hi=100, n_bins=20).collect()
+    }
+    assert got[0]["n"] == 1          # underflow
+    assert got[1]["n"] == 2          # [0, 5): 0.0 and 4.9
+    assert got[1]["bin_lo"] == 0.0 and got[1]["bin_hi"] == 5.0
+    assert got[2]["n"] == 1          # [5, 10): 5.0
+    assert got[21]["n"] == 1         # overflow: 100.0
+    assert sum(r["n"] for r in got.values()) == 5  # null excluded
+
+
+def test_decayed_sum_halves_per_half_life(spark):
+    import datetime as dt
+
+    from bio2bel_spark.operators.stats import decayed_sum
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 8.0),                             # 2 half-lives before as_of
+        (1, base + dt.timedelta(hours=1), 8.0),     # 1 half-life
+        (1, base + dt.timedelta(hours=2), 8.0),     # 0: full weight
+        (2, base + dt.timedelta(hours=3), 5.0),     # after as_of: excluded
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, v double")
+    got = {
+        r["uid"]: r.asDict()
+        for r in decayed_sum(
+            df, "v", "ts", "uid", half_life_sec=3600.0,
+            as_of=base + dt.timedelta(hours=2),
+        ).collect()
+    }
+    assert got[1]["decayed_sum"] == 2.0 + 4.0 + 8.0
+    assert got[1]["decayed_count"] == 0.25 + 0.5 + 1.0
+    assert 2 not in got
