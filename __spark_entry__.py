@@ -2064,6 +2064,15 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_label_consistency(spark, sf_dir):
+    """Label-noise screen: per labeled vector, the share of its 4 nearest
+    ANN neighbors (self excluded) agreeing with its label."""
+    from bio2bel_spark.operators.similarity import label_consistency
+
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return label_consistency(emb, "label", k=4, n_clusters=8, nprobe=2)
+
+
 def q_value_histogram(spark, sf_dir):
     """Fixed-width per-type histogram of events.value (20 bins over
     [0, 100) + under/overflow): one projection + one combinable count."""
@@ -2384,7 +2393,6 @@ QUERIES: dict[str, Callable] = {
     "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
-    "rdf_reactions": q_rdf_reactions,
     "relation_dispatch": q_relation_dispatch,
     "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
@@ -2403,6 +2411,7 @@ QUERIES: dict[str, Callable] = {
     # sketches + sampling
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
+    "label_consistency": q_label_consistency,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
@@ -2444,6 +2453,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "rdf_reactions": q_rdf_reactions,
     "obo_scan": q_obo_scan,
     "cx_pivot": q_cx_pivot,
     "curie_normalize": q_curie_normalize,
@@ -3657,6 +3667,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01 00:00:00'
             GROUP BY user_id
+        """,
+        "label_consistency": f"""
+            {_ivf_cte()},
+            qprobe AS (
+                SELECT vec_id AS query_id, (u.i - 1)::INT AS cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s[u.i] DESC, u.i ASC) AS rk
+                FROM sims, unnest(range(1, len(s) + 1)) AS u(i)
+            ),
+            probes AS (SELECT query_id, cluster FROM qprobe WHERE rk <= 2),
+            qv AS (SELECT vec_id AS query_id, v FROM e),
+            cand AS (
+                SELECT p.query_id, a.vec_id,
+                       round(list_dot_product(q.v, a.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+                FROM probes p
+                JOIN assigned a USING (cluster)
+                JOIN qv q ON q.query_id = p.query_id
+            ),
+            rankd AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC)
+                           AS knn_rank
+                FROM cand
+            ),
+            nn AS (
+                SELECT query_id, vec_id FROM rankd
+                WHERE knn_rank <= 5 AND vec_id <> query_id
+            ),
+            lab AS (SELECT vec_id, label FROM embeddings)
+            SELECT n.query_id AS vec_id, la.label,
+                   count(*)::BIGINT AS n_neighbors,
+                   sum((lb.label = la.label)::BIGINT)::BIGINT AS n_same_label,
+                   round(avg((lb.label = la.label)::INT), 6) AS consistency
+            FROM nn n
+            JOIN lab lb ON lb.vec_id = n.vec_id
+            JOIN lab la ON la.vec_id = n.query_id
+            GROUP BY 1, 2
         """,
         "asof_join_nearest": """
             WITH clicks AS (

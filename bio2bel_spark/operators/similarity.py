@@ -626,3 +626,60 @@ def hard_negative_samples(
         F.col("cluster"), F.col("__r").alias("__nr"), F.col(id_col).alias("neg_id")
     )
     return fanned.join(neg, ["cluster", "__nr"]).select(id_col, "cluster", "neg_id")
+
+
+def label_consistency(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN label-agreement screen for LABEL NOISE: for every labeled vector,
+    the fraction of its ``k`` nearest ANN neighbors (self excluded) that
+    share its label. Rows with low consistency are the mislabeling
+    candidates a training pipeline routes to review — the neighborhood
+    -agreement heuristic behind confident-learning-style cleaning.
+
+    Composes :func:`knn_join` of the table against itself (k+1 so the
+    guaranteed self-match can be dropped without losing a neighbor), then
+    two broadcast-size label joins and one grouped aggregation. Inherits
+    the ANN scale shape: literal-centroid assignment, per-cluster
+    candidates only.
+
+    Returns ``(id_col, label_col, n_neighbors, n_same_label, consistency)``.
+    """
+    emb = embeddings.select(id_col, vec_col, label_col)
+    nn = knn_join(
+        emb.select(id_col, vec_col),
+        emb.select(id_col, vec_col),
+        k=k + 1,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+    ).filter(F.col(id_col) != F.col("query_id"))
+    labels = embeddings.select(F.col(id_col), F.col(label_col))
+    n_lab = labels.select(
+        F.col(id_col), F.col(label_col).alias("__n_label")
+    )
+    a_lab = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__a_label")
+    )
+    return (
+        nn.join(n_lab, id_col)
+        .join(a_lab, "query_id")
+        .groupBy(F.col("query_id").alias(id_col), F.col("__a_label").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("__n_label") == F.col("__a_label")).cast("long")
+            ).alias("n_same_label"),
+            F.round(
+                F.avg((F.col("__n_label") == F.col("__a_label")).cast("double")),
+                6,
+            ).alias("consistency"),
+        )
+    )

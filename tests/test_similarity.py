@@ -311,3 +311,26 @@ def test_hard_negative_samples_in_cluster(spark):
     # deterministic
     again = hard_negative_samples(emb, n_clusters=4, k=2, seed=9).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_label_consistency_flags_planted_outlier(spark):
+    from bio2bel_spark.operators.similarity import label_consistency
+
+    # two tight, well-separated clusters; one vector carries the wrong label
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + i * 0.01, 0.0], 1))
+    for i in range(10, 20):
+        lbl = 2 if i != 10 else 1  # vec 10 sits in cluster B but labeled A
+        rows.append((i, [0.0, 10.0 + i * 0.01], lbl))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in label_consistency(emb, "label", k=3, n_clusters=2, nprobe=1).collect()
+    }
+    # the mislabeled vector disagrees with every neighbor
+    assert got[10]["consistency"] == 0.0
+    # a correctly-labeled vector in the same cluster agrees with most
+    assert got[15]["consistency"] >= 2 / 3
+    assert got[0]["consistency"] == 1.0
+    assert all(r["n_neighbors"] <= 4 for r in got.values())
