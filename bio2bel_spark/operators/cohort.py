@@ -1,0 +1,107 @@
+"""Event-sequence analytics: ordered conversion funnels and retention
+cohorts.
+
+Beyond-reference extensions (SURVEY §7.2): the two standard product-metric
+queries every event warehouse serves, expressed as chained combinable
+aggregations (no self-joins over the fact table, no window over the whole
+event stream).
+
+Design for 100 TB:
+
+* :func:`funnel_counts` — ORDERED funnel (a later step counts only if it
+  happens at-or-after the user's earliest previous step). One grouped
+  aggregation per step, each keyed by user — the per-step user table is a
+  projection of the previous one, so Catalyst pipelines the chain into
+  successive combinable aggs; nothing ever joins back to the raw events
+  except the next step's filtered scan.
+* :func:`retention_matrix` — cohort = the week of the user's first event;
+  the matrix cell (cohort, offset) counts distinct users active that many
+  weeks later. Two aggregations (first-seen per user; distinct user-weeks)
+  + one broadcast-size join on user — the classic two-pass shape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_counts", "retention_matrix"]
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered conversion funnel: ``(step_idx, step, n_users)`` — users
+    counted at step i+1 only if their earliest step-i+1 event is at or
+    after their earliest qualifying step-i event.
+
+    Each stage produces ``(user, t_i)`` = min event time of step i at or
+    after that user's ``t_{i-1}``; the next stage inner-joins it (user-keyed
+    equi-join) against the next step's events. Step tables shrink
+    monotonically. Returns one row per step.
+    """
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    reached = None
+    out = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__t")
+        )
+        if reached is None:
+            stage = ev.groupBy(user_col).agg(F.min("__t").alias("__t_prev"))
+        else:
+            stage = (
+                ev.join(reached, user_col)
+                .where(F.col("__t") >= F.col("__t_prev"))
+                .groupBy(user_col)
+                .agg(F.min("__t").alias("__t_prev"))
+            )
+        reached = stage
+        out.append(
+            stage.agg(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def retention_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly retention cohorts: ``(cohort_week, week_offset, n_users)`` —
+    users whose FIRST event fell in ``cohort_week`` and who were active
+    ``week_offset`` weeks later (offset 0 = the cohort week itself).
+
+    ``cohort_week`` is emitted as an epoch-second long so the result is
+    timezone-layout-proof across engines.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(week).alias("__cohort"))
+    active = events.select(F.col(user_col), week.alias("__week")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.unix_timestamp("__cohort").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("__week") - F.unix_timestamp("__cohort"))
+                / (7 * 86400)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
