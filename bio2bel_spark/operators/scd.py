@@ -1,0 +1,92 @@
+"""Slowly-changing-dimension (Type 2) maintenance.
+
+Beyond-reference extension (SURVEY §7.2): the reference's upsert (A7)
+overwrites in place; a warehouse feeding training snapshots needs HISTORY —
+every attribute change closes the old version and opens a new one, so any
+past training run can be reproduced by filtering ``valid_from <= t <
+valid_to``.
+
+Design for 100 TB: one key-keyed outer join between the OPEN slice of the
+dimension and the update batch, then three union branches (untouched open
+rows, closed-out versions, new versions) — all projections of that single
+join. Closed history rows never join anything (they are appended through
+unchanged), so batch cost is O(open + updates), not O(history).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_apply"]
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to a Type-2 dimension and return the NEW full
+    dimension table.
+
+    ``current`` carries ``key_cols + tracked_cols + (valid_from, valid_to)``
+    with ``valid_to IS NULL`` marking the open version of each key.
+    ``updates`` carries ``key_cols + tracked_cols + effective_col`` with AT
+    MOST one row per key (pre-collapse a multi-row batch with a
+    latest-per-key window first). Semantics per update key:
+
+    * no open row → a new open version starting at ``effective_col``;
+    * open row with any tracked attribute different → the open row closes at
+      ``effective_col`` and a new open version starts there;
+    * open row with identical attributes → no-op (idempotent re-delivery).
+
+    NULL-safe comparison (``eqNullSafe``) decides "different", so a NULL
+    attribute transitioning to a value (or back) versions correctly.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    closed = current.where(F.col(valid_to).isNotNull())
+    open_ = current.where(F.col(valid_to).isNull())
+
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.col(effective_col).alias("__eff"),
+    )
+    cond = [F.col(k) == F.col(f"__u_{k}") for k in keys]
+    j = open_.join(u, cond, "full_outer")
+
+    same = None
+    for c in tracked:
+        eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        same = eq if same is None else (same & eq)
+    has_open = F.col(valid_from).isNotNull()
+    has_upd = F.col("__eff").isNotNull()
+
+    # open rows that survive untouched: no update, or identical attributes
+    untouched = j.where(has_open & (~has_upd | same)).select(
+        *keys, *tracked, valid_from, F.col(valid_to)
+    )
+    # open rows closed out by a genuine change
+    closed_now = j.where(has_open & has_upd & ~same).select(
+        *keys, *tracked, valid_from, F.col("__eff").alias(valid_to)
+    )
+    # new versions: brand-new keys, or the replacement after a change
+    opened = j.where(has_upd & (~has_open | ~same)).select(
+        *[F.col(f"__u_{k}").alias(k) for k in keys],
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to),
+    )
+    return (
+        closed.select(*keys, *tracked, valid_from, valid_to)
+        .unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(opened)
+    )

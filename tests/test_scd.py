@@ -1,0 +1,57 @@
+"""Unit tests for Type-2 slowly-changing-dimension maintenance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, valid_from timestamp, valid_to timestamp"
+    )
+
+
+def test_scd2_versions_changes_and_inserts(spark):
+    from bio2bel_spark.operators.scd import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    current = _dim(
+        spark,
+        [
+            (1, "a", t0, None),   # will change -> close + reopen
+            (2, "b", t0, None),   # identical update -> no-op
+            (3, "c", t0, None),   # untouched
+            (4, "old", dt.datetime(2023, 1, 1), t0),  # closed history
+            (4, "new", t0, None),
+        ],
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2", t1), (2, "b", t1), (9, "fresh", t1)],
+        "k long, attr string, effective_ts timestamp",
+    )
+    out = scd2_apply(current, updates, ["k"], ["attr"]).collect()
+    rows = {(r["k"], r["attr"]): (r["valid_from"], r["valid_to"]) for r in out}
+    assert len(out) == len(rows) == 7
+    assert rows[(1, "a")] == (t0, t1)          # closed at the change
+    assert rows[(1, "a2")] == (t1, None)       # new open version
+    assert rows[(2, "b")] == (t0, None)        # idempotent no-op
+    assert rows[(3, "c")] == (t0, None)        # untouched
+    assert rows[(4, "old")][1] == t0           # history preserved verbatim
+    assert rows[(4, "new")] == (t0, None)
+    assert rows[(9, "fresh")] == (t1, None)    # brand-new key
+
+
+def test_scd2_null_transition_versions(spark):
+    from bio2bel_spark.operators.scd import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    current = _dim(spark, [(1, None, t0, None)])
+    updates = spark.createDataFrame(
+        [(1, "now-set", t1)], "k long, attr string, effective_ts timestamp"
+    )
+    out = {(r["k"], r["attr"]): (r["valid_from"], r["valid_to"])
+           for r in scd2_apply(current, updates, ["k"], ["attr"]).collect()}
+    # NULL -> value is a real change (eqNullSafe), not a silent no-op
+    assert out[(1, None)] == (t0, t1)
+    assert out[(1, "now-set")] == (t1, None)
