@@ -2064,6 +2064,15 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_cooccurrence_pmi(spark, sf_dir):
+    """Collocation mining: PMI of word pairs within a 3-token window —
+    linear pair generation (bounded probe explode + equi-join back)."""
+    from bio2bel_spark.operators.textquality import cooccurrence_pmi
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return cooccurrence_pmi(docs, window=3, min_count=5)
+
+
 def q_scd2_apply(spark, sf_dir):
     """Type-2 dimension maintenance: segment changes close the open version
     and open a new one; brand-new keys insert; history is O(open+updates)
@@ -2449,7 +2458,6 @@ def q_quality_topk(spark, sf_dir):
 # tests/test_entry_oracle.py and scripts/oracle_check.py.
 QUERIES: dict[str, Callable] = {
     # graph + sources (fixture parsing: OBO/RDF/CX ingest can rot silently)
-    "kg_triples": q_kg_triples,
     "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
@@ -2471,6 +2479,7 @@ QUERIES: dict[str, Callable] = {
     "label_consistency": q_label_consistency,
     "funnel_counts": q_funnel_counts,
     "scd2_apply": q_scd2_apply,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "retention_matrix": q_retention_matrix,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
@@ -2513,6 +2522,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "kg_triples": q_kg_triples,
     "kg_descendants": q_kg_descendants,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -3837,6 +3847,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT uk, seg, epoch(TIMESTAMP '2024-02-01 00:00:00')::BIGINT,
                    NULL::BIGINT
             FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR seg <> c_mktsegment)
+        """,
+        "cooccurrence_pmi": f"""
+            WITH toks AS (
+                SELECT doc_id, (u.i - 1)::BIGINT AS p, w[u.i] AS word
+                FROM (SELECT doc_id,
+                             string_split({_NORM_SQL}, ' ') AS w
+                      FROM documents),
+                     unnest(range(1, len(w) + 1)) AS u(i)
+                WHERE w[u.i] <> ''
+            ),
+            nt AS (SELECT count(*)::DOUBLE AS total FROM toks),
+            probes AS (
+                SELECT t.doc_id, t.word AS wa, t.p + u.k AS p
+                FROM toks t, unnest(range(1, 4)) AS u(k)
+            ),
+            pairs AS (
+                SELECT least(pr.wa, t2.word) AS w1,
+                       greatest(pr.wa, t2.word) AS w2,
+                       count(*)::BIGINT AS n_pair
+                FROM probes pr JOIN toks t2
+                  ON t2.doc_id = pr.doc_id AND t2.p = pr.p
+                WHERE least(pr.wa, t2.word) <> greatest(pr.wa, t2.word)
+                GROUP BY 1, 2
+                HAVING count(*) >= 5
+            ),
+            wc AS (SELECT word AS w, count(*)::BIGINT AS n_w FROM toks GROUP BY 1)
+            SELECT p.w1, p.w2, p.n_pair,
+                   round(ln(p.n_pair * (SELECT total FROM nt)
+                            / (a.n_w * b.n_w)), 6) AS pmi
+            FROM pairs p
+            JOIN wc a ON a.w = p.w1
+            JOIN wc b ON b.w = p.w2
         """,
         "asof_join_nearest": """
             WITH clicks AS (

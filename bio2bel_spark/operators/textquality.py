@@ -356,3 +356,79 @@ def corpus_report(
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring within
+    ``window`` tokens — the classic distributional-association score
+    (Church & Hanks 1990) used for collocation mining and embedding
+    evaluation.
+
+    Pair generation is LINEAR, not quadratic: each token emits at most
+    ``window`` (position, offset) probes (a bounded explode), and the probe
+    joins the token table back on ``(doc, position)`` — an equi-join, never
+    a per-document cross join. Pairs are unordered (the lexicographically
+    smaller word is ``w1``). PMI = ln(n_pair * n_tokens / (n_w1 * n_w2)),
+    computed from three combinable counts; pairs below ``min_count`` are
+    dropped before the (tiny) count joins.
+    """
+    from bio2bel_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "__p", "__w"
+        ),
+    ).where(F.col("__w") != "")
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    toks = toks.transform(tracked_persist)
+
+    probes = toks.select(
+        F.col(id_col),
+        F.col("__w").alias("__wa"),
+        F.explode(
+            F.sequence(F.col("__p") + 1, F.col("__p") + window)
+        ).alias("__p"),
+    )
+    pairs = (
+        probes.join(toks, [id_col, "__p"])
+        .select(
+            F.least(F.col("__wa"), F.col("__w")).alias("w1"),
+            F.greatest(F.col("__wa"), F.col("__w")).alias("w2"),
+        )
+        .where(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    wc = toks.groupBy(F.col("__w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    # the corpus total is ONE bounded scalar — taking it via count() keeps
+    # the plan free of 1-row nested-loop joins (same convention as pagerank's
+    # node count); toks is persisted, so this costs one cheap re-aggregation
+    n_tokens = toks.count()
+    return (
+        pairs.join(wc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(wc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.lit(float(n_tokens))
+                    / (F.col("n_w1") * F.col("n_w2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -215,3 +215,26 @@ def test_lm_perplexity_property(spark):
             )
 
     check()
+
+
+def test_cooccurrence_pmi_window_and_counts(spark):
+    from math import log
+
+    from bio2bel_spark.operators.textquality import cooccurrence_pmi
+
+    # "a b" adjacent twice; "a z" always > 3 tokens apart (never a pair)
+    rows = [
+        (1, "a b c d e z"),
+        (2, "a b x y w z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in cooccurrence_pmi(df, window=3, min_count=2).collect()
+    }
+    assert ("a", "b") in out
+    assert out[("a", "b")]["n_pair"] == 2
+    # 12 tokens total, a:2 b:2 -> pmi = ln(2*12/(2*2))
+    assert abs(out[("a", "b")]["pmi"] - round(log(6.0), 6)) < 1e-9
+    assert ("a", "z") not in out          # outside the window
+    assert all(k[0] <= k[1] for k in out)  # unordered, lexicographic
