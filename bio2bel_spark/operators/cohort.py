@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts", "retention_matrix"]
+__all__ = ["funnel_counts", "retention_matrix", "session_paths"]
 
 
 def funnel_counts(
@@ -104,4 +104,73 @@ def retention_matrix(
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    max_steps: int = 8,
+    min_count: int = 2,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequent session paths: gap-based sessionization (a new session
+    starts after ``gap_sec`` of inactivity), each session reduced to the
+    '>'-joined sequence of its first ``max_steps`` event types, counted
+    across the corpus — the batch path-analysis twin of the streaming
+    sessionizer.
+
+    All three stages are windows/aggregations over the SAME (user)
+    partitioning: gap flag (lag), session id (running sum of flags), path
+    assembly (ordered collect + slice). ``min_count`` replaces a top-k
+    limit so the result set is deterministic under count ties. Ties at
+    equal timestamps break on ``id_col`` on every engine.
+    """
+    from pyspark.sql import Window
+
+    from bio2bel_spark.operators.temporal import epoch_us
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    new_flag = (
+        F.when(
+            epoch_us(ts_col) - F.lag(epoch_us(ts_col)).over(w)
+            > gap_sec * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    sess = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+    ).withColumn(
+        "__sess",
+        F.sum(new_flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy(user_col, "__sess").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, id_col, type_col))
+                    ),
+                    lambda x: x[type_col],
+                ),
+                1,
+                max_steps,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= min_count)
     )

@@ -621,3 +621,43 @@ def k_core(
         .filter(F.col("d") >= k)
         .select(F.col("n").alias("node"), F.col("d").cast("long").alias("degree"))
     )
+
+
+def comembership_projection(
+    membership: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_shared: int = 2,
+    max_group: int = 1000,
+) -> DataFrame:
+    """Project a bipartite membership table onto an item-item co-occurrence
+    graph: ``(item_a, item_b, n_shared)`` with ``item_a < item_b`` and
+    ``n_shared`` = number of groups containing both (the ComPath
+    pathway-overlap graph, term co-occurrence, co-purchase — all the same
+    shape).
+
+    The per-group self-join is quadratic IN THE GROUP, so group size is the
+    scale knob: groups larger than ``max_group`` are excluded up front (a
+    celebrity group with 10M members would alone emit 5·10^13 pairs).
+    Dropped groups are counted in the plan via the size aggregate — callers
+    needing an audit can diff ``n_dropped = groups - kept``. Size-1 groups
+    are skipped too (they produce no pairs).
+    """
+    m = membership.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    sizes = m.groupBy("__g").agg(F.count(F.lit(1)).alias("__sz"))
+    kept = sizes.where(
+        (F.col("__sz") >= 2) & (F.col("__sz") <= max_group)
+    ).select("__g")
+    mk = m.join(kept, "__g", "left_semi")
+    a, b = mk.alias("a"), mk.alias("b")
+    return (
+        a.join(b, "__g")
+        .where(F.col("a.__i") < F.col("b.__i"))
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -70,3 +70,46 @@ def test_retention_matrix_offsets(spark):
     assert got[(c0, 0)] == 2 and got[(c0, 1)] == 1 and got[(c0, 2)] == 1
     assert got[(c1, 0)] == 1 and got[(c1, 1)] == 1
     assert (c1, 2) not in got
+
+
+def test_session_paths_gap_split(spark):
+    from bio2bel_spark.operators.cohort import session_paths
+
+    b = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    # two users with the same two-session pattern: view>click then purchase
+    for uid, eid in ((1, 0), (2, 100)):
+        rows += [
+            (uid, b, eid, "view"),
+            (uid, b + 5 * m, eid + 1, "click"),
+            (uid, b + 60 * m, eid + 2, "purchase"),  # 55-min gap: new session
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, gap_sec=1800, min_count=2).collect()
+    }
+    assert got == {"view>click": 2, "purchase": 2}
+
+
+def test_comembership_projection_counts(spark):
+    from bio2bel_spark.operators.graph import comembership_projection
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "x"),          # singleton group: no pairs
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_shared"]
+        for r in comembership_projection(df, "g", "i", min_shared=2).collect()
+    }
+    assert got == {("a", "b"): 3}
+    # max_group guard drops the big group entirely
+    few = comembership_projection(df, "g", "i", min_shared=1, max_group=2).collect()
+    assert {(r["item_a"], r["item_b"]) for r in few} == {("a", "b")}
