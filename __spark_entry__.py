@@ -2084,6 +2084,34 @@ def q_session_paths(spark, sf_dir):
     return session_paths(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 lexical relevance of every doc against a 3-term query — the
+    keyword-search complement of the ANN tier; postings-only shuffle."""
+    from bio2bel_spark.operators.textquality import bm25_scores
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return bm25_scores(docs, ["fast", "join", "spark"])
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-type z-score anomaly screen on events.value (|z| > 2.5):
+    broadcast group stats + map-only flag."""
+    from bio2bel_spark.operators.stats import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id",
+        threshold=2.5,
+    )
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressibility per document (Arrow-batched mapInPandas; no SQL
+    twin — zlib is not expressible in DuckDB, exactness unit-tested)."""
+    from bio2bel_spark.operators.cleaning import compression_ratio
+
+    return compression_ratio(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_cooccurrence_pmi(spark, sf_dir):
     """Collocation mining: PMI of word pairs within a 3-token window —
     linear pair generation (bounded probe explode + equi-join back)."""
@@ -2498,6 +2526,8 @@ QUERIES: dict[str, Callable] = {
     "funnel_counts": q_funnel_counts,
     "scd2_apply": q_scd2_apply,
     "cooccurrence_pmi": q_cooccurrence_pmi,
+    "bm25_search": q_bm25_search,
+    "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
     "retention_matrix": q_retention_matrix,
@@ -2534,17 +2564,18 @@ QUERIES: dict[str, Callable] = {
     "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
     # dedup family
-    "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
     "relation_dispatch": q_relation_dispatch,
     "kg_edge_list": q_kg_edge_list,
     "kg_triples": q_kg_triples,
+    "compression_ratio": q_compression_ratio,
     "kg_descendants": q_kg_descendants,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
@@ -3936,6 +3967,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, count(*)::BIGINT AS n_sessions
             FROM p GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "bm25_search": f"""
+            WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+            dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM w),
+            scal AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            toks AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tf AS (
+                SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks
+                WHERE word IN ('fast', 'join', 'spark') GROUP BY 1, 2
+            ),
+            dft AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            idf AS (
+                SELECT word,
+                       ln(1.0 + ((SELECT n FROM scal) - df + 0.5)
+                                / (df + 0.5)) AS idf
+                FROM dft
+            ),
+            per AS (
+                SELECT tf.doc_id,
+                       idf.idf * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                         / (SELECT avgdl FROM scal))) AS s
+                FROM tf JOIN idf USING (word) JOIN dl USING (doc_id)
+            )
+            SELECT doc_id, round(sum(s), 6) AS bm25 FROM per GROUP BY 1
+        """,
+        "zscore_outliers": """
+            WITH st AS (
+                SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - st.mu) / st.sd, 6) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE e.value IS NOT NULL AND st.sd IS NOT NULL AND st.sd > 0
+              AND abs((e.value - st.mu) / st.sd) > 2.5
         """,
         "asof_join_nearest": """
             WITH clicks AS (

@@ -174,6 +174,41 @@ class Catalog:
         ``read.parquet`` of the same path loses it)."""
         return self.spark.table(name)
 
+    def export_shards(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str,
+        n_shards: int = 32,
+        seed: int = 0,
+    ) -> DataFrame:
+        """Deterministic sharded training export: every row lands in shard
+        ``pmod(xxhash64(seed, key), n_shards)`` and the table is written
+        hive-partitioned by ``shard`` so a trainer (or a re-run) reads any
+        shard with partition pruning.
+
+        The assignment depends only on (seed, key) — never on row order or
+        partitioning — so appending data later keeps old rows' shards, and
+        two clusters exporting the same data produce byte-identical shard
+        membership. Returns the per-shard row counts (n_shards rows) for
+        the export manifest; records a provenance action.
+        """
+        from pyspark.sql import functions as F
+
+        sharded = df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(n_shards)).cast(
+                "int"
+            ),
+        )
+        self.write_table(sharded, name, partition_by=["shard"])
+        self.store_action(name, "export_shards")
+        return (
+            self.read_table(name)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
     def drop_table(self, name: str) -> bool:
         """DROP TABLE IF EXISTS semantics; returns whether anything was dropped."""
         path = self.table_path(name)

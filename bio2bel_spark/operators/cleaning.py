@@ -36,6 +36,7 @@ __all__ = [
     "PII_PATTERNS",
     "redact_pii",
     "pii_counts",
+    "compression_ratio",
 ]
 
 
@@ -244,3 +245,54 @@ def pii_counts(
         for name, p in sorted(pats.items())
     ] + [redact_pii(F.col(text_col), pats).alias("redacted")]
     return docs.select(*cols)
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap junk
+    detector (RedPajama/CCNet-family heuristics): highly repetitive
+    machine-generated text compresses far below natural language, random
+    noise barely compresses at all. Returns ``(id, n_bytes, n_compressed,
+    ratio)`` with ``ratio = n_compressed / n_bytes`` (null for empty text).
+
+    zlib is not expressible as a Catalyst function, so this is the honest
+    Python tier — Arrow-batched ``mapInPandas`` (the multimodal decode
+    shape): the UDF streams pandas batches, never whole partitions, and
+    emits only the narrow stats. Fixed compression level keeps the result
+    deterministic; zero shuffles.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for batch in batches:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in batch[text_col]
+            ]
+            n_bytes = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                    "ratio": [
+                        round(c / b, 6) if b else None
+                        for b, c in zip(n_bytes, n_comp)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_type}, n_bytes long, n_compressed long, "
+            "ratio double"
+        ),
+    )

@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers"]
 
 
 def winsorized_stats(
@@ -168,5 +168,43 @@ def decayed_sum(
         .agg(
             F.round(F.sum(F.col(value_col) * w), 6).alias("decayed_sum"),
             F.round(F.sum(w), 6).alias("decayed_count"),
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    id_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value sits more than ``threshold`` sample standard
+    deviations from their group mean: ``(id, by, value, z)`` — the cheap
+    first-pass anomaly screen before anything model-based.
+
+    Two passes: per-group ``(mean, stddev_samp)`` (combinable aggregates,
+    tiny result broadcast back) then a map-only flag. Groups with zero
+    variance or a single row emit nothing (z is undefined there).
+    """
+    stats = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(by)
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_samp(value_col).alias("__sd"),
+        )
+        .where(F.col("__sd").isNotNull() & (F.col("__sd") > 0))
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), by)
+        .where(F.abs(z) > threshold)
+        .select(
+            F.col(id_col),
+            F.col(by),
+            F.col(value_col),
+            F.round(z, 6).alias("z"),
         )
     )

@@ -432,3 +432,77 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document against a literal term set — the
+    lexical-retrieval complement of the ANN search tier (Robertson &
+    Spärck Jones probabilistic weighting, the Lucene default).
+
+    Everything is Catalyst: one token explode filtered TO THE QUERY TERMS
+    (so the shuffle carries only matching postings), per-(doc, term) tf,
+    per-term document frequency, and the usual
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` fold. Corpus size and
+    average document length are two bounded driver scalars (same convention
+    as pagerank's node count). Documents matching no term are absent (score
+    0 rows would be the whole corpus).
+    """
+    import math
+
+    from bio2bel_spark.operators.caching import tracked_persist
+    from bio2bel_spark.operators.dedup import normalize_text
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__w"),
+    )
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.split(normalize_text(text_col), " ")).cast("double").alias("__dl"),
+    ).transform(tracked_persist)
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = scal["n"], float(scal["avgdl"])
+
+    hits = toks.where(F.col("__w").isin(terms))
+    tf = hits.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = (
+        tf.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .withColumn(
+            "__idf",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+                / (F.col("__df") + 0.5)
+            ),
+        )
+    )
+    denom_norm = 1.0 - b
+    per_term = (
+        tf.join(F.broadcast(df_t.select("__w", "__idf")), "__w")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (denom_norm + b * F.col("__dl") / avgdl)
+                )
+            ).alias("__s"),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("bm25")
+    )

@@ -102,3 +102,23 @@ def test_redact_pii_and_counts(spark):
     assert out[2].n_phone == 1 and "<PHONE>" in out[2].redacted
     assert out[3].redacted == "nothing sensitive here"
     assert out[3].n_email == out[3].n_ipv4 == out[3].n_phone == 0
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from bio2bel_spark.operators.cleaning import compression_ratio
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # repetitive
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in compression_ratio(df).collect()}
+    for doc_id, text in rows:
+        b = text.encode()
+        assert got[doc_id]["n_bytes"] == len(b)
+        assert got[doc_id]["n_compressed"] == len(zlib.compress(b, 6))
+    assert got[3]["ratio"] is None                      # empty text
+    assert got[1]["ratio"] < got[2]["ratio"]            # junk compresses more

@@ -63,6 +63,9 @@ ROWS_ONLY: set[str] = {
     # raster decode has no SQL twin; exactness is covered by the
     # brute-force hamming parity test in test_multimodal.py
     "image_phash_pairs",
+    # zlib is not expressible in DuckDB; exactness unit-tested in
+    # test_cleaning.py against direct zlib calls
+    "compression_ratio",
 }
 
 

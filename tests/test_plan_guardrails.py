@@ -56,3 +56,56 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     # one Exchange for the window partitioning; no join node at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_timeline_features_is_single_exchange(spark, sf_dir):
+    """All seven timeline features must share ONE hash exchange on the
+    entity key — lag/lead/rolling/range frames are windows over the same
+    sort, never joins."""
+    from bio2bel_spark.operators.temporal import timeline_features
+    from bio2bel_spark.tables import load_table
+
+    plan = (
+        timeline_features(load_table(spark, sf_dir, "events"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_quantile_sketch_is_take_ordered(spark, sf_dir):
+    """The bottom-k quantile synopsis must be TakeOrdered over a map-side
+    projection — no full-table sort exchange."""
+    from bio2bel_spark.operators.sketch import quantile_sample_state
+    from bio2bel_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
+    )
+    plan = (
+        quantile_sample_state(li, "l_extendedprice", "rid", k=1024)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_nearest_asof_is_single_shuffle(spark, sf_dir):
+    """direction='nearest' evaluates both frames over ONE sort — still a
+    single exchange, no join."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.temporal import asof_join
+    from bio2bel_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = (
+        asof_join(left, right, on="ts", by="user_id", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

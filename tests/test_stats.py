@@ -81,3 +81,15 @@ def test_decayed_sum_halves_per_half_life(spark):
     assert got[1]["decayed_sum"] == 2.0 + 4.0 + 8.0
     assert got[1]["decayed_count"] == 0.25 + 0.5 + 1.0
     assert 2 not in got
+
+
+def test_zscore_outliers_flags_planted_spike(spark):
+    from bio2bel_spark.operators.stats import zscore_outliers
+
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(50)]
+    rows.append((99, "a", 1000.0))          # planted spike
+    rows += [(200, "b", 5.0), (201, "b", 5.0)]  # zero variance: emits nothing
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = zscore_outliers(df, "v", "g", "id", threshold=3.0).collect()
+    assert [r["id"] for r in got] == [99]
+    assert got[0]["z"] > 3.0

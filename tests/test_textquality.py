@@ -238,3 +238,19 @@ def test_cooccurrence_pmi_window_and_counts(spark):
     assert abs(out[("a", "b")]["pmi"] - round(log(6.0), 6)) < 1e-9
     assert ("a", "z") not in out          # outside the window
     assert all(k[0] <= k[1] for k in out)  # unordered, lexicographic
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from bio2bel_spark.operators.textquality import bm25_scores
+
+    rows = [
+        (1, "spark spark spark join"),   # heavy on both terms
+        (2, "spark data data data"),     # one hit
+        (3, "nothing relevant here"),    # no hits
+        (4, "join only once appears"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark", "join"]).collect()}
+    assert 3 not in got                      # zero-match docs absent
+    assert got[1] > got[2] and got[1] > got[4]
+    assert all(v > 0 for v in got.values())
