@@ -2084,6 +2084,49 @@ def q_session_paths(spark, sf_dir):
     return session_paths(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+def q_srp_near_pairs(spark, sf_dir):
+    """Cosine LSH via signed random projection: 32-bit fingerprints from
+    seeded Gaussian hyperplanes, banded hamming pairs (exact recall by
+    pigeonhole)."""
+    from bio2bel_spark.operators.similarity import srp_near_pairs
+
+    emb = _spread(spark, _emb_augmented(spark, sf_dir))
+    return srp_near_pairs(emb, bits=32, dim=64, seed=13, max_hamming=3)
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot regression audit: added/removed/changed/unchanged keys and
+    per-column change counts between two customer versions."""
+    from bio2bel_spark.operators.validation import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    new = (
+        cust.filter(F.col("c_custkey") % 50 != 1)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("PROMO"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 500000).alias("c_custkey"),
+                "c_mktsegment",
+                "c_acctbal",
+            )
+        )
+    )
+    return table_diff(
+        old, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 lexical relevance of every doc against a 3-term query — the
     keyword-search complement of the ANN tier; postings-only shuffle."""
@@ -2527,6 +2570,8 @@ QUERIES: dict[str, Callable] = {
     "scd2_apply": q_scd2_apply,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "bm25_search": q_bm25_search,
+    "srp_near_pairs": q_srp_near_pairs,
+    "table_diff": q_table_diff,
     "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
@@ -2546,7 +2591,6 @@ QUERIES: dict[str, Callable] = {
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
     # multimodal (Arrow mapInPandas plumbing)
-    "media_features": q_media_features,
     "audio_features": q_audio_features,
     "image_features": q_image_features,
     # round-4 additions: new operators carry the most regression risk, so
@@ -2564,12 +2608,13 @@ QUERIES: dict[str, Callable] = {
     "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
     # dedup family
-    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "media_features": q_media_features,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "relation_dispatch": q_relation_dispatch,
@@ -2671,6 +2716,15 @@ def oracle_sql() -> dict[str, str]:
     prefix_list = "[" + ", ".join(_q(p) for p in _CURIE_PREFIXES) + "]"
     synonym_cases = "\n".join(
         f"WHEN {_q(raw)} THEN {_q(canon)}" for raw, canon in PREFIX_SYNONYMS.items()
+    )
+    from bio2bel_spark.operators.similarity import srp_planes
+
+    # the identical seeded hyperplanes the Spark srp_signature inlines
+    _srp_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in h)
+        + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, h in enumerate(srp_planes(32, 64, seed=13))
     )
     return {
         "curie_normalize": f"""
@@ -4004,6 +4058,56 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN st USING (event_type)
             WHERE e.value IS NOT NULL AND st.sd IS NOT NULL AND st.sd > 0
               AND abs((e.value - st.mu) / st.sd) > 2.5
+        """,
+        "srp_near_pairs": f"""
+            WITH e AS ({_EMB_AUG_SQL}),
+            fp AS (SELECT vec_id, ({_srp_terms})::BIGINT AS srp FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   bit_count(xor(a.srp, b.srp))::INT AS hamming
+            FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.srp, b.srp)) <= 3
+        """,
+        "table_diff": """
+            WITH oldt AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            ), newt AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 10 = 0 THEN 'PROMO'
+                            ELSE c_mktsegment END AS c_mktsegment,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN round(c_acctbal + 100, 2)
+                            ELSE c_acctbal END AS c_acctbal
+                FROM customer WHERE c_custkey % 50 <> 1
+                UNION ALL
+                SELECT c_custkey + 500000, c_mktsegment, c_acctbal
+                FROM customer WHERE c_custkey % 97 = 0
+            ), j AS (
+                SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+                       (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                        AND o.c_custkey IS NOT NULL
+                        AND n.c_custkey IS NOT NULL) AS ch_seg,
+                       (o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                        AND o.c_custkey IS NOT NULL
+                        AND n.c_custkey IS NOT NULL) AS ch_bal
+                FROM oldt o FULL OUTER JOIN newt n
+                  ON o.c_custkey = n.c_custkey
+            )
+            SELECT 'added' AS metric,
+                   sum((ok IS NULL)::BIGINT)::BIGINT AS n FROM j
+            UNION ALL
+            SELECT 'removed', sum((nk IS NULL)::BIGINT)::BIGINT FROM j
+            UNION ALL
+            SELECT 'changed',
+                   sum((ok IS NOT NULL AND nk IS NOT NULL
+                        AND (ch_seg OR ch_bal))::BIGINT)::BIGINT FROM j
+            UNION ALL
+            SELECT 'unchanged',
+                   sum((ok IS NOT NULL AND nk IS NOT NULL
+                        AND NOT (ch_seg OR ch_bal))::BIGINT)::BIGINT FROM j
+            UNION ALL
+            SELECT 'changed:c_mktsegment', sum(ch_seg::BIGINT)::BIGINT FROM j
+            UNION ALL
+            SELECT 'changed:c_acctbal', sum(ch_bal::BIGINT)::BIGINT FROM j
         """,
         "asof_join_nearest": """
             WITH clicks AS (

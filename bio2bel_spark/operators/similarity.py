@@ -683,3 +683,73 @@ def label_consistency(
             ).alias("consistency"),
         )
     )
+
+
+def srp_planes(bits: int, dim: int, seed: int = 0) -> "list[list[float]]":
+    """Deterministic pseudo-random Gaussian hyperplanes for signed random
+    projection — seeded stdlib PRNG, so any engine/process regenerates the
+    identical planes from (bits, dim, seed)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def srp_signature(
+    embeddings: DataFrame,
+    bits: int = 32,
+    dim: int = 64,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "srp",
+) -> DataFrame:
+    """Signed-random-projection fingerprint (Charikar 2002 cosine LSH): bit
+    ``j`` is the sign of the dot product with hyperplane ``h_j``; close
+    vectors (high cosine) collide on most bits, so hamming distance on the
+    fingerprint approximates angular distance.
+
+    Map-only: the ``bits × dim`` plane matrix is inlined as ONE parsed SQL
+    expression (the :func:`_centroid_sims` lesson — Column-by-Column
+    construction costs seconds of driver time), and each row folds its
+    vector once per plane inside whole-stage codegen. Pairs come from
+    :func:`bio2bel_spark.operators.dedup.hamming_near_pairs` over the
+    fingerprint — banded, never all-pairs.
+    """
+    if bits > 63:
+        raise ValueError(f"bits must fit a signed long, got {bits}")
+    planes = srp_planes(bits, dim, seed)
+    q = vec_col.replace("`", "``")
+    v_sql = f"cast(`{q}` as array<double>)"
+    terms = []
+    for j, h in enumerate(planes):
+        arr = ", ".join(f"{float(x)!r}D" for x in h)
+        dot = (
+            f"aggregate(zip_with({v_sql}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << j}L ELSE 0L END)")
+    return embeddings.withColumn(out_col, F.expr(" + ".join(terms)))
+
+
+def srp_near_pairs(
+    embeddings: DataFrame,
+    bits: int = 32,
+    dim: int = 64,
+    seed: int = 0,
+    max_hamming: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine near-duplicate candidates via SRP + pigeonhole banding:
+    ``(id_a, id_b, hamming)`` — the embedding analog of SimHash text dedup,
+    sharing the banded hamming core (equi-join on max_hamming+1 band keys,
+    popcount verify, never all-pairs; exact recall by pigeonhole)."""
+    from bio2bel_spark.operators.dedup import hamming_near_pairs
+
+    fps = srp_signature(
+        embeddings, bits, dim, seed, vec_col, id_col
+    ).select(id_col, "srp")
+    return hamming_near_pairs(
+        fps, fp_col="srp", id_col=id_col, bits=bits, max_hamming=max_hamming
+    )

@@ -28,7 +28,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_constraints", "assert_constraints"]
+__all__ = ["check_constraints", "assert_constraints", "table_diff"]
 
 
 def _row_violation(c: Mapping) -> Column:
@@ -141,3 +141,68 @@ def assert_constraints(df: DataFrame, constraints: Sequence[Mapping]) -> None:
     ]
     if failed:
         raise ValueError("constraints failed: " + "; ".join(failed))
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: "Sequence[str]",
+    compare_cols: "Sequence[str]",
+) -> DataFrame:
+    """Audit two versions of a table: ``(metric, n)`` rows counting
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` keys plus a
+    ``changed:<col>`` row per compared column — the regression sheet a
+    pipeline prints before promoting a new snapshot.
+
+    ONE key-keyed full-outer join and ONE aggregation; comparisons are
+    ``eqNullSafe`` so NULL↔value transitions count as changes. The output
+    is a handful of rows regardless of input size.
+    """
+    keys = list(key_cols)
+    comp = list(compare_cols)
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in comp],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in comp],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = [F.col(f"__ok_{k}") == F.col(f"__nk_{k}") for k in keys]
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    col_changed = {
+        c: in_old & in_new & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        for c in comp
+    }
+    any_changed = None
+    for expr in col_changed.values():
+        any_changed = expr if any_changed is None else (any_changed | expr)
+
+    aggs = [
+        F.sum((in_new & ~in_old).cast("long")).alias("added"),
+        F.sum((in_old & ~in_new).cast("long")).alias("removed"),
+        F.sum((in_old & in_new & any_changed).cast("long")).alias("changed"),
+        F.sum((in_old & in_new & ~any_changed).cast("long")).alias("unchanged"),
+    ] + [
+        F.sum(expr.cast("long")).alias(f"changed:{c}")
+        for c, expr in col_changed.items()
+    ]
+    wide = j.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(m).alias("metric"), F.col(f"`{m}`").alias("n"))
+            for m in (
+                ["added", "removed", "changed", "unchanged"]
+                + [f"changed:{c}" for c in comp]
+            )
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.metric").alias("metric"),
+        F.coalesce(F.col("__p.n"), F.lit(0)).cast("long").alias("n"),
+    )

@@ -334,3 +334,30 @@ def test_label_consistency_flags_planted_outlier(spark):
     assert got[15]["consistency"] >= 2 / 3
     assert got[0]["consistency"] == 1.0
     assert all(r["n_neighbors"] <= 4 for r in got.values())
+
+
+def test_srp_near_pairs_finds_planted_duplicate(spark):
+    import random
+
+    from bio2bel_spark.operators.similarity import srp_near_pairs
+
+    rng = random.Random(1)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)]
+    # planted near-duplicate of vector 0 (tiny perturbation, cosine ~1)
+    rows.append((100, [x * 1.01 + 1e-4 for x in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in srp_near_pairs(
+            emb, bits=32, dim=16, seed=7, max_hamming=3
+        ).collect()
+    }
+    assert (0, 100) in got and got[(0, 100)] <= 3
+    # determinism: same seed reproduces the same pair set
+    again = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in srp_near_pairs(
+            emb, bits=32, dim=16, seed=7, max_hamming=3
+        ).collect()
+    }
+    assert got == again

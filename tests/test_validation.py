@@ -80,3 +80,30 @@ def test_ordered_constraint(spark):
 def test_unknown_constraint_raises(df):
     with pytest.raises(ValueError, match="unknown constraint"):
         check_constraints(df, [{"type": "nope", "col": "id"}]).collect()
+
+
+def test_table_diff_counts(spark):
+    from bio2bel_spark.operators.validation import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),        # unchanged
+            (2, "B", 20.0),        # s changed
+            (4, "set", 40.0),      # NULL -> value counts as a change
+            (9, "new", 90.0),      # added
+        ],                          # 3 removed
+        "k long, s string, v double",
+    )
+    got = {r["metric"]: r["n"] for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert got == {
+        "added": 1,
+        "removed": 1,
+        "changed": 2,
+        "unchanged": 1,
+        "changed:s": 2,
+        "changed:v": 0,
+    }
