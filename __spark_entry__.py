@@ -2084,6 +2084,48 @@ def q_session_paths(spark, sf_dir):
     return session_paths(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC MERGE: latest-wins change feed (stale replays lose, deletes
+    remove, inserts add) applied with one window + one outer join."""
+    from bio2bel_spark.operators.scd import cdc_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("CDC-U").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1, 2).alias("c_acctbal"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    stale = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("STALE").alias("c_mktsegment"),
+        F.col("c_acctbal"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 25 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 700000).alias("c_custkey"),
+        F.lit("CDC-I").alias("c_mktsegment"),
+        F.lit(1.5).alias("c_acctbal"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(stale).unionByName(dele).unionByName(ins)
+    out = cdc_apply(base, changes, ["c_custkey"])
+    return out.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+
+
 def q_srp_near_pairs(spark, sf_dir):
     """Cosine LSH via signed random projection: 32-bit fingerprints from
     seeded Gaussian hyperplanes, banded hamming pairs (exact recall by
@@ -2572,6 +2614,7 @@ QUERIES: dict[str, Callable] = {
     "bm25_search": q_bm25_search,
     "srp_near_pairs": q_srp_near_pairs,
     "table_diff": q_table_diff,
+    "cdc_apply": q_cdc_apply,
     "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
@@ -2608,11 +2651,11 @@ QUERIES: dict[str, Callable] = {
     "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
     # dedup family
-    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "media_features": q_media_features,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_exact": q_dedup_exact,
@@ -4108,6 +4151,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'changed:c_mktsegment', sum(ch_seg::BIGINT)::BIGINT FROM j
             UNION ALL
             SELECT 'changed:c_acctbal', sum(ch_bal::BIGINT)::BIGINT FROM j
+        """,
+        "cdc_apply": """
+            WITH base AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+            ), changes AS (
+                SELECT c_custkey, 'CDC-U' AS c_mktsegment,
+                       round(c_acctbal + 1, 2) AS c_acctbal, 2 AS seq,
+                       'U' AS op
+                FROM customer WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey, 'STALE', c_acctbal, 1, 'U'
+                FROM customer WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey, NULL, NULL, 3, 'D'
+                FROM customer WHERE c_custkey % 25 = 0
+                UNION ALL
+                SELECT c_custkey + 700000, 'CDC-I', 1.5, 1, 'I'
+                FROM customer WHERE c_custkey % 97 = 0
+            ), latest AS (
+                SELECT * FROM (
+                    SELECT c_custkey AS ck, c_mktsegment AS cs,
+                           c_acctbal AS cb, op,
+                           row_number() OVER (PARTITION BY c_custkey
+                                              ORDER BY seq DESC) AS rn
+                    FROM changes
+                ) WHERE rn = 1
+            ), j AS (
+                SELECT b.c_custkey AS bk, b.c_mktsegment, b.c_acctbal,
+                       l.ck, l.cs, l.cb, l.op
+                FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.ck
+            )
+            SELECT coalesce(ck, bk) AS c_custkey,
+                   CASE WHEN op IS NOT NULL THEN cs
+                        ELSE c_mktsegment END AS c_mktsegment,
+                   round(CASE WHEN op IS NOT NULL THEN cb
+                              ELSE c_acctbal END, 2) AS c_acctbal
+            FROM j WHERE op IS NULL OR op <> 'D'
         """,
         "asof_join_nearest": """
             WITH clicks AS (

@@ -20,7 +20,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_apply"]
+__all__ = ["scd2_apply", "cdc_apply"]
 
 
 def scd2_apply(
@@ -90,3 +90,53 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(opened)
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture feed to a snapshot (the MERGE pattern):
+    ``changes`` rows carry ``op`` ∈ {'I','U','D'} and a monotonically
+    increasing ``seq_col``; per key only the HIGHEST-sequence change wins
+    (late-arriving duplicates and replays collapse), then inserts/updates
+    overwrite and deletes remove.
+
+    Plan: per-key latest-change window (WindowGroupLimit — no full sort),
+    one key-keyed full-outer join against the base, one projection. Base
+    rows without changes pass through; 'I' and 'U' are deliberately
+    symmetric (upsert semantics — a replayed insert after an update must
+    not resurrect old attributes).
+
+    Returns the new snapshot with the base's columns.
+    """
+    keys = list(key_cols)
+    payload = [
+        c for c in changes.columns if c not in {*keys, seq_col, op_col}
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__ck_{k}") for k in keys],
+            *[F.col(c).alias(f"__c_{c}") for c in payload],
+            F.col(op_col).alias("__op"),
+        )
+    )
+    cond = [F.col(k) == F.col(f"__ck_{k}") for k in keys]
+    j = base.join(latest, cond, "full_outer")
+    has_change = F.col("__op").isNotNull()
+    keep = ~has_change | (F.col("__op") != "D")
+    out_cols = [
+        F.coalesce(F.col(f"__ck_{k}"), F.col(k)).alias(k) for k in keys
+    ] + [
+        F.when(has_change, F.col(f"__c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in payload
+    ]
+    return j.where(keep).select(*out_cols)

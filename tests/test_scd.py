@@ -55,3 +55,35 @@ def test_scd2_null_transition_versions(spark):
     # NULL -> value is a real change (eqNullSafe), not a silent no-op
     assert out[(1, None)] == (t0, t1)
     assert out[(1, "now-set")] == (t1, None)
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    from bio2bel_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, attr string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "stale", 1, "U"),
+            (1, "fresh", 2, "U"),   # higher seq wins
+            (2, None, 5, "D"),      # delete
+            (9, "ins", 1, "I"),     # insert
+        ],
+        "k long, attr string, seq long, op string",
+    )
+    got = {r["k"]: r["attr"] for r in cdc_apply(base, changes, ["k"]).collect()}
+    assert got == {1: "fresh", 3: "c", 9: "ins"}
+
+
+def test_cdc_apply_replayed_insert_after_update(spark):
+    from bio2bel_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame([(1, "v2")], "k long, attr string")
+    # a replayed low-seq insert must NOT resurrect the original attributes
+    changes = spark.createDataFrame(
+        [(1, "v1", 1, "I"), (1, "v3", 7, "U")],
+        "k long, attr string, seq long, op string",
+    )
+    got = {r["k"]: r["attr"] for r in cdc_apply(base, changes, ["k"]).collect()}
+    assert got == {1: "v3"}
