@@ -528,3 +528,46 @@ def run_quantile_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_cdc_apply(
+    stream_df: DataFrame,
+    catalog,
+    snapshot_table: str,
+    key_cols,
+    checkpoint: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Maintain a snapshot table from a streaming CDC feed: each micro-batch
+    merges through :func:`bio2bel_spark.operators.scd.cdc_apply`
+    (latest-wins by sequence, deletes remove, upserts overwrite).
+
+    Replay-idempotent WITHOUT a batch-id guard: reapplying a change batch to
+    the snapshot it already produced is a no-op (same seq → same winner;
+    deletes re-remove nothing; upserts rewrite identical values) — the same
+    idempotence argument as the Bloom/HLL maintainers, but from MERGE
+    semantics instead of monotone state. The merged snapshot is
+    materialized (localCheckpoint) before overwriting the table its own
+    lineage reads.
+    """
+    from bio2bel_spark.operators.scd import cdc_apply
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.table_exists(snapshot_table):
+            base = catalog.read_table(snapshot_table)
+        else:
+            base = batch_df.sparkSession.createDataFrame(
+                [], batch_df.drop(seq_col, op_col).schema
+            )
+        merged = cdc_apply(
+            base, batch_df, key_cols, seq_col=seq_col, op_col=op_col
+        ).localCheckpoint(eager=True)
+        catalog.write_table(merged, snapshot_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

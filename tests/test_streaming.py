@@ -547,3 +547,35 @@ def test_quantile_maintenance_matches_direct_state(spark, tmp_path_factory):
     )
     est = {r["p"]: r["q"] for r in quantile_estimate(state, probs=(0.5,)).collect()}
     assert 0.0 <= est[0.5] <= 97.0
+
+
+def test_cdc_apply_stream_maintains_snapshot(spark, tmp_path_factory):
+    """Two CDC micro-batches must leave exactly the snapshot a direct
+    batch merge of all changes produces."""
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_cdc")))
+    src = str(tmp_path_factory.mktemp("cdc_src"))
+
+    def batch(rows):
+        spark.createDataFrame(
+            rows, "k long, attr string, seq long, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("k long, attr string, seq long, op string")
+            .parquet(src)
+        )
+
+    ck = str(tmp_path_factory.mktemp("ck_cdc"))
+    batch([(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")])
+    q = sev.run_cdc_apply(stream(), catalog, "snap", ["k"], ck)
+    q.awaitTermination(240)
+
+    batch([(1, "a2", 2, "U"), (2, None, 2, "D"), (4, "d", 2, "I")])
+    q2 = sev.run_cdc_apply(stream(), catalog, "snap", ["k"], ck)
+    q2.awaitTermination(240)
+
+    got = {r["k"]: r["attr"] for r in catalog.read_table("snap").collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}
