@@ -2084,6 +2084,36 @@ def q_session_paths(spark, sf_dir):
     return session_paths(_t(spark, sf_dir, "events"), gap_sec=1800)
 
 
+def q_impute_median(spark, sf_dir):
+    """Group-median NULL imputation (planted nulls on every 11th event):
+    broadcast medians + map-only coalesce."""
+    from bio2bel_spark.operators.stats import impute_group_median
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    out = impute_group_median(ev, "value", "event_type", out_col="value_filled")
+    return out.select(
+        "event_id", "event_type", F.round("value_filled", 6).alias("value_filled")
+    )
+
+
+def q_feature_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numeric features per
+    returnflag — one combinable aggregation for every pair."""
+    from bio2bel_spark.operators.stats import feature_correlations
+
+    return feature_correlations(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        by="l_returnflag",
+    )
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC MERGE: latest-wins change feed (stale replays lose, deletes
     remove, inserts add) applied with one window + one outer join."""
@@ -2615,6 +2645,8 @@ QUERIES: dict[str, Callable] = {
     "srp_near_pairs": q_srp_near_pairs,
     "table_diff": q_table_diff,
     "cdc_apply": q_cdc_apply,
+    "impute_median": q_impute_median,
+    "feature_correlations": q_feature_correlations,
     "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
@@ -2642,7 +2674,6 @@ QUERIES: dict[str, Callable] = {
     # that are fully covered by unit tests + the local oracle sweep
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
-    "corpus_report": q_corpus_report,
     "validate_lineitem": q_validate_lineitem,
     # substring-level dedup (newest operators = highest regression risk, so
     # they hold window slots; the two displaced queries — pack_first_fit is
@@ -2651,10 +2682,11 @@ QUERIES: dict[str, Callable] = {
     "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
     # dedup family
-    "fuzzy_join": q_fuzzy_join,
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "fuzzy_join": q_fuzzy_join,
+    "corpus_report": q_corpus_report,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
     "media_features": q_media_features,
     "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -4188,6 +4220,34 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN op IS NOT NULL THEN cb
                               ELSE c_acctbal END, 2) AS c_acctbal
             FROM j WHERE op IS NULL OR op <> 'D'
+        """,
+        "impute_median": """
+            WITH planted AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 11 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            ), med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS m
+                FROM planted WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT p.event_id, p.event_type,
+                   round(coalesce(p.value, med.m), 6) AS value_filled
+            FROM planted p LEFT JOIN med USING (event_type)
+        """,
+        "feature_correlations": """
+            SELECT l_returnflag, 'l_quantity' AS col_a,
+                   'l_extendedprice' AS col_b,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT l_returnflag, 'l_quantity', 'l_discount',
+                   round(corr(l_quantity, l_discount), 6)
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT l_returnflag, 'l_extendedprice', 'l_discount',
+                   round(corr(l_extendedprice, l_discount), 6)
+            FROM lineitem GROUP BY 1
         """,
         "asof_join_nearest": """
             WITH clicks AS (

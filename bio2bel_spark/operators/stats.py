@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations"]
 
 
 def winsorized_stats(
@@ -207,4 +207,72 @@ def zscore_outliers(
             F.col(value_col),
             F.round(z, 6).alias("z"),
         )
+    )
+
+
+def impute_group_median(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with the GROUP median (exact
+    ``percentile`` 0.5; swap ``approx_percentile`` at production scale) —
+    the standard leakage-safe numeric imputation when a global constant is
+    too blunt. Groups that are entirely NULL stay NULL (no global
+    fallback — silence would hide a broken upstream).
+
+    One grouped aggregation for the medians (tiny, broadcast back) + a
+    map-only coalesce; all other columns pass through untouched.
+    """
+    out_col = out_col or value_col
+    med = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(by)
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    )
+    return (
+        df.join(F.broadcast(med), by, "left")
+        .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__med")))
+        .drop("__med")
+    )
+
+
+def feature_correlations(
+    df: DataFrame,
+    cols: "Sequence[str]",
+    by: str | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns (optionally per
+    group): ``(by?, col_a, col_b, corr)`` for every unordered pair — the
+    quick multicollinearity screen before feature selection.
+
+    ONE aggregation computes every pair (``corr`` is map-side combinable);
+    the pair explosion happens on the single aggregated row, so the
+    shuffle payload is O(groups × pairs), never O(rows × pairs).
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"__corr_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    keys = [by] if by else []
+    wide = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    melted = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__corr_{i}").alias("corr"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return wide.select(*keys, F.explode(melted).alias("__p")).select(
+        *keys,
+        F.col("__p.col_a").alias("col_a"),
+        F.col("__p.col_b").alias("col_b"),
+        F.col("__p.corr").alias("corr"),
     )

@@ -93,3 +93,26 @@ def test_zscore_outliers_flags_planted_spike(spark):
     got = zscore_outliers(df, "v", "g", "id", threshold=3.0).collect()
     assert [r["id"] for r in got] == [99]
     assert got[0]["z"] > 3.0
+
+
+def test_impute_group_median(spark):
+    from bio2bel_spark.operators.stats import impute_group_median
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", None),   # median 2.0
+        ("b", None), ("b", None),              # all-null group stays null
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = impute_group_median(df, "v", "g").collect()
+    a_vals = sorted(r["v"] for r in got if r["g"] == "a")
+    assert a_vals == [1.0, 2.0, 3.0]
+    assert all(r["v"] is None for r in got if r["g"] == "b")
+
+
+def test_feature_correlations_pairs(spark):
+    from bio2bel_spark.operators.stats import feature_correlations
+
+    rows = [(float(i), float(2 * i), float(-i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in feature_correlations(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == 1.0 and got[("x", "z")] == -1.0 and got[("y", "z")] == -1.0
