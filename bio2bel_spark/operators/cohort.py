@@ -48,6 +48,8 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel_counts needs at least one step")
+    from bio2bel_spark.operators.caching import tracked_persist
+
     reached = None
     out = []
     for i, step in enumerate(steps):
@@ -63,6 +65,10 @@ def funnel_counts(
                 .groupBy(user_col)
                 .agg(F.min("__t").alias("__t_prev"))
             )
+        # each stage feeds BOTH its count row and the next stage — without a
+        # persist, counting step k re-executes every earlier stage (k scans
+        # of the fact table per step, O(k^2) total)
+        stage = stage.transform(tracked_persist)
         reached = stage
         out.append(
             stage.agg(

@@ -643,9 +643,13 @@ def comembership_projection(
     needing an audit can diff ``n_dropped = groups - kept``. Size-1 groups
     are skipped too (they produce no pairs).
     """
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    # consumed three times (size filter + both join sides) — persist the
+    # distinct membership instead of re-scanning the input per consumer
     m = membership.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-    ).distinct()
+    ).distinct().transform(tracked_persist)
     sizes = m.groupBy("__g").agg(F.count(F.lit(1)).alias("__sz"))
     kept = sizes.where(
         (F.col("__sz") >= 2) & (F.col("__sz") <= max_group)
