@@ -87,3 +87,38 @@ def test_cdc_apply_replayed_insert_after_update(spark):
     )
     got = {r["k"]: r["attr"] for r in cdc_apply(base, changes, ["k"]).collect()}
     assert got == {1: "v3"}
+
+
+def test_cdc_apply_matches_model_random(spark):
+    import random
+
+    from bio2bel_spark.operators.scd import cdc_apply
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        base = {k: f"v{k}" for k in range(8) if rng.random() < 0.7}
+        changes = []
+        for seq in range(1, 15):
+            k = rng.randrange(10)
+            op = rng.choice(["I", "U", "D"])
+            changes.append((k, f"c{seq}" if op != "D" else None, seq, op))
+        # model: latest change per key wins, applied over base
+        latest = {}
+        for k, attr, seq, op in changes:
+            if k not in latest or seq > latest[k][1]:
+                latest[k] = (attr, seq, op)
+        want = dict(base)
+        for k, (attr, _seq, op) in latest.items():
+            if op == "D":
+                want.pop(k, None)
+            else:
+                want[k] = attr
+
+        bdf = spark.createDataFrame(
+            [(k, v) for k, v in base.items()], "k long, attr string"
+        )
+        cdf = spark.createDataFrame(
+            changes, "k long, attr string, seq long, op string"
+        )
+        got = {r["k"]: r["attr"] for r in cdc_apply(bdf, cdf, ["k"]).collect()}
+        assert got == want, f"seed {seed}"
