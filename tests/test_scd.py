@@ -122,3 +122,54 @@ def test_cdc_apply_matches_model_random(spark):
         )
         got = {r["k"]: r["attr"] for r in cdc_apply(bdf, cdf, ["k"]).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_scd2_apply_matches_model_random(spark):
+    import datetime as dt
+    import random
+
+    from bio2bel_spark.operators.scd import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        cur_rows = []
+        open_attr = {}
+        for k in range(10):
+            if rng.random() < 0.3:
+                continue  # key absent from the dimension
+            if rng.random() < 0.4:  # some closed history
+                cur_rows.append((k, f"old{k}", dt.datetime(2023, 1, 1), t0))
+            attr = rng.choice([f"a{k}", None])
+            cur_rows.append((k, attr, t0, None))
+            open_attr[k] = attr
+        upd_rows = []
+        for k in range(12):
+            if rng.random() < 0.5:
+                upd_rows.append((k, rng.choice([f"u{k}", f"a{k}", None]), t1))
+
+        # model
+        want = {(k, a, vf, vt) for (k, a, vf, vt) in cur_rows if vt is not None}
+        touched = {k for k, _a, _t in upd_rows}
+        for k, a in open_attr.items():
+            u = next((ua for uk, ua, _ in upd_rows if uk == k), "\0missing")
+            if k not in touched or u == a:
+                want.add((k, a, t0, None))
+            else:
+                want.add((k, a, t0, t1))
+                want.add((k, u, t1, None))
+        for k, ua, _ in upd_rows:
+            if k not in open_attr:
+                want.add((k, ua, t1, None))
+
+        cdf = spark.createDataFrame(
+            cur_rows, "k long, attr string, valid_from timestamp, valid_to timestamp"
+        )
+        udf_ = spark.createDataFrame(
+            upd_rows, "k long, attr string, effective_ts timestamp"
+        )
+        got = {
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_apply(cdf, udf_, ["k"], ["attr"]).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -93,3 +93,45 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, left, right, tol):
         for r in exp.itertuples(index=False)
     }
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10000), st.integers(0, 99)),
+        min_size=1, max_size=30, unique_by=lambda e: (e[0], e[1]),
+    )
+)
+def test_timeline_features_match_pandas(spark, events):
+    from bio2bel_spark.operators.temporal import timeline_features
+
+    rows = [
+        (i, BASE + dt.timedelta(seconds=s), k, "t", float(v))
+        for i, (k, s, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["event_id"]: r.asDict()
+        for r in timeline_features(df, lookback_sec=3600).collect()
+    }
+
+    lpd = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    for uid, g in lpd.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for i, row in g.iterrows():
+            r = got[row.event_id]
+            prev = g.iloc[i - 1] if i > 0 else None
+            assert r["prev_value"] == (None if prev is None else prev.value)
+            assert r["gap_sec"] == (
+                None if prev is None else round((row.ts - prev.ts).total_seconds(), 6)
+            )
+            nxt = g.iloc[i + 1] if i + 1 < len(g) else None
+            assert r["next_type"] == (None if nxt is None else nxt.event_type)
+            assert r["running_sum"] == round(g.value[: i + 1].sum(), 2)
+            lo = max(0, i - 2)
+            assert r["moving_avg3"] == round(g.value[lo : i + 1].mean(), 6)
+            in_range = g[(g.ts >= row.ts - dt.timedelta(seconds=3600)) & (g.ts <= row.ts)]
+            assert r["n_trailing"] == len(in_range)
+            assert r["sum_trailing"] == round(in_range.value.sum(), 2)
