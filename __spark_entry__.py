@@ -2114,6 +2114,24 @@ def q_feature_correlations(spark, sf_dir):
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Measured LSH candidate recall vs the exact Jaccard truth at 0.5 —
+    the number that keeps 'LSH is a recall knob' honest."""
+    from bio2bel_spark.operators.dedup import lsh_recall_report
+
+    return lsh_recall_report(_docs_augmented(spark, sf_dir))
+
+
+def q_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding of part brand against retail price
+    (smoothed, leakage-free) — high-cardinality categorical features."""
+    from bio2bel_spark.operators.stats import target_encode_loo
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    out = target_encode_loo(part, "p_brand", "p_retailprice", prior_weight=10.0)
+    return out.select("p_partkey", "p_brand", "target_enc")
+
+
 def q_cdc_apply(spark, sf_dir):
     """CDC MERGE: latest-wins change feed (stale replays lose, deletes
     remove, inserts add) applied with one window + one outer join."""
@@ -2645,6 +2663,8 @@ QUERIES: dict[str, Callable] = {
     "srp_near_pairs": q_srp_near_pairs,
     "table_diff": q_table_diff,
     "cdc_apply": q_cdc_apply,
+    "lsh_recall": q_lsh_recall,
+    "target_encoding": q_target_encoding,
     "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
     "zscore_outliers": q_zscore_outliers,
@@ -2672,8 +2692,6 @@ QUERIES: dict[str, Callable] = {
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
     # that are fully covered by unit tests + the local oracle sweep
-    "dedup_quality_survivor": q_dedup_quality_survivor,
-    "lm_perplexity": q_lm_perplexity,
     "validate_lineitem": q_validate_lineitem,
     # substring-level dedup (newest operators = highest regression risk, so
     # they hold window slots; the two displaced queries — pack_first_fit is
@@ -2685,6 +2703,8 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "dedup_quality_survivor": q_dedup_quality_survivor,
+    "lm_perplexity": q_lm_perplexity,
     "fuzzy_join": q_fuzzy_join,
     "corpus_report": q_corpus_report,
     "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
@@ -4248,6 +4268,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 'l_extendedprice', 'l_discount',
                    round(corr(l_extendedprice, l_discount), 6)
             FROM lineitem GROUP BY 1
+        """,
+        "lsh_recall": f"""
+            WITH {_JACCARD_CTES},
+            sigs AS (
+                SELECT doc_id,
+                       CASE WHEN hashes IS NULL THEN NULL ELSE
+                       list_transform(range(0, 16), i -> list_min(
+                           list_transform(hashes,
+                               h -> ((2*i + 1) * h + i*i + i + 41)
+                                    % 2147483647))) END AS sigl
+                FROM hs
+            ),
+            banded AS (
+                SELECT doc_id, b.b AS band,
+                       md5(array_to_string(sigl[b.b*2+1 : b.b*2+2], ','))
+                           AS bucket
+                FROM sigs, unnest(range(0, 8)) AS b(b)
+                WHERE sigl IS NOT NULL
+            ),
+            bsizes AS (
+                SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2
+            ),
+            bounded AS (
+                SELECT bd.doc_id, bd.band, bd.bucket
+                FROM banded bd JOIN bsizes s USING (band, bucket)
+                WHERE s.c <= 1000
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bounded a JOIN bounded b USING (band, bucket)
+                WHERE a.doc_id < b.doc_id
+            ),
+            tr AS (SELECT id_a, id_b FROM vpairs),
+            hit AS (SELECT t.id_a, t.id_b FROM tr t
+                    JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+            SELECT (SELECT count(*) FROM tr)::BIGINT AS n_true_pairs,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   coalesce(round((SELECT count(*) FROM hit)::DOUBLE
+                       / nullif((SELECT count(*) FROM tr), 0), 6), 1.0)
+                       AS recall
+        """,
+        "target_encoding": """
+            WITH g AS (
+                SELECT p_brand, sum(p_retailprice) AS s, count(*) AS n
+                FROM part WHERE p_retailprice IS NOT NULL GROUP BY 1
+            ), gm AS (
+                SELECT avg(p_retailprice) AS m FROM part
+                WHERE p_retailprice IS NOT NULL
+            )
+            SELECT p.p_partkey, p.p_brand,
+                   round((g.s - p.p_retailprice + 10.0 * (SELECT m FROM gm))
+                         / (g.n - 1 + 10.0), 6) AS target_enc
+            FROM part p JOIN g USING (p_brand)
+            WHERE p.p_retailprice IS NOT NULL
         """,
         "asof_join_nearest": """
             WITH clicks AS (

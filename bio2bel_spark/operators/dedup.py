@@ -816,3 +816,50 @@ def remove_duplicate_spans(
             .alias("n_dropped"),
         )
     )
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 8,
+    backend: str = "md5",
+) -> DataFrame:
+    """Measured candidate-tier recall of the MinHash-LSH index against the
+    exact n-gram-Jaccard truth: ONE row ``(n_true_pairs, n_candidates,
+    n_hit, recall)``.
+
+    This is the operator that turns "LSH is a recall knob, never a
+    correctness knob" from a docstring claim into a monitored number — run
+    it on a sample whenever the banding parameters change. Composes the
+    existing exact inverted-index baseline and the banded candidate
+    generator; the comparison itself is one join + one aggregation.
+    """
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, shingle_n, threshold, backend
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(
+        docs, text_col, id_col, n_hashes=n_hashes, bands=bands, backend=backend
+    ).select("id_a", "id_b")
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    truth = truth.transform(tracked_persist)
+    cand = cand.transform(tracked_persist)
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    return docs.sparkSession.createDataFrame(
+        [
+            (
+                n_true,
+                n_cand,
+                n_hit,
+                round(n_hit / n_true, 6) if n_true else 1.0,
+            )
+        ],
+        "n_true_pairs long, n_candidates long, n_hit long, recall double",
+    )

@@ -276,3 +276,36 @@ def feature_correlations(
         F.col("__p.col_b").alias("col_b"),
         F.col("__p.corr").alias("corr"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing — the standard
+    high-cardinality categorical feature that avoids leaking a row's own
+    label into its feature: each row gets
+    ``(group_sum - own_target + prior_weight * global_mean) /
+    (group_n - 1 + prior_weight)``.
+
+    One grouped aggregation (sums/counts, map-side combinable, broadcast
+    back) + a map-only projection; the global mean is a bounded driver
+    scalar. Singleton categories fall back to the smoothed prior instead of
+    dividing by zero.
+    """
+    clean = df.where(F.col(target_col).isNotNull())
+    g_mean = float(clean.agg(F.avg(target_col)).collect()[0][0])
+    grp = clean.groupBy(category_col).agg(
+        F.sum(target_col).alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    enc = (
+        (F.col("__sum") - F.col(target_col) + prior_weight * g_mean)
+        / (F.col("__n") - 1 + prior_weight)
+    )
+    return (
+        clean.join(F.broadcast(grp), category_col)
+        .withColumn("target_enc", F.round(enc, 6))
+        .drop("__sum", "__n")
+    )

@@ -378,3 +378,16 @@ def test_remove_duplicate_spans_full_doc(spark):
     assert got[1]["text"] == "" and got[1]["n_kept"] == 0
     assert got[2]["text"] == "" and got[2]["n_dropped"] == 8
     assert got[3]["n_dropped"] == 0
+
+
+def test_lsh_recall_report_perfect_on_exact_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.lsh_recall_report(df).collect()[0]
+    # identical docs share every band: truth found, recall 1.0
+    assert r["n_true_pairs"] == 1 and r["n_hit"] == 1 and r["recall"] == 1.0
+    assert r["n_candidates"] >= 1

@@ -116,3 +116,27 @@ def test_feature_correlations_pairs(spark):
     df = spark.createDataFrame(rows, "x double, y double, z double")
     got = {(r["col_a"], r["col_b"]): r["corr"] for r in feature_correlations(df, ["x", "y", "z"]).collect()}
     assert got[("x", "y")] == 1.0 and got[("x", "z")] == -1.0 and got[("y", "z")] == -1.0
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from bio2bel_spark.operators.stats import target_encode_loo
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    got = {
+        (r["cat"], r["y"]): r["target_enc"]
+        for r in target_encode_loo(df, "cat", "y", prior_weight=0.0).collect()
+    }
+    # with zero prior, LOO mean of the other two rows exactly
+    assert got[("a", 10.0)] == 25.0
+    assert got[("a", 20.0)] == 20.0
+    assert got[("a", 30.0)] == 15.0
+    # singleton with zero prior: 0/0 is null (undefined), not a leak
+    assert got[("b", 100.0)] is None
+
+    smoothed = {
+        (r["cat"], r["y"]): r["target_enc"]
+        for r in target_encode_loo(df, "cat", "y", prior_weight=4.0).collect()
+    }
+    # singleton now falls back to the smoothed global prior
+    assert smoothed[("b", 100.0)] == 40.0  # (0 + 4*40)/(0+4)
