@@ -300,9 +300,12 @@ def target_encode_loo(
     grp = clean.groupBy(category_col).agg(
         F.sum(target_col).alias("__sum"), F.count(F.lit(1)).alias("__n")
     )
-    enc = (
-        (F.col("__sum") - F.col(target_col) + prior_weight * g_mean)
-        / (F.col("__n") - 1 + prior_weight)
+    denom = F.col("__n") - 1 + prior_weight
+    # ANSI mode throws on 0/0 (a singleton with zero prior) — that row has
+    # no leakage-free encoding, so it is explicitly null
+    enc = F.when(
+        denom != 0,
+        (F.col("__sum") - F.col(target_col) + prior_weight * g_mean) / denom,
     )
     return (
         clean.join(F.broadcast(grp), category_col)
