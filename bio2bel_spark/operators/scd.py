@@ -111,7 +111,9 @@ def cdc_apply(
     symmetric (upsert semantics — a replayed insert after an update must
     not resurrect old attributes).
 
-    Returns the new snapshot with the base's columns.
+    Returns the new snapshot with ``key_cols`` plus the change feed's
+    payload columns (the base must carry the same payload columns — the
+    usual CDC contract where the feed mirrors the table schema).
     """
     keys = list(key_cols)
     payload = [

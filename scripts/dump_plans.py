@@ -17,6 +17,25 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 #: query -> the plan property worth checking
 SHOWCASE = {
+    "funnel_counts": (
+        "Each funnel stage is a combinable per-user aggregation joined to "
+        "the persisted previous stage; the fact table is scanned once per "
+        "step, never re-executed per count (stages persist)."
+    ),
+    "cdc_apply": (
+        "Latest-change selection is WindowGroupLimit (per-key top-1, no "
+        "full sort); the merge is ONE full-outer join + projection."
+    ),
+    "srp_near_pairs": (
+        "SRP fingerprints are one parsed map-only expression (no joins, no "
+        "Python); candidates come from the banded hamming equi-join with "
+        "popcount verify — no all-pairs anywhere."
+    ),
+    "bm25_search": (
+        "Tokens are filtered to the query terms BEFORE any aggregation, so "
+        "the shuffle carries only matching postings; idf and length norms "
+        "join back broadcast-size."
+    ),
     "dup_span_profile": (
         "Span-level dedup: the per-span hash pipeline is computed once "
         "(persisted exploded positions feed both the frequency count and "
