@@ -104,3 +104,33 @@ def test_export_shards_deterministic_and_pruned(spark, tmp_path):
     # provenance recorded
     acts = {r["action"] for r in cat.actions().collect()}
     assert "export_shards" in acts
+
+
+def test_refresh_sum_aggregate_incremental_and_replay_safe(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.incremental import refresh_sum_aggregate
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "wh_ivm"))
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 4.0), ("c", 7.0)], "g string, v double"
+    )
+    refresh_sum_aggregate(cat, b1, "agg", ["g"], ["v"], batch_id="b1")
+    st = refresh_sum_aggregate(cat, b2, "agg", ["g"], ["v"], batch_id="b2")
+    got = {r["g"]: (r["n_rows"], r["sum_v"]) for r in st.collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 7.0)}
+    # replaying an applied batch is a no-op (sums would double-count)
+    st2 = refresh_sum_aggregate(cat, b2, "agg", ["g"], ["v"], batch_id="b2")
+    got2 = {r["g"]: (r["n_rows"], r["sum_v"]) for r in st2.collect()}
+    assert got2 == got
+    # direct recompute over everything agrees with the incremental state
+    direct = (
+        b1.unionByName(b2)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    want = {r["g"]: (r["n"], r["s"]) for r in direct.collect()}
+    assert got == want
