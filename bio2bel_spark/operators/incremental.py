@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["refresh_sum_aggregate"]
+__all__ = ["refresh_sum_aggregate", "refresh_distinct_aggregate"]
 
 
 def refresh_sum_aggregate(
@@ -78,4 +78,39 @@ def refresh_sum_aggregate(
             ledger,
             mode="append",
         )
+    return merged
+
+
+def refresh_distinct_aggregate(
+    catalog,
+    increment: DataFrame,
+    state_table: str,
+    col: str,
+    by: str,
+    b: int = 9,
+) -> DataFrame:
+    """Maintain per-group APPROXIMATE DISTINCT counts incrementally: the
+    state is a grouped HyperLogLog register table
+    (:func:`bio2bel_spark.operators.sketch.hll_state_grouped`), merged with
+    each batch by group-wise register max.
+
+    Unlike :func:`refresh_sum_aggregate` this needs NO batch ledger —
+    register max is idempotent, so replays are harmless by construction.
+    State is O(groups × 2^b) forever. Read estimates with
+    ``sketch.hll_estimate_grouped(state, by, b)``.
+    """
+    from bio2bel_spark.operators.sketch import (
+        hll_merge_grouped,
+        hll_state_grouped,
+    )
+
+    batch_state = hll_state_grouped(increment, col, by, b=b)
+    if catalog.table_exists(state_table):
+        merged = hll_merge_grouped(
+            [catalog.read_table(state_table), batch_state], by
+        )
+    else:
+        merged = batch_state
+    merged = merged.localCheckpoint(eager=True)
+    catalog.write_table(merged, state_table, mode="overwrite")
     return merged

@@ -134,3 +134,29 @@ def test_refresh_sum_aggregate_incremental_and_replay_safe(spark, tmp_path):
     )
     want = {r["g"]: (r["n"], r["s"]) for r in direct.collect()}
     assert got == want
+
+
+def test_refresh_distinct_aggregate_matches_direct(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.incremental import refresh_distinct_aggregate
+    from bio2bel_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_state_grouped,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh_ivmd"))
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(5)],
+        "g string, u long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(20, 50)] + [("c", 1)], "g string, u long"
+    )
+    refresh_distinct_aggregate(cat, b1, "dist", "u", "g")
+    refresh_distinct_aggregate(cat, b2, "dist", "u", "g")
+    # replay: register max is idempotent, state unchanged
+    st = refresh_distinct_aggregate(cat, b2, "dist", "u", "g")
+    direct = hll_state_grouped(b1.unionByName(b2), "u", "g")
+    assert sorted(map(tuple, st.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r["g"]: r["estimate"] for r in hll_estimate_grouped(st, "g").collect()}
+    assert abs(est["a"] - 50) / 50 < 0.2 and abs(est["c"] - 1) < 0.01
