@@ -2114,6 +2114,20 @@ def q_feature_correlations(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Corpus BPE tokenizer training: the first 6 learned merges (rank,
+    pair, weighted count) — each round is a pair count over the word-
+    frequency state + a map-only doubled-separator rewrite."""
+    from bio2bel_spark.operators.bpe import bpe_learn_merges
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    merges = bpe_learn_merges(docs, n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string, n long",
+    )
+
+
 def q_lsh_recall(spark, sf_dir):
     """Measured LSH candidate recall vs the exact Jaccard truth at 0.5 —
     the number that keeps 'LSH is a recall knob' honest."""
@@ -2639,7 +2653,6 @@ def q_quality_topk(spark, sf_dir):
 # tests/test_entry_oracle.py and scripts/oracle_check.py.
 QUERIES: dict[str, Callable] = {
     # graph + sources (fixture parsing: OBO/RDF/CX ingest can rot silently)
-    "kg_components": q_kg_components,
     "pagerank": q_pagerank,
     "pathway_enrichment": q_pathway_enrichment,
     "pricing_summary": q_pricing_summary,
@@ -2664,6 +2677,7 @@ QUERIES: dict[str, Callable] = {
     "table_diff": q_table_diff,
     "cdc_apply": q_cdc_apply,
     "lsh_recall": q_lsh_recall,
+    "bpe_merges": q_bpe_merges,
     "target_encoding": q_target_encoding,
     "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
@@ -2703,6 +2717,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "kg_components": q_kg_components,
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
     "fuzzy_join": q_fuzzy_join,
@@ -2792,6 +2807,52 @@ QUERIES: dict[str, Callable] = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
+
+
+
+def _bpe_sql(rounds: int = 6) -> str:
+    """Unrolled BPE twin: per round a pair count over the word-frequency
+    state, a LIMIT-1 top pair (count desc, pair asc), and the same
+    doubled-separator literal rewrite. AS MATERIALIZED per round (the
+    k_core lesson: multiply-referenced CTEs inline exponentially)."""
+    ctes = [f"""w0 AS MATERIALIZED (
+        SELECT sym, count(*)::BIGINT AS n FROM (
+            SELECT array_to_string(list_transform(range(1, len(w) + 1),
+                       i -> w[i]), ' ') AS sym
+            FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ) GROUP BY sym
+    )"""]
+    for r in range(rounds):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+            SELECT pair, sum(n)::BIGINT AS cnt FROM (
+                SELECT n, toks[u.i] || ' ' || toks[u.i + 1] AS pair
+                FROM (SELECT n, string_split(sym, ' ') AS toks FROM w{r}),
+                     unnest(range(1, len(toks))) AS u(i)
+            ) GROUP BY pair
+        )""")
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT pair, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        if r + 1 < rounds:
+            ctes.append(f"""w{r + 1} AS MATERIALIZED (
+                SELECT trim(replace(replace(
+                           ' ' || replace(sym, ' ', '  ') || ' ',
+                           ' ' || replace((SELECT pair FROM m{r}), ' ', '  ')
+                               || ' ',
+                           ' ' || replace((SELECT pair FROM m{r}), ' ', '')
+                               || ' '),
+                       '  ', ' ')) AS sym, n
+                FROM w{r}
+            )""")
+    parts = [
+        f"SELECT {r + 1} AS rank, split_part(pair, ' ', 1) AS left_sym, "
+        f"split_part(pair, ' ', 2) AS right_sym, cnt AS n FROM m{r}"
+        for r in range(rounds)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
 
 def oracle_sql() -> dict[str, str]:
     from bio2bel_spark.functions.curie import PREFIX_SYNONYMS
@@ -4269,6 +4330,7 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_extendedprice, l_discount), 6)
             FROM lineitem GROUP BY 1
         """,
+        "bpe_merges": _bpe_sql(6),
         "lsh_recall": f"""
             WITH {_JACCARD_CTES},
             sigs AS (
