@@ -83,8 +83,12 @@ def bpe_learn_merges(
     round is the only driver-side scalar (same bounded-collect convention
     as k-means centroids).
     """
-    state = word_frequencies(docs, text_col, id_col).localCheckpoint(
-        eager=True
+    # the word-frequency state is tiny (distinct words); coalescing it
+    # keeps the 2 jobs/round from scheduling a full partition fan each time
+    state = (
+        word_frequencies(docs, text_col, id_col)
+        .coalesce(8)
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
