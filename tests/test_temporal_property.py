@@ -135,3 +135,92 @@ def test_timeline_features_match_pandas(spark, events):
             in_range = g[(g.ts >= row.ts - dt.timedelta(seconds=3600)) & (g.ts <= row.ts)]
             assert r["n_trailing"] == len(in_range)
             assert r["sum_trailing"] == round(in_range.value.sum(), 2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000), st.integers(-50, 4000)),
+        min_size=1, max_size=15,
+    ),
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6000)),
+        min_size=1, max_size=25,
+    ),
+    bucket_sec=st.sampled_from([60, 600, 3600]),
+)
+def test_interval_join_matches_bruteforce(spark, ivs, pts, bucket_sec):
+    """Bucketing is a physical knob: any bucket width must give exactly the
+    brute-force containment set (incl. empty/reversed intervals)."""
+    from bio2bel_spark.operators.temporal import interval_join
+
+    iv_rows = [
+        (i, k, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + d))
+        for i, (k, s, d) in enumerate(ivs)
+    ]
+    pt_rows = [
+        (100 + j, k, BASE + dt.timedelta(seconds=s))
+        for j, (k, s) in enumerate(pts)
+    ]
+    ivdf = spark.createDataFrame(
+        iv_rows, "iv_id long, k long, start timestamp, end timestamp"
+    )
+    ptdf = spark.createDataFrame(pt_rows, "pt_id long, k long, ts timestamp")
+    got = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            ivdf, ptdf, point_ts="ts", by="k", bucket_sec=bucket_sec
+        ).collect()
+    }
+    want = {
+        (i, p)
+        for i, ik, s, e in iv_rows
+        for p, pk, t in pt_rows
+        if ik == pk and s <= t < e
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 2000), st.integers(-20, 3000)),
+        min_size=1, max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 2000), st.integers(-20, 3000)),
+        min_size=1, max_size=12,
+    ),
+    bucket_sec=st.sampled_from([60, 900, 3600]),
+)
+def test_interval_overlap_matches_bruteforce(spark, left, right, bucket_sec):
+    """Owner-bucket dedup must emit every overlapping pair exactly once for
+    any bucket width."""
+    from bio2bel_spark.operators.temporal import interval_overlap_join
+
+    lr = [
+        (i, k, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + d))
+        for i, (k, s, d) in enumerate(left)
+    ]
+    rr = [
+        (100 + j, k, BASE + dt.timedelta(seconds=s), BASE + dt.timedelta(seconds=s + d))
+        for j, (k, s, d) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(
+        lr, "lid long, k long, start timestamp, end timestamp"
+    )
+    rdf = spark.createDataFrame(
+        rr, "rid long, k long, start timestamp, end timestamp"
+    )
+    rows = interval_overlap_join(
+        ldf, rdf, by="k", bucket_sec=bucket_sec
+    ).collect()
+    got = [(r["lid"], r["rid"]) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    want = {
+        (li, rj)
+        for li, lk, ls, le in lr
+        for rj, rk, rs, re_ in rr
+        if lk == rk and ls < re_ and rs < le
+    }
+    assert set(got) == want
