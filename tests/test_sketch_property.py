@@ -104,3 +104,38 @@ def test_triangle_count_matches_brute_force(spark, edges):
     )
     assert row["n_edges"] == len(und)
     assert row["n_triangles"] == tri
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 10**6), min_size=1, max_size=120, unique=True),
+    cut1=st.integers(1, 100),
+    cut2=st.integers(1, 100),
+    k=st.sampled_from([8, 32]),
+)
+def test_quantile_sample_merge_associative(spark, vals, cut1, cut2, k):
+    """Any split of the input and any merge order must reproduce the
+    direct sketch exactly (bottom-k is a lattice join)."""
+    from bio2bel_spark.operators.sketch import (
+        quantile_sample_merge,
+        quantile_sample_state,
+    )
+
+    rows = [(i, float(v % 1000)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    a = cut1 % len(rows)
+    b = a + (cut2 % (len(rows) - a + 1)) if len(rows) > a else a
+    parts = [rows[:a], rows[a:b], rows[b:]]
+    states = [
+        quantile_sample_state(
+            spark.createDataFrame(p, "rid long, v double"), "v", "rid", k=k
+        )
+        for p in parts
+        if p
+    ]
+    direct = sorted(map(tuple, quantile_sample_state(df, "v", "rid", k=k).collect()))
+    merged_lr = quantile_sample_merge(states, k=k)
+    assert sorted(map(tuple, merged_lr.collect())) == direct
+    if len(states) > 1:
+        merged_rl = quantile_sample_merge(list(reversed(states)), k=k)
+        assert sorted(map(tuple, merged_rl.collect())) == direct
