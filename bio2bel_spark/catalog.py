@@ -209,6 +209,41 @@ class Catalog:
             .agg(F.count(F.lit(1)).alias("n_rows"))
         )
 
+    def table_stats(self, name: str) -> DataFrame:
+        """One-scan table profile: ``(metric, value)`` rows with row count,
+        file count/bytes (listing metadata, no data read), and a
+        ``null_frac:<col>`` row per column — the quick health sheet a
+        pipeline prints after a populate.
+
+        All null fractions come from ONE aggregation (map-side combinable
+        sums), so profiling cost is a single pass regardless of column
+        count.
+        """
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        df = self.read_table(name)
+        path = self.table_path(name)
+        n_files = n_bytes = 0
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += _os.path.getsize(_os.path.join(root, f))
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{i}")
+            for i, c in enumerate(df.columns)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n_rows = row["n_rows"]
+        out = [("n_rows", float(n_rows)), ("n_files", float(n_files)),
+               ("n_bytes", float(n_bytes))]
+        for i, c in enumerate(df.columns):
+            frac = (row[f"__nn_{i}"] / n_rows) if n_rows else 0.0
+            out.append((f"null_frac:{c}", round(frac, 6)))
+        return self.spark.createDataFrame(out, "metric string, value double")
+
     def drop_table(self, name: str) -> bool:
         """DROP TABLE IF EXISTS semantics; returns whether anything was dropped."""
         path = self.table_path(name)

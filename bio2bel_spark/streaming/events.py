@@ -571,3 +571,53 @@ def run_cdc_apply(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_windowed_hll_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    grain: str = "hour",
+    ts_col: str = "ts",
+    b: int = 9,
+):
+    """Approximate DISTINCT-per-time-window maintained over a stream: the
+    state is a grouped HyperLogLog register table keyed by the truncated
+    event-time bucket, merged per micro-batch by (bucket, register) max.
+
+    This answers "distinct users per hour, forever, with late data" in
+    O(buckets × 2^b) state — an exact windowed count-distinct would keep
+    every id per window alive indefinitely. Register max is idempotent, so
+    replays need no guard, and LATE events simply re-merge into their old
+    bucket (no watermark truncation is forced on the metric). Read with
+    ``sketch.hll_estimate_grouped(state, "bucket", b)``.
+    """
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.sketch import (
+        hll_merge_grouped,
+        hll_state_grouped,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bucketed = batch_df.withColumn(
+            "bucket", F.date_trunc(grain, F.col(ts_col))
+        )
+        batch_state = hll_state_grouped(bucketed, col, "bucket", b=b)
+        if catalog.table_exists(state_table):
+            merged = hll_merge_grouped(
+                [catalog.read_table(state_table), batch_state], "bucket"
+            )
+        else:
+            merged = batch_state
+        merged = merged.localCheckpoint(eager=True)
+        catalog.write_table(merged, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

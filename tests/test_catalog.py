@@ -160,3 +160,17 @@ def test_refresh_distinct_aggregate_matches_direct(spark, tmp_path):
     assert sorted(map(tuple, st.collect())) == sorted(map(tuple, direct.collect()))
     est = {r["g"]: r["estimate"] for r in hll_estimate_grouped(st, "g").collect()}
     assert abs(est["a"] - 50) / 50 < 0.2 and abs(est["c"] - 1) < 0.01
+
+
+def test_table_stats_profile(spark, tmp_path):
+    from bio2bel_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_stats"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "k long, s string"
+    )
+    cat.write_table(df, "t")
+    got = {r["metric"]: r["value"] for r in cat.table_stats("t").collect()}
+    assert got["n_rows"] == 4.0
+    assert got["n_files"] >= 1 and got["n_bytes"] > 0
+    assert got["null_frac:k"] == 0.0 and got["null_frac:s"] == 0.5

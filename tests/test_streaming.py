@@ -579,3 +579,59 @@ def test_cdc_apply_stream_maintains_snapshot(spark, tmp_path_factory):
 
     got = {r["k"]: r["attr"] for r in catalog.read_table("snap").collect()}
     assert got == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_windowed_hll_maintenance(spark, tmp_path_factory):
+    """Per-hour distinct sketches across two batches (one late event) must
+    equal the direct grouped build over everything."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_state_grouped,
+    )
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_whll")))
+    src = str(tmp_path_factory.mktemp("whll_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    batch([(i, _us((i % 2) * 60 + i * 0.001), i % 25, "c", 1.0, "{}")
+           for i in range(50)])
+    ck = str(tmp_path_factory.mktemp("ck_whll"))
+    q = sev.run_windowed_hll_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "whll", ck
+    )
+    q.awaitTermination(240)
+
+    # second batch includes a LATE event for hour 0
+    batch([(100, _us(0.1), 99, "c", 1.0, "{}"),
+           (101, _us(60.2), 98, "c", 1.0, "{}")])
+    q2 = sev.run_windowed_hll_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "whll", ck
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("whll")
+    # direct build: same nanos->timestamp normalization stream_events does
+    direct = hll_state_grouped(
+        spark.read.parquet(src)
+        .withColumn(
+            "bucket",
+            F.date_trunc(
+                "hour", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            ),
+        ),
+        "user_id",
+        "bucket",
+    )
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, direct.collect()))
+    est = {r["bucket"]: r["estimate"] for r in hll_estimate_grouped(state, "bucket").collect()}
+    assert len(est) == 2 and all(v > 0 for v in est.values())
