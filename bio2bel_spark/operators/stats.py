@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "psi_report"]
 
 
 def winsorized_stats(
@@ -311,4 +311,71 @@ def target_encode_loo(
         clean.join(F.broadcast(grp), category_col)
         .withColumn("target_enc", F.round(enc, 6))
         .drop("__sum", "__n")
+    )
+
+
+def psi_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index drift report between two snapshots of a
+    numeric column — the standard "did my feature/corpus distribution
+    move" monitor. Bins are the BASELINE's ``n_bins`` quantile buckets
+    (equal-population on the baseline by construction), so drift shows up
+    as current-share imbalance; ``psi_contrib = (q - p) * ln(q / p)`` with
+    ``eps`` smoothing for empty bins. Sum the column for the headline PSI
+    (< 0.1 stable, > 0.25 action).
+
+    The quantile boundaries are a bounded driver list (same convention as
+    IVF centroids); binning is then a map-only literal fold and each side
+    needs ONE grouped count. Returns ``(bin, p_baseline, p_current,
+    psi_contrib)`` — one row per bin, always exactly ``n_bins`` rows.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    arr = F.percentile(
+        value_col, F.array(*[F.lit(float(p)) for p in probs])
+    )
+    bounds = [
+        float(b)
+        for b in baseline.where(F.col(value_col).isNotNull())
+        .agg(arr.alias("b"))
+        .collect()[0]["b"]
+    ]
+
+    def bin_expr():
+        b = F.lit(1)
+        for x in bounds:
+            b = b + (F.col(value_col) > F.lit(x)).cast("int")
+        return b.alias("bin")
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        clean = df.where(F.col(value_col).isNotNull())
+        # the side's total is one bounded scalar (pagerank-count convention)
+        # — a global window for it would funnel the counts through a single
+        # partition, the exact shape the plan guardrails ban
+        total = clean.count()
+        return (
+            clean.select(bin_expr())
+            .groupBy("bin")
+            .agg((F.count(F.lit(1)) / F.lit(float(total))).alias(name))
+        )
+
+    spark = baseline.sparkSession
+    bins = spark.createDataFrame([(i,) for i in range(1, n_bins + 1)], "bin int")
+    p = shares(baseline, "__p")
+    q = shares(current, "__q")
+    pc = F.coalesce("__p", F.lit(0.0)) + eps
+    qc = F.coalesce("__q", F.lit(0.0)) + eps
+    return (
+        bins.join(p, "bin", "left")
+        .join(q, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.coalesce("__p", F.lit(0.0)), 6).alias("p_baseline"),
+            F.round(F.coalesce("__q", F.lit(0.0)), 6).alias("p_current"),
+            F.round((qc - pc) * F.log(qc / pc), 6).alias("psi_contrib"),
+        )
     )

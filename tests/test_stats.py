@@ -140,3 +140,21 @@ def test_target_encode_loo_excludes_own_row(spark):
     }
     # singleton now falls back to the smoothed global prior
     assert smoothed[("b", 100.0)] == 40.0  # (0 + 4*40)/(0+4)
+
+
+def test_psi_report_detects_shift(spark):
+    from bio2bel_spark.operators.stats import psi_report
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = spark.createDataFrame([(float((i * 7) % 100),) for i in range(500)], "v double")
+    shifted = spark.createDataFrame([(float(50 + i % 100),) for i in range(500)], "v double")
+
+    stable = psi_report(base, same, "v").collect()
+    assert len(stable) == 10
+    psi_stable = sum(r["psi_contrib"] for r in stable)
+    psi_shift = sum(r["psi_contrib"] for r in psi_report(base, shifted, "v").collect())
+    assert psi_stable < 0.05, psi_stable        # same distribution: tiny PSI
+    assert psi_shift > 0.25, psi_shift          # half the mass moved: action
+    # shares are proper distributions
+    assert abs(sum(r["p_baseline"] for r in stable) - 1.0) < 1e-4
+    assert abs(sum(r["p_current"] for r in stable) - 1.0) < 1e-4
