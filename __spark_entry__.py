@@ -2114,6 +2114,14 @@ def q_feature_correlations(spark, sf_dir):
     )
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf power-law fit over the top-300 corpus words: the cheap
+    'is this even language' gate (slope near -1 for natural text)."""
+    from bio2bel_spark.operators.textquality import zipf_fit
+
+    return zipf_fit(_spread(spark, _t(spark, sf_dir, "documents")), top_n=300)
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report: price distribution before vs after 1996 in
     baseline-decile bins — the corpus/feature drift monitor."""
@@ -2699,6 +2707,7 @@ QUERIES: dict[str, Callable] = {
     "lsh_recall": q_lsh_recall,
     "bpe_merges": q_bpe_merges,
     "psi_drift": q_psi_drift,
+    "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
     "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
@@ -2715,7 +2724,6 @@ QUERIES: dict[str, Callable] = {
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
     "ivf_topk": q_ivf_topk,
-    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "knn_join": q_knn_join,
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
@@ -2737,6 +2745,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "kg_components": q_kg_components,
     "dedup_quality_survivor": q_dedup_quality_survivor,
@@ -4350,6 +4359,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 'l_extendedprice', 'l_discount',
                    round(corr(l_extendedprice, l_discount), 6)
             FROM lineitem GROUP BY 1
+        """,
+        "zipf_fit": f"""
+            WITH wc AS (
+                SELECT w, count(*)::BIGINT AS n FROM (
+                    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                    FROM documents
+                ) WHERE w <> ''
+                GROUP BY w ORDER BY n DESC, w ASC LIMIT 300
+            ), pts AS (
+                SELECT ln((row_number() OVER (ORDER BY n DESC, w ASC))::DOUBLE)
+                           AS lr,
+                       ln(n::DOUBLE) AS lf
+                FROM wc
+            )
+            SELECT count(*)::BIGINT AS n_words,
+                   round(covar_pop(lr, lf) / var_pop(lr), 6) AS slope,
+                   round(avg(lf) - (covar_pop(lr, lf) / var_pop(lr)) * avg(lr),
+                         6) AS intercept,
+                   round(pow(corr(lr, lf), 2), 6) AS r2
+            FROM pts
         """,
         "psi_drift": """
             WITH b AS (

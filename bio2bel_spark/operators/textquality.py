@@ -506,3 +506,53 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("bm25")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Least-squares fit of the Zipf power law over the corpus' top
+    ``top_n`` words: one row ``(n_words, slope, intercept, r2)`` for
+    ``ln(freq) ~ slope * ln(rank) + intercept`` — natural language sits
+    near slope -1; a corpus that doesn't is machine junk or template spam
+    (the cheap "is this even language" corpus gate).
+
+    The full-corpus work is one combinable word count + TakeOrdered(top_n);
+    ranking then happens on the bounded top set (a window over <= top_n
+    rows — deliberately tiny, never the corpus), and the fit is closed-form
+    population moments in one aggregation. Ties rank by word ascending so
+    the fit is engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from bio2bel_spark.operators.dedup import normalize_text
+
+    wc = (
+        docs.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("__w")
+        )
+        .where(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("__n"), F.asc("__w"))
+    pts = wc.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__lr"),
+        F.log(F.col("__n").cast("double")).alias("__lf"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.covar_pop("__lr", "__lf") / F.var_pop("__lr"), 6
+        ).alias("slope"),
+        F.round(
+            F.avg("__lf")
+            - (F.covar_pop("__lr", "__lf") / F.var_pop("__lr")) * F.avg("__lr"),
+            6,
+        ).alias("intercept"),
+        F.round(F.pow(F.corr("__lr", "__lf"), 2), 6).alias("r2"),
+    )

@@ -254,3 +254,21 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     assert 3 not in got                      # zero-match docs absent
     assert got[1] > got[2] and got[1] > got[4]
     assert all(v > 0 for v in got.values())
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from math import exp
+
+    from bio2bel_spark.operators.textquality import zipf_fit
+
+    # corpus engineered so word w_r appears round(1000 * r^-1) times:
+    # the fit must recover slope ~ -1 with near-perfect r2
+    words = []
+    for r in range(1, 40):
+        words += [f"w{r:02d}"] * max(1, round(1000 * r ** -1.0))
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = zipf_fit(docs, top_n=39).collect()[0]
+    assert got["n_words"] == 39
+    assert abs(got["slope"] + 1.0) < 0.05
+    assert got["r2"] > 0.99
+    assert abs(exp(got["intercept"]) - 1000) / 1000 < 0.2
