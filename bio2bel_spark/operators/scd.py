@@ -36,7 +36,10 @@ def scd2_apply(
     dimension table.
 
     ``current`` carries ``key_cols + tracked_cols + (valid_from, valid_to)``
-    with ``valid_to IS NULL`` marking the open version of each key.
+    with ``valid_to IS NULL`` marking the open version of each key — AT
+    MOST ONE open row per key (the Type-2 invariant this function itself
+    maintains; feeding it a dimension that violates it duplicates that
+    key's output rows).
     ``updates`` carries ``key_cols + tracked_cols + effective_col`` with AT
     MOST one row per key (pre-collapse a multi-row batch with a
     latest-per-key window first). Semantics per update key:
@@ -121,7 +124,15 @@ def cdc_apply(
     ]
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    # op + payload break exact-sequence ties deterministically; the real
+    # contract is still a unique seq per (key, change) — equal seqs have no
+    # defined winner in any CDC system, this just pins ONE engine-stable
+    # choice instead of a partition-order lottery
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        F.struct(*[F.col(c) for c in payload]).desc(),
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -338,12 +338,17 @@ def psi_report(
     arr = F.percentile(
         value_col, F.array(*[F.lit(float(p)) for p in probs])
     )
-    bounds = [
-        float(b)
-        for b in baseline.where(F.col(value_col).isNotNull())
+    raw = (
+        baseline.where(F.col(value_col).isNotNull())
         .agg(arr.alias("b"))
         .collect()[0]["b"]
-    ]
+    )
+    if raw is None:
+        raise ValueError(
+            "psi_report: baseline has no non-null values — no quantile "
+            "bins can be formed"
+        )
+    bounds = [float(b) for b in raw]
 
     def bin_expr():
         b = F.lit(1)
