@@ -276,8 +276,13 @@ def interval_overlap_join(
     max_buckets: int = 10_000,
     suffix: str = "_r",
 ) -> DataFrame:
-    """Interval×interval overlap join: pairs where ``l.start < r.end AND
-    r.start < l.end`` (half-open intervals), optionally per ``by`` key.
+    """Interval×interval overlap join: pairs whose half-open intervals
+    have a NON-EMPTY intersection — ``l.start < r.end AND r.start < l.end``
+    with both intervals themselves non-empty — optionally per ``by`` key.
+    (The raw two-inequality predicate alone would claim an EMPTY interval
+    sitting strictly inside another "overlaps" it; an empty interval
+    intersects nothing, and empty/reversed intervals here participate in
+    nothing, matching :func:`interval_join`.)
 
     Both sides explode into covered buckets and equi-join on ``(by,
     bucket)``. An overlapping pair shares every bucket its intersection
@@ -310,9 +315,21 @@ def interval_overlap_join(
             ).cast("long"),
             F.lit(0),
         )
-        # reversed/empty intervals: no buckets (see interval_join)
+        # empty/reversed intervals intersect nothing and must emit no
+        # buckets. The b1 >= b0 gate alone is NOT enough: an empty interval
+        # strictly inside one bucket has b1 == b0 (only boundary-sitting
+        # empties get b1 < b0), and unlike interval_join's containment
+        # predicate the two-inequality overlap residual does not reject it —
+        # the bucket width would leak into the SEMANTICS (found by the
+        # brute-force property test). Gate on genuine non-emptiness too.
         return df.withColumn(
-            "__bucket", F.explode(F.when(b1 >= b0, F.sequence(b0, b1 + guard)))
+            "__bucket",
+            F.explode(
+                F.when(
+                    (F.col(end) > F.col(start)) & (b1 >= b0),
+                    F.sequence(b0, b1 + guard),
+                )
+            ),
         )
 
     l = _explode(left, left_start, left_end)

@@ -217,10 +217,13 @@ def test_interval_overlap_matches_bruteforce(spark, left, right, bucket_sec):
     ).collect()
     got = [(r["lid"], r["rid"]) for r in rows]
     assert len(got) == len(set(got)), "pair emitted more than once"
+    # non-empty-intersection semantics: an empty interval overlaps nothing
+    # (the raw predicate alone would claim an empty interval strictly
+    # inside another overlaps it)
     want = {
         (li, rj)
         for li, lk, ls, le in lr
         for rj, rk, rs, re_ in rr
-        if lk == rk and ls < re_ and rs < le
+        if lk == rk and ls < le and rs < re_ and ls < re_ and rs < le
     }
     assert set(got) == want
