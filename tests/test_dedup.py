@@ -391,3 +391,53 @@ def test_lsh_recall_report_perfect_on_exact_dups(spark):
     # identical docs share every band: truth found, recall 1.0
     assert r["n_true_pairs"] == 1 and r["n_hit"] == 1 and r["recall"] == 1.0
     assert r["n_candidates"] >= 1
+
+
+def test_duplicate_span_profile_matches_bruteforce(spark):
+    """Random small corpora vs a pure-python span model: dup-span counts
+    and union coverage must agree exactly."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        shared = [rng.choice(vocab) for _ in range(5)]
+        texts = []
+        for _ in range(6):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+            if rng.random() < 0.6:
+                pos = rng.randint(0, len(words))
+                words = words[:pos] + shared + words[pos:]
+            texts.append(" ".join(words))
+        n = 4
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_tokens"])
+            for r in dedup.duplicate_span_profile(df, n=n, min_docs=2).collect()
+        }
+
+        # model
+        spans = {}
+        for d, t in enumerate(texts):
+            ws = t.split() if t else []
+            for p in range(max(0, len(ws) - n + 1)):
+                spans.setdefault(" ".join(ws[p : p + n]), set()).add(d)
+        frequent = {s for s, docs_ in spans.items() if len(docs_) >= 2}
+        for d, t in enumerate(texts):
+            ws = t.split() if t else []
+            n_spans = max(0, len(ws) - n + 1)
+            dup_pos = [
+                p
+                for p in range(n_spans)
+                if " ".join(ws[p : p + n]) in frequent
+            ]
+            covered = set()
+            for p in dup_pos:
+                covered.update(range(p, p + n))
+            want = (n_spans, len(dup_pos), len(covered))
+            # empty text normalizes to [''] (1 token) on the operator side
+            if t == "":
+                want = (0, 0, 0)
+            assert got[d] == want, f"seed {seed} doc {d}: {got[d]} != {want}"
