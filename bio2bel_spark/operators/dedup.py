@@ -697,7 +697,9 @@ def _duplicate_positions(
         .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
     )
-    return pos.join(frequent.select("h"), "h", "left_semi").select(id_col, "pos")
+    return pos.join(frequent.select("h"), "h", "left_semi").select(
+        id_col, "pos", "h"
+    )
 
 
 def duplicate_span_profile(
@@ -721,7 +723,9 @@ def duplicate_span_profile(
     ``pos``), so the whole operator is two shuffles: the span-frequency
     count and the per-doc aggregation; no per-pair work anywhere.
     """
-    dup = _duplicate_positions(docs, n, min_docs, text_col, id_col, backend)
+    dup = _duplicate_positions(
+        docs, n, min_docs, text_col, id_col, backend
+    ).select(id_col, "pos")
     from pyspark.sql import Window
 
     w = (
@@ -767,12 +771,20 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     backend: str = "md5",
+    keep_first: bool = False,
 ) -> DataFrame:
-    """Cut every cross-document duplicated ``n``-token span out of each
-    document and reassemble the survivors in order (the destructive stage of
+    """Cut cross-document duplicated ``n``-token spans out of each document
+    and reassemble the survivors in order (the destructive stage of
     substring-level dedup; :func:`duplicate_span_profile` is its audit twin).
 
-    A word survives iff NO duplicated span covers it. Covered word indices
+    ``keep_first=True`` switches to the Lee et al. convention of keeping
+    ONE canonical occurrence per duplicated span — the occurrence at the
+    smallest ``(doc, position)`` (a per-span-hash rank window) — and
+    cutting only the rest; a token then survives unless a NON-canonical
+    duplicated span covers it.
+
+    With the default ``keep_first=False``, a word survives iff NO
+    duplicated span covers it. Covered word indices
     come from exploding each duplicated span into its ``n`` positions
     (bounded fan-out ``n``) + distinct; survivors are the anti-join of word
     positions against that set, reassembled with the same bounded per-doc
@@ -784,6 +796,15 @@ def remove_duplicate_spans(
     (a fully-duplicated document survives with empty text).
     """
     dup = _duplicate_positions(docs, n, min_docs, text_col, id_col, backend)
+    if keep_first:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        dup = (
+            dup.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") > 1)
+            .drop("__rk")
+        )
     covered = dup.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("widx"),

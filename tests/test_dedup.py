@@ -441,3 +441,27 @@ def test_duplicate_span_profile_matches_bruteforce(spark):
             if t == "":
                 want = (0, 0, 0)
             assert got[d] == want, f"seed {seed} doc {d}: {got[d]} != {want}"
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    shared = "a b c d e f g h"
+    rows = [
+        (1, f"{shared} unique-one"),
+        (2, f"{shared} unique-two"),
+        (3, f"prefix-x {shared}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.remove_duplicate_spans(df, n=8, keep_first=True).collect()
+    }
+    # the canonical (smallest doc, pos) occurrence survives; others are cut
+    assert got[1]["text"] == f"{shared} unique-one" and got[1]["n_dropped"] == 0
+    assert got[2]["text"] == "unique-two" and got[2]["n_dropped"] == 8
+    assert got[3]["text"] == "prefix-x" and got[3]["n_dropped"] == 8
+    # default still removes every occurrence
+    full = {
+        r["doc_id"]: r["n_dropped"]
+        for r in dedup.remove_duplicate_spans(df, n=8).collect()
+    }
+    assert full == {1: 8, 2: 8, 3: 8}
