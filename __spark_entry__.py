@@ -470,6 +470,23 @@ def _pagerank_sql(iters: int = _PR_ITERS, damping: float = _PR_DAMPING) -> str:
 _KCORE_K = 4
 
 
+def q_k_hop_profile(spark, sf_dir):
+    """Per-seed BFS frontier growth over the membership graph (3 hops from
+    three part nodes) — the expansion-rate feature for sampling curricula."""
+    from bio2bel_spark.operators.graph import k_hop_profile
+
+    m = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("p:1",), ("p:2",), ("p:3",)], "seed string")
+    return k_hop_profile(m, seeds, max_hops=3)
+
+
 def q_k_core(spark, sf_dir):
     """k-core of the symmetrized pathway-membership bipartite graph:
     iterative peeling to the unique fixpoint; (node, core degree)."""
@@ -2732,8 +2749,8 @@ QUERIES: dict[str, Callable] = {
     "event_pivot": q_event_pivot,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
+    "k_hop_profile": q_k_hop_profile,
     # embeddings (iterative / multi-stage plans)
-    "knn_join": q_knn_join,
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
     # multimodal (Arrow mapInPandas plumbing)
@@ -2755,6 +2772,7 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    "knn_join": q_knn_join,
     "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
     "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
@@ -4460,6 +4478,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_kept, 0)::BIGINT AS n_kept,
                    (b.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
             FROM spbase b LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "k_hop_profile": """
+            WITH sym AS MATERIALIZED (
+                SELECT u, v FROM (
+                    SELECT 'o:' || l_orderkey::VARCHAR AS u,
+                           'p:' || l_partkey::VARCHAR AS v
+                    FROM lineitem
+                    UNION
+                    SELECT 'p:' || l_partkey::VARCHAR,
+                           'o:' || l_orderkey::VARCHAR
+                    FROM lineitem
+                ) WHERE u <> v
+            ),
+            seeds(seed) AS (VALUES ('p:1'), ('p:2'), ('p:3')),
+            v0 AS MATERIALIZED (SELECT seed, seed AS node FROM seeds),
+            n1 AS MATERIALIZED (
+                SELECT DISTINCT f.seed, s.v AS node
+                FROM v0 f JOIN sym s ON f.node = s.u
+                EXCEPT SELECT seed, node FROM v0
+            ),
+            v1 AS MATERIALIZED (
+                SELECT seed, node FROM v0 UNION SELECT seed, node FROM n1
+            ),
+            n2 AS MATERIALIZED (
+                SELECT DISTINCT f.seed, s.v AS node
+                FROM n1 f JOIN sym s ON f.node = s.u
+                EXCEPT SELECT seed, node FROM v1
+            ),
+            v2 AS MATERIALIZED (
+                SELECT seed, node FROM v1 UNION SELECT seed, node FROM n2
+            ),
+            n3 AS MATERIALIZED (
+                SELECT DISTINCT f.seed, s.v AS node
+                FROM n2 f JOIN sym s ON f.node = s.u
+                EXCEPT SELECT seed, node FROM v2
+            )
+            SELECT seed, 1 AS hop, count(*)::BIGINT AS n_new_nodes
+            FROM n1 GROUP BY seed
+            UNION ALL
+            SELECT seed, 2, count(*)::BIGINT FROM n2 GROUP BY seed
+            UNION ALL
+            SELECT seed, 3, count(*)::BIGINT FROM n3 GROUP BY seed
         """,
         "bpe_merges": _bpe_sql(6),
         "lsh_recall": f"""

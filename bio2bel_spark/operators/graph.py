@@ -665,3 +665,67 @@ def comembership_projection(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def k_hop_profile(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Neighborhood-growth profile: for every seed node, how many NEW nodes
+    its undirected BFS frontier reaches at each hop — ``(seed, hop,
+    n_new_nodes)`` for hops ``1..max_hops`` (rows stop early when a
+    frontier empties). The per-node expansion-rate feature used for graph
+    sampling curricula and influence screens.
+
+    Same bounded-alternating-join shape as :meth:`KnowledgeGraph.descendants`
+    but tracked PER SEED: the frontier table carries ``(seed, node)`` pairs,
+    one join + one anti-semantics dedup per hop, lineage truncated each
+    round. Memory is O(Σ reached) — run it on a bounded seed set, not every
+    node of a 100 TB graph.
+    """
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .unionAll(edges.select(b.alias("u"), a.alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    seed_col = seeds.columns[0]
+    frontier = seeds.select(F.col(seed_col).alias("seed")).withColumn(
+        "node", F.col("seed")
+    )
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    out = []
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        out.append(
+            nxt.groupBy("seed").agg(
+                F.lit(hop).alias("hop"),
+                F.count(F.lit(1)).alias("n_new_nodes"),
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if not out:
+        return seeds.sparkSession.createDataFrame(
+            [], "seed string, hop int, n_new_nodes long"
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -114,3 +114,41 @@ def test_k_core_peels_chain_keeps_clique(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def _k_hop_model(edges, seeds, max_hops):
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in seeds:
+        visited = {s}
+        frontier = {s}
+        for hop in range(1, max_hops + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= adj.get(n, set())
+            nxt -= visited
+            if not nxt:
+                break
+            out[(s, hop)] = len(nxt)
+            visited |= nxt
+            frontier = nxt
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=EDGES, seeds=st.sets(st.integers(0, 15), min_size=1, max_size=3))
+def test_k_hop_profile_matches_bfs(spark, edges, seeds):
+    from bio2bel_spark.operators.graph import k_hop_profile
+
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "seed int")
+    got = {
+        (r["seed"], r["hop"]): r["n_new_nodes"]
+        for r in k_hop_profile(edf, sdf, max_hops=3).collect()
+    }
+    assert got == _k_hop_model(edges, sorted(seeds), 3)
