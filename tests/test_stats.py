@@ -158,3 +158,48 @@ def test_psi_report_detects_shift(spark):
     # shares are proper distributions
     assert abs(sum(r["p_baseline"] for r in stable) - 1.0) < 1e-4
     assert abs(sum(r["p_current"] for r in stable) - 1.0) < 1e-4
+
+
+def test_value_histogram_matches_model_random(spark):
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        vals = [rng.uniform(-20, 130) for _ in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        from bio2bel_spark.operators.stats import value_histogram
+
+        got = {
+            r["bin"]: r["n"]
+            for r in value_histogram(df, "v", lo=0, hi=100, n_bins=10).collect()
+        }
+        from collections import Counter
+
+        want = Counter()
+        for v in vals:
+            if v < 0:
+                want[0] += 1
+            elif v >= 100:
+                want[11] += 1
+            else:
+                want[int(v // 10) + 1] += 1
+        assert got == dict(want), f"seed {seed}"
+
+
+def test_winsorized_stats_matches_model(spark):
+    vals = [float(x) for x in
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 1000]]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    from bio2bel_spark.operators.stats import winsorized_stats
+
+    r = winsorized_stats(df, "v", "g", lower=0.05, upper=0.95).collect()[0]
+    # exact interpolated percentiles over the sorted data
+    import numpy as np
+
+    lo = float(np.percentile(vals, 5, method="linear"))
+    hi = float(np.percentile(vals, 95, method="linear"))
+    clamped = [min(max(v, lo), hi) for v in vals]
+    assert r["p_lo"] == round(lo, 6) and r["p_hi"] == round(hi, 6)
+    assert r["mean_winsorized"] == round(sum(clamped) / len(clamped), 6)
+    assert r["n_clipped_low"] == sum(v < lo for v in vals)
+    assert r["n_clipped_high"] == sum(v > hi for v in vals)

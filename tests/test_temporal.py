@@ -445,3 +445,38 @@ def test_timeline_features_small(spark):
     assert got[3]["n_trailing"] == 2 and got[3]["sum_trailing"] == 50.0
     assert got[3]["running_sum"] == 60.0 and got[3]["next_type"] is None
     assert got[4]["n_trailing"] == 1 and got[4]["moving_avg3"] == 5.0
+
+
+def test_hypertable_rollup_paths_agree(spark):
+    """The default hierarchical path and the GROUPING SETS custom-aggs path
+    must produce identical count/sum cells for the same grains."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(200):
+        rows.append(
+            (
+                base + dt.timedelta(hours=i % 50, minutes=(i * 7) % 60),
+                "t" + str(i % 3),
+                float(i % 13) + 0.25,
+            )
+        )
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    from bio2bel_spark.operators.temporal import hypertable_rollup
+
+    hier = {
+        (r["grain"], r["event_type"], r["bucket"]): (r["n_events"], r["total_value"])
+        for r in hypertable_rollup(ev).collect()
+    }
+    custom = {
+        (r["grain"], r["event_type"], r["bucket"]): (r["n_events"], round(r["total_value"], 2))
+        for r in hypertable_rollup(
+            ev,
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            ],
+        ).collect()
+    }
+    assert hier == custom
