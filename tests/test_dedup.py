@@ -465,3 +465,39 @@ def test_remove_duplicate_spans_keep_first(spark):
         for r in dedup.remove_duplicate_spans(df, n=8).collect()
     }
     assert full == {1: 8, 2: 8, 3: 8}
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    import random
+
+    for seed in range(3):
+        rng = random.Random(50 + seed)
+        vocab = [f"w{i}" for i in range(10)]
+        shared = [rng.choice(vocab) for _ in range(6)]
+        texts = []
+        for _ in range(5):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            if rng.random() < 0.7:
+                pos = rng.randint(0, len(words))
+                words = words[:pos] + shared + words[pos:]
+            texts.append(" ".join(words))
+        n = 4
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup.remove_duplicate_spans(df, n=n, min_docs=2).collect()
+        }
+        spans = {}
+        for d, t in enumerate(texts):
+            ws = t.split()
+            for p in range(max(0, len(ws) - n + 1)):
+                spans.setdefault(" ".join(ws[p : p + n]), set()).add(d)
+        frequent = {s for s, ds in spans.items() if len(ds) >= 2}
+        for d, t in enumerate(texts):
+            ws = t.split()
+            covered = set()
+            for p in range(max(0, len(ws) - n + 1)):
+                if " ".join(ws[p : p + n]) in frequent:
+                    covered.update(range(p, p + n))
+            want = " ".join(w for i, w in enumerate(ws) if i not in covered)
+            assert got[d] == want, f"seed {seed} doc {d}"

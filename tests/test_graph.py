@@ -279,3 +279,30 @@ def test_triangle_count_empty_graph_returns_zeros(spark):
     edges = spark.createDataFrame([], "src int, dst int")
     row = triangle_count(edges).collect()[0]
     assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (0, 0, 0)
+
+
+def test_comembership_matches_model_random(spark):
+    import random
+    from collections import Counter
+    from itertools import combinations
+
+    from bio2bel_spark.operators.graph import comembership_projection
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randint(1, 8), rng.randint(1, 10)) for _ in range(80)
+        ]
+        df = spark.createDataFrame(rows, "g long, i long")
+        got = {
+            (r["item_a"], r["item_b"]): r["n_shared"]
+            for r in comembership_projection(df, "g", "i", min_shared=1).collect()
+        }
+        groups = {}
+        for g, i in rows:
+            groups.setdefault(g, set()).add(i)
+        want = Counter()
+        for members in groups.values():
+            for a, b in combinations(sorted(members), 2):
+                want[(a, b)] += 1
+        assert got == dict(want), f"seed {seed}"

@@ -203,3 +203,31 @@ def test_winsorized_stats_matches_model(spark):
     assert r["mean_winsorized"] == round(sum(clamped) / len(clamped), 6)
     assert r["n_clipped_low"] == sum(v < lo for v in vals)
     assert r["n_clipped_high"] == sum(v > hi for v in vals)
+
+
+def test_pivot_report_matches_model_random(spark):
+    import random
+    from collections import defaultdict
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        cats = ["x", "y", "z"]
+        rows = [
+            (rng.randint(1, 5), rng.choice(cats + ["other"]), round(rng.uniform(0, 9), 2))
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(rows, "uid long, cat string, v double")
+        from bio2bel_spark.operators.stats import pivot_report
+
+        got = {
+            r["uid"]: {c: r[c] for c in cats}
+            for r in pivot_report(df, "uid", "cat", "v", categories=cats).collect()
+        }
+        want = defaultdict(lambda: {c: 0.0 for c in cats})
+        for uid, cat, v in rows:
+            want[uid]  # touch so every uid appears
+            if cat in cats:
+                want[uid][cat] = round(want[uid][cat] + v, 10)
+        for uid in want:
+            for c in cats:
+                assert abs(got[uid][c] - round(want[uid][c], 2)) < 1e-9, (seed, uid, c)

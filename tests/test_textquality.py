@@ -272,3 +272,39 @@ def test_zipf_fit_recovers_planted_slope(spark):
     assert abs(got["slope"] + 1.0) < 0.05
     assert got["r2"] > 0.99
     assert abs(exp(got["intercept"]) - 1000) / 1000 < 0.2
+
+
+def test_bm25_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from bio2bel_spark.operators.textquality import bm25_scores
+
+    texts = {
+        1: "spark joins data with spark sql engines",
+        2: "pandas joins frames in memory",
+        3: "spark spark spark everywhere",
+        4: "completely unrelated words here",
+    }
+    terms = ["spark", "joins"]
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms, k1=k1, b=b).collect()}
+
+    # reference model
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    want = {}
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        s = 0.0
+        for t in terms:
+            if not tf[t]:
+                continue
+            df_t = sum(1 for w in toks.values() if t in w)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            s += idf * (tf[t] * (k1 + 1)) / (tf[t] + k1 * (1 - b + b * len(ws) / avgdl))
+        if s > 0:
+            want[d] = round(s, 6)
+    assert got == want
