@@ -2306,6 +2306,19 @@ def q_zscore_outliers(spark, sf_dir):
     )
 
 
+def q_video_features(spark, sf_dir):
+    """REAL video decode: Y4M stream-parse + every-2nd-frame luma stats
+    (Arrow mapInPandas; no SQL twin possible for binary container parsing,
+    exactness covered by the numpy round-trip unit tests)."""
+    from bio2bel_spark.operators.multimodal import (
+        video_frame_features,
+        video_from_documents,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return video_frame_features(video_from_documents(docs), every_n=2)
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib compressibility per document (Arrow-batched mapInPandas; no SQL
     twin — zlib is not expressible in DuckDB, exactness unit-tested)."""
@@ -2790,6 +2803,7 @@ QUERIES: dict[str, Callable] = {
     "kg_edge_list": q_kg_edge_list,
     "kg_triples": q_kg_triples,
     "compression_ratio": q_compression_ratio,
+    "video_features": q_video_features,
     "kg_descendants": q_kg_descendants,
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,

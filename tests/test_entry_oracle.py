@@ -66,6 +66,9 @@ ROWS_ONLY: set[str] = {
     # zlib is not expressible in DuckDB; exactness unit-tested in
     # test_cleaning.py against direct zlib calls
     "compression_ratio",
+    # Y4M container parsing has no SQL twin; exactness is the numpy
+    # round-trip test in test_multimodal.py
+    "video_features",
 }
 
 

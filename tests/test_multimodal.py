@@ -185,3 +185,50 @@ def test_image_ahash_and_near_pairs(spark):
     assert got == want
     assert got[(0, 1)] == 0
     assert (0, 2) in got  # brightened copy caught
+
+
+def test_y4m_roundtrip_and_frame_features(spark):
+    import numpy as np
+
+    from bio2bel_spark.operators import multimodal as mm
+
+    # roundtrip: generated planes decode back bit-for-bit
+    raw = mm._y4m_bytes(7, 20, 12, 3)
+    frames = mm._y4m_decode(raw)
+    assert len(frames) == 3 and frames[0].shape == (12, 20)
+    y, x = np.mgrid[0:12, 0:20]
+    want0 = ((x * (7 % 7 + 1) + y * 1 + 7) % 256).astype(np.uint8)
+    assert (frames[0] == want0).all()
+
+    # pipeline: every 2nd frame, stats match numpy
+    docs = spark.createDataFrame([(1, 100), (2, 37)], "doc_id long, n_chars long")
+    media = mm.video_from_documents(docs)
+    got = {
+        (r["doc_id"], r["frame_index"]): (r["mean_luma"], r["min_luma"], r["max_luma"])
+        for r in mm.video_frame_features(media, every_n=2).collect()
+    }
+    for doc_id, n_chars in [(1, 100), (2, 37)]:
+        w, h, nf = n_chars % 32 + 16, n_chars % 24 + 16, n_chars % 8 + 2
+        fs = mm._y4m_decode(mm._y4m_bytes(doc_id, w, h, nf))
+        for idx in range(0, nf, 2):
+            a = fs[idx].astype(float)
+            assert got[(doc_id, idx)] == (
+                round(float(a.mean()), 6),
+                int(fs[idx].min()),
+                int(fs[idx].max()),
+            )
+        assert (doc_id, 1) not in got  # odd frames skipped
+
+
+def test_y4m_decode_rejects_corrupt(spark):
+    import pytest as _pytest
+
+    from bio2bel_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        mm._y4m_decode(b"garbage")
+    ok = mm._y4m_bytes(1, 8, 8, 2)
+    with _pytest.raises(ValueError, match="truncated"):
+        mm._y4m_decode(ok[:-5])
+    with _pytest.raises(ValueError, match="unsupported colorspace"):
+        mm._y4m_decode(b"YUV4MPEG2 W8 H8 C420jpeg\nFRAME\n" + b"\0" * 96)
