@@ -2766,9 +2766,13 @@ QUERIES: dict[str, Callable] = {
     # embeddings (iterative / multi-stage plans)
     "kmeans_assign": q_kmeans_assign,
     "embedding_dedup": q_embedding_dedup,
-    # multimodal (Arrow mapInPandas plumbing)
-    "audio_features": q_audio_features,
-    "image_features": q_image_features,
+    # round-5 rotation: the two media-decode queries carry no DuckDB value
+    # oracle (binary decode paths), so per the round-4 verdict they move
+    # just past the window (still rows-checked by the driver, value-anchored
+    # by golden-hash unit tests) and two long-green hash-checked queries
+    # are promoted so all 50 window slots are value-oracled.
+    "triangle_count": q_triangle_count,
+    "hll_grouped": q_hll_grouped,
     # round-4 additions: new operators carry the most regression risk, so
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
@@ -2785,6 +2789,10 @@ QUERIES: dict[str, Callable] = {
     "training_pipeline": q_training_pipeline,
     "deterministic_shuffle": q_deterministic_shuffle,
     # ---- end of the driver's 50-query correctness window ----
+    # multimodal (Arrow mapInPandas plumbing; no DuckDB value oracle —
+    # golden-hash-anchored in tests/test_multimodal.py instead)
+    "audio_features": q_audio_features,
+    "image_features": q_image_features,
     "knn_join": q_knn_join,
     "ivf_topk": q_ivf_topk,
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
@@ -2812,7 +2820,6 @@ QUERIES: dict[str, Callable] = {
     "cx_pivot": q_cx_pivot,
     "curie_normalize": q_curie_normalize,
     "latest_event_per_user": q_latest_event_per_user,
-    "triangle_count": q_triangle_count,
     "hll_distinct": q_hll_distinct,
     "kmv_distinct": q_kmv_distinct,
     "cms_counts": q_cms_counts,
@@ -2828,7 +2835,6 @@ QUERIES: dict[str, Callable] = {
     "sliding_windows": q_sliding_windows,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "image_phash_pairs": q_image_phash_pairs,
-    "hll_grouped": q_hll_grouped,
     "line_dedup": q_line_dedup,
     "simhash_docs": q_simhash_docs,
     "decontaminate": q_decontaminate,

@@ -183,23 +183,31 @@ class Catalog:
         seed: int = 0,
     ) -> DataFrame:
         """Deterministic sharded training export: every row lands in shard
-        ``pmod(xxhash64(seed, key), n_shards)`` and the table is written
-        hive-partitioned by ``shard`` so a trainer (or a re-run) reads any
-        shard with partition pruning.
+        ``pmod(portable_hash(seed || key), n_shards)`` and the table is
+        written hive-partitioned by ``shard`` so a trainer (or a re-run)
+        reads any shard with partition pruning.
 
-        The assignment depends only on (seed, key) — never on row order or
-        partitioning — so appending data later keeps old rows' shards, and
-        two clusters exporting the same data produce byte-identical shard
-        membership. Returns the per-shard row counts (n_shards rows) for
-        the export manifest; records a provenance action.
+        The assignment depends only on (seed, key) — never on row order,
+        partitioning, or engine — it routes through the repo's engine-
+        portable md5 :func:`~bio2bel_spark.operators.dedup.portable_hash`
+        (the same convention every determinism-critical/replayable operator
+        uses), so appending data later keeps old rows' shards and ANY
+        engine that can md5 reproduces byte-identical shard membership.
+        Returns the per-shard row counts (n_shards rows) for the export
+        manifest; records a provenance action.
         """
         from pyspark.sql import functions as F
 
+        from bio2bel_spark.operators.dedup import portable_hash
+
         sharded = df.withColumn(
             "shard",
-            F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(n_shards)).cast(
-                "int"
-            ),
+            F.pmod(
+                portable_hash(
+                    F.concat_ws("\x1f", F.lit(str(seed)), F.col(key))
+                ),
+                F.lit(n_shards),
+            ).cast("int"),
         )
         self.write_table(sharded, name, partition_by=["shard"])
         self.store_action(name, "export_shards")
@@ -218,6 +226,13 @@ class Catalog:
         All null fractions come from ONE aggregation (map-side combinable
         sums), so profiling cost is a single pass regardless of column
         count.
+
+        File count/bytes are listed via ``os.walk``, which only sees LOCAL
+        paths — this Catalog's contract is a local/NFS warehouse dir (see
+        ``__init__``). On an object-store or HDFS warehouse the two file
+        metrics report 0 (row count and null fractions stay correct); a
+        cluster deployment would swap the listing for the Hadoop
+        FileSystem API (``jvm.org.apache.hadoop.fs``).
         """
         import os as _os
 

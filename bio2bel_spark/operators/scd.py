@@ -54,6 +54,11 @@ def scd2_apply(
     """
     keys = list(key_cols)
     tracked = list(tracked_cols)
+    if not keys or not tracked:
+        # an empty tracked list would leave the change predicate undefined
+        # (every update would look like a no-op AND a change); fail loudly
+        # instead of raising an opaque TypeError mid-plan.
+        raise ValueError("key_cols and tracked_cols must be non-empty")
     closed = current.where(F.col(valid_to).isNotNull())
     open_ = current.where(F.col(valid_to).isNull())
 

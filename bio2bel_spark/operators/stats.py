@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "psi_report"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report"]
 
 
 def winsorized_stats(
@@ -251,6 +251,10 @@ def feature_correlations(
     the pair explosion happens on the single aggregated row, so the
     shuffle payload is O(groups × pairs), never O(rows × pairs).
     """
+    if len(list(cols)) < 2:
+        # zero pairs would reach df.agg() with no expressions — require the
+        # minimum input that yields at least one correlation
+        raise ValueError("feature_correlations requires at least 2 cols")
     pairs = [
         (a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]
     ]

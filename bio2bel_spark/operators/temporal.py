@@ -131,7 +131,18 @@ def asof_join(
             F.col("__t").asc(), F.col("__side"), F.col("__rpay")
         )
         wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # the forward frame orders equal-timestamp right rows struct-DESC so
+        # first() picks the struct-max payload — the same duplicate-right-
+        # timestamp tie convention backward/forward use (last over asc).
+        # Same partitioning as `base`, so Catalyst adds a Sort inside the
+        # one Exchange, not a second shuffle (asserted in tests).
+        wf = (
+            Window.partitionBy(*by_cols)
+            .orderBy(
+                F.col("__t").asc(), F.col("__side"), F.col("__rpay").desc()
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
         u = (
             r.unionByName(l)
             .withColumn("__mb", F.last("__rpay", ignorenulls=True).over(wb))

@@ -160,6 +160,10 @@ def table_diff(
     """
     keys = list(key_cols)
     comp = list(compare_cols)
+    if not keys or not comp:
+        # empty compare_cols would leave any_changed undefined (opaque
+        # TypeError on ~None) — fail with the actual contract instead
+        raise ValueError("key_cols and compare_cols must be non-empty")
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in comp],

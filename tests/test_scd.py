@@ -173,3 +173,20 @@ def test_scd2_apply_matches_model_random(spark):
             for r in scd2_apply(cdf, udf_, ["k"], ["attr"]).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_scd2_empty_tracked_cols_raises(spark):
+    """Round-4 ADVICE: empty tracked_cols must fail with the contract, not
+    an opaque TypeError from `~None` mid-plan."""
+    import pytest
+
+    from bio2bel_spark.operators.scd import scd2_apply
+
+    cur = spark.createDataFrame(
+        [], "k long, attr string, valid_from timestamp, valid_to timestamp"
+    )
+    upd = spark.createDataFrame([], "k long, attr string, effective_ts timestamp")
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(cur, upd, ["k"], [])
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_apply(cur, upd, [], ["attr"])

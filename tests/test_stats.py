@@ -231,3 +231,20 @@ def test_pivot_report_matches_model_random(spark):
         for uid in want:
             for c in cats:
                 assert abs(got[uid][c] - round(want[uid][c], 2)) < 1e-9, (seed, uid, c)
+
+
+def test_feature_correlations_requires_two_cols(spark):
+    import pytest
+
+    from bio2bel_spark.operators.stats import feature_correlations
+
+    df = spark.createDataFrame([(1.0,)], "a double")
+    with pytest.raises(ValueError, match="at least 2"):
+        feature_correlations(df, ["a"])
+
+
+def test_target_encode_loo_is_exported():
+    from bio2bel_spark.operators import stats
+
+    assert "target_encode_loo" in stats.__all__
+    assert callable(stats.target_encode_loo)

@@ -85,6 +85,38 @@ def test_asof_right_tie_is_deterministic(spark):
     assert vals == {"b"}  # struct-max tiebreak, stable across runs
 
 
+def test_asof_nearest_forward_tie_matches_forward_convention(spark):
+    """When `nearest` resolves to the FORWARD candidate and multiple right
+    rows share that future timestamp, the tie must break struct-max — the
+    same convention backward/forward use — so nearest and forward agree on
+    identical inputs (round-4 ADVICE item, temporal.py nearest frame)."""
+    from bio2bel_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:01"))], "k BIGINT, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [
+            # only future candidates exist, both at the same timestamp
+            (1, _ts("2024-01-01 10:00:05"), "a"),
+            (1, _ts("2024-01-01 10:00:05"), "b"),
+        ],
+        "k BIGINT, ts TIMESTAMP, v STRING",
+    )
+    near = {
+        asof_join(left, right, on="ts", by="k", direction="nearest")
+        .collect()[0]
+        .v_r
+        for _ in range(3)
+    }
+    fwd = (
+        asof_join(left, right, on="ts", by="k", direction="forward")
+        .collect()[0]
+        .v_r
+    )
+    assert near == {fwd} == {"b"}
+
+
 def test_interval_join_end_exclusive_and_span(spark):
     from bio2bel_spark.operators.temporal import interval_join
 

@@ -107,3 +107,13 @@ def test_table_diff_counts(spark):
         "changed:s": 2,
         "changed:v": 0,
     }
+
+
+def test_table_diff_empty_compare_cols_raises(spark):
+    import pytest
+
+    from bio2bel_spark.operators.validation import table_diff
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="non-empty"):
+        table_diff(df, df, ["k"], [])
