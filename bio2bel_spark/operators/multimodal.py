@@ -81,7 +81,25 @@ def decode_features(
     memory) and yields only (id, kind, features) — the binary column is
     dropped inside the UDF so the shuffle-free output is small. This is the
     canonical 100 TB decode shape: scan → mapInPandas → narrow output.
+
+    Backends: ``stub`` (content-digest pseudo-features), ``wav`` (stdlib
+    RIFF decode), and two optional-dependency codecs gated like the
+    openpyxl xlsx sink — ``pillow`` (JPEG/PNG/WebP image statistics) and
+    ``soundfile`` (FLAC/OGG via libsndfile). A gated backend whose library
+    is missing raises a clear ImportError on the driver at call time;
+    anything else raises NotImplementedError at the integration point.
     """
+    if backend in _GATED_BACKENDS:
+        mod_name, _fn = _GATED_BACKENDS[backend]
+        try:
+            __import__(mod_name)
+        except ImportError as e:
+            pkg = "pillow" if backend == "pillow" else backend
+            raise ImportError(
+                f"decode backend {backend!r} needs the optional {pkg!r} "
+                "package; install it, or use backend='wav' (stdlib) / "
+                "backend='stub'"
+            ) from e
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -90,12 +108,16 @@ def decode_features(
             elif backend == "wav":
                 # REAL decode: stdlib wave + numpy (see _wav_features)
                 feats = [ _wav_features(c) for c in batch["content"] ]
+            elif backend in _GATED_BACKENDS:
+                row_fn = _GATED_BACKENDS[backend][1]
+                feats = [ row_fn(c) for c in batch["content"] ]
             else:
                 raise NotImplementedError(
-                    f"decode backend {backend!r}: image/video codecs (Pillow/"
-                    "ffmpeg) are not available in this environment; plug the "
-                    "decoder in here — the Spark plumbing is complete and the "
-                    "'wav' backend shows the real-decode shape end-to-end"
+                    f"decode backend {backend!r}: video codecs (ffmpeg) are "
+                    "not available in this environment; plug the decoder in "
+                    "here — the Spark plumbing is complete and the 'wav'/"
+                    "'pillow'/'soundfile' backends show the real-decode "
+                    "shape end-to-end"
                 )
             yield pd.DataFrame(
                 {
@@ -195,19 +217,13 @@ def audio_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """REAL audio features from WAV bytes (stdlib ``wave`` + numpy — no
-    external codec libraries): duration, RMS, zero-crossing rate, peak,
-    mean |x|, and three coarse FFT band energies."""
-    import io
-    import wave
-
+def _signal_features(x, sr: int, dim: int = FEATURE_DIM) -> list[float]:
+    """Audio feature vector from a float waveform in [-1, 1]: duration,
+    RMS, zero-crossing rate, peak, mean |x|, and three coarse FFT band
+    energies. Shared by every audio backend (wav/soundfile) so the feature
+    contract is codec-independent."""
     import numpy as np
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        sr = w.getframerate()
-        frames = w.readframes(w.getnframes())
-    x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     n = len(x)
     if n == 0:
         return [0.0] * dim
@@ -222,6 +238,71 @@ def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     bands = [float(b.sum()) / total for b in thirds]
     feats = [duration, rms, zcr, peak, mean_abs, *bands]
     return [float(f) for f in feats[:dim]] + [0.0] * max(0, dim - len(feats))
+
+
+def _wav_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL audio features from WAV bytes (stdlib ``wave`` + numpy — no
+    external codec libraries)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        sr = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    return _signal_features(x, sr, dim)
+
+
+def _soundfile_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Compressed-audio features via the optional ``soundfile`` package
+    (FLAC/OGG/WAV — anything libsndfile reads). Multi-channel input is
+    mixed down to mono before the shared feature math."""
+    import io
+
+    import numpy as np
+    import soundfile  # gated at operator-call time in decode_features
+
+    x, sr = soundfile.read(io.BytesIO(content), dtype="float64")
+    if getattr(x, "ndim", 1) > 1:
+        x = np.mean(x, axis=1)
+    return _signal_features(x, int(sr), dim)
+
+
+def _pillow_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Compressed-image features via the optional ``pillow`` package
+    (JPEG/PNG/WebP/...): width, height, aspect, per-channel means scaled to
+    [0, 1], and luma std scaled to [0, 1] — the same kind of cheap encoder
+    front-end statistics the PPM path emits."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # gated at operator-call time in decode_features
+
+    img = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"), dtype=np.float64)
+    h, w = img.shape[:2]
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    feats = [
+        float(w),
+        float(h),
+        float(w) / float(h),
+        float(img[..., 0].mean()) / 255.0,
+        float(img[..., 1].mean()) / 255.0,
+        float(img[..., 2].mean()) / 255.0,
+        float(luma.std()) / 255.0,
+    ]
+    return [float(f) for f in feats[:dim]] + [0.0] * max(0, dim - len(feats))
+
+
+#: optional-codec registry: backend name -> (import name, row fn).
+#: Mirrors the openpyxl gate in io/sinks.py:61 — importability is checked
+#: on the DRIVER at operator-call time so a missing lib fails with a clear
+#: ImportError instead of an opaque executor task failure.
+_GATED_BACKENDS = {
+    "pillow": ("PIL", _pillow_features),
+    "soundfile": ("soundfile", _soundfile_features),
+}
 
 
 def _ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
@@ -310,14 +391,33 @@ def image_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "n_chars").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
-    """REAL image pipeline: decode P6 PPM → nearest-neighbor resize to the
-    same aspect-preserving target :func:`resize_plan` declares → channel
+def decode_resize_features(
+    media: DataFrame, max_side: int = 64, backend: str = "ppm"
+) -> DataFrame:
+    """REAL image pipeline: decode → nearest-neighbor resize to the same
+    aspect-preserving target :func:`resize_plan` declares → channel
     statistics. One Arrow ``mapInPandas`` pass; the binary column never
     leaves the UDF. Output: ``(doc_id, width, height, target_width,
     target_height, mean_r, mean_g, mean_b, std_luma)``.
+
+    ``backend='ppm'`` (default) parses binary P6 PPM with pure numpy;
+    ``backend='pillow'`` decodes any PIL-supported format (JPEG/PNG/...)
+    — gated on the optional pillow package like the xlsx sink, with a
+    clear driver-side ImportError when it is absent. Both paths share the
+    resize + statistics math, so swapping codecs never changes features.
     """
     import numpy as np  # noqa: F401 — imported for the closure below
+
+    if backend not in ("ppm", "pillow"):
+        raise ValueError(f"backend must be ppm|pillow, got {backend!r}")
+    if backend == "pillow":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "decode_resize_features backend='pillow' needs the optional "
+                "'pillow' package; install it or use backend='ppm'"
+            ) from e
 
     schema = (
         "doc_id BIGINT, width INT, height INT, target_width INT, "
@@ -333,7 +433,16 @@ def decode_resize_features(media: DataFrame, max_side: int = 64) -> DataFrame:
         for batch in batches:
             rows = []
             for doc_id, content in zip(batch["doc_id"], batch["content"]):
-                img = _ppm_decode(bytes(content))
+                if backend == "pillow":
+                    import io as _io
+
+                    from PIL import Image as _Image
+
+                    img = np.asarray(
+                        _Image.open(_io.BytesIO(bytes(content))).convert("RGB")
+                    )
+                else:
+                    img = _ppm_decode(bytes(content))
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
                 # floor(x + 0.5), not Python round: resize_plan's F.round is

@@ -232,3 +232,107 @@ def test_y4m_decode_rejects_corrupt(spark):
         mm._y4m_decode(ok[:-5])
     with _pytest.raises(ValueError, match="unsupported colorspace"):
         mm._y4m_decode(b"YUV4MPEG2 W8 H8 C420jpeg\nFRAME\n" + b"\0" * 96)
+
+
+# ---------------------------------------------------------------- gated codecs
+
+
+def test_gated_backend_missing_lib_raises_clearly(spark):
+    """When pillow/soundfile are absent, the gated backends must fail on
+    the DRIVER at call time with an actionable ImportError — never an
+    opaque executor task failure (mirrors the openpyxl xlsx gate)."""
+    import pytest
+
+    from bio2bel_spark.operators.multimodal import (
+        decode_features,
+        decode_resize_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "t", 10)], "doc_id long, text string, n_chars long")
+    media = media_from_documents(docs)
+    for backend, lib in (("pillow", "PIL"), ("soundfile", "soundfile")):
+        try:
+            __import__(lib)
+        except ImportError:
+            with pytest.raises(ImportError, match=backend):
+                decode_features(media, backend=backend)
+        else:  # pragma: no cover - lib present in some environments
+            decode_features(media, backend=backend)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="pillow"):
+            decode_resize_features(media, backend="pillow")
+
+
+def test_unknown_decode_backend_still_not_implemented(spark):
+    import pytest
+
+    from bio2bel_spark.operators.multimodal import (
+        decode_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "t", 10)], "doc_id long, text string, n_chars long")
+    out = decode_features(media_from_documents(docs), backend="ffmpeg")
+    with pytest.raises(Exception, match="ffmpeg"):
+        out.collect()
+
+
+def test_pillow_backend_decodes_png(spark):
+    """Real compressed-image decode via the optional pillow package:
+    PNG-encode the deterministic gradient, decode through BOTH gated entry
+    points, and check statistics against the raw array. Skipped when
+    pillow is absent (this container)."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from bio2bel_spark.operators.multimodal import decode_resize_features
+
+    y, x = np.mgrid[0:40, 0:60]
+    img = np.dstack([(x % 256), (y % 256), ((x + y) % 256)]).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "doc_id long, kind string, content binary",
+    )
+    row = decode_resize_features(media, max_side=256, backend="pillow").collect()[0]
+    assert (row.width, row.height) == (60, 40)
+    assert abs(row.mean_r - img[..., 0].mean()) < 1e-6
+
+
+def test_soundfile_backend_decodes_flac(spark):
+    """Real compressed-audio decode via the optional soundfile package:
+    FLAC round-trip must match the stdlib wav feature math (FLAC is
+    lossless). Skipped when soundfile is absent (this container)."""
+    import pytest
+
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    from bio2bel_spark.operators.multimodal import (
+        _signal_features,
+        decode_features,
+    )
+
+    sr, n = 8000, 2000
+    t = np.arange(n) / sr
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float64)
+    buf = io.BytesIO()
+    sf.write(buf, x, sr, format="FLAC", subtype="PCM_16")
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()))],
+        "doc_id long, kind string, content binary",
+    )
+    feats = decode_features(media, backend="soundfile").collect()[0].features
+    want = _signal_features(np.round(x * 32767) / 32768.0, sr)
+    assert np.allclose(feats[:4], want[:4], atol=1e-3)
