@@ -18,6 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: scale-stress tests (run with SPARK_GRAFT_SLOW=1; skipped by default)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from bio2bel_spark.session import get_spark
