@@ -884,3 +884,60 @@ def lsh_recall_report(
         ],
         "n_true_pairs long, n_candidates long, n_hit long, recall double",
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm): hash every ``k``-gram, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive gram hashes — the
+    guarantee is that any shared substring of at least ``k + window - 1``
+    tokens yields at least one shared fingerprint, at ~``2/(window+1)`` of
+    the density of full k-gram shingling. Output: ``(id, fp)`` rows, one
+    per DISTINCT selected fingerprint per document — join on ``fp`` for
+    local (substring-level) overlap candidates where MinHash/SimHash only
+    answer whole-document similarity.
+
+    Documents shorter than ``k`` tokens emit nothing; documents with fewer
+    than ``window`` grams emit the single global-minimum fingerprint (the
+    standard short-document degeneration).
+
+    Scale shape: the entire gram-hash + window-min pipeline is
+    higher-order array functions inside one narrow projection — NO explode
+    of the gram stream, no shuffle at all until the caller aggregates; the
+    only row expansion is the final explode of the (winnowed, distinct,
+    ≈ ``2·n/window``-sized) fingerprint set. Memory per row is the token
+    array — the same envelope as the MinHash signature operator.
+    """
+    h = _hasher(backend)
+    toks = F.split(normalize_text(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        (F.size(toks) - k + 1).alias("__ng"),
+    ).where(F.col("__ng") >= 1)
+    grams = base.select(
+        id_col,
+        "__ng",
+        F.transform(
+            F.sequence(F.lit(1), F.col("__ng")),
+            lambda i: h(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
+        ).alias("__hs"),
+    )
+    n_wins = F.greatest(F.col("__ng") - window + 1, F.lit(1))
+    fps = grams.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+            )
+        ).alias("__fps"),
+    )
+    return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))

@@ -55,6 +55,7 @@ __all__ = [
     "split_counts",
     "heavy_hitters",
     "sample_per_group",
+    "weighted_sample_per_group",
     "quantile_sample_state",
     "quantile_sample_merge",
     "quantile_estimate",
@@ -199,6 +200,44 @@ def sample_per_group(
     w = Window.partitionBy(by).orderBy(h.asc(), F.col(key).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    by: str,
+    key: str,
+    weight_col: str,
+    n: int,
+    backend: str = "md5",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement: ``min(n,
+    |group|)`` rows per group, with inclusion probability proportional to
+    ``weight_col`` — the Efraimidis–Spirakis A-ES scheme (each row scores
+    ``u^(1/w)`` for a uniform ``u``; the top-``n`` scores are an exact
+    weighted sample). Quality-weighted corpus curation in one pass:
+    up-weight high-quality documents without a full sort by quality.
+
+    ``u`` derives from the portable hash of ``key`` (never an RNG), so
+    every engine, run, and partitioning picks the SAME rows, and appending
+    data never changes surviving rows' scores. Scores compare via
+    ``ln(u)/w`` (monotone in ``u^(1/w)``, numerically safe for tiny
+    weights); rows with weight <= 0 are excluded (their A-ES score is
+    -inf). Ties break by ``key``. One shuffle (window per group), counter
+    state only — the same 100 TB envelope as :func:`sample_per_group`.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash(F.col(key).cast("string"), backend=backend)
+    # (h + 1) / 2^32 in (0, 1]; ln(1)=0 top score for the minimal hash
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 32))
+    score = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(by).orderBy(score.desc(), F.col(key).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )

@@ -27,7 +27,41 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform"]
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Rank-normalize a numeric feature to [0, 1] (optionally per group):
+    adds ``out_col = percent_rank`` over ``value_col`` — the monotone
+    transform that makes heavy-tailed features comparable across sources
+    before mixing (the rank twin of z-scoring, immune to outliers).
+
+    Ties share a rank (standard ``percent_rank`` semantics), so the output
+    is a pure function of the VALUE — deterministic regardless of row
+    order or partitioning. NULL values pass through with a NULL rank
+    rather than polluting the rank denominator. One shuffle (window per
+    group); per-partition state is a counter.
+
+    Scale note: an UNGROUPED call (``by=None``) is a single global sort —
+    correct but single-reducer-bounded, like any total ordering; prefer a
+    grouping key at corpus scale.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(by) if by else Window.partitionBy()).orderBy(
+        F.col(value_col).asc()
+    )
+    ranked = F.round(F.percent_rank().over(w), 6)
+    nn = df.where(F.col(value_col).isNotNull()).withColumn(out_col, ranked)
+    nulls = df.where(F.col(value_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return nn.unionByName(nulls)
 
 
 def winsorized_stats(

@@ -556,3 +556,138 @@ def zipf_fit(
         ).alias("intercept"),
         F.round(F.pow(F.corr("__lr", "__lf"), 2), 6).alias("r2"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity profile: ``(id, n_tokens, n_types,
+    type_token_ratio, word_entropy)`` — the vocabulary-richness signals a
+    quality-filtering pipeline thresholds on (template spam and keyword
+    stuffing collapse type/token ratio; natural prose sits high on both).
+
+    ``word_entropy`` is the Shannon entropy (nats) of the document's word
+    distribution: ``-Σ p ln p`` with ``p = tf / n_tokens``.
+
+    Scale shape: explode is map-only; ONE shuffle on ``(id, word)`` with
+    map-side combine; the per-document rollup re-aggregates the already
+    collapsed tf table on ``id``. Entropy is computed as
+    ``ln(N) - Σ tf·ln(tf) / N`` so both aggregations stay combinable sums
+    — no per-document array materialization, no Python.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    n = F.sum("__tf")
+    return tf.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(F.count(F.lit(1)) / n, 6).alias("type_token_ratio"),
+        F.round(
+            F.log(n) - F.sum(F.col("__tf") * F.log("__tf")) / n, 6
+        ).alias("word_entropy"),
+    )
+
+
+def vocab_divergence(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift per corpus slice: ``(by, n_tokens, kl_vs_corpus,
+    js_vs_corpus)`` comparing each slice's unigram distribution ``P`` to
+    the whole-corpus distribution ``Q`` — the text twin of the numeric
+    ``psi_drift`` screen (a source whose vocabulary diverges from the
+    mixture is the first place contamination and template floods show up).
+
+    ``KL(P‖Q)`` is finite because every slice token occurs in the corpus
+    (``Q ⊇ P``); ``JS = (KL(P‖M) + KL(Q‖M))/2`` with ``M = (P+Q)/2`` uses
+    the slice-side expansion only (terms of ``KL(Q‖M)`` where ``P = 0``
+    contribute ``q·ln(q/(q/2)) = q·ln 2``, folded in closed form via the
+    missing probability mass) so ONE join on the slice vocabulary suffices.
+
+    Scale shape: one combinable count shuffle on ``(by, word)``, one
+    corpus re-aggregation on ``word``, one join keyed by ``word`` (AQE
+    broadcasts small vocabularies), per-slice totals broadcast back. No
+    Python, no collect.
+    """
+    toks = docs.select(F.col(by), F.explode(tokens(text_col)).alias("__w"))
+    slice_tf = toks.groupBy(by, "__w").agg(
+        F.count(F.lit(1)).cast("double").alias("__sn")
+    )
+    corpus_tf = slice_tf.groupBy("__w").agg(F.sum("__sn").alias("__cn"))
+    slice_tot = slice_tf.groupBy(by).agg(F.sum("__sn").alias("__st"))
+    corpus_tot = corpus_tf.agg(F.sum("__cn").alias("__ct"))
+
+    j = (
+        slice_tf.join(corpus_tf, "__w")
+        .join(F.broadcast(slice_tot), by)
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = F.col("__sn") / F.col("__st")
+    q = F.col("__cn") / F.col("__ct")
+    m = (p + q) / 2
+    per_slice = j.groupBy(by).agg(
+        F.max("__st").cast("long").alias("n_tokens"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        # shared-vocab parts of both KL(P||M) and KL(Q||M); the corpus
+        # mass q_miss living on words the slice never uses contributes
+        # exactly q_miss * ln 2 to KL(Q||M)
+        (
+            (
+                F.sum(p * F.log(p / m))
+                + F.sum(q * F.log(q / m))
+                + (F.lit(1.0) - F.sum(q)) * F.log(F.lit(2.0))
+            )
+            / 2
+        ).alias("__js"),
+    )
+    return per_slice.select(
+        by, "n_tokens", "kl_vs_corpus", F.round("__js", 6).alias("js_vs_corpus")
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-coverage screen: build the corpus top-``vocab_size`` word
+    vocabulary (ties broken by word ascending — deterministic and
+    engine-reproducible), then score every document's out-of-vocabulary
+    fraction: ``(id, n_tokens, n_oov, oov_ratio)``. High OOV flags
+    boilerplate in other scripts, encoding damage, and tokenizer-hostile
+    junk before an (expensive) real tokenizer ever runs.
+
+    Scale shape: the vocabulary is one combinable word count +
+    TakeOrdered(vocab_size) — a bounded table that BROADCASTS to the
+    per-token membership join (no shuffle of the exploded token stream);
+    the per-doc rollup is one combinable aggregation keyed by ``id``.
+    """
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(vocab_size)
+        .select("__w", F.lit(1).alias("__in_vocab"))
+    )
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+    return (
+        toks.join(F.broadcast(wc), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("__in_vocab").isNull().cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_ratio"),
+        )
+    )

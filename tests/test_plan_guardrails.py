@@ -22,7 +22,10 @@ import __spark_entry__ as entrymod
 #: baseline no longer needs an exemption: exact_near_pairs_blocked does its
 #: quadratic arithmetic inside grid cells, so its PLAN is a plain hash
 #: shuffle — no CartesianProduct node anywhere in the fleet anymore.
-QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity"}
+QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
+                # corpus-total scalar (1-row aggregate) stitched onto the
+                # per-slice vocabulary — O(1) per probe row by construction
+                "vocab_divergence"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))

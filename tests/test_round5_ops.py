@@ -1,0 +1,245 @@
+"""Unit/model tests for the round-5 operators: winnowing fingerprints,
+A-ES weighted sampling, lexical diversity, vocabulary divergence, OOV
+rate, and quantile rank-transform."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnowing_matches_reference_model(spark):
+    """Direct re-implementation of Schleimer et al. window-min selection."""
+    from bio2bel_spark.operators.dedup import winnowing_fingerprints
+
+    text = "a b c d e f g h i j a b c d"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r.fp for r in winnowing_fingerprints(docs, k=3, window=4).collect()
+    }
+
+    words = text.split()
+    grams = [
+        _h(" ".join(words[i : i + 3])) for i in range(len(words) - 2)
+    ]
+    want = {
+        min(grams[j : j + 4]) for j in range(max(len(grams) - 3, 1))
+    }
+    assert got == want
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared run of >= k + window - 1 tokens must yield a shared
+    fingerprint (the winnowing correctness theorem)."""
+    from bio2bel_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha " + shared + " tail one"),
+            (2, "other beta gamma " + shared + " coda"),
+        ],
+        "doc_id long, text string",
+    )
+    # k=4, window=4: guarantee threshold is 7 shared tokens
+    out = winnowing_fingerprints(docs, k=4, window=4)
+    pairs = (
+        out.alias("a")
+        .join(out.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert pairs > 0
+
+
+def test_winnowing_short_docs(spark):
+    from bio2bel_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    rows = winnowing_fingerprints(docs, k=4, window=4).collect()
+    # doc 1: fewer than k tokens -> nothing; doc 2: 2 grams < window -> 1 fp
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.fp)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1
+    want = min(
+        _h("a b c d"), _h("b c d e")
+    )
+    assert by_doc[2][0] == want
+
+
+# ------------------------------------------------------ weighted sampling
+
+
+def test_weighted_sample_is_deterministic_and_bounded(spark):
+    from bio2bel_spark.operators.sketch import weighted_sample_per_group
+
+    rows = [(f"g{i % 2}", i, float(1 + i % 5)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, k long, w double")
+    a = {
+        (r.g, r.k)
+        for r in weighted_sample_per_group(df, "g", "k", "w", 10).collect()
+    }
+    b = {
+        (r.g, r.k)
+        for r in weighted_sample_per_group(
+            df.repartition(7), "g", "k", "w", 10
+        ).collect()
+    }
+    assert a == b and len(a) == 20
+
+
+def test_weighted_sample_matches_aes_model(spark):
+    """Exact A-ES model twin: score = ln((h+1)/2^32)/w, top-n per group."""
+    from bio2bel_spark.operators.sketch import weighted_sample_per_group
+
+    rows = [("g", i, float(1 + (i * 7) % 13)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k long, w double")
+    got = {
+        r.k for r in weighted_sample_per_group(df, "g", "k", "w", 5).collect()
+    }
+    scored = sorted(
+        rows,
+        key=lambda r: (-(math.log((_h(str(r[1])) + 1) / 2**32) / r[2]), r[1]),
+    )
+    assert got == {r[1] for r in scored[:5]}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from bio2bel_spark.operators.sketch import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, -1.0), ("g", 3, 2.0)],
+        "g string, k long, w double",
+    )
+    assert [
+        r.k for r in weighted_sample_per_group(df, "g", "k", "w", 10).collect()
+    ] == [3]
+
+
+def test_weighted_sample_respects_weights_statistically(spark):
+    """A key with 50x the weight must be sampled far more often across
+    many disjoint groups (inclusion frequency tracks weight)."""
+    from bio2bel_spark.operators.sketch import weighted_sample_per_group
+
+    rows = []
+    for g in range(200):
+        rows += [(f"g{g}", g * 10 + 1, 50.0), (f"g{g}", g * 10 + 2, 1.0),
+                 (f"g{g}", g * 10 + 3, 1.0), (f"g{g}", g * 10 + 4, 1.0)]
+    df = spark.createDataFrame(rows, "g string, k long, w double")
+    picked = [
+        r.k % 10
+        for r in weighted_sample_per_group(df, "g", "k", "w", 1).collect()
+    ]
+    heavy = sum(1 for x in picked if x == 1)
+    assert len(picked) == 200 and heavy > 150  # E[heavy] ~ 200 * 50/53
+
+
+# ------------------------------------------------- lexical diversity / oov
+
+
+def test_lexical_diversity_model(spark):
+    from bio2bel_spark.operators.textquality import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "x x x x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in lexical_diversity(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_types) == (4, 3)
+    assert r1.type_token_ratio == 0.75
+    want_entropy = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert abs(r1.word_entropy - round(want_entropy, 6)) < 1e-9
+    r2 = rows[2]
+    assert (r2.n_types, r2.word_entropy) == (1, 0.0)
+
+
+def test_oov_rate_model(spark):
+    from bio2bel_spark.operators.textquality import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b zz qq")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
+    # corpus counts: a=4, b=2, zz=1, qq=1 -> vocab {a, b}
+    assert rows[1].n_oov == 0
+    assert rows[2].n_oov == 2 and rows[2].oov_ratio == 0.5
+
+
+def test_vocab_divergence_identical_slices_are_zero(spark):
+    from bio2bel_spark.operators.textquality import vocab_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b c"), (2, "s2", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    for r in vocab_divergence(docs, by="source").collect():
+        assert r.kl_vs_corpus == 0.0 and r.js_vs_corpus == 0.0
+
+
+def test_vocab_divergence_model(spark):
+    """Hand-computed KL/JS for a two-slice corpus with disjoint tails."""
+    from bio2bel_spark.operators.textquality import vocab_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a a b"), (2, "s2", "a c")],
+        "doc_id long, source string, text string",
+    )
+    # corpus: a=3, b=1, c=1 (N=5) -> Q = {a:.6, b:.2, c:.2}
+    rows = {r.source: r for r in vocab_divergence(docs, by="source").collect()}
+    p = {"a": 2 / 3, "b": 1 / 3}
+    q = {"a": 3 / 5, "b": 1 / 5, "c": 1 / 5}
+    kl = sum(pv * math.log(pv / q[w]) for w, pv in p.items())
+    shared_q = sum(q[w] for w in p)
+    js = (
+        sum(pv * math.log(pv / ((pv + q[w]) / 2)) for w, pv in p.items())
+        + sum(q[w] * math.log(q[w] / ((p[w] + q[w]) / 2)) for w in p)
+        + (1 - shared_q) * math.log(2)
+    ) / 2
+    got = rows["s1"]
+    assert got.n_tokens == 3
+    assert abs(got.kl_vs_corpus - round(kl, 6)) < 1e-9
+    assert abs(got.js_vs_corpus - round(js, 6)) < 1e-9
+    # JS is bounded by ln 2 and symmetric-ish sanity on the other slice
+    assert 0.0 < rows["s2"].js_vs_corpus < math.log(2)
+
+
+# ------------------------------------------------------ quantile transform
+
+
+def test_quantile_transform_model(spark):
+    from bio2bel_spark.operators.stats import quantile_transform
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", 20.0), ("g", 40.0), ("g", None)],
+        "g string, v double",
+    )
+    out = quantile_transform(df, "v", by="g")
+    vals = {
+        (r.v, r.pct_rank) for r in out.collect()
+    }
+    assert vals == {
+        (10.0, 0.0),
+        (20.0, round(1 / 3, 6)),
+        (40.0, 1.0),
+        (None, None),
+    } or vals == {
+        (10.0, 0.0),
+        (20.0, round(1 / 3, 6)),
+        (20.0, round(1 / 3, 6)),
+        (40.0, 1.0),
+        (None, None),
+    }
