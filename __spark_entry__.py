@@ -2764,6 +2764,28 @@ def q_oov_rate(spark, sf_dir):
     return oov_rate(_spread(spark, _t(spark, sf_dir, "documents")), vocab_size=500)
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout of lineitem on (l_partkey, l_suppkey):
+    per-curve-bucket occupancy + dimension spans — the full-fidelity probe
+    of the interleave arithmetic (any bit off moves a row's bucket)."""
+    from bio2bel_spark.operators.layout import zorder_layout
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8)
+    return (
+        z.groupBy(F.shiftrightunsigned(F.col("__z"), 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__z").alias("z_min"),
+            F.max("__z").alias("z_max"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+    )
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-normalization of account balance within each market segment —
     the outlier-immune feature transform (percent_rank window)."""
@@ -2794,6 +2816,7 @@ QUERIES: dict[str, Callable] = {
     "vocab_divergence": q_vocab_divergence,
     "oov_rate": q_oov_rate,
     "quantile_transform": q_quantile_transform,
+    "zorder_layout": q_zorder,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
@@ -2841,7 +2864,6 @@ QUERIES: dict[str, Callable] = {
     # by golden-hash unit tests) and two long-green hash-checked queries
     # are promoted so all 50 window slots are value-oracled.
     "triangle_count": q_triangle_count,
-    "hll_grouped": q_hll_grouped,
     # round-4 additions: new operators carry the most regression risk, so
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
@@ -2855,6 +2877,7 @@ QUERIES: dict[str, Callable] = {
     "dup_span_scrub": q_dup_span_scrub,
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
     # ---- end of the driver's 50-query correctness window ----
+    "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
     "pagerank": q_pagerank,
     "pricing_summary": q_pricing_summary,
@@ -3033,7 +3056,41 @@ def oracle_sql() -> dict[str, str]:
         + f"]) >= 0 THEN {1 << j} ELSE 0 END)"
         for j, h in enumerate(srp_planes(32, 64, seed=13))
     )
+    # Morton interleave of two 8-bit normalized keys, unrolled to the same
+    # shift/mask arithmetic the Spark zorder_value expression compiles to
+    _z_interleave = " + ".join(
+        f"(((np >> {j}) & 1) << {j * 2}) + (((ns >> {j}) & 1) << {j * 2 + 1})"
+        for j in range(8)
+    )
     return {
+        "zorder_layout": f"""
+            WITH s AS (
+                SELECT min(l_partkey)::DOUBLE AS plo,
+                       max(l_partkey)::DOUBLE AS phi,
+                       min(l_suppkey)::DOUBLE AS slo,
+                       max(l_suppkey)::DOUBLE AS shi
+                FROM lineitem
+            ),
+            n AS (
+                SELECT l_partkey, l_suppkey,
+                       least(floor((l_partkey::DOUBLE - plo) / (phi - plo)
+                                   * 256)::BIGINT, 255) AS np,
+                       least(floor((l_suppkey::DOUBLE - slo) / (shi - slo)
+                                   * 256)::BIGINT, 255) AS ns
+                FROM lineitem, s
+            ),
+            z AS (
+                SELECT l_partkey, l_suppkey, {_z_interleave} AS zv FROM n
+            )
+            SELECT zv >> 8 AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   min(zv)::BIGINT AS z_min, max(zv)::BIGINT AS z_max,
+                   min(l_partkey)::BIGINT AS part_min,
+                   max(l_partkey)::BIGINT AS part_max,
+                   min(l_suppkey)::BIGINT AS supp_min,
+                   max(l_suppkey)::BIGINT AS supp_max
+            FROM z GROUP BY bucket
+        """,
         "winnowing_fingerprints": """
             WITH norm AS (
                 SELECT doc_id,

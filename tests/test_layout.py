@@ -1,0 +1,89 @@
+"""Tests for the Z-order (Morton) layout operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _morton(vals: list[int], bits: int) -> int:
+    z = 0
+    for c, v in enumerate(vals):
+        for j in range(bits):
+            z |= ((v >> j) & 1) << (j * len(vals) + c)
+    return z
+
+
+def test_zorder_value_matches_model(spark):
+    from bio2bel_spark.operators.layout import zorder_value
+
+    rows = [(x, y) for x in (0, 1, 5, 127, 255) for y in (0, 3, 200, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.withColumn(
+        "z", zorder_value([F.col("x"), F.col("y")], bits=8)
+    ).collect()
+    for r in out:
+        assert r.z == _morton([r.x, r.y], 8), (r.x, r.y)
+
+
+def test_zorder_value_three_dims_and_budget(spark):
+    from bio2bel_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 5, 6)], "a long, b long, c long")
+    r = df.withColumn(
+        "z", zorder_value([F.col("a"), F.col("b"), F.col("c")], bits=4)
+    ).collect()[0]
+    assert r.z == _morton([3, 5, 6], 4)
+    with pytest.raises(ValueError, match="62-bit"):
+        zorder_value([F.col("a"), F.col("b")], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_value([], bits=8)
+
+
+def test_zorder_layout_improves_both_dim_spans(spark):
+    """The point of Z-order: after range-partitioning by the Morton code,
+    each partition's min/max span is narrow in BOTH dimensions — so
+    min/max pruning works for either predicate. Compare against a layout
+    ordered by x alone, where y spans stay full-width."""
+    from bio2bel_spark.operators.layout import zorder_layout
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    z = zorder_layout(df, ["x", "y"], bits=6, n_partitions=16)
+    spans = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .collect()[0]
+    )
+    # single-column ordering: x spans collapse, y spans stay ~full width
+    x_only = df.repartitionByRange(16, "x")
+    spans_x = (
+        x_only.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .agg(F.avg("sy").alias("ay"))
+        .collect()[0]
+    )
+    assert spans_x.ay >= n - 1  # the baseline really is unclustered in y
+    # z-order must cluster BOTH dims well below full width
+    assert spans.ax < n / 2 and spans.ay < n / 2
+
+
+def test_zorder_layout_degenerate_columns(spark):
+    from bio2bel_spark.operators.layout import zorder_layout
+
+    df = spark.createDataFrame(
+        [(1, 7, None), (2, 7, None), (3, 7, None)],
+        "x long, c long, nul long",
+    )
+    out = zorder_layout(df, ["x", "c", "nul"], bits=4).collect()
+    # constant + all-null columns contribute zero bits; x still orders
+    zs = {r.x: r["__z"] for r in out}
+    assert zs[1] < zs[2] < zs[3]
