@@ -2786,6 +2786,32 @@ def q_zorder(spark, sf_dir):
     )
 
 
+def q_loop_detection(spark, sf_dir):
+    """Trailing-loop (degenerate-generation) detection over documents with
+    a period-2 loop planted on every 7th doc — the detector must fire on
+    exactly the planted set with the right period/coverage."""
+    from bio2bel_spark.operators.textquality import trailing_loop_features
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" spam offer" * 5)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = trailing_loop_features(planted, max_period=8, min_repeats=3)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("loop_period").cast("long").alias("loop_period"),
+        F.col("loop_len").cast("long").alias("loop_len"),
+        "loop_frac",
+    )
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-normalization of account balance within each market segment —
     the outlier-immune feature transform (percent_rank window)."""
@@ -2817,6 +2843,7 @@ QUERIES: dict[str, Callable] = {
     "oov_rate": q_oov_rate,
     "quantile_transform": q_quantile_transform,
     "zorder_layout": q_zorder,
+    "loop_detection": q_loop_detection,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
@@ -2863,7 +2890,6 @@ QUERIES: dict[str, Callable] = {
     # just past the window (still rows-checked by the driver, value-anchored
     # by golden-hash unit tests) and two long-green hash-checked queries
     # are promoted so all 50 window slots are value-oracled.
-    "triangle_count": q_triangle_count,
     # round-4 additions: new operators carry the most regression risk, so
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
@@ -2877,6 +2903,7 @@ QUERIES: dict[str, Callable] = {
     "dup_span_scrub": q_dup_span_scrub,
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
     # ---- end of the driver's 50-query correctness window ----
+    "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
     "pagerank": q_pagerank,
@@ -3090,6 +3117,49 @@ def oracle_sql() -> dict[str, str]:
                    min(l_suppkey)::BIGINT AS supp_min,
                    max(l_suppkey)::BIGINT AS supp_max
             FROM z GROUP BY bucket
+        """,
+        "loop_detection": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || repeat(' spam offer', 5)
+                            ELSE text END AS text
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+                ) AS words
+                FROM planted
+            ),
+            base AS (
+                SELECT doc_id, words, len(words) AS n
+                FROM w WHERE len(words) >= 2
+            ),
+            cand AS (
+                SELECT doc_id, n,
+                       list_filter(
+                           list_transform(
+                               range(1, least(8, n - 1) + 1),
+                               p -> struct_pack(
+                                   p := p,
+                                   l := n - greatest(p, coalesce(list_max(
+                                       list_transform(
+                                           range(p + 1, n + 1),
+                                           i -> CASE WHEN words[i] != words[i-p]
+                                                     THEN i ELSE 0 END
+                                       )), 0))
+                               )
+                           ),
+                           s -> s.l >= s.p * 2
+                       ) AS c
+                FROM base
+            )
+            SELECT doc_id, n::BIGINT AS n_tokens,
+                   c[1].p::BIGINT AS loop_period,
+                   (c[1].l + c[1].p)::BIGINT AS loop_len,
+                   round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
+            FROM cand
         """,
         "winnowing_fingerprints": """
             WITH norm AS (

@@ -691,3 +691,70 @@ def oov_rate(
             ).alias("oov_ratio"),
         )
     )
+
+
+def trailing_loop_features(
+    docs: DataFrame,
+    max_period: int = 8,
+    min_repeats: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Degenerate-generation detector: does the document END in a repeating
+    token loop ("buy now buy now buy now ...") of period ≤ ``max_period``?
+    The signature failure mode of greedy/low-temperature LLM sampling and
+    of template spam — a corpus gate no length/entropy heuristic catches
+    (a long loop has healthy length and mid entropy).
+
+    For each period ``p``, the longest trailing run where every token
+    equals the token ``p`` positions earlier is ``L_p = n -
+    max(last_mismatch_index, p)``; a loop fires when the run covers
+    ``min_repeats`` full cycles, i.e. ``L_p >= p * (min_repeats - 1)``.
+    Output: ``(id, n_tokens, loop_period, loop_len, loop_frac)`` with the
+    SMALLEST qualifying period (NULL columns when no loop).
+
+    Scale shape: everything is nested array HOFs over the token array in
+    one narrow projection — per-row cost ``O(n * max_period)``, zero
+    shuffles, zero Python. ``last_mismatch`` is an ``array_max`` over a
+    mismatch-position transform, so no per-position state is carried.
+    """
+    toks = tokens(text_col)
+    n = F.size(F.col("__toks"))
+
+    def run_len(p):  # longest trailing run for period p (column expr)
+        last_mismatch = F.array_max(
+            F.concat(
+                F.array(p.cast("int")),
+                F.transform(
+                    F.sequence(p + 1, n),
+                    lambda i: F.when(
+                        F.element_at(F.col("__toks"), i.cast("int"))
+                        != F.element_at(F.col("__toks"), (i - p).cast("int")),
+                        i.cast("int"),
+                    ).otherwise(F.lit(0)),
+                ),
+            )
+        )
+        return n - last_mismatch
+
+    cands = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_period), n - 1)),
+            lambda p: F.struct(
+                p.cast("int").alias("p"), run_len(p).cast("int").alias("l")
+            ),
+        ),
+        lambda s: s["l"] >= s["p"] * (min_repeats - 1),
+    )
+    # try_element_at: the no-loop case is an EMPTY candidate array, which
+    # must yield NULL columns, not an ANSI index error
+    first = F.try_element_at(cands, F.lit(1))
+    return docs.select(
+        F.col(id_col), toks.alias("__toks")
+    ).where(n >= 2).select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        first["p"].alias("loop_period"),
+        (first["l"] + first["p"]).alias("loop_len"),
+        F.round((first["l"] + first["p"]) / n, 6).alias("loop_frac"),
+    )

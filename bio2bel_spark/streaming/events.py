@@ -621,3 +621,74 @@ def run_windowed_hll_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_topk_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    col: str,
+    state_table: str,
+    checkpoint: str,
+    m: int = 256,
+):
+    """Maintain a bounded heavy-hitters summary incrementally over a stream
+    (the streaming tier of ``sketch.heavy_hitters``): at most ``m``
+    ``(key, cnt)`` rows survive each micro-batch, Misra-Gries/space-saving
+    style.
+
+    Per batch: count the batch's keys (map-side combinable), SUM into the
+    surviving counters, keep the top ``m`` by ``(cnt desc, key asc)`` via
+    TakeOrdered (bounded driver transfer — never the full key space), and
+    record ``dropped_max`` = the largest counter ever evicted. The summary
+    guarantee that makes the truncation honest: a kept key's TRUE count
+    lies in ``[cnt, cnt + dropped_max]``, and any key whose true count
+    exceeds ``dropped_max`` is guaranteed present — so read top-k with
+    ``k << m`` and treat ``dropped_max`` as the error bar.
+
+    Counter summing is NOT replay-idempotent, so the last applied
+    ``batch_id`` rides on the state rows and commits in the same atomic
+    overwrite (the transactional-marker pattern ``run_cms_maintenance``
+    documents; same single-checkpoint caveat).
+    """
+    STATE_DDL = "key STRING, cnt BIGINT, dropped_max BIGINT, last_batch_id LONG"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        prev = None
+        dropped_prev = 0
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            head = prev.agg(
+                F.max("last_batch_id").alias("b"), F.max("dropped_max").alias("d")
+            ).collect()[0]
+            if head["b"] is not None and batch_id <= head["b"]:
+                return  # replay of an applied batch: skip
+            dropped_prev = head["d"] or 0
+        batch_counts = (
+            batch_df.select(F.col(col).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            prev.select("key", "cnt").unionByName(batch_counts)
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+            if prev is not None
+            else batch_counts
+        )
+        # top-(m+1) via TakeOrdered: row m+1 (if any) is the eviction floor
+        top = merged.orderBy(F.desc("cnt"), F.asc("key")).limit(m + 1).collect()
+        kept, evicted = top[:m], top[m:]
+        dropped = max([dropped_prev] + [int(r["cnt"]) for r in evicted])
+        rows = [(r["key"], int(r["cnt"]), dropped, batch_id) for r in kept]
+        catalog.write_table(
+            ss.createDataFrame(rows or [], STATE_DDL), state_table,
+            mode="overwrite",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

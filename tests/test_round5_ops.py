@@ -243,3 +243,41 @@ def test_quantile_transform_model(spark):
         (40.0, 1.0),
         (None, None),
     }
+
+
+# ------------------------------------------------------- loop detection
+
+
+def test_trailing_loop_detector(spark):
+    from bio2bel_spark.operators.textquality import trailing_loop_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal prose with no repeats at all here"),
+            (2, "some intro then buy now buy now buy now"),
+            (3, "word word word word word"),
+            (4, "a b c a b c a b c"),
+            (5, "ends buy now buy now"),  # 2 repeats < min_repeats
+            (6, "x"),                      # < 2 tokens: filtered out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in trailing_loop_features(docs, max_period=4, min_repeats=3).collect()
+    }
+    assert rows[1].loop_period is None
+    assert (rows[2].loop_period, rows[2].loop_len) == (2, 6)
+    assert (rows[3].loop_period, rows[3].loop_frac) == (1, 1.0)
+    assert (rows[4].loop_period, rows[4].loop_len) == (3, 9)
+    assert rows[5].loop_period is None
+    assert 6 not in rows
+
+
+def test_trailing_loop_prefers_smallest_period(spark):
+    """'a a a a a a' loops at EVERY period; the smallest (1) must win."""
+    from bio2bel_spark.operators.textquality import trailing_loop_features
+
+    docs = spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string")
+    r = trailing_loop_features(docs, max_period=4, min_repeats=3).collect()[0]
+    assert r.loop_period == 1

@@ -635,3 +635,51 @@ def test_windowed_hll_maintenance(spark, tmp_path_factory):
     assert sorted(map(tuple, state.collect())) == sorted(map(tuple, direct.collect()))
     est = {r["bucket"]: r["estimate"] for r in hll_estimate_grouped(state, "bucket").collect()}
     assert len(est) == 2 and all(v > 0 for v in est.values())
+
+
+def test_topk_maintenance_incremental_and_bounded(spark, tmp_path_factory):
+    """Two incremental top-k runs over a skewed stream: state stays <= m
+    rows, the heavy keys' counts are exact while nothing was evicted, and
+    replaying an applied batch is a no-op."""
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_topk")))
+    src = str(tmp_path_factory.mktemp("topk_src"))
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # skew: user 1 dominates, users 2-4 moderate, long tail of singletons
+    rows1 = [(i, _us(i), 1, "click", 1.0, "{}") for i in range(30)]
+    rows1 += [(100 + i, _us(100 + i), 2 + i % 3, "view", 1.0, "{}") for i in range(15)]
+    rows1 += [(200 + i, _us(200 + i), 50 + i, "view", 1.0, "{}") for i in range(10)]
+    batch(rows1)
+    ck = str(tmp_path_factory.mktemp("ck_topk"))
+    q = sev.run_topk_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "topk_state", ck, m=8
+    )
+    q.awaitTermination(240)
+
+    batch([(300 + i, _us(300 + i), 1, "click", 1.0, "{}") for i in range(5)])
+    q2 = sev.run_topk_maintenance(
+        sev.stream_events(spark, src), catalog, "user_id", "topk_state", ck, m=8
+    )
+    q2.awaitTermination(240)
+
+    state = catalog.read_table("topk_state").collect()
+    assert len(state) <= 8
+    counts = {r.key: r.cnt for r in state}
+    # heavy keys exact across both increments
+    assert counts["1"] == 35
+    assert counts["2"] == 5 and counts["3"] == 5 and counts["4"] == 5
+    # eviction floor recorded (tail singletons were dropped)
+    dropped = {r.dropped_max for r in state}
+    assert dropped == {1}
+    # guarantee: every key with true count > dropped_max is present
+    assert {"1", "2", "3", "4"} <= set(counts)
+    assert len({r.last_batch_id for r in state}) == 1
