@@ -2812,6 +2812,30 @@ def q_loop_detection(spark, sf_dir):
     )
 
 
+def q_ngram_contamination(spark, sf_dir):
+    """Exact 8-gram benchmark-overlap scan: every 31st document doubles as
+    the 'benchmark' corpus, so those training docs must read ~fully
+    contaminated while the rest only collide on common phrases."""
+    from bio2bel_spark.operators.dedup import ngram_contamination
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
+def q_ab_test(spark, sf_dir):
+    """Deterministic A/B assignment (hash_split on user_id) + one-pass
+    Welch t readout of event value between the arms."""
+    from bio2bel_spark.operators.sketch import split_column
+    from bio2bel_spark.operators.stats import ab_test_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    assigned = ev.withColumn(
+        "arm", split_column(F.col("user_id").cast("string"), {"a": 0.5, "b": 0.5})
+    )
+    return ab_test_report(assigned, "arm", "value")
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-normalization of account balance within each market segment —
     the outlier-immune feature transform (percent_rank window)."""
@@ -2844,9 +2868,9 @@ QUERIES: dict[str, Callable] = {
     "quantile_transform": q_quantile_transform,
     "zorder_layout": q_zorder,
     "loop_detection": q_loop_detection,
+    "ngram_contamination": q_ngram_contamination,
+    "ab_test": q_ab_test,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
-    "asof_join": q_asof_join,
-    "asof_join_forward": q_asof_join_forward,
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
     "interval_join": q_interval_join,
@@ -2903,6 +2927,8 @@ QUERIES: dict[str, Callable] = {
     "dup_span_scrub": q_dup_span_scrub,
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
     # ---- end of the driver's 50-query correctness window ----
+    "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3117,6 +3143,74 @@ def oracle_sql() -> dict[str, str]:
                    min(l_suppkey)::BIGINT AS supp_min,
                    max(l_suppkey)::BIGINT AS supp_max
             FROM z GROUP BY bucket
+        """,
+        "ngram_contamination": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+            b AS (SELECT doc_id, words, len(words) - 7 AS ng FROM w),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, ng + 1),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(words[i:i+7], ' ')
+                                ), 1, 8))::BIGINT
+                       )) AS hs
+                FROM b WHERE ng >= 1
+            ),
+            tr AS (
+                SELECT doc_id, unnest(hs) AS h, len(hs) AS ngr FROM g
+            ),
+            be AS (
+                SELECT DISTINCT unnest(hs) AS h FROM g WHERE doc_id % 31 = 0
+            )
+            SELECT tr.doc_id,
+                   max(ngr)::BIGINT AS n_grams,
+                   sum(CASE WHEN be.h IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS n_hits,
+                   round(sum(CASE WHEN be.h IS NULL THEN 0.0 ELSE 1 END)
+                         / max(ngr), 6) AS hit_frac
+            FROM tr LEFT JOIN be USING (h)
+            GROUP BY tr.doc_id
+        """,
+        "ab_test": """
+            WITH assigned AS (
+                SELECT value,
+                       CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 8)
+                                 )::BIGINT % 10000 < 5000
+                            THEN 'a' ELSE 'b' END AS arm
+                FROM events
+            ),
+            agg AS (
+                SELECT
+                    count(CASE WHEN arm = 'a' AND value IS NOT NULL
+                               THEN 1 END)::BIGINT AS n_a,
+                    avg(CASE WHEN arm = 'a' THEN value END) AS m_a,
+                    var_samp(CASE WHEN arm = 'a' THEN value END) AS v_a,
+                    count(CASE WHEN arm = 'b' AND value IS NOT NULL
+                               THEN 1 END)::BIGINT AS n_b,
+                    avg(CASE WHEN arm = 'b' THEN value END) AS m_b,
+                    var_samp(CASE WHEN arm = 'b' THEN value END) AS v_b
+                FROM assigned
+            )
+            SELECT n_a, round(m_a, 6) AS mean_a,
+                   n_b, round(m_b, 6) AS mean_b,
+                   round(m_b - m_a, 6) AS diff,
+                   round(CASE WHEN n_a >= 2 AND n_b >= 2
+                              AND (v_a > 0 OR v_b > 0)
+                         THEN (m_b - m_a) / sqrt(v_a/n_a + v_b/n_b) END, 6)
+                       AS welch_t,
+                   round(CASE WHEN n_a >= 2 AND n_b >= 2
+                              AND (v_a > 0 OR v_b > 0)
+                         THEN pow(v_a/n_a + v_b/n_b, 2)
+                              / ((v_a/n_a)*(v_a/n_a)/(n_a-1)
+                                 + (v_b/n_b)*(v_b/n_b)/(n_b-1)) END, 6)
+                       AS welch_dof
+            FROM agg
         """,
         "loop_detection": """
             WITH planted AS (

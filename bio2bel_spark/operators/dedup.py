@@ -941,3 +941,73 @@ def winnowing_fingerprints(
         ).alias("__fps"),
     )
     return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Exact n-gram contamination scan (the GPT-3 appendix-C style
+    benchmark-overlap screen): for every training document, how many of
+    its distinct ``n``-gram hashes also occur ANYWHERE in the benchmark
+    corpus — ``(id, n_grams, n_hits, hit_frac)``. Unlike the fuzzy
+    :func:`decontaminate` (whole-doc LSH), this catches verbatim
+    benchmark QUOTES embedded inside otherwise-novel documents.
+
+    Scale shape: each side's gram hashes come from the same no-explode
+    array HOF pipeline as :func:`winnowing_fingerprints` (one projection,
+    ``array_distinct`` before the explode so a document contributes each
+    gram once); the benchmark gram set — distinct, usually tiny next to
+    the training corpus — broadcasts to the membership join by default,
+    so the training gram stream NEVER shuffles. Set
+    ``broadcast_bench=False`` for a benchmark too large to broadcast and
+    pay one hash-partitioned equi-join instead.
+    """
+    h = _hasher(backend)
+
+    def grams(df: DataFrame, with_id: bool):
+        toks = F.split(normalize_text(text_col), " ")
+        base = df.select(
+            *( [F.col(id_col)] if with_id else [] ),
+            toks.alias("__toks"),
+            (F.size(toks) - n + 1).alias("__ng"),
+        ).where(F.col("__ng") >= 1)
+        hs = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__ng")),
+                lambda i: h(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
+            )
+        )
+        return base.select(
+            *( [F.col(id_col)] if with_id else [] ), hs.alias("__hs")
+        )
+
+    tr = grams(train, True).select(
+        id_col, F.explode("__hs").alias("__h"), F.size("__hs").alias("__n")
+    )
+    be = (
+        grams(bench, False)
+        .select(F.explode("__hs").alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_bench:
+        be = F.broadcast(be)
+    return (
+        tr.join(be, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                / F.max("__n").cast("double"),
+                6,
+            ).alias("hit_frac"),
+        )
+    )

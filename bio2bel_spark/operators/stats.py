@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform", "ab_test_report"]
 
 
 def quantile_transform(
@@ -421,4 +421,57 @@ def psi_report(
             F.round(F.coalesce("__q", F.lit(0.0)), 6).alias("p_current"),
             F.round((qc - pc) * F.log(qc / pc), 6).alias("psi_contrib"),
         )
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Two-sample experiment readout in ONE combinable aggregation:
+    ``(n_a, mean_a, n_b, mean_b, diff, welch_t, welch_dof)`` comparing
+    variant ``b`` against control ``a`` on ``metric_col`` — the closed-form
+    Welch unequal-variance t statistic with Welch–Satterthwaite degrees of
+    freedom, the standard guardrail-metric sheet an experimentation
+    pipeline prints per assignment (pair with
+    :func:`bio2bel_spark.operators.sketch.hash_split` for deterministic
+    assignment).
+
+    Everything reduces to conditional count/avg/var_samp sums, so the plan
+    is a single map-side-combinable aggregate — no window, no join, no
+    second pass. NULL metrics are ignored; a variant with < 2 observations
+    yields NULL t/dof rather than a division error (ANSI-safe guards).
+    """
+    v = F.col(variant_col)
+    m = F.col(metric_col)
+
+    def side(tag):
+        cond = (v == tag) & m.isNotNull()
+        return (
+            F.count(F.when(cond, 1)).alias(f"__n_{tag}"),
+            F.avg(F.when(cond, m)).alias(f"__m_{tag}"),
+            F.var_samp(F.when(cond, m)).alias(f"__v_{tag}"),
+        )
+
+    agg = df.agg(*side(a), *side(b))
+    na, nb = F.col(f"__n_{a}"), F.col(f"__n_{b}")
+    ma, mb = F.col(f"__m_{a}"), F.col(f"__m_{b}")
+    va, vb = F.col(f"__v_{a}"), F.col(f"__v_{b}")
+    ok = (na >= 2) & (nb >= 2) & ((va > 0) | (vb > 0))
+    se2 = va / na + vb / nb
+    t = (mb - ma) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        F.round(ma, 6).alias("mean_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("diff"),
+        F.round(F.when(ok, t), 6).alias("welch_t"),
+        F.round(F.when(ok, dof), 6).alias("welch_dof"),
     )

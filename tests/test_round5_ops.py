@@ -281,3 +281,76 @@ def test_trailing_loop_prefers_smallest_period(spark):
     docs = spark.createDataFrame([(1, "a a a a a a")], "doc_id long, text string")
     r = trailing_loop_features(docs, max_period=4, min_repeats=3).collect()[0]
     assert r.loop_period == 1
+
+
+# ------------------------------------------- contamination / experimentation
+
+
+def test_ngram_contamination_model(spark):
+    from bio2bel_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally different words nothing shared here at all"),
+            (3, "prefix text the quick brown fox jumps over suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "xx the quick brown fox jumps over yy")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in ngram_contamination(train, bench, n=6).collect()
+    }
+    # doc1: grams (9-6+1)=4; bench contains 'the quick brown fox jumps over'
+    # -> exactly 1 colliding 6-gram
+    assert rows[1].n_grams == 4 and rows[1].n_hits == 1
+    assert rows[2].n_hits == 0
+    assert rows[3].n_hits == 1
+    assert rows[1].hit_frac == 0.25
+
+
+def test_ngram_contamination_counts_distinct_grams_once(spark):
+    from bio2bel_spark.operators.dedup import ngram_contamination
+
+    # the same 3-gram repeats inside one doc: counted once (distinct)
+    train = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    r = ngram_contamination(train, bench, n=3).collect()[0]
+    assert r.n_grams == 3  # distinct of 4 positional grams
+    assert r.n_hits == 1
+
+
+def test_ab_test_report_matches_scipy_free_model(spark):
+    """Welch t/dof vs hand-computed values on a tiny fixture."""
+    from bio2bel_spark.operators.stats import ab_test_report
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r = ab_test_report(df, "arm", "v").collect()[0]
+    import statistics
+
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / 4 + vb / 3
+    t = (mb - ma) / math.sqrt(se2)
+    dof = se2**2 / ((va / 4) ** 2 / 3 + (vb / 3) ** 2 / 2)
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert abs(r.welch_t - round(t, 6)) < 1e-9
+    assert abs(r.welch_dof - round(dof, 6)) < 1e-9
+
+
+def test_ab_test_report_degenerate_sides(spark):
+    from bio2bel_spark.operators.stats import ab_test_report
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "arm string, v double"
+    )
+    r = ab_test_report(df, "arm", "v").collect()[0]
+    assert r.n_a == 1 and r.welch_t is None and r.welch_dof is None
