@@ -914,6 +914,16 @@ def winnowing_fingerprints(
     only row expansion is the final explode of the (winnowed, distinct,
     ≈ ``2·n/window``-sized) fingerprint set. Memory per row is the token
     array — the same envelope as the MinHash signature operator.
+
+    The window-min selection is ONE ``aggregate`` fold over the gram-hash
+    array carrying a ``window``-wide ring buffer — the same single-pass
+    shape as :func:`minhash_signature`, and for the same reason: the
+    obvious nesting (``transform(windows, j -> array_min(slice(hashes,
+    j, w)))``) lets Catalyst's projection collapse inline the whole md5
+    gram pipeline inside the per-window lambda and re-evaluate it once
+    per window position — O(n²) md5 work (measured: 223 s vs ~1 s at
+    sf0.1). As the fold's INPUT, the hash array is evaluated exactly once
+    per row.
     """
     h = _hasher(backend)
     toks = F.split(normalize_text(text_col), " ")
@@ -922,21 +932,43 @@ def winnowing_fingerprints(
         toks.alias("__toks"),
         (F.size(toks) - k + 1).alias("__ng"),
     ).where(F.col("__ng") >= 1)
+    # greatest(__ng, 1): the optimizer may push an inferred size(fps)>0
+    # filter BELOW the __ng >= 1 guard (InferFiltersFromGenerate), so the
+    # gram transform must evaluate safely on sub-k rows too — they produce
+    # one junk gram and are then dropped by the guard as before
     grams = base.select(
         id_col,
-        "__ng",
         F.transform(
-            F.sequence(F.lit(1), F.col("__ng")),
+            F.sequence(F.lit(1), F.greatest(F.col("__ng"), F.lit(1))),
             lambda i: h(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
         ).alias("__hs"),
     )
-    n_wins = F.greatest(F.col("__ng") - window + 1, F.lit(1))
+    empty = F.array().cast("array<long>")
+    init = F.struct(empty.alias("buf"), empty.alias("mins"))
+
+    def step(acc, hv):
+        grown = F.concat(acc["buf"], F.array(hv))
+        buf = F.when(F.size(grown) > window, F.slice(grown, 2, window)).otherwise(
+            grown
+        )
+        mins = F.when(
+            F.size(buf) == window,
+            F.concat(acc["mins"], F.array(F.array_min(buf))),
+        ).otherwise(acc["mins"])
+        return F.struct(buf.alias("buf"), mins.alias("mins"))
+
+    # short documents (fewer grams than the window) degenerate to the
+    # single global minimum — the buffer holds all grams in that case
     fps = grams.select(
         id_col,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_wins),
-                lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+            F.aggregate(
+                F.col("__hs"),
+                init,
+                step,
+                lambda acc: F.when(
+                    F.size(acc["mins"]) > 0, acc["mins"]
+                ).otherwise(F.array(F.array_min(acc["buf"]))),
             )
         ).alias("__fps"),
     )
@@ -977,9 +1009,11 @@ def ngram_contamination(
             toks.alias("__toks"),
             (F.size(toks) - n + 1).alias("__ng"),
         ).where(F.col("__ng") >= 1)
+        # greatest(.., 1): evaluation-order-proof against inferred filters
+        # pushed below the __ng guard (see winnowing_fingerprints)
         hs = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.col("__ng")),
+                F.sequence(F.lit(1), F.greatest(F.col("__ng"), F.lit(1))),
                 lambda i: h(F.concat_ws(" ", F.slice(F.col("__toks"), i, n))),
             )
         )
@@ -987,9 +1021,10 @@ def ngram_contamination(
             *( [F.col(id_col)] if with_id else [] ), hs.alias("__hs")
         )
 
-    tr = grams(train, True).select(
-        id_col, F.explode("__hs").alias("__h"), F.size("__hs").alias("__n")
-    )
+    # n_grams comes from counting the exploded rows (the grams are distinct
+    # already), NOT from a second size(__hs) reference — a sibling reference
+    # would make projection collapse re-evaluate the md5 gram pipeline twice
+    tr = grams(train, True).select(id_col, F.explode("__hs").alias("__h"))
     be = (
         grams(bench, False)
         .select(F.explode("__hs").alias("__h"))
@@ -1002,11 +1037,11 @@ def ngram_contamination(
         tr.join(be, "__h", "left")
         .groupBy(id_col)
         .agg(
-            F.max("__n").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
             F.round(
                 F.sum(F.coalesce("__hit", F.lit(0)))
-                / F.max("__n").cast("double"),
+                / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("hit_frac"),
         )
