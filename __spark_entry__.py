@@ -2823,6 +2823,29 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(docs, bench, n=8)
 
 
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered join: lineitem joined to a small part subset via a
+    literal-bitmask prefilter on the large side — the result must be
+    IDENTICAL to the plain join (no false negatives), which is exactly
+    what the SQL oracle checks."""
+    from bio2bel_spark.operators.sketch import bloom_filtered_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 4)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    joined = bloom_filtered_join(li, small, on="l_partkey", m=1 << 16)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )
+
+
 def q_ab_test(spark, sf_dir):
     """Deterministic A/B assignment (hash_split on user_id) + one-pass
     Welch t readout of event value between the arms."""
@@ -2870,10 +2893,10 @@ QUERIES: dict[str, Callable] = {
     "loop_detection": q_loop_detection,
     "ngram_contamination": q_ngram_contamination,
     "ab_test": q_ab_test,
+    "bloom_join": q_bloom_join,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
-    "interval_join": q_interval_join,
     "interval_overlap": q_interval_overlap,
     "hypertable_rollup": q_hypertable_rollup,
     "timeline_features": q_timeline_features,
@@ -2929,6 +2952,7 @@ QUERIES: dict[str, Callable] = {
     # ---- end of the driver's 50-query correctness window ----
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
+    "interval_join": q_interval_join,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3176,6 +3200,18 @@ def oracle_sql() -> dict[str, str]:
                          / max(ngr), 6) AS hit_frac
             FROM tr LEFT JOIN be USING (h)
             GROUP BY tr.doc_id
+        """,
+        "bloom_join": """
+            -- the bloom prefilter has no false negatives, so the exact
+            -- plain-join result IS the oracle
+            SELECT p.p_brand,
+                   count(*)::BIGINT AS n_rows,
+                   round(sum(l.l_extendedprice), 2) AS revenue,
+                   sum(l.l_quantity)::DOUBLE AS total_qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size <= 4
+            GROUP BY p.p_brand
         """,
         "ab_test": """
             WITH assigned AS (

@@ -51,6 +51,7 @@ __all__ = [
     "bloom_state",
     "bloom_merge",
     "bloom_probe",
+    "bloom_filtered_join",
     "hash_split",
     "split_counts",
     "heavy_hitters",
@@ -855,3 +856,42 @@ def quantile_estimate_grouped(
             F.round(F.col("__pq")["q"], 6).alias("q"),
         )
     )
+
+
+def bloom_filtered_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    m: int = 1 << 20,
+    k: int = 4,
+    backend: str = "md5",
+) -> DataFrame:
+    """EXACT equi-join with a Bloom prefilter on the large side — the
+    row-level runtime filtering trick (Spark's own DPP/bloom pushdown,
+    made explicit and engine-portable): build the ≤ ``m``-bit filter over
+    the SMALL side's keys, probe the large side as a pure map (literal
+    bitmask + ``getbit`` in codegen — no join, no shuffle), and only the
+    surviving rows enter the real join.
+
+    Bloom filters have NO false negatives, so for ``inner`` and
+    ``left_semi`` joins the result is IDENTICAL to the unfiltered join —
+    what changes is the shuffle: at 100 TB, a large side where only a few
+    percent of rows match now ships that few percent instead of the whole
+    table. False positives only cost wasted shuffle (they drop out of the
+    join itself), at rate ``≈ (1-e^{-kn/m})^k``.
+
+    ``how`` is restricted to ``inner``/``left_semi`` — outer/anti joins
+    need the non-matching rows the prefilter discards.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join supports inner|left_semi, got {how!r} "
+            "(outer/anti joins need the rows the prefilter discards)"
+        )
+    state = bloom_state(small, on, m=m, k=k, backend=backend)
+    probed = bloom_probe(
+        state, large, on, m=m, k=k, backend=backend, flag_col="__maybe"
+    )
+    filtered = probed.where(F.col("__maybe")).drop("__maybe")
+    return filtered.join(small, on, how)

@@ -354,3 +354,37 @@ def test_ab_test_report_degenerate_sides(spark):
     )
     r = ab_test_report(df, "arm", "v").collect()[0]
     assert r.n_a == 1 and r.welch_t is None and r.welch_dof is None
+
+
+# ------------------------------------------------------ bloom-filtered join
+
+
+def test_bloom_filtered_join_is_exact(spark):
+    """Result must equal the plain inner join (no false negatives)."""
+    from bio2bel_spark.operators.sketch import bloom_filtered_join
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k long, payload string"
+    )
+    small = spark.createDataFrame(
+        [(i * 7, f"s{i}") for i in range(20)], "k long, tag string"
+    )
+    got = {
+        (r.k, r.payload, r.tag)
+        for r in bloom_filtered_join(big, small, "k", m=1 << 12).collect()
+    }
+    want = {
+        (r.k, r.payload, r.tag) for r in big.join(small, "k").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_bloom_filtered_join_semi_and_bad_how(spark):
+    from bio2bel_spark.operators.sketch import bloom_filtered_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    small = spark.createDataFrame([(1,)], "k long")
+    semi = bloom_filtered_join(big, small, "k", how="left_semi").collect()
+    assert [(r.k, r.p) for r in semi] == [(1, "a")]
+    with pytest.raises(ValueError, match="inner|left_semi"):
+        bloom_filtered_join(big, small, "k", how="left")
