@@ -31,7 +31,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_layout"]
+__all__ = ["zorder_value", "zorder_layout", "file_stats", "pruning_selectivity"]
 
 
 def zorder_value(cols: Sequence[Column], bits: int = 8) -> Column:
@@ -95,3 +95,46 @@ def zorder_layout(
     if n_partitions:
         return out.repartitionByRange(n_partitions, F.col(out_col))
     return out.repartitionByRange(F.col(out_col))
+
+
+def file_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-file min/max statistics for ``cols`` over an already-written
+    dataset (read it back first): ``(file, n_rows, <c>_min, <c>_max, ...)``
+    — the zone-map view a pruning-aware reader consults.
+
+    This scans the data to derive the stats (one combinable aggregation
+    keyed by ``input_file_name``); a production deployment would read the
+    same numbers straight from the parquet footers via the footer metadata
+    API and skip the scan — the REPORT shape (and the selectivity math
+    below) is identical either way.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def pruning_selectivity(
+    stats: DataFrame, col: str, lo, hi
+) -> DataFrame:
+    """How well does the current file layout prune the predicate
+    ``col BETWEEN lo AND hi``? One row: ``(n_files, n_files_read,
+    files_skipped_frac, rows_read, rows_total)`` — a file is read iff its
+    ``[min, max]`` zone overlaps the predicate range. The layout quality
+    gauge for :func:`zorder_layout` (and any partitioning): run it per
+    filter column before committing a 100 TB rewrite.
+    """
+    overlaps = (F.col(f"{col}_max") >= F.lit(lo)) & (
+        F.col(f"{col}_min") <= F.lit(hi)
+    )
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(overlaps.cast("long")).alias("n_files_read"),
+        F.round(
+            1 - F.sum(overlaps.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("files_skipped_frac"),
+        F.sum(F.when(overlaps, F.col("n_rows")).otherwise(0)).alias(
+            "rows_read"
+        ),
+        F.sum("n_rows").alias("rows_total"),
+    )

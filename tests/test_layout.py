@@ -87,3 +87,38 @@ def test_zorder_layout_degenerate_columns(spark):
     # constant + all-null columns contribute zero bits; x still orders
     zs = {r.x: r["__z"] for r in out}
     assert zs[1] < zs[2] < zs[3]
+
+
+def test_zorder_write_prunes_both_dims(spark, tmp_path):
+    """End-to-end: write a Z-ordered table, derive per-file zone maps, and
+    show a narrow predicate on EITHER dimension skips most files — while
+    an x-only range layout cannot prune on y at all."""
+    from bio2bel_spark.operators.layout import (
+        file_stats,
+        pruning_selectivity,
+        zorder_layout,
+    )
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zp = str(tmp_path / "z")
+    zorder_layout(df, ["x", "y"], bits=6, n_partitions=16).write.parquet(zp)
+    xp = str(tmp_path / "x")
+    df.repartitionByRange(16, "x").write.parquet(xp)
+
+    zstats = file_stats(spark.read.parquet(zp), ["x", "y"])
+    xstats = file_stats(spark.read.parquet(xp), ["x", "y"])
+
+    def skipped(stats, col):
+        return pruning_selectivity(stats, col, 10, 13).collect()[0][
+            "files_skipped_frac"
+        ]
+
+    # x-ordered layout: prunes on x, useless on y
+    assert skipped(xstats, "x") >= 0.5
+    assert skipped(xstats, "y") == 0.0
+    # z-ordered layout: prunes meaningfully on BOTH dims
+    assert skipped(zstats, "x") >= 0.5
+    assert skipped(zstats, "y") >= 0.5
