@@ -17,6 +17,44 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 #: query -> the plan property worth checking
 SHOWCASE = {
+    "winnowing_fingerprints": (
+        "Single-pass winnowing: gram-hash array built once per row and "
+        "folded through ONE ArrayAggregate ring buffer (window mins) — "
+        "no explode of the gram stream, no shuffle before the final "
+        "rollup. The nested-transform formulation was O(n²) md5 (223 s "
+        "at sf0.1); the fold is ~6 s."
+    ),
+    "zorder_layout": (
+        "Morton interleave as unrolled shift/mask arithmetic inside "
+        "whole-stage codegen (no UDF); normalization bounds are one "
+        "bounded scalar aggregate; the only shuffle is the "
+        "repartitionByRange any re-layout must pay."
+    ),
+    "bloom_join": (
+        "Bloom-prefiltered exact join: the small side's keys become a "
+        "literal bitmask probed with getbit in codegen (pure map on the "
+        "large side), so only surviving rows reach the join's exchange."
+    ),
+    "ngram_contamination": (
+        "Distinct gram hashes per side from the no-explode HOF pipeline; "
+        "the benchmark gram set broadcasts onto the training gram stream "
+        "— the large side's grams never shuffle."
+    ),
+    "loop_detection": (
+        "Trailing-loop detection entirely in nested array HOFs over the "
+        "token array (O(n·P) per row) — one narrow projection, zero "
+        "shuffles before the final projection."
+    ),
+    "oov_rate": (
+        "Corpus top-N vocabulary via combinable count + TakeOrdered, "
+        "BROADCAST to the per-token membership join — the exploded token "
+        "stream is never hash-partitioned."
+    ),
+    "weighted_sample": (
+        "A-ES weighted sampling: score is a pure hash expression, one "
+        "window exchange per group, row_number cutoff — no RNG, no sort "
+        "of the full table."
+    ),
     "funnel_counts": (
         "Each funnel stage is a combinable per-user aggregation joined to "
         "the persisted previous stage; the fact table is scanned once per "
