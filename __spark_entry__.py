@@ -2846,6 +2846,39 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_mean_pool(spark, sf_dir):
+    """Multi-vector mean-pooling: embeddings grouped 16-ways pooled to one
+    vector per group (token→document reduction). Means scaled to 1e6
+    integers before the string join so both engines format identically."""
+    from bio2bel_spark.operators.similarity import mean_pool_vectors
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 16).alias("g"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pooled = mean_pool_vectors(emb, "g")
+    return pooled.select(
+        "g",
+        "n_vectors",
+        _arr_str(
+            F.transform(
+                F.col("embedding"), lambda v: F.round(v * 1e6).cast("long")
+            )
+        ).alias("pooled_micros"),
+    )
+
+
+def q_robust_scale(spark, sf_dir):
+    """Median/IQR scaling of account balance within market segment — the
+    outlier-immune normalization (quartile cut table broadcast back)."""
+    from bio2bel_spark.operators.stats import robust_scale
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return robust_scale(cust, "c_acctbal", by="c_mktsegment")
+
+
 def q_ab_test(spark, sf_dir):
     """Deterministic A/B assignment (hash_split on user_id) + one-pass
     Welch t readout of event value between the arms."""
@@ -2894,6 +2927,8 @@ QUERIES: dict[str, Callable] = {
     "ngram_contamination": q_ngram_contamination,
     "ab_test": q_ab_test,
     "bloom_join": q_bloom_join,
+    "mean_pool": q_mean_pool,
+    "robust_scale": q_robust_scale,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -2904,7 +2939,6 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
     "label_consistency": q_label_consistency,
-    "funnel_counts": q_funnel_counts,
     "scd2_apply": q_scd2_apply,
     "cooccurrence_pmi": q_cooccurrence_pmi,
     "bm25_search": q_bm25_search,
@@ -2921,7 +2955,6 @@ QUERIES: dict[str, Callable] = {
     "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
-    "retention_matrix": q_retention_matrix,
     "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
@@ -2953,6 +2986,8 @@ QUERIES: dict[str, Callable] = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "interval_join": q_interval_join,
+    "funnel_counts": q_funnel_counts,
+    "retention_matrix": q_retention_matrix,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3200,6 +3235,39 @@ def oracle_sql() -> dict[str, str]:
                          / max(ngr), 6) AS hit_frac
             FROM tr LEFT JOIN be USING (h)
             GROUP BY tr.doc_id
+        """,
+        "mean_pool": """
+            WITH ex AS (
+                SELECT vec_id % 16 AS g,
+                       generate_subscripts(embedding, 1) AS d,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings
+            ),
+            pd AS (
+                SELECT g, d, avg(v) AS m, count(*) AS n
+                FROM ex GROUP BY g, d
+            )
+            SELECT g, max(n)::BIGINT AS n_vectors,
+                   array_to_string(
+                       list(round(round(m, 6) * 1000000)::BIGINT ORDER BY d),
+                       ','
+                   ) AS pooled_micros
+            FROM pd GROUP BY g
+        """,
+        "robust_scale": """
+            WITH cuts AS (
+                SELECT c_mktsegment,
+                       quantile_cont(c_acctbal, 0.5) AS med,
+                       quantile_cont(c_acctbal, 0.75)
+                           - quantile_cont(c_acctbal, 0.25) AS iqr
+                FROM customer WHERE c_acctbal IS NOT NULL
+                GROUP BY c_mktsegment
+            )
+            SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+                   CASE WHEN c.c_acctbal IS NOT NULL AND cuts.iqr > 0
+                        THEN round((c.c_acctbal - cuts.med) / cuts.iqr, 6)
+                   END AS scaled
+            FROM customer c LEFT JOIN cuts USING (c_mktsegment)
         """,
         "bloom_join": """
             -- the bloom prefilter has no false negatives, so the exact

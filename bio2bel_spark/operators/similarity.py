@@ -753,3 +753,40 @@ def srp_near_pairs(
     return hamming_near_pairs(
         fps, fp_col="srp", id_col=id_col, bits=bits, max_hamming=max_hamming
     )
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    by: str,
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool many vectors into one per group — the multi-vector →
+    single-vector reduction (token embeddings → document embedding,
+    chunk embeddings → parent embedding): ``(by, n_vectors, out_col)``.
+
+    Scale shape: ``posexplode`` to ``(group, dim, value)`` rows, ONE
+    map-side-combinable average per ``(group, dim)``, then the vector is
+    reassembled with ``array_agg`` over a per-group sort of the (tiny —
+    one row per dimension) aggregated table. Never collects a group's
+    vector LIST anywhere — per-reducer state is one running sum per
+    (group, dim), so million-vector groups pool in constant memory.
+    """
+    exploded = df.select(
+        F.col(by), F.posexplode(F.col(vec_col)).alias("__d", "__v")
+    )
+    per_dim = exploded.groupBy(by, "__d").agg(
+        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_dim.groupBy(by)
+        .agg(
+            F.max("__n").cast("long").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__d"), F.col("__m")))
+                ),
+                lambda s: F.round(s["__m"], 6),
+            ).alias(out_col),
+        )
+    )

@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform", "ab_test_report"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform", "ab_test_report", "robust_scale"]
 
 
 def quantile_transform(
@@ -474,4 +474,41 @@ def ab_test_report(
         F.round(mb - ma, 6).alias("diff"),
         F.round(F.when(ok, t), 6).alias("welch_t"),
         F.round(F.when(ok, dof), 6).alias("welch_dof"),
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Median/IQR feature scaling per group: ``(v - median) / (p75 - p25)``
+    — the outlier-immune cousin of z-scoring (a corrupted long-tail value
+    moves mean/std arbitrarily but barely touches the quartiles).
+
+    Two grouped aggregations by construction (quartiles, then the map-only
+    scale through a broadcast of the tiny per-group cut table — the
+    :func:`winsorized_stats` shape). A zero-IQR group (constant values)
+    yields NULL scaled values rather than a division error; NULL inputs
+    pass through with a NULL scale.
+    """
+    cuts = df.where(F.col(value_col).isNotNull()).groupBy(by).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("__iqr"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(cuts), by, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull() & (F.col("__iqr") > 0),
+                F.round((v - F.col("__med")) / F.col("__iqr"), 6),
+            ),
+        )
+        .drop("__med", "__iqr")
     )

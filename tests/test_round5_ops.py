@@ -388,3 +388,38 @@ def test_bloom_filtered_join_semi_and_bad_how(spark):
     assert [(r.k, r.p) for r in semi] == [(1, "a")]
     with pytest.raises(ValueError, match="inner|left_semi"):
         bloom_filtered_join(big, small, "k", how="left")
+
+
+# -------------------------------------------------- pooling / robust scale
+
+
+def test_mean_pool_vectors_model(spark):
+    from bio2bel_spark.operators.similarity import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0, 3.0]),
+            ("d1", [3.0, 4.0, 5.0]),
+            ("d2", [10.0, 0.0, -10.0]),
+        ],
+        "doc string, embedding array<double>",
+    )
+    rows = {r.doc: r for r in mean_pool_vectors(df, "doc").collect()}
+    assert rows["d1"].n_vectors == 2
+    assert list(rows["d1"].embedding) == [2.0, 3.0, 4.0]
+    assert list(rows["d2"].embedding) == [10.0, 0.0, -10.0]
+
+
+def test_robust_scale_model(spark):
+    from bio2bel_spark.operators.stats import robust_scale
+
+    # group g: values 0..8 -> median 4, IQR = 6 - 2 = 4
+    rows = [("g", float(i)) for i in range(9)] + [("c", 5.0), ("c", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = robust_scale(df, "v", by="k")
+    got = {(r.k, r.v): r.scaled for r in out.collect()}
+    assert got[("g", 4.0)] == 0.0
+    assert got[("g", 8.0)] == 1.0
+    assert got[("g", 0.0)] == -1.0
+    # constant group: IQR 0 -> NULL, not a division error
+    assert got[("c", 5.0)] is None
