@@ -2846,6 +2846,19 @@ def q_bloom_join(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test contamination audit over the augmented corpus (planted
+    near-dup twins): near-dup pairs × deterministic hash_split — the
+    off-diagonal (test,train) row is the leakage the audit exists to
+    surface."""
+    from bio2bel_spark.operators.dedup import split_leakage_report
+
+    docs = _docs_augmented(spark, sf_dir)
+    return split_leakage_report(
+        docs, {"train": 0.8, "test": 0.2}, n_hashes=16, bands=8, threshold=0.5
+    )
+
+
 def q_mean_pool(spark, sf_dir):
     """Multi-vector mean-pooling: embeddings grouped 16-ways pooled to one
     vector per group (token→document reduction). Means scaled to 1e6
@@ -2929,6 +2942,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_join": q_bloom_join,
     "mean_pool": q_mean_pool,
     "robust_scale": q_robust_scale,
+    "split_leakage": q_split_leakage,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -2959,7 +2973,6 @@ QUERIES: dict[str, Callable] = {
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
-    "event_pivot": q_event_pivot,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
     "k_hop_profile": q_k_hop_profile,
@@ -2988,6 +3001,7 @@ QUERIES: dict[str, Callable] = {
     "interval_join": q_interval_join,
     "funnel_counts": q_funnel_counts,
     "retention_matrix": q_retention_matrix,
+    "event_pivot": q_event_pivot,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3235,6 +3249,23 @@ def oracle_sql() -> dict[str, str]:
                          / max(ngr), 6) AS hit_frac
             FROM tr LEFT JOIN be USING (h)
             GROUP BY tr.doc_id
+        """,
+        "split_leakage": f"""
+            WITH {_JACCARD_CTES},
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                                 )::BIGINT % 10000 < 8000
+                            THEN 'train' ELSE 'test' END AS split
+                FROM aug
+            )
+            SELECT least(a.split, b.split) AS split_a,
+                   greatest(a.split, b.split) AS split_b,
+                   count(*)::BIGINT AS n_pairs
+            FROM vpairs
+            JOIN sp a ON vpairs.id_a = a.doc_id
+            JOIN sp b ON vpairs.id_b = b.doc_id
+            GROUP BY 1, 2
         """,
         "mean_pool": """
             WITH ex AS (

@@ -1046,3 +1046,65 @@ def ngram_contamination(
             ).alias("hit_frac"),
         )
     )
+
+
+def split_leakage_report(
+    docs: DataFrame,
+    fractions,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    backend: str = "md5",
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs (MinHash-LSH
+    candidates verified by true Jaccard ≥ ``threshold``) crossed with the
+    deterministic :func:`~bio2bel_spark.operators.sketch.hash_split`
+    assignment — ``(split_a, split_b, n_pairs)`` with splits
+    order-normalized. Off-diagonal rows ARE the leakage: an eval split
+    that shares near-duplicates with train overstates model quality, the
+    classic silent benchmark inflation a random split cannot prevent
+    (near-dups land on both sides by construction).
+
+    Scale shape: the pair search is the production LSH pipeline
+    (banded equi-join, never all-pairs); the split column is a pure hash
+    projection; the final rollup touches only the (tiny) verified-pair
+    set. Run it BEFORE training, fix leaks by splitting on a
+    near-dup-cluster key instead of the raw document id.
+    """
+    from bio2bel_spark.operators.sketch import split_column
+
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(
+            docs, text_col=text_col, id_col=id_col,
+            n_hashes=n_hashes, bands=bands, backend=backend,
+        ),
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        backend=backend,
+    )
+    splits = docs.select(
+        F.col(id_col),
+        split_column(
+            F.col(id_col).cast("string"), fractions, backend=backend
+        ).alias("__split"),
+    )
+    sa = splits.select(
+        F.col(id_col).alias("id_a"), F.col("__split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias("id_b"), F.col("__split").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -423,3 +423,39 @@ def test_robust_scale_model(spark):
     assert got[("g", 0.0)] == -1.0
     # constant group: IQR 0 -> NULL, not a division error
     assert got[("c", 5.0)] is None
+
+
+# ------------------------------------------------------- split leakage
+
+
+def test_split_leakage_surfaces_cross_split_neardups(spark):
+    """Plant near-dup twins assigned to OPPOSITE splits by construction
+    and assert the audit reports them off-diagonal."""
+    from bio2bel_spark.operators.dedup import split_leakage_report
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # pick two ids that hash_split sends to different splits
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        return "train" if b < 5000 else "test"
+
+    ids = list(range(200))
+    a = next(i for i in ids if split_of(i) == "train")
+    b = next(i for i in ids if split_of(i) == "test")
+    docs = spark.createDataFrame(
+        [
+            (a, base),
+            (b, base + " extra"),
+            (50, "completely unrelated text about something else entirely ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in split_leakage_report(
+            docs, {"train": 0.5, "test": 0.5}, threshold=0.5
+        ).collect()
+    }
+    assert rows.get(("test", "train"), 0) >= 1  # the leak is visible
