@@ -2905,6 +2905,29 @@ def q_ab_test(spark, sf_dir):
     return ab_test_report(assigned, "arm", "value")
 
 
+def q_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve layout of lineitem on (l_partkey, l_suppkey):
+    per-curve-bucket occupancy + dimension spans — full-fidelity probe of
+    the reflect/rotate fold (any level wrong moves rows across buckets)."""
+    from bio2bel_spark.operators.layout import _minmax_normalized, hilbert_value
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    nx, ny = _minmax_normalized(li, ["l_partkey", "l_suppkey"], 8)
+    h = li.withColumn("__h", hilbert_value(nx, ny, bits=8))
+    return (
+        h.groupBy(F.shiftrightunsigned(F.col("__h"), 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__h").alias("h_min"),
+            F.max("__h").alias("h_max"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+        )
+    )
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-normalization of account balance within each market segment —
     the outlier-immune feature transform (percent_rank window)."""
@@ -2936,6 +2959,7 @@ QUERIES: dict[str, Callable] = {
     "oov_rate": q_oov_rate,
     "quantile_transform": q_quantile_transform,
     "zorder_layout": q_zorder,
+    "hilbert_layout": q_hilbert_layout,
     "loop_detection": q_loop_detection,
     "ngram_contamination": q_ngram_contamination,
     "ab_test": q_ab_test,
@@ -2950,7 +2974,6 @@ QUERIES: dict[str, Callable] = {
     "hypertable_rollup": q_hypertable_rollup,
     "timeline_features": q_timeline_features,
     # sketches + sampling
-    "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
     "label_consistency": q_label_consistency,
     "scd2_apply": q_scd2_apply,
@@ -3002,6 +3025,7 @@ QUERIES: dict[str, Callable] = {
     "funnel_counts": q_funnel_counts,
     "retention_matrix": q_retention_matrix,
     "event_pivot": q_event_pivot,
+    "quantile_sketch": q_quantile_sketch,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3188,6 +3212,29 @@ def oracle_sql() -> dict[str, str]:
         f"(((np >> {j}) & 1) << {j * 2}) + (((ns >> {j}) & 1) << {j * 2 + 1})"
         for j in range(8)
     )
+    # Hilbert reflect/rotate fold unrolled into one chained-CTE stage per
+    # level — the same per-level arithmetic the Spark aggregate performs
+    _hilb_ctes = (
+        "h0 AS (SELECT l_partkey, l_suppkey, np AS x, ns AS y, "
+        "0::BIGINT AS d FROM n)"
+    )
+    for _k, _i in enumerate(range(7, -1, -1)):
+        _s, _full = 1 << _i, 255
+        _rx, _ry = f"((x // {_s}) % 2)", f"((y // {_s}) % 2)"
+        _hilb_ctes += f""",
+            h{_k + 1} AS (
+                SELECT l_partkey, l_suppkey,
+                       CASE WHEN {_ry} = 0
+                            THEN (CASE WHEN {_rx} = 1
+                                       THEN {_full} - y ELSE y END)
+                            ELSE x END AS x,
+                       CASE WHEN {_ry} = 0
+                            THEN (CASE WHEN {_rx} = 1
+                                       THEN {_full} - x ELSE x END)
+                            ELSE y END AS y,
+                       d + {_s * _s} * xor(3 * {_rx}, {_ry}) AS d
+                FROM h{_k}
+            )"""
     return {
         "zorder_layout": f"""
             WITH s AS (
@@ -3389,6 +3436,32 @@ def oracle_sql() -> dict[str, str]:
                    (c[1].l + c[1].p)::BIGINT AS loop_len,
                    round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
             FROM cand
+        """,
+        "hilbert_layout": f"""
+            WITH s AS (
+                SELECT min(l_partkey)::DOUBLE AS plo,
+                       max(l_partkey)::DOUBLE AS phi,
+                       min(l_suppkey)::DOUBLE AS slo,
+                       max(l_suppkey)::DOUBLE AS shi
+                FROM lineitem
+            ),
+            n AS (
+                SELECT l_partkey, l_suppkey,
+                       least(floor((l_partkey::DOUBLE - plo) / (phi - plo)
+                                   * 256)::BIGINT, 255) AS np,
+                       least(floor((l_suppkey::DOUBLE - slo) / (shi - slo)
+                                   * 256)::BIGINT, 255) AS ns
+                FROM lineitem, s
+            ),
+            {_hilb_ctes}
+            SELECT d >> 8 AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   min(d)::BIGINT AS h_min, max(d)::BIGINT AS h_max,
+                   min(l_partkey)::BIGINT AS part_min,
+                   max(l_partkey)::BIGINT AS part_max,
+                   min(l_suppkey)::BIGINT AS supp_min,
+                   max(l_suppkey)::BIGINT AS supp_max
+            FROM h8 GROUP BY bucket
         """,
         "winnowing_fingerprints": """
             WITH norm AS (

@@ -31,7 +31,44 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_layout", "file_stats", "pruning_selectivity"]
+__all__ = [
+    "zorder_value",
+    "zorder_layout",
+    "hilbert_value",
+    "hilbert_layout",
+    "file_stats",
+    "pruning_selectivity",
+]
+
+
+def _minmax_normalized(df: DataFrame, cols: Sequence[str], bits: int):
+    """Per-column min/max-normalized ``[0, 2^bits)`` integer expressions.
+
+    Bounds come from ONE bounded scalar aggregation (2 doubles per column
+    — the audited driver-scalar pattern); NULLs normalize to 0, constant
+    columns to all-zero bits.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    norm = []
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"__lo_{i}"], stats[f"__hi_{i}"]
+        if lo is None or hi is None or hi == lo:
+            norm.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+            float(hi) - float(lo)
+        )
+        norm.append(
+            F.least(
+                F.floor(F.coalesce(scaled, F.lit(0.0)) * (top + 1)).cast("long"),
+                F.lit(top),
+            )
+        )
+    return norm
 
 
 def zorder_value(cols: Sequence[Column], bits: int = 8) -> Column:
@@ -71,27 +108,65 @@ def zorder_layout(
     audited driver-scalar pattern, not a data collect); NULLs normalize
     to 0. Constant columns contribute zero bits (all rows coincide).
     """
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
-    top = (1 << bits) - 1
-    norm = []
-    for i, c in enumerate(cols):
-        lo, hi = stats[f"__lo_{i}"], stats[f"__hi_{i}"]
-        if lo is None or hi is None or hi == lo:
-            norm.append(F.lit(0).cast("long"))
-            continue
-        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
-            float(hi) - float(lo)
-        )
-        norm.append(
-            F.least(
-                F.floor(F.coalesce(scaled, F.lit(0.0)) * (top + 1)).cast("long"),
-                F.lit(top),
-            )
-        )
+    norm = _minmax_normalized(df, cols, bits)
     out = df.withColumn(out_col, zorder_value(norm, bits=bits))
+    if n_partitions:
+        return out.repartitionByRange(n_partitions, F.col(out_col))
+    return out.repartitionByRange(F.col(out_col))
+
+
+def hilbert_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Hilbert-curve index of an already-normalized 2-D integer point —
+    the space-filling curve with strictly better locality than Z-order
+    (no long diagonal jumps: consecutive curve positions are always
+    adjacent cells, so per-file bounding boxes come out tighter).
+
+    The classic per-level reflect/rotate walk (Warren, Hacker's Delight
+    §16) expressed as ONE ``aggregate`` fold over the level sequence
+    carrying ``(x, y, d)`` — state evaluates once per level, so the
+    expression stays linear in ``bits`` (an unrolled column expression
+    would triple per level). Shift-by-column is unavailable in codegen,
+    so bit tests use division arithmetic like the simhash operator.
+    """
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    full = F.lit((1 << bits) - 1).cast("long")  # reflection uses the FULL grid
+
+    def step(acc, i):
+        s = F.pow(F.lit(2.0), i).cast("long")
+        rx = (acc["x"] / s).cast("long") % 2
+        ry = (acc["y"] / s).cast("long") % 2
+        d = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        refl = rx == 1
+        xr = F.when(refl, full - acc["x"]).otherwise(acc["x"])
+        yr = F.when(refl, full - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, yr).otherwise(acc["x"])
+        ny = F.when(ry == 0, xr).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def hilbert_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_partitions: int | None = None,
+    out_col: str = "__h",
+) -> DataFrame:
+    """:func:`zorder_layout`'s Hilbert twin (2-D only): normalize both
+    columns to ``bits``-bit integers, attach the Hilbert index, and
+    range-partition by it. Same single-shuffle envelope; tighter per-file
+    bounding boxes than the Z-curve on range predicates."""
+    if len(list(cols)) != 2:
+        raise ValueError("hilbert_layout is 2-D: pass exactly two columns")
+    nx, ny = _minmax_normalized(df, cols, bits)
+    out = df.withColumn(out_col, hilbert_value(nx, ny, bits=bits))
     if n_partitions:
         return out.repartitionByRange(n_partitions, F.col(out_col))
     return out.repartitionByRange(F.col(out_col))

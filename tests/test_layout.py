@@ -122,3 +122,65 @@ def test_zorder_write_prunes_both_dims(spark, tmp_path):
     # z-ordered layout: prunes meaningfully on BOTH dims
     assert skipped(zstats, "x") >= 0.5
     assert skipped(zstats, "y") >= 0.5
+
+
+def _hilbert_py(x, y, bits):
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_model_and_is_a_curve(spark):
+    """Exact parity with the classic reflect/rotate model over the FULL
+    4-bit grid, plus the two curve properties that make Hilbert useful:
+    bijection and unit-step adjacency (consecutive indices are adjacent
+    cells — the locality guarantee Z-order lacks)."""
+    from bio2bel_spark.operators.layout import hilbert_value
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rows = grid.withColumn(
+        "h", hilbert_value(F.col("x"), F.col("y"), bits=4)
+    ).collect()
+    for r in rows:
+        assert r.h == _hilbert_py(r.x, r.y, 4)
+    inv = {r.h: (r.x, r.y) for r in rows}
+    assert len(inv) == 256  # bijection
+    for i in range(255):  # unit-step adjacency
+        (xa, ya), (xb, yb) = inv[i], inv[i + 1]
+        assert abs(xa - xb) + abs(ya - yb) == 1
+
+
+def test_hilbert_layout_prunes_both_dims(spark):
+    from bio2bel_spark.operators.layout import hilbert_layout
+    import pytest
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    h = hilbert_layout(df, ["x", "y"], bits=6, n_partitions=16)
+    spans = (
+        h.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .collect()[0]
+    )
+    assert spans.ax < n / 2 and spans.ay < n / 2
+    with pytest.raises(ValueError, match="exactly two"):
+        hilbert_layout(df, ["x"], bits=6)
