@@ -2905,6 +2905,15 @@ def q_ab_test(spark, sf_dir):
     return ab_test_report(assigned, "arm", "value")
 
 
+def q_equiheight_histogram(spark, sf_dir):
+    """Quantile-binned (equi-height) histogram of extended price within
+    return flag — every bin carries ~10% of the rows regardless of skew."""
+    from bio2bel_spark.operators.stats import equiheight_histogram
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return equiheight_histogram(li, "l_extendedprice", by="l_returnflag")
+
+
 def q_hilbert_layout(spark, sf_dir):
     """Hilbert-curve layout of lineitem on (l_partkey, l_suppkey):
     per-curve-bucket occupancy + dimension spans — full-fidelity probe of
@@ -2967,6 +2976,7 @@ QUERIES: dict[str, Callable] = {
     "mean_pool": q_mean_pool,
     "robust_scale": q_robust_scale,
     "split_leakage": q_split_leakage,
+    "equiheight_histogram": q_equiheight_histogram,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -2974,7 +2984,6 @@ QUERIES: dict[str, Callable] = {
     "hypertable_rollup": q_hypertable_rollup,
     "timeline_features": q_timeline_features,
     # sketches + sampling
-    "winsorized_stats": q_winsorized_stats,
     "label_consistency": q_label_consistency,
     "scd2_apply": q_scd2_apply,
     "cooccurrence_pmi": q_cooccurrence_pmi,
@@ -3026,6 +3035,7 @@ QUERIES: dict[str, Callable] = {
     "retention_matrix": q_retention_matrix,
     "event_pivot": q_event_pivot,
     "quantile_sketch": q_quantile_sketch,
+    "winsorized_stats": q_winsorized_stats,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3436,6 +3446,25 @@ def oracle_sql() -> dict[str, str]:
                    (c[1].l + c[1].p)::BIGINT AS loop_len,
                    round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
             FROM cand
+        """,
+        "equiheight_histogram": """
+            WITH cuts AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+                       ) AS c
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   1 + len(list_filter(c.c, x -> l.l_extendedprice > x))
+                       AS bin,
+                   count(*)::BIGINT AS n,
+                   round(min(l.l_extendedprice), 6) AS bin_min,
+                   round(max(l.l_extendedprice), 6) AS bin_max
+            FROM lineitem l JOIN cuts c USING (l_returnflag)
+            WHERE l.l_extendedprice IS NOT NULL
+            GROUP BY 1, 2
         """,
         "hilbert_layout": f"""
             WITH s AS (

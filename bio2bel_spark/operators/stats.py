@@ -27,7 +27,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform", "ab_test_report", "robust_scale"]
+__all__ = ["winsorized_stats", "pivot_report", "value_histogram", "decayed_sum", "zscore_outliers", "impute_group_median", "feature_correlations", "target_encode_loo", "psi_report", "quantile_transform", "ab_test_report", "robust_scale", "equiheight_histogram"]
 
 
 def quantile_transform(
@@ -511,4 +511,48 @@ def robust_scale(
             ),
         )
         .drop("__med", "__iqr")
+    )
+
+
+def equiheight_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-HEIGHT histogram per group: bins are the group's own quantile
+    intervals, so every bin holds ~``1/n_bins`` of the rows — the
+    histogram shape query optimizers and drift monitors prefer over
+    fixed-width bins, whose tails go empty on skewed data. Output:
+    ``(by, bin, n, bin_min, bin_max)`` with observed per-bin extremes.
+
+    Two grouped aggregations (the ``winsorized_stats`` shape): the
+    ``n_bins - 1`` interior cut points per group come from ONE exact
+    ``percentile(array)`` call, broadcast back; bin assignment is a pure
+    fold over that tiny cut array (``1 + #cuts below v``) inside codegen;
+    the final count is map-side combinable. Values equal to a cut land in
+    the lower bin (``>`` strictly), so assignment is a pure function of
+    the value.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    cuts = df.where(F.col(value_col).isNotNull()).groupBy(by).agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("__cuts")
+    )
+    v = F.col(value_col)
+    bin_ = F.lit(1) + F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(v > c, 1).otherwise(0),
+    )
+    return (
+        df.where(v.isNotNull())
+        .join(F.broadcast(cuts), by)
+        .groupBy(by, bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(v), 6).alias("bin_min"),
+            F.round(F.max(v), 6).alias("bin_max"),
+        )
     )

@@ -459,3 +459,28 @@ def test_split_leakage_surfaces_cross_split_neardups(spark):
         ).collect()
     }
     assert rows.get(("test", "train"), 0) >= 1  # the leak is visible
+
+
+def test_equiheight_histogram_model(spark):
+    from bio2bel_spark.operators.stats import equiheight_histogram
+
+    # 100 uniform values -> 4 bins of ~25 each; skewed tail still balanced
+    rows = [("g", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.bin: r for r in equiheight_histogram(df, "v", "k", n_bins=4).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(20 <= out[b].n <= 30 for b in out)
+    assert out[1].bin_min == 0.0 and out[4].bin_max == 99.0
+    # heavy skew: fixed-width would cram everything into bin 1; equi-height
+    # still spreads rows
+    skew = spark.createDataFrame(
+        [("g", float(1))] * 50 + [("g", float(10**i)) for i in range(2, 8)],
+        "k string, v double",
+    )
+    bins = {r.bin for r in equiheight_histogram(skew, "v", "k", n_bins=4).collect()}
+    assert len(bins) >= 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2"):
+        equiheight_histogram(df, "v", "k", n_bins=1)
