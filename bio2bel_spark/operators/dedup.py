@@ -1108,3 +1108,81 @@ def split_leakage_report(
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def incremental_fuzzy_dedup(
+    catalog,
+    new_docs: DataFrame,
+    index_table: str = "fuzzy_band_index",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    backend: str = "md5",
+    **dedup_kwargs,
+) -> DataFrame:
+    """NEAR-duplicate admission for a new batch against the full corpus
+    history WITHOUT rescanning it — the fuzzy twin of
+    :func:`incremental_dedup`. The catalog keeps an LSH band index of
+    every admitted document: ``(doc_id, band, bucket, sig)`` rows, where
+    ``sig`` is the MinHash signature. Batch flow:
+
+    1. within-batch cluster dedup (:func:`drop_fuzzy_duplicates`);
+    2. batch band rows join the historical index on ``(band, bucket)``;
+       colliding pairs verify by MINHASH-ESTIMATED Jaccard (fraction of
+       agreeing signature components) ≥ ``threshold`` — historical TEXT
+       is never needed, only its ``n_hashes``-long signature;
+    3. rejected docs drop; survivors' band+signature rows append.
+
+    Each increment costs O(batch + colliding-index-rows), never O(corpus)
+    — the production crawl-snapshot shape. The estimate-based verify has
+    MinHash variance (~1/√n_hashes), honest for an admission gate; an
+    audit pass over admitted docs can re-verify exactly offline. Same
+    serial-increment exactly-once contract as :func:`incremental_dedup`.
+
+    Returns the admitted (new, near-unique) rows of ``new_docs``.
+    """
+    survivors = drop_fuzzy_duplicates(
+        new_docs, text_col, id_col,
+        n_hashes=n_hashes, threshold=threshold, backend=backend,
+        **dedup_kwargs,
+    )
+    banded = _banded_buckets(
+        survivors, text_col, id_col, n_hashes, bands, backend
+    )
+    sigs = survivors.select(
+        F.col(id_col),
+        minhash_signature(text_col, n_hashes, backend=backend).alias("sig"),
+    )
+    batch_index = banded.join(sigs, id_col)
+    if catalog.table_exists(index_table):
+        hist = catalog.read_table(index_table).select(
+            F.col("band"), F.col("bucket"), F.col("sig").alias("__hsig")
+        )
+        est = F.aggregate(
+            F.zip_with(
+                F.col("sig"), F.col("__hsig"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        ) / F.lit(n_hashes)
+        rejected = (
+            batch_index.join(hist, ["band", "bucket"])
+            .where(est >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = survivors.join(rejected, id_col, "left_anti")
+        batch_index = batch_index.join(rejected, id_col, "left_anti")
+    # detach from the index table we are about to append to (recache-by-path
+    # would otherwise re-execute the plan over its own append)
+    survivors = survivors.localCheckpoint(eager=True)
+    batch_index = batch_index.localCheckpoint(eager=True)
+    catalog.write_table(
+        batch_index.select(id_col, "band", "bucket", "sig"),
+        index_table,
+        mode="append",
+    )
+    return survivors

@@ -501,3 +501,55 @@ def test_remove_duplicate_spans_matches_bruteforce(spark):
                     covered.update(range(p, p + n))
             want = " ".join(w for i, w in enumerate(ws) if i not in covered)
             assert got[d] == want, f"seed {seed} doc {d}"
+
+
+def test_incremental_fuzzy_dedup_rejects_cross_batch_neardups(spark, tmp_path):
+    """Batch 2's near-duplicate of a batch-1 document must be rejected via
+    the persisted band index + signature estimate — without batch 1's text
+    ever being re-read."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.dedup import incremental_fuzzy_dedup
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    other = "completely different content about databases and query engines ok"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    admitted1 = incremental_fuzzy_dedup(cat, b1, threshold=0.5)
+    assert {r.doc_id for r in admitted1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " extra"),  # near-dup of doc 1 -> reject
+            (11, "entirely novel text with words never seen in any batch"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted2 = incremental_fuzzy_dedup(cat, b2, threshold=0.5)
+    assert {r.doc_id for r in admitted2.collect()} == {11}
+
+    # the index holds band rows only for ADMITTED docs
+    idx_ids = {
+        r.doc_id for r in cat.read_table("fuzzy_band_index").collect()
+    }
+    assert idx_ids == {1, 2, 11}
+
+
+def test_incremental_fuzzy_dedup_within_batch_and_identity(spark, tmp_path):
+    """Within-batch near-dups collapse to one survivor; re-presenting an
+    already-admitted document is rejected by its own signature."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.dedup import incremental_fuzzy_dedup
+
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    t = "some reasonably long document text that minhash can fingerprint well"
+    b1 = spark.createDataFrame(
+        [(1, t), (2, t + " tail")], "doc_id long, text string"
+    )
+    a1 = {r.doc_id for r in incremental_fuzzy_dedup(cat, b1, threshold=0.5).collect()}
+    assert a1 == {1}  # min-id survivor within the batch
+    # replaying the SAME doc as a later batch: exact self-match, rejected
+    b2 = spark.createDataFrame([(5, t)], "doc_id long, text string")
+    a2 = incremental_fuzzy_dedup(cat, b2, threshold=0.5).count()
+    assert a2 == 0
