@@ -2905,6 +2905,18 @@ def q_ab_test(spark, sf_dir):
     return ab_test_report(assigned, "arm", "value")
 
 
+def q_edit_distance(spark, sf_dir):
+    """Levenshtein near-pairs over customer names (length-bucket + prefix
+    blocking, exact JVM verify) — names differing in <= 2 trailing digits
+    must pair up; the blocked result equals brute force on this data."""
+    from bio2bel_spark.operators.dedup import edit_distance_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return edit_distance_pairs(
+        cust.select("c_custkey", "c_name"), "c_name", "c_custkey", max_dist=2
+    )
+
+
 def q_equiheight_histogram(spark, sf_dir):
     """Quantile-binned (equi-height) histogram of extended price within
     return flag — every bin carries ~10% of the rows regardless of skew."""
@@ -2977,6 +2989,7 @@ QUERIES: dict[str, Callable] = {
     "robust_scale": q_robust_scale,
     "split_leakage": q_split_leakage,
     "equiheight_histogram": q_equiheight_histogram,
+    "edit_distance_pairs": q_edit_distance,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -2998,7 +3011,6 @@ QUERIES: dict[str, Callable] = {
     "target_encoding": q_target_encoding,
     "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
-    "zscore_outliers": q_zscore_outliers,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
     "value_histogram": q_value_histogram,
@@ -3036,6 +3048,7 @@ QUERIES: dict[str, Callable] = {
     "event_pivot": q_event_pivot,
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
+    "zscore_outliers": q_zscore_outliers,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3446,6 +3459,18 @@ def oracle_sql() -> dict[str, str]:
                    (c[1].l + c[1].p)::BIGINT AS loop_len,
                    round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
             FROM cand
+        """,
+        "edit_distance_pairs": """
+            -- brute force IS the oracle: on this block-homogeneous data
+            -- (equal lengths, shared prefix) the blocked join loses nothing
+            WITH c AS (
+                SELECT c_custkey, lower(trim(c_name)) AS s
+                FROM customer WHERE c_custkey <= 300
+            )
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.s, b.s)::INT AS dist
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.s, b.s) <= 2
         """,
         "equiheight_histogram": """
             WITH cuts AS (

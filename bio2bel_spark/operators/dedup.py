@@ -1186,3 +1186,61 @@ def incremental_fuzzy_dedup(
         mode="append",
     )
     return survivors
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """Record-linkage near-pairs by Levenshtein distance ≤ ``max_dist``
+    over SHORT strings (names, titles, codes): ``(id_a, id_b, dist)``.
+    The classic entity-resolution step MinHash cannot serve (token-set
+    similarity is blind to character typos in single-token names).
+
+    Blocking keeps it off the quadratic cliff: candidates must agree on
+    ``(length bucket, normalized prefix)`` — two strings within edit
+    distance ``d`` differ in length by ≤ ``d``, so each string probes its
+    own bucket plus the ``d`` buckets above (bucket width = ``max_dist +
+    1`` ⇒ at most TWO adjacent buckets), an equi-join on the block key.
+    A typo inside the first ``prefix_len`` characters escapes the block —
+    the standard blocking recall trade, sized by ``prefix_len``; the
+    in-block verify is the exact JVM ``levenshtein`` with its early-exit
+    threshold form. Self-pairs and symmetric duplicates are removed via
+    ``id_a < id_b``.
+    """
+    width = max_dist + 1
+    norm = F.lower(F.trim(F.col(col)))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        norm.alias("__s"),
+        (F.length(norm) / width).cast("int").alias("__lb"),
+        F.substring(norm, 1, prefix_len).alias("__pf"),
+    ).where(F.length("__s") > 0)
+    # each string appears under its own bucket and the one below, so any
+    # pair within |len diff| <= max_dist shares at least one block row
+    probe = base.select(
+        "__id", "__s", "__pf", F.explode(
+            F.array(F.col("__lb"), F.col("__lb") + 1)
+        ).alias("__blk"),
+    )
+    a = probe.select(
+        F.col("__blk"), F.col("__pf"),
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+    )
+    b = probe.select(
+        F.col("__blk"), F.col("__pf"),
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+    )
+    return (
+        a.join(b, ["__blk", "__pf"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("__sa", "__sb").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )

@@ -484,3 +484,43 @@ def test_equiheight_histogram_model(spark):
 
     with pytest.raises(ValueError, match=">= 2"):
         equiheight_histogram(df, "v", "k", n_bins=1)
+
+
+# --------------------------------------------------- edit-distance linkage
+
+
+def test_edit_distance_pairs_model(spark):
+    from bio2bel_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitten"),    # dist 1 from kitten
+            (3, "sitting"),   # dist 3 from kitten, 2 from sitten
+            (4, "zebra"),
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "name", "id", max_dist=2,
+                                     prefix_len=0).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(2, 3)] == 2
+    assert (1, 3) not in got  # dist 3 > max
+    assert all("zebra" not in k for k in [])  # zebra pairs with nothing
+    assert not any(4 in k for k in got)
+
+
+def test_edit_distance_blocking_covers_length_straddle(spark):
+    """Strings whose lengths straddle a bucket boundary (diff <= max_dist)
+    must still pair via the +1 probe."""
+    from bio2bel_spark.operators.dedup import edit_distance_pairs
+
+    # len 5 (bucket 1) vs len 7 (bucket 2) with dist 2
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcdefg")], "id long, name string"
+    )
+    rows = edit_distance_pairs(df, "name", "id", max_dist=2, prefix_len=1).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(1, 2, 2)]
