@@ -2905,6 +2905,16 @@ def q_ab_test(spark, sf_dir):
     return ab_test_report(assigned, "arm", "value")
 
 
+def q_join_size(spark, sf_dir):
+    """Pre-join audit: exact output cardinality + hottest key of the
+    lineitem self-join on supplier key — the 'salt this key?' number,
+    computed from the count tables, never the join itself."""
+    from bio2bel_spark.operators.validation import join_size_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    return join_size_estimate(li, li, on="k")
+
+
 def q_edit_distance(spark, sf_dir):
     """Levenshtein near-pairs over customer names (length-bucket + prefix
     blocking, exact JVM verify) — names differing in <= 2 trailing digits
@@ -2990,6 +3000,7 @@ QUERIES: dict[str, Callable] = {
     "split_leakage": q_split_leakage,
     "equiheight_histogram": q_equiheight_histogram,
     "edit_distance_pairs": q_edit_distance,
+    "join_size_estimate": q_join_size,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -3009,7 +3020,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "impute_median": q_impute_median,
     "feature_correlations": q_feature_correlations,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
@@ -3049,6 +3059,7 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch": q_quantile_sketch,
     "winsorized_stats": q_winsorized_stats,
     "zscore_outliers": q_zscore_outliers,
+    "impute_median": q_impute_median,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3459,6 +3470,24 @@ def oracle_sql() -> dict[str, str]:
                    (c[1].l + c[1].p)::BIGINT AS loop_len,
                    round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
             FROM cand
+        """,
+        "join_size_estimate": """
+            WITH lc AS (
+                SELECT l_suppkey AS k, count(*)::BIGINT AS nl
+                FROM lineitem GROUP BY 1
+            ),
+            per_key AS (
+                SELECT a.k, a.nl * b.nl AS p
+                FROM lc a JOIN lc b USING (k)
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM lineitem)
+            SELECT tot.n AS n_left, tot.n AS n_right,
+                   (SELECT count(*) FROM per_key)::BIGINT AS n_keys_overlap,
+                   (SELECT sum(p) FROM per_key)::BIGINT AS est_output_rows,
+                   (SELECT max(p) FROM per_key)::BIGINT AS max_key_output,
+                   (SELECT max(struct_pack(p := p, k := k::VARCHAR)).k
+                    FROM per_key) AS top_key
+            FROM tot
         """,
         "edit_distance_pairs": """
             -- brute force IS the oracle: on this block-homogeneous data

@@ -28,7 +28,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_constraints", "assert_constraints", "table_diff"]
+__all__ = ["check_constraints", "assert_constraints", "table_diff", "join_size_estimate"]
 
 
 def _row_violation(c: Mapping) -> Column:
@@ -209,4 +209,53 @@ def table_diff(
     return wide.select(F.explode(pairs).alias("__p")).select(
         F.col("__p.metric").alias("metric"),
         F.coalesce(F.col("__p.n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Pre-join audit: EXACT output cardinality and skew profile of the
+    equi-join ``left ⋈ right ON on`` computed WITHOUT running it — one
+    row: ``(n_left, n_right, n_keys_overlap, est_output_rows,
+    max_key_output, top_key)``.
+
+    ``Σ (count_left(k) · count_right(k))`` over shared keys IS the join's
+    output size, and ``max_key_output`` is the single hottest key's
+    contribution — the number that says "salt this key before you
+    shuffle". Cost: one map-side-combinable count per side plus a join of
+    the (distinct-key-sized) count tables — orders cheaper than the join
+    it audits; the rollup of products is a single aggregation.
+    """
+    lc = left.groupBy(F.col(on).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    rc = right.groupBy(F.col(on).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    j = lc.join(rc, "__k")
+    prod = (F.col("__nl") * F.col("__nr")).alias("__p")
+    per_key = j.select("__k", F.col("__nl"), F.col("__nr"), prod)
+    totals_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    totals_r = right.agg(F.count(F.lit(1)).alias("n_right"))
+    # struct-max tie-break: max_by alone picks an ARBITRARY key among
+    # equal products; (product, key-string) struct ordering is total
+    top = F.max(
+        F.struct(
+            F.col("__p").alias("p"), F.col("__k").cast("string").alias("k")
+        )
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys_overlap"),
+        F.sum("__p").alias("est_output_rows"),
+        F.max("__p").alias("max_key_output"),
+        top["k"].alias("top_key"),
+    )
+    return agg.crossJoin(F.broadcast(totals_l)).crossJoin(
+        F.broadcast(totals_r)
+    ).select(
+        "n_left", "n_right", "n_keys_overlap",
+        "est_output_rows", "max_key_output", "top_key",
     )

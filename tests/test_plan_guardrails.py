@@ -25,7 +25,9 @@ import __spark_entry__ as entrymod
 QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
                 # corpus-total scalar (1-row aggregate) stitched onto the
                 # per-slice vocabulary — O(1) per probe row by construction
-                "vocab_divergence"}
+                "vocab_divergence",
+                # two 1-row count scalars stitched onto the 1-row estimate
+                "join_size_estimate"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))

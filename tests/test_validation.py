@@ -117,3 +117,22 @@ def test_table_diff_empty_compare_cols_raises(spark):
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     with pytest.raises(ValueError, match="non-empty"):
         table_diff(df, df, ["k"], [])
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    """The estimate must EQUAL the realized join cardinality, and the
+    hottest key's contribution must match a hand count."""
+    from bio2bel_spark.operators.validation import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], "k long"
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 1, 2, 3, 3, 3, 8]], "k long"
+    )
+    r = join_size_estimate(left, right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r.est_output_rows == actual == 3 * 2 + 2 * 1 + 1 * 3
+    assert r.n_left == 7 and r.n_right == 7
+    assert r.n_keys_overlap == 3  # keys 1, 2, 3 (9 and 8 don't overlap)
+    assert r.max_key_output == 6 and r.top_key == "1"
