@@ -2905,6 +2905,18 @@ def q_ab_test(spark, sf_dir):
     return ab_test_report(assigned, "arm", "value")
 
 
+def q_soft_cluster(spark, sf_dir):
+    """Soft (softmax) cluster membership over the embeddings table:
+    argmax cluster + probability mass + mixture entropy per vector —
+    the boundary-content detector a hard IVF assignment hides."""
+    from bio2bel_spark.operators.similarity import soft_cluster_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return soft_cluster_assign(emb, n_clusters=8, temperature=10.0)
+
+
 def q_join_size(spark, sf_dir):
     """Pre-join audit: exact output cardinality + hottest key of the
     lineitem self-join on supplier key — the 'salt this key?' number,
@@ -3001,6 +3013,7 @@ QUERIES: dict[str, Callable] = {
     "equiheight_histogram": q_equiheight_histogram,
     "edit_distance_pairs": q_edit_distance,
     "join_size_estimate": q_join_size,
+    "soft_cluster": q_soft_cluster,
     # events.ts consumers (dtype-sensitive — the round-3 bench crash)
     "asof_join_tolerance": q_asof_join_tolerance,
     "asof_join_nearest": q_asof_join_nearest,
@@ -3020,7 +3033,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "feature_correlations": q_feature_correlations,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
     "value_histogram": q_value_histogram,
@@ -3060,6 +3072,7 @@ QUERIES: dict[str, Callable] = {
     "winsorized_stats": q_winsorized_stats,
     "zscore_outliers": q_zscore_outliers,
     "impute_median": q_impute_median,
+    "feature_correlations": q_feature_correlations,
     "triangle_count": q_triangle_count,
     "hll_grouped": q_hll_grouped,
     "training_pipeline": q_training_pipeline,
@@ -3470,6 +3483,29 @@ def oracle_sql() -> dict[str, str]:
                    (c[1].l + c[1].p)::BIGINT AS loop_len,
                    round((c[1].l + c[1].p)::DOUBLE / n, 6) AS loop_frac
             FROM cand
+        """,
+        "soft_cluster": f"""
+            {_IVF_CTE},
+            soft AS (
+                SELECT vec_id, s,
+                       list_transform(
+                           s, x -> exp(10.0 * (x - list_max(s)))
+                       ) AS e
+                FROM sims
+            ),
+            p AS (
+                SELECT vec_id,
+                       (list_position(s, list_max(s)) - 1)::INT AS cluster,
+                       list_transform(e, x -> x / list_sum(e)) AS probs
+                FROM soft
+            )
+            SELECT vec_id, cluster,
+                   round(list_max(probs), 6) AS top_prob,
+                   round(-list_sum(list_transform(
+                       probs,
+                       q -> CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END
+                   )), 6) AS entropy
+            FROM p
         """,
         "join_size_estimate": """
             WITH lc AS (

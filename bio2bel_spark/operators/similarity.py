@@ -790,3 +790,58 @@ def mean_pool_vectors(
             ).alias(out_col),
         )
     )
+
+
+def soft_cluster_assign(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    temperature: float = 10.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: "list | None" = None,
+) -> DataFrame:
+    """SOFT cluster membership (topic-mixture view of the IVF index):
+    per vector, a softmax over centroid cosines at ``temperature`` —
+    ``(id, cluster, top_prob, entropy)`` with the argmax cluster, its
+    probability mass, and the Shannon entropy (nats) of the full mixture.
+    High entropy = the vector sits between topics (boundary content, the
+    rows a hard assignment silently mis-files); low entropy = confident
+    membership. The standard soft routing for mixture-of-sources
+    curricula and cluster-balanced sampling.
+
+    Same map-only envelope as :func:`ivf_assign`: centroids inline as
+    literals (one parsed expression), the softmax is array arithmetic in
+    codegen, nothing shuffles. ``exp`` is stabilized by subtracting the
+    max cosine before exponentiation (softmax invariance), so large
+    temperatures cannot overflow.
+    """
+    cents = centroids if centroids is not None else seed_centroids(
+        embeddings, n_clusters, vec_col, id_col
+    )
+    sims = _centroid_sims(cents, vec_col)
+    t = F.lit(float(temperature))
+    mx = F.array_max(F.col("__sims"))
+    expd = F.transform(F.col("__sims"), lambda s: F.exp(t * (s - mx)))
+    tot = F.aggregate(
+        F.col("__exp"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    probs = F.transform(F.col("__exp"), lambda x: x / F.col("__tot"))
+    ent = -F.aggregate(
+        F.col("__probs"),
+        F.lit(0.0),
+        lambda acc, p: acc + F.when(p > 0, p * F.log(p)).otherwise(0.0),
+    )
+    return (
+        embeddings.withColumn("__sims", sims)
+        .withColumn("__exp", expd)
+        .withColumn("__tot", tot)
+        .withColumn("__probs", probs)
+        .select(
+            F.col(id_col),
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.round(F.array_max(F.col("__probs")), 6).alias("top_prob"),
+            F.round(ent, 6).alias("entropy"),
+        )
+    )

@@ -524,3 +524,39 @@ def test_edit_distance_blocking_covers_length_straddle(spark):
     )
     rows = edit_distance_pairs(df, "name", "id", max_dist=2, prefix_len=1).collect()
     assert [(r.id_a, r.id_b, r.dist) for r in rows] == [(1, 2, 2)]
+
+
+# ----------------------------------------------------- soft clustering
+
+
+def test_soft_cluster_assign_properties(spark):
+    """Probabilities behave like a softmax: argmax agrees with the hard
+    IVF assignment, a vector AT a centroid is confident (low entropy),
+    and entropy is bounded by ln(K)."""
+    import math
+
+    from bio2bel_spark.operators.similarity import (
+        ivf_assign,
+        soft_cluster_assign,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0]),     # exactly centroid 0 -> confident
+        (2, [0.7, 0.7]),     # between 0 and 1 -> high entropy
+        (3, [-5.0, 0.1]),    # near centroid 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    soft = {
+        r.vec_id: r
+        for r in soft_cluster_assign(df, centroids=cents, temperature=10.0).collect()
+    }
+    hard = {
+        r.vec_id: r.cluster for r in ivf_assign(df, centroids=cents).collect()
+    }
+    for i in (1, 2, 3):
+        assert soft[i].cluster == hard[i]
+        assert 0 < soft[i].top_prob <= 1
+        assert 0 <= soft[i].entropy <= math.log(3) + 1e-9
+    assert soft[1].entropy < soft[2].entropy  # boundary content is hotter
+    assert soft[1].top_prob > soft[2].top_prob
