@@ -55,6 +55,40 @@ SHOWCASE = {
         "window exchange per group, row_number cutoff — no RNG, no sort "
         "of the full table."
     ),
+    "hilbert_layout": (
+        "Hilbert reflect/rotate fold as ONE ArrayAggregate over the level "
+        "sequence — state evaluates once per level (linear in bits); the "
+        "normalization bounds are one bounded scalar aggregate."
+    ),
+    "equiheight_histogram": (
+        "Per-group percentile(array) cut points broadcast back; bin "
+        "assignment is a fold over the tiny cut array in codegen; the "
+        "count is map-side combinable."
+    ),
+    "split_leakage": (
+        "Production LSH pair pipeline (banded equi-join + exact-Jaccard "
+        "verify) joined to a pure-projection hash_split column; the final "
+        "rollup touches only verified pairs."
+    ),
+    "edit_distance_pairs": (
+        "Length-bucket + prefix blocking equi-join (never all-pairs); "
+        "in-block verify is the exact JVM levenshtein; the +1 bucket "
+        "probe covers pairs straddling a bucket boundary."
+    ),
+    "join_size_estimate": (
+        "Two map-side-combinable count tables joined on the key; the "
+        "output-size sum and hottest-key max are one aggregation — the "
+        "join being audited never runs."
+    ),
+    "soft_cluster": (
+        "Centroids inlined as one parsed expression; softmax + entropy "
+        "are array arithmetic in codegen — map-only, zero shuffles."
+    ),
+    "mean_pool": (
+        "posexplode to (group, dim, value), ONE combinable average per "
+        "(group, dim), ordered reassembly of the dimension-sized "
+        "aggregate — constant reducer memory per group."
+    ),
     "funnel_counts": (
         "Each funnel stage is a combinable per-user aggregation joined to "
         "the persisted previous stage; the fact table is scanned once per "
