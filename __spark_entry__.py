@@ -2952,11 +2952,10 @@ def q_hilbert_layout(spark, sf_dir):
     """Hilbert-curve layout of lineitem on (l_partkey, l_suppkey):
     per-curve-bucket occupancy + dimension spans — full-fidelity probe of
     the reflect/rotate fold (any level wrong moves rows across buckets)."""
-    from bio2bel_spark.operators.layout import _minmax_normalized, hilbert_value
+    from bio2bel_spark.operators.layout import hilbert_layout
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    nx, ny = _minmax_normalized(li, ["l_partkey", "l_suppkey"], 8)
-    h = li.withColumn("__h", hilbert_value(nx, ny, bits=8))
+    h = hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=8)
     return (
         h.groupBy(F.shiftrightunsigned(F.col("__h"), 8).alias("bucket"))
         .agg(
