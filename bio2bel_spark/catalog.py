@@ -142,6 +142,51 @@ class Catalog:
             [f for f in os.listdir(path) if f.endswith(".parquet")]
         )
 
+    def expire_partitions(
+        self,
+        name: str,
+        partition_col: str,
+        keep_values: Optional[Iterable] = None,
+        drop_values: Optional[Iterable] = None,
+    ) -> list:
+        """Retention for a hive-partitioned table: delete whole partition
+        directories by value — the O(#dropped-partitions) data-lifecycle
+        op (GDPR/TTL/rolling-window retention) that never rewrites or even
+        READS surviving data, unlike a filtered overwrite which costs a
+        full-table rewrite. Pass EITHER ``keep_values`` (drop everything
+        else) or ``drop_values``; values compare as their hive directory
+        string encoding (``col=value``). Returns the dropped values and
+        records one provenance action per call.
+
+        Local-filesystem listing like ``table_stats``; a cluster
+        deployment swaps in the Hadoop FileSystem API — the directory
+        semantics are identical.
+        """
+        if (keep_values is None) == (drop_values is None):
+            raise ValueError("pass exactly one of keep_values / drop_values")
+        path = self.table_path(name)
+        prefix = f"{partition_col}="
+        parts = [
+            d for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d)) and d.startswith(prefix)
+        ]
+        if not parts:
+            raise ValueError(
+                f"expire_partitions: {name!r} has no {partition_col!r} "
+                "partition directories"
+            )
+        if keep_values is not None:
+            keep = {str(v) for v in keep_values}
+            doomed = [d for d in parts if d[len(prefix):] not in keep]
+        else:
+            drop = {str(v) for v in drop_values}
+            doomed = [d for d in parts if d[len(prefix):] in drop]
+        for d in doomed:
+            shutil.rmtree(os.path.join(path, d))
+        if doomed:
+            self.store_action(name, "expire_partitions")
+        return sorted(d[len(prefix):] for d in doomed)
+
     # ------------------------------------------------------- bucketed tables
     def write_bucketed_table(
         self,

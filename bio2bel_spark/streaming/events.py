@@ -692,3 +692,90 @@ def run_topk_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_psi_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    value_col: str,
+    baseline_bounds: list,
+    state_table: str,
+    checkpoint: str,
+):
+    """Maintain the CURRENT side of a PSI drift monitor incrementally over
+    a stream: per micro-batch, bin the batch's values against the PINNED
+    baseline quantile bounds (a bounded literal list — the same
+    convention as ``stats.psi_report``) and SUM the per-bin counts into
+    the persistent ``state_table``. State is ``n_bins`` counter rows, so
+    every update is O(bins), never a rescan; read the drift at any time
+    with :func:`psi_from_state`.
+
+    Counter summing is not replay-idempotent, so the applied ``batch_id``
+    rides on the state rows and commits in the same atomic overwrite
+    (the ``run_cms_maintenance`` transactional-marker pattern, same
+    single-checkpoint caveat). NULL values are ignored, matching the
+    batch operator.
+    """
+    bounds = [float(b) for b in baseline_bounds]
+    STATE_DDL = "bin INT, cnt BIGINT, last_batch_id LONG"
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        prev = None
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
+            if marker is not None and batch_id <= marker:
+                return
+        b = F.lit(1)
+        for x in bounds:
+            b = b + (F.col(value_col) > F.lit(x)).cast("int")
+        batch_counts = (
+            batch_df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        merged = (
+            prev.select("bin", "cnt").unionByName(batch_counts)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+            if prev is not None
+            else batch_counts
+        )
+        rows = [(int(r["bin"]), int(r["cnt"]), batch_id) for r in merged.collect()]
+        catalog.write_table(
+            ss.createDataFrame(rows or [], STATE_DDL), state_table,
+            mode="overwrite",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def psi_from_state(
+    spark,
+    catalog,
+    state_table: str,
+    baseline_shares: list,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI report from a maintained bin-count state vs the pinned baseline
+    shares: ``(bin, p_baseline, p_current, psi_contrib)`` — the streaming
+    read side of ``stats.psi_report`` (same contribution formula)."""
+    n_bins = len(baseline_shares)
+    state = {r["bin"]: r["cnt"] for r in catalog.read_table(state_table).collect()}
+    total = sum(state.values()) or 1
+    rows = []
+    for i in range(1, n_bins + 1):
+        p = max(float(baseline_shares[i - 1]), eps)
+        q = max(state.get(i, 0) / total, eps)
+        import math
+
+        rows.append((i, round(p, 6), round(q, 6), round((q - p) * math.log(q / p), 6)))
+    return spark.createDataFrame(
+        rows, "bin INT, p_baseline DOUBLE, p_current DOUBLE, psi_contrib DOUBLE"
+    )

@@ -174,3 +174,36 @@ def test_table_stats_profile(spark, tmp_path):
     assert got["n_rows"] == 4.0
     assert got["n_files"] >= 1 and got["n_bytes"] > 0
     assert got["null_frac:k"] == 0.0 and got["null_frac:s"] == 0.5
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    """Dropping partitions by value removes exactly those directories —
+    surviving data is untouched (never read, never rewritten)."""
+    import pytest
+
+    from bio2bel_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}") for i in range(30)], "v long, month string"
+    )
+    cat.write_table(df, "events_m", partition_by=["month"])
+
+    dropped = cat.expire_partitions("events_m", "month", drop_values=["2024-01"])
+    assert dropped == ["2024-01"]
+    left = cat.read_table("events_m")
+    assert left.count() == 20
+    assert {r.month for r in left.select("month").distinct().collect()} == {
+        "2024-02", "2024-03",
+    }
+    # keep-form: retain only one month
+    dropped2 = cat.expire_partitions("events_m", "month", keep_values=["2024-03"])
+    assert dropped2 == ["2024-02"]
+    assert cat.read_table("events_m").count() == 10
+    # provenance recorded
+    acts = [r.action for r in cat.actions().collect()]
+    assert acts.count("expire_partitions") == 2
+    with pytest.raises(ValueError, match="exactly one"):
+        cat.expire_partitions("events_m", "month")
+    with pytest.raises(ValueError, match="partition dir"):
+        cat.expire_partitions("events_m", "nope", drop_values=["x"])

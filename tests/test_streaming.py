@@ -683,3 +683,50 @@ def test_topk_maintenance_incremental_and_bounded(spark, tmp_path_factory):
     # guarantee: every key with true count > dropped_max is present
     assert {"1", "2", "3", "4"} <= set(counts)
     assert len({r.last_batch_id for r in state}) == 1
+
+
+def test_psi_maintenance_matches_batch_report(spark, tmp_path_factory):
+    """Streaming-maintained bin counts must reproduce stats.psi_report's
+    current-side shares for the same data; drift visible after a shifted
+    second batch."""
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_psi")))
+    src = str(tmp_path_factory.mktemp("psi_src"))
+
+    def batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # baseline: uniform 0..99 -> quartile bounds and equal shares
+    bounds = [24.5, 49.5, 74.5]
+    shares = [0.25, 0.25, 0.25, 0.25]
+
+    batch([(i, _us(i), i, "e", float(i % 100), "{}") for i in range(100)])
+    ck = str(tmp_path_factory.mktemp("ck_psi"))
+    q = sev.run_psi_maintenance(
+        sev.stream_events(spark, src), catalog, "value", bounds, "psi_state", ck
+    )
+    q.awaitTermination(240)
+    rep = {
+        r.bin: r for r in sev.psi_from_state(
+            spark, catalog, "psi_state", shares
+        ).collect()
+    }
+    assert all(abs(rep[b].p_current - 0.25) < 1e-6 for b in (1, 2, 3, 4))
+    assert sum(abs(rep[b].psi_contrib) for b in rep) < 1e-6  # no drift yet
+
+    # second batch: all mass into the top bucket -> drift
+    batch([(1000 + i, _us(1000 + i), i, "e", 90.0, "{}") for i in range(300)])
+    q2 = sev.run_psi_maintenance(
+        sev.stream_events(spark, src), catalog, "value", bounds, "psi_state", ck
+    )
+    q2.awaitTermination(240)
+    rep2 = sev.psi_from_state(spark, catalog, "psi_state", shares).collect()
+    psi = sum(r.psi_contrib for r in rep2)
+    assert psi > 0.25  # action threshold crossed
+    state = catalog.read_table("psi_state").collect()
+    assert len({r.last_batch_id for r in state}) == 1
