@@ -154,9 +154,13 @@ class Catalog:
         op (GDPR/TTL/rolling-window retention) that never rewrites or even
         READS surviving data, unlike a filtered overwrite which costs a
         full-table rewrite. Pass EITHER ``keep_values`` (drop everything
-        else) or ``drop_values``; values compare as their hive directory
-        string encoding (``col=value``). Returns the dropped values and
-        records one provenance action per call.
+        else) or ``drop_values``; directory suffixes are URL-unquoted
+        before comparing, so values hive-escapes on write (space, ``/``,
+        ``:`` → ``%XX``) match the caller's RAW value. A requested value
+        that matches no partition directory raises — for ``keep_values``
+        the failure direction would otherwise be irreversible deletion of
+        a partition the caller asked to keep. Returns the dropped (raw)
+        values and records one provenance action per call.
 
         Local-filesystem listing like ``table_stats``; a cluster
         deployment swaps in the Hadoop FileSystem API — the directory
@@ -175,17 +179,28 @@ class Catalog:
                 f"expire_partitions: {name!r} has no {partition_col!r} "
                 "partition directories"
             )
+        from urllib.parse import unquote
+
+        # raw partition value -> directory name (hive %XX-escapes decoded)
+        raw_of = {d: unquote(d[len(prefix):]) for d in parts}
+        present = set(raw_of.values())
+        requested = {str(v) for v in (keep_values if keep_values is not None else drop_values)}
+        missing = requested - present
+        if missing:
+            raise ValueError(
+                f"expire_partitions: {sorted(missing)!r} match no "
+                f"{partition_col!r} partition of {name!r} (present: "
+                f"{sorted(present)!r})"
+            )
         if keep_values is not None:
-            keep = {str(v) for v in keep_values}
-            doomed = [d for d in parts if d[len(prefix):] not in keep]
+            doomed = [d for d in parts if raw_of[d] not in requested]
         else:
-            drop = {str(v) for v in drop_values}
-            doomed = [d for d in parts if d[len(prefix):] in drop]
+            doomed = [d for d in parts if raw_of[d] in requested]
         for d in doomed:
             shutil.rmtree(os.path.join(path, d))
         if doomed:
             self.store_action(name, "expire_partitions")
-        return sorted(d[len(prefix):] for d in doomed)
+        return sorted(raw_of[d] for d in doomed)
 
     # ------------------------------------------------------- bucketed tables
     def write_bucketed_table(

@@ -1048,6 +1048,39 @@ def ngram_contamination(
     )
 
 
+def lsh_bucket_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    backend: str = "md5",
+) -> DataFrame:
+    """Observability for the LSH hub guard: ONE summary row —
+    ``(n_buckets, n_dropped_buckets, max_bucket_size, n_docs_in_dropped)``
+    — showing how much of the banded index a ``max_bucket`` cap excludes
+    from the candidate join. The docs in oversized buckets are exactly the
+    near-identical boilerplate most likely to be duplicated, so any audit
+    built on ``lsh_candidate_pairs`` (contamination, split leakage) should
+    run this alongside and either widen ``max_bucket`` or report the gap
+    when ``n_dropped_buckets > 0``. Pure grouped count over the banded
+    table — no pair join, safe at any scale.
+    """
+    banded = _banded_buckets(docs, text_col, id_col, n_hashes, bands, backend)
+    counts = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum((F.col("sz") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.max("sz").cast("long").alias("max_bucket_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("sz") > max_bucket, F.col("sz"))), F.lit(0)
+        ).cast("long").alias("n_docs_in_dropped"),
+    )
+
+
 def split_leakage_report(
     docs: DataFrame,
     fractions,
@@ -1056,6 +1089,7 @@ def split_leakage_report(
     n_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
     backend: str = "md5",
 ) -> DataFrame:
     """Train/test contamination audit: near-duplicate pairs (MinHash-LSH
@@ -1072,13 +1106,23 @@ def split_leakage_report(
     projection; the final rollup touches only the (tiny) verified-pair
     set. Run it BEFORE training, fix leaks by splitting on a
     near-dup-cluster key instead of the raw document id.
+
+    ``max_bucket`` is the hub guard inherited from
+    :func:`lsh_candidate_pairs`: buckets larger than it are excluded from
+    the pair join, and the excluded docs (boilerplate/near-empty texts)
+    are precisely the ones most likely to leak across splits — for an
+    AUDIT, widen it as far as the cluster affords, and check
+    :func:`lsh_bucket_audit` with the same parameters to see how many
+    docs the guard excluded (``n_dropped_buckets > 0`` means this report
+    UNDERSTATES contamination).
     """
     from bio2bel_spark.operators.sketch import split_column
 
     pairs = jaccard_verify(
         lsh_candidate_pairs(
             docs, text_col=text_col, id_col=id_col,
-            n_hashes=n_hashes, bands=bands, backend=backend,
+            n_hashes=n_hashes, bands=bands, max_bucket=max_bucket,
+            backend=backend,
         ),
         docs,
         text_col=text_col,

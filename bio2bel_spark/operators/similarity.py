@@ -771,24 +771,46 @@ def mean_pool_vectors(
     one row per dimension) aggregated table. Never collects a group's
     vector LIST anywhere — per-reducer state is one running sum per
     (group, dim), so million-vector groups pool in constant memory.
+
+    Degenerate inputs are explicit, not silent: ``n_vectors`` counts the
+    group's non-null, non-empty vectors BEFORE the explode (null/empty
+    embeddings are excluded from the mean but still visible in the gap
+    between ``n_vectors`` and the group's row count); a RAGGED group
+    (vectors of different lengths — per-dimension counts disagree, so
+    each dimension would average over a different denominator) yields a
+    NULL ``out_col`` rather than a silently skewed mean. Groups with no
+    usable vector at all return ``(by, 0, NULL)``.
     """
+    counts = df.groupBy(by).agg(
+        F.count(
+            F.when(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) > 0), F.lit(1)
+            )
+        ).cast("long").alias("n_vectors")
+    )
     exploded = df.select(
         F.col(by), F.posexplode(F.col(vec_col)).alias("__d", "__v")
     )
     per_dim = exploded.groupBy(by, "__d").agg(
         F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
     )
-    return (
+    pooled = (
         per_dim.groupBy(by)
         .agg(
-            F.max("__n").cast("long").alias("n_vectors"),
+            F.min("__n").alias("__nlo"),
+            F.max("__n").alias("__nhi"),
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("__d"), F.col("__m")))
                 ),
                 lambda s: F.round(s["__m"], 6),
-            ).alias(out_col),
+            ).alias("__pool"),
         )
+    )
+    return counts.join(pooled, by, "left").select(
+        F.col(by),
+        F.col("n_vectors"),
+        F.when(F.col("__nlo") == F.col("__nhi"), F.col("__pool")).alias(out_col),
     )
 
 

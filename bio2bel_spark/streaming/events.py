@@ -637,13 +637,21 @@ def run_topk_maintenance(
     style.
 
     Per batch: count the batch's keys (map-side combinable), SUM into the
-    surviving counters, keep the top ``m`` by ``(cnt desc, key asc)`` via
-    TakeOrdered (bounded driver transfer — never the full key space), and
-    record ``dropped_max`` = the largest counter ever evicted. The summary
-    guarantee that makes the truncation honest: a kept key's TRUE count
-    lies in ``[cnt, cnt + dropped_max]``, and any key whose true count
-    exceeds ``dropped_max`` is guaranteed present — so read top-k with
-    ``k << m`` and treat ``dropped_max`` as the error bar.
+    surviving counters — a key ABSENT from the previous state is credited
+    with the running eviction floor ``dropped_max`` on (re-)admission,
+    space-saving style, so evict/re-admit cycles cannot silently shed a
+    steady key's history — keep the top ``m`` by ``(cnt desc, key asc)``
+    via TakeOrdered (bounded driver transfer — never the full key space),
+    and record ``dropped_max`` = the largest counter ever evicted. The
+    floor credit makes counters OVERestimates, which is what makes the
+    truncation honest: a kept key's TRUE count lies in
+    ``[cnt - dropped_max, cnt]``, and any key whose true count exceeds
+    ``dropped_max`` is guaranteed present (if it were absent, its last
+    evicted counter — itself ≥ its true count, by the same induction —
+    would have raised ``dropped_max`` past it). Read top-k with
+    ``k << m`` and treat ``dropped_max`` as the error bar; adversarial
+    evict/re-admit streams are covered by
+    ``tests/test_streaming.py::test_topk_maintenance_readmission_floor``.
 
     Counter summing is NOT replay-idempotent, so the last applied
     ``batch_id`` rides on the state rows and commits in the same atomic
@@ -669,13 +677,24 @@ def run_topk_maintenance(
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        merged = (
-            prev.select("key", "cnt").unionByName(batch_counts)
-            .groupBy("key")
-            .agg(F.sum("cnt").alias("cnt"))
-            if prev is not None
-            else batch_counts
-        )
+        if prev is not None:
+            # space-saving admission credit: a batch key with no surviving
+            # counter inherits the eviction floor on (re-)admission, so
+            # counters stay OVERestimates across evict/re-admit cycles
+            prev_keys = prev.select("key")
+            admitted = batch_counts.join(prev_keys, "key", "left_anti").withColumn(
+                "cnt", F.col("cnt") + F.lit(int(dropped_prev))
+            )
+            surviving = batch_counts.join(prev_keys, "key", "left_semi")
+            merged = (
+                prev.select("key", "cnt")
+                .unionByName(surviving)
+                .unionByName(admitted)
+                .groupBy("key")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_counts
         # top-(m+1) via TakeOrdered: row m+1 (if any) is the eviction floor
         top = merged.orderBy(F.desc("cnt"), F.asc("key")).limit(m + 1).collect()
         kept, evicted = top[:m], top[m:]

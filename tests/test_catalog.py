@@ -207,3 +207,28 @@ def test_expire_partitions_retention(spark, tmp_path):
         cat.expire_partitions("events_m", "month")
     with pytest.raises(ValueError, match="partition dir"):
         cat.expire_partitions("events_m", "nope", drop_values=["x"])
+    # a requested value matching no partition raises instead of silently
+    # no-opping (drop form) or deleting everything else (keep form)
+    with pytest.raises(ValueError, match="match no"):
+        cat.expire_partitions("events_m", "month", keep_values=["2024-09"])
+    assert cat.read_table("events_m").count() == 10  # nothing deleted
+
+
+def test_expire_partitions_hive_escaped_values(spark, tmp_path):
+    """Partition values hive-escapes on write (space, ':' -> %XX) must
+    compare against the caller's RAW value — keep_values naming an
+    escaped partition must not delete it."""
+    from bio2bel_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c:d"), (4, "plain")],
+        "v long, tag string",
+    )
+    cat.write_table(df, "tagged", partition_by=["tag"])
+    # keep the escaped-on-disk partition: it must survive
+    dropped = cat.expire_partitions("tagged", "tag", keep_values=["a b"])
+    assert sorted(dropped) == ["c:d", "plain"]
+    left = cat.read_table("tagged")
+    assert left.count() == 2
+    assert {r.tag for r in left.select("tag").distinct().collect()} == {"a b"}

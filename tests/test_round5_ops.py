@@ -410,6 +410,31 @@ def test_mean_pool_vectors_model(spark):
     assert list(rows["d2"].embedding) == [10.0, 0.0, -10.0]
 
 
+def test_mean_pool_vectors_degenerate_groups(spark):
+    """Ragged groups null out instead of averaging each dimension over a
+    different denominator; null/empty vectors are excluded from the mean
+    but the count makes the exclusion visible; all-null groups survive
+    with n_vectors=0."""
+    from bio2bel_spark.operators.similarity import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [
+            ("ragged", [1.0, 2.0, 3.0]),
+            ("ragged", [3.0, 4.0]),          # shorter: per-dim counts disagree
+            ("hasnull", [2.0, 4.0]),
+            ("hasnull", None),                # excluded, still visible in count
+            ("hasnull", []),                  # empty behaves like null
+            ("allnull", None),
+        ],
+        "doc string, embedding array<double>",
+    )
+    rows = {r.doc: r for r in mean_pool_vectors(df, "doc").collect()}
+    assert rows["ragged"].embedding is None and rows["ragged"].n_vectors == 2
+    assert rows["hasnull"].n_vectors == 1
+    assert list(rows["hasnull"].embedding) == [2.0, 4.0]
+    assert rows["allnull"].n_vectors == 0 and rows["allnull"].embedding is None
+
+
 def test_robust_scale_model(spark):
     from bio2bel_spark.operators.stats import robust_scale
 
@@ -459,6 +484,40 @@ def test_split_leakage_surfaces_cross_split_neardups(spark):
         ).collect()
     }
     assert rows.get(("test", "train"), 0) >= 1  # the leak is visible
+
+
+def test_lsh_bucket_audit_observes_hub_guard(spark):
+    """The audit reports how many docs a max_bucket cap excludes from the
+    candidate join, and split_leakage_report's exposed max_bucket widens
+    the guard so hub-bucket leaks become visible."""
+    from bio2bel_spark.operators.dedup import (
+        lsh_bucket_audit,
+        split_leakage_report,
+    )
+
+    # 12 identical boilerplate docs: every band collapses to one hot bucket
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate footer text repeated on every page here")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    audit = lsh_bucket_audit(docs, max_bucket=5).collect()[0]
+    assert audit.n_dropped_buckets > 0
+    assert audit.max_bucket_size == 12
+    assert audit.n_docs_in_dropped > 0
+    # with the guard below the hub size, the leakage report sees NOTHING...
+    capped = split_leakage_report(
+        docs, {"train": 0.5, "test": 0.5}, threshold=0.5, max_bucket=5
+    ).count()
+    assert capped == 0
+    # ...widening max_bucket past the hub makes the cross-split dups visible
+    widened = split_leakage_report(
+        docs, {"train": 0.5, "test": 0.5}, threshold=0.5, max_bucket=100
+    )
+    assert widened.agg(F.sum("n_pairs")).collect()[0][0] >= 12 * 11 // 2 * 0.5
+    # an uncapped audit reports a clean guard
+    clean = lsh_bucket_audit(docs, max_bucket=100).collect()[0]
+    assert clean.n_dropped_buckets == 0 and clean.n_docs_in_dropped == 0
 
 
 def test_equiheight_histogram_model(spark):

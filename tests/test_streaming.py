@@ -685,6 +685,48 @@ def test_topk_maintenance_incremental_and_bounded(spark, tmp_path_factory):
     assert len({r.last_batch_id for r in state}) == 1
 
 
+def test_topk_maintenance_readmission_floor(spark, tmp_path_factory):
+    """Adversarial evict/re-admit stream: a steady key that is evicted
+    every batch must keep raising the eviction floor (space-saving
+    admission credit), so its absence stays honest — true count never
+    exceeds dropped_max. Without the credit, dropped_max would freeze at
+    the first batch's count while the key's true count grows unbounded."""
+    from bio2bel_spark.catalog import Catalog
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_topk_floor")))
+    src = str(tmp_path_factory.mktemp("topk_floor_src"))
+    ck = str(tmp_path_factory.mktemp("ck_topk_floor"))
+
+    def batch(offset):
+        rows = [(offset + i, _us(offset + i), 1, "click", 1.0, "{}") for i in range(10)]
+        rows += [(offset + 10 + i, _us(offset + 10 + i), 2, "click", 1.0, "{}") for i in range(10)]
+        rows += [(offset + 20 + i, _us(offset + 20 + i), 7, "click", 1.0, "{}") for i in range(3)]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    for n in range(3):
+        batch(1000 * n)
+        q = sev.run_topk_maintenance(
+            sev.stream_events(spark, src), catalog, "user_id", "topk_state", ck, m=2
+        )
+        q.awaitTermination(240)
+
+    state = {r.key: r for r in catalog.read_table("topk_state").collect()}
+    # heavy keys present and exact (never evicted)
+    assert state["1"].cnt == 30 and state["2"].cnt == 30
+    # the steady key (true count 9) was evicted every batch; the floor must
+    # have tracked its accumulated credit: 3 -> 3+3=6 -> 6+3=9
+    dropped_max = max(r.dropped_max for r in state.values())
+    assert dropped_max == 9
+    # absence guarantee holds: the absent key's true count (9) <= dropped_max
+    assert "7" not in state and 9 <= dropped_max
+    # overestimate bound for kept keys: cnt - dropped_max <= true <= cnt
+    assert state["1"].cnt - dropped_max <= 30 <= state["1"].cnt
+
+
 def test_psi_maintenance_matches_batch_report(spark, tmp_path_factory):
     """Streaming-maintained bin counts must reproduce stats.psi_report's
     current-side shares for the same data; drift visible after a shifted
