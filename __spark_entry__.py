@@ -2859,6 +2859,108 @@ def q_split_leakage(spark, sf_dir):
     )
 
 
+def q_incremental_fuzzy(spark, sf_dir):
+    """Multi-increment replay of the persistent-LSH-index admission gate
+    (``incremental_fuzzy_dedup``): the augmented corpus arrives as three
+    batches (``doc_id % 3`` — the +10000 perturbed twins land one batch
+    AFTER their base, so the cross-batch gate does real work), each batch
+    is within-batch fuzzy-deduped then admitted against the band index
+    accumulated from earlier increments. Returns every admitted doc with
+    its batch — the final survivor set the DuckDB twin replays exactly
+    (same md5 MinHash signatures, same 8-band bucket slices, same
+    estimated-Jaccard >= 0.5 admission rule). Fresh throwaway warehouse
+    per call, so replays are deterministic."""
+    import tempfile
+
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.dedup import incremental_fuzzy_dedup
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="incfuzzy_"))
+    docs = _docs_augmented(spark, sf_dir)
+    parts = []
+    for k in range(3):
+        admitted = incremental_fuzzy_dedup(
+            cat,
+            docs.filter(F.col("doc_id") % 3 == k),
+            index_table="fz_idx",
+            n_hashes=16,
+            bands=8,
+            threshold=0.5,
+        )
+        parts.append(
+            admitted.select("doc_id", F.lit(k).cast("int").alias("batch"))
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def q_topk_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming top-k maintainer: three
+    micro-batches (``event_id % 3``) folded through ``topk_merge_batch``
+    — the EXACT state transition ``run_topk_maintenance`` applies per
+    micro-batch (space-saving truncation at m=16, admission credit for
+    re-admitted keys, running eviction floor). Returns the final
+    ``(key, cnt, dropped_max)`` state; the DuckDB twin replays the same
+    three truncations with window-ranked CTEs. NULL user_ids are
+    filtered on both sides (engine null-ordering differs)."""
+    from bio2bel_spark.streaming.events import topk_merge_batch
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    state, dropped = None, 0
+    for k in range(3):
+        kept, dropped = topk_merge_batch(
+            state,
+            ev.filter(F.col("event_id") % 3 == k),
+            "user_id",
+            m=16,
+            dropped_prev=dropped,
+        )
+        state = spark.createDataFrame(kept, "key string, cnt long")
+    return state.select(
+        "key", "cnt", F.lit(int(dropped)).cast("long").alias("dropped_max")
+    )
+
+
+#: pinned PSI baseline for the maintainer twin: quartile-ish bounds over
+#: events.value and a uniform baseline share per bin (the pinned-literal
+#: convention of stats.psi_report)
+_PSI_M_BOUNDS = [15.0, 35.0, 70.0]
+
+
+def q_psi_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming PSI maintainer: three
+    micro-batches binned by ``psi_bin_counts`` (the maintainer's exact
+    binning step) and SUMmed into one counter state, then the drift
+    report vs the pinned uniform baseline — the engine-side mirror of
+    ``psi_from_state`` (same eps floor and contribution formula)."""
+    from pyspark.sql import Window
+
+    from bio2bel_spark.streaming.events import psi_bin_counts
+
+    ev = _t(spark, sf_dir, "events")
+    state = None
+    for k in range(3):
+        bc = psi_bin_counts(
+            ev.filter(F.col("event_id") % 3 == k), "value", _PSI_M_BOUNDS
+        )
+        state = bc if state is None else (
+            state.unionByName(bc).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+        )
+    baseline = spark.createDataFrame(
+        [(i + 1, 0.25) for i in range(len(_PSI_M_BOUNDS) + 1)],
+        "bin int, p_baseline double",
+    )
+    joined = baseline.join(state, "bin", "left")
+    tot = F.sum(F.coalesce("cnt", F.lit(0))).over(Window.partitionBy(F.lit(1)))
+    q = F.greatest(F.coalesce("cnt", F.lit(0)) / tot, F.lit(1e-6))
+    p = F.greatest(F.col("p_baseline"), F.lit(1e-6))
+    return joined.select(
+        "bin",
+        "p_baseline",
+        F.round(q, 6).alias("p_current"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_contrib"),
+    )
+
+
 def q_mean_pool(spark, sf_dir):
     """Multi-vector mean-pooling: embeddings grouped 16-ways pooled to one
     vector per group (token→document reduction). Means scaled to 1e6
@@ -2994,6 +3096,12 @@ QUERIES: dict[str, Callable] = {
     # pathway_enrichment, pricing_summary — green since round 1/2 —
     # kmeans_assign, embedding_dedup, deterministic_shuffle) rotated just
     # past the marker, all still hash-checked by the local oracle sweep
+    # round-6 additions: newest operators take the first slots (standing
+    # rotation convention); displaced stable queries move just past the
+    # marker and stay in the local oracle sweep
+    "incremental_fuzzy": q_incremental_fuzzy,
+    "topk_maintenance": q_topk_maintenance,
+    "psi_maintenance": q_psi_maintenance,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3058,9 +3166,12 @@ QUERIES: dict[str, Callable] = {
     # rows-only checked either way, tfidf_top_terms is hash-checked by the
     # local oracle sweep — moved just past the window)
     "dup_span_profile": q_dup_span_profile,
+    # ---- end of the driver's 50-query correctness window ----
+    # round-6 rotation: the dup-span pair (green since round 4) displaced
+    # by incremental_fuzzy + the two maintainer batch twins; all still
+    # hash-checked by the local oracle sweep
     "dup_span_scrub": q_dup_span_scrub,
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
-    # ---- end of the driver's 50-query correctness window ----
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "interval_join": q_interval_join,
@@ -3359,6 +3470,167 @@ def oracle_sql() -> dict[str, str]:
             JOIN sp a ON vpairs.id_a = a.doc_id
             JOIN sp b ON vpairs.id_b = b.doc_id
             GROUP BY 1, 2
+        """,
+        # multi-increment replay of the persistent band index: within-batch
+        # exact-jaccard components (LSH recall on this corpus is exact —
+        # proven by the green split_leakage/dedup_fuzzy twins), then the
+        # cross-batch admission gate replayed with the SAME md5 minhash
+        # signatures, 8-band slice buckets, and estimated-jaccard >= 0.5
+        # rule the Spark operator uses
+        "incremental_fuzzy": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM vpairs WHERE id_a % 3 = id_b % 3
+                UNION
+                SELECT id_b AS a, id_a AS b FROM vpairs WHERE id_a % 3 = id_b % 3
+            ),
+            reach(node, label) AS (
+                SELECT a AS node, a AS label FROM edges
+                UNION
+                SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS c FROM reach GROUP BY node),
+            wsurv AS (
+                SELECT d.doc_id, (d.doc_id % 3)::INT AS batch
+                FROM aug d LEFT JOIN comp ON d.doc_id = comp.node
+                WHERE coalesce(comp.c, d.doc_id) = d.doc_id
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       list_transform(range(0, 16), i -> list_min(
+                           list_transform(hashes,
+                               h -> ((2*i + 1) * h + i*i + i + 41) % 2147483647
+                           ))) AS sig
+                FROM hs
+            ),
+            banded AS (
+                SELECT s.doc_id, t.b AS band,
+                       array_to_string(s.sig[2*t.b+1 : 2*t.b+2], ',') AS bucket
+                FROM sigs s CROSS JOIN range(0, 8) t(b)
+            ),
+            adm0 AS (SELECT doc_id FROM wsurv WHERE batch = 0),
+            rej1 AS (
+                SELECT DISTINCT n.doc_id
+                FROM wsurv n
+                JOIN banded bn ON bn.doc_id = n.doc_id
+                JOIN banded bh ON bh.band = bn.band AND bh.bucket = bn.bucket
+                JOIN adm0 h ON bh.doc_id = h.doc_id
+                JOIN sigs sn ON sn.doc_id = n.doc_id
+                JOIN sigs sh ON sh.doc_id = h.doc_id
+                WHERE n.batch = 1
+                  AND list_sum(list_transform(range(1, 17),
+                          i -> (sn.sig[i] = sh.sig[i])::INT)) / 16.0 >= 0.5
+            ),
+            hist2 AS (
+                SELECT doc_id FROM adm0
+                UNION ALL
+                SELECT doc_id FROM wsurv
+                WHERE batch = 1 AND doc_id NOT IN (SELECT doc_id FROM rej1)
+            ),
+            rej2 AS (
+                SELECT DISTINCT n.doc_id
+                FROM wsurv n
+                JOIN banded bn ON bn.doc_id = n.doc_id
+                JOIN banded bh ON bh.band = bn.band AND bh.bucket = bn.bucket
+                JOIN hist2 h ON bh.doc_id = h.doc_id
+                JOIN sigs sn ON sn.doc_id = n.doc_id
+                JOIN sigs sh ON sh.doc_id = h.doc_id
+                WHERE n.batch = 2
+                  AND list_sum(list_transform(range(1, 17),
+                          i -> (sn.sig[i] = sh.sig[i])::INT)) / 16.0 >= 0.5
+            )
+            SELECT w.doc_id, w.batch FROM wsurv w
+            WHERE w.batch = 0
+               OR (w.batch = 1 AND w.doc_id NOT IN (SELECT doc_id FROM rej1))
+               OR (w.batch = 2 AND w.doc_id NOT IN (SELECT doc_id FROM rej2))
+        """,
+        # three space-saving truncation steps replayed with window-ranked
+        # CTEs: per step, merge (with admission credit for keys absent from
+        # the previous state), rank by (cnt desc, key asc), keep 16, fold
+        # the largest evicted counter into the running floor
+        "topk_maintenance": """
+            WITH b0 AS (
+                SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+                FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 0
+                GROUP BY 1
+            ),
+            r0 AS (SELECT key, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+                   FROM b0),
+            s0 AS (SELECT key, cnt FROM r0 WHERE rn <= 16),
+            d0 AS (SELECT coalesce(max(cnt) FILTER (WHERE rn > 16), 0) AS d
+                   FROM r0),
+            b1 AS (
+                SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+                FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 1
+                GROUP BY 1
+            ),
+            m1 AS (
+                SELECT key, sum(cnt)::BIGINT AS cnt FROM (
+                    SELECT key, cnt FROM s0
+                    UNION ALL
+                    SELECT b.key,
+                           b.cnt + CASE WHEN s.key IS NULL
+                                        THEN (SELECT d FROM d0) ELSE 0 END
+                    FROM b1 b LEFT JOIN s0 s USING (key)
+                ) GROUP BY key
+            ),
+            r1 AS (SELECT key, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+                   FROM m1),
+            s1 AS (SELECT key, cnt FROM r1 WHERE rn <= 16),
+            d1 AS (SELECT greatest(
+                       (SELECT d FROM d0),
+                       coalesce(max(cnt) FILTER (WHERE rn > 16), 0)) AS d
+                   FROM r1),
+            b2 AS (
+                SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS cnt
+                FROM events WHERE user_id IS NOT NULL AND event_id % 3 = 2
+                GROUP BY 1
+            ),
+            m2 AS (
+                SELECT key, sum(cnt)::BIGINT AS cnt FROM (
+                    SELECT key, cnt FROM s1
+                    UNION ALL
+                    SELECT b.key,
+                           b.cnt + CASE WHEN s.key IS NULL
+                                        THEN (SELECT d FROM d1) ELSE 0 END
+                    FROM b2 b LEFT JOIN s1 s USING (key)
+                ) GROUP BY key
+            ),
+            r2 AS (SELECT key, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn
+                   FROM m2),
+            d2 AS (SELECT greatest(
+                       (SELECT d FROM d1),
+                       coalesce(max(cnt) FILTER (WHERE rn > 16), 0)) AS d
+                   FROM r2)
+            SELECT key, cnt, (SELECT d FROM d2)::BIGINT AS dropped_max
+            FROM r2 WHERE rn <= 16
+        """,
+        # counter summing is batch-order-invariant, so the replayed state
+        # equals one pass over all events; report formula mirrors
+        # psi_from_state (eps floor 1e-6, contribution (q-p)*ln(q/p))
+        "psi_maintenance": """
+            WITH cur AS (
+                SELECT 1 + (value > 15.0)::INT + (value > 35.0)::INT
+                         + (value > 70.0)::INT AS bin,
+                       count(*)::BIGINT AS cnt
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            base AS (SELECT unnest([1, 2, 3, 4]) AS bin, 0.25 AS p_baseline),
+            tot AS (SELECT sum(cnt)::DOUBLE AS t FROM cur)
+            SELECT b.bin, b.p_baseline,
+                   round(greatest(coalesce(c.cnt, 0) / (SELECT t FROM tot),
+                                  1e-6), 6) AS p_current,
+                   round((greatest(coalesce(c.cnt, 0) / (SELECT t FROM tot),
+                                   1e-6)
+                          - greatest(b.p_baseline, 1e-6))
+                         * ln(greatest(coalesce(c.cnt, 0) / (SELECT t FROM tot),
+                                       1e-6)
+                              / greatest(b.p_baseline, 1e-6)), 6)
+                       AS psi_contrib
+            FROM base b LEFT JOIN cur c USING (bin)
         """,
         "mean_pool": """
             WITH ex AS (

@@ -1184,9 +1184,13 @@ def incremental_fuzzy_dedup(
     MinHash variance (~1/√n_hashes), honest for an admission gate; an
     audit pass over admitted docs can re-verify exactly offline. Same
     serial-increment exactly-once contract as :func:`incremental_dedup`.
+    The within-batch dedup inherits ``bands`` (override via
+    ``dedup_kwargs``) so batch-local and cross-batch banding share one
+    recall profile.
 
     Returns the admitted (new, near-unique) rows of ``new_docs``.
     """
+    dedup_kwargs.setdefault("bands", bands)
     survivors = drop_fuzzy_duplicates(
         new_docs, text_col, id_col,
         n_hashes=n_hashes, threshold=threshold, backend=backend,

@@ -623,6 +623,51 @@ def run_windowed_hll_maintenance(
     )
 
 
+def topk_merge_batch(
+    prev: "DataFrame | None",
+    batch_df: DataFrame,
+    col: str,
+    m: int,
+    dropped_prev: int = 0,
+):
+    """One space-saving merge step — the pure state transition inside
+    :func:`run_topk_maintenance`, factored out so the batch-replay driver
+    query and the streaming maintainer share ONE code path. ``prev`` is
+    the surviving ``(key, cnt)`` state (or None on the first batch);
+    returns ``(kept_rows, dropped_max)`` where ``kept_rows`` is the ≤ m
+    surviving ``(key, cnt)`` tuples and ``dropped_max`` the updated
+    eviction floor. Driver transfer is bounded at ``m + 1`` rows.
+    """
+    batch_counts = (
+        batch_df.select(F.col(col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if prev is not None:
+        # space-saving admission credit: a batch key with no surviving
+        # counter inherits the eviction floor on (re-)admission, so
+        # counters stay OVERestimates across evict/re-admit cycles
+        prev_keys = prev.select("key")
+        admitted = batch_counts.join(prev_keys, "key", "left_anti").withColumn(
+            "cnt", F.col("cnt") + F.lit(int(dropped_prev))
+        )
+        surviving = batch_counts.join(prev_keys, "key", "left_semi")
+        merged = (
+            prev.select("key", "cnt")
+            .unionByName(surviving)
+            .unionByName(admitted)
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = batch_counts
+    # top-(m+1) via TakeOrdered: row m+1 (if any) is the eviction floor
+    top = merged.orderBy(F.desc("cnt"), F.asc("key")).limit(m + 1).collect()
+    kept, evicted = top[:m], top[m:]
+    dropped = max([int(dropped_prev)] + [int(r["cnt"]) for r in evicted])
+    return [(r["key"], int(r["cnt"])) for r in kept], dropped
+
+
 def run_topk_maintenance(
     stream_df: DataFrame,
     catalog,
@@ -672,34 +717,8 @@ def run_topk_maintenance(
             if head["b"] is not None and batch_id <= head["b"]:
                 return  # replay of an applied batch: skip
             dropped_prev = head["d"] or 0
-        batch_counts = (
-            batch_df.select(F.col(col).cast("string").alias("key"))
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        if prev is not None:
-            # space-saving admission credit: a batch key with no surviving
-            # counter inherits the eviction floor on (re-)admission, so
-            # counters stay OVERestimates across evict/re-admit cycles
-            prev_keys = prev.select("key")
-            admitted = batch_counts.join(prev_keys, "key", "left_anti").withColumn(
-                "cnt", F.col("cnt") + F.lit(int(dropped_prev))
-            )
-            surviving = batch_counts.join(prev_keys, "key", "left_semi")
-            merged = (
-                prev.select("key", "cnt")
-                .unionByName(surviving)
-                .unionByName(admitted)
-                .groupBy("key")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        else:
-            merged = batch_counts
-        # top-(m+1) via TakeOrdered: row m+1 (if any) is the eviction floor
-        top = merged.orderBy(F.desc("cnt"), F.asc("key")).limit(m + 1).collect()
-        kept, evicted = top[:m], top[m:]
-        dropped = max([dropped_prev] + [int(r["cnt"]) for r in evicted])
-        rows = [(r["key"], int(r["cnt"]), dropped, batch_id) for r in kept]
+        kept, dropped = topk_merge_batch(prev, batch_df, col, m, dropped_prev)
+        rows = [(k, c, dropped, batch_id) for k, c in kept]
         catalog.write_table(
             ss.createDataFrame(rows or [], STATE_DDL), state_table,
             mode="overwrite",
@@ -710,6 +729,25 @@ def run_topk_maintenance(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def psi_bin_counts(
+    batch_df: DataFrame, value_col: str, bounds: list
+) -> DataFrame:
+    """Per-batch bin counts against PINNED baseline bounds — the pure
+    binning step inside :func:`run_psi_maintenance`, factored out so the
+    batch-replay driver query and the streaming maintainer share ONE code
+    path. Bin ``i`` (1-based) holds values in ``(bounds[i-2], bounds[i-1]]``;
+    NULLs are ignored, matching the batch operator. Returns ``(bin, cnt)``.
+    """
+    b = F.lit(1)
+    for x in bounds:
+        b = b + (F.col(value_col) > F.lit(float(x))).cast("int")
+    return (
+        batch_df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -746,14 +784,7 @@ def run_psi_maintenance(
             marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
             if marker is not None and batch_id <= marker:
                 return
-        b = F.lit(1)
-        for x in bounds:
-            b = b + (F.col(value_col) > F.lit(x)).cast("int")
-        batch_counts = (
-            batch_df.where(F.col(value_col).isNotNull())
-            .groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        batch_counts = psi_bin_counts(batch_df, value_col, bounds)
         merged = (
             prev.select("bin", "cnt").unionByName(batch_counts)
             .groupBy("bin")
