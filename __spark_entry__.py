@@ -3072,6 +3072,37 @@ def q_hilbert_layout(spark, sf_dir):
     )
 
 
+def q_hilbert_layout_3d(spark, sf_dir):
+    """3-D Hilbert layout (Skilling transpose) of lineitem on
+    (l_partkey, l_suppkey, l_quantity) at bits=5: per-curve-bucket
+    occupancy + per-dimension spans — full-fidelity probe of the d-dim
+    fold (any level/dimension wrong moves rows across buckets). The
+    DuckDB twin unrolls the same transpose level-by-level in chained
+    CTEs."""
+    from bio2bel_spark.operators.layout import hilbert_layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    h = hilbert_layout(
+        li, ["l_partkey", "l_suppkey", "l_quantity"], bits=5
+    )
+    return (
+        h.groupBy(F.shiftrightunsigned(F.col("__h"), 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__h").alias("h_min"),
+            F.max("__h").alias("h_max"),
+            F.min("l_partkey").alias("part_min"),
+            F.max("l_partkey").alias("part_max"),
+            F.min("l_suppkey").alias("supp_min"),
+            F.max("l_suppkey").alias("supp_max"),
+            F.round(F.min("l_quantity"), 2).alias("qty_min"),
+            F.round(F.max("l_quantity"), 2).alias("qty_max"),
+        )
+    )
+
+
 def q_quantile_transform(spark, sf_dir):
     """Rank-normalization of account balance within each market segment —
     the outlier-immune feature transform (percent_rank window)."""
@@ -3110,6 +3141,7 @@ QUERIES: dict[str, Callable] = {
     "quantile_transform": q_quantile_transform,
     "zorder_layout": q_zorder,
     "hilbert_layout": q_hilbert_layout,
+    "hilbert_layout_3d": q_hilbert_layout_3d,
     "loop_detection": q_loop_detection,
     "ngram_contamination": q_ngram_contamination,
     "ab_test": q_ab_test,
@@ -3160,16 +3192,13 @@ QUERIES: dict[str, Callable] = {
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
     # that are fully covered by unit tests + the local oracle sweep
-    "validate_lineitem": q_validate_lineitem,
-    # substring-level dedup (newest operators = highest regression risk, so
-    # they hold window slots; the two displaced queries — pack_first_fit is
-    # rows-only checked either way, tfidf_top_terms is hash-checked by the
-    # local oracle sweep — moved just past the window)
-    "dup_span_profile": q_dup_span_profile,
     # ---- end of the driver's 50-query correctness window ----
-    # round-6 rotation: the dup-span pair (green since round 4) displaced
-    # by incremental_fuzzy + the two maintainer batch twins; all still
-    # hash-checked by the local oracle sweep
+    # round-6 rotation: validate_lineitem + the dup-span trio (all green
+    # since round 4) displaced by incremental_fuzzy, the two maintainer
+    # batch twins, and hilbert_layout_3d; all still hash-checked by the
+    # local oracle sweep
+    "validate_lineitem": q_validate_lineitem,
+    "dup_span_profile": q_dup_span_profile,
     "dup_span_scrub": q_dup_span_scrub,
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
     "asof_join": q_asof_join,
@@ -3392,6 +3421,50 @@ def oracle_sql() -> dict[str, str]:
                        d + {_s * _s} * xor(3 * {_rx}, {_ry}) AS d
                 FROM h{_k}
             )"""
+    # 3-D Skilling transpose (bits=5) unrolled: one CTE per (level, dim)
+    # step — the same sequential state updates the Spark fold performs —
+    # then Gray encode / final-xor / MSB-first interleave in closed form
+    _h3 = (
+        "g0 AS (SELECT l_partkey, l_suppkey, l_quantity, "
+        "n0 AS x0, n1 AS x1, n2 AS x2 FROM n3)"
+    )
+    _k3 = 0
+    for _q in range(4, 0, -1):
+        _Q, _P = 1 << _q, (1 << _q) - 1
+        for _i in range(3):
+            _cond = f"((x{_i} // {_Q}) % 2) = 1"
+            if _i == 0:
+                _sel = (
+                    f"CASE WHEN {_cond} THEN xor(x0, {_P}) ELSE x0 END AS x0, "
+                    "x1, x2"
+                )
+            else:
+                _tx = f"(xor(x0, x{_i}) & {_P})"
+                _x0 = (
+                    f"CASE WHEN {_cond} THEN xor(x0, {_P}) "
+                    f"ELSE xor(x0, {_tx}) END AS x0"
+                )
+                _xi = (
+                    f"CASE WHEN {_cond} THEN x{_i} "
+                    f"ELSE xor(x{_i}, {_tx}) END AS x{_i}"
+                )
+                _sel = f"{_x0}, {_xi}, x2" if _i == 1 else f"{_x0}, x1, {_xi}"
+            _k3 += 1
+            _h3 += (
+                f", g{_k3} AS (SELECT l_partkey, l_suppkey, l_quantity, "
+                f"{_sel} FROM g{_k3 - 1})"
+            )
+    _t3 = "0"
+    for _q in range(4, 0, -1):
+        _t3 = (
+            f"xor({_t3}, CASE WHEN (y2 // {1 << _q}) % 2 = 1 "
+            f"THEN {(1 << _q) - 1} ELSE 0 END)"
+        )
+    _ilv3 = " + ".join(
+        f"(((z{_i} // {1 << _j}) % 2) * {1 << (_j * 3 + (2 - _i))})"
+        for _j in range(5)
+        for _i in range(3)
+    )
     return {
         "zorder_layout": f"""
             WITH s AS (
@@ -3420,6 +3493,53 @@ def oracle_sql() -> dict[str, str]:
                    min(l_suppkey)::BIGINT AS supp_min,
                    max(l_suppkey)::BIGINT AS supp_max
             FROM z GROUP BY bucket
+        """,
+        "hilbert_layout_3d": f"""
+            WITH s3 AS (
+                SELECT min(l_partkey)::DOUBLE AS plo,
+                       max(l_partkey)::DOUBLE AS phi,
+                       min(l_suppkey)::DOUBLE AS slo,
+                       max(l_suppkey)::DOUBLE AS shi,
+                       min(l_quantity)::DOUBLE AS qlo,
+                       max(l_quantity)::DOUBLE AS qhi
+                FROM lineitem
+            ),
+            n3 AS (
+                SELECT l_partkey, l_suppkey, l_quantity,
+                       least(floor((l_partkey::DOUBLE - plo) / (phi - plo)
+                                   * 32)::BIGINT, 31) AS n0,
+                       least(floor((l_suppkey::DOUBLE - slo) / (shi - slo)
+                                   * 32)::BIGINT, 31) AS n1,
+                       least(floor((l_quantity::DOUBLE - qlo) / (qhi - qlo)
+                                   * 32)::BIGINT, 31) AS n2
+                FROM lineitem, s3
+            ),
+            {_h3},
+            gray AS (
+                SELECT l_partkey, l_suppkey, l_quantity,
+                       x0 AS y0, xor(x1, x0) AS y1,
+                       xor(x2, xor(x1, x0)) AS y2
+                FROM g{_k3}
+            ),
+            fin AS (
+                SELECT l_partkey, l_suppkey, l_quantity,
+                       xor(y0, {_t3}) AS z0, xor(y1, {_t3}) AS z1,
+                       xor(y2, {_t3}) AS z2
+                FROM gray
+            ),
+            hv AS (
+                SELECT l_partkey, l_suppkey, l_quantity, {_ilv3} AS h
+                FROM fin
+            )
+            SELECT h // 128 AS bucket, count(*)::BIGINT AS n_rows,
+                   min(h)::BIGINT AS h_min, max(h)::BIGINT AS h_max,
+                   min(l_partkey)::BIGINT AS part_min,
+                   max(l_partkey)::BIGINT AS part_max,
+                   min(l_suppkey)::BIGINT AS supp_min,
+                   max(l_suppkey)::BIGINT AS supp_max,
+                   round(min(l_quantity), 2) AS qty_min,
+                   round(max(l_quantity), 2) AS qty_max
+            FROM hv GROUP BY bucket
         """,
         "ngram_contamination": """
             WITH norm AS (

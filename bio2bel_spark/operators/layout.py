@@ -35,6 +35,7 @@ __all__ = [
     "zorder_value",
     "zorder_layout",
     "hilbert_value",
+    "hilbert_value_nd",
     "hilbert_layout",
     "file_stats",
     "pruning_selectivity",
@@ -152,6 +153,76 @@ def hilbert_value(x: Column, y: Column, bits: int = 8) -> Column:
     return F.aggregate(levels, init, step, lambda acc: acc["d"])
 
 
+def hilbert_value_nd(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Hilbert-curve index of an already-normalized d-dimensional integer
+    point, any ``d >= 2`` — the arity-general companion to the 2-D
+    reflect/rotate fold, via Skilling's transpose algorithm (J. Skilling,
+    "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004): undo the
+    excess rotations level-by-level, Gray-encode across dimensions, then
+    bit-interleave MSB-first. Bijective on the full ``2^(d*bits)`` grid
+    with unit-step adjacency between consecutive indices (machine-checked
+    in ``tests/test_layout.py`` for d = 2 and 3).
+
+    Shaped like the 2-D fold: the level loop is ONE ``aggregate`` over the
+    level sequence carrying the d coordinates as a struct (state evaluates
+    once per level); the dimension loop, Gray chain, and interleave are
+    Python-unrolled over the fold's BOUND accumulator variable, so nothing
+    re-evaluates per term. Bit tests inside the fold use division
+    arithmetic (shift-by-column is unavailable in codegen). Note the
+    d = 2 orientation differs from :func:`hilbert_value` (both are true
+    Hilbert curves; locality properties are identical).
+
+    ``d * bits`` must fit a signed long (<= 62).
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_value_nd needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"n_cols*bits = {n * bits} exceeds the 62-bit budget")
+    levels = F.sequence(F.lit(bits - 1), F.lit(1), F.lit(-1))
+    init = F.struct(
+        *[c.cast("long").alias(f"x{i}") for i, c in enumerate(cols)]
+    )
+
+    def step(acc, q):
+        big_q = F.pow(F.lit(2.0), q).cast("long")
+        p = big_q - 1
+        xs = [acc[f"x{i}"] for i in range(n)]
+        for i in range(n):
+            hi_bit = ((xs[i] / big_q).cast("long") % 2) == 1
+            if i == 0:
+                # t = (x0 ^ x0) & p = 0: the else-branch is a no-op
+                xs[0] = F.when(hi_bit, xs[0].bitwiseXOR(p)).otherwise(xs[0])
+            else:
+                t = xs[0].bitwiseXOR(xs[i]).bitwiseAND(p)
+                x0_new = F.when(hi_bit, xs[0].bitwiseXOR(p)).otherwise(
+                    xs[0].bitwiseXOR(t)
+                )
+                xi_new = F.when(hi_bit, xs[i]).otherwise(xs[i].bitwiseXOR(t))
+                xs[0], xs[i] = x0_new, xi_new
+        return F.struct(*[x.alias(f"x{i}") for i, x in enumerate(xs)])
+
+    def finish(acc):
+        xs = [acc[f"x{i}"] for i in range(n)]
+        for i in range(1, n):  # Gray encode across dimensions
+            xs[i] = xs[i].bitwiseXOR(xs[i - 1])
+        t = F.lit(0).cast("long")
+        for q in range(bits - 1, 0, -1):
+            bit = F.shiftrightunsigned(xs[n - 1], q).bitwiseAND(F.lit(1))
+            t = t.bitwiseXOR(bit * F.lit((1 << q) - 1))
+        xs = [x.bitwiseXOR(t) for x in xs]
+        h = F.lit(0).cast("long")
+        for j in range(bits):  # MSB-first interleave across dimensions
+            for i in range(n):
+                h = h + F.shiftleft(
+                    F.shiftrightunsigned(xs[i], j).bitwiseAND(F.lit(1)),
+                    j * n + (n - 1 - i),
+                )
+        return h
+
+    return F.aggregate(levels, init, step, finish)
+
+
 def hilbert_layout(
     df: DataFrame,
     cols: Sequence[str],
@@ -159,28 +230,41 @@ def hilbert_layout(
     n_partitions: int | None = None,
     out_col: str = "__h",
 ) -> DataFrame:
-    """:func:`zorder_layout`'s Hilbert twin (2-D only): normalize both
+    """:func:`zorder_layout`'s Hilbert twin, any arity >= 2: normalize the
     columns to ``bits``-bit integers, attach the Hilbert index, and
     range-partition by it. Same single-shuffle envelope; tighter per-file
-    bounding boxes than the Z-curve on range predicates."""
-    if len(list(cols)) != 2:
-        raise ValueError("hilbert_layout is 2-D: pass exactly two columns")
-    nx, ny = _minmax_normalized(df, cols, bits)
-    # the curve index is a pure function of the (<= 2^(2*bits)) grid CELL,
-    # so the (interpreted) reflect/rotate fold runs once per DISTINCT cell
-    # and broadcast-joins back — at bits=8 that is <= 65,536 fold
-    # evaluations regardless of table size (measured 7.8 s -> sub-second
-    # per-row cost at sf0.1), and the join is a map-side broadcast
-    cells = (
-        df.select(nx.alias("__cx"), ny.alias("__cy"))
-        .distinct()
-        .withColumn(
-            out_col, hilbert_value(F.col("__cx"), F.col("__cy"), bits=bits)
+    bounding boxes than the Z-curve on range predicates. d = 2 uses the
+    reflect/rotate fold (:func:`hilbert_value`), d >= 3 the Skilling
+    transpose (:func:`hilbert_value_nd`)."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("hilbert_layout needs at least two columns")
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"n_cols*bits = {len(cols) * bits} exceeds the 62-bit budget"
         )
+    norms = _minmax_normalized(df, cols, bits)
+    cell_cols = [f"__c{i}" for i in range(len(cols))]
+    # the curve index is a pure function of the (<= 2^(d*bits)) grid CELL,
+    # so the (interpreted) curve fold runs once per DISTINCT cell and
+    # broadcast-joins back — bounded by the grid size regardless of table
+    # size (measured 7.8 s -> 2 s at sf0.1 for d=2, bits=8), and the join
+    # is a map-side broadcast
+    if len(cols) == 2:
+        curve = hilbert_value(
+            F.col(cell_cols[0]), F.col(cell_cols[1]), bits=bits
+        )
+    else:
+        curve = hilbert_value_nd([F.col(c) for c in cell_cols], bits=bits)
+    cells = (
+        df.select(*[nv.alias(cc) for nv, cc in zip(norms, cell_cols)])
+        .distinct()
+        .withColumn(out_col, curve)
     )
-    out = df.withColumn("__cx", nx).withColumn("__cy", ny).join(
-        F.broadcast(cells), ["__cx", "__cy"]
-    ).drop("__cx", "__cy")
+    out = df
+    for nv, cc in zip(norms, cell_cols):
+        out = out.withColumn(cc, nv)
+    out = out.join(F.broadcast(cells), cell_cols).drop(*cell_cols)
     if n_partitions:
         return out.repartitionByRange(n_partitions, F.col(out_col))
     return out.repartitionByRange(F.col(out_col))
