@@ -519,6 +519,7 @@ def equiheight_histogram(
     value_col: str,
     by: str,
     n_bins: int = 10,
+    approx: bool = False,
 ) -> DataFrame:
     """Equi-HEIGHT histogram per group: bins are the group's own quantile
     intervals, so every bin holds ~``1/n_bins`` of the rows — the
@@ -527,18 +528,28 @@ def equiheight_histogram(
     ``(by, bin, n, bin_min, bin_max)`` with observed per-bin extremes.
 
     Two grouped aggregations (the ``winsorized_stats`` shape): the
-    ``n_bins - 1`` interior cut points per group come from ONE exact
+    ``n_bins - 1`` interior cut points per group come from ONE
     ``percentile(array)`` call, broadcast back; bin assignment is a pure
     fold over that tiny cut array (``1 + #cuts below v``) inside codegen;
     the final count is map-side combinable. Values equal to a cut land in
     the lower bin (``>`` strictly), so assignment is a pure function of
     the value.
+
+    ``approx=True`` swaps the exact sort-based ``percentile`` for the
+    MERGEABLE ``approx_percentile`` (Greenwald-Khanna at Spark's default
+    accuracy 10000 — rank error <= 1/10000 of the group size, so a bin's
+    share is ``1/n_bins ± 1e-4``): at 100 TB with high-cardinality
+    groups the exact tier's per-group sort is the bottleneck, while the
+    sketch is one combinable pass (the ``winsorized_stats`` convention).
+    Bin COUNTS stay exact either way — only the cut placement is
+    approximate.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
+    fn = "approx_percentile" if approx else "percentile"
     fracs = ", ".join(str(i / n_bins) for i in range(1, n_bins))
     cuts = df.where(F.col(value_col).isNotNull()).groupBy(by).agg(
-        F.expr(f"percentile({value_col}, array({fracs}))").alias("__cuts")
+        F.expr(f"{fn}({value_col}, array({fracs}))").alias("__cuts")
     )
     v = F.col(value_col)
     bin_ = F.lit(1) + F.aggregate(

@@ -97,6 +97,32 @@ def test_quantile_sketch_is_take_ordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_bloom_probe_stage_is_exchange_free(spark, sf_dir):
+    """The whole point of the Bloom prefilter is that the LARGE side is
+    probed as a pure map BEFORE anything shuffles — a regression that
+    reintroduces an Exchange (or a join) into the probe stage would
+    silently ship the full table again. The filter state embeds as a
+    literal bitmask, so the probe plan must be scan → project/filter
+    only."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
+    from bio2bel_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    keys = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    ).limit(64)
+    state = bloom_state(keys, "l_partkey", m=1 << 12)
+    probed = bloom_probe(state, li, "l_partkey", m=1 << 12).where(
+        F.col("maybe_member")
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bloom probe stage must not shuffle"
+    assert "Join" not in plan, "bloom probe stage must not join"
+    assert "BatchEvalPython" not in plan
+
+
 def test_nearest_asof_is_single_shuffle(spark, sf_dir):
     """direction='nearest' evaluates both frames over ONE sort — still a
     single exchange, no join."""

@@ -520,6 +520,28 @@ def test_lsh_bucket_audit_observes_hub_guard(spark):
     assert clean.n_dropped_buckets == 0 and clean.n_docs_in_dropped == 0
 
 
+def test_equiheight_histogram_approx_tier(spark):
+    """The mergeable approx tier bounds bin shares within the documented
+    GK rank-error: on 2000 rows per group every bin holds ~1/n_bins of
+    the rows (tolerance widened to 2x the bound for tiny groups), and the
+    exact invariants (full coverage, observed extremes) still hold."""
+    from bio2bel_spark.operators.stats import equiheight_histogram
+
+    rows = [("g", float(i)) for i in range(2000)]
+    rows += [("skew", float(i * i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = equiheight_histogram(df, "v", "k", n_bins=4, approx=True).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.k, []).append(r)
+    for k, bins in by_grp.items():
+        assert {r.bin for r in bins} == {1, 2, 3, 4}
+        total = sum(r.n for r in bins)
+        assert total == 2000
+        for r in bins:
+            assert abs(r.n / total - 0.25) < 0.05, (k, r.bin, r.n)
+
+
 def test_equiheight_histogram_model(spark):
     from bio2bel_spark.operators.stats import equiheight_histogram
 

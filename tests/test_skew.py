@@ -45,6 +45,74 @@ def test_salted_collect_set_exact(spark, skewed):
     assert got == want
 
 
+def test_choose_join_strategy_decisions(spark, skewed):
+    """The planner picks broadcast for a small side, salted for a hot-key
+    big side, plain for balanced big-big — driven only by the bounded
+    count stats, never the join itself."""
+    big_uniform = spark.createDataFrame(
+        [(f"k{i % 500}", i) for i in range(5000)], "key string, n int"
+    )
+    dim = spark.createDataFrame([("hot", 1), ("k1", 2)], "key string, attr int")
+
+    d = skew.choose_join_strategy(skewed, dim, "key", broadcast_rows=10)
+    assert d["strategy"] == "broadcast" and d["broadcast_side"] == "right"
+    assert d["stats"]["n_right"] == 2
+
+    # no side broadcasts; `skewed`'s hot key holds 90% of rows -> salt left
+    d = skew.choose_join_strategy(
+        skewed, big_uniform, "key", broadcast_rows=50, skew_ratio=8.0
+    )
+    assert d["strategy"] == "salted" and d["salt_side"] == "left"
+    assert d["stats"]["max_key_left"] == 900
+
+    # balanced big-big -> plain (AQE handles the rest)
+    d = skew.choose_join_strategy(
+        big_uniform, big_uniform, "key", broadcast_rows=50, skew_ratio=8.0
+    )
+    assert d["strategy"] == "plain"
+
+
+def test_apply_join_strategy_matches_plain_join(spark, skewed):
+    """Every executed strategy returns exactly the plain join's rows; the
+    broadcast decision shows up in the physical plan."""
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k1", 3), ("missing", 4)], "key string, attr int"
+    )
+    plain = skewed.join(dim, "key")
+    want = sorted(map(tuple, plain.collect()))
+
+    bcast = skew.apply_join_strategy(skewed, dim, "key", broadcast_rows=10)
+    assert sorted(map(tuple, bcast.collect())) == want
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+    salted = skew.apply_join_strategy(
+        skewed, dim, "key", broadcast_rows=1, skew_ratio=2.0, n_salts=4
+    )
+    assert sorted(map(tuple, salted.collect())) == want
+
+    forced_plain = skew.apply_join_strategy(
+        skewed, dim, "key",
+        decision={"strategy": "plain", "broadcast_side": None, "salt_side": None},
+    )
+    assert sorted(map(tuple, forced_plain.collect())) == want
+
+    # salted-right on a non-inner join falls back to plain semantics
+    left_outer = skew.apply_join_strategy(
+        dim, skewed, "key", how="left",
+        decision={"strategy": "salted", "salt_side": "right",
+                  "broadcast_side": None},
+    )
+    want_outer = sorted(
+        map(tuple, dim.join(skewed, "key", "left").collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    got_outer = sorted(
+        map(tuple, left_outer.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert got_outer == want_outer
+
+
 def test_replicated_salt_join_multiplicity(spark, skewed):
     dim = spark.createDataFrame(
         [("hot", 1), ("k1", 2), ("k1", 3), ("missing", 4)], "key string, attr int"
