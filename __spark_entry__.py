@@ -1261,6 +1261,102 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Round-5 operators composed as ONE plan (the ``training_pipeline``
+    pattern): exact n-gram contamination scan → hash-split + LSH
+    split-leakage gate (drop the TRAIN side of cross-split near-dups) →
+    winnowing substring overlap vs the benchmark → deterministic A-ES
+    weighted mixture sample favoring low-overlap docs. Every stage is the
+    same operator the standalone queries check; no materialization
+    barriers between stages (localCheckpoint-free — the LSH banding's
+    tracked_persist is the only cache, as in the standalone query)."""
+    from bio2bel_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        ngram_contamination,
+        winnowing_fingerprints,
+    )
+    from bio2bel_spark.operators.sketch import (
+        split_column,
+        weighted_sample_per_group,
+    )
+
+    docs = _docs_augmented(spark, sf_dir)
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 800_000).alias("doc_id"), "text")
+    )
+    # 1. contamination scan: drop training docs that heavily overlap bench
+    cont = ngram_contamination(docs, bench, n=8)
+    clean = docs.join(
+        cont.where(F.col("hit_frac") >= 0.5).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    # 2. split-leakage gate: cross-split verified near-dups poison eval,
+    # so the TRAIN side of each leaky pair drops
+    splits = clean.select(
+        "doc_id",
+        split_column(
+            F.col("doc_id").cast("string"), {"train": 0.8, "test": 0.2}
+        ).alias("split"),
+    )
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(clean, n_hashes=16, bands=8),
+        clean,
+        threshold=0.5,
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("__sb")
+    )
+    leaky = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("__sa") != F.col("__sb"))
+        .select(
+            F.when(F.col("__sa") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    train = (
+        clean.join(splits.where(F.col("split") == "train"), "doc_id", "left_semi")
+        .join(leaky, "doc_id", "left_anti")
+    )
+    # 3. winnowing substring overlap vs bench (residual local overlap the
+    # whole-doc gates cannot see)
+    fp_t = winnowing_fingerprints(train)
+    fp_b = (
+        winnowing_fingerprints(bench).select("fp").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    overlap = (
+        fp_t.join(fp_b, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_shared"),
+        )
+    )
+    # 4. deterministic weighted mixture: 4 pseudo-sources, weight inverse
+    # to benchmark overlap, 50 survivors per source
+    mix = overlap.select(
+        (F.col("doc_id") % 4).cast("int").alias("src"),
+        "doc_id",
+        "n_fps",
+        "n_shared",
+        (F.lit(1.0) / (F.lit(1.0) + F.col("n_shared"))).alias("__w"),
+    )
+    return weighted_sample_per_group(
+        mix, by="src", key="doc_id", weight_col="__w", n=50
+    ).drop("__w")
+
+
 def q_text_quality(spark, sf_dir):
     """C4/Gopher-style quality signals + composite score per document."""
     from bio2bel_spark.operators.textquality import quality_features
@@ -3133,6 +3229,7 @@ QUERIES: dict[str, Callable] = {
     "incremental_fuzzy": q_incremental_fuzzy,
     "topk_maintenance": q_topk_maintenance,
     "psi_maintenance": q_psi_maintenance,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3174,7 +3271,6 @@ QUERIES: dict[str, Callable] = {
     "target_encoding": q_target_encoding,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
-    "value_histogram": q_value_histogram,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
@@ -3192,7 +3288,10 @@ QUERIES: dict[str, Callable] = {
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
     # that are fully covered by unit tests + the local oracle sweep
+    # round-6 rotation: value_histogram (stable since round 3) displaced
+    # by curation_pipeline_v2; still hash-checked by the sweep
     # ---- end of the driver's 50-query correctness window ----
+    "value_histogram": q_value_histogram,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3465,6 +3564,38 @@ def oracle_sql() -> dict[str, str]:
         for _j in range(5)
         for _i in range(3)
     )
+
+    def _winnow_ctes(src: str, p: str) -> str:
+        """Winnowing (k=4, window=4) CTE chain over source CTE ``src``,
+        CTE names prefixed ``p`` — the same chain the standalone
+        winnowing_fingerprints oracle uses, parametrized for reuse in
+        composed pipelines. Ends with ``{p}fp(doc_id, fp)``."""
+        return f"""
+            {p}w AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM {src}
+            ),
+            {p}b AS (SELECT doc_id, words, len(words) - 3 AS ng FROM {p}w),
+            {p}g AS (
+                SELECT doc_id,
+                       list_transform(range(1, ng + 1),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(words[i:i+3], ' ')
+                                ), 1, 8))::BIGINT) AS hs,
+                       ng
+                FROM {p}b WHERE ng >= 1
+            ),
+            {p}wins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(ng - 3, 1) + 1),
+                           j -> list_min(hs[j:j+3]))) AS fps
+                FROM {p}g
+            ),
+            {p}fp AS (SELECT doc_id, unnest(fps) AS fp FROM {p}wins)"""
+
     return {
         "zorder_layout": f"""
             WITH s AS (
@@ -3493,6 +3624,106 @@ def oracle_sql() -> dict[str, str]:
                    min(l_suppkey)::BIGINT AS supp_min,
                    max(l_suppkey)::BIGINT AS supp_max
             FROM z GROUP BY bucket
+        """,
+        # the round-6 composed pipeline: contamination gate -> split-leakage
+        # gate -> winnowing overlap -> A-ES weighted mixture, each stage the
+        # proven fragment from its standalone oracle
+        "curation_pipeline_v2": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            bench AS (
+                SELECT doc_id + 800000 AS doc_id, text
+                FROM documents WHERE doc_id < 30
+            ),
+            -- stage 1: exact 8-gram contamination gate
+            tw AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM aug
+            ),
+            tg AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(words) - 6),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(words[i:i+7], ' ')
+                                ), 1, 8))::BIGINT)) AS hs
+                FROM tw WHERE len(words) - 7 >= 1
+            ),
+            bw AS (
+                SELECT string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM bench
+            ),
+            bset AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(words) - 6),
+                           i -> ('0x' || substr(md5(
+                                    array_to_string(words[i:i+7], ' ')
+                                ), 1, 8))::BIGINT)) AS h
+                FROM bw WHERE len(words) - 7 >= 1
+            ),
+            contaminated AS (
+                SELECT t.doc_id
+                FROM (SELECT doc_id, unnest(hs) AS h, len(hs) AS ng FROM tg) t
+                LEFT JOIN bset USING (h)
+                GROUP BY t.doc_id
+                HAVING round(sum(CASE WHEN bset.h IS NULL THEN 0 ELSE 1 END)
+                             / max(t.ng), 6) >= 0.5
+            ),
+            clean AS (
+                SELECT a.doc_id, a.text FROM aug a
+                WHERE a.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            -- stage 2: hash split + LSH split-leakage gate
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8)
+                                 )::BIGINT % 10000 < 8000
+                            THEN 'train' ELSE 'test' END AS split
+                FROM clean
+            ),
+            leaky AS (
+                SELECT DISTINCT CASE WHEN a.split = 'train'
+                                     THEN v.id_a ELSE v.id_b END AS doc_id
+                FROM vpairs v
+                JOIN sp a ON v.id_a = a.doc_id
+                JOIN sp b ON v.id_b = b.doc_id
+                WHERE a.split <> b.split
+            ),
+            train AS (
+                SELECT c.doc_id, c.text FROM clean c
+                JOIN sp ON c.doc_id = sp.doc_id
+                WHERE sp.split = 'train'
+                  AND c.doc_id NOT IN (SELECT doc_id FROM leaky)
+            ),
+            -- stage 3: winnowing substring overlap vs bench
+            {_winnow_ctes('train', 'wt')},
+            {_winnow_ctes('bench', 'wb')},
+            bfp AS (SELECT DISTINCT fp FROM wbfp),
+            ovl AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_fps,
+                       sum(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END)::BIGINT
+                           AS n_shared
+                FROM wtfp t LEFT JOIN bfp b USING (fp)
+                GROUP BY t.doc_id
+            ),
+            -- stage 4: deterministic A-ES weighted mixture sample
+            mix AS (
+                SELECT (doc_id % 4)::INT AS src, doc_id, n_fps, n_shared,
+                       ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                           + 1.0) / 4294967296.0)
+                       / (1.0 / (1.0 + n_shared)) AS score
+                FROM ovl
+            ),
+            ranked AS (
+                SELECT src, doc_id, n_fps, n_shared,
+                       row_number() OVER (
+                           PARTITION BY src
+                           ORDER BY score DESC, doc_id ASC
+                       ) AS rn
+                FROM mix
+            )
+            SELECT src, doc_id, n_fps, n_shared FROM ranked WHERE rn <= 50
         """,
         "hilbert_layout_3d": f"""
             WITH s3 AS (

@@ -1,0 +1,138 @@
+"""10× scale-stress for the round-5 heavyweights (round-5 verdict ask #6).
+
+Same recipe as ``test_graph_scale.py``: inflate the sf0.1 documents table
+into 10 structure-preserving DISJOINT replica copies — doc ids offset per
+replica, and every word suffixed with the replica id so shingles/grams/
+names never collide across replicas. A linear operator then owes exactly
+10× the output rows of the un-inflated run (each replica reproduces the
+base run's structure); a quadratic regression (cross-replica pairing, an
+unguarded hot bucket, a collapsed-projection re-evaluation) either blows
+the row count or the wall clock.
+
+Marked ``slow``: minutes of real md5/join work on the test session's
+local[4]. Run with ``SPARK_GRAFT_SLOW=1 python -m pytest
+tests/test_round5_scale.py``; skipped otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("SPARK_GRAFT_SLOW"),
+        reason="scale-stress: set SPARK_GRAFT_SLOW=1 to run",
+    ),
+]
+
+
+def _docs(spark):
+    from bio2bel_spark.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _inflate_docs(docs, replicas: int = 10):
+    """10 disjoint replica copies: ids offset, every word made
+    replica-unique (so no shingle/gram is shared across replicas)."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    return docs.select(rep, "doc_id", "text").select(
+        (F.col("rep") * 10_000_000 + F.col("doc_id")).alias("doc_id"),
+        F.expr("regexp_replace(text, ' ', concat('x', rep, ' '))").alias(
+            "text"
+        ),
+    )
+
+
+def test_winnowing_fingerprints_10x(spark):
+    """Per-doc fingerprinting is map-parallel: 10 disjoint replicas owe
+    exactly 10x the base run's rows — any superlinear re-evaluation
+    (the round-5 projection-collapse trap) shows up as wall clock."""
+    from bio2bel_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _docs(spark)
+    base = winnowing_fingerprints(docs)
+    base_n, base_docs = base.count(), docs.count()
+    big = winnowing_fingerprints(_inflate_docs(docs))
+    # every replica doc fingerprints (exact row parity is hash-dependent —
+    # replica word suffixes shift which window minima are distinct — but
+    # the ~2n/window density is hash-independent, so a tight band holds)
+    assert big.select("doc_id").distinct().count() == 10 * base_docs
+    assert 9 * base_n <= big.count() <= 11 * base_n
+
+
+def test_ngram_contamination_10x(spark):
+    """The benchmark side stays broadcast; 10x training rows cost one
+    linear pass and owe exactly 10x the per-doc report rows."""
+    from bio2bel_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    base = ngram_contamination(docs, bench)
+    base_n = base.count()
+    big = ngram_contamination(_inflate_docs(docs), bench)
+    assert big.count() == 10 * base_n
+
+
+def test_edit_distance_pairs_10x(spark):
+    """Length/prefix blocking keeps replicas disjoint (the replica suffix
+    changes the prefix-block key), so pairs scale exactly 10x — a
+    regression that lets replicas share blocks goes quadratic (100x)."""
+    from bio2bel_spark.operators.dedup import edit_distance_pairs
+    from bio2bel_spark.tables import load_table
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    big_cust = cust.select(rep, "id", "name").select(
+        (F.col("rep") * 10_000_000 + F.col("id")).alias("id"),
+        F.concat(F.col("rep").cast("string"), F.lit("#"), F.col("name")).alias(
+            "name"
+        ),
+    )
+    base = edit_distance_pairs(cust, "name", "id", max_dist=2).count()
+    big = edit_distance_pairs(big_cust, "name", "id", max_dist=2).count()
+    assert big == 10 * base
+
+
+def test_split_leakage_report_10x(spark):
+    """LSH pair search over 10 disjoint replicas of a corpus with planted
+    near-dups: total verified cross-split pairs scale exactly 10x (split
+    labels per replica differ — ids differ — but the pair structure is
+    replica-local)."""
+    from bio2bel_spark.operators.dedup import split_leakage_report
+
+    docs = _docs(spark)
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 900_000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+    )
+    fr = {"train": 0.8, "test": 0.2}
+    # threshold 0.9 keeps the counted pairs near-identical (the planted
+    # twins have jaccard 1.0 after normalization, so LSH recall on them
+    # is deterministic-certain); a small band absorbs borderline natural
+    # pairs whose per-replica LSH collisions are hash-dependent
+    base = (
+        split_leakage_report(planted, fr, n_hashes=16, bands=8, threshold=0.9)
+        .agg(F.sum("n_pairs"))
+        .collect()[0][0]
+    )
+    big = (
+        split_leakage_report(
+            _inflate_docs(planted), fr, n_hashes=16, bands=8, threshold=0.9
+        )
+        .agg(F.sum("n_pairs"))
+        .collect()[0][0]
+    )
+    assert base and 9.5 * base <= big <= 10.5 * base
