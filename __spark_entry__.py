@@ -1287,13 +1287,18 @@ def q_curation_pipeline_v2(spark, sf_dir):
         .where(F.col("doc_id") < 30)
         .select((F.col("doc_id") + 800_000).alias("doc_id"), "text")
     )
+    from bio2bel_spark.operators.caching import tracked_persist
+
     # 1. contamination scan: drop training docs that heavily overlap bench
     cont = ngram_contamination(docs, bench, n=8)
+    # the gated corpus feeds FOUR consumers (split projection, LSH
+    # banding, verify shingles, the train assembly) — without persistence
+    # each one would re-run the 8-gram md5 contamination sweep
     clean = docs.join(
         cont.where(F.col("hit_frac") >= 0.5).select("doc_id"),
         "doc_id",
         "left_anti",
-    )
+    ).transform(tracked_persist)
     # 2. split-leakage gate: cross-split verified near-dups poison eval,
     # so the TRAIN side of each leaky pair drops
     splits = clean.select(

@@ -155,9 +155,19 @@ def minhash_signature(
     """
     raw = F.col(col) if isinstance(col, str) else col
     hashes = shingle_hashes(col, shingle_n, backend)
+    # null text → null signature (otherwise least() would silently skip the
+    # null hash and return the init vector — a fake "empty doc" signature)
+    return F.when(raw.isNotNull(), _minhash_from_hashes(hashes, n_hashes))
+
+
+def _minhash_from_hashes(hashes: Column, n_hashes: int) -> Column:
+    """The :func:`minhash_signature` fold over an ALREADY-COMPUTED shingle
+    hash array — the reuse seam that lets a pipeline computing several
+    signature consumers (banding, estimation, verification) pay for the
+    md5 shingle pass exactly once."""
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), n_hashes)
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    sig = F.aggregate(
+    return F.aggregate(
         hashes,
         init,
         lambda acc, h: F.zip_with(
@@ -168,9 +178,6 @@ def minhash_signature(
             ),
         ),
     )
-    # null text → null signature (otherwise least() would silently skip the
-    # null hash and return the init vector — a fake "empty doc" signature)
-    return F.when(raw.isNotNull(), sig)
 
 
 def _banded_buckets(
@@ -188,14 +195,23 @@ def _banded_buckets(
     the whole minhash pipeline. It is tiny relative to the corpus (bands ×
     one hash per doc), so MEMORY_AND_DISK is safe at any scale.
     """
-    from bio2bel_spark.operators.caching import tracked_persist
-
-    rows_per_band = n_hashes // bands
     sig = docs.select(
         F.col(id_col),
         minhash_signature(text_col, n_hashes, backend=backend).alias("__sig"),
     )
-    banded = sig.select(
+    return _bands_from_sig(sig, id_col, n_hashes, bands)
+
+
+def _bands_from_sig(
+    sig_df: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """Banding rows from an already-computed signature table
+    ``(id, __sig)`` — the reuse seam for pipelines that hold the
+    signature for other purposes (estimation, a persistent index)."""
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    rows_per_band = n_hashes // bands
+    banded = sig_df.select(
         id_col,
         F.explode(
             F.transform(
@@ -220,6 +236,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket: int = 1000,
     backend: str = "md5",
+    banded: "DataFrame | None" = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b).
 
@@ -227,8 +244,13 @@ def lsh_candidate_pairs(
     sharing any band hash are candidates. ``max_bucket`` drops pathological
     buckets (e.g. empty/boilerplate docs) that would otherwise produce a
     quadratic blowup — at 100 TB this guard is what keeps the join bounded.
+    Pass ``banded`` (a precomputed ``(id, band, bucket)`` table) to skip
+    the signature pass when the caller already holds one.
     """
-    banded = _banded_buckets(docs, text_col, id_col, n_hashes, bands, backend)
+    if banded is None:
+        banded = _banded_buckets(
+            docs, text_col, id_col, n_hashes, bands, backend
+        )
     counts = banded.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
     bounded = banded.join(counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
@@ -249,11 +271,14 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.8,
     backend: str = "md5",
+    shingles: "DataFrame | None" = None,
 ) -> DataFrame:
-    """True n-gram Jaccard over candidate pairs (LSH is recall-only)."""
+    """True n-gram Jaccard over candidate pairs (LSH is recall-only).
+    Pass ``shingles`` (a precomputed persisted ``(id, __sh)`` table) to
+    skip the md5 shingle pass when the caller already holds one."""
     from bio2bel_spark.operators.caching import tracked_persist
 
-    sh = docs.select(
+    sh = shingles if shingles is not None else docs.select(
         F.col(id_col), shingle_hashes(text_col, shingle_n, backend).alias("__sh")
     ).transform(tracked_persist)  # joined from both pair sides
     out = (
@@ -283,6 +308,8 @@ def dedup_fuzzy(
     backend: str = "md5",
     max_iterations: int = 50,
     score_col: "str | None" = None,
+    banded: "DataFrame | None" = None,
+    shingles: "DataFrame | None" = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: cluster near-duplicates and pick one survivor
     per cluster.
@@ -315,7 +342,8 @@ def dedup_fuzzy(
 
     pairs = jaccard_verify(
         lsh_candidate_pairs(
-            docs, text_col, id_col, n_hashes, bands, max_bucket, backend
+            docs, text_col, id_col, n_hashes, bands, max_bucket, backend,
+            banded=banded,
         ),
         docs,
         text_col,
@@ -323,6 +351,7 @@ def dedup_fuzzy(
         shingle_n,
         threshold,
         backend,
+        shingles=shingles,
     )
     comp = min_label_components(
         pairs, src="id_a", dst="id_b", max_iterations=max_iterations
@@ -1190,19 +1219,37 @@ def incremental_fuzzy_dedup(
 
     Returns the admitted (new, near-unique) rows of ``new_docs``.
     """
+    from bio2bel_spark.operators.caching import tracked_persist
+
     dedup_kwargs.setdefault("bands", bands)
+    # ONE md5 shingle pass per batch: the persisted hash table feeds the
+    # signature (arithmetic fold), the banding, the within-batch verify,
+    # and the index rows — without the seam each consumer would re-hash
+    # the batch's text (measured 3x the md5 work per increment)
+    shingle_n = dedup_kwargs.get("shingle_n", 3)
+    sh = new_docs.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("__tn"),
+        shingle_hashes(text_col, shingle_n, backend).alias("__sh"),
+    ).transform(tracked_persist)
+    # same null-text guard as minhash_signature: a null doc must get a
+    # null signature, never the fake all-init vector the fold would emit
+    sig_df = sh.select(
+        F.col(id_col),
+        F.when(
+            ~F.col("__tn"), _minhash_from_hashes(F.col("__sh"), n_hashes)
+        ).alias("__sig"),
+    )
+    banded = _bands_from_sig(sig_df, id_col, n_hashes, bands)
     survivors = drop_fuzzy_duplicates(
         new_docs, text_col, id_col,
         n_hashes=n_hashes, threshold=threshold, backend=backend,
+        banded=banded, shingles=sh.select(id_col, "__sh"),
         **dedup_kwargs,
     )
-    banded = _banded_buckets(
-        survivors, text_col, id_col, n_hashes, bands, backend
-    )
-    sigs = survivors.select(
-        F.col(id_col),
-        minhash_signature(text_col, n_hashes, backend=backend).alias("sig"),
-    )
+    sigs = sig_df.select(
+        F.col(id_col), F.col("__sig").alias("sig")
+    ).join(survivors.select(id_col), id_col, "left_semi")
     batch_index = banded.join(sigs, id_col)
     if catalog.table_exists(index_table):
         hist = catalog.read_table(index_table).select(
