@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+MANUAL_MARK = "<!-- MANUAL EVIDENCE (preserved by dump_plans.py) -->"
+
 #: query -> the plan property worth checking
 SHOWCASE = {
     "winnowing_fingerprints": (
@@ -128,6 +130,32 @@ SHOWCASE = {
         "per-cluster windows; cluster sizes ride a broadcast; the only "
         "real shuffle is the (cluster, rank) self-join."
     ),
+    "hilbert_layout_3d": (
+        "d-dimensional Skilling transpose as ONE ArrayAggregate over the "
+        "level sequence (state = the d coordinates; dimension loop, Gray "
+        "chain, interleave unrolled over the BOUND accumulator — nothing "
+        "re-evaluates per term); curve values computed per DISTINCT grid "
+        "cell and broadcast back."
+    ),
+    "curation_pipeline_v2": (
+        "Four stages, one plan: the contamination-gated corpus persists "
+        "once and feeds the split projection, LSH banding, verify "
+        "shingles, and train assembly; the benchmark gram set and "
+        "fingerprint set ride broadcasts; the only wide ops are the LSH "
+        "band join, the per-doc overlap rollup, and the A-ES window."
+    ),
+    "topk_maintenance": (
+        "Each space-saving step is one combinable grouped count merged "
+        "with the <= m-row state (left-anti/semi admission credit) and a "
+        "TakeOrdered(m+1) — driver transfer bounded by m, never the key "
+        "space."
+    ),
+    "incremental_fuzzy": (
+        "Per increment: ONE md5 shingle pass persisted, signature/banding/"
+        "verify derived from it; history joins touch only colliding index "
+        "rows ((band,bucket) equi-join), never historical text — O(batch) "
+        "per increment."
+    ),
     "pricing_summary": (
         "Filter + column pruning reach the parquet scan: PushedFilters "
         "carries the shipdate predicate and ReadSchema lists only the "
@@ -228,8 +256,18 @@ def main() -> None:
         out.append("```")
         out.append("")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "PLANS.md"), "w") as fh:
+    path = os.path.join(here, "PLANS.md")
+    # hand-written evidence (triage notes, measured regressions) survives
+    # regeneration: everything from the marker down is carried over
+    manual = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if MANUAL_MARK in old:
+            manual = old[old.index(MANUAL_MARK):]
+    with open(path, "w") as fh:
         fh.write("\n".join(out))
+        if manual:
+            fh.write("\n" + manual)
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
     spark.stop()
 
