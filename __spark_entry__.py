@@ -1362,6 +1362,35 @@ def q_curation_pipeline_v2(spark, sf_dir):
     ).drop("__w")
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature mixture flattening (α = 0.5) over the language column:
+    per-language share → sampling rate ∝ share^(α-1) normalized to the
+    rarest group, applied with the deterministic hash mixture — output is
+    the rate table plus the kept count per language. The bounded collect
+    is one row per language (the weighted_mixture dict contract)."""
+    from bio2bel_spark.operators.caching import tracked_persist
+    from bio2bel_spark.operators.sketch import (
+        temperature_mixture_rates,
+        weighted_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates_df = tracked_persist(temperature_mixture_rates(docs, "lang", alpha=0.5))
+    rates = {r["lang"]: float(r["rate"]) for r in rates_df.collect()}
+    kept = (
+        weighted_mixture(docs, "lang", "doc_id", rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return rates_df.join(kept, "lang", "left").select(
+        "lang",
+        "n_rows",
+        "share",
+        "rate",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """C4/Gopher-style quality signals + composite score per document."""
     from bio2bel_spark.operators.textquality import quality_features
@@ -3235,6 +3264,7 @@ QUERIES: dict[str, Callable] = {
     "topk_maintenance": q_topk_maintenance,
     "psi_maintenance": q_psi_maintenance,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "temperature_mixture": q_temperature_mixture,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3274,7 +3304,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "comembership": q_comembership,
     "session_paths": q_session_paths,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
@@ -3293,10 +3322,12 @@ QUERIES: dict[str, Callable] = {
     # they take window slots from four map-only metadata/HOF queries
     # (media_frame_sample, media_resize_plan, chunk_spans, sliding_windows)
     # that are fully covered by unit tests + the local oracle sweep
-    # round-6 rotation: value_histogram (stable since round 3) displaced
-    # by curation_pipeline_v2; still hash-checked by the sweep
+    # round-6 rotation: value_histogram + comembership (stable since
+    # round 3/4) displaced by curation_pipeline_v2 + temperature_mixture;
+    # still hash-checked by the sweep
     # ---- end of the driver's 50-query correctness window ----
     "value_histogram": q_value_histogram,
+    "comembership": q_comembership,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3729,6 +3760,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM mix
             )
             SELECT src, doc_id, n_fps, n_shared FROM ranked WHERE rn <= 50
+        """,
+        "temperature_mixture": """
+            WITH c AS (
+                SELECT lang, count(*)::BIGINT AS n_rows
+                FROM documents GROUP BY 1
+            ),
+            t AS (
+                SELECT lang, n_rows,
+                       n_rows::DOUBLE / sum(n_rows) OVER () AS share
+                FROM c
+            ),
+            w AS (
+                SELECT lang, n_rows, share, pow(share, -0.5) AS wt FROM t
+            ),
+            r AS (
+                SELECT lang, n_rows, round(share, 6) AS share,
+                       round(wt / max(wt) OVER (), 6) AS rate
+                FROM w
+            ),
+            kept AS (
+                SELECT d.lang, count(*)::BIGINT AS n_kept
+                FROM documents d JOIN r USING (lang)
+                WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 1000000 < round(r.rate * 1000000)
+                GROUP BY 1
+            )
+            SELECT r.lang, r.n_rows, r.share, r.rate,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept
+            FROM r LEFT JOIN kept k USING (lang)
         """,
         "hilbert_layout_3d": f"""
             WITH s3 AS (

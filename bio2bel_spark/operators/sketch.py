@@ -280,6 +280,40 @@ def weighted_mixture(
     return df.filter(h < rate_col)
 
 
+def temperature_mixture_rates(
+    df: DataFrame, by: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-group sampling rates implementing TEMPERATURE mixture
+    flattening (the multilingual α-sampling rule of mBERT/XLM-R): after
+    downsampling each group ``g`` at ``rate_g``, the kept mass is
+    proportional to ``share_g^alpha`` — ``alpha = 1`` keeps the natural
+    mixture, ``alpha < 1`` flattens it toward uniform (rare
+    languages/domains upweighted), ``alpha = 0`` is fully uniform.
+    ``rate_g = share_g^(alpha-1)`` normalized so the rarest-favored group
+    keeps EVERYTHING (rates stay in (0, 1] — no epoch repetition needed).
+
+    Returns ``(by, n_rows, share, rate)`` (6-dp, oracle-stable). One
+    combinable grouped count plus window math over the group-count-sized
+    table; feed the collected rates to :func:`weighted_mixture` for the
+    deterministic hash-based application.
+    """
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    w = Window.partitionBy(F.lit(1))
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_rows"))
+    share = F.col("n_rows") / F.sum("n_rows").over(w)
+    wt = F.pow(share, F.lit(float(alpha) - 1.0))
+    rate = wt / F.max(wt).over(w)
+    return counts.select(
+        F.col(by),
+        F.col("n_rows"),
+        F.round(share, 6).alias("share"),
+        F.round(rate, 6).alias("rate"),
+    )
+
+
 def heavy_hitters(df: DataFrame, cols: Sequence[str] | str, k: int = 20) -> DataFrame:
     """Exact top-k most frequent value combinations of ``cols``.
 

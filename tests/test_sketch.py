@@ -148,6 +148,37 @@ def test_weighted_mixture_nested_keep_sets(spark):
     assert 0.4 < len(half) / 400 < 0.6
 
 
+def test_temperature_mixture_rates_flatten(spark):
+    """alpha=0.5 flattens a skewed mixture: the rarest group keeps
+    everything (rate 1), the dominant group downsamples, and the KEPT
+    shares sit strictly between natural and uniform; alpha=1 is the
+    identity mixture (all rates 1)."""
+    from bio2bel_spark.operators.sketch import (
+        temperature_mixture_rates,
+        weighted_mixture,
+    )
+
+    rows = [("big", i) for i in range(900)] + [("small", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    rates = {r.src: r for r in temperature_mixture_rates(df, "src", alpha=0.5).collect()}
+    assert rates["small"].rate == 1.0
+    # rate_big = (0.9)^-0.5 / (0.1)^-0.5 = sqrt(1/9) = 1/3
+    assert abs(rates["big"].rate - 1 / 3) < 1e-6
+    assert rates["big"].share == 0.9 and rates["big"].n_rows == 900
+
+    kept = weighted_mixture(
+        df, "src", "doc_id", {k: float(v.rate) for k, v in rates.items()}
+    )
+    counts = {r.src: r.n for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_share_big = counts["big"] / (counts["big"] + counts["small"])
+    assert 0.5 < kept_share_big < 0.9  # flattened toward (not past) uniform
+
+    ident = {r.src: r.rate for r in temperature_mixture_rates(df, "src", alpha=1.0).collect()}
+    assert ident == {"big": 1.0, "small": 1.0}
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_rates(df, "src", alpha=-1)
+
+
 def test_weighted_mixture_rejects_bad_rate(spark):
     from bio2bel_spark.operators.sketch import weighted_mixture
 
