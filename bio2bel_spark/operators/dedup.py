@@ -1212,7 +1212,10 @@ def incremental_fuzzy_dedup(
     — the production crawl-snapshot shape. The estimate-based verify has
     MinHash variance (~1/√n_hashes), honest for an admission gate; an
     audit pass over admitted docs can re-verify exactly offline. Same
-    serial-increment exactly-once contract as :func:`incremental_dedup`.
+    serial-increment exactly-once contract as :func:`incremental_dedup`
+    — the fuzzy generalization of the reference's incremental-upsert
+    guarantee (idempotent re-population against accumulated state,
+    ``reference src/bio2bel/manager/namespace_manager.py:262-296``).
     The within-batch dedup inherits ``bands`` (override via
     ``dedup_kwargs``) so batch-local and cross-batch banding share one
     recall profile.

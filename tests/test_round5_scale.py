@@ -35,19 +35,27 @@ pytestmark = [
 def _docs(spark):
     from bio2bel_spark.tables import load_table
 
-    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # the sf0.1 table is ONE parquet file = one input split; real corpora
+    # arrive in many splits, so spread before the map-heavy operators
+    # (the same requirement the driver queries express via _spread)
+    return (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def _inflate_docs(docs, replicas: int = 10):
     """10 disjoint replica copies: ids offset, every word made
     replica-unique (so no shingle/gram is shared across replicas)."""
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
-    return docs.select(rep, "doc_id", "text").select(
+    out = docs.select(rep, "doc_id", "text").select(
         (F.col("rep") * 10_000_000 + F.col("doc_id")).alias("doc_id"),
         F.expr("regexp_replace(text, ' ', concat('x', rep, ' '))").alias(
             "text"
         ),
     )
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism * 4)
 
 
 def test_winnowing_fingerprints_10x(spark):
@@ -60,11 +68,15 @@ def test_winnowing_fingerprints_10x(spark):
     base = winnowing_fingerprints(docs)
     base_n, base_docs = base.count(), docs.count()
     big = winnowing_fingerprints(_inflate_docs(docs))
+    # ONE action over the inflated output: docs + rows together
+    stats = big.agg(
+        F.countDistinct("doc_id").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     # every replica doc fingerprints (exact row parity is hash-dependent —
     # replica word suffixes shift which window minima are distinct — but
     # the ~2n/window density is hash-independent, so a tight band holds)
-    assert big.select("doc_id").distinct().count() == 10 * base_docs
-    assert 9 * base_n <= big.count() <= 11 * base_n
+    assert stats["d"] == 10 * base_docs
+    assert 9 * base_n <= stats["n"] <= 11 * base_n
 
 
 def test_ngram_contamination_10x(spark):
@@ -89,8 +101,10 @@ def test_edit_distance_pairs_10x(spark):
     from bio2bel_spark.operators.dedup import edit_distance_pairs
     from bio2bel_spark.tables import load_table
 
-    cust = load_table(spark, SF_DIR, "customer").select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
     big_cust = cust.select(rep, "id", "name").select(
@@ -98,7 +112,7 @@ def test_edit_distance_pairs_10x(spark):
         F.concat(F.col("rep").cast("string"), F.lit("#"), F.col("name")).alias(
             "name"
         ),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism * 4)
     base = edit_distance_pairs(cust, "name", "id", max_dist=2).count()
     big = edit_distance_pairs(big_cust, "name", "id", max_dist=2).count()
     assert big == 10 * base
