@@ -1391,6 +1391,26 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+def q_token_budget_select(spark, sf_dir):
+    """Exact quality-ranked selection under a global token budget (half
+    the corpus's tokens): range-partitioned distributed prefix-sum — the
+    'take the best N tokens' data-selection step without a
+    single-reducer global window. Deterministic total order
+    (n_chars desc, doc_id asc)."""
+    from bio2bel_spark.operators.packing import select_token_budget
+    from bio2bel_spark.operators.textquality import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        whitespace_token_count("text").cast("long").alias("toks"),
+    )
+    total = docs.agg(F.sum("toks")).collect()[0][0]
+    return select_token_budget(
+        docs, "n_chars", "toks", budget=int(total) // 2
+    ).select("doc_id", "n_chars", "toks", "cum_tokens")
+
+
 def q_text_quality(spark, sf_dir):
     """C4/Gopher-style quality signals + composite score per document."""
     from bio2bel_spark.operators.textquality import quality_features
@@ -3265,6 +3285,7 @@ QUERIES: dict[str, Callable] = {
     "psi_maintenance": q_psi_maintenance,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "temperature_mixture": q_temperature_mixture,
+    "token_budget_select": q_token_budget_select,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3304,7 +3325,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "session_paths": q_session_paths,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
@@ -3328,6 +3348,7 @@ QUERIES: dict[str, Callable] = {
     # ---- end of the driver's 50-query correctness window ----
     "value_histogram": q_value_histogram,
     "comembership": q_comembership,
+    "session_paths": q_session_paths,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3760,6 +3781,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM mix
             )
             SELECT src, doc_id, n_fps, n_shared FROM ranked WHERE rn <= 50
+        """,
+        "token_budget_select": f"""
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       len(string_split({_NORM_SQL}, ' '))::BIGINT AS toks
+                FROM documents
+            ),
+            b AS (SELECT sum(toks) // 2 AS budget FROM t),
+            c AS (
+                SELECT doc_id, n_chars, toks,
+                       sum(toks) OVER (
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, n_chars, toks, cum_tokens
+            FROM c, b WHERE cum_tokens <= budget
         """,
         "temperature_mixture": """
             WITH c AS (

@@ -25,7 +25,88 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_concat_chunks", "pack_first_fit", "chunk_spans", "sliding_window_spans"]
+__all__ = [
+    "pack_concat_chunks",
+    "pack_first_fit",
+    "chunk_spans",
+    "sliding_window_spans",
+    "select_token_budget",
+]
+
+
+def select_token_budget(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_partitions: "int | None" = None,
+) -> DataFrame:
+    """EXACT quality-ranked corpus selection under a global token budget:
+    keep the highest-``quality_col`` documents whose running token total
+    stays ≤ ``budget`` — the data-selection step of every
+    quality-filtered pretraining mix ("take the best N tokens"), with the
+    document that would cross the budget excluded.
+
+    Scale shape — a GLOBAL running sum without a global single-partition
+    window (the naive ``sum() OVER (ORDER BY quality)`` funnels 100 TB
+    through one reducer):
+
+    1. ``repartitionByRange`` on ``(quality desc, id)`` — the one
+       range shuffle any global ranking pays; ties broken by id so the
+       total order (and therefore the cut) is deterministic;
+    2. per-partition token subtotals → prefix OFFSETS on the driver
+       (bounded: one row per partition);
+    3. partitions whose offset already exceeds ``budget`` prune entirely
+       (their filter is constant-false — at a tight budget most of the
+       corpus never evaluates the window); within surviving partitions a
+       partition-local cumulative window adds the offset.
+
+    Returns the selected rows plus ``cum_tokens`` (the inclusive global
+    running total). Rows with NULL quality or tokens are excluded (they
+    cannot be ordered / budgeted).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = df.where(
+        F.col(quality_col).isNotNull() & F.col(tokens_col).isNotNull()
+    )
+    ranged = base.repartitionByRange(
+        n_parts, F.col(quality_col).desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioning: the
+    # subtotal pass and the window pass must see the SAME pid assignment
+    subtotals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(tokens_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+    # constant-fold the per-partition offset and prune exhausted partitions
+    off_expr = F.lit(0).cast("long")
+    live = [pid for pid in sorted(subtotals) if offsets[pid] < budget]
+    for pid in live:
+        off_expr = F.when(F.col("__pid") == pid, F.lit(int(offsets[pid]))).otherwise(off_expr)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.where(F.col("__pid").isin(live) if live else F.lit(False))
+        .withColumn(
+            "cum_tokens",
+            (off_expr + F.sum(tokens_col).over(w)).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .drop("__pid")
+    )
 
 
 def chunk_spans(

@@ -165,3 +165,52 @@ def test_sliding_window_spans_rejects_bad_params(spark):
         sliding_window_spans(docs, "n", window=0, stride=3)
     with _pytest.raises(ValueError):
         sliding_window_spans(docs, "n", window=4, stride=0)
+
+
+def test_select_token_budget_exact_cut(spark):
+    """The distributed prefix-sum must reproduce the single-window truth:
+    highest-quality docs kept in order, the budget-crossing doc excluded,
+    cum_tokens globally correct, nulls dropped."""
+    import pytest
+
+    from bio2bel_spark.operators.packing import select_token_budget
+
+    rows = [(i, float(100 - i), 10 + i % 3) for i in range(40)]
+    rows += [(100, None, 5), (101, 50.0, None)]  # un-orderable: excluded
+    df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+
+    got = select_token_budget(df, "q", "toks", budget=100, n_partitions=4)
+    out = sorted((r.doc_id, r.cum_tokens) for r in got.collect())
+    # truth: docs in q-desc order are doc_id 0,1,2,... with toks 10,11,12,10,...
+    truth, cum = [], 0
+    for i in range(40):
+        t = 10 + i % 3
+        if cum + t > 100:
+            break
+        cum += t
+        truth.append((i, cum))
+    assert out == sorted(truth)
+    assert (100, None) not in [(r[0], None) for r in out]  # nulls gone
+
+    # budget below the first doc selects nothing; degenerate budget guard
+    assert select_token_budget(df, "q", "toks", budget=5).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, "q", "toks", budget=-1)
+
+
+def test_select_token_budget_matches_partition_counts(spark):
+    """Partition count must not change the selection (the offsets stitch
+    partitions into one global order)."""
+    from bio2bel_spark.operators.packing import select_token_budget
+
+    rows = [(i, float(i % 7), 3 + i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+    a = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(df, "q", "toks", 300, n_partitions=1).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(df, "q", "toks", 300, n_partitions=7).collect()
+    )
+    assert a == b and len(a) > 0
