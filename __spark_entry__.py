@@ -1391,6 +1391,23 @@ def q_temperature_mixture(spark, sf_dir):
     )
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-free splitting: hash-split on the near-dup CLUSTER key so
+    a doc and its near-duplicates land on one side by construction —
+    (doc_id, cluster, split) over the augmented corpus; same LSH/verify
+    parameters as the green dedup_fuzzy_clusters twin."""
+    from bio2bel_spark.operators.dedup import cluster_split
+
+    docs = _docs_augmented(spark, sf_dir)
+    return cluster_split(
+        docs,
+        {"train": 0.8, "test": 0.2},
+        n_hashes=16,
+        bands=8,
+        threshold=0.5,
+    ).select("doc_id", "cluster", "split")
+
+
 def q_token_budget_select(spark, sf_dir):
     """Exact quality-ranked selection under a global token budget (half
     the corpus's tokens): range-partitioned distributed prefix-sum — the
@@ -3286,6 +3303,7 @@ QUERIES: dict[str, Callable] = {
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
+    "cluster_split": q_cluster_split,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3325,7 +3343,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
@@ -3349,6 +3366,7 @@ QUERIES: dict[str, Callable] = {
     "value_histogram": q_value_histogram,
     "comembership": q_comembership,
     "session_paths": q_session_paths,
+    "decayed_sum": q_decayed_sum,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3781,6 +3799,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM mix
             )
             SELECT src, doc_id, n_fps, n_shared FROM ranked WHERE rn <= 50
+        """,
+        # the fuzzy-cluster chain (recursive reachability over exact
+        # vpairs — same twin as dedup_fuzzy_clusters) + the split hash on
+        # the CLUSTER id
+        "cluster_split": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM vpairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM vpairs
+            ),
+            reach(node, label) AS (
+                SELECT a AS node, a AS label FROM edges
+                UNION
+                SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(label) AS c FROM reach GROUP BY node),
+            lab AS (
+                SELECT d.doc_id, coalesce(comp.c, d.doc_id) AS cluster
+                FROM aug d LEFT JOIN comp ON d.doc_id = comp.node
+            )
+            SELECT doc_id, cluster,
+                   CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 8)
+                             )::BIGINT % 10000 < 8000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM lab
         """,
         "token_budget_select": f"""
             WITH t AS (

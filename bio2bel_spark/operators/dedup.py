@@ -1183,6 +1183,38 @@ def split_leakage_report(
     )
 
 
+def cluster_split(
+    docs: DataFrame,
+    fractions,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "md5",
+    **fuzzy_kwargs,
+) -> DataFrame:
+    """LEAKAGE-FREE train/eval split: hash-split on the near-duplicate
+    CLUSTER key instead of the raw document id, so a document and all its
+    near-duplicates land on the SAME side by construction — the fix
+    :func:`split_leakage_report` prescribes (a random/per-doc split puts
+    near-dups on both sides and silently inflates eval scores).
+
+    Clusters come from the production fuzzy-dedup pipeline
+    (:func:`dedup_fuzzy` — LSH candidates, exact-Jaccard verify,
+    min-label components; forward its parameters via ``fuzzy_kwargs``);
+    the split is the deterministic
+    :func:`~bio2bel_spark.operators.sketch.split_column` hash of the
+    cluster id, so assignment is engine-portable, append-stable for
+    singletons, and reproducible. Returns every input doc with
+    ``(cluster, split)`` attached.
+    """
+    from bio2bel_spark.operators.sketch import split_column
+
+    clusters = dedup_fuzzy(docs, text_col, id_col, **fuzzy_kwargs)
+    return docs.join(clusters.select(id_col, "cluster"), id_col).withColumn(
+        "split",
+        split_column(F.col("cluster").cast("string"), fractions, backend=backend),
+    )
+
+
 def incremental_fuzzy_dedup(
     catalog,
     new_docs: DataFrame,

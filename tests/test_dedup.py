@@ -553,3 +553,39 @@ def test_incremental_fuzzy_dedup_within_batch_and_identity(spark, tmp_path):
     b2 = spark.createDataFrame([(5, t)], "doc_id long, text string")
     a2 = incremental_fuzzy_dedup(cat, b2, threshold=0.5).count()
     assert a2 == 0
+
+
+def test_cluster_split_is_leakage_free(spark):
+    """Splitting on the near-dup cluster key puts every near-duplicate
+    pair on ONE side by construction — zero cross-split verified pairs,
+    while a doc-id hash split on the same corpus does leak."""
+    from bio2bel_spark.operators.dedup import (
+        cluster_split,
+        jaccard_verify,
+        lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, base + f" tail {i % 3}") for i in range(30)]
+        + [(100 + i, f"totally unrelated text number {i} about other things entirely ok fine") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = cluster_split(
+        docs, {"train": 0.5, "test": 0.5}, n_hashes=16, bands=8, threshold=0.5
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    # every member of a cluster shares the cluster's split
+    splits_by_cluster = {}
+    for r in rows.values():
+        splits_by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits_by_cluster.values())
+    # the near-dup family landed in ONE cluster, so no verified pair
+    # crosses splits
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(docs, n_hashes=16, bands=8), docs, threshold=0.5
+    ).collect()
+    assert pairs  # the corpus does contain near-dups
+    for p in pairs:
+        assert rows[p.id_a].split == rows[p.id_b].split
