@@ -1408,6 +1408,36 @@ def q_cluster_split(spark, sf_dir):
     ).select("doc_id", "cluster", "split")
 
 
+def q_join_strategy(spark, sf_dir):
+    """The join planner's decision table over three canonical shapes:
+    fact⋈dim (broadcast), fact⋈fact balanced (plain), hot-key self-shape
+    (salted) — one engine-side report row per scenario, value-oracled so
+    the planner's thresholds can never silently drift."""
+    from bio2bel_spark.operators.skew import join_strategy_report
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    part = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    lo = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    hot = ev.select(
+        F.when(F.col("user_id") <= 2, F.col("user_id"))
+        .otherwise(F.lit(0))
+        .alias("k")
+    )
+    evk = ev.select(F.col("user_id").alias("k"))
+    r1 = join_strategy_report(li, part, "k").withColumn(
+        "scenario", F.lit("dim_broadcast")
+    )
+    r2 = join_strategy_report(lo, orders, "k", broadcast_rows=1000).withColumn(
+        "scenario", F.lit("fact_fact_plain")
+    )
+    r3 = join_strategy_report(
+        hot, evk, "k", broadcast_rows=10, skew_ratio=2.0
+    ).withColumn("scenario", F.lit("hot_key_salted"))
+    return r1.unionByName(r2).unionByName(r3)
+
+
 def q_token_budget_select(spark, sf_dir):
     """Exact quality-ranked selection under a global token budget (half
     the corpus's tokens): range-partitioned distributed prefix-sum — the
@@ -3304,6 +3334,7 @@ QUERIES: dict[str, Callable] = {
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
+    "join_strategy": q_join_strategy,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3343,7 +3374,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "negative_samples": q_negative_samples,
     "hard_negative_samples": q_hard_negative_samples,
     "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
@@ -3367,6 +3397,7 @@ QUERIES: dict[str, Callable] = {
     "comembership": q_comembership,
     "session_paths": q_session_paths,
     "decayed_sum": q_decayed_sum,
+    "negative_samples": q_negative_samples,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3825,6 +3856,79 @@ def oracle_sql() -> dict[str, str]:
                              )::BIGINT % 10000 < 8000
                         THEN 'train' ELSE 'test' END AS split
             FROM lab
+        """,
+        # the planner's decision CASEs replayed per scenario over the same
+        # grouped-count statistics (skew test in product form:
+        # max_key*keys > ratio*n)
+        "join_strategy": """
+            WITH l1 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                               max(n)::BIGINT AS m
+                        FROM (SELECT count(*) AS n FROM lineitem
+                              GROUP BY l_partkey)),
+            r1 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                          max(n)::BIGINT AS m
+                   FROM (SELECT count(*) AS n FROM part GROUP BY p_partkey)),
+            l2 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                          max(n)::BIGINT AS m
+                   FROM (SELECT count(*) AS n FROM lineitem
+                         GROUP BY l_orderkey)),
+            r2 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                          max(n)::BIGINT AS m
+                   FROM (SELECT count(*) AS n FROM orders
+                         GROUP BY o_orderkey)),
+            l3 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                          max(n)::BIGINT AS m
+                   FROM (SELECT count(*) AS n FROM events
+                         WHERE user_id IS NOT NULL
+                         GROUP BY CASE WHEN user_id <= 2 THEN user_id
+                                       ELSE 0 END)),
+            r3 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                          max(n)::BIGINT AS m
+                   FROM (SELECT count(*) AS n FROM events
+                         WHERE user_id IS NOT NULL GROUP BY user_id))
+            SELECT 'dim_broadcast' AS scenario,
+                   l.n AS n_left, r.n AS n_right,
+                   l.k AS keys_left, r.k AS keys_right,
+                   l.m AS max_key_left, r.m AS max_key_right,
+                   CASE WHEN least(l.n, r.n) <= 1000000 THEN 'broadcast'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
+                          OR r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'salted'
+                        ELSE 'plain' END AS strategy,
+                   CASE WHEN least(l.n, r.n) <= 1000000
+                        THEN (CASE WHEN l.n <= r.n THEN 'left'
+                                   ELSE 'right' END)
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'right'
+                        END AS target_side
+            FROM l1 l, r1 r
+            UNION ALL
+            SELECT 'fact_fact_plain',
+                   l.n, r.n, l.k, r.k, l.m, r.m,
+                   CASE WHEN least(l.n, r.n) <= 1000 THEN 'broadcast'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
+                          OR r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'salted'
+                        ELSE 'plain' END,
+                   CASE WHEN least(l.n, r.n) <= 1000
+                        THEN (CASE WHEN l.n <= r.n THEN 'left'
+                                   ELSE 'right' END)
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'right'
+                        END
+            FROM l2 l, r2 r
+            UNION ALL
+            SELECT 'hot_key_salted',
+                   l.n, r.n, l.k, r.k, l.m, r.m,
+                   CASE WHEN least(l.n, r.n) <= 10 THEN 'broadcast'
+                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n
+                          OR r.m * greatest(r.k, 1) > 2.0 * r.n THEN 'salted'
+                        ELSE 'plain' END,
+                   CASE WHEN least(l.n, r.n) <= 10
+                        THEN (CASE WHEN l.n <= r.n THEN 'left'
+                                   ELSE 'right' END)
+                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 2.0 * r.n THEN 'right'
+                        END
+            FROM l3 l, r3 r
         """,
         "token_budget_select": f"""
             WITH t AS (

@@ -90,6 +90,60 @@ def replicated_salt_join(
     return lsalt.join(rsalt, keys + ["__salt"], how).drop("__salt")
 
 
+def join_strategy_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    broadcast_rows: int = 1_000_000,
+    skew_ratio: float = 8.0,
+) -> DataFrame:
+    """ONE-row engine-side form of the join-strategy decision —
+    ``(n_left, n_right, keys_left, keys_right, max_key_left,
+    max_key_right, strategy, target_side)`` — so the planner's logic is
+    value-oracle-checkable and usable inside a larger plan. Same decision
+    rules as :func:`choose_join_strategy` (which routes through this):
+    broadcast when a side fits the row budget, salted when a side's
+    hottest key exceeds ``skew_ratio``× its mean per-key count, plain
+    otherwise. Two combinable grouped counts + two 1-row rollups
+    stitched by scalar cross joins (O(1) build sides).
+    """
+    def side(df, tag):
+        return (
+            df.groupBy(F.col(on).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias(f"n_{tag}"),
+                F.count(F.lit(1)).cast("long").alias(f"keys_{tag}"),
+                F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias(f"max_key_{tag}"),
+            )
+        )
+
+    j = side(left, "left").crossJoin(side(right, "right"))
+    nl, nr = F.col("n_left"), F.col("n_right")
+    skew_l = F.col("max_key_left") * F.greatest(F.col("keys_left"), F.lit(1)) > (
+        F.lit(float(skew_ratio)) * nl
+    )
+    skew_r = F.col("max_key_right") * F.greatest(F.col("keys_right"), F.lit(1)) > (
+        F.lit(float(skew_ratio)) * nr
+    )
+    small = F.least(nl, nr) <= F.lit(int(broadcast_rows))
+    strategy = (
+        F.when(small, F.lit("broadcast"))
+        .when(skew_l | skew_r, F.lit("salted"))
+        .otherwise(F.lit("plain"))
+    )
+    target = (
+        F.when(small, F.when(nl <= nr, F.lit("left")).otherwise(F.lit("right")))
+        .when(skew_l, F.lit("left"))
+        .when(skew_r, F.lit("right"))
+    )
+    return j.select(
+        "n_left", "n_right", "keys_left", "keys_right",
+        "max_key_left", "max_key_right",
+        strategy.alias("strategy"), target.alias("target_side"),
+    )
+
+
 def choose_join_strategy(
     left: DataFrame,
     right: DataFrame,
@@ -117,40 +171,24 @@ def choose_join_strategy(
     decision with :func:`apply_join_strategy`. The thresholds are row-
     based because the audit is row-based; convert a byte budget (Spark's
     ``autoBroadcastJoinThreshold``) with your mean row width.
-    """
-    def side_stats(df):
-        return (
-            df.groupBy(F.col(on).alias("__k"))
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(
-                F.sum("__n").alias("rows"),
-                F.count(F.lit(1)).alias("keys"),
-                F.max("__n").alias("max_key"),
-            )
-            .collect()[0]
-        )
 
-    ls, rs = side_stats(left), side_stats(right)
+    Routes through :func:`join_strategy_report` (one bounded 1-row
+    collect), so the dict and DataFrame forms can never disagree.
+    """
+    r = join_strategy_report(left, right, on, broadcast_rows, skew_ratio).collect()[0]
     stats = {
-        "n_left": int(ls["rows"] or 0),
-        "n_right": int(rs["rows"] or 0),
-        "keys_left": int(ls["keys"] or 0),
-        "keys_right": int(rs["keys"] or 0),
-        "max_key_left": int(ls["max_key"] or 0),
-        "max_key_right": int(rs["max_key"] or 0),
+        k: int(r[k])
+        for k in (
+            "n_left", "n_right", "keys_left", "keys_right",
+            "max_key_left", "max_key_right",
+        )
     }
-    decision = {"strategy": "plain", "broadcast_side": None,
-                "salt_side": None, "stats": stats}
-    smaller = "left" if stats["n_left"] <= stats["n_right"] else "right"
-    if stats[f"n_{smaller}"] <= broadcast_rows:
-        decision.update(strategy="broadcast", broadcast_side=smaller)
-        return decision
-    for side in ("left", "right"):
-        mean_key = stats[f"n_{side}"] / max(stats[f"keys_{side}"], 1)
-        if stats[f"max_key_{side}"] > skew_ratio * mean_key:
-            decision.update(strategy="salted", salt_side=side)
-            return decision
-    return decision
+    return {
+        "strategy": r["strategy"],
+        "broadcast_side": r["target_side"] if r["strategy"] == "broadcast" else None,
+        "salt_side": r["target_side"] if r["strategy"] == "salted" else None,
+        "stats": stats,
+    }
 
 
 def apply_join_strategy(

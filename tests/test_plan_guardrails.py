@@ -27,7 +27,10 @@ QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
                 # per-slice vocabulary — O(1) per probe row by construction
                 "vocab_divergence",
                 # two 1-row count scalars stitched onto the 1-row estimate
-                "join_size_estimate"}
+                "join_size_estimate",
+                # per scenario, two 1-row side rollups cross-joined into the
+                # 1-row decision — O(1) build sides by construction
+                "join_strategy"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
