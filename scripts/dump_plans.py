@@ -156,6 +156,25 @@ SHOWCASE = {
         "rows ((band,bucket) equi-join), never historical text — O(batch) "
         "per increment."
     ),
+    "token_budget_select": (
+        "Global quality cutoff WITHOUT a single-reducer window: one range "
+        "shuffle on (quality desc, id), per-partition subtotals folded "
+        "into driver prefix offsets (one row per partition), exhausted "
+        "partitions pruned to constant-false, partition-LOCAL cumulative "
+        "windows stitched with the offset."
+    ),
+    "cluster_split": (
+        "Leakage-free split: the near-dup component label (LSH + verify + "
+        "min-label propagation) is the split key, so the hash split is a "
+        "pure projection over the cluster id — near-dup pairs cannot "
+        "straddle splits by construction."
+    ),
+    "join_strategy": (
+        "The planner's decision as a 1-row plan: two combinable grouped "
+        "counts + 1-row rollups stitched by O(1) scalar cross joins; the "
+        "skew test is division-free (max_key*keys > ratio*n); the join "
+        "being planned never runs."
+    ),
     "pricing_summary": (
         "Filter + column pruning reach the parquet scan: PushedFilters "
         "carries the shipdate predicate and ReadSchema lists only the "
