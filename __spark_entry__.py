@@ -1438,6 +1438,49 @@ def q_join_strategy(spark, sf_dir):
     return r1.unionByName(r2).unionByName(r3)
 
 
+def q_cms_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming CMS maintainer: three
+    micro-batches (event_id % 3) folded through cms_state + cms_merge —
+    the exact foreachBatch state transition (counter summing is
+    batch-order-invariant, so the one-pass DuckDB grid is the truth) —
+    probed for the sub-20 user ids."""
+    from bio2bel_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    state = None
+    for k in range(3):
+        bs = cms_state(
+            ev.filter(F.col("event_id") % 3 == k), "user_id",
+            width=1024, depth=4,
+        )
+        state = bs if state is None else cms_merge([state, bs])
+    keys = ev.where(F.col("user_id") < 20).select("user_id").distinct()
+    return cms_estimate(state, keys, "user_id", width=1024, depth=4)
+
+
+def q_hll_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming HLL maintainer: three
+    micro-batches folded through hll_state + hll_merge (register-wise max
+    — idempotent and order-invariant), read with the standard
+    small-range-corrected estimator."""
+    from bio2bel_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    state = None
+    for k in range(3):
+        bs = hll_state(ev.filter(F.col("event_id") % 3 == k), "user_id", b=9)
+        state = bs if state is None else hll_merge([state, bs])
+    return hll_estimate(state, b=9)
+
+
 def q_token_budget_select(spark, sf_dir):
     """Exact quality-ranked selection under a global token budget (half
     the corpus's tokens): range-partitioned distributed prefix-sum — the
@@ -3335,6 +3378,8 @@ QUERIES: dict[str, Callable] = {
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
     "join_strategy": q_join_strategy,
+    "cms_maintenance": q_cms_maintenance,
+    "hll_maintenance": q_hll_maintenance,
     "winnowing_fingerprints": q_winnowing,
     "weighted_sample": q_weighted_sample,
     "lexical_diversity": q_lexical_diversity,
@@ -3374,8 +3419,6 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,
     "zipf_fit": q_zipf_fit,
     "target_encoding": q_target_encoding,
-    "hard_negative_samples": q_hard_negative_samples,
-    "quantile_sketch_grouped": q_quantile_sketch_grouped,
     "k_core": q_k_core,
     "k_hop_profile": q_k_hop_profile,
     # graph + sources (fixture parsing: OBO/RDF/CX ingest can rot silently)
@@ -3398,6 +3441,8 @@ QUERIES: dict[str, Callable] = {
     "session_paths": q_session_paths,
     "decayed_sum": q_decayed_sum,
     "negative_samples": q_negative_samples,
+    "hard_negative_samples": q_hard_negative_samples,
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,
     # round-6 rotation: validate_lineitem + the dup-span trio (all green
     # since round 4) displaced by incremental_fuzzy, the two maintainer
     # batch twins, and hilbert_layout_3d; all still hash-checked by the
@@ -3929,6 +3974,69 @@ def oracle_sql() -> dict[str, str]:
                         WHEN r.m * greatest(r.k, 1) > 2.0 * r.n THEN 'right'
                         END
             FROM l3 l, r3 r
+        """,
+        # counter summing is batch-order-invariant: the replayed 3-batch
+        # state equals one pass over all events (cms_counts' grid twin on
+        # the events key)
+        "cms_maintenance": """
+            WITH src AS (
+                SELECT md5(user_id::VARCHAR) AS h FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            hh AS (
+                SELECT ('0x' || substr(h, 1, 8))::BIGINT AS h1,
+                       ('0x' || substr(h, 9, 8))::BIGINT AS h2
+                FROM src
+            ),
+            grid AS (
+                SELECT d.d, (h1 + d.d * h2) % 1024 AS w,
+                       count(*)::BIGINT AS cnt
+                FROM hh, unnest(range(0, 4)) AS d(d)
+                GROUP BY 1, 2
+            ),
+            keys AS (
+                SELECT DISTINCT user_id, md5(user_id::VARCHAR) AS h
+                FROM events WHERE user_id IS NOT NULL AND user_id < 20
+            ),
+            probes AS (
+                SELECT user_id, d.d,
+                       (('0x' || substr(h, 1, 8))::BIGINT
+                        + d.d * ('0x' || substr(h, 9, 8))::BIGINT) % 1024 AS w
+                FROM keys, unnest(range(0, 4)) AS d(d)
+            )
+            SELECT user_id, min(coalesce(g.cnt, 0))::BIGINT AS estimate
+            FROM probes p LEFT JOIN grid g ON p.d = g.d AND p.w = g.w
+            GROUP BY user_id
+        """,
+        # register-wise max is order-invariant: the replayed state equals
+        # one pass (hll_distinct's register twin on the events key)
+        "hll_maintenance": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), hv AS (
+                SELECT (h % 512)::INT AS reg, (h >> 9) AS v FROM h
+            ), regs AS (
+                SELECT reg,
+                       max(CASE WHEN v = 0 THEN 52
+                                ELSE 51 - (length(to_base(v, 2)) - 1)
+                           END)::INT AS rho
+                FROM hv GROUP BY reg
+            ), agg AS (
+                SELECT count(*)::BIGINT AS used,
+                       sum(pow(2.0, -rho)) AS s
+                FROM regs
+            ), raw AS (
+                SELECT used,
+                       0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0)
+                           * 512.0 * 512.0 / (s + (512 - used)) AS e
+                FROM agg
+            )
+            SELECT 512 AS m, used AS used_registers,
+                   round(CASE WHEN e <= 1280.0 AND (512 - used) > 0
+                              THEN 512.0 * ln(512.0 / (512 - used))
+                              ELSE e END, 4) AS estimate
+            FROM raw
         """,
         "token_budget_select": f"""
             WITH t AS (
