@@ -2240,9 +2240,11 @@ def q_chunk_spans(spark, sf_dir):
 
 
 def q_pack_first_fit(spark, sf_dir):
-    """First-fit-decreasing packing via applyInPandas — inherently
-    sequential per group, so no single-pass SQL twin exists (driver records
-    the rows-only check)."""
+    """First-fit-decreasing packing via applyInPandas. The per-group fold
+    is sequential, but it IS SQL-replayable: the DuckDB twin carries the
+    open packs' remaining-capacity list through a recursive CTE (one row
+    per item rank per group), so the greedy assignment hash-checks
+    end-to-end — no longer a rows-only query."""
     from bio2bel_spark.operators.packing import pack_first_fit
 
     docs = _t(spark, sf_dir, "documents")
@@ -3978,6 +3980,51 @@ def oracle_sql() -> dict[str, str]:
         # counter summing is batch-order-invariant: the replayed 3-batch
         # state equals one pass over all events (cms_counts' grid twin on
         # the events key)
+        # first-fit-decreasing replayed as a recursive CTE: one row per
+        # (group, item rank) carrying the open packs' remaining-capacity
+        # LIST; groups advance independently (join on rn+1), so the
+        # recursion depth is the largest group, exactly like the
+        # applyInPandas task. The first-fit index is
+        # list_filter(range, k -> tok <= caps[k])[1].
+        "pack_first_fit": """
+            WITH RECURSIVE items AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ),
+            ffd(source, rn, doc_id, n_chars, caps, pack_id) AS (
+                SELECT source, rn, doc_id, n_chars,
+                       [greatest(2048 - n_chars, 0)], 0::BIGINT
+                FROM items WHERE rn = 1
+                UNION ALL
+                SELECT i.source, i.rn, i.doc_id, i.n_chars,
+                       CASE WHEN list_filter(range(1, len(f.caps)+1),
+                                 k -> i.n_chars <= f.caps[k])[1] IS NULL
+                            THEN list_append(f.caps,
+                                             greatest(2048 - i.n_chars, 0))
+                            ELSE list_transform(range(1, len(f.caps)+1),
+                                 k -> CASE WHEN k = list_filter(
+                                          range(1, len(f.caps)+1),
+                                          k2 -> i.n_chars <= f.caps[k2])[1]
+                                      THEN f.caps[k] - i.n_chars
+                                      ELSE f.caps[k] END) END,
+                       CASE WHEN list_filter(range(1, len(f.caps)+1),
+                                 k -> i.n_chars <= f.caps[k])[1] IS NULL
+                            THEN len(f.caps)::BIGINT
+                            ELSE (list_filter(range(1, len(f.caps)+1),
+                                  k -> i.n_chars <= f.caps[k])[1]
+                                  - 1)::BIGINT END
+                FROM ffd f
+                JOIN items i ON i.source = f.source AND i.rn = f.rn + 1
+            )
+            SELECT source, (max(pack_id) + 1)::BIGINT AS n_packs,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM ffd GROUP BY source
+        """,
         "cms_maintenance": """
             WITH src AS (
                 SELECT md5(user_id::VARCHAR) AS h FROM events
