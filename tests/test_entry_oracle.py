@@ -55,9 +55,7 @@ def oracle(sf_dir):
 
 
 #: queries intentionally without a SQL oracle (driver records rows-only):
-#: first-fit-decreasing packing is sequential per group — no single-pass SQL
 ROWS_ONLY: set[str] = {
-    "pack_first_fit",
     "audio_features",
     "image_features",
     # raster decode has no SQL twin; exactness is covered by the
