@@ -3885,7 +3885,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the planner's decision CASEs replayed per scenario over the same
         # grouped-count statistics (skew test in product form:
-        # max_key*keys > ratio*n)
+        # max_key*keys > ratio*n, plus the absolute hot-key threshold
+        # max_key > broadcast_rows)
         "join_strategy": """
             WITH l1 AS (SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS k,
                                max(n)::BIGINT AS m
@@ -3917,42 +3918,48 @@ def oracle_sql() -> dict[str, str]:
                    l.k AS keys_left, r.k AS keys_right,
                    l.m AS max_key_left, r.m AS max_key_right,
                    CASE WHEN least(l.n, r.n) <= 1000000 THEN 'broadcast'
-                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
-                          OR r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'salted'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n OR l.m > 1000000
+                          OR r.m * greatest(r.k, 1) > 8.0 * r.n OR r.m > 1000000 THEN 'salted'
                         ELSE 'plain' END AS strategy,
                    CASE WHEN least(l.n, r.n) <= 1000000
                         THEN (CASE WHEN l.n <= r.n THEN 'left'
                                    ELSE 'right' END)
-                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n THEN 'left'
-                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'right'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
+                          OR l.m > 1000000 THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n
+                          OR r.m > 1000000 THEN 'right'
                         END AS target_side
             FROM l1 l, r1 r
             UNION ALL
             SELECT 'fact_fact_plain',
                    l.n, r.n, l.k, r.k, l.m, r.m,
                    CASE WHEN least(l.n, r.n) <= 1000 THEN 'broadcast'
-                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
-                          OR r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'salted'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n OR l.m > 1000
+                          OR r.m * greatest(r.k, 1) > 8.0 * r.n OR r.m > 1000 THEN 'salted'
                         ELSE 'plain' END,
                    CASE WHEN least(l.n, r.n) <= 1000
                         THEN (CASE WHEN l.n <= r.n THEN 'left'
                                    ELSE 'right' END)
-                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n THEN 'left'
-                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n THEN 'right'
+                        WHEN l.m * greatest(l.k, 1) > 8.0 * l.n
+                          OR l.m > 1000 THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 8.0 * r.n
+                          OR r.m > 1000 THEN 'right'
                         END
             FROM l2 l, r2 r
             UNION ALL
             SELECT 'hot_key_salted',
                    l.n, r.n, l.k, r.k, l.m, r.m,
                    CASE WHEN least(l.n, r.n) <= 10 THEN 'broadcast'
-                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n
-                          OR r.m * greatest(r.k, 1) > 2.0 * r.n THEN 'salted'
+                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n OR l.m > 10
+                          OR r.m * greatest(r.k, 1) > 2.0 * r.n OR r.m > 10 THEN 'salted'
                         ELSE 'plain' END,
                    CASE WHEN least(l.n, r.n) <= 10
                         THEN (CASE WHEN l.n <= r.n THEN 'left'
                                    ELSE 'right' END)
-                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n THEN 'left'
-                        WHEN r.m * greatest(r.k, 1) > 2.0 * r.n THEN 'right'
+                        WHEN l.m * greatest(l.k, 1) > 2.0 * l.n
+                          OR l.m > 10 THEN 'left'
+                        WHEN r.m * greatest(r.k, 1) > 2.0 * r.n
+                          OR r.m > 10 THEN 'right'
                         END
             FROM l3 l, r3 r
         """,

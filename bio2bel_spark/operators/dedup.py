@@ -1102,7 +1102,9 @@ def lsh_bucket_audit(
     )
     return counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
-        F.sum((F.col("sz") > max_bucket).cast("long")).alias("n_dropped_buckets"),
+        F.coalesce(
+            F.sum((F.col("sz") > max_bucket).cast("long")), F.lit(0)
+        ).cast("long").alias("n_dropped_buckets"),
         F.max("sz").cast("long").alias("max_bucket_size"),
         F.coalesce(
             F.sum(F.when(F.col("sz") > max_bucket, F.col("sz"))), F.lit(0)
@@ -1225,6 +1227,7 @@ def incremental_fuzzy_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     backend: str = "md5",
+    within_batch_bands: "int | None" = None,
     **dedup_kwargs,
 ) -> DataFrame:
     """NEAR-duplicate admission for a new batch against the full corpus
@@ -1248,15 +1251,19 @@ def incremental_fuzzy_dedup(
     — the fuzzy generalization of the reference's incremental-upsert
     guarantee (idempotent re-population against accumulated state,
     ``reference src/bio2bel/manager/namespace_manager.py:262-296``).
-    The within-batch dedup inherits ``bands`` (override via
-    ``dedup_kwargs``) so batch-local and cross-batch banding share one
-    recall profile.
+    The within-batch dedup inherits ``bands`` so batch-local and
+    cross-batch banding share one recall profile by default;
+    ``within_batch_bands`` overrides ONLY the within-batch banding —
+    index rows always use ``bands`` to stay join-compatible with the
+    historical index (a band-count mismatch would silently zero the
+    collision join).
 
     Returns the admitted (new, near-unique) rows of ``new_docs``.
     """
     from bio2bel_spark.operators.caching import tracked_persist
 
-    dedup_kwargs.setdefault("bands", bands)
+    eff_bands = within_batch_bands if within_batch_bands is not None else bands
+    dedup_kwargs["bands"] = eff_bands
     # ONE md5 shingle pass per batch: the persisted hash table feeds the
     # signature (arithmetic fold), the banding, the within-batch verify,
     # and the index rows — without the seam each consumer would re-hash
@@ -1275,17 +1282,24 @@ def incremental_fuzzy_dedup(
             ~F.col("__tn"), _minhash_from_hashes(F.col("__sh"), n_hashes)
         ).alias("__sig"),
     )
-    banded = _bands_from_sig(sig_df, id_col, n_hashes, bands)
+    # within-batch banding honors within_batch_bands; the CROSS-batch index
+    # banding must stay on ``bands``. The two bandings share one projection
+    # when the counts agree (the common case).
+    banded = _bands_from_sig(sig_df, id_col, n_hashes, eff_bands)
     survivors = drop_fuzzy_duplicates(
         new_docs, text_col, id_col,
         n_hashes=n_hashes, threshold=threshold, backend=backend,
         banded=banded, shingles=sh.select(id_col, "__sh"),
         **dedup_kwargs,
     )
+    banded_index = (
+        banded if eff_bands == bands
+        else _bands_from_sig(sig_df, id_col, n_hashes, bands)
+    )
     sigs = sig_df.select(
         F.col(id_col), F.col("__sig").alias("sig")
     ).join(survivors.select(id_col), id_col, "left_semi")
-    batch_index = banded.join(sigs, id_col)
+    batch_index = banded_index.join(sigs, id_col)
     if catalog.table_exists(index_table):
         hist = catalog.read_table(index_table).select(
             F.col("band"), F.col("bucket"), F.col("sig").alias("__hsig")

@@ -807,8 +807,14 @@ def mean_pool_vectors(
             ).alias("__pool"),
         )
     )
-    return counts.join(pooled, by, "left").select(
-        F.col(by),
+    # null-SAFE equality: a NULL group key groups fine on both sides but a
+    # null-unsafe join condition would miss it, silently nulling that
+    # group's pooled embedding even when its vectors averaged correctly.
+    joined = counts.alias("c").join(
+        pooled.alias("p"), F.col(f"c.{by}").eqNullSafe(F.col(f"p.{by}")), "left"
+    )
+    return joined.select(
+        F.col(f"c.{by}").alias(by),
         F.col("n_vectors"),
         F.when(F.col("__nlo") == F.col("__nhi"), F.col("__pool")).alias(out_col),
     )

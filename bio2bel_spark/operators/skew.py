@@ -78,8 +78,17 @@ def replicated_salt_join(
     ``n_salts``× duplication of the right side — the standard trade when
     neither broadcast nor AQE splitting applies (e.g. the right side feeds
     further per-key work). Row multiplicity is exactly that of the plain
-    join.
+    join for ``inner``/``left``/``left_semi``/``left_anti``; ``right``/
+    ``full`` joins are rejected — each unmatched right row would surface
+    once per salt replica (``n_salts``× multiplicity).
     """
+    h = how.lower().replace("_", "")
+    if h not in {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}:
+        raise ValueError(
+            f"replicated_salt_join cannot preserve {how!r} semantics: the "
+            "replicated right side would emit unmatched right rows once per "
+            "salt. Use a plain join (AQE skew split) for right/full joins."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lsalt = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
@@ -120,12 +129,19 @@ def join_strategy_report(
 
     j = side(left, "left").crossJoin(side(right, "right"))
     nl, nr = F.col("n_left"), F.col("n_right")
-    skew_l = F.col("max_key_left") * F.greatest(F.col("keys_left"), F.lit(1)) > (
-        F.lit(float(skew_ratio)) * nl
-    )
-    skew_r = F.col("max_key_right") * F.greatest(F.col("keys_right"), F.lit(1)) > (
-        F.lit(float(skew_ratio)) * nr
-    )
+    # ratio-to-mean test (max_key*keys > ratio*n) PLUS an absolute hot-key
+    # row threshold: with 1 (or few) keys on a side max == mean, so the most
+    # extreme single-reducer concentration would otherwise classify 'plain'.
+    # A key holding more rows than the broadcast budget is hot by definition.
+    abs_hot = F.lit(int(broadcast_rows))
+    skew_l = (
+        F.col("max_key_left") * F.greatest(F.col("keys_left"), F.lit(1))
+        > F.lit(float(skew_ratio)) * nl
+    ) | (F.col("max_key_left") > abs_hot)
+    skew_r = (
+        F.col("max_key_right") * F.greatest(F.col("keys_right"), F.lit(1))
+        > F.lit(float(skew_ratio)) * nr
+    ) | (F.col("max_key_right") > abs_hot)
     small = F.least(nl, nr) <= F.lit(int(broadcast_rows))
     strategy = (
         F.when(small, F.lit("broadcast"))
@@ -204,10 +220,14 @@ def apply_join_strategy(
     caller-supplied ``decision``) prescribes: ``broadcast`` hints the
     small side, ``salted`` routes through :func:`replicated_salt_join`
     with the skewed side on the salted (left) position, ``plain`` is the
-    stock shuffle join. A salted RIGHT side is only swappable for
-    ``inner`` joins (symmetric); any other ``how`` falls back to plain +
-    AQE rather than silently changing semantics. Column order follows
-    Spark's join output for the executed shape.
+    stock shuffle join. Salting only preserves semantics when the
+    REPLICATED side never emits unmatched rows — so a salted LEFT runs
+    only for ``inner``/``left``/``left_semi``/``left_anti`` and a salted
+    RIGHT only for ``inner`` (symmetric swap); every other ``how``
+    (``right``/``full`` would surface each unmatched replicated-side row
+    ``n_salts`` times) falls back to plain + AQE rather than silently
+    changing semantics. Column order follows Spark's join output for the
+    executed shape.
     """
     d = decision or choose_join_strategy(left, right, on, **thresholds)
     if d["strategy"] == "broadcast":
@@ -217,8 +237,10 @@ def apply_join_strategy(
             return F.broadcast(left).join(right, on, how)
         return left.join(F.broadcast(right), on, how)
     if d["strategy"] == "salted":
-        if d["salt_side"] == "left":
+        h = how.lower().replace("_", "")
+        salt_safe = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+        if d["salt_side"] == "left" and h in salt_safe:
             return replicated_salt_join(left, right, on, n_salts, how)
-        if how == "inner":
+        if d["salt_side"] == "right" and h == "inner":
             return replicated_salt_join(right, left, on, n_salts, how)
     return left.join(right, on, how)

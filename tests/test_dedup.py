@@ -555,6 +555,34 @@ def test_incremental_fuzzy_dedup_within_batch_and_identity(spark, tmp_path):
     assert a2 == 0
 
 
+def test_incremental_fuzzy_dedup_bands_override(spark, tmp_path):
+    """Round-7 ADVICE fix: the within-batch band override must actually
+    reach the within-batch banding, while index rows stay on the OUTER
+    bands so the historical collision join keys stay compatible."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.dedup import incremental_fuzzy_dedup
+
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    t = "some reasonably long document text that minhash can fingerprint well"
+    b1 = spark.createDataFrame(
+        [(1, t), (2, "other totally distinct words about spark and parquet")],
+        "doc_id long, text string",
+    )
+    admitted = incremental_fuzzy_dedup(
+        cat, b1, n_hashes=16, bands=8, threshold=0.5,
+        within_batch_bands=4,
+    )
+    assert {r.doc_id for r in admitted.collect()} == {1, 2}
+    idx = cat.read_table("fuzzy_band_index")
+    # index banding uses the OUTER bands (8 rows per admitted doc, bands 0-7)
+    per_doc = {r.doc_id: r.n for r in
+               idx.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {1: 8, 2: 8}
+    # a later batch replaying doc 1 is still rejected through the index
+    b2 = spark.createDataFrame([(9, t)], "doc_id long, text string")
+    assert incremental_fuzzy_dedup(cat, b2, bands=8, threshold=0.5).count() == 0
+
+
 def test_cluster_split_is_leakage_free(spark):
     """Splitting on the near-dup cluster key puts every near-duplicate
     pair on ONE side by construction — zero cross-split verified pairs,

@@ -435,6 +435,25 @@ def test_mean_pool_vectors_degenerate_groups(spark):
     assert rows["allnull"].n_vectors == 0 and rows["allnull"].embedding is None
 
 
+def test_mean_pool_vectors_null_group_key(spark):
+    """Round-7 ADVICE fix: a NULL group key groups fine, so its vectors
+    must pool — the counts↔pooled join is null-SAFE, not a silent miss."""
+    from bio2bel_spark.operators.similarity import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [
+            (None, [2.0, 4.0]),
+            (None, [4.0, 6.0]),
+            ("d1", [1.0, 1.0]),
+        ],
+        "doc string, embedding array<double>",
+    )
+    rows = {r.doc: r for r in mean_pool_vectors(df, "doc").collect()}
+    assert rows[None].n_vectors == 2
+    assert list(rows[None].embedding) == [3.0, 5.0]
+    assert list(rows["d1"].embedding) == [1.0, 1.0]
+
+
 def test_robust_scale_model(spark):
     from bio2bel_spark.operators.stats import robust_scale
 
@@ -518,6 +537,11 @@ def test_lsh_bucket_audit_observes_hub_guard(spark):
     # an uncapped audit reports a clean guard
     clean = lsh_bucket_audit(docs, max_bucket=100).collect()[0]
     assert clean.n_dropped_buckets == 0 and clean.n_docs_in_dropped == 0
+    # round-7 ADVICE fix: an EMPTY corpus reports zeros, never NULLs
+    empty = lsh_bucket_audit(
+        docs.where(F.lit(False)), max_bucket=5
+    ).collect()[0]
+    assert empty.n_dropped_buckets == 0 and empty.n_docs_in_dropped == 0
 
 
 def test_equiheight_histogram_approx_tier(spark):

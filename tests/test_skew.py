@@ -123,3 +123,46 @@ def test_replicated_salt_join_multiplicity(spark, skewed):
     got_hot = got.filter(F.col("key") == "k1").orderBy("value", "attr").collect()
     plain_hot = plain.filter(F.col("key") == "k1").orderBy("value", "attr").collect()
     assert [tuple(r) for r in got_hot] == [tuple(r) for r in plain_hot]
+
+
+def test_salted_full_outer_falls_back_to_plain(spark, skewed):
+    """Round-7 ADVICE fix: a salted decision with how='full'/'right' must
+    NOT route through replicated_salt_join — each unmatched right row
+    would appear once per salt replica. Fallback = plain join semantics."""
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("missing", 4)], "key string, attr int"
+    )
+    for how in ("full", "right"):
+        got = skew.apply_join_strategy(
+            skewed, dim, "key", how=how, n_salts=4,
+            decision={"strategy": "salted", "salt_side": "left",
+                      "broadcast_side": None},
+        )
+        want = skewed.join(dim, "key", how)
+        # the orphan right row ('missing') appears exactly once, not n_salts×
+        assert got.filter(F.col("attr") == 4).count() == 1
+        assert got.count() == want.count()
+
+
+def test_replicated_salt_join_rejects_outer(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1)], "key string, attr int")
+    for how in ("full", "right", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError):
+            skew.replicated_salt_join(skewed, dim, "key", 4, how)
+
+
+def test_absolute_hot_key_threshold(spark):
+    """Round-7 ADVICE fix: one dominant key overall (keys==1 ⇒ max==mean)
+    defeats the ratio-to-mean test; the absolute hot-key threshold
+    (max_key > broadcast_rows) must classify it salted anyway."""
+    one_key = spark.createDataFrame(
+        [("hot", i) for i in range(500)], "key string, n int"
+    )
+    big = spark.createDataFrame(
+        [(f"k{i % 400}", i) for i in range(4000)] + [("hot", -1)],
+        "key string, m int",
+    )
+    d = skew.choose_join_strategy(one_key, big, "key", broadcast_rows=100,
+                                  skew_ratio=8.0)
+    assert d["strategy"] == "salted" and d["salt_side"] == "left"
+    assert d["stats"]["keys_left"] == 1 and d["stats"]["max_key_left"] == 500
