@@ -1808,8 +1808,10 @@ def q_audio_features(spark, sf_dir):
     """REAL audio decode end-to-end: deterministic WAV bytes per document
     (stdlib wave writer) decoded back inside an Arrow mapInPandas UDF into
     duration/RMS/ZCR/peak/band-energy features. No external codec libs —
-    the one modality this container can decode for real. Rows-only check
-    (a SQL oracle cannot parse RIFF)."""
+    the one modality this container can decode for real. Value-oracled:
+    the deterministic sine synthesis replays arithmetically in DuckDB
+    (trunc-to-PCM16 + window-lag zero crossings), so the REAL RIFF
+    decode is hash-checked end-to-end."""
     from bio2bel_spark.operators.multimodal import (
         audio_from_documents,
         decode_features,
@@ -1851,7 +1853,9 @@ def q_image_features(spark, sf_dir):
     """REAL image pipeline end-to-end: deterministic P6 PPM rasters per
     document, decoded and nearest-neighbor resized to the resize_plan
     target inside one Arrow mapInPandas pass, emitting channel statistics.
-    No codec library — pure numpy on real raster bytes. Rows-only check."""
+    No codec library — pure numpy on real raster bytes. Value-oracled:
+    the modular-gradient rasters + integer-index NN resize replay as an
+    integer grid expansion in DuckDB, hash-checking the REAL decode."""
     from bio2bel_spark.operators.multimodal import (
         decode_resize_features,
         image_from_documents,
@@ -5645,6 +5649,85 @@ def oracle_sql() -> dict[str, str]:
                    round(w * sc)::INT AS target_width,
                    round(h * sc)::INT AS target_height
             FROM s
+        """,
+        # REAL wav decode replayed arithmetically: the generator is a
+        # deterministic truncated-PCM16 sine (multimodal._wav_bytes), so the
+        # decoded waveform is trunc(amp*sin(2*pi*freq*t/sr)*32767)/32768 —
+        # bit-exact between numpy and DuckDB sin over the full 224-combo
+        # (freq, amp) parameter grid (verified; same libm in this container).
+        # zcr mean and peak are exact in float; rms/4dp absorbs summation-
+        # order differences (numpy pairwise vs sequential).
+        "audio_features": """
+            WITH params AS (
+                SELECT doc_id,
+                       110.0 + (doc_id % 32)::DOUBLE * 55.0 AS freq,
+                       0.1::DOUBLE + (doc_id % 7)::DOUBLE * 0.1::DOUBLE AS amp
+                FROM documents
+            ), samples AS (
+                SELECT p.doc_id, t.t,
+                       trunc(least(greatest(
+                           p.amp * sin(2.0*pi()*p.freq*t.t/8000.0),
+                           -1.0), 1.0) * 32767.0) / 32768.0 AS x
+                FROM params p, (SELECT unnest(range(2000)) AS t) t
+            ), sb AS (
+                SELECT doc_id, t, x,
+                       CASE WHEN x < 0 THEN 1 ELSE 0 END AS s,
+                       lag(CASE WHEN x < 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY t) AS sp
+                FROM samples
+            )
+            SELECT doc_id, 'audio' AS kind,
+                   round(2000.0/8000.0, 4) AS duration_sec,
+                   round(sqrt(avg(x*x)), 4) AS rms,
+                   round(avg(abs(s - sp)), 4) AS zcr,
+                   round(max(abs(x)), 4) AS peak
+            FROM sb GROUP BY doc_id
+        """,
+        # REAL PPM decode replayed arithmetically: the generator rasters are
+        # modular integer gradients (r=(x*k1)%256, g=(y*k2)%256,
+        # b=(x+y+id)%256) and _nn_resize gathers integer indices
+        # (i*src//dst), so the whole decode->resize->stats pipeline replays
+        # as an integer grid expansion; float-only steps (scale, luma
+        # weights) use the identical IEEE expression trees and 4dp rounding
+        # absorbs aggregation-order differences.
+        "image_features": """
+            WITH m AS (
+                SELECT doc_id,
+                       (n_chars % 640 + 32)::INT AS w,
+                       (n_chars % 480 + 32)::INT AS h
+                FROM documents WHERE doc_id % 10 = 0
+            ), s AS (
+                SELECT doc_id, w, h, least(64.0 / w, 64.0 / h, 1.0) AS sc
+                FROM m
+            ), tt AS (
+                SELECT doc_id, w, h,
+                       floor(w * sc + 0.5)::INT AS tw,
+                       floor(h * sc + 0.5)::INT AS th
+                FROM s
+            ), px AS (
+                -- range() cannot lateral-correlate on tw/th; targets are
+                -- always <= max_side=64, so cross a fixed 64x64 grid and
+                -- filter to the per-image target extent
+                SELECT doc_id, w, h, tw, th,
+                       (xi.i * w) // tw AS sx,
+                       (yi.i * h) // th AS sy
+                FROM tt, range(64) xi(i), range(64) yi(i)
+                WHERE xi.i < tw AND yi.i < th
+            ), ch AS (
+                SELECT doc_id, w, h, tw, th,
+                       ((sx * (doc_id % 7 + 1)) % 256)::DOUBLE AS r,
+                       ((sy * (doc_id % 5 + 1)) % 256)::DOUBLE AS g,
+                       ((sx + sy + doc_id) % 256)::DOUBLE AS b
+                FROM px
+            )
+            SELECT doc_id, w AS width, h AS height,
+                   tw AS target_width, th AS target_height,
+                   round(avg(r), 4) AS mean_r,
+                   round(avg(g), 4) AS mean_g,
+                   round(avg(b), 4) AS mean_b,
+                   round(stddev_pop(0.299::DOUBLE * r + 0.587::DOUBLE * g
+                                    + 0.114::DOUBLE * b), 4) AS std_luma
+            FROM ch GROUP BY doc_id, w, h, tw, th
         """,
         "media_features": """
             SELECT doc_id,
