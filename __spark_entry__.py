@@ -1820,13 +1820,16 @@ def q_audio_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     audio = audio_from_documents(docs.select("doc_id"))
     feats = decode_features(audio, backend="wav")
+    # features is array<float>; cast to double BEFORE rounding so the 4dp
+    # values are exact decimals, not float32 artifacts (0.070699997)
+    f = F.col("features").cast("array<double>")
     return feats.select(
         "doc_id",
         "kind",
-        F.round(F.col("features")[0], 4).alias("duration_sec"),
-        F.round(F.col("features")[1], 4).alias("rms"),
-        F.round(F.col("features")[2], 4).alias("zcr"),
-        F.round(F.col("features")[3], 4).alias("peak"),
+        F.round(f[0], 4).alias("duration_sec"),
+        F.round(f[1], 4).alias("rms"),
+        F.round(f[2], 4).alias("zcr"),
+        F.round(f[3], 4).alias("peak"),
     )
 
 
