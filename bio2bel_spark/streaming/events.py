@@ -248,6 +248,67 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def run_state_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    state_table: str,
+    checkpoint: str,
+    transition,
+    guarded: bool = False,
+):
+    """The ONE foreachBatch skeleton every incremental-state maintainer
+    shares: read the persistent state (if any), apply a pure state
+    ``transition``, atomically overwrite the state table.
+
+    ``transition(prev, batch_df) -> DataFrame`` takes the previous state
+    (None on the first batch) and the micro-batch, and returns the merged
+    state WITHOUT bookkeeping columns. Two durability tiers:
+
+    * ``guarded=False`` — for IDEMPOTENT merges (min-k, set union,
+      register max, distinct-sample, latest-wins CDC): a restart replays
+      at most one batch harmlessly, so no marker is needed.
+    * ``guarded=True`` — for NON-idempotent merges (counter summing):
+      the last applied ``batch_id`` rides ON the state rows
+      (``last_batch_id`` column, same value on every row) so counters
+      and marker commit in ONE atomic overwrite — there is no window
+      where the counters include a batch the marker doesn't know about.
+      A batch whose id is not strictly greater than the recorded marker
+      is skipped. (The transactional-marker pattern Spark documents for
+      non-idempotent foreachBatch sinks; caveat: the guard is scoped to
+      one checkpoint — rebuilding the checkpoint restarts batch ids, so
+      pair a fresh checkpoint with a fresh state table.)
+
+    The merged state is materialized (``localCheckpoint``) BEFORE the
+    overwrite: its lineage reads the very table being overwritten, and
+    recache-by-path would otherwise re-execute the plan over its own
+    output. State stays sketch-sized (rows bounded by the sketch
+    parameters, never the stream volume), so each update is O(state).
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = None
+        if catalog.table_exists(state_table):
+            prev = catalog.read_table(state_table)
+            if guarded:
+                marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
+                if marker is not None and batch_id <= marker:
+                    return  # replay of an applied batch: skip
+        merged = transition(prev, batch_df)
+        if guarded:
+            merged = merged.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("long")
+            )
+        out = merged.localCheckpoint(eager=True)
+        catalog.write_table(out, state_table, mode="overwrite")
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_sketch_maintenance(
     stream_df: DataFrame,
     catalog,
@@ -262,37 +323,21 @@ def run_sketch_maintenance(
     Each micro-batch builds the batch's KMV state (``≤ k`` hash rows, tiny)
     and merges it into the persistent ``state_table`` via
     ``sketch.kmv_merge`` — mergeability makes the update O(k), never a
-    re-scan of history. The merged state OVERWRITES the state table inside
-    foreachBatch (atomic per batch id on the checkpoint), so a restart
-    replays at most one batch and min-k merge is idempotent under replay:
-    re-merging rows already in the state changes nothing.
-
-    Read the estimate at any time with ``sketch.kmv_estimate`` over the
-    state table.
+    re-scan of history. Min-k merge is idempotent under replay (re-merging
+    rows already in the state changes nothing), so the unguarded
+    :func:`run_state_maintenance` tier applies. Read the estimate at any
+    time with ``sketch.kmv_estimate`` over the state table.
     """
     from bio2bel_spark.operators.sketch import kmv_merge, kmv_state
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transition(prev, batch_df):
         batch_state = kmv_state(batch_df, col, k=k, backend=backend)
-        # branch on existence explicitly: a blanket except here would turn a
-        # transient read failure into an overwrite that destroys the
-        # accumulated state — let real read errors fail the batch instead
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            merged = kmv_merge([prev, batch_state], k=k)
-        else:  # first batch: no state yet
-            merged = batch_state
-        # two consumers below (count via write) read `merged` whose lineage
-        # includes the OLD state table being overwritten — materialize first
-        rows = merged.collect()
-        out = batch_df.sparkSession.createDataFrame(rows or [], "h BIGINT")
-        catalog.write_table(out, state_table, mode="overwrite")
+        if prev is None:
+            return batch_state
+        return kmv_merge([prev, batch_state], k=k)
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition
     )
 
 
@@ -310,53 +355,22 @@ def run_cms_maintenance(
 
     Per micro-batch: build the batch's CMS state (≤ depth×width counter
     rows) and SUM it into the persistent ``state_table`` via
-    ``sketch.cms_merge`` — mergeability keeps each update O(state), never a
-    re-scan of history.
-
-    Unlike KMV's min-k merge, counter SUMMING IS NOT IDEMPOTENT: replaying
-    an already-applied batch after a crash would double-count it. The last
-    applied ``batch_id`` therefore rides ON the state rows themselves
-    (``last_batch_id`` column, same value on every row) so counters and
-    marker commit in ONE table overwrite — there is no window where the
-    counters include a batch the marker doesn't know about. A batch whose
-    ``batch_id`` is not strictly greater than the recorded one is skipped.
-    (Transactional-marker pattern Spark documents for non-idempotent
-    foreachBatch sinks; caveat: the guard is scoped to one checkpoint —
-    rebuilding the checkpoint restarts batch ids, so pair a fresh
-    checkpoint with a fresh state table.)
+    ``sketch.cms_merge``. Counter SUMMING IS NOT replay-idempotent, so
+    this runs on the guarded :func:`run_state_maintenance` tier (batch-id
+    marker committed in the same atomic overwrite).
     """
     from bio2bel_spark.operators.sketch import cms_merge, cms_state
 
-    STATE_DDL = "d INT, w BIGINT, cnt BIGINT, last_batch_id LONG"
-
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        prev = None
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
-            if marker is not None and batch_id <= marker:
-                return  # replay of an applied batch: skip
+    def transition(prev, batch_df):
         batch_state = cms_state(
             batch_df, col, width=width, depth=depth, backend=backend
         )
-        if prev is not None:
-            merged = cms_merge([prev.select("d", "w", "cnt"), batch_state])
-        else:
-            merged = batch_state
-        # materialize before overwriting the table the lineage reads
-        rows = [(r["d"], r["w"], r["cnt"], batch_id) for r in merged.collect()]
-        catalog.write_table(
-            ss.createDataFrame(rows or [], STATE_DDL),
-            state_table,
-            mode="overwrite",
-        )
+        if prev is None:
+            return batch_state
+        return cms_merge([prev.select("d", "w", "cnt"), batch_state])
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition, guarded=True
     )
 
 
@@ -374,29 +388,20 @@ def run_bloom_maintenance(
 
     Per micro-batch the batch's set bit positions union into the persistent
     state (``sketch.bloom_merge``). Set union IS idempotent — replaying a
-    batch re-sets bits that are already set — so no batch-id guard is
-    needed; a restart replays at most one batch harmlessly, exactly like
-    the KMV maintenance. Probe the accumulated filter at any time with
-    ``sketch.bloom_probe`` over the state table.
+    batch re-sets bits that are already set — so the unguarded
+    :func:`run_state_maintenance` tier applies. Probe the accumulated
+    filter at any time with ``sketch.bloom_probe`` over the state table.
     """
     from bio2bel_spark.operators.sketch import bloom_merge, bloom_state
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transition(prev, batch_df):
         batch_state = bloom_state(batch_df, col, m=m, k=k, backend=backend)
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            merged = bloom_merge([prev, batch_state])
-        else:
-            merged = batch_state
-        rows = merged.collect()
-        out = batch_df.sparkSession.createDataFrame(rows or [], "pos BIGINT")
-        catalog.write_table(out, state_table, mode="overwrite")
+        if prev is None:
+            return batch_state
+        return bloom_merge([prev, batch_state])
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition
     )
 
 
@@ -452,34 +457,21 @@ def run_hll_maintenance(
     stream — the O(m)-state sibling of the KMV maintenance.
 
     Per micro-batch the batch's register table merges into the persistent
-    state by register-wise max (``sketch.hll_merge``). Max IS idempotent —
-    replaying a batch re-maxes registers to values they already hold — so
-    no batch-id guard is needed; a restart replays at most one batch
-    harmlessly. Read the estimate at any time with ``sketch.hll_estimate``
-    over the state table.
+    state by register-wise max (``sketch.hll_merge``). Max IS idempotent,
+    so the unguarded :func:`run_state_maintenance` tier applies. Read the
+    estimate at any time with ``sketch.hll_estimate`` over the state
+    table.
     """
     from bio2bel_spark.operators.sketch import hll_merge, hll_state
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transition(prev, batch_df):
         batch_state = hll_state(batch_df, col, b=b)
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            merged = hll_merge([prev, batch_state])
-        else:
-            merged = batch_state
-        # the merged plan's lineage reads the table being overwritten —
-        # materialize first (same contract as the KMV/Bloom maintainers)
-        rows = merged.collect()
-        out = batch_df.sparkSession.createDataFrame(
-            rows or [], "reg INT, rho INT"
-        )
-        catalog.write_table(out, state_table, mode="overwrite")
+        if prev is None:
+            return batch_state
+        return hll_merge([prev, batch_state])
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition
     )
 
 
@@ -497,36 +489,24 @@ def run_quantile_maintenance(
 
     Per micro-batch the batch's own bottom-k sample merges into the
     persistent ``(h, v)`` state by union → distinct → re-take the k
-    hash-smallest rows. The merge is idempotent — replaying a batch re-adds
-    rows the distinct collapses — so no batch-id guard is needed. Read
-    quantiles at any time with ``sketch.quantile_estimate`` over the state
-    table; state is ≤ k rows forever, independent of stream volume.
+    hash-smallest rows. The merge is idempotent (replayed rows collapse in
+    the distinct), so the unguarded :func:`run_state_maintenance` tier
+    applies. Read quantiles at any time with ``sketch.quantile_estimate``;
+    state is ≤ k rows forever, independent of stream volume.
     """
     from bio2bel_spark.operators.sketch import (
         quantile_sample_merge,
         quantile_sample_state,
     )
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transition(prev, batch_df):
         batch_state = quantile_sample_state(batch_df, value_col, id_col, k=k)
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            merged = quantile_sample_merge([prev, batch_state], k=k)
-        else:
-            merged = batch_state
-        # lineage reads the table being overwritten — materialize first
-        # (k rows at most; same contract as the other maintainers)
-        rows = merged.collect()
-        out = batch_df.sparkSession.createDataFrame(
-            rows or [], "h BIGINT, v DOUBLE"
-        )
-        catalog.write_table(out, state_table, mode="overwrite")
+        if prev is None:
+            return batch_state
+        return quantile_sample_merge([prev, batch_state], k=k)
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition
     )
 
 
@@ -543,33 +523,22 @@ def run_cdc_apply(
     merges through :func:`bio2bel_spark.operators.scd.cdc_apply`
     (latest-wins by sequence, deletes remove, upserts overwrite).
 
-    Replay-idempotent WITHOUT a batch-id guard: reapplying a change batch to
-    the snapshot it already produced is a no-op (same seq → same winner;
-    deletes re-remove nothing; upserts rewrite identical values) — the same
-    idempotence argument as the Bloom/HLL maintainers, but from MERGE
-    semantics instead of monotone state. The merged snapshot is
-    materialized (localCheckpoint) before overwriting the table its own
-    lineage reads.
+    Replay-idempotent WITHOUT a batch-id guard: reapplying a change batch
+    to the snapshot it already produced is a no-op (same seq → same
+    winner; deletes re-remove nothing; upserts rewrite identical values)
+    — MERGE semantics instead of monotone state, same unguarded
+    :func:`run_state_maintenance` tier.
     """
     from bio2bel_spark.operators.scd import cdc_apply
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if catalog.table_exists(snapshot_table):
-            base = catalog.read_table(snapshot_table)
-        else:
-            base = batch_df.sparkSession.createDataFrame(
-                [], batch_df.drop(seq_col, op_col).schema
-            )
-        merged = cdc_apply(
-            base, batch_df, key_cols, seq_col=seq_col, op_col=op_col
-        ).localCheckpoint(eager=True)
-        catalog.write_table(merged, snapshot_table, mode="overwrite")
+    def transition(prev, batch_df):
+        base = prev if prev is not None else batch_df.sparkSession.createDataFrame(
+            [], batch_df.drop(seq_col, op_col).schema
+        )
+        return cdc_apply(base, batch_df, key_cols, seq_col=seq_col, op_col=op_col)
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, snapshot_table, checkpoint, transition
     )
 
 
@@ -589,37 +558,27 @@ def run_windowed_hll_maintenance(
 
     This answers "distinct users per hour, forever, with late data" in
     O(buckets × 2^b) state — an exact windowed count-distinct would keep
-    every id per window alive indefinitely. Register max is idempotent, so
-    replays need no guard, and LATE events simply re-merge into their old
+    every id per window alive indefinitely. Register max is idempotent
+    (unguarded tier), and LATE events simply re-merge into their old
     bucket (no watermark truncation is forced on the metric). Read with
     ``sketch.hll_estimate_grouped(state, "bucket", b)``.
     """
-    from pyspark.sql import functions as F
-
     from bio2bel_spark.operators.sketch import (
         hll_merge_grouped,
         hll_state_grouped,
     )
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transition(prev, batch_df):
         bucketed = batch_df.withColumn(
             "bucket", F.date_trunc(grain, F.col(ts_col))
         )
         batch_state = hll_state_grouped(bucketed, col, "bucket", b=b)
-        if catalog.table_exists(state_table):
-            merged = hll_merge_grouped(
-                [catalog.read_table(state_table), batch_state], "bucket"
-            )
-        else:
-            merged = batch_state
-        merged = merged.localCheckpoint(eager=True)
-        catalog.write_table(merged, state_table, mode="overwrite")
+        if prev is None:
+            return batch_state
+        return hll_merge_grouped([prev, batch_state], "bucket")
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition
     )
 
 
@@ -698,37 +657,24 @@ def run_topk_maintenance(
     evict/re-admit streams are covered by
     ``tests/test_streaming.py::test_topk_maintenance_readmission_floor``.
 
-    Counter summing is NOT replay-idempotent, so the last applied
-    ``batch_id`` rides on the state rows and commits in the same atomic
-    overwrite (the transactional-marker pattern ``run_cms_maintenance``
-    documents; same single-checkpoint caveat).
+    Counter summing is NOT replay-idempotent → guarded
+    :func:`run_state_maintenance` tier; the eviction floor rides on the
+    state rows alongside the batch-id marker, same atomic overwrite.
     """
-    STATE_DDL = "key STRING, cnt BIGINT, dropped_max BIGINT, last_batch_id LONG"
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        prev = None
+    def transition(prev, batch_df):
         dropped_prev = 0
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            head = prev.agg(
-                F.max("last_batch_id").alias("b"), F.max("dropped_max").alias("d")
-            ).collect()[0]
-            if head["b"] is not None and batch_id <= head["b"]:
-                return  # replay of an applied batch: skip
-            dropped_prev = head["d"] or 0
+        if prev is not None:
+            d = prev.agg(F.max("dropped_max")).collect()[0][0]
+            dropped_prev = int(d or 0)
         kept, dropped = topk_merge_batch(prev, batch_df, col, m, dropped_prev)
-        rows = [(k, c, dropped, batch_id) for k, c in kept]
-        catalog.write_table(
-            ss.createDataFrame(rows or [], STATE_DDL), state_table,
-            mode="overwrite",
+        rows = [(k, c, dropped) for k, c in kept]
+        return batch_df.sparkSession.createDataFrame(
+            rows or [], "key STRING, cnt BIGINT, dropped_max BIGINT"
         )
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition, guarded=True
     )
 
 
@@ -765,44 +711,24 @@ def run_psi_maintenance(
     convention as ``stats.psi_report``) and SUM the per-bin counts into
     the persistent ``state_table``. State is ``n_bins`` counter rows, so
     every update is O(bins), never a rescan; read the drift at any time
-    with :func:`psi_from_state`.
-
-    Counter summing is not replay-idempotent, so the applied ``batch_id``
-    rides on the state rows and commits in the same atomic overwrite
-    (the ``run_cms_maintenance`` transactional-marker pattern, same
-    single-checkpoint caveat). NULL values are ignored, matching the
-    batch operator.
+    with :func:`psi_from_state`. NULL values are ignored, matching the
+    batch operator. Counter summing is NOT replay-idempotent → guarded
+    :func:`run_state_maintenance` tier.
     """
     bounds = [float(b) for b in baseline_bounds]
-    STATE_DDL = "bin INT, cnt BIGINT, last_batch_id LONG"
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ss = batch_df.sparkSession
-        prev = None
-        if catalog.table_exists(state_table):
-            prev = catalog.read_table(state_table)
-            marker = prev.agg(F.max("last_batch_id")).collect()[0][0]
-            if marker is not None and batch_id <= marker:
-                return
+    def transition(prev, batch_df):
         batch_counts = psi_bin_counts(batch_df, value_col, bounds)
-        merged = (
+        if prev is None:
+            return batch_counts
+        return (
             prev.select("bin", "cnt").unionByName(batch_counts)
             .groupBy("bin")
             .agg(F.sum("cnt").alias("cnt"))
-            if prev is not None
-            else batch_counts
-        )
-        rows = [(int(r["bin"]), int(r["cnt"]), batch_id) for r in merged.collect()]
-        catalog.write_table(
-            ss.createDataFrame(rows or [], STATE_DDL), state_table,
-            mode="overwrite",
         )
 
-    return (
-        stream_df.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition, guarded=True
     )
 
 
