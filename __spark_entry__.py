@@ -583,6 +583,47 @@ def q_rdf_reactions(spark, sf_dir):
     return reactions(triples)
 
 
+_SPARQL_FIXTURE = """\
+<http://ex.org/e1> <http://ex.org/type> "gene" .
+<http://ex.org/e1> <http://ex.org/name> "alpha" .
+<http://ex.org/e1> <http://ex.org/xref> "chebi:100" .
+<http://ex.org/e2> <http://ex.org/type> "gene" .
+<http://ex.org/e2> <http://ex.org/name> "beta" .
+<http://ex.org/e2> <http://ex.org/xref> "uniprot:200" .
+<http://ex.org/e3> <http://ex.org/type> "gene" .
+<http://ex.org/e3> <http://ex.org/name> "gamma" .
+<http://ex.org/e4> <http://ex.org/type> "pathway" .
+<http://ex.org/e4> <http://ex.org/name> "delta" .
+<http://ex.org/e4> <http://ex.org/xref> "chebi:400" .
+"""
+
+
+def q_sparql_optional_filter(spark, sf_dir):
+    """The SPARQL-subset planner's OPTIONAL-with-FILTER shape (the round-6
+    verdict's one named reference-surface gap): a generic SELECT with a
+    filtered OPTIONAL group compiles to scan-filtered projections +
+    compatible-mapping left join — the oracle replays the SPARQL algebra
+    independently in SQL (left join against the pre-filtered optional
+    side), so the planner's semantics are hash-checked, not just its
+    rhea usage."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql.nt", _SPARQL_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?n ?x WHERE {
+               ?e ex:type "gene" .
+               ?e ex:name ?n .
+               OPTIONAL { ?e ex:xref ?x . FILTER(STRSTARTS(?x, "chebi:")) }
+               FILTER(?n != "zeta")
+           }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -3370,6 +3411,7 @@ def q_quantile_transform(spark, sf_dir):
 QUERIES: dict[str, Callable] = {
     # round-7 rotation (per round-6 verdict): the 4 stale-red rows re-enter
     # the window first (all since-fixed and judge-verified green) ...
+    "sparql_optional_filter": q_sparql_optional_filter,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
     "audio_features": q_audio_features,
@@ -3428,8 +3470,10 @@ QUERIES: dict[str, Callable] = {
     "topk_maintenance": q_topk_maintenance,
     "psi_maintenance": q_psi_maintenance,
     "cms_maintenance": q_cms_maintenance,
-    "hll_maintenance": q_hll_maintenance,
     # ---- end of the driver's 50-query correctness window ----
+    # (hll_maintenance displaced by sparql_optional_filter; green r06 and
+    # still hash-checked by the local sweep)
+    "hll_maintenance": q_hll_maintenance,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -4787,6 +4831,36 @@ def oracle_sql() -> dict[str, str]:
                 ('GO:0002', 'is_a', 'GO:0001', 'beta process', 'alpha process'),
                 ('GO:0003', 'part_of', 'GO:0001', 'gamma part', 'alpha process')
             ) t(child, relation, parent, child_name, parent_name)
+        """,
+        # SPARQL algebra replayed independently: required BGP = inner
+        # joins on s; filtered OPTIONAL = left join against the
+        # PRE-filtered optional side (group-local FILTER), outer FILTER
+        # last — over the same fixture triples as VALUES rows
+        "sparql_optional_filter": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400')
+            ), base AS (
+                SELECT a.s AS e, b.o AS n
+                FROM t a JOIN t b ON a.s = b.s
+                WHERE a.p = 'http://ex.org/type' AND a.o = 'gene'
+                  AND b.p = 'http://ex.org/name'
+            ), opt AS (
+                SELECT s AS e, o AS x FROM t
+                WHERE p = 'http://ex.org/xref' AND o LIKE 'chebi:%'
+            )
+            SELECT base.e, base.n, opt.x
+            FROM base LEFT JOIN opt USING (e)
+            WHERE base.n != 'zeta'
         """,
         "rdf_reactions": """
             SELECT * FROM (VALUES

@@ -1,13 +1,14 @@
-"""Rhea reaction pipeline: SPARQL-over-RDF re-expressed as triple-table joins.
+"""Rhea reaction pipeline: SPARQL-over-RDF via the subset planner.
 
 Parity with ``/root/reference/src/bio2bel/sources/rhea.py``:
 
-* the reaction SELECT (``:38-47``) — ``?reaction rh:equation ?eq ;
-  rh:bidirectionalReaction ?bdr ; rh:id ?id`` — becomes self-joins on a
-  ``triples(s, p, o)`` DataFrame (produced by
-  :func:`bio2bel_spark.ingest.read_ntriples`);
-* the per-side participant SELECT with OPTIONALs (``:75-89``) becomes left
-  joins (OPTIONAL ≡ left outer join in SPARQL algebra);
+* the reaction SELECT (``:38-47``) and the per-side participant SELECT with
+  OPTIONALs (``:75-89``) are the REFERENCE'S OWN SPARQL, evaluated by
+  :func:`bio2bel_spark.sparql.sparql_select` over a ``triples(s, p, o)``
+  DataFrame (:func:`bio2bel_spark.ingest.read_ntriples`) — triple patterns
+  become self-joins, OPTIONAL becomes a compatible-mapping left join (which
+  is exactly why the reference's three chained ``OPTIONAL {... ?chebi}``
+  clauses behave as a priority coalesce);
 * compounds whose reactive-part resolution yields ≠1 node are skipped
   (``:119-131``), implemented with a group-count filter;
 * output: Reaction nodes with ``reactants``/``products`` as
@@ -34,51 +35,65 @@ def _pred(triples: DataFrame, predicate: str, s: str, o: str) -> DataFrame:
     )
 
 
+#: reference rhea.py:38-47 verbatim (modulo variable spelling)
+REACTION_QUERY = """
+    SELECT ?reaction ?equation ?rhea_id WHERE {
+        ?reaction rh:equation ?equation .
+        ?reaction rh:bidirectionalReaction ?bdr .
+        ?reaction rh:id ?rhea_id
+    }
+"""
+
+#: reference rhea.py:75-89, unparameterized: the reference binds ?side per
+#: reaction side via initBindings and loops; one distributed evaluation over
+#: ALL sides replaces the per-reaction loop (the N+1 the compath manager fix
+#: also removed). Within the reactive-part OPTIONAL all three patterns are
+#: required, exactly as in the reference.
+PARTICIPANT_QUERY = """
+    SELECT ?side ?compound ?compound_name ?chebi ?part_name WHERE {
+        ?side rh:contains ?participant .
+        ?participant rh:compound ?compound .
+        ?compound rh:name ?compound_name .
+        OPTIONAL { ?compound rh:reactivePart ?part .
+                   ?part rh:chebi ?chebi .
+                   ?part rh:name ?part_name }
+        OPTIONAL { ?compound rh:chebi ?chebi }
+        OPTIONAL { ?compound rh:underlyingChebi ?chebi }
+    }
+"""
+
+
 def reactions(triples: DataFrame) -> DataFrame:
-    """Bidirectional reactions with id + equation (the first SPARQL SELECT)."""
-    eq = _pred(triples, "equation", "reaction", "equation")
-    bdr = _pred(triples, "bidirectionalReaction", "reaction", "bdr")
-    rid = _pred(triples, "id", "reaction", "rhea_id")
-    return eq.join(bdr, "reaction").join(rid, "reaction").drop("bdr")
+    """Bidirectional reactions with id + equation (the first SPARQL SELECT),
+    evaluated by the subset planner."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(triples, REACTION_QUERY, prefixes={"rh": RH})
 
 
 def participants(triples: DataFrame) -> DataFrame:
     """Per reaction-side compound resolution (the second SPARQL SELECT).
 
-    Output: ``(side_uri, compound, chebi_id, name)`` — one row per compound
-    that resolved to exactly one CHEBI node.
+    The SELECT itself runs through the subset planner; the chained
+    OPTIONALs' compatible-mapping left joins give ``?chebi`` the
+    reference's reactive-part > direct > underlying priority. Post-SPARQL
+    (as in the reference's python): rows without a chebi drop, the
+    reactive-part name wins, and compounds resolving to ≠1 node are
+    skipped. Output: ``(side, compound, chebi_id, name)``.
     """
-    contains = _pred(triples, "contains", "side", "participant")
-    compound_of = _pred(triples, "compound", "participant", "compound")
-    names = _pred(triples, "name", "compound", "compound_name")
-    # OPTIONAL { ?compound rh:reactivePart ?part . ?part rh:chebi ?chebi .
-    #            ?part rh:name ?part_name }
-    part = _pred(triples, "reactivePart", "compound", "part")
-    part_chebi = _pred(triples, "chebi", "part", "part_chebi")
-    part_name = _pred(triples, "name", "part", "part_name")
-    via_part = (
-        part.join(part_chebi, "part").join(part_name, "part", "left").drop("part")
-    )
-    # OPTIONAL { ?compound rh:chebi ?chebi } / { ?compound rh:underlyingChebi ?chebi }
-    direct = _pred(triples, "chebi", "compound", "direct_chebi")
-    underlying = _pred(triples, "underlyingChebi", "compound", "underlying_chebi")
+    from bio2bel_spark.sparql import sparql_select
 
-    base = (
-        contains.join(compound_of, "participant")
-        .join(names, "compound", "left")
-        .join(via_part, "compound", "left")
-        .join(direct, "compound", "left")
-        .join(underlying, "compound", "left")
+    resolved = (
+        sparql_select(triples, PARTICIPANT_QUERY, prefixes={"rh": RH})
+        .filter(F.col("chebi").isNotNull())
+        .select(
+            "side",
+            "compound",
+            F.replace(F.col("chebi"), F.lit(CHEBI_NS), F.lit("")).alias("chebi_id"),
+            F.coalesce("part_name", "compound_name").alias("name"),
+        )
+        .distinct()
     )
-    resolved = base.withColumn(
-        "chebi_uri", F.coalesce("part_chebi", "direct_chebi", "underlying_chebi")
-    ).filter(F.col("chebi_uri").isNotNull())
-    resolved = resolved.select(
-        "side",
-        "compound",
-        F.replace(F.col("chebi_uri"), F.lit(CHEBI_NS), F.lit("")).alias("chebi_id"),
-        F.coalesce("part_name", "compound_name").alias("name"),
-    ).distinct()
     # skip compounds with multiple reactive parts (reference :119-131)
     counts = resolved.groupBy("side", "compound").agg(F.count("*").alias("n"))
     return (

@@ -1,0 +1,464 @@
+"""Tiny SPARQL-subset planner: SELECT / triple patterns / OPTIONAL / FILTER
+compiled into a DataFrame join tree over a ``triples(s, p, o)`` table.
+
+Parity target: the reference runs arbitrary rdflib SPARQL over downloaded RDF
+(``reference src/bio2bel/sources/rhea.py:38-47`` — chained triple patterns —
+and ``:75-89`` — OPTIONAL clauses with ``initBindings`` parameterization).
+Previously each query shape was hand-compiled into joins (sources/rhea.py);
+this planner closes the gap generically: a new RDF source writes its SELECT
+once instead of hand-writing the join tree.
+
+Supported subset (everything the reference's queries use, plus FILTER)::
+
+    PREFIX rh: <http://rdf.rhea-db.org/>
+    SELECT ?a ?b WHERE {
+        ?a rh:pred ?b .
+        ?b rh:other "literal" .
+        OPTIONAL { ?b rh:maybe ?c . FILTER(?c != "x") }
+        FILTER(BOUND(?c) || ?b < "m")
+    }
+
+* **Triple pattern**: each of s/p/o is ``?var``, ``<iri>``, ``prefix:name``
+  or ``"literal"``. A repeated variable inside one pattern adds an equality.
+* **OPTIONAL { group }** — SPARQL LeftJoin with COMPATIBLE-MAPPING
+  semantics: a shared variable must agree where BOTH sides bind it, and an
+  unbound (NULL) left binding is compatible, taking the optional side's
+  value. This is what makes the reference's chained
+  ``OPTIONAL {?c rh:chebi ?x}`` fallbacks behave as a priority coalesce.
+* **FILTER(expr)**: comparisons over variables and literals, ``&&``/``||``/
+  ``!``, ``BOUND(?v)``, ``REGEX(?v, "re")``, ``CONTAINS(?v, "s")``,
+  ``STRSTARTS(?v, "s")``, parentheses. A FILTER inside a group applies to
+  that group (correct whenever it references group-local variables, which
+  is the reference's usage).
+* **bindings=** — the rdflib ``initBindings`` equivalent: equality
+  constraints on variables, pushed into the scan by Catalyst.
+
+Plan shape (Spark-first): each triple pattern is one filtered projection of
+the triples table (constant predicates become pushable scan filters); shared
+variables become hash-join keys; Catalyst reorders the join tree, prunes
+columns, and pushes the per-pattern filters to the parquet scan. With the
+triples table partitioned or bucketed by ``p`` (the classic
+vertical-partitioning layout for RDF at scale), a constant-predicate pattern
+reads only its predicate slice — the property-table plan, derived rather
+than hand-written.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sparql_select", "SparqlError"]
+
+
+class SparqlError(ValueError):
+    """Raised on a query outside the supported subset."""
+
+
+# ------------------------------------------------------------------ tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
+  | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlError(f"cannot tokenize at: {text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# --------------------------------------------------------------------- parser
+#
+# query   := PREFIX* SELECT (var+ | '*') WHERE group
+# group   := '{' element ( '.'? element )* '.'? '}'
+# element := triple | OPTIONAL group | FILTER '(' expr ')'
+# triple  := term term term
+# expr    := or-expr with && / ! / comparisons / function calls
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str) -> None:
+        kind, v = self.next()
+        if v.upper() != value and v != value:
+            raise SparqlError(f"expected {value!r}, got {v!r}")
+
+    def at_keyword(self, word: str) -> bool:
+        kind, v = self.peek()
+        return kind == "keyword" and v.upper() == word
+
+    # -- query ----------------------------------------------------------
+    def parse_query(self):
+        prefixes: dict[str, str] = {}
+        while self.at_keyword("PREFIX"):
+            self.next()
+            kind, pname = self.next()
+            if kind != "pname" or not pname.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {pname!r}")
+            kind, iri = self.next()
+            if kind != "iri":
+                raise SparqlError(f"bad PREFIX iri {iri!r}")
+            prefixes[pname[:-1]] = iri[1:-1]
+        if not self.at_keyword("SELECT"):
+            raise SparqlError("only SELECT queries are supported")
+        self.next()
+        projection: list[str] | None
+        if self.peek()[1] == "*":
+            self.next()
+            projection = None
+        else:
+            projection = []
+            while self.peek()[0] == "var":
+                projection.append(self.next()[1][1:])
+            if not projection:
+                raise SparqlError("SELECT needs ?vars or *")
+        if not self.at_keyword("WHERE"):
+            raise SparqlError("expected WHERE")
+        self.next()
+        group = self.parse_group()
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return prefixes, projection, group
+
+    # -- group ----------------------------------------------------------
+    def parse_group(self) -> list:
+        self.expect("{")
+        elements: list = []
+        while True:
+            kind, v = self.peek()
+            if v == "}":
+                self.next()
+                return elements
+            if v == ".":
+                self.next()
+                continue
+            if self.at_keyword("OPTIONAL"):
+                self.next()
+                elements.append(("optional", self.parse_group()))
+            elif self.at_keyword("FILTER"):
+                self.next()
+                self.expect("(")
+                expr = self.parse_or()
+                self.expect(")")
+                elements.append(("filter", expr))
+            else:
+                s = self.parse_term()
+                p = self.parse_term()
+                o = self.parse_term()
+                elements.append(("triple", s, p, o))
+
+    def parse_term(self):
+        kind, v = self.next()
+        if kind == "var":
+            return ("var", v[1:])
+        if kind == "iri":
+            return ("const", v[1:-1])
+        if kind == "pname":
+            pre, _, local = v.partition(":")
+            return ("pname", pre, local)
+        if kind == "string":
+            return ("const", _unquote(v))
+        if kind == "number":
+            return ("const", v)
+        raise SparqlError(f"bad term {v!r}")
+
+    # -- filter expressions ---------------------------------------------
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = ("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.peek()[1] == "!":
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_primary()
+        op = self.peek()[1]
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", op, left, self.parse_primary())
+        return left
+
+    def parse_primary(self):
+        kind, v = self.peek()
+        if v == "(":
+            self.next()
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        if kind == "keyword" and v.upper() in ("BOUND", "REGEX", "CONTAINS", "STRSTARTS"):
+            fn = v.upper()
+            self.next()
+            self.expect("(")
+            args = [self.parse_primary()]
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.parse_primary())
+            self.expect(")")
+            return ("call", fn, args)
+        if kind == "var":
+            self.next()
+            return ("var", v[1:])
+        if kind == "string":
+            self.next()
+            return ("lit", _unquote(v))
+        if kind == "number":
+            self.next()
+            return ("lit", float(v) if "." in v else int(v))
+        raise SparqlError(f"bad filter primary {v!r}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+# ------------------------------------------------------------------- compiler
+
+
+def _resolve(term, prefixes: dict[str, str]):
+    if term[0] == "pname":
+        _, pre, local = term
+        if pre not in prefixes:
+            raise SparqlError(f"undeclared prefix {pre!r}")
+        return ("const", prefixes[pre] + local)
+    return term
+
+
+def _compile_triple(triples: DataFrame, s, p, o) -> DataFrame:
+    """One pattern = one filtered projection of the triples scan."""
+    cols, filters, seen = [], [], {}
+    for pos, term in zip(("s", "p", "o"), (s, p, o)):
+        if term[0] == "const":
+            filters.append(F.col(pos) == F.lit(term[1]))
+        else:
+            var = term[1]
+            if var in seen:  # repeated var: equality within the pattern
+                filters.append(F.col(pos) == F.col(seen[var]))
+            else:
+                seen[var] = pos
+                cols.append(F.col(pos).alias(var))
+    out = triples
+    for f in filters:
+        out = out.filter(f)
+    return out.select(*cols)
+
+
+def _compile_filter(expr, bound: set[str]) -> Column:
+    kind = expr[0]
+    if kind == "or":
+        return _compile_filter(expr[1], bound) | _compile_filter(expr[2], bound)
+    if kind == "and":
+        return _compile_filter(expr[1], bound) & _compile_filter(expr[2], bound)
+    if kind == "not":
+        return ~_compile_filter(expr[1], bound)
+    if kind == "cmp":
+        _, op, l, r = expr
+        lc, rc = _operand(l, bound), _operand(r, bound)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+    if kind == "call":
+        _, fn, args = expr
+        a0 = _operand(args[0], bound)
+        if fn == "BOUND":
+            return a0.isNotNull()
+        if len(args) != 2 or args[1][0] != "lit":
+            raise SparqlError(f"{fn} needs (?var, \"literal\")")
+        lit = str(args[1][1])
+        if fn == "REGEX":
+            return a0.rlike(lit)
+        if fn == "CONTAINS":
+            return a0.contains(lit)
+        if fn == "STRSTARTS":
+            return a0.startswith(lit)
+    raise SparqlError(f"unsupported filter expression {expr!r}")
+
+
+def _operand(term, bound: set[str]) -> Column:
+    if term[0] == "var":
+        if term[1] not in bound:
+            raise SparqlError(f"FILTER references unbound variable ?{term[1]}")
+        return F.col(term[1])
+    return F.lit(term[1])
+
+
+def _join_compatible(
+    left: DataFrame,
+    right: DataFrame,
+    how: str,
+    left_nullable: set[str],
+) -> DataFrame:
+    """Join two binding tables on their shared variables.
+
+    SPARQL's compatible-mapping rule: per shared var, the bindings agree
+    where BOTH are bound; an unbound (NULL) left binding is compatible and
+    takes the right side's value (``coalesce``). Scale-critical split: a
+    variable the left side binds from a REQUIRED pattern is never NULL, so
+    its condition is pure equality — a hash-join key. Only variables first
+    bound under an earlier OPTIONAL (``left_nullable``) need the
+    ``IS NULL OR =`` form, which rides as a residual predicate on the
+    hash join as long as ONE equi key remains (the usual case: the
+    optional group shares the required entity variable). A join whose
+    shared vars are ALL nullable degrades to a nested-loop — the planner
+    raises instead of silently shipping that plan.
+    """
+    shared = [c for c in left.columns if c in set(right.columns)]
+    if not shared:
+        if how == "inner":
+            return left.crossJoin(right)
+        return left.join(right, F.lit(True), "left")
+    hard = [c for c in shared if c not in left_nullable]
+    soft = [c for c in shared if c in left_nullable]
+    if not hard:
+        raise SparqlError(
+            f"pattern joins only on OPTIONAL-bound variables {soft} — "
+            "this cannot hash-join; bind at least one shared variable in "
+            "a required pattern first"
+        )
+    if not soft:
+        return left.join(right, hard, how if how == "inner" else "left")
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"__opt_{c}")
+    cond = F.lit(True)
+    for c in hard:
+        cond = cond & (F.col(c) == F.col(f"__opt_{c}"))
+    for c in soft:
+        cond = cond & (
+            F.col(c).isNull() | (F.col(c) == F.col(f"__opt_{c}"))
+        )
+    joined = left.join(r, cond, "inner" if how == "inner" else "left")
+    for c in hard:
+        joined = joined.drop(f"__opt_{c}")
+    for c in soft:
+        joined = joined.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"__opt_{c}"))
+        ).drop(f"__opt_{c}")
+    return joined
+
+
+def _compile_group(
+    triples: DataFrame, elements: list, prefixes: dict[str, str]
+) -> "tuple[DataFrame, set[str]]":
+    """Compile a group pattern; returns (bindings, nullable-vars) where
+    nullable-vars are those that may be NULL (first bound under an
+    OPTIONAL that may not match)."""
+    current: DataFrame | None = None
+    nullable: set[str] = set()
+    pending_filters: list = []
+    for el in elements:
+        if el[0] == "triple":
+            s, p, o = (_resolve(t, prefixes) for t in el[1:])
+            pat = _compile_triple(triples, s, p, o)
+            if not pat.columns:
+                raise SparqlError(
+                    "all-constant triple patterns are not supported"
+                )
+            if current is None:
+                current = pat
+            else:
+                shared = [c for c in current.columns if c in pat.columns]
+                current = _join_compatible(current, pat, "inner", nullable)
+                # an inner join against a pattern re-binds shared nullable
+                # vars to the pattern's (non-null) values
+                nullable -= set(shared)
+        elif el[0] == "optional":
+            if current is None:
+                raise SparqlError("OPTIONAL cannot be the first pattern")
+            sub, sub_nullable = _compile_group(triples, el[1], prefixes)
+            new_vars = set(sub.columns) - set(current.columns)
+            soft_shared = set(sub.columns) & set(current.columns) & nullable
+            current = _join_compatible(current, sub, "optional", nullable)
+            # everything the optional introduces may be NULL on no-match;
+            # a shared var that was already nullable stays nullable
+            nullable |= new_vars | sub_nullable | soft_shared
+        elif el[0] == "filter":
+            pending_filters.append(el[1])
+    if current is None:
+        raise SparqlError("empty group pattern")
+    # filters apply to the completed group (correct for group-local vars)
+    for expr in pending_filters:
+        current = current.filter(
+            _compile_filter(expr, set(current.columns))
+        )
+    return current, nullable
+
+
+def sparql_select(
+    triples: DataFrame,
+    query: str,
+    prefixes: "dict[str, str] | None" = None,
+    bindings: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Evaluate a SPARQL-subset SELECT over a ``(s, p, o)`` DataFrame.
+
+    ``prefixes`` pre-declares namespace prefixes (merged under any
+    ``PREFIX`` clauses in the query text); ``bindings`` is the rdflib
+    ``initBindings`` equivalent — each entry constrains a query variable
+    to a constant, and Catalyst pushes the resulting equality into the
+    pattern scans. Returns one column per projected variable, named after
+    the variable.
+    """
+    toks = _tokenize(query)
+    declared, projection, group = _Parser(toks).parse_query()
+    pfx = dict(prefixes or {})
+    pfx.update(declared)
+    out, _ = _compile_group(triples, group, pfx)
+    for var, value in (bindings or {}).items():
+        if var not in out.columns:
+            raise SparqlError(f"binding for ?{var} not in the pattern")
+        out = out.filter(F.col(var) == F.lit(value))
+    if projection is not None:
+        missing = [v for v in projection if v not in out.columns]
+        if missing:
+            raise SparqlError(f"projected vars never bound: {missing}")
+        out = out.select(*projection)
+    return out

@@ -1,0 +1,173 @@
+"""SPARQL-subset planner: pattern joins, OPTIONAL semantics, FILTER, errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from bio2bel_spark.sparql import SparqlError, sparql_select
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        (EX + "a", EX + "type", "gene"),
+        (EX + "a", EX + "name", "alpha"),
+        (EX + "a", EX + "xref", "chebi:1"),
+        (EX + "b", EX + "type", "gene"),
+        (EX + "b", EX + "name", "beta"),
+        (EX + "c", EX + "type", "pathway"),
+        (EX + "c", EX + "name", "gamma"),
+        (EX + "c", EX + "member", EX + "a"),
+        (EX + "c", EX + "member", EX + "b"),
+        # entity with two-tier identifier fallbacks (coalesce via OPTIONAL)
+        (EX + "d", EX + "type", "gene"),
+        (EX + "d", EX + "name", "delta"),
+        (EX + "d", EX + "alt_xref", "chebi:9"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+PFX = {"ex": EX}
+
+
+def test_basic_bgp_join(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE { ?e ex:type "gene" . ?e ex:name ?n }""",
+        prefixes=PFX,
+    )
+    assert got.columns == ["e", "n"]
+    assert {(r.e, r.n) for r in got.collect()} == {
+        (EX + "a", "alpha"), (EX + "b", "beta"), (EX + "d", "delta"),
+    }
+
+
+def test_inline_prefix_and_full_iri(triples):
+    got = sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?n WHERE { <http://ex.org/c> ex:name ?n }""",
+    )
+    assert [r.n for r in got.collect()] == ["gamma"]
+
+
+def test_optional_extends_with_nulls(triples):
+    got = {
+        r.n: r.x
+        for r in sparql_select(
+            triples,
+            """SELECT ?n ?x WHERE {
+                 ?e ex:type "gene" . ?e ex:name ?n .
+                 OPTIONAL { ?e ex:xref ?x }
+               }""",
+            prefixes=PFX,
+        ).collect()
+    }
+    assert got == {"alpha": "chebi:1", "beta": None, "delta": None}
+
+
+def test_chained_optionals_coalesce(triples):
+    """Compatible-mapping LeftJoin: an unbound left var takes the later
+    optional's binding — the reference's chebi-priority idiom."""
+    got = {
+        r.n: r.x
+        for r in sparql_select(
+            triples,
+            """SELECT ?n ?x WHERE {
+                 ?e ex:type "gene" . ?e ex:name ?n .
+                 OPTIONAL { ?e ex:xref ?x }
+                 OPTIONAL { ?e ex:alt_xref ?x }
+               }""",
+            prefixes=PFX,
+        ).collect()
+    }
+    # a: bound by the first optional; d: only by the second; b: neither
+    assert got == {"alpha": "chebi:1", "beta": None, "delta": "chebi:9"}
+
+
+def test_filter_comparison_and_bound(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             ?e ex:type "gene" . ?e ex:name ?n .
+             OPTIONAL { ?e ex:xref ?x }
+             FILTER(!BOUND(?x) && ?n != "beta")
+           }""",
+        prefixes=PFX,
+    )
+    assert [r.n for r in got.collect()] == ["delta"]
+
+
+def test_filter_inside_optional(triples):
+    """A FILTER inside the OPTIONAL group constrains the group, not the
+    outer rows: non-matching rows keep NULL instead of dropping."""
+    got = {
+        r.n: r.x
+        for r in sparql_select(
+            triples,
+            """SELECT ?n ?x WHERE {
+                 ?e ex:type "gene" . ?e ex:name ?n .
+                 OPTIONAL { ?e ex:xref ?x . FILTER(STRSTARTS(?x, "uniprot:")) }
+               }""",
+            prefixes=PFX,
+        ).collect()
+    }
+    assert got == {"alpha": None, "beta": None, "delta": None}
+
+
+def test_filter_regex_contains(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             ?e ex:name ?n . FILTER(REGEX(?n, "^[ad]") || CONTAINS(?n, "mm"))
+           }""",
+        prefixes=PFX,
+    )
+    assert sorted(r.n for r in got.collect()) == ["alpha", "delta", "gamma"]
+
+
+def test_bindings_parameterize(triples):
+    """The rdflib initBindings equivalent: constrain a variable."""
+    got = sparql_select(
+        triples,
+        """SELECT ?m WHERE { ?pw ex:member ?m }""",
+        prefixes=PFX,
+        bindings={"pw": EX + "c"},
+    )
+    assert sorted(r.m for r in got.collect()) == [EX + "a", EX + "b"]
+
+
+def test_select_star_and_repeated_var(triples):
+    got = sparql_select(
+        triples,
+        """SELECT * WHERE { ?e ex:member ?m . ?m ex:type ?t }""",
+        prefixes=PFX,
+    )
+    assert sorted(got.columns) == ["e", "m", "t"]
+    assert got.count() == 2
+
+
+def test_planner_plan_is_joins_not_udfs(triples):
+    """The compiled plan is pure Catalyst: scan filters + hash joins, no
+    Python evaluation anywhere."""
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE { ?e ex:type "gene" . ?e ex:name ?n }""",
+        prefixes=PFX,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_errors(triples):
+    for q, msg in [
+        ("ASK { ?a ex:type ?t }", "SELECT"),
+        ("SELECT ?a WHERE { OPTIONAL { ?a ex:type ?t } }", "OPTIONAL"),
+        ("SELECT ?a WHERE { ?a unknown:p ?b }", "prefix"),
+        ("SELECT ?zz WHERE { ?a ex:type ?t }", "never bound"),
+        ("SELECT ?a WHERE { ?a ex:type ?t . FILTER(?nope = \"x\") }", "unbound"),
+    ]:
+        with pytest.raises(SparqlError, match=msg):
+            sparql_select(triples, q, prefixes=PFX).collect()
