@@ -1286,19 +1286,31 @@ def incremental_fuzzy_dedup(
     # banding must stay on ``bands``. The two bandings share one projection
     # when the counts agree (the common case).
     banded = _bands_from_sig(sig_df, id_col, n_hashes, eff_bands)
-    survivors = drop_fuzzy_duplicates(
-        new_docs, text_col, id_col,
-        n_hashes=n_hashes, threshold=threshold, backend=backend,
-        banded=banded, shingles=sh.select(id_col, "__sh"),
-        **dedup_kwargs,
+    # the within-batch dedup (LSH pairs + verify + components) feeds TWO
+    # consumers — the admitted return AND the index rows — so materialize
+    # its tiny id list ONCE rather than re-running it per consumer; the
+    # id universe comes from the CACHED shingle projection, not another
+    # corpus scan (banded+shingles bypass every other docs use inside
+    # dedup_fuzzy). Round-7 trim, ~3 s/increment at sf0.1.
+    surv_ids = (
+        dedup_fuzzy(
+            sh.select(id_col), text_col, id_col,
+            n_hashes=n_hashes, threshold=threshold, backend=backend,
+            banded=banded, shingles=sh.select(id_col, "__sh"),
+            **dedup_kwargs,
+        )
+        .filter("keep")
+        .select(id_col)
+        .localCheckpoint(eager=True)
     )
+    survivors = new_docs.join(surv_ids, id_col, "left_semi")
     banded_index = (
         banded if eff_bands == bands
         else _bands_from_sig(sig_df, id_col, n_hashes, bands)
     )
     sigs = sig_df.select(
         F.col(id_col), F.col("__sig").alias("sig")
-    ).join(survivors.select(id_col), id_col, "left_semi")
+    ).join(surv_ids, id_col, "left_semi")
     batch_index = banded_index.join(sigs, id_col)
     if catalog.table_exists(index_table):
         hist = catalog.read_table(index_table).select(
@@ -1317,13 +1329,19 @@ def incremental_fuzzy_dedup(
             .where(est >= threshold)
             .select(id_col)
             .distinct()
+            # detach from the index table we are about to append to:
+            # `rejected` is the ONLY path through which survivors or the
+            # new index rows read the historical index, and it is tiny
+            # (rejected ids only) — checkpointing it here means neither
+            # downstream plan touches the table at append/consume time
+            # (recache-by-path would otherwise re-execute over the
+            # appended rows). Round-7 trim: this replaces eager
+            # full-width checkpoints of survivors AND batch_index
+            # (text + band rows — 2-3 s per increment at sf0.1).
+            .localCheckpoint(eager=True)
         )
         survivors = survivors.join(rejected, id_col, "left_anti")
         batch_index = batch_index.join(rejected, id_col, "left_anti")
-    # detach from the index table we are about to append to (recache-by-path
-    # would otherwise re-execute the plan over its own append)
-    survivors = survivors.localCheckpoint(eager=True)
-    batch_index = batch_index.localCheckpoint(eager=True)
     catalog.write_table(
         batch_index.select(id_col, "band", "bucket", "sig"),
         index_table,
