@@ -715,6 +715,49 @@ def _kg(spark, sf_dir):
     return kg
 
 
+def q_indra_statements(spark, sf_dir):
+    """G6 FULL-export tier (closes the round-6 capped-adapter gap): the KG
+    edge table routed through the distributed INDRA statement dispatch —
+    literal-map relation→statement-type lookup in codegen, unconvertible
+    relations dropped (pybel.to_indra's skip semantics), no driver
+    collection anywhere. Customer edges are partOf (→Complex), supplier
+    edges increases (→Activation), nation→region edges ride an
+    unconvertible relation and must vanish."""
+    from bio2bel_spark.io.indra import indra_statements_df
+
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    c_edges = customer.select(
+        F.lit("customer").alias("source_ns"),
+        F.col("c_custkey").cast("string").alias("source_id"),
+        F.lit("partOf").alias("relation"),
+        F.lit("nation").alias("target_ns"),
+        F.col("c_nationkey").cast("string").alias("target_id"),
+        F.lit("pubmed:1").alias("citation"),
+    )
+    s_edges = supplier.select(
+        F.lit("supplier").alias("source_ns"),
+        F.col("s_suppkey").cast("string").alias("source_id"),
+        F.lit("increases").alias("relation"),
+        F.lit("nation").alias("target_ns"),
+        F.col("s_nationkey").cast("string").alias("target_id"),
+        F.lit("pubmed:2").alias("citation"),
+    )
+    n_edges = nation.select(
+        F.lit("nation").alias("source_ns"),
+        F.col("n_nationkey").cast("string").alias("source_id"),
+        F.lit("memberOf").alias("relation"),  # unconvertible -> dropped
+        F.lit("region").alias("target_ns"),
+        F.col("n_regionkey").cast("string").alias("target_id"),
+        F.lit("pubmed:3").alias("citation"),
+    )
+    edges = c_edges.unionByName(s_edges).unionByName(n_edges)
+    return indra_statements_df(edges).select(
+        "stmt_type", "subj_db", "subj_id", "obj_db", "obj_id", "pmid"
+    )
+
+
 def q_kg_triples(spark, sf_dir):
     """G1/S16: edges → (h, r, t) triples export shape."""
     return _kg(spark, sf_dir).triples()
@@ -3412,6 +3455,7 @@ QUERIES: dict[str, Callable] = {
     # round-7 rotation (per round-6 verdict): the 4 stale-red rows re-enter
     # the window first (all since-fixed and judge-verified green) ...
     "sparql_optional_filter": q_sparql_optional_filter,
+    "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
     "audio_features": q_audio_features,
@@ -3469,8 +3513,10 @@ QUERIES: dict[str, Callable] = {
     "rdf_reactions": q_rdf_reactions,
     "topk_maintenance": q_topk_maintenance,
     "psi_maintenance": q_psi_maintenance,
-    "cms_maintenance": q_cms_maintenance,
     # ---- end of the driver's 50-query correctness window ----
+    # (cms_maintenance displaced by indra_statements; green r06 and still
+    # hash-checked by the local sweep)
+    "cms_maintenance": q_cms_maintenance,
     # (hll_maintenance displaced by sparql_optional_filter; green r06 and
     # still hash-checked by the local sweep)
     "hll_maintenance": q_hll_maintenance,
@@ -4902,6 +4948,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source_ns, count(*)::BIGINT AS n_edges,
                    md5(string_agg(key, chr(10) ORDER BY key)) AS keys_digest
             FROM k GROUP BY source_ns
+        """,
+        "indra_statements": """
+            SELECT 'Complex' AS stmt_type, 'customer' AS subj_db,
+                   c_custkey::VARCHAR AS subj_id, 'nation' AS obj_db,
+                   c_nationkey::VARCHAR AS obj_id, 'pubmed:1' AS pmid
+            FROM customer
+            UNION ALL
+            SELECT 'Activation', 'supplier', s_suppkey::VARCHAR, 'nation',
+                   s_nationkey::VARCHAR, 'pubmed:2'
+            FROM supplier
         """,
         "kg_triples": """
             SELECT 'customer:' || c_custkey AS h, 'memberOf' AS r,

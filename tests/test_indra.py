@@ -41,3 +41,47 @@ def test_ensure_dataset_lookup():
     assert ensure_dataset("tfregulons").module_name == "tfregulons"
     with pytest.raises(KeyError, match="not registered"):
         ensure_dataset("nope")
+
+
+def test_distributed_tier_matches_collected(spark, tmp_path):
+    """Round-7 full-export tier: indra_statements_df drops the same edges
+    and emits the same fields as the collected reference-parity tier, and
+    the NDJSON sink round-trips through a JSON parse."""
+    import json
+
+    from bio2bel_spark.io.indra import (
+        indra_statements_df,
+        to_indra_statements,
+        write_indra_ndjson,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("hgnc", "1", "A", "increases", "hgnc", "2", "B", "pubmed:10", "ev1"),
+            ("hgnc", "2", "B", "binds", "chebi", "3", "C", "pubmed:11", "ev2"),
+            ("hgnc", "1", "A", "mystery", "hgnc", "2", "B", "pubmed:12", "ev3"),
+        ],
+        "source_ns string, source_id string, source_name string, "
+        "relation string, target_ns string, target_id string, "
+        "target_name string, citation string, evidence string",
+    )
+    collected = to_indra_statements(edges)
+    dist = indra_statements_df(edges).collect()
+    assert len(collected) == len(dist) == 2  # 'mystery' dropped by both
+    got = {
+        (r["stmt_type"], r["subj_id"], r["obj_id"], r["pmid"], r["text"])
+        for r in dist
+    }
+    want = {
+        (s["type"], s["subj"]["id"], s["obj"]["id"],
+         s["evidence"]["pmid"], s["evidence"]["text"])
+        for s in collected
+    }
+    assert got == want
+
+    out = str(tmp_path / "ndjson")
+    write_indra_ndjson(edges, out)
+    lines = [json.loads(r["value"]) for r in spark.read.text(out).collect()]
+    assert len(lines) == 2
+    assert {l["type"] for l in lines} == {"Activation", "Complex"}
+    assert all(l["subj"]["db"] and l["evidence"]["pmid"] for l in lines)
