@@ -30,6 +30,10 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   ``STRSTARTS(?v, "s")``, parentheses. A FILTER inside a group applies to
   that group (correct whenever it references group-local variables, which
   is the reference's usage).
+* **{ A } UNION { B }** — branch schemas are aligned (a var missing from
+  a branch is NULL on its rows) and concatenated; joining a UNION result
+  on a variable not bound in every branch is rejected rather than
+  silently null-dropped.
 * **bindings=** — the rdflib ``initBindings`` equivalent: equality
   constraints on variables, pushed into the scan by Catalyst.
 
@@ -166,7 +170,17 @@ class _Parser:
             if v == ".":
                 self.next()
                 continue
-            if self.at_keyword("OPTIONAL"):
+            if v == "{":
+                # { A } UNION { B } [ UNION { C } ... ]
+                branches = [self.parse_group()]
+                while self.at_keyword("UNION"):
+                    self.next()
+                    branches.append(self.parse_group())
+                if len(branches) == 1:
+                    elements.append(("union", branches))  # plain sub-group
+                else:
+                    elements.append(("union", branches))
+            elif self.at_keyword("OPTIONAL"):
                 self.next()
                 elements.append(("optional", self.parse_group()))
             elif self.at_keyword("FILTER"):
@@ -420,6 +434,49 @@ def _compile_group(
             # everything the optional introduces may be NULL on no-match;
             # a shared var that was already nullable stays nullable
             nullable |= new_vars | sub_nullable | soft_shared
+        elif el[0] == "union":
+            branches = [
+                _compile_group(triples, b, prefixes) for b in el[1]
+            ]
+            all_vars: list[str] = []
+            for bdf, _ in branches:
+                for c in bdf.columns:
+                    if c not in all_vars:
+                        all_vars.append(c)
+            in_all = set(all_vars)
+            u_nullable: set[str] = set()
+            for bdf, bnull in branches:
+                in_all &= set(bdf.columns)
+                u_nullable |= bnull
+            # vars not bound in EVERY branch are unbound (NULL) on the
+            # other branches' rows
+            u_nullable |= set(all_vars) - in_all
+            padded = None
+            for bdf, _ in branches:
+                out = bdf.select(
+                    *[
+                        F.col(v) if v in bdf.columns
+                        else F.lit(None).cast("string").alias(v)
+                        for v in all_vars
+                    ]
+                )
+                padded = out if padded is None else padded.unionByName(out)
+            if current is None:
+                current = padded
+            else:
+                shared = [c for c in current.columns if c in padded.columns]
+                # a shared var the union may leave unbound would need a
+                # RIGHT-nullable compatible join — outside the subset
+                bad = [v for v in shared if v in u_nullable]
+                if bad:
+                    raise SparqlError(
+                        f"joining a UNION on variables {bad} that are not "
+                        "bound in every branch is not supported; bind them "
+                        "in all branches or restructure the query"
+                    )
+                current = _join_compatible(current, padded, "inner", nullable)
+                nullable -= {v for v in shared if v not in u_nullable}
+            nullable |= u_nullable
         elif el[0] == "filter":
             pending_filters.append(el[1])
     if current is None:

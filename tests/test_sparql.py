@@ -171,3 +171,62 @@ def test_errors(triples):
     ]:
         with pytest.raises(SparqlError, match=msg):
             sparql_select(triples, q, prefixes=PFX).collect()
+
+
+def test_union_branches(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?x WHERE {
+             ?e ex:type "gene" .
+             { ?e ex:xref ?x } UNION { ?e ex:alt_xref ?x }
+           }""",
+        prefixes=PFX,
+    )
+    assert {(r.e, r.x) for r in got.collect()} == {
+        (EX + "a", "chebi:1"), (EX + "d", "chebi:9"),
+    }
+
+
+def test_union_pads_missing_vars(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?n ?x WHERE {
+             { ?e ex:name ?n . ?e ex:type "pathway" }
+             UNION { ?e ex:xref ?x . ?e ex:name ?n }
+           }""",
+        prefixes=PFX,
+    )
+    assert {(r.n, r.x) for r in got.collect()} == {
+        ("gamma", None), ("alpha", "chebi:1"),
+    }
+
+
+def test_union_after_binding_on_partial_var_rejected(triples):
+    """A var already bound that only SOME union branches bind would need a
+    right-nullable compatible join — rejected, not silently null-dropped."""
+    with pytest.raises(SparqlError, match="bound in every branch"):
+        sparql_select(
+            triples,
+            """SELECT ?e WHERE {
+                 ?y ex:name ?x .
+                 { ?e ex:xref ?x } UNION { ?e ex:type ?t }
+               }""",
+            prefixes=PFX,
+        )
+
+
+def test_union_then_pattern_rebinds_partial_var(triples):
+    """The mirror case IS supported: a union-partial var joined by a LATER
+    triple pattern rides the left-nullable compatible join (unbound union
+    rows take the pattern's binding)."""
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?x WHERE {
+             { ?e ex:xref ?x } UNION { ?e ex:alt_xref ?x }
+             ?e ex:type "gene" .
+           }""",
+        prefixes=PFX,
+    )
+    assert {(r.e, r.x) for r in got.collect()} == {
+        (EX + "a", "chebi:1"), (EX + "d", "chebi:9"),
+    }

@@ -1,0 +1,132 @@
+"""Property test: the SPARQL-subset planner agrees with a naive driver-side
+evaluator on randomized BGP + OPTIONAL queries over random triple tables.
+
+The naive evaluator implements the SPARQL algebra directly (mapping sets,
+compatible-mapping LeftJoin) with no Spark involvement, so agreement pins
+the planner's join compilation — including the nullable-variable
+compatible-join path — against an independent semantics."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from bio2bel_spark.sparql import sparql_select
+
+PREDS = ["p0", "p1", "p2"]
+NODES = ["a", "b", "c", "d", "e"]
+
+
+def _rand_triples(rng, n):
+    return [
+        (rng.choice(NODES), rng.choice(PREDS), rng.choice(NODES))
+        for _ in range(n)
+    ]
+
+
+def _naive_bgp(triples, patterns):
+    """Evaluate required triple patterns: list of binding dicts."""
+    out = [dict()]
+    for s, p, o in patterns:
+        new = []
+        for mu in out:
+            for ts, tp, to in triples:
+                row = {}
+                ok = True
+                for term, val in ((s, ts), (p, tp), (o, to)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        bound = row.get(v, mu.get(v))
+                        if bound is not None and bound != val:
+                            ok = False
+                            break
+                        row[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append({**mu, **row})
+        out = new
+    return out
+
+
+def _naive_leftjoin(left, right):
+    """SPARQL compatible-mapping LeftJoin over binding-dict lists."""
+    out = []
+    for mu in left:
+        matched = False
+        for nu in right:
+            shared = set(mu) & set(nu)
+            if all(mu[v] is None or mu[v] == nu[v] for v in shared):
+                merged = dict(mu)
+                for v, val in nu.items():
+                    if merged.get(v) is None:
+                        merged[v] = val
+                out.append(merged)
+                matched = True
+        if not matched:
+            out.append(dict(mu))
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_planner_matches_naive_evaluator(spark, seed):
+    rng = random.Random(seed)
+    triples = _rand_triples(rng, 40)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+
+    # required patterns chained on a shared entity variable, plus an
+    # OPTIONAL group introducing a new (nullable) variable
+    p_req1, p_req2, p_opt = rng.choice(PREDS), rng.choice(PREDS), rng.choice(PREDS)
+    query = f"""
+        SELECT ?x ?y ?z ?w WHERE {{
+            ?x <{p_req1}> ?y .
+            ?y <{p_req2}> ?z .
+            OPTIONAL {{ ?x <{p_opt}> ?w }}
+        }}
+    """
+    got = {
+        (r.x, r.y, r.z, r.w)
+        for r in sparql_select(tdf, query).collect()
+    }
+
+    req = _naive_bgp(triples, [("?x", p_req1, "?y"), ("?y", p_req2, "?z")])
+    opt = _naive_bgp(triples, [("?x", p_opt, "?w")])
+    want_bindings = _naive_leftjoin(req, opt)
+    want = {
+        (mu["x"], mu["y"], mu["z"], mu.get("w"))
+        for mu in want_bindings
+    }
+    # the planner (like SQL) is set-semantics per projected row only when
+    # DISTINCT is applied; both sides here are deduplicated via sets
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_chained_optional_property(spark, seed):
+    """Two OPTIONALs binding the same variable: the planner's nullable
+    compatible join must equal the naive left-associative LeftJoin."""
+    rng = random.Random(100 + seed)
+    triples = _rand_triples(rng, 30)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    query = """
+        SELECT ?x ?y ?w WHERE {
+            ?x <p0> ?y .
+            OPTIONAL { ?x <p1> ?w }
+            OPTIONAL { ?x <p2> ?w }
+        }
+    """
+    got = {(r.x, r.y, r.w) for r in sparql_select(tdf, query).collect()}
+
+    req = _naive_bgp(triples, [("?x", "p0", "?y")])
+    o1 = _naive_bgp(triples, [("?x", "p1", "?w")])
+    o2 = _naive_bgp(triples, [("?x", "p2", "?w")])
+    step = _naive_leftjoin(req, o1)
+    # ensure unbound ?w is present as None for the compatible test
+    for mu in step:
+        mu.setdefault("w", None)
+    want_bindings = _naive_leftjoin(step, o2)
+    want = {(mu["x"], mu["y"], mu.get("w")) for mu in want_bindings}
+    assert got == want
