@@ -1922,7 +1922,8 @@ def q_image_phash_pairs(spark, sf_dir):
     fingerprints (real PPM decode, Arrow mapInPandas) → pigeonhole-banded
     hamming join. Images for doc_id % 50 == 0 are regenerated under a
     shifted id so every such doc has a perceptual twin — those pairs must
-    surface at hamming ≤ 7. Rows-only check (no raster decode in SQL)."""
+    surface at hamming ≤ 7. Value-oracled: the aHash replays as a 64-point
+    integer grid + mean threshold in DuckDB, hamming via bit_count(xor)."""
     from bio2bel_spark.operators.multimodal import (
         image_from_documents,
         image_near_pairs,
@@ -2641,8 +2642,9 @@ def q_zscore_outliers(spark, sf_dir):
 
 def q_video_features(spark, sf_dir):
     """REAL video decode: Y4M stream-parse + every-2nd-frame luma stats
-    (Arrow mapInPandas; no SQL twin possible for binary container parsing,
-    exactness covered by the numpy round-trip unit tests)."""
+    (Arrow mapInPandas). Value-oracled: the deterministic gradient frames
+    replay as an integer grid expansion in DuckDB — the REAL container
+    parse is hash-checked end-to-end (plus the numpy round-trip tests)."""
     from bio2bel_spark.operators.multimodal import (
         video_frame_features,
         video_from_documents,
@@ -5861,6 +5863,87 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_pop(0.299::DOUBLE * r + 0.587::DOUBLE * g
                                     + 0.114::DOUBLE * b), 4) AS std_luma
             FROM ch GROUP BY doc_id, w, h, tw, th
+        """,
+        # the aHash replay: luma at the 64 NN-sampled grid points of the
+        # modular-gradient raster, strict-> mean threshold, bits packed
+        # two's-complement via HUGEINT, brute-force hamming pairs via
+        # bit_count(xor) (60 images -> 1.7k pairs; the Spark side's banded
+        # join is a recall optimization with identical output). numpy-vs-
+        # DuckDB bit parity verified over sf0.01 AND sf0.1 corpora.
+        "image_phash_pairs": """
+            WITH m AS (
+                SELECT doc_id,
+                       (n_chars % 640 + 32)::INT AS w,
+                       (n_chars % 480 + 32)::INT AS h
+                FROM documents WHERE doc_id % 10 = 0
+            ), grid AS (
+                SELECT doc_id, w, h, yi.i AS gy, xi.i AS gx,
+                       (xi.i * w) // 8 AS sx, (yi.i * h) // 8 AS sy
+                FROM m, range(8) xi(i), range(8) yi(i)
+            ), px AS (
+                SELECT doc_id, gy, gx,
+                       0.299::DOUBLE * ((sx * (doc_id % 7 + 1)) % 256)
+                     + 0.587::DOUBLE * ((sy * (doc_id % 5 + 1)) % 256)
+                     + 0.114::DOUBLE * ((sx + sy + doc_id) % 256) AS luma
+                FROM grid
+            ), mn AS (
+                SELECT doc_id, avg(luma) AS mu FROM px GROUP BY doc_id
+            ), bits AS (
+                SELECT p.doc_id, gy * 8 + gx AS pos,
+                       CASE WHEN p.luma > mn.mu THEN 1 ELSE 0 END AS bit
+                FROM px p JOIN mn USING (doc_id)
+            ), packed AS (
+                SELECT doc_id,
+                       sum(bit::HUGEINT * (1::HUGEINT << (63 - pos))) AS v
+                FROM bits GROUP BY doc_id
+            ), ph AS (
+                SELECT doc_id,
+                       (CASE WHEN v >= 9223372036854775808::HUGEINT
+                             THEN v - 18446744073709551616::HUGEINT
+                             ELSE v END)::BIGINT AS phash
+                FROM packed
+            ), allph AS (
+                SELECT doc_id, phash FROM ph
+                UNION ALL
+                -- perceptual twins: regenerated under id+1e6 from the SAME
+                -- source pixels, so the twin's hash IS the base hash
+                SELECT doc_id + 1000000, phash FROM ph WHERE doc_id % 50 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM allph a JOIN allph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        """,
+        # the Y4M replay: frame f's luma plane is a modular integer
+        # gradient, so sampled-frame stats replay as a grid expansion; mean
+        # is an EXACT integer-sum ratio (identical double both engines),
+        # std via sqrt(E[x^2]-E[x]^2) (exact integer sums) matches numpy's
+        # deviation-form std within the 6dp canon (parity verified at
+        # sf0.01 AND sf0.1 — 15k rows hash-equal)
+        "video_features": """
+            WITH m AS (
+                SELECT doc_id,
+                       (n_chars % 32 + 16)::INT AS w,
+                       (n_chars % 24 + 16)::INT AS h,
+                       (n_chars % 8 + 2)::INT AS nf
+                FROM documents
+            ), fr AS (
+                SELECT doc_id, w, h, f.i AS frame_index
+                FROM m, range(10) f(i)
+                WHERE f.i < nf AND f.i % 2 = 0
+            ), px AS (
+                SELECT doc_id, frame_index,
+                       ((x.i * (doc_id % 7 + 1) + y.i * (frame_index + 1)
+                         + doc_id + frame_index) % 256)::DOUBLE AS v
+                FROM fr, range(48) x(i), range(40) y(i)
+                WHERE x.i < w AND y.i < h
+            )
+            SELECT doc_id, frame_index,
+                   round(avg(v), 6) AS mean_luma,
+                   round(sqrt(avg(v*v) - avg(v)*avg(v)), 6) AS std_luma,
+                   min(v)::INT AS min_luma,
+                   max(v)::INT AS max_luma
+            FROM px GROUP BY doc_id, frame_index
         """,
         "media_features": """
             SELECT doc_id,

@@ -56,16 +56,9 @@ def oracle(sf_dir):
 
 #: queries intentionally without a SQL oracle (driver records rows-only):
 ROWS_ONLY: set[str] = {
-    # pairwise hamming over decoded rasters has no tractable SQL twin;
-    # exactness is covered by the brute-force parity test in
-    # test_multimodal.py
-    "image_phash_pairs",
     # zlib is not expressible in DuckDB; exactness unit-tested in
     # test_cleaning.py against direct zlib calls
     "compression_ratio",
-    # Y4M container parsing has no SQL twin; exactness is the numpy
-    # round-trip test in test_multimodal.py
-    "video_features",
 }
 
 
