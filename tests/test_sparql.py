@@ -230,3 +230,21 @@ def test_union_then_pattern_rebinds_partial_var(triples):
     assert {(r.e, r.x) for r in got.collect()} == {
         (EX + "a", "chebi:1"), (EX + "d", "chebi:9"),
     }
+
+
+def test_constant_predicate_pushed_to_parquet_scan(spark, tmp_path, triples):
+    """The 100 TB contract: a constant-predicate pattern's filter must reach
+    the parquet scan (PushedFilters), so a p-partitioned/bucketed triples
+    layout prunes to the predicate slice instead of scanning everything."""
+    path = str(tmp_path / "triples.parquet")
+    triples.write.parquet(path)
+    tdf = spark.read.parquet(path)
+    got = sparql_select(
+        tdf,
+        """SELECT ?e ?n WHERE { ?e ex:type "gene" . ?e ex:name ?n }""",
+        prefixes=PFX,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "http://ex.org/type" in plan  # the predicate constant reached the scan
+    assert plan.count("BatchEvalPython") == 0
