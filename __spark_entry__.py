@@ -1253,6 +1253,19 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-words models fit on the English slice (target) vs the whole
+    corpus (raw); per-doc log importance weight = sum of bucket log-ratios.
+    The selection tilt a 100 TB crawl toward a curated target domain."""
+    from bio2bel_spark.operators.textquality import dsir_log_weights
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dsir_log_weights(
+        docs, docs.where(F.col("lang") == "en"), buckets=512, alpha=1.0
+    )
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -3481,6 +3494,7 @@ QUERIES: dict[str, Callable] = {
     # the window first (all since-fixed and judge-verified green) ...
     "sparql_optional_filter": q_sparql_optional_filter,
     "sparql_union": q_sparql_union,
+    "dsir_weights": q_dsir_weights,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -3537,8 +3551,10 @@ QUERIES: dict[str, Callable] = {
     "mean_pool": q_mean_pool,
     "join_strategy": q_join_strategy,
     "rdf_reactions": q_rdf_reactions,
-    "topk_maintenance": q_topk_maintenance,
     # ---- end of the driver's 50-query correctness window ----
+    # (topk_maintenance displaced by dsir_weights; green r06 and still
+    # hash-checked by the local sweep)
+    "topk_maintenance": q_topk_maintenance,
     # (psi_maintenance displaced by sparql_union; green r06 and still
     # hash-checked by the local sweep)
     "psi_maintenance": q_psi_maintenance,
@@ -5264,6 +5280,54 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - count(DISTINCT h)::DOUBLE
                          / sum((h IS NOT NULL)::BIGINT), 6) AS exact_dup_rate
             FROM r
+        """,
+        # DSIR replay: hashed unigram+bigram buckets (portable md5 % 512),
+        # add-1 bag-of-words models on the en slice (p) vs all docs (q),
+        # per-doc sum of bucket log-ratios
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang, unnest(
+                    list_concat(w,
+                        CASE WHEN len(w) >= 2
+                             THEN list_transform(range(1, len(w)),
+                                                 i -> w[i] || ' ' || w[i+1])
+                             ELSE []::VARCHAR[] END)) AS g
+                FROM toks
+            ), bg AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 512 AS b
+                FROM grams
+            ), rc AS (
+                SELECT b, count(*)::DOUBLE AS c_r FROM bg GROUP BY 1
+            ), tc AS (
+                SELECT b, count(*)::DOUBLE AS c_t FROM bg
+                WHERE lang = 'en' GROUP BY 1
+            ), tot AS (
+                SELECT (SELECT count(*)::DOUBLE FROM bg) + 1.0 * 512 AS d_r,
+                       (SELECT count(*)::DOUBLE FROM bg WHERE lang = 'en')
+                           + 1.0 * 512 AS d_t
+            ), bits AS (
+                SELECT bg.doc_id,
+                       ln((coalesce(tc.c_t, 0) + 1.0) / tot.d_t)
+                     - ln((coalesce(rc.c_r, 0) + 1.0) / tot.d_r) AS lr
+                FROM bg
+                LEFT JOIN tc USING (b)
+                LEFT JOIN rc USING (b)
+                CROSS JOIN tot
+            ), per AS (
+                SELECT doc_id, count(*)::BIGINT AS n_grams, sum(lr) AS lw
+                FROM bits GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+                   round(per.lw, 6) AS log_weight
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "lm_perplexity": r"""
             WITH toks AS (

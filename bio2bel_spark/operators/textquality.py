@@ -758,3 +758,144 @@ def trailing_loop_features(
         (first["l"] + first["p"]).alias("loop_len"),
         F.round((first["l"] + first["p"]) / n, 6).alias("loop_frac"),
     )
+
+
+def _hashed_gram_buckets(col, buckets: int, include_bigrams: bool = True) -> Column:
+    """Hashed n-gram feature buckets of the text as ``array<bigint>``:
+    unigrams (+ optional bigrams) each hashed into ``[0, buckets)`` with the
+    repo's portable md5 hash (``('0x'||substr(md5(g),1,15))::BIGINT % B`` is
+    the exact DuckDB twin), so the featurization is replayable in ANSI SQL."""
+    grams = tokens(col)
+    if include_bigrams:
+        grams = F.concat(grams, F.transform(bigrams(col), lambda b: b["g"]))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """DSIR log importance weights per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling").
+
+    Featurizes text as hashed n-gram counts over ``buckets`` buckets
+    (unigrams + optional bigrams), fits add-``alpha``-smoothed bag-of-words
+    models over the ``target`` corpus (p) and the raw ``docs`` corpus being
+    scored (q), and scores each raw document with
+
+        ``log w(d) = sum_b c_d[b] * (log p[b] - log q[b])``
+
+    — the importance weight that, fed into Gumbel top-k resampling
+    (:func:`dsir_select`), tilts the raw corpus toward the target
+    distribution. Output: ``(id, n_grams, log_weight)``; docs with zero
+    tokens keep a row with ``n_grams = 0`` and a null weight so a
+    downstream gate can treat them explicitly.
+
+    Scale shape: both distribution fits are map-side-combinable groupBys
+    bounded by ``buckets`` rows; all ratio arithmetic happens on that
+    <=B-row table, which then hits the exploded doc-gram stream as ONE
+    broadcast equi-join (plus a 1-row broadcast scalar for the
+    unseen-bucket default, O(1) per probe row — the lm_perplexity
+    pattern). Per-doc sum is one shuffle on the doc id. No Python, no
+    collect, no iteration — linear in corpus size at 100 TB.
+    """
+    b_col = _hashed_gram_buckets(text_col, buckets, include_bigrams)
+
+    raw_g = docs.select(F.explode(b_col).alias("b"))
+    tgt_g = target.select(F.explode(
+        _hashed_gram_buckets(text_col, buckets, include_bigrams)
+    ).alias("b"))
+    rc = raw_g.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
+    tc = tgt_g.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c_t"))
+    totals = (
+        rc.agg(F.sum("c_r").alias("n_r"))
+        .crossJoin(F.broadcast(tc.agg(F.sum("c_t").alias("n_t"))))
+        .select(
+            (F.coalesce("n_r", F.lit(0.0)) + alpha * buckets).alias("d_r"),
+            (F.coalesce("n_t", F.lit(0.0)) + alpha * buckets).alias("d_t"),
+        )
+    )
+    # log-ratio per bucket, computed entirely on the <=B-row side
+    ratio = (
+        rc.join(tc, "b", "full")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("c_t", F.lit(0.0)) + alpha) / F.col("d_t"))
+                - F.log((F.coalesce("c_r", F.lit(0.0)) + alpha) / F.col("d_r"))
+            ).alias("lr"),
+        )
+    )
+    # unseen-bucket default: log((alpha/d_t) / (alpha/d_r)) = log(d_r/d_t)
+    default = totals.select(F.log(F.col("d_r") / F.col("d_t")).alias("lr0"))
+
+    doc_g = docs.select(F.col(id_col), F.explode(b_col).alias("b"))
+    per_doc = (
+        doc_g.join(F.broadcast(ratio), "b", "left")
+        .crossJoin(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("lr", F.col("lr0"))).alias("__lw"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round("__lw", 6).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    **weight_kwargs,
+) -> DataFrame:
+    """Gumbel top-``k`` importance resampling over :func:`dsir_log_weights`
+    — DSIR's selection step. Each doc gets a deterministic Gumbel
+    perturbation from the portable hash of ``(id, seed)`` (so reruns and
+    retries select the same set), and the ``k`` largest
+    ``log_weight + gumbel`` keys win: sampling without replacement
+    proportional to ``w`` (Gumbel-max trick).
+
+    Scale shape: the key is a map-side expression; global top-k is
+    Spark's TakeOrdered (per-partition heap + driver merge of k rows) —
+    no full sort, no single-reducer window.
+    """
+    w = dsir_log_weights(docs, target, text_col=text_col, id_col=id_col,
+                         **weight_kwargs)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                                  F.lit(str(seed)))), 1, 15),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 60))
+    key = F.col("log_weight") + -F.log(-F.log(u))
+    return (
+        docs.join(w, id_col)
+        .where(F.col("log_weight").isNotNull())
+        .withColumn("gumbel_key", F.round(key, 6))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

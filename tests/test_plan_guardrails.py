@@ -23,6 +23,10 @@ import __spark_entry__ as entrymod
 #: quadratic arithmetic inside grid cells, so its PLAN is a plain hash
 #: shuffle — no CartesianProduct node anywhere in the fleet anymore.
 QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
+                # 1-row scalar totals (smoothing denominators + unseen-bucket
+                # default) stitched onto the <=B-row ratio table and the
+                # doc-gram stream — O(1) per probe row by construction
+                "dsir_weights",
                 # corpus-total scalar (1-row aggregate) stitched onto the
                 # per-slice vocabulary — O(1) per probe row by construction
                 "vocab_divergence",

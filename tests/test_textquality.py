@@ -308,3 +308,73 @@ def test_bm25_matches_python_model(spark):
         if s > 0:
             want[d] = round(s, 6)
     assert got == want
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+@pytest.fixture()
+def dsir_corpus(spark):
+    """Raw corpus with two clearly-separated vocabularies: docs 1-4 speak
+    'target-ish', docs 5-8 speak 'other-ish', doc 9 is empty."""
+    rows = [
+        (1, "alpha beta gamma alpha beta"),
+        (2, "alpha beta beta gamma delta"),
+        (3, "alpha gamma alpha beta delta"),
+        (4, "beta gamma delta alpha alpha"),
+        (5, "omega psi chi omega psi"),
+        (6, "psi chi omega chi chi"),
+        (7, "omega omega psi chi psi"),
+        (8, "chi psi omega psi omega"),
+        (9, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_tilt_toward_target(spark, dsir_corpus):
+    target = dsir_corpus.where(F.col("doc_id") <= 4)
+    got = {
+        r["doc_id"]: r
+        for r in tq.dsir_log_weights(
+            dsir_corpus, target, buckets=64
+        ).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    # every target-vocabulary doc outweighs every other-vocabulary doc
+    lo = min(got[i]["log_weight"] for i in (1, 2, 3, 4))
+    hi = max(got[i]["log_weight"] for i in (5, 6, 7, 8))
+    assert lo > hi
+    # empty doc: explicit row, zero grams, null weight
+    assert got[9]["n_grams"] == 0 and got[9]["log_weight"] is None
+    # 5 unigrams + 4 bigrams per doc
+    assert got[1]["n_grams"] == 9
+
+
+def test_dsir_weights_identity_when_target_is_raw(spark, dsir_corpus):
+    """target == raw → p == q → every weight is exactly 0 (the log-ratio
+    table is identically zero), the DSIR sanity invariant."""
+    docs = dsir_corpus.where(F.col("doc_id") <= 8)
+    got = tq.dsir_log_weights(docs, docs, buckets=64).collect()
+    assert all(abs(r["log_weight"]) < 1e-9 for r in got)
+
+
+def test_dsir_select_deterministic_topk(spark, dsir_corpus):
+    target = dsir_corpus.where(F.col("doc_id") <= 4)
+    a = tq.dsir_select(dsir_corpus, target, k=3, seed=7, buckets=64)
+    b = tq.dsir_select(dsir_corpus, target, k=3, seed=7, buckets=64)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 3
+    # with a strongly-tilted weight the selection stays in the target slice
+    assert set(ids_a) <= {1, 2, 3, 4}
+
+
+def test_dsir_select_seed_changes_gumbel_keys(spark, dsir_corpus):
+    target = dsir_corpus.where(F.col("doc_id") <= 4)
+    k1 = {r["doc_id"]: r["gumbel_key"]
+          for r in tq.dsir_select(dsir_corpus, target, k=8, seed=1,
+                                  buckets=64).collect()}
+    k2 = {r["doc_id"]: r["gumbel_key"]
+          for r in tq.dsir_select(dsir_corpus, target, k=8, seed=2,
+                                  buckets=64).collect()}
+    assert any(k1[i] != k2[i] for i in k1)
