@@ -1266,6 +1266,17 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (Wenzek et al. 2020) — self-trained bigram LM, discrete integer
+    milli-perplexity thresholds at the 33/67 % order stats."""
+    from bio2bel_spark.operators.textquality import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(
+        _spread(spark, _t(spark, sf_dir, "documents"))
+    )
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -3495,6 +3506,7 @@ QUERIES: dict[str, Callable] = {
     "sparql_optional_filter": q_sparql_optional_filter,
     "sparql_union": q_sparql_union,
     "dsir_weights": q_dsir_weights,
+    "perplexity_buckets": q_perplexity_buckets,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -3549,9 +3561,12 @@ QUERIES: dict[str, Callable] = {
     "incremental_fuzzy": q_incremental_fuzzy,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "mean_pool": q_mean_pool,
-    "join_strategy": q_join_strategy,
     "rdf_reactions": q_rdf_reactions,
     # ---- end of the driver's 50-query correctness window ----
+    # (join_strategy displaced by perplexity_buckets; its round-7 ADVICE
+    # fix carries regression tests + a mirrored oracle, and it stays
+    # hash-checked by the local sweep)
+    "join_strategy": q_join_strategy,
     # (topk_maintenance displaced by dsir_weights; green r06 and still
     # hash-checked by the local sweep)
     "topk_maintenance": q_topk_maintenance,
@@ -3690,6 +3705,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+
+
+#: shared bigram-LM replay CTEs (add-1 smoothing, self-trained) — the body
+#: behind both the lm_perplexity and perplexity_buckets oracles
+_LM_PPL_CTES = r"""toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS w
+                FROM documents
+            ), uni_tok AS (
+                SELECT unnest(w) AS w1 FROM toks
+            ), uni AS (
+                SELECT w1, count(*)::BIGINT AS c_uni FROM uni_tok GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT w1)::DOUBLE AS vs FROM uni_tok
+            ), doc_bi AS (
+                SELECT doc_id, b.g AS g, b.w1 AS w1
+                FROM toks, unnest(
+                    CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                              i -> struct_pack(g := w[i] || ' ' || w[i+1],
+                                               w1 := w[i]))
+                         ELSE []::STRUCT(g VARCHAR, w1 VARCHAR)[] END) AS t(b)
+            ), bic AS (
+                SELECT g, count(*)::BIGINT AS c_bi FROM doc_bi GROUP BY 1
+            ), bits AS (
+                SELECT d.doc_id,
+                       -(ln((coalesce(b.c_bi, 0) + 1.0)
+                            / (coalesce(u.c_uni, 0) + 1.0 * v.vs)) / ln(2.0))
+                           AS bits
+                FROM doc_bi d
+                LEFT JOIN bic b USING (g)
+                LEFT JOIN uni u USING (w1)
+                CROSS JOIN v
+            ), per AS (
+                SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(bits) AS a
+                FROM bits GROUP BY 1
+            )"""
 
 
 def _bpe_sql(rounds: int = 6) -> str:
@@ -5329,47 +5383,45 @@ def oracle_sql() -> dict[str, str]:
                    round(per.lw, 6) AS log_weight
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
-        "lm_perplexity": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(
-                           regexp_split_to_array(lower(trim(text)), '\s+'),
-                           t -> t <> '') AS w
-                FROM documents
-            ), uni_tok AS (
-                SELECT unnest(w) AS w1 FROM toks
-            ), uni AS (
-                SELECT w1, count(*)::BIGINT AS c_uni FROM uni_tok GROUP BY 1
-            ), v AS (
-                SELECT count(DISTINCT w1)::DOUBLE AS vs FROM uni_tok
-            ), doc_bi AS (
-                SELECT doc_id, b.g AS g, b.w1 AS w1
-                FROM toks, unnest(
-                    CASE WHEN len(w) >= 2
-                         THEN list_transform(range(1, len(w)),
-                              i -> struct_pack(g := w[i] || ' ' || w[i+1],
-                                               w1 := w[i]))
-                         ELSE []::STRUCT(g VARCHAR, w1 VARCHAR)[] END) AS t(b)
-            ), bic AS (
-                SELECT g, count(*)::BIGINT AS c_bi FROM doc_bi GROUP BY 1
-            ), bits AS (
-                SELECT d.doc_id,
-                       -(ln((coalesce(b.c_bi, 0) + 1.0)
-                            / (coalesce(u.c_uni, 0) + 1.0 * v.vs)) / ln(2.0))
-                           AS bits
-                FROM doc_bi d
-                LEFT JOIN bic b USING (g)
-                LEFT JOIN uni u USING (w1)
-                CROSS JOIN v
-            ), per AS (
-                SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(bits) AS a
-                FROM bits GROUP BY 1
-            )
+        "lm_perplexity": "WITH " + _LM_PPL_CTES + r"""
             SELECT doc.doc_id,
                    coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
                    round(per.a, 6) AS avg_bits,
                    round(pow(2.0, per.a), 3) AS perplexity
             FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        """,
+        # CCNet head/middle/tail replay: the same bigram-LM CTEs, then the
+        # integer milli-perplexity histogram cumsum and the discrete
+        # ceil(q*n) order-stat thresholds per language
+        "perplexity_buckets": "WITH " + _LM_PPL_CTES + r""",
+            ppl AS (
+                SELECT doc.doc_id, doc.lang,
+                       round(pow(2.0, per.a), 3) AS perplexity,
+                       CAST(round(pow(2.0, per.a) * 1000, 0) AS BIGINT) AS m
+                FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+            ), hist AS (
+                SELECT lang, m, count(*)::BIGINT AS c FROM ppl
+                WHERE m IS NOT NULL GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, m,
+                       sum(c) OVER (PARTITION BY lang ORDER BY m
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ), thr AS (
+                SELECT lang,
+                       min(CASE WHEN cum >= ceil(0.33::DOUBLE * n)
+                                THEN m END) AS t1,
+                       min(CASE WHEN cum >= ceil(0.67::DOUBLE * n)
+                                THEN m END) AS t2
+                FROM cum GROUP BY 1
+            )
+            SELECT p.doc_id, p.lang, p.perplexity,
+                   CASE WHEN p.m IS NULL THEN 'unscored'
+                        WHEN p.m <= thr.t1 THEN 'head'
+                        WHEN p.m <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl p LEFT JOIN thr USING (lang)
         """,
         "dedup_quality_survivor": f"""
             WITH RECURSIVE {_JACCARD_CTES},

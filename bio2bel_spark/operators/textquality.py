@@ -899,3 +899,89 @@ def dsir_select(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (0.33, 0.67),
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (Wenzek et al. 2020): score every doc with :func:`lm_perplexity`, then
+    split each language's corpus at the ``cuts`` quantiles of the
+    perplexity distribution — ``head`` = most-natural third, ``tail`` =
+    noisiest. Docs that can't be scored (< 2 tokens) get ``unscored``.
+
+    Cut determinism: thresholds are computed on the integer
+    milli-perplexity domain (``round(ppl * 1000)``) as discrete order
+    stats — the smallest value whose cumulative count reaches
+    ``ceil(q * n)`` — so the bucket boundary is exact integer arithmetic,
+    replayable bit-for-bit in ANSI SQL (no float-interpolation boundary
+    ambiguity).
+
+    Scale shape: the cumulative walk runs over the DISTINCT
+    ``(lang, milli)`` histogram — bounded by the compressed value domain,
+    not the corpus — and the per-language thresholds broadcast back onto
+    the doc stream. No full-corpus sort, no single-reducer window over
+    data rows.
+    """
+    ppl = lm_perplexity(
+        docs, reference=reference, text_col=text_col, id_col=id_col,
+        alpha=alpha,
+    )
+    scored = (
+        docs.select(id_col, lang_col)
+        .join(ppl, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "perplexity",
+            F.round(F.col("perplexity") * 1000, 0).cast("long").alias("__m"),
+        )
+    )
+    hist = (
+        scored.where(F.col("__m").isNotNull())
+        .groupBy(lang_col, "__m")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy("__m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(lang_col)
+    cum = hist.select(
+        lang_col,
+        "__m",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    lo, hi = cuts
+    thr = cum.groupBy(lang_col).agg(
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(float(lo)) * F.col("__n")),
+                F.col("__m"),
+            )
+        ).alias("__t1"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(float(hi)) * F.col("__n")),
+                F.col("__m"),
+            )
+        ).alias("__t2"),
+    )
+    return scored.join(F.broadcast(thr), lang_col, "left").select(
+        id_col,
+        lang_col,
+        "perplexity",
+        F.when(F.col("__m").isNull(), F.lit("unscored"))
+        .when(F.col("__m") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("__m") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

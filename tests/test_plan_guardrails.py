@@ -27,6 +27,8 @@ QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
                 # default) stitched onto the <=B-row ratio table and the
                 # doc-gram stream — O(1) per probe row by construction
                 "dsir_weights",
+                # inherits lm_perplexity's 1-row vocabulary-size scalar
+                "perplexity_buckets",
                 # corpus-total scalar (1-row aggregate) stitched onto the
                 # per-slice vocabulary — O(1) per probe row by construction
                 "vocab_divergence",

@@ -378,3 +378,58 @@ def test_dsir_select_seed_changes_gumbel_keys(spark, dsir_corpus):
           for r in tq.dsir_select(dsir_corpus, target, k=8, seed=2,
                                   buckets=64).collect()}
     assert any(k1[i] != k2[i] for i in k1)
+
+
+# ------------------------------------------------- CCNet perplexity buckets
+
+
+def test_ccnet_buckets_split_thirds_and_unscored(spark):
+    # doc i = a common phrase plus i one-off tokens: each extra unseen
+    # bigram raises the average bits, so perplexities are strictly
+    # increasing in i (distinct histogram bins)
+    rows = [
+        (i, "the cat sat on the mat "
+            + " ".join("u%dx%d" % (i, j) for j in range(i)), "en")
+        for i in range(1, 10)
+    ]
+    rows += [(99, "solo", "en")]  # < 2 tokens -> unscored
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in tq.ccnet_perplexity_buckets(docs).collect()}
+    assert len(got) == 10
+    assert got[99]["bucket"] == "unscored" and got[99]["perplexity"] is None
+    ppls = [got[i]["perplexity"] for i in range(1, 10)]
+    assert ppls == sorted(ppls) and len(set(ppls)) == 9
+    from collections import Counter
+    counts = Counter(r["bucket"] for i, r in got.items() if i != 99)
+    # ceil(.33*9)=3, ceil(.67*9)=7 -> 3 head / 4 middle / 2 tail
+    assert counts == {"head": 3, "middle": 4, "tail": 2}, counts
+
+
+def test_ccnet_buckets_are_per_language(spark):
+    """A noisy-but-uniform language must still split into its own thirds —
+    the CCNet property that thresholds are per-language, not global."""
+    rows = [(i, "aa bb cc dd ee ff gg"[: 2 + i], "en") for i in range(1, 7)]
+    rows += [(10 + i, "zz yy xx ww vv uu tt"[: 2 + i], "de") for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = tq.ccnet_perplexity_buckets(docs).collect()
+    from collections import Counter
+    per_lang = Counter((r["lang"], r["bucket"]) for r in got
+                       if r["bucket"] not in ("unscored",))
+    assert per_lang[("en", "head")] >= 1 and per_lang[("en", "tail")] >= 1
+    assert per_lang[("de", "head")] >= 1 and per_lang[("de", "tail")] >= 1
+
+
+def test_ccnet_bucket_ordering_respects_perplexity(spark):
+    """Within a language every head doc's perplexity <= every middle doc's
+    <= every tail doc's (ties aside, the defining monotonicity)."""
+    rows = [(i, " ".join("w%d" % ((i * 7 + j) % (3 + i)) for j in range(8)),
+             "en") for i in range(1, 13)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = [r for r in tq.ccnet_perplexity_buckets(docs).collect()
+           if r["bucket"] != "unscored"]
+    by = {b: [r["perplexity"] for r in got if r["bucket"] == b]
+          for b in ("head", "middle", "tail")}
+    if by["head"] and by["middle"]:
+        assert max(by["head"]) <= min(by["middle"])
+    if by["middle"] and by["tail"]:
+        assert max(by["middle"]) <= min(by["tail"])
