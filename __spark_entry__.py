@@ -2546,6 +2546,37 @@ def q_psi_drift(spark, sf_dir):
     return psi_report(base, cur, "v", n_bins=10)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the learned BPE vocabulary: train 6 merges
+    (bounded driver scalar per round, the k-means-seed convention), then
+    encode every word map-only with the chained doubled-separator rewrite
+    and count subwords per doc — the train-then-apply tokenizer round trip
+    a 100 TB token-budget pipeline runs before packing."""
+    from bio2bel_spark.operators.bpe import bpe_apply, bpe_learn_merges
+    from bio2bel_spark.operators.dedup import normalize_text
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    merges = bpe_learn_merges(docs, n_merges=6)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text("text"), " ")).alias("__w"),
+    ).where(F.col("__w") != "")
+    per = (
+        words.select("doc_id", bpe_apply("__w", merges).alias("__sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size(F.split("__sym", " "))).cast("long")
+            .alias("n_subwords"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+    )
+
+
 def q_bpe_merges(spark, sf_dir):
     """Corpus BPE tokenizer training: the first 6 learned merges (rank,
     pair, weighted count) — each round is a pair count over the word-
@@ -3507,6 +3538,7 @@ QUERIES: dict[str, Callable] = {
     "sparql_union": q_sparql_union,
     "dsir_weights": q_dsir_weights,
     "perplexity_buckets": q_perplexity_buckets,
+    "bpe_encode": q_bpe_encode,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -3560,9 +3592,12 @@ QUERIES: dict[str, Callable] = {
     # and the incremental_fuzzy perf trim.
     "incremental_fuzzy": q_incremental_fuzzy,
     "curation_pipeline_v2": q_curation_pipeline_v2,
-    "mean_pool": q_mean_pool,
     "rdf_reactions": q_rdf_reactions,
     # ---- end of the driver's 50-query correctness window ----
+    # (mean_pool displaced by bpe_encode; its round-7 ADVICE fix carries
+    # regression tests + the eqNullSafe plan assert, and it stays
+    # hash-checked by the local sweep)
+    "mean_pool": q_mean_pool,
     # (join_strategy displaced by perplexity_buckets; its round-7 ADVICE
     # fix carries regression tests + a mirrored oracle, and it stays
     # hash-checked by the local sweep)
@@ -3746,8 +3781,9 @@ _LM_PPL_CTES = r"""toks AS (
             )"""
 
 
-def _bpe_sql(rounds: int = 6) -> str:
-    """Unrolled BPE twin: per round a pair count over the word-frequency
+def _bpe_learn_ctes(rounds: int = 6) -> "list[str]":
+    """The unrolled BPE-learning CTE chain shared by the bpe_merges and
+    bpe_encode twins: per round a pair count over the word-frequency
     state, a LIMIT-1 top pair (count desc, pair asc), and the same
     doubled-separator literal rewrite. AS MATERIALIZED per round (the
     k_core lesson: multiply-referenced CTEs inline exponentially)."""
@@ -3783,12 +3819,57 @@ def _bpe_sql(rounds: int = 6) -> str:
                        '  ', ' ')) AS sym, n
                 FROM w{r}
             )""")
+    return ctes
+
+
+def _bpe_sql(rounds: int = 6) -> str:
     parts = [
         f"SELECT {r + 1} AS rank, split_part(pair, ' ', 1) AS left_sym, "
         f"split_part(pair, ' ', 2) AS right_sym, cnt AS n FROM m{r}"
         for r in range(rounds)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(parts)
+    return (
+        "WITH " + ",\n".join(_bpe_learn_ctes(rounds)) + "\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+def _bpe_encode_sql(rounds: int = 6) -> str:
+    """Encode twin: learn the same merges, then chain the identical
+    doubled-separator rewrite over every (doc, word) row and count
+    subwords per doc. The learning CTEs only build w{r} up to
+    rounds-1, so m{rounds-1} still resolves."""
+    ctes = _bpe_learn_ctes(rounds)
+    ctes.append(f"""d0 AS (
+        SELECT doc_id, array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> w[i]), ' ') AS sym
+        FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )""")
+    for r in range(rounds):
+        ctes.append(f"""d{r + 1} AS (
+            SELECT doc_id, trim(replace(replace(
+                       ' ' || replace(sym, ' ', '  ') || ' ',
+                       ' ' || replace((SELECT pair FROM m{r}), ' ', '  ')
+                           || ' ',
+                       ' ' || replace((SELECT pair FROM m{r}), ' ', '')
+                           || ' '),
+                   '  ', ' ')) AS sym
+            FROM d{r}
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT doc.doc_id,
+               coalesce(per.n_words, 0)::BIGINT AS n_words,
+               coalesce(per.n_subwords, 0)::BIGINT AS n_subwords
+        FROM documents doc LEFT JOIN (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(len(string_split(sym, ' ')))::BIGINT AS n_subwords
+            FROM d{rounds} GROUP BY doc_id
+        ) per ON doc.doc_id = per.doc_id
+    """
+    )
 
 def oracle_sql() -> dict[str, str]:
     from bio2bel_spark.functions.curie import PREFIX_SYNONYMS
@@ -6782,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT seed, 3, count(*)::BIGINT FROM n3 GROUP BY seed
         """,
         "bpe_merges": _bpe_sql(6),
+        "bpe_encode": _bpe_encode_sql(6),
         "lsh_recall": f"""
             WITH {_JACCARD_CTES.replace(
                 "norm AS (SELECT doc_id, " + _NORM_SQL + " AS t FROM aug)",

@@ -66,3 +66,37 @@ def test_bpe_apply_merges_runs(spark):
         bpe_apply("w", [("a", "b", 0), ("ab", "ab", 0)]).alias("t")
     ).collect()
     assert out2[0]["t"] == "abab ab"
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Train-then-apply round trip: subwords rejoin to the original word
+    (lossless), and learned merges never increase the per-word token count
+    (encoding with k merges is monotonically no longer than with 0)."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.operators.bpe import bpe_apply, bpe_learn_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "widest wide wide wider",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_learn_merges(docs, n_merges=6)
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    rows = words.select(
+        "w",
+        bpe_apply("w", merges).alias("enc"),
+        bpe_apply("w", []).alias("chars"),
+    ).collect()
+    for r in rows:
+        assert r["enc"].replace(" ", "") == r["w"]  # lossless
+        assert len(r["enc"].split(" ")) <= len(r["chars"].split(" "))
+    # the corpus' most frequent pair is merged everywhere: 'lo' must be a
+    # single learned symbol prefix in every 'low*' encoding
+    first = merges[0][0] + merges[0][1]
+    assert any(first in r["enc"].split(" ")[0] for r in rows)
