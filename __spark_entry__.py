@@ -1723,6 +1723,16 @@ def q_dup_span_scrub_keep_first(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 quantization fidelity per vector: cosine between each original
+    embedding and its dequantized max-abs/127 twin plus the max component
+    error — the acceptance gate before swapping an ANN index onto the 4×
+    smaller quantized store."""
+    from bio2bel_spark.operators.similarity import quantization_report
+
+    return quantization_report(_t(spark, sf_dir, "embeddings"))
+
+
 def q_cosine_topk(spark, sf_dir):
     """Exact brute-force cosine top-10 against vec 0 (ANN baseline)."""
     from bio2bel_spark.operators.similarity import cosine_topk
@@ -3539,6 +3549,7 @@ QUERIES: dict[str, Callable] = {
     "dsir_weights": q_dsir_weights,
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_encode": q_bpe_encode,
+    "embedding_quantize": q_embedding_quantize,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -3592,8 +3603,11 @@ QUERIES: dict[str, Callable] = {
     # and the incremental_fuzzy perf trim.
     "incremental_fuzzy": q_incremental_fuzzy,
     "curation_pipeline_v2": q_curation_pipeline_v2,
-    "rdf_reactions": q_rdf_reactions,
     # ---- end of the driver's 50-query correctness window ----
+    # (rdf_reactions displaced by embedding_quantize; the SPARQL planner it
+    # runs through is first-party-checked via sparql_optional_filter +
+    # sparql_union, and it stays hash-checked by the local sweep)
+    "rdf_reactions": q_rdf_reactions,
     # (mean_pool displaced by bpe_encode; its round-7 ADVICE fix carries
     # regression tests + the eqNullSafe plan assert, and it stays
     # hash-checked by the local sweep)
@@ -5903,6 +5917,38 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(0::BIGINT, hashes),
                        (a, x) -> (a * 31 + x) % 9007199254740881) AS fp
             FROM h
+        """,
+        # int8 quantization replay: max-abs/127 symmetric rounding, then
+        # cosine(original, dequantized) and max component error
+        "embedding_quantize": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                FROM v
+            ), d AS (
+                SELECT vec_id, v, scale,
+                       CASE WHEN scale > 0
+                            THEN list_transform(
+                                v, x -> round(x / scale * 127, 0)
+                                        * scale / 127)
+                            ELSE list_transform(v, x -> 0.0) END AS deq
+                FROM s
+            )
+            SELECT vec_id,
+                   round(scale, 6) AS scale,
+                   CASE WHEN scale > 0 THEN round(
+                       list_dot_product(v, deq)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(deq, deq))), 6)
+                   END AS cos_q,
+                   round(list_max(list_transform(
+                       range(1, len(v) + 1),
+                       i -> abs(v[i] - deq[i]))), 6) AS max_abs_err
+            FROM d
         """,
         "cosine_topk": """
             WITH q AS (

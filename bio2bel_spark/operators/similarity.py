@@ -873,3 +873,72 @@ def soft_cluster_assign(
             F.round(ent, 6).alias("entropy"),
         )
     )
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8-style quantization: each vector is scaled
+    by its max-abs component and rounded onto ``[-levels, levels]``
+    integers — the 4× memory cut (float32 → int8) that keeps a 100 TB
+    embedding store ANN-searchable in RAM. Output:
+    ``(id, scale, qvec array<int>)``; zero vectors quantize to all-zero
+    with scale 0 instead of dividing by zero (ANSI mode throws).
+
+    Map-only column expressions (zip_with/aggregate HOFs) — no shuffle, no
+    Python; the dequantized value of component ``i`` is
+    ``qvec[i] * scale / levels``.
+    """
+    v = F.transform(
+        F.col(vec_col), lambda x: x.cast("double")
+    )
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale * levels, 0).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+def quantization_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Per-vector quantization fidelity: cosine between the original vector
+    and its dequantized int8 twin, plus the max absolute component error in
+    original units. The acceptance gate a pipeline runs before swapping an
+    ANN index onto quantized vectors.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    deq = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: F.round(x / scale * levels, 0) * scale / levels,
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    base = df.select(
+        F.col(id_col), v.alias("__v"), deq.alias("__d"), scale.alias("__s")
+    )
+    err = F.array_max(
+        F.zip_with(F.col("__v"), F.col("__d"), lambda a, b: F.abs(a - b))
+    )
+    cos = F.when(
+        F.col("__s") > 0, cosine(F.col("__v"), F.col("__d"))
+    ).otherwise(F.lit(None).cast("double"))
+    return base.select(
+        id_col,
+        F.round("__s", 6).alias("scale"),
+        F.round(cos, 6).alias("cos_q"),
+        F.round(err, 6).alias("max_abs_err"),
+    )

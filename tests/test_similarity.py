@@ -361,3 +361,35 @@ def test_srp_near_pairs_finds_planted_duplicate(spark):
         ).collect()
     }
     assert got == again
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def test_quantize_vectors_bounds_and_zero(spark):
+    from bio2bel_spark.operators.similarity import quantize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_vectors(df).collect()}
+    assert got[1]["qvec"] == [64, -127, 32] and got[1]["scale"] == 1.0
+    # round(0.5/1*127)=round(63.5)=64 (half away from zero), exact -127 max
+    assert got[2]["qvec"] == [0, 0, 0] and got[2]["scale"] == 0.0
+    assert got[3]["qvec"] == [127]
+    for r in got.values():
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+
+
+def test_quantization_report_error_bound(spark, tables):
+    """Dequantization error is bounded by half a quantization step
+    (scale/254) and cosine fidelity stays ~1 on real embeddings."""
+    from bio2bel_spark.operators.similarity import quantization_report
+
+    rows = quantization_report(tables["embeddings"]).collect()
+    assert len(rows) == 500
+    for r in rows:
+        if r["scale"] and r["scale"] > 0:
+            assert r["max_abs_err"] <= r["scale"] / 254 + 1e-6
+            assert r["cos_q"] > 0.999
