@@ -942,3 +942,51 @@ def quantization_report(
         F.round(cos, 6).alias("cos_q"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def quantized_recall(
+    embeddings: DataFrame,
+    query: "Sequence[float]",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 127,
+) -> DataFrame:
+    """Recall@k of brute-force cosine search over the DEQUANTIZED int8
+    corpus vs the exact float corpus, for one literal query vector — the
+    end-to-end acceptance check before an ANN index switches to the 4×
+    smaller store. Returns one row ``(k, n_overlap, recall)``.
+
+    Both top-k runs are TakeOrdered (map-side partial heaps, no shuffle);
+    the overlap is a semi join of two k-row frames.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    deq = F.when(
+        scale > 0,
+        F.transform(
+            v, lambda x: F.round(x / scale * levels, 0) * scale / levels
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    exact = (
+        embeddings.select(
+            F.col(id_col), F.round(cosine(v, q), 6).alias("__c")
+        )
+        .orderBy(F.desc("__c"), F.col(id_col))
+        .limit(k)
+        .select(id_col)
+    )
+    quant = (
+        embeddings.select(
+            F.col(id_col), F.round(cosine(deq, q), 6).alias("__c")
+        )
+        .orderBy(F.desc("__c"), F.col(id_col))
+        .limit(k)
+        .select(id_col)
+    )
+    return exact.join(quant, id_col, "semi").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )

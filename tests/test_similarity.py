@@ -393,3 +393,15 @@ def test_quantization_report_error_bound(spark, tables):
         if r["scale"] and r["scale"] > 0:
             assert r["max_abs_err"] <= r["scale"] / 254 + 1e-6
             assert r["cos_q"] > 0.999
+
+
+def test_quantized_recall_bounds(spark, tables):
+    from bio2bel_spark.operators.similarity import quantized_recall
+
+    emb = tables["embeddings"]
+    from pyspark.sql import functions as F
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    row = quantized_recall(emb, query, k=10).collect()[0]
+    assert row["k"] == 10 and 0 <= row["n_overlap"] <= 10
+    # int8 keeps cosine to ~1e-4 on these vectors; top-10 should survive
+    assert row["recall"] >= 0.9
