@@ -1290,6 +1290,32 @@ def q_dsir_select(spark, sf_dir):
     ).select("doc_id", "log_weight", "gumbel_key")
 
 
+def q_dsir_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming DSIR maintainer: three
+    micro-batches (doc_id % 3) folded through dsir_bucket_state +
+    dsir_merge (counter summing — batch-order-invariant, so the one-pass
+    DuckDB fit is the truth), then the sub-100 doc ids scored against the
+    accumulated state."""
+    from bio2bel_spark.operators.textquality import (
+        dsir_bucket_state,
+        dsir_merge,
+        dsir_weights_from_state,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    state = None
+    for k in range(3):
+        bs = dsir_bucket_state(
+            docs.filter(F.col("doc_id") % 3 == k),
+            F.col("lang") == "en",
+            buckets=512,
+        )
+        state = bs if state is None else dsir_merge([state, bs])
+    return dsir_weights_from_state(
+        docs.where(F.col("doc_id") < 100), state, buckets=512, alpha=1.0
+    )
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -3659,6 +3685,9 @@ QUERIES: dict[str, Callable] = {
     # (hll_maintenance displaced by sparql_optional_filter; green r06 and
     # still hash-checked by the local sweep)
     "hll_maintenance": q_hll_maintenance,
+    # (dsir_maintenance shares its entire scoring path with the in-window
+    # dsir_weights; sweep-checked like the other maintainer twins)
+    "dsir_maintenance": q_dsir_maintenance,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -5512,6 +5541,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(per.n_grams, 0)::BIGINT AS n_grams,
                    round(per.lw, 6) AS log_weight
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # maintainer twin: counter summing is batch-order-invariant, so the
+        # one-pass fit scores the sub-100 docs identically
+        "dsir_maintenance": "WITH " + _DSIR_CTES + r"""
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+                   round(per.lw, 6) AS log_weight
+            FROM documents d LEFT JOIN per USING (doc_id)
+            WHERE d.doc_id < 100
         """,
         # selection step: rounded log-weight + deterministic Gumbel from the
         # portable hash of (doc_id, seed 0), top-40 by perturbed key

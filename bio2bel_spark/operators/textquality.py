@@ -816,6 +816,26 @@ def dsir_log_weights(
     ).alias("b"))
     rc = raw_g.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c_r"))
     tc = tgt_g.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("c_t"))
+    return _dsir_score(
+        docs, rc, tc, text_col=text_col, id_col=id_col, buckets=buckets,
+        alpha=alpha, include_bigrams=include_bigrams,
+    )
+
+
+def _dsir_score(
+    docs: DataFrame,
+    rc: DataFrame,
+    tc: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Score ``docs`` against raw/target bucket-count tables ``rc (b, c_r)``
+    / ``tc (b, c_t)`` — the shared back half of :func:`dsir_log_weights`
+    and the incremental-state scorer :func:`dsir_weights_from_state`."""
+    b_col = _hashed_gram_buckets(text_col, buckets, include_bigrams)
     totals = (
         rc.agg(F.sum("c_r").alias("n_r"))
         .crossJoin(F.broadcast(tc.agg(F.sum("c_t").alias("n_t"))))
@@ -984,4 +1004,64 @@ def ccnet_perplexity_buckets(
         .when(F.col("__m") <= F.col("__t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def dsir_bucket_state(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    buckets: int = 512,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """``(b, c_r, c_t)`` gram-bucket counters over one corpus slice — the
+    mergeable state behind incremental DSIR. ``c_r`` counts every doc's
+    grams; ``c_t`` counts only docs matching ``target_pred`` (the
+    in-stream target-domain label). State is bounded by ``buckets`` rows
+    regardless of corpus size; merging is plain counter summing."""
+    g = docs.select(
+        F.explode(
+            _hashed_gram_buckets(text_col, buckets, include_bigrams)
+        ).alias("b"),
+        target_pred.alias("__t"),
+    )
+    return g.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_r"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("c_t"),
+    )
+
+
+def dsir_merge(states: "list[DataFrame]") -> DataFrame:
+    """Sum-merge DSIR bucket-count states (NOT replay-idempotent — pair
+    with the guarded maintainer tier when streaming)."""
+    out = states[0].select("b", "c_r", "c_t")
+    for s in states[1:]:
+        out = out.unionByName(s.select("b", "c_r", "c_t"))
+    return out.groupBy("b").agg(
+        F.sum("c_r").cast("long").alias("c_r"),
+        F.sum("c_t").cast("long").alias("c_t"),
+    )
+
+
+def dsir_weights_from_state(
+    docs: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 512,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Score documents against ACCUMULATED bucket counters instead of
+    re-fitting over history — the read side of the incremental DSIR
+    maintainer. Counter summing is batch-order-invariant, so weights from
+    the maintained state equal a one-pass :func:`dsir_log_weights` fit
+    over everything the state has seen."""
+    rc = state.select("b", F.col("c_r").cast("double").alias("c_r"))
+    tc = state.where(F.col("c_t") > 0).select(
+        "b", F.col("c_t").cast("double").alias("c_t")
+    )
+    return _dsir_score(
+        docs, rc, tc, text_col=text_col, id_col=id_col, buckets=buckets,
+        alpha=alpha, include_bigrams=include_bigrams,
     )

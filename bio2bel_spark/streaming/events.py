@@ -510,6 +510,50 @@ def run_quantile_maintenance(
     )
 
 
+def run_dsir_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    state_table: str,
+    checkpoint: str,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    buckets: int = 512,
+):
+    """Maintain DSIR gram-bucket counters incrementally over a document
+    stream: per micro-batch, featurize the batch (hashed unigram+bigram
+    buckets) and SUM its ``(b, c_r, c_t)`` counters into the persistent
+    state. Counter summing is NOT replay-idempotent, so this runs on the
+    guarded :func:`run_state_maintenance` tier (batch-id marker committed
+    in the same atomic overwrite).
+
+    The read side is ``textquality.dsir_weights_from_state``: because
+    summing is batch-order-invariant, weights scored against the
+    maintained state equal a one-pass ``dsir_log_weights`` fit over
+    everything the state has seen — the selection model keeps up with a
+    growing 100 TB corpus at O(buckets) state, never a history re-scan.
+    """
+    from bio2bel_spark.operators.textquality import (
+        dsir_bucket_state,
+        dsir_merge,
+    )
+
+    def transition(prev, batch_df):
+        batch_state = dsir_bucket_state(
+            batch_df,
+            F.col(target_col) == target_value,
+            text_col=text_col,
+            buckets=buckets,
+        )
+        if prev is None:
+            return batch_state
+        return dsir_merge([prev.select("b", "c_r", "c_t"), batch_state])
+
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition, guarded=True
+    )
+
+
 def run_cdc_apply(
     stream_df: DataFrame,
     catalog,

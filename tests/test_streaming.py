@@ -772,3 +772,63 @@ def test_psi_maintenance_matches_batch_report(spark, tmp_path_factory):
     assert psi > 0.25  # action threshold crossed
     state = catalog.read_table("psi_state").collect()
     assert len({r.last_batch_id for r in state}) == 1
+
+
+def test_dsir_maintenance_incremental_matches_onepass(spark, tmp_path_factory):
+    """Two incremental DSIR counter runs == one-pass fit over everything:
+    weights scored from the maintained state equal dsir_log_weights over
+    the full corpus (counter summing is batch-order-invariant), and the
+    guarded batch-id marker rides on the state rows."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.textquality import (
+        dsir_log_weights,
+        dsir_weights_from_state,
+    )
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_dsir")))
+    src = str(tmp_path_factory.mktemp("dsir_src"))
+    schema = "doc_id long, text string, lang string"
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch([(1, "alpha beta gamma alpha", "en"),
+           (2, "omega psi chi", "de")])
+    ck = str(tmp_path_factory.mktemp("ck_dsir"))
+    q = sev.run_dsir_maintenance(
+        spark.readStream.schema(schema).parquet(src), catalog,
+        "dsir_state", ck, buckets=64,
+    )
+    q.awaitTermination(240)
+
+    batch([(3, "alpha beta delta", "en"),
+           (4, "psi chi omega omega", "fr"),
+           (5, "   ", "en")])
+    q2 = sev.run_dsir_maintenance(
+        spark.readStream.schema(schema).parquet(src), catalog,
+        "dsir_state", ck, buckets=64,
+    )
+    q2.awaitTermination(240)
+
+    all_docs = spark.read.parquet(src)
+    state = catalog.read_table("dsir_state")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_weights_from_state(
+            all_docs, state, buckets=64
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in dsir_log_weights(
+            all_docs, all_docs.where(F.col("lang") == "en"), buckets=64
+        ).collect()
+    }
+    assert got == want and len(got) == 5
+    assert got[5] == (0, None)  # empty doc stays explicit
+    # the replay marker rides on the state rows — one atomic overwrite
+    assert len({r["last_batch_id"] for r in state.collect()}) == 1
