@@ -647,6 +647,26 @@ def q_sparql_union(spark, sf_dir):
     )
 
 
+def q_sparql_topk(spark, sf_dir):
+    """The planner's solution modifiers driver-checked: DISTINCT collapses
+    the multi-xref fan-out, ORDER BY DESC(?n) + LIMIT 3 plans as
+    TakeOrdered. Oracle replays project→distinct→order→limit in SQL."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql.nt", _SPARQL_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT DISTINCT ?e ?n WHERE {
+               ?e ex:type "gene" . ?e ex:name ?n
+           }
+           ORDER BY DESC(?n) ?e LIMIT 3""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -3688,6 +3708,9 @@ QUERIES: dict[str, Callable] = {
     # (dsir_maintenance shares its entire scoring path with the in-window
     # dsir_weights; sweep-checked like the other maintainer twins)
     "dsir_maintenance": q_dsir_maintenance,
+    # (sparql_topk: the planner core is window-checked via
+    # sparql_optional_filter + sparql_union; modifiers are sweep-checked)
+    "sparql_topk": q_sparql_topk,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -5541,6 +5564,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(per.n_grams, 0)::BIGINT AS n_grams,
                    round(per.lw, 6) AS log_weight
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # solution-modifier replay: project -> DISTINCT -> ORDER -> LIMIT
+        "sparql_topk": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400')
+            )
+            SELECT DISTINCT ty.s AS e, n.o AS n
+            FROM t ty JOIN t n ON n.s = ty.s AND n.p = 'http://ex.org/name'
+            WHERE ty.p = 'http://ex.org/type' AND ty.o = 'gene'
+            ORDER BY n DESC, e LIMIT 3
         """,
         # maintainer twin: counter summing is batch-order-invariant, so the
         # one-pass fit scores the sub-100 docs identically

@@ -140,6 +140,10 @@ class _Parser:
         if not self.at_keyword("SELECT"):
             raise SparqlError("only SELECT queries are supported")
         self.next()
+        distinct = False
+        if self.at_keyword("DISTINCT"):
+            self.next()
+            distinct = True
         projection: list[str] | None
         if self.peek()[1] == "*":
             self.next()
@@ -154,9 +158,48 @@ class _Parser:
             raise SparqlError("expected WHERE")
         self.next()
         group = self.parse_group()
+        order = self.parse_order()
+        limit = self.parse_limit()
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
-        return prefixes, projection, group
+        modifiers = {"distinct": distinct, "order": order, "limit": limit}
+        return prefixes, projection, group, modifiers
+
+    def parse_order(self) -> "list[tuple[str, bool]]":
+        if not self.at_keyword("ORDER"):
+            return []
+        self.next()
+        if not self.at_keyword("BY"):
+            raise SparqlError("expected BY after ORDER")
+        self.next()
+        order: list[tuple[str, bool]] = []
+        while True:
+            kind, v = self.peek()
+            if kind == "var":
+                self.next()
+                order.append((v[1:], True))
+            elif kind == "keyword" and v.upper() in ("ASC", "DESC"):
+                self.next()
+                self.expect("(")
+                kind2, v2 = self.next()
+                if kind2 != "var":
+                    raise SparqlError(f"ORDER BY expects ?var, got {v2!r}")
+                self.expect(")")
+                order.append((v2[1:], v.upper() == "ASC"))
+            else:
+                break
+        if not order:
+            raise SparqlError("ORDER BY needs at least one sort key")
+        return order
+
+    def parse_limit(self) -> "int | None":
+        if not self.at_keyword("LIMIT"):
+            return None
+        self.next()
+        kind, v = self.next()
+        if kind != "number" or "." in v or int(v) < 0:
+            raise SparqlError(f"LIMIT expects a nonnegative integer, got {v!r}")
+        return int(v)
 
     # -- group ----------------------------------------------------------
     def parse_group(self) -> list:
@@ -505,7 +548,7 @@ def sparql_select(
     the variable.
     """
     toks = _tokenize(query)
-    declared, projection, group = _Parser(toks).parse_query()
+    declared, projection, group, modifiers = _Parser(toks).parse_query()
     pfx = dict(prefixes or {})
     pfx.update(declared)
     out, _ = _compile_group(triples, group, pfx)
@@ -517,5 +560,33 @@ def sparql_select(
         missing = [v for v in projection if v not in out.columns]
         if missing:
             raise SparqlError(f"projected vars never bound: {missing}")
+
+    def _apply_order_limit(df: DataFrame) -> DataFrame:
+        for var, _asc in modifiers["order"]:
+            if var not in df.columns:
+                raise SparqlError(f"ORDER BY var ?{var} not bound here")
+        if modifiers["order"]:
+            # orderBy + limit plans as TakeOrdered (map-side partial
+            # heaps) — no full sort; without LIMIT it is a range-partition
+            # sort, the standard distributed total order
+            df = df.orderBy(
+                *[
+                    F.col(v).asc() if asc else F.col(v).desc()
+                    for v, asc in modifiers["order"]
+                ]
+            )
+        if modifiers["limit"] is not None:
+            df = df.limit(modifiers["limit"])
+        return df
+
+    if modifiers["distinct"]:
+        # SPARQL solution-modifier order: project -> DISTINCT -> ORDER ->
+        # LIMIT, so sort keys must survive the projection
+        if projection is not None:
+            out = out.select(*projection)
+        out = out.dropDuplicates()
+        return _apply_order_limit(out)
+    out = _apply_order_limit(out)
+    if projection is not None:
         out = out.select(*projection)
     return out

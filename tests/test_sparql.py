@@ -248,3 +248,58 @@ def test_constant_predicate_pushed_to_parquet_scan(spark, tmp_path, triples):
     assert "PushedFilters" in plan
     assert "http://ex.org/type" in plan  # the predicate constant reached the scan
     assert plan.count("BatchEvalPython") == 0
+
+
+# ------------------------------------------- solution modifiers (round 7)
+
+
+def test_distinct_dedups_fanout(triples):
+    """?p has two members, so plain SELECT repeats the pathway row;
+    DISTINCT collapses it."""
+    q = """SELECT %s ?p WHERE { ?p ex:member ?m . ?p ex:type "pathway" }"""
+    plain = sparql_select(triples, q % "", prefixes=PFX)
+    dedup = sparql_select(triples, q % "DISTINCT", prefixes=PFX)
+    assert plain.count() == 2 and dedup.count() == 1
+
+
+def test_order_by_limit_topk(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE { ?e ex:type "gene" . ?e ex:name ?n }
+           ORDER BY DESC(?n) LIMIT 2""",
+        prefixes=PFX,
+    )
+    assert [r.n for r in got.collect()] == ["delta", "beta"]
+    # TakeOrdered, not a global sort barrier
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+
+def test_order_by_unprojected_var(triples):
+    """Non-DISTINCT queries may sort on a var the projection drops."""
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE { ?e ex:type "gene" . ?e ex:name ?n }
+           ORDER BY ?e LIMIT 1""",
+        prefixes=PFX,
+    )
+    assert [r.n for r in got.collect()] == ["alpha"]
+
+
+def test_modifier_errors(triples):
+    with pytest.raises(SparqlError, match="LIMIT expects"):
+        sparql_select(
+            triples, "SELECT ?e WHERE { ?e ex:type ?t } LIMIT 1.5",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="ORDER BY needs"):
+        sparql_select(
+            triples, "SELECT ?e WHERE { ?e ex:type ?t } ORDER BY",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="not bound here"):
+        sparql_select(
+            triples,
+            "SELECT DISTINCT ?e WHERE { ?e ex:name ?n } ORDER BY ?n",
+            prefixes=PFX,
+        ).collect()
