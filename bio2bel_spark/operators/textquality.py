@@ -995,15 +995,28 @@ def ccnet_perplexity_buckets(
             )
         ).alias("__t2"),
     )
-    return scored.join(F.broadcast(thr), lang_col, "left").select(
-        id_col,
-        lang_col,
-        "perplexity",
-        F.when(F.col("__m").isNull(), F.lit("unscored"))
-        .when(F.col("__m") <= F.col("__t1"), F.lit("head"))
-        .when(F.col("__m") <= F.col("__t2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
+    # null-safe on the language key: a NULL-lang group is a real group
+    # (its docs must meet ITS thresholds), not a silent join miss that
+    # would dump every null-lang doc into 'tail'
+    thr = thr.select(
+        F.col(lang_col).alias("__tl"), "__t1", "__t2"
+    )
+    return (
+        scored.join(
+            F.broadcast(thr),
+            F.col(lang_col).eqNullSafe(F.col("__tl")),
+            "left",
+        )
+        .select(
+            id_col,
+            lang_col,
+            "perplexity",
+            F.when(F.col("__m").isNull(), F.lit("unscored"))
+            .when(F.col("__m") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("__m") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )
 
 

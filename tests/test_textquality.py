@@ -433,3 +433,17 @@ def test_ccnet_bucket_ordering_respects_perplexity(spark):
         assert max(by["head"]) <= min(by["middle"])
     if by["middle"] and by["tail"]:
         assert max(by["middle"]) <= min(by["tail"])
+
+
+def test_ccnet_buckets_null_lang_is_its_own_group(spark):
+    """NULL language is a real group: its docs split against their OWN
+    thresholds (null-safe threshold join), never silently 'tail'."""
+    rows = [(i, "the cat sat on the mat "
+             + " ".join("u%dx%d" % (i, j) for j in range(i)), None)
+            for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = tq.ccnet_perplexity_buckets(docs).collect()
+    from collections import Counter
+    counts = Counter(r["bucket"] for r in got)
+    assert counts == {"head": 3, "middle": 4, "tail": 2}, counts
+    assert all(r["lang"] is None for r in got)
