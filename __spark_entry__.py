@@ -1392,6 +1392,20 @@ def q_line_dedup(spark, sf_dir):
     return drop_boilerplate_lines(_docs_multiline(spark, sf_dir), min_docs=2)
 
 
+def q_quality_gate(spark, sf_dir):
+    """Gopher-style composite quality gate: keep/drop per doc with the
+    array of violated rule names (auditable drops — rerunnable threshold
+    decisions without re-scoring)."""
+    from bio2bel_spark.operators.cleaning import quality_gate
+
+    out = quality_gate(
+        _spread(spark, _t(spark, sf_dir, "documents")), min_tokens=40
+    )
+    return out.select(
+        "doc_id", _arr_str("reasons").alias("reasons"), "keep"
+    )
+
+
 def q_repetition_metrics(spark, sf_dir):
     """Gopher-style within-doc repetition fractions (lines/words/2-grams)."""
     from bio2bel_spark.operators.cleaning import repetition_features
@@ -3711,6 +3725,9 @@ QUERIES: dict[str, Callable] = {
     # (sparql_topk: the planner core is window-checked via
     # sparql_optional_filter + sparql_union; modifiers are sweep-checked)
     "sparql_topk": q_sparql_topk,
+    # (quality_gate composes three individually hash-green signal blocks;
+    # sweep-checked)
+    "quality_gate": q_quality_gate,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -5828,6 +5845,85 @@ def oracle_sql() -> dict[str, str]:
             FROM final,
                  unnest(range(0, greatest(ceil(n_tokens / 40.0)::BIGINT, 1)))
                  AS u(i)
+        """,
+        # composite gate replay: all rule comparisons on the 6dp-rounded
+        # signals, reasons in fixed rule order, keep = no violations
+        "quality_gate": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       round(CASE WHEN len(toks) > 0
+                             THEN list_sum(list_transform(toks,
+                                  x -> length(x)))::DOUBLE / len(toks)
+                             ELSE 0.0 END, 6) AS mwl,
+                       round(CASE WHEN n_chars > 0
+                             THEN len(regexp_extract_all(text,
+                                  '[^\\w\\s]'))::DOUBLE / n_chars
+                             ELSE 0.0 END, 6) AS pr,
+                       round(CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> x IN
+                                  ('the','and','of','to','in','is','that',
+                                   'for','with','was')))::DOUBLE / len(toks)
+                             ELSE 0.0 END, 6) AS sr
+                FROM base
+            ), arrs AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ') AS words
+                FROM documents
+            ), rep AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) <= 0 THEN 0.0
+                            ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+                                       / len(lines), 6) END AS dlf,
+                       CASE WHEN len(grams2) <= 0 THEN 0.0
+                            ELSE round(1.0 - len(list_distinct(grams2))::DOUBLE
+                                       / len(grams2), 6) END AS d2f
+                FROM (SELECT doc_id, lines, words,
+                             CASE WHEN len(words) >= 2
+                                  THEN list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])
+                                  ELSE [] END AS grams2
+                      FROM arrs)
+            ), tw AS (
+                SELECT doc_id,
+                       round(max(n)::DOUBLE / sum(n), 6) AS twf
+                FROM (SELECT doc_id, word, count(*)::BIGINT AS n
+                      FROM (SELECT doc_id, unnest(string_split(trim(
+                                regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                                AS word
+                            FROM documents)
+                      WHERE word <> '' GROUP BY doc_id, word)
+                GROUP BY doc_id
+            ), gate AS (
+                SELECT f.doc_id, list_filter([
+                    CASE WHEN f.n_tokens < 40 OR f.n_tokens > 100000
+                         THEN 'n_tokens' END,
+                    CASE WHEN f.mwl < 3.0::DOUBLE OR f.mwl > 10.0::DOUBLE
+                         THEN 'mean_word_len' END,
+                    CASE WHEN f.pr > 0.2::DOUBLE THEN 'punct_ratio' END,
+                    CASE WHEN f.sr < 0.01::DOUBLE THEN 'stopword_ratio' END,
+                    CASE WHEN r.dlf > 0.3::DOUBLE THEN 'dup_line_frac' END,
+                    CASE WHEN r.d2f > 0.2::DOUBLE THEN 'dup_2gram_frac' END,
+                    CASE WHEN coalesce(tw.twf, 0.0) > 0.2::DOUBLE
+                         THEN 'top_word_frac' END
+                ], x -> x IS NOT NULL) AS reasons
+                FROM feat f JOIN rep r USING (doc_id)
+                LEFT JOIN tw USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(reasons, ','), '') AS reasons,
+                   len(reasons) = 0 AS keep
+            FROM gate
         """,
         "repetition_metrics": """
             WITH arrs AS (

@@ -296,3 +296,88 @@ def compression_ratio(
             "ratio double"
         ),
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    mean_word_len_range: "tuple[float, float]" = (3.0, 10.0),
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    max_dup_line_frac: float = 0.3,
+    max_dup_2gram_frac: float = 0.2,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1 rule
+    family): every document gets ``keep`` plus the array of violated rule
+    names — the auditable form a curation pipeline needs (drop REASONS, not
+    just drops, so threshold changes can be replayed without re-scoring).
+
+    Rules, in reason order: token count outside ``[min_tokens,
+    max_tokens]``; mean word length outside ``mean_word_len_range``;
+    punctuation density above ``max_punct_ratio``; stopword ratio below
+    ``min_stopword_ratio``; duplicate-line / duplicate-2-gram fractions
+    above their caps; most-common-word share above ``max_top_word_frac``.
+    All comparisons run on the 6dp-rounded operator outputs, so the gate is
+    exactly replayable cross-engine.
+
+    Scale shape: two of the three signal blocks are pure projections
+    (:func:`repetition_features`, ``textquality.quality_features``); the
+    top-word share is one map-side-combinable aggregation; the gate is
+    then two equi-joins on the doc id. Linear, no Python, no windows.
+    """
+    from bio2bel_spark.operators.textquality import quality_features
+
+    qf = quality_features(docs, text_col, id_col)
+    rep = repetition_features(docs, text_col, id_col)
+    tw = top_word_fraction(docs, text_col, id_col).select(
+        id_col, "top_word_frac"
+    )
+    lo_mwl, hi_mwl = mean_word_len_range
+    joined = (
+        qf.join(rep, id_col)
+        .join(tw, id_col, "left")
+        .withColumn(
+            "__twf", F.coalesce("top_word_frac", F.lit(0.0))
+        )
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                (F.col("n_tokens") < min_tokens)
+                | (F.col("n_tokens") > max_tokens),
+                F.lit("n_tokens"),
+            ),
+            F.when(
+                (F.col("mean_word_len") < lo_mwl)
+                | (F.col("mean_word_len") > hi_mwl),
+                F.lit("mean_word_len"),
+            ),
+            F.when(
+                F.col("punct_ratio") > max_punct_ratio, F.lit("punct_ratio")
+            ),
+            F.when(
+                F.col("stopword_ratio") < min_stopword_ratio,
+                F.lit("stopword_ratio"),
+            ),
+            F.when(
+                F.col("dup_line_frac") > max_dup_line_frac,
+                F.lit("dup_line_frac"),
+            ),
+            F.when(
+                F.col("dup_2gram_frac") > max_dup_2gram_frac,
+                F.lit("dup_2gram_frac"),
+            ),
+            F.when(
+                F.col("__twf") > max_top_word_frac, F.lit("top_word_frac")
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

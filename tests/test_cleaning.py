@@ -122,3 +122,32 @@ def test_compression_ratio_matches_zlib(spark):
         assert got[doc_id]["n_compressed"] == len(zlib.compress(b, 6))
     assert got[3]["ratio"] is None                      # empty text
     assert got[1]["ratio"] < got[2]["ratio"]            # junk compresses more
+
+
+def test_quality_gate_reasons_and_keep(spark):
+    from bio2bel_spark.operators.cleaning import quality_gate
+
+    good = " ".join(
+        "the word%d and next%d of item%d" % (i, i, i) for i in range(10)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                              # passes everything
+            (2, "tiny doc"),                        # too short
+            (3, ("spam spam " * 40).strip()),       # repeats + no stopwords
+            (4, "!!! ??? " * 30),                   # punctuation storm
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_gate(docs, min_tokens=20).collect()}
+    assert got[1]["keep"] and got[1]["reasons"] == []
+    assert not got[2]["keep"] and "n_tokens" in got[2]["reasons"]
+    assert not got[3]["keep"]
+    assert {"dup_2gram_frac", "top_word_frac"} <= set(got[3]["reasons"])
+    assert not got[4]["keep"] and "punct_ratio" in got[4]["reasons"]
+    # reason order is the documented fixed rule order
+    order = ["n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+             "dup_line_frac", "dup_2gram_frac", "top_word_frac"]
+    for r in got.values():
+        idx = [order.index(x) for x in r["reasons"]]
+        assert idx == sorted(idx)
