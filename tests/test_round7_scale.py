@@ -114,3 +114,62 @@ def test_perplexity_buckets_10x(spark):
             assert max(h) <= min(m)
         if m and t:
             assert max(m) <= min(t)
+
+
+def test_quality_gate_10x(spark):
+    """Gate decisions are per-doc, so exact duplication scales every
+    (reasons, keep) population by exactly 10."""
+    from collections import Counter
+
+    from bio2bel_spark.operators.cleaning import quality_gate
+
+    docs = _docs(spark)
+    base = Counter(
+        (",".join(r["reasons"]), r["keep"])
+        for r in quality_gate(docs, min_tokens=40).collect()
+    )
+    big = Counter(
+        (",".join(r["reasons"]), r["keep"])
+        for r in quality_gate(_duplicate(docs), min_tokens=40).collect()
+    )
+    assert big == {k: 10 * v for k, v in base.items()}
+
+
+def test_bpe_learn_merges_10x_invariant(spark):
+    """Exact duplication multiplies every word frequency by 10, so the
+    learned merge SEQUENCE is identical and each pair count is 10x."""
+    from bio2bel_spark.operators.bpe import bpe_learn_merges
+
+    docs = _docs(spark)
+    base = bpe_learn_merges(docs, n_merges=6)
+    big = bpe_learn_merges(_duplicate(docs), n_merges=6)
+    assert [(l, r) for l, r, _ in big] == [(l, r) for l, r, _ in base]
+    assert [n for _, _, n in big] == [10 * n for _, _, n in base]
+
+
+def test_embedding_quantize_10x(spark):
+    """Quantization is per-vector: the replicated store reports the same
+    fidelity rows, 10x over."""
+    from bio2bel_spark.operators.similarity import quantization_report
+    from bio2bel_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = {
+        r["vec_id"]: (r["scale"], r["cos_q"], r["max_abs_err"])
+        for r in quantization_report(emb).collect()
+    }
+    rep = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+    big_df = emb.select(rep, "vec_id", "embedding").select(
+        (F.col("rep") * 10_000_000 + F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    got = {
+        r["vec_id"]: (r["scale"], r["cos_q"], r["max_abs_err"])
+        for r in quantization_report(big_df).collect()
+    }
+    assert len(got) == 10 * len(base)
+    for vid, expected in base.items():
+        for k in range(10):
+            assert got[k * 10_000_000 + vid] == expected
