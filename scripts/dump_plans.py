@@ -235,6 +235,40 @@ SHOWCASE = {
         "pairs (threshold applied inside the cells), not the nprobe²-"
         "inflated candidate set."
     ),
+    "dsir_weights": (
+        "DSIR scoring: both model fits are bounded-by-buckets groupBys; "
+        "the <=B-row log-ratio table hits the exploded doc-gram stream as "
+        "ONE BroadcastHashJoin (plus 1-row scalar broadcasts for the "
+        "smoothing denominators) — the per-doc sum is the only "
+        "data-volume shuffle."
+    ),
+    "perplexity_buckets": (
+        "CCNet cuts without a data-row window: the cumulative walk runs "
+        "over the DISTINCT (lang, milli) histogram (bounded by the value "
+        "domain), and per-language thresholds broadcast back onto the doc "
+        "stream — no full-corpus sort anywhere."
+    ),
+    "bpe_encode": (
+        "Train-then-apply tokenizer: after the bounded merge learning "
+        "(driver scalars, k-means-seed convention) the encode is a chain "
+        "of literal string rewrites — pure map over the exploded word "
+        "stream, one shuffle for the per-doc rollup."
+    ),
+    "embedding_quantize": (
+        "Int8 quantization fidelity is a pure projection: zip_with/"
+        "aggregate HOFs inside WholeStageCodegen, zero exchanges before "
+        "the scan-to-result pipeline."
+    ),
+    "sparql_topk": (
+        "SPARQL ORDER BY + LIMIT compiles to TakeOrdered (map-side "
+        "partial heaps), and the constant-predicate patterns stay "
+        "pushable scan filters under the DISTINCT."
+    ),
+    "quality_gate": (
+        "Composite Gopher gate: two of the three signal blocks are pure "
+        "projections; the top-word share is one map-side-combinable "
+        "aggregation; the gate itself is two equi-joins on the doc id."
+    ),
 }
 
 
