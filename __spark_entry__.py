@@ -3995,7 +3995,14 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
     """Encode twin: learn the same merges, then chain the identical
     doubled-separator rewrite over every (doc, word) row and count
     subwords per doc. The learning CTEs only build w{r} up to
-    rounds-1, so m{rounds-1} still resolves."""
+    rounds-1, so m{rounds-1} still resolves.
+
+    When the corpus exhausts its mergeable pairs before ``rounds`` (Spark
+    side: ``bpe_learn_merges`` breaks early), an empty ``m{r}`` turns the
+    scalar subquery NULL — which must act as a NO-OP rewrite, not poison
+    every sym to NULL through ``replace``. The pair is therefore coalesced
+    with a newline sentinel, which can never match: words come from a
+    whitespace split, so no sym contains one."""
     ctes = _bpe_learn_ctes(rounds)
     ctes.append(f"""d0 AS (
         SELECT doc_id, array_to_string(list_transform(range(1, len(w) + 1),
@@ -4005,12 +4012,13 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
         WHERE w <> ''
     )""")
     for r in range(rounds):
+        pair = f"coalesce((SELECT pair FROM m{r}), chr(10))"
         ctes.append(f"""d{r + 1} AS (
             SELECT doc_id, trim(replace(replace(
                        ' ' || replace(sym, ' ', '  ') || ' ',
-                       ' ' || replace((SELECT pair FROM m{r}), ' ', '  ')
+                       ' ' || replace({pair}, ' ', '  ')
                            || ' ',
-                       ' ' || replace((SELECT pair FROM m{r}), ' ', '')
+                       ' ' || replace({pair}, ' ', '')
                            || ' '),
                    '  ', ' ')) AS sym
             FROM d{r}
@@ -5665,7 +5673,8 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p.m <= thr.t1 THEN 'head'
                         WHEN p.m <= thr.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
-            FROM ppl p LEFT JOIN thr USING (lang)
+            FROM ppl p LEFT JOIN thr
+              ON p.lang IS NOT DISTINCT FROM thr.lang
         """,
         "dedup_quality_survivor": f"""
             WITH RECURSIVE {_JACCARD_CTES},

@@ -875,6 +875,30 @@ def soft_cluster_assign(
     )
 
 
+def _as_double_vec(vec_col) -> Column:
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _absmax_scale(v: Column) -> Column:
+    """Per-vector symmetric quantization scale (max-abs component)."""
+    return F.array_max(F.transform(v, F.abs))
+
+
+def _dequantized(v: Column, scale: Column, levels: int) -> Column:
+    """The ONE definition of the quantize→dequantize round trip
+    (``round(x/scale*levels) * scale/levels``; zero vectors pass through
+    as zeros instead of dividing by zero under ANSI mode) — shared by the
+    quantizer, the fidelity report, and the recall check so a convention
+    change lands in exactly one place (plus the mirrored oracle SQL)."""
+    return F.when(
+        scale > 0,
+        F.transform(
+            v, lambda x: F.round(x / scale * levels, 0) * scale / levels
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+
+
 def quantize_vectors(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -892,10 +916,8 @@ def quantize_vectors(
     Python; the dequantized value of component ``i`` is
     ``qvec[i] * scale / levels``.
     """
-    v = F.transform(
-        F.col(vec_col), lambda x: x.cast("double")
-    )
-    scale = F.array_max(F.transform(v, F.abs))
+    v = _as_double_vec(vec_col)
+    scale = _absmax_scale(v)
     q = F.when(
         scale > 0,
         F.transform(v, lambda x: F.round(x / scale * levels, 0).cast("int")),
@@ -918,15 +940,9 @@ def quantization_report(
     original units. The acceptance gate a pipeline runs before swapping an
     ANN index onto quantized vectors.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs))
-    deq = F.when(
-        scale > 0,
-        F.transform(
-            v,
-            lambda x: F.round(x / scale * levels, 0) * scale / levels,
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    v = _as_double_vec(vec_col)
+    scale = _absmax_scale(v)
+    deq = _dequantized(v, scale, levels)
     base = df.select(
         F.col(id_col), v.alias("__v"), deq.alias("__d"), scale.alias("__s")
     )
@@ -961,14 +977,8 @@ def quantized_recall(
     the overlap is a semi join of two k-row frames.
     """
     q = F.array(*[F.lit(float(x)) for x in query])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, F.abs))
-    deq = F.when(
-        scale > 0,
-        F.transform(
-            v, lambda x: F.round(x / scale * levels, 0) * scale / levels
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    v = _as_double_vec(vec_col)
+    deq = _dequantized(v, _absmax_scale(v), levels)
     exact = (
         embeddings.select(
             F.col(id_col), F.round(cosine(v, q), 6).alias("__c")

@@ -73,9 +73,17 @@ def test_dsir_weights_10x_alpha_equivariance(spark):
         ).collect()
     }
     assert len(got) == 10 * len(base)
-    for doc_id, expected in base.items():
+    for doc_id, (n_grams, lw) in base.items():
         for rep in range(10):
-            assert got[rep * 10_000_000 + doc_id] == expected
+            got_n, got_lw = got[rep * 10_000_000 + doc_id]
+            assert got_n == n_grams
+            if lw is None:
+                assert got_lw is None
+            else:
+                # per-bucket ratios are bit-identical, but the per-doc sum
+                # is order-dependent double addition: allow the 6dp
+                # rounding boundary to flap by one ulp of the rounded grid
+                assert got_lw == pytest.approx(lw, abs=1.1e-6)
 
 
 def test_perplexity_buckets_10x(spark):
