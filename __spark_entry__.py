@@ -1336,6 +1336,27 @@ def q_dsir_maintenance(spark, sf_dir):
     )
 
 
+def q_selection_pipeline(spark, sf_dir):
+    """The round-7 curation chain as ONE plan: Gopher quality gate (drop
+    with reasons) → DSIR fit on the SURVIVING corpus (en slice as target)
+    → deterministic Gumbel top-40 — gate-then-tilt, the selection stack a
+    training-data pipeline runs end-to-end before packing."""
+    from bio2bel_spark.operators.cleaning import quality_gate
+    from bio2bel_spark.operators.textquality import dsir_select
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    kept_ids = (
+        quality_gate(docs, min_tokens=40)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    return dsir_select(
+        kept, kept.where(F.col("lang") == "en"), k=40, seed=0,
+        buckets=512, alpha=1.0,
+    ).select("doc_id", "log_weight", "gumbel_key")
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -3728,6 +3749,9 @@ QUERIES: dict[str, Callable] = {
     # (quality_gate composes three individually hash-green signal blocks;
     # sweep-checked)
     "quality_gate": q_quality_gate,
+    # (selection_pipeline chains quality_gate + dsir_select, both checked
+    # individually; sweep-checked)
+    "selection_pipeline": q_selection_pipeline,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -3856,15 +3880,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 
-#: shared DSIR replay CTEs: hashed unigram+bigram buckets (portable md5 %
-#: 512), add-1 bag-of-words models on the en slice (p) vs all docs (q),
-#: per-doc sum of bucket log-ratios — behind dsir_weights and dsir_select
-_DSIR_CTES = r"""toks AS (
+#: Gopher quality-gate replay CTEs (min_tokens=40 driver thresholds) —
+#: behind quality_gate and the gated selection_pipeline
+_GATE_CTES = """base AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(trim(text)),
+                                                         '\\s+'),
+                                   x -> x <> '') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                       round(CASE WHEN len(toks) > 0
+                             THEN list_sum(list_transform(toks,
+                                  x -> length(x)))::DOUBLE / len(toks)
+                             ELSE 0.0 END, 6) AS mwl,
+                       round(CASE WHEN n_chars > 0
+                             THEN len(regexp_extract_all(text,
+                                  '[^\\w\\s]'))::DOUBLE / n_chars
+                             ELSE 0.0 END, 6) AS pr,
+                       round(CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, x -> x IN
+                                  ('the','and','of','to','in','is','that',
+                                   'for','with','was')))::DOUBLE / len(toks)
+                             ELSE 0.0 END, 6) AS sr
+                FROM base
+            ), arrs AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '') AS lines,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ',
+                                                        'g')), ' ') AS words
+                FROM documents
+            ), rep AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) <= 0 THEN 0.0
+                            ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+                                       / len(lines), 6) END AS dlf,
+                       CASE WHEN len(grams2) <= 0 THEN 0.0
+                            ELSE round(1.0 - len(list_distinct(grams2))::DOUBLE
+                                       / len(grams2), 6) END AS d2f
+                FROM (SELECT doc_id, lines, words,
+                             CASE WHEN len(words) >= 2
+                                  THEN list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i + 1])
+                                  ELSE [] END AS grams2
+                      FROM arrs)
+            ), tw AS (
+                SELECT doc_id,
+                       round(max(n)::DOUBLE / sum(n), 6) AS twf
+                FROM (SELECT doc_id, word, count(*)::BIGINT AS n
+                      FROM (SELECT doc_id, unnest(string_split(trim(
+                                regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                                AS word
+                            FROM documents)
+                      WHERE word <> '' GROUP BY doc_id, word)
+                GROUP BY doc_id
+            ), gate AS (
+                SELECT f.doc_id, list_filter([
+                    CASE WHEN f.n_tokens < 40 OR f.n_tokens > 100000
+                         THEN 'n_tokens' END,
+                    CASE WHEN f.mwl < 3.0::DOUBLE OR f.mwl > 10.0::DOUBLE
+                         THEN 'mean_word_len' END,
+                    CASE WHEN f.pr > 0.2::DOUBLE THEN 'punct_ratio' END,
+                    CASE WHEN f.sr < 0.01::DOUBLE THEN 'stopword_ratio' END,
+                    CASE WHEN r.dlf > 0.3::DOUBLE THEN 'dup_line_frac' END,
+                    CASE WHEN r.d2f > 0.2::DOUBLE THEN 'dup_2gram_frac' END,
+                    CASE WHEN coalesce(tw.twf, 0.0) > 0.2::DOUBLE
+                         THEN 'top_word_frac' END
+                ], x -> x IS NOT NULL) AS reasons
+                FROM feat f JOIN rep r USING (doc_id)
+                LEFT JOIN tw USING (doc_id)
+            )"""
+
+
+def _dsir_select_tail(src: str = "documents") -> str:
+    """The Gumbel top-40 selection tail over :func:`_dsir_ctes` output,
+    parameterized by the same corpus source (seed 0, portable hash)."""
+    return r""",
+            keyed AS (
+                SELECT d.doc_id,
+                       round(per.lw, 6) AS log_weight,
+                       round(round(per.lw, 6) + -ln(-ln(
+                           (('0x' || substr(md5(d.doc_id::VARCHAR || ':0'),
+                                            1, 15))::BIGINT + 0.5)
+                           / 1152921504606846976.0)), 6) AS gumbel_key
+                FROM __SRC__ d JOIN per USING (doc_id)
+                WHERE per.lw IS NOT NULL
+            )
+            SELECT doc_id, log_weight, gumbel_key FROM keyed
+            ORDER BY gumbel_key DESC, doc_id LIMIT 40
+        """.replace("__SRC__", src)
+
+
+def _dsir_ctes(src: str = "documents") -> str:
+    """Shared DSIR replay CTEs parameterized by the corpus source: hashed
+    unigram+bigram buckets (portable md5 % 512), add-1 bag-of-words models
+    on the en slice (p) vs all ``src`` docs (q), per-doc sum of bucket
+    log-ratios — behind dsir_weights, dsir_select, dsir_maintenance, and
+    the gated selection_pipeline."""
+    return _DSIR_CTES_TEMPLATE.replace("__SRC__", src)
+
+
+_DSIR_CTES_TEMPLATE = r"""toks AS (
                 SELECT doc_id, lang,
                        list_filter(
                            regexp_split_to_array(lower(trim(text)), '\s+'),
                            t -> t <> '') AS w
-                FROM documents
+                FROM __SRC__
             ), grams AS (
                 SELECT doc_id, lang, unnest(
                     list_concat(w,
@@ -5584,7 +5708,7 @@ def oracle_sql() -> dict[str, str]:
         # DSIR replay: hashed unigram+bigram buckets (portable md5 % 512),
         # add-1 bag-of-words models on the en slice (p) vs all docs (q),
         # per-doc sum of bucket log-ratios
-        "dsir_weights": "WITH " + _DSIR_CTES + r"""
+        "dsir_weights": "WITH " + _dsir_ctes() + r"""
             SELECT d.doc_id,
                    coalesce(per.n_grams, 0)::BIGINT AS n_grams,
                    round(per.lw, 6) AS log_weight
@@ -5612,7 +5736,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # maintainer twin: counter summing is batch-order-invariant, so the
         # one-pass fit scores the sub-100 docs identically
-        "dsir_maintenance": "WITH " + _DSIR_CTES + r"""
+        "dsir_maintenance": "WITH " + _dsir_ctes() + r"""
             SELECT d.doc_id,
                    coalesce(per.n_grams, 0)::BIGINT AS n_grams,
                    round(per.lw, 6) AS log_weight
@@ -5621,20 +5745,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # selection step: rounded log-weight + deterministic Gumbel from the
         # portable hash of (doc_id, seed 0), top-40 by perturbed key
-        "dsir_select": "WITH " + _DSIR_CTES + r""",
-            keyed AS (
-                SELECT d.doc_id,
-                       round(per.lw, 6) AS log_weight,
-                       round(round(per.lw, 6) + -ln(-ln(
-                           (('0x' || substr(md5(d.doc_id::VARCHAR || ':0'),
-                                            1, 15))::BIGINT + 0.5)
-                           / 1152921504606846976.0)), 6) AS gumbel_key
-                FROM documents d JOIN per USING (doc_id)
-                WHERE per.lw IS NOT NULL
-            )
-            SELECT doc_id, log_weight, gumbel_key FROM keyed
-            ORDER BY gumbel_key DESC, doc_id LIMIT 40
-        """,
+        "dsir_select": "WITH " + _dsir_ctes() + _dsir_select_tail(),
+        # gated selection chain: gate survivors -> DSIR fit over the
+        # surviving corpus -> Gumbel top-40 (same tail as dsir_select)
+        "selection_pipeline": (
+            "WITH " + _GATE_CTES
+            + """, kept AS (
+                SELECT doc_id FROM gate WHERE len(reasons) = 0
+            ), kdocs AS (
+                SELECT d.* FROM documents d JOIN kept USING (doc_id)
+            ), """
+            + _dsir_ctes("kdocs")
+            + _dsir_select_tail("kdocs")
+        ),
         "lm_perplexity": "WITH " + _LM_PPL_CTES + r"""
             SELECT doc.doc_id,
                    coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
@@ -5857,78 +5980,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # composite gate replay: all rule comparisons on the 6dp-rounded
         # signals, reasons in fixed rule order, keep = no violations
-        "quality_gate": """
-            WITH base AS (
-                SELECT doc_id, text,
-                       list_filter(regexp_split_to_array(lower(trim(text)),
-                                                         '\\s+'),
-                                   x -> x <> '') AS toks,
-                       length(text) AS n_chars
-                FROM documents
-            ), feat AS (
-                SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-                       round(CASE WHEN len(toks) > 0
-                             THEN list_sum(list_transform(toks,
-                                  x -> length(x)))::DOUBLE / len(toks)
-                             ELSE 0.0 END, 6) AS mwl,
-                       round(CASE WHEN n_chars > 0
-                             THEN len(regexp_extract_all(text,
-                                  '[^\\w\\s]'))::DOUBLE / n_chars
-                             ELSE 0.0 END, 6) AS pr,
-                       round(CASE WHEN len(toks) > 0
-                             THEN len(list_filter(toks, x -> x IN
-                                  ('the','and','of','to','in','is','that',
-                                   'for','with','was')))::DOUBLE / len(toks)
-                             ELSE 0.0 END, 6) AS sr
-                FROM base
-            ), arrs AS (
-                SELECT doc_id,
-                       list_filter(list_transform(
-                           string_split(text, chr(10)), x -> trim(x)),
-                           x -> x <> '') AS lines,
-                       string_split(trim(regexp_replace(text, '\\s+', ' ',
-                                                        'g')), ' ') AS words
-                FROM documents
-            ), rep AS (
-                SELECT doc_id,
-                       CASE WHEN len(lines) <= 0 THEN 0.0
-                            ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
-                                       / len(lines), 6) END AS dlf,
-                       CASE WHEN len(grams2) <= 0 THEN 0.0
-                            ELSE round(1.0 - len(list_distinct(grams2))::DOUBLE
-                                       / len(grams2), 6) END AS d2f
-                FROM (SELECT doc_id, lines, words,
-                             CASE WHEN len(words) >= 2
-                                  THEN list_transform(range(1, len(words)),
-                                       i -> words[i] || ' ' || words[i + 1])
-                                  ELSE [] END AS grams2
-                      FROM arrs)
-            ), tw AS (
-                SELECT doc_id,
-                       round(max(n)::DOUBLE / sum(n), 6) AS twf
-                FROM (SELECT doc_id, word, count(*)::BIGINT AS n
-                      FROM (SELECT doc_id, unnest(string_split(trim(
-                                regexp_replace(text, '\\s+', ' ', 'g')), ' '))
-                                AS word
-                            FROM documents)
-                      WHERE word <> '' GROUP BY doc_id, word)
-                GROUP BY doc_id
-            ), gate AS (
-                SELECT f.doc_id, list_filter([
-                    CASE WHEN f.n_tokens < 40 OR f.n_tokens > 100000
-                         THEN 'n_tokens' END,
-                    CASE WHEN f.mwl < 3.0::DOUBLE OR f.mwl > 10.0::DOUBLE
-                         THEN 'mean_word_len' END,
-                    CASE WHEN f.pr > 0.2::DOUBLE THEN 'punct_ratio' END,
-                    CASE WHEN f.sr < 0.01::DOUBLE THEN 'stopword_ratio' END,
-                    CASE WHEN r.dlf > 0.3::DOUBLE THEN 'dup_line_frac' END,
-                    CASE WHEN r.d2f > 0.2::DOUBLE THEN 'dup_2gram_frac' END,
-                    CASE WHEN coalesce(tw.twf, 0.0) > 0.2::DOUBLE
-                         THEN 'top_word_frac' END
-                ], x -> x IS NOT NULL) AS reasons
-                FROM feat f JOIN rep r USING (doc_id)
-                LEFT JOIN tw USING (doc_id)
-            )
+        "quality_gate": "WITH " + _GATE_CTES + """
             SELECT doc_id,
                    coalesce(array_to_string(reasons, ','), '') AS reasons,
                    len(reasons) = 0 AS keep
