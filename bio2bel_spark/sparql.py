@@ -34,8 +34,23 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   a branch is NULL on its rows) and concatenated; joining a UNION result
   on a variable not bound in every branch is rejected rather than
   silently null-dropped.
-* **bindings=** — the rdflib ``initBindings`` equivalent: equality
-  constraints on variables, pushed into the scan by Catalyst.
+* **VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) }** — inline data:
+  the rows become a tiny broadcast-joined binding table (``UNDEF`` rows
+  leave the variable unbound/NULL). ``UNDEF`` on a variable that is
+  already bound when the VALUES joins is outside the subset (it would
+  need a right-nullable compatible join) and raises.
+* **Property paths with ``/``** (e.g. ``?s ex:a/ex:b ?o``) — desugared at
+  parse time into chained patterns through fresh internal variables, so
+  each hop stays one pushable pattern scan; only constant (IRI/prefixed)
+  path segments are supported.
+* **bindings=** — TRUE rdflib ``initBindings`` semantics: each binding is
+  substituted into the parsed patterns/filters/VALUES as a constant
+  BEFORE compilation (so Catalyst pushes the equality into the pattern
+  scans), and the variable is re-projected as that constant on every
+  result row. In particular a binding on a variable only bound under
+  OPTIONAL keeps left rows whose optional side doesn't match — exactly
+  rdflib's behavior, NOT a post-hoc ``col == value`` filter (which would
+  drop the NULL rows).
 
 Plan shape (Spark-first): each triple pattern is one filtered projection of
 the triples table (constant predicates become pushable scan filters); shared
@@ -73,7 +88,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/])
     """,
     re.VERBOSE,
 )
@@ -107,6 +122,7 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
         self.i = 0
+        self.fresh = 0  # fresh internal vars for property-path desugaring
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -232,11 +248,78 @@ class _Parser:
                 expr = self.parse_or()
                 self.expect(")")
                 elements.append(("filter", expr))
+            elif self.at_keyword("VALUES"):
+                self.next()
+                elements.append(self.parse_values())
             else:
                 s = self.parse_term()
-                p = self.parse_term()
+                segs = [self.parse_term()]
+                while self.peek()[1] == "/":
+                    self.next()
+                    segs.append(self.parse_term())
                 o = self.parse_term()
-                elements.append(("triple", s, p, o))
+                if len(segs) == 1:
+                    elements.append(("triple", s, segs[0], o))
+                else:
+                    # property path a/b/c — desugar into chained patterns
+                    # through fresh internal variables (each hop stays one
+                    # pushable scan + hash join; SPARQL path-internal
+                    # bindings are anonymous, so the vars never project)
+                    for seg in segs:
+                        if seg[0] == "var":
+                            raise SparqlError(
+                                "variable predicates are not supported "
+                                "inside property paths"
+                            )
+                    cur = s
+                    for idx, seg in enumerate(segs):
+                        if idx == len(segs) - 1:
+                            nxt = o
+                        else:
+                            nxt = ("var", f"__path_{self.fresh}")
+                            self.fresh += 1
+                        elements.append(("triple", cur, seg, nxt))
+                        cur = nxt
+
+    def parse_values(self):
+        """VALUES ?v { t1 t2 } or VALUES (?a ?b) { (t t) (t UNDEF) }."""
+        kind, v = self.peek()
+        paren = v == "("
+        if paren:
+            self.next()
+            names = []
+            while self.peek()[0] == "var":
+                names.append(self.next()[1][1:])
+            self.expect(")")
+            if not names:
+                raise SparqlError("VALUES needs at least one variable")
+        elif kind == "var":
+            names = [self.next()[1][1:]]
+        else:
+            raise SparqlError(f"VALUES expects ?var or (?vars), got {v!r}")
+        if len(set(names)) != len(names):
+            raise SparqlError(f"repeated variable in VALUES {names}")
+        self.expect("{")
+        rows: list[list] = []
+        while self.peek()[1] != "}":
+            if paren:
+                self.expect("(")
+                row = [self.parse_values_term() for _ in names]
+                self.expect(")")
+            else:
+                row = [self.parse_values_term()]
+            rows.append(row)
+        self.next()  # consume '}'
+        return ("values", names, rows)
+
+    def parse_values_term(self):
+        if self.at_keyword("UNDEF"):
+            self.next()
+            return None
+        term = self.parse_term()
+        if term[0] == "var":
+            raise SparqlError("VALUES data rows cannot contain variables")
+        return term
 
     def parse_term(self):
         kind, v = self.next()
@@ -520,6 +603,43 @@ def _compile_group(
                 current = _join_compatible(current, padded, "inner", nullable)
                 nullable -= {v for v in shared if v not in u_nullable}
             nullable |= u_nullable
+        elif el[0] == "values":
+            _, names, rows = el
+            undef = {
+                names[i]
+                for row in rows
+                for i, t in enumerate(row)
+                if t is None
+            }
+            data = [
+                tuple(
+                    None if t is None else str(_resolve(t, prefixes)[1])
+                    for t in row
+                )
+                for row in rows
+            ]
+            schema = ", ".join(f"`{n}` string" for n in names)
+            vdf = triples.sparkSession.createDataFrame(data, schema=schema)
+            if current is None:
+                current = vdf
+                nullable |= undef
+            else:
+                shared = set(current.columns) & set(names)
+                bad = sorted(shared & undef)
+                if bad:
+                    raise SparqlError(
+                        f"UNDEF on already-bound VALUES variables {bad} "
+                        "would need a right-nullable compatible join — "
+                        "outside the subset; move the VALUES before the "
+                        "patterns that bind them"
+                    )
+                # inline data is tiny by construction — broadcast it so the
+                # binding join never shuffles the pattern side
+                current = _join_compatible(
+                    current, F.broadcast(vdf), "inner", nullable
+                )
+                nullable -= shared  # re-bound to the VALUES' non-null data
+                nullable |= undef - shared
         elif el[0] == "filter":
             pending_filters.append(el[1])
     if current is None:
@@ -532,6 +652,114 @@ def _compile_group(
     return current, nullable
 
 
+def _expr_vars(expr) -> set:
+    kind = expr[0]
+    if kind == "var":
+        return {expr[1]}
+    if kind in ("or", "and"):
+        return _expr_vars(expr[1]) | _expr_vars(expr[2])
+    if kind == "not":
+        return _expr_vars(expr[1])
+    if kind == "cmp":
+        return _expr_vars(expr[2]) | _expr_vars(expr[3])
+    if kind == "call":
+        out: set = set()
+        for a in expr[2]:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
+def _collect_vars(elements) -> set:
+    """Every variable a group pattern mentions (patterns, filters, VALUES,
+    nested groups) — the domain ``bindings=`` may constrain."""
+    out: set = set()
+    for el in elements:
+        if el[0] == "triple":
+            out |= {t[1] for t in el[1:] if t[0] == "var"}
+        elif el[0] == "optional":
+            out |= _collect_vars(el[1])
+        elif el[0] == "union":
+            for b in el[1]:
+                out |= _collect_vars(b)
+        elif el[0] == "values":
+            out |= set(el[1])
+        elif el[0] == "filter":
+            out |= _expr_vars(el[1])
+    return out
+
+
+def _subst_expr(expr, binds: dict):
+    kind = expr[0]
+    if kind == "var":
+        return ("lit", binds[expr[1]]) if expr[1] in binds else expr
+    if kind in ("or", "and"):
+        return (kind, _subst_expr(expr[1], binds), _subst_expr(expr[2], binds))
+    if kind == "not":
+        return ("not", _subst_expr(expr[1], binds))
+    if kind == "cmp":
+        return (
+            "cmp", expr[1],
+            _subst_expr(expr[2], binds), _subst_expr(expr[3], binds),
+        )
+    if kind == "call":
+        return ("call", expr[1], [_subst_expr(a, binds) for a in expr[2]])
+    return expr
+
+
+#: a comparison that is constant-false — stands in for a VALUES clause the
+#: bindings made unsatisfiable (every row filtered out, no columns left)
+_FALSE_FILTER = ("filter", ("cmp", "=", ("lit", 0), ("lit", 1)))
+
+
+def _substitute(elements, binds: dict, prefixes: dict) -> list:
+    """rdflib initBindings semantics: rewrite each bound variable into the
+    parsed algebra as a constant (patterns, filters, VALUES, recursively
+    through OPTIONAL/UNION groups) before compilation."""
+    out = []
+    for el in elements:
+        if el[0] == "triple":
+            out.append(
+                ("triple",)
+                + tuple(
+                    ("const", binds[t[1]])
+                    if t[0] == "var" and t[1] in binds
+                    else t
+                    for t in el[1:]
+                )
+            )
+        elif el[0] == "optional":
+            out.append(("optional", _substitute(el[1], binds, prefixes)))
+        elif el[0] == "union":
+            out.append(
+                ("union", [_substitute(b, binds, prefixes) for b in el[1]])
+            )
+        elif el[0] == "filter":
+            out.append(("filter", _subst_expr(el[1], binds)))
+        elif el[0] == "values":
+            _, names, rows = el
+            keep = [i for i, n in enumerate(names) if n not in binds]
+            new_rows = []
+            for row in rows:
+                compatible = all(
+                    row[i] is None  # UNDEF is compatible with any binding
+                    or str(_resolve(row[i], prefixes)[1]) == str(binds[n])
+                    for i, n in enumerate(names)
+                    if n in binds
+                )
+                if compatible:
+                    new_rows.append([row[i] for i in keep])
+            if keep:
+                out.append(("values", [names[i] for i in keep], new_rows))
+            elif not new_rows:
+                # bindings ruled out every VALUES row: the group is empty
+                out.append(_FALSE_FILTER)
+            # else: the VALUES is fully consumed by the bindings — drop it
+        else:  # pragma: no cover — parser emits no other element kinds
+            out.append(el)
+    return out
+
+
 def sparql_select(
     triples: DataFrame,
     query: str,
@@ -541,21 +769,36 @@ def sparql_select(
     """Evaluate a SPARQL-subset SELECT over a ``(s, p, o)`` DataFrame.
 
     ``prefixes`` pre-declares namespace prefixes (merged under any
-    ``PREFIX`` clauses in the query text); ``bindings`` is the rdflib
-    ``initBindings`` equivalent — each entry constrains a query variable
-    to a constant, and Catalyst pushes the resulting equality into the
-    pattern scans. Returns one column per projected variable, named after
-    the variable.
+    ``PREFIX`` clauses in the query text); ``bindings`` follows rdflib
+    ``initBindings``: each entry is substituted into the parsed patterns
+    as a constant BEFORE compilation (Catalyst pushes the equality into
+    the pattern scans) and the variable is returned as that constant —
+    so a binding on an OPTIONAL-bound variable keeps left rows whose
+    optional side doesn't match, exactly like rdflib. Returns one column
+    per projected variable, named after the variable.
     """
     toks = _tokenize(query)
     declared, projection, group, modifiers = _Parser(toks).parse_query()
     pfx = dict(prefixes or {})
     pfx.update(declared)
+    binds = {k: str(v) for k, v in (bindings or {}).items()}
+    if binds:
+        known = _collect_vars(group)
+        missing = sorted(v for v in binds if v not in known)
+        if missing:
+            raise SparqlError(
+                f"bindings for variables not in the pattern: {missing}"
+            )
+        group = _substitute(group, binds, pfx)
     out, _ = _compile_group(triples, group, pfx)
-    for var, value in (bindings or {}).items():
-        if var not in out.columns:
-            raise SparqlError(f"binding for ?{var} not in the pattern")
-        out = out.filter(F.col(var) == F.lit(value))
+    # re-project each bound variable as its constant (initBindings extends
+    # every solution with the binding)
+    for var, value in binds.items():
+        out = out.withColumn(var, F.lit(value))
+    # property-path internals are anonymous — never part of the solution
+    internals = [c for c in out.columns if c.startswith("__path_")]
+    if internals:
+        out = out.drop(*internals)
     if projection is not None:
         missing = [v for v in projection if v not in out.columns]
         if missing:

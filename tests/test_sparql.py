@@ -286,6 +286,180 @@ def test_order_by_unprojected_var(triples):
     assert [r.n for r in got.collect()] == ["alpha"]
 
 
+def test_values_single_var(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE {
+             VALUES ?n { "alpha" "gamma" "nope" }
+             ?e ex:name ?n
+           }""",
+        prefixes=PFX,
+    )
+    assert {(r.e, r.n) for r in got.collect()} == {
+        (EX + "a", "alpha"), (EX + "c", "gamma"),
+    }
+
+
+def test_values_multi_var_undef(triples):
+    """UNDEF on a NEW variable leaves it unbound (NULL) on that row."""
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n ?tag WHERE {
+             ?e ex:name ?n .
+             VALUES (?n ?tag) { ("alpha" "A") ("beta" UNDEF) }
+           }""",
+        prefixes=PFX,
+    )
+    assert {(r.e, r.n, r.tag) for r in got.collect()} == {
+        (EX + "a", "alpha", "A"), (EX + "b", "beta", None),
+    }
+
+
+def test_values_is_broadcast_join(triples):
+    """The inline data joins as a broadcast hash join — the pattern side
+    never shuffles for a VALUES binding table."""
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE {
+             ?e ex:name ?n . VALUES ?n { "alpha" "beta" }
+           }""",
+        prefixes=PFX,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert {(r.e, r.n) for r in got.collect()} == {
+        (EX + "a", "alpha"), (EX + "b", "beta"),
+    }
+
+
+def test_values_undef_on_bound_var_rejected(triples):
+    with pytest.raises(SparqlError, match="UNDEF on already-bound"):
+        sparql_select(
+            triples,
+            """SELECT ?e ?n WHERE {
+                 ?e ex:name ?n . VALUES (?n ?z) { (UNDEF "q") }
+               }""",
+            prefixes=PFX,
+        )
+
+
+def test_values_data_row_var_rejected(triples):
+    with pytest.raises(SparqlError, match="cannot contain variables"):
+        sparql_select(
+            triples,
+            """SELECT ?e WHERE { VALUES ?n { ?e } ?e ex:name ?n }""",
+            prefixes=PFX,
+        )
+
+
+def test_property_path_chains(triples):
+    """?pw ex:member/ex:name ?n desugars into two patterns through an
+    anonymous internal variable that never projects."""
+    got = sparql_select(
+        triples,
+        """SELECT ?pw ?n WHERE { ?pw ex:member/ex:name ?n }""",
+        prefixes=PFX,
+    )
+    assert got.columns == ["pw", "n"]
+    assert {(r.pw, r.n) for r in got.collect()} == {
+        (EX + "c", "alpha"), (EX + "c", "beta"),
+    }
+
+
+def test_property_path_star_hides_internals(triples):
+    got = sparql_select(
+        triples,
+        """SELECT * WHERE { ?pw ex:member/ex:xref ?x }""",
+        prefixes=PFX,
+    )
+    assert sorted(got.columns) == ["pw", "x"]
+    assert {(r.pw, r.x) for r in got.collect()} == {(EX + "c", "chebi:1")}
+
+
+def test_property_path_three_segments(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?pw ?t WHERE { ?pw ex:member/ex:xref/ex:missing ?t }""",
+        prefixes=PFX,
+    )
+    assert got.count() == 0  # chain breaks at the third hop
+
+
+def test_property_path_var_segment_rejected(triples):
+    with pytest.raises(SparqlError, match="property paths"):
+        sparql_select(
+            triples,
+            """SELECT ?s ?o WHERE { ?s ex:member/?p ?o }""",
+            prefixes=PFX,
+        )
+
+
+def test_bindings_substitute_into_scan(spark, tmp_path, triples):
+    """initBindings constants reach the parquet scan as pushed filters
+    (substitution, not a post-join filter)."""
+    path = str(tmp_path / "triples_bind.parquet")
+    triples.write.parquet(path)
+    tdf = spark.read.parquet(path)
+    got = sparql_select(
+        tdf,
+        """SELECT ?m WHERE { ?pw ex:member ?m }""",
+        prefixes=PFX,
+        bindings={"pw": EX + "c"},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "http://ex.org/c" in plan
+    assert sorted(r.m for r in got.collect()) == [EX + "a", EX + "b"]
+
+
+def test_bindings_on_optional_var_keeps_unmatched_rows(triples):
+    """rdflib parity: binding a variable that only OPTIONAL binds keeps
+    left rows whose optional side doesn't match — the binding constrains
+    the optional PATTERN and every solution carries the constant."""
+    got = sparql_select(
+        triples,
+        """SELECT ?n ?x WHERE {
+             ?e ex:type "gene" . ?e ex:name ?n .
+             OPTIONAL { ?e ex:xref ?x }
+           }""",
+        prefixes=PFX,
+        bindings={"x": "chebi:1"},
+    )
+    rows = {(r.n, r.x) for r in got.collect()}
+    # all three gene rows survive; ?x is the bound constant everywhere
+    assert rows == {
+        ("alpha", "chebi:1"), ("beta", "chebi:1"), ("delta", "chebi:1"),
+    }
+
+
+def test_bindings_filter_values_interplay(triples):
+    # binding flows into FILTER comparisons as a literal
+    got = sparql_select(
+        triples,
+        """SELECT ?e WHERE { ?e ex:name ?n . FILTER(?n = ?want) }""",
+        prefixes=PFX,
+        bindings={"want": "beta", "n": "beta"},
+    )
+    assert [r.e for r in got.collect()] == [EX + "b"]
+    # binding incompatible with every VALUES row empties the result
+    got = sparql_select(
+        triples,
+        """SELECT ?e WHERE { ?e ex:name ?n . VALUES ?n { "alpha" } }""",
+        prefixes=PFX,
+        bindings={"n": "zzz"},
+    )
+    assert got.count() == 0
+
+
+def test_bindings_unknown_var_rejected(triples):
+    with pytest.raises(SparqlError, match="not in the pattern"):
+        sparql_select(
+            triples,
+            """SELECT ?m WHERE { ?pw ex:member ?m }""",
+            prefixes=PFX,
+            bindings={"nope": "x"},
+        )
+
+
 def test_modifier_errors(triples):
     with pytest.raises(SparqlError, match="LIMIT expects"):
         sparql_select(

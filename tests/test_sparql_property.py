@@ -105,6 +105,94 @@ def test_planner_matches_naive_evaluator(spark, seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_property_path_equals_desugared(spark, seed):
+    """A ``/`` path query returns exactly what its hand-desugared chained
+    BGP returns, for random data and random 2–3 segment paths."""
+    rng = random.Random(200 + seed)
+    triples = _rand_triples(rng, 40)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    segs = [rng.choice(PREDS) for _ in range(rng.choice([2, 3]))]
+    path_q = f"SELECT ?x ?o WHERE {{ ?x <{'>/<'.join(segs)}> ?o }}"
+    hops, prev = [], "?x"
+    for i, p in enumerate(segs):
+        nxt = "?o" if i == len(segs) - 1 else f"?v{i}"
+        hops.append(f"{prev} <{p}> {nxt} .")
+        prev = nxt
+    manual_q = "SELECT ?x ?o WHERE { " + " ".join(hops) + " }"
+    got = {(r.x, r.o) for r in sparql_select(tdf, path_q).collect()}
+    want = {(r.x, r.o) for r in sparql_select(tdf, manual_q).collect()}
+    naive = _naive_bgp(
+        triples,
+        [
+            (("?x" if i == 0 else f"?v{i - 1}"), p,
+             ("?o" if i == len(segs) - 1 else f"?v{i}"))
+            for i, p in enumerate(segs)
+        ],
+    )
+    assert got == want == {(mu["x"], mu["o"]) for mu in naive}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bindings_match_naive_initial_mapping(spark, seed):
+    """initBindings substitution: the planner equals the naive evaluator
+    run with the binding folded into the initial solution mapping —
+    including the OPTIONAL-only-bound variable case."""
+    rng = random.Random(300 + seed)
+    triples = _rand_triples(rng, 40)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    p_req, p_opt = rng.choice(PREDS), rng.choice(PREDS)
+    bound_w = rng.choice(NODES)
+    query = f"""
+        SELECT ?x ?y ?w WHERE {{
+            ?x <{p_req}> ?y .
+            OPTIONAL {{ ?x <{p_opt}> ?w }}
+        }}
+    """
+    got = {
+        (r.x, r.y, r.w)
+        for r in sparql_select(tdf, query, bindings={"w": bound_w}).collect()
+    }
+    req = [
+        {**mu, "w": bound_w}
+        for mu in _naive_bgp(triples, [("?x", p_req, "?y")])
+    ]
+    opt = _naive_bgp(triples, [("?x", p_opt, "?w")])
+    want = {
+        (mu["x"], mu["y"], mu["w"])
+        for mu in _naive_leftjoin(req, opt)
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_values_match_naive_join(spark, seed):
+    """VALUES inline data: the planner equals the naive evaluator's join
+    against the literal rows (UNDEF = unbound in that row)."""
+    rng = random.Random(400 + seed)
+    triples = _rand_triples(rng, 40)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    p_req = rng.choice(PREDS)
+    vals = rng.sample(NODES, 3)
+    query = f"""
+        SELECT ?x ?y ?t WHERE {{
+            ?x <{p_req}> ?y .
+            VALUES (?y ?t) {{ ("{vals[0]}" "t0") ("{vals[1]}" UNDEF) }}
+        }}
+    """
+    got = {
+        (r.x, r.y, r.t) for r in sparql_select(tdf, query).collect()
+    }
+    req = _naive_bgp(triples, [("?x", p_req, "?y")])
+    inline = [{"y": vals[0], "t": "t0"}, {"y": vals[1]}]
+    want = set()
+    for mu in req:
+        for nu in inline:
+            if mu["y"] == nu["y"]:
+                want.add((mu["x"], mu["y"], nu.get("t")))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_chained_optional_property(spark, seed):
     """Two OPTIONALs binding the same variable: the planner's nullable
     compatible join must equal the naive left-associative LeftJoin."""
