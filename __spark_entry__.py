@@ -667,6 +667,67 @@ def q_sparql_topk(spark, sf_dir):
     )
 
 
+_SPARQL_PATH_FIXTURE = """\
+<http://ex.org/e1> <http://ex.org/name> "alpha" .
+<http://ex.org/e1> <http://ex.org/partOf> <http://ex.org/e4> .
+<http://ex.org/e1> <http://ex.org/xref> "chebi:100" .
+<http://ex.org/e2> <http://ex.org/name> "beta" .
+<http://ex.org/e2> <http://ex.org/partOf> <http://ex.org/e5> .
+<http://ex.org/e2> <http://ex.org/xref> "uniprot:200" .
+<http://ex.org/e3> <http://ex.org/name> "gamma" .
+<http://ex.org/e3> <http://ex.org/partOf> <http://ex.org/e6> .
+<http://ex.org/e4> <http://ex.org/name> "delta" .
+<http://ex.org/e5> <http://ex.org/name> "epsilon" .
+"""
+
+
+def q_sparql_values(spark, sf_dir):
+    """The planner's VALUES inline-data clause driver-checked: the literal
+    rows become a broadcast-joined binding table constraining ?x, with an
+    UNDEF row leaving the paired ?tag unbound (NULL). Oracle replays the
+    algebra as a SQL join against the same literal rows."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_path.nt", _SPARQL_PATH_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?n ?x ?tag WHERE {
+               ?e ex:name ?n .
+               ?e ex:xref ?x .
+               VALUES (?x ?tag) {
+                   ("chebi:100" "curated")
+                   ("uniprot:200" UNDEF)
+                   ("chebi:999" "missing")
+               }
+           }""",
+    )
+
+
+def q_sparql_path(spark, sf_dir):
+    """The planner's property-path ``/`` driver-checked: ?e
+    ex:partOf/ex:name ?pn desugars into two chained patterns through an
+    anonymous internal variable (e3's container has no name, so it drops
+    out of the inner chain). Oracle replays the two-hop join in SQL."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_path.nt", _SPARQL_PATH_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?n ?pn WHERE {
+               ?e ex:name ?n .
+               ?e ex:partOf/ex:name ?pn
+           }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -3746,6 +3807,8 @@ QUERIES: dict[str, Callable] = {
     # (sparql_topk: the planner core is window-checked via
     # sparql_optional_filter + sparql_union; modifiers are sweep-checked)
     "sparql_topk": q_sparql_topk,
+    "sparql_values": q_sparql_values,
+    "sparql_path": q_sparql_path,
     # (quality_gate composes three individually hash-green signal blocks;
     # sweep-checked)
     "quality_gate": q_quality_gate,
@@ -5733,6 +5796,51 @@ def oracle_sql() -> dict[str, str]:
             FROM t ty JOIN t n ON n.s = ty.s AND n.p = 'http://ex.org/name'
             WHERE ty.p = 'http://ex.org/type' AND ty.o = 'gene'
             ORDER BY n DESC, e LIMIT 3
+        """,
+        # VALUES replay: join the pattern rows against the literal binding
+        # table (UNDEF row -> NULL tag)
+        "sparql_values": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/partOf', 'http://ex.org/e4'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/partOf', 'http://ex.org/e5'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e3', 'http://ex.org/partOf', 'http://ex.org/e6'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e5', 'http://ex.org/name', 'epsilon')
+            ), v(x, tag) AS (VALUES
+                ('chebi:100', 'curated'),
+                ('uniprot:200', CAST(NULL AS VARCHAR)),
+                ('chebi:999', 'missing')
+            )
+            SELECT n.s AS e, n.o AS n, x.o AS x, v.tag
+            FROM t n
+            JOIN t x ON x.s = n.s AND x.p = 'http://ex.org/xref'
+            JOIN v ON v.x = x.o
+            WHERE n.p = 'http://ex.org/name'
+        """,
+        # property-path replay: two-hop join through the container entity
+        "sparql_path": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/partOf', 'http://ex.org/e4'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/partOf', 'http://ex.org/e5'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e3', 'http://ex.org/partOf', 'http://ex.org/e6'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e5', 'http://ex.org/name', 'epsilon')
+            )
+            SELECT n.s AS e, n.o AS n, pn.o AS pn
+            FROM t n
+            JOIN t po ON po.s = n.s AND po.p = 'http://ex.org/partOf'
+            JOIN t pn ON pn.s = po.o AND pn.p = 'http://ex.org/name'
+            WHERE n.p = 'http://ex.org/name'
         """,
         # maintainer twin: counter summing is batch-order-invariant, so the
         # one-pass fit scores the sub-100 docs identically
