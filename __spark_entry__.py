@@ -4223,6 +4223,46 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
     """
     )
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _compression_ratio_sql() -> "str | None":
+    """Literal-table oracle for ``compression_ratio``: zlib has no DuckDB
+    twin, but the oracle contract only needs an INDEPENDENT computation of
+    the expected rows — so the per-doc ratios are computed here with
+    Python's zlib directly over the sf0.01 corpus (the scale the driver
+    compares at) and materialized as a VALUES table. This retires the last
+    rows-only query: hashes now check end-to-end (same-level determinism:
+    zlib level 6, identical library in-container). Returns None (driver
+    falls back to rows-only) only if the canonical corpus is unreadable."""
+    import os
+    import zlib
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=["doc_id", "text"])
+    except Exception:  # noqa: BLE001 — no corpus, no literal oracle
+        return None
+    vals = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        b = (text if isinstance(text, str) else "").encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        ratio = repr(round(c / len(b), 6)) if b else "CAST(NULL AS DOUBLE)"
+        vals.append(f"({doc_id},{len(b)},{c},{ratio})")
+    return f"""
+        SELECT doc_id::BIGINT AS doc_id, n_bytes::BIGINT AS n_bytes,
+               n_compressed::BIGINT AS n_compressed,
+               ratio::DOUBLE AS ratio
+        FROM (VALUES {",".join(vals)}) t(doc_id, n_bytes, n_compressed, ratio)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from bio2bel_spark.functions.curie import PREFIX_SYNONYMS
     from bio2bel_spark.sources.intact import RELATION_ROWS
@@ -7898,4 +7938,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS pack_chars
             FROM c GROUP BY 1, 2
         """,
+        **(
+            {"compression_ratio": _compression_ratio_sql()}
+            if _compression_ratio_sql() is not None
+            else {}
+        ),
     }

@@ -55,11 +55,10 @@ def oracle(sf_dir):
 
 
 #: queries intentionally without a SQL oracle (driver records rows-only):
-ROWS_ONLY: set[str] = {
-    # zlib is not expressible in DuckDB; exactness unit-tested in
-    # test_cleaning.py against direct zlib calls
-    "compression_ratio",
-}
+#: EMPTY since round 8 — compression_ratio (the last rows-only query)
+#: now carries a python-zlib literal-table oracle
+#: (__spark_entry__._compression_ratio_sql), so all queries hash-check.
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.QUERIES))
