@@ -1397,6 +1397,30 @@ def q_dsir_maintenance(spark, sf_dir):
     )
 
 
+def q_perplexity_maintenance(spark, sf_dir):
+    """Batch-replay twin of the streaming CCNet histogram maintainer:
+    three micro-batches (doc_id % 3) scored against the FROZEN reference
+    LM (the full corpus) and folded through perplexity_histogram_state +
+    perplexity_hist_merge, then every doc bucketed against the
+    accumulated state. Counter summing is batch-order-invariant, so the
+    result equals the one-pass ccnet_perplexity_buckets fit — the same
+    DuckDB oracle as perplexity_buckets."""
+    from bio2bel_spark.operators.textquality import (
+        perplexity_buckets_from_state,
+        perplexity_hist_merge,
+        perplexity_histogram_state,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    state = None
+    for k in range(3):
+        bs = perplexity_histogram_state(
+            docs.filter(F.col("doc_id") % 3 == k), reference=docs
+        )
+        state = bs if state is None else perplexity_hist_merge([state, bs])
+    return perplexity_buckets_from_state(docs, state, reference=docs)
+
+
 def q_selection_pipeline(spark, sf_dir):
     """The round-7 curation chain as ONE plan: Gopher quality gate (drop
     with reasons) → DSIR fit on the SURVIVING corpus (en slice as target)
@@ -3804,6 +3828,7 @@ QUERIES: dict[str, Callable] = {
     # (dsir_maintenance shares its entire scoring path with the in-window
     # dsir_weights; sweep-checked like the other maintainer twins)
     "dsir_maintenance": q_dsir_maintenance,
+    "perplexity_maintenance": q_perplexity_maintenance,
     # (sparql_topk: the planner core is window-checked via
     # sparql_optional_filter + sparql_union; modifiers are sweep-checked)
     "sparql_topk": q_sparql_topk,
@@ -4123,6 +4148,44 @@ _LM_PPL_CTES = r"""toks AS (
                 SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(bits) AS a
                 FROM bits GROUP BY 1
             )"""
+
+
+#: CCNet head/middle/tail replay (shared by perplexity_buckets and its
+#: maintainer twin — counter summing is batch-order-invariant, so the
+#: maintained-state result equals this one-pass fit): the bigram-LM CTEs,
+#: then the integer milli-perplexity histogram cumsum and the discrete
+#: ceil(q*n) order-stat thresholds per language
+_PPL_BUCKETS_ORACLE = "WITH " + _LM_PPL_CTES + r""",
+            ppl AS (
+                SELECT doc.doc_id, doc.lang,
+                       round(pow(2.0, per.a), 3) AS perplexity,
+                       CAST(round(pow(2.0, per.a) * 1000, 0) AS BIGINT) AS m
+                FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+            ), hist AS (
+                SELECT lang, m, count(*)::BIGINT AS c FROM ppl
+                WHERE m IS NOT NULL GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, m,
+                       sum(c) OVER (PARTITION BY lang ORDER BY m
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ), thr AS (
+                SELECT lang,
+                       min(CASE WHEN cum >= ceil(0.33::DOUBLE * n)
+                                THEN m END) AS t1,
+                       min(CASE WHEN cum >= ceil(0.67::DOUBLE * n)
+                                THEN m END) AS t2
+                FROM cum GROUP BY 1
+            )
+            SELECT p.doc_id, p.lang, p.perplexity,
+                   CASE WHEN p.m IS NULL THEN 'unscored'
+                        WHEN p.m <= thr.t1 THEN 'head'
+                        WHEN p.m <= thr.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ppl p LEFT JOIN thr
+              ON p.lang IS NOT DISTINCT FROM thr.lang
+        """
 
 
 def _bpe_learn_ctes(rounds: int = 6) -> "list[str]":
@@ -5913,40 +5976,10 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(2.0, per.a), 3) AS perplexity
             FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
         """,
-        # CCNet head/middle/tail replay: the same bigram-LM CTEs, then the
-        # integer milli-perplexity histogram cumsum and the discrete
-        # ceil(q*n) order-stat thresholds per language
-        "perplexity_buckets": "WITH " + _LM_PPL_CTES + r""",
-            ppl AS (
-                SELECT doc.doc_id, doc.lang,
-                       round(pow(2.0, per.a), 3) AS perplexity,
-                       CAST(round(pow(2.0, per.a) * 1000, 0) AS BIGINT) AS m
-                FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
-            ), hist AS (
-                SELECT lang, m, count(*)::BIGINT AS c FROM ppl
-                WHERE m IS NOT NULL GROUP BY 1, 2
-            ), cum AS (
-                SELECT lang, m,
-                       sum(c) OVER (PARTITION BY lang ORDER BY m
-                                    ROWS UNBOUNDED PRECEDING) AS cum,
-                       sum(c) OVER (PARTITION BY lang) AS n
-                FROM hist
-            ), thr AS (
-                SELECT lang,
-                       min(CASE WHEN cum >= ceil(0.33::DOUBLE * n)
-                                THEN m END) AS t1,
-                       min(CASE WHEN cum >= ceil(0.67::DOUBLE * n)
-                                THEN m END) AS t2
-                FROM cum GROUP BY 1
-            )
-            SELECT p.doc_id, p.lang, p.perplexity,
-                   CASE WHEN p.m IS NULL THEN 'unscored'
-                        WHEN p.m <= thr.t1 THEN 'head'
-                        WHEN p.m <= thr.t2 THEN 'middle'
-                        ELSE 'tail' END AS bucket
-            FROM ppl p LEFT JOIN thr
-              ON p.lang IS NOT DISTINCT FROM thr.lang
-        """,
+        "perplexity_buckets": _PPL_BUCKETS_ORACLE,
+        # maintainer twin: the accumulated histogram state re-derives the
+        # identical thresholds, so the one-pass replay is the truth
+        "perplexity_maintenance": _PPL_BUCKETS_ORACLE,
         "dedup_quality_survivor": f"""
             WITH RECURSIVE {_JACCARD_CTES},
             edges AS (

@@ -949,11 +949,34 @@ def ccnet_perplexity_buckets(
     the doc stream. No full-corpus sort, no single-reducer window over
     data rows.
     """
+    scored = _ppl_scored(
+        docs, reference, text_col, id_col, lang_col, alpha
+    )
+    hist = (
+        scored.where(F.col("__m").isNotNull())
+        .groupBy(lang_col, "__m")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    thr = _ppl_thresholds(hist, cuts, lang_col)
+    return _ppl_bucketize(scored, thr, id_col, lang_col)
+
+
+def _ppl_scored(
+    docs: DataFrame,
+    reference: "DataFrame | None",
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-doc ``(id, lang, perplexity, __m)`` with the integer
+    milli-perplexity key — the shared scoring head of the one-pass
+    bucketing and the incremental histogram maintainer."""
     ppl = lm_perplexity(
         docs, reference=reference, text_col=text_col, id_col=id_col,
         alpha=alpha,
     )
-    scored = (
+    return (
         docs.select(id_col, lang_col)
         .join(ppl, id_col)
         .select(
@@ -963,22 +986,29 @@ def ccnet_perplexity_buckets(
             F.round(F.col("perplexity") * 1000, 0).cast("long").alias("__m"),
         )
     )
-    hist = (
-        scored.where(F.col("__m").isNotNull())
-        .groupBy(lang_col, "__m")
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-    )
+
+
+def _ppl_thresholds(
+    hist: DataFrame,
+    cuts: "tuple[float, float]",
+    lang_col: str,
+    m_col: str = "__m",
+    c_col: str = "__c",
+) -> DataFrame:
+    """Per-language ``(__tl, __t1, __t2)`` discrete order-stat thresholds
+    from a ``(lang, milli, count)`` histogram — the cumulative walk runs
+    over the compressed value domain, never the corpus."""
     w_cum = (
         Window.partitionBy(lang_col)
-        .orderBy("__m")
+        .orderBy(m_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(lang_col)
     cum = hist.select(
         lang_col,
-        "__m",
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(w_all).alias("__n"),
+        F.col(m_col).alias("__m"),
+        F.sum(c_col).over(w_cum).alias("__cum"),
+        F.sum(c_col).over(w_all).alias("__n"),
     )
     lo, hi = cuts
     thr = cum.groupBy(lang_col).agg(
@@ -998,9 +1028,12 @@ def ccnet_perplexity_buckets(
     # null-safe on the language key: a NULL-lang group is a real group
     # (its docs must meet ITS thresholds), not a silent join miss that
     # would dump every null-lang doc into 'tail'
-    thr = thr.select(
-        F.col(lang_col).alias("__tl"), "__t1", "__t2"
-    )
+    return thr.select(F.col(lang_col).alias("__tl"), "__t1", "__t2")
+
+
+def _ppl_bucketize(
+    scored: DataFrame, thr: DataFrame, id_col: str, lang_col: str
+) -> DataFrame:
     return (
         scored.join(
             F.broadcast(thr),
@@ -1018,6 +1051,84 @@ def ccnet_perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def perplexity_histogram_state(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``(lang, m, c)`` integer milli-perplexity histogram over one corpus
+    slice, scored against a FIXED ``reference`` LM — the mergeable state
+    behind incremental CCNet re-bucketing. The reference corpus must stay
+    frozen across increments (the maintainer's contract: scores from
+    different LMs are not comparable); state is bounded by the compressed
+    milli-perplexity value domain per language, never the corpus size, and
+    merging is plain counter summing."""
+    scored = _ppl_scored(docs, reference, text_col, id_col, lang_col, alpha)
+    return (
+        scored.where(F.col("__m").isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"), F.col("__m").alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def perplexity_hist_merge(states: "list[DataFrame]") -> DataFrame:
+    """Sum-merge ``(lang, m, c)`` histogram states (NOT replay-idempotent —
+    pair with the guarded maintainer tier when streaming). Null-safe on
+    the language key: NULL-lang rows merge into one group."""
+    out = states[0].select("lang", "m", "c")
+    for s in states[1:]:
+        out = out.unionByName(s.select("lang", "m", "c"))
+    return out.groupBy("lang", "m").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def perplexity_thresholds_from_state(
+    state: DataFrame, cuts: "tuple[float, float]" = (0.33, 0.67)
+) -> DataFrame:
+    """Per-language ``(lang, t1, t2)`` bucket thresholds from accumulated
+    histogram state. Counter summing is batch-order-invariant, so the
+    thresholds equal a one-pass :func:`ccnet_perplexity_buckets` fit over
+    everything the state has seen — re-bucketing a growing corpus costs
+    O(histogram), never a history re-scan."""
+    thr = _ppl_thresholds(
+        state.select(F.col("lang"), F.col("m"), F.col("c")),
+        cuts, "lang", m_col="m", c_col="c",
+    )
+    return thr.select(
+        F.col("__tl").alias("lang"),
+        F.col("__t1").alias("t1"),
+        F.col("__t2").alias("t2"),
+    )
+
+
+def perplexity_buckets_from_state(
+    docs: DataFrame,
+    state: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    cuts: "tuple[float, float]" = (0.33, 0.67),
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bucket documents against MAINTAINED histogram state instead of
+    re-fitting thresholds over history — the read side of the incremental
+    CCNet maintainer (same output schema as
+    :func:`ccnet_perplexity_buckets`). ``reference`` must be the same
+    frozen LM corpus the state was accumulated under."""
+    scored = _ppl_scored(docs, reference, text_col, id_col, lang_col, alpha)
+    thr = perplexity_thresholds_from_state(state, cuts).select(
+        F.col("lang").alias("__tl"),
+        F.col("t1").alias("__t1"),
+        F.col("t2").alias("__t2"),
+    )
+    return _ppl_bucketize(scored, thr, id_col, lang_col)
 
 
 def dsir_bucket_state(

@@ -554,6 +554,54 @@ def run_dsir_maintenance(
     )
 
 
+def run_perplexity_maintenance(
+    stream_df: DataFrame,
+    catalog,
+    reference: DataFrame,
+    state_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    alpha: float = 1.0,
+):
+    """Maintain the CCNet per-language milli-perplexity histogram
+    incrementally over a document stream: per micro-batch, score the batch
+    against the FROZEN ``reference`` LM (a static DataFrame — scores from
+    different models are not comparable, so the reference must not change
+    across increments) and SUM its ``(lang, m, c)`` histogram into the
+    persistent state. Counter summing is NOT replay-idempotent, so this
+    runs on the guarded :func:`run_state_maintenance` tier (batch-id
+    marker committed in the same atomic overwrite).
+
+    The read side is ``textquality.perplexity_thresholds_from_state`` /
+    ``perplexity_buckets_from_state``: because summing is
+    batch-order-invariant, thresholds from the maintained state equal a
+    one-pass ``ccnet_perplexity_buckets`` fit over everything the state
+    has seen — head/middle/tail boundaries keep up with a growing 100 TB
+    corpus at O(histogram) state, never a history re-scan.
+    """
+    from bio2bel_spark.operators.textquality import (
+        perplexity_hist_merge,
+        perplexity_histogram_state,
+    )
+
+    def transition(prev, batch_df):
+        batch_state = perplexity_histogram_state(
+            batch_df, reference, text_col=text_col, id_col=id_col,
+            lang_col=lang_col, alpha=alpha,
+        )
+        if prev is None:
+            return batch_state
+        return perplexity_hist_merge(
+            [prev.select("lang", "m", "c"), batch_state]
+        )
+
+    return run_state_maintenance(
+        stream_df, catalog, state_table, checkpoint, transition, guarded=True
+    )
+
+
 def run_cdc_apply(
     stream_df: DataFrame,
     catalog,

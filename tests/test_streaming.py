@@ -832,3 +832,81 @@ def test_dsir_maintenance_incremental_matches_onepass(spark, tmp_path_factory):
     assert got[5] == (0, None)  # empty doc stays explicit
     # the replay marker rides on the state rows — one atomic overwrite
     assert len({r["last_batch_id"] for r in state.collect()}) == 1
+
+
+def test_perplexity_maintenance_incremental_matches_onepass(
+    spark, tmp_path_factory
+):
+    """Two incremental histogram runs == one-pass CCNet bucketing against
+    the same frozen reference LM: thresholds and bucket assignments from
+    the maintained state equal ccnet_perplexity_buckets over everything
+    (counter summing is batch-order-invariant)."""
+    from bio2bel_spark.catalog import Catalog
+    from bio2bel_spark.operators.textquality import (
+        ccnet_perplexity_buckets,
+        perplexity_buckets_from_state,
+        perplexity_thresholds_from_state,
+    )
+
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_ppl")))
+    src = str(tmp_path_factory.mktemp("ppl_src"))
+    schema = "doc_id long, text string, lang string"
+    ref_rows = [
+        (100 + i, f"the quick brown fox {w} jumps over the lazy dog", "en")
+        for i, w in enumerate(["again", "once", "twice", "thrice"])
+    ] + [(200, "der schnelle braune fuchs springt", "de")]
+    reference = spark.createDataFrame(ref_rows, schema)
+
+    def batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    batch([
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "zzz qqq xxx glorp", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+    ])
+    ck = str(tmp_path_factory.mktemp("ck_ppl"))
+    q = sev.run_perplexity_maintenance(
+        spark.readStream.schema(schema).parquet(src), catalog, reference,
+        "ppl_state", ck,
+    )
+    q.awaitTermination(240)
+
+    batch([
+        (4, "the lazy dog jumps over the quick fox", "en"),
+        (5, "fox dog lazy the the the", "en"),
+        (6, "short", "en"),  # < 2 tokens -> unscored, never in state
+        (7, "springt der fuchs braune schnelle", None),  # NULL-lang group
+    ])
+    q2 = sev.run_perplexity_maintenance(
+        spark.readStream.schema(schema).parquet(src), catalog, reference,
+        "ppl_state", ck,
+    )
+    q2.awaitTermination(240)
+
+    all_docs = spark.read.parquet(src)
+    state = catalog.read_table("ppl_state")
+    got = {
+        r["doc_id"]: (r["lang"], r["perplexity"], r["bucket"])
+        for r in perplexity_buckets_from_state(
+            all_docs, state, reference=reference
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["perplexity"], r["bucket"])
+        for r in ccnet_perplexity_buckets(
+            all_docs, reference=reference
+        ).collect()
+    }
+    assert got == want and len(got) == 7
+    assert got[6][2] == "unscored"
+    # thresholds derive per language, including the NULL-lang group
+    thr = {
+        r["lang"]: (r["t1"], r["t2"])
+        for r in perplexity_thresholds_from_state(state).collect()
+    }
+    assert set(thr) == {"en", "de", None}
+    assert all(t1 <= t2 for t1, t2 in thr.values())
+    assert len({r["last_batch_id"] for r in state.collect()}) == 1
