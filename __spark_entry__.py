@@ -1442,6 +1442,36 @@ def q_selection_pipeline(spark, sf_dir):
     ).select("doc_id", "log_weight", "gumbel_key")
 
 
+def q_selection_pipeline_packed(spark, sf_dir):
+    """The full pre-training data path as ONE plan: Gopher quality gate →
+    DSIR fit on survivors → deterministic Gumbel top-40 → concat-then-
+    chunk packing of the selected docs into 2048-char context windows per
+    source — selection feeding packing, the composition a real
+    training-data pipeline always runs before tokenization."""
+    from bio2bel_spark.operators.cleaning import quality_gate
+    from bio2bel_spark.operators.packing import pack_concat_chunks
+    from bio2bel_spark.operators.textquality import dsir_select
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    kept_ids = (
+        quality_gate(docs, min_tokens=40)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    sel = dsir_select(
+        kept, kept.where(F.col("lang") == "en"), k=40, seed=0,
+        buckets=512, alpha=1.0,
+    )
+    packed = pack_concat_chunks(
+        sel, "n_chars", budget=2048, by="source", order="doc_id"
+    )
+    return packed.select(
+        "doc_id", "log_weight", "gumbel_key", "source",
+        F.col("n_chars").cast("long").alias("n_chars"), "pack_id",
+    )
+
+
 def q_dedup_quality_survivor(spark, sf_dir):
     """Fuzzy dedup with quality-aware survivorship: within each near-dup
     cluster the LONGEST text survives (ties: lower id) — the curation rule
@@ -3840,6 +3870,7 @@ QUERIES: dict[str, Callable] = {
     # (selection_pipeline chains quality_gate + dsir_select, both checked
     # individually; sweep-checked)
     "selection_pipeline": q_selection_pipeline,
+    "selection_pipeline_packed": q_selection_pipeline_packed,
     "temperature_mixture": q_temperature_mixture,
     "token_budget_select": q_token_budget_select,
     "cluster_split": q_cluster_split,
@@ -4043,9 +4074,11 @@ _GATE_CTES = """base AS (
             )"""
 
 
-def _dsir_select_tail(src: str = "documents") -> str:
-    """The Gumbel top-40 selection tail over :func:`_dsir_ctes` output,
-    parameterized by the same corpus source (seed 0, portable hash)."""
+def _dsir_select_cte(src: str = "documents") -> str:
+    """The Gumbel top-40 selection over :func:`_dsir_ctes` output as a
+    CTE (``sel``), parameterized by the same corpus source (seed 0,
+    portable hash) — shared by the selection tail and the packed
+    pipeline's downstream window."""
     return r""",
             keyed AS (
                 SELECT d.doc_id,
@@ -4056,10 +4089,19 @@ def _dsir_select_tail(src: str = "documents") -> str:
                            / 1152921504606846976.0)), 6) AS gumbel_key
                 FROM __SRC__ d JOIN per USING (doc_id)
                 WHERE per.lw IS NOT NULL
-            )
-            SELECT doc_id, log_weight, gumbel_key FROM keyed
-            ORDER BY gumbel_key DESC, doc_id LIMIT 40
-        """.replace("__SRC__", src)
+            ),
+            sel AS (
+                SELECT doc_id, log_weight, gumbel_key FROM keyed
+                ORDER BY gumbel_key DESC, doc_id LIMIT 40
+            )""".replace("__SRC__", src)
+
+
+def _dsir_select_tail(src: str = "documents") -> str:
+    """The Gumbel top-40 selection tail over :func:`_dsir_ctes` output."""
+    return (
+        _dsir_select_cte(src)
+        + "\n            SELECT doc_id, log_weight, gumbel_key FROM sel"
+    )
 
 
 def _dsir_ctes(src: str = "documents") -> str:
@@ -5968,6 +6010,34 @@ def oracle_sql() -> dict[str, str]:
             ), """
             + _dsir_ctes("kdocs")
             + _dsir_select_tail("kdocs")
+        ),
+        # ...and the same chain feeding the concat-then-chunk packer: the
+        # selected docs lay out per source ordered by doc_id, pack_id =
+        # floor(cumulative-chars-before / 2048)
+        "selection_pipeline_packed": (
+            "WITH " + _GATE_CTES
+            + """, kept AS (
+                SELECT doc_id FROM gate WHERE len(reasons) = 0
+            ), kdocs AS (
+                SELECT d.* FROM documents d JOIN kept USING (doc_id)
+            ), """
+            + _dsir_ctes("kdocs")
+            + _dsir_select_cte("kdocs")
+            + """,
+            packed AS (
+                SELECT s.doc_id, s.log_weight, s.gumbel_key,
+                       d.source, d.n_chars,
+                       coalesce(sum(d.n_chars) OVER (
+                           PARTITION BY d.source ORDER BY d.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cb
+                FROM sel s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, log_weight, gumbel_key, source,
+                   n_chars::BIGINT AS n_chars,
+                   floor(cb / 2048)::BIGINT AS pack_id
+            FROM packed
+        """
         ),
         "lm_perplexity": "WITH " + _LM_PPL_CTES + r"""
             SELECT doc.doc_id,

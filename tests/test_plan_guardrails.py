@@ -27,9 +27,9 @@ QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
                 # default) stitched onto the <=B-row ratio table and the
                 # doc-gram stream — O(1) per probe row by construction
                 "dsir_weights", "dsir_select", "dsir_maintenance",
-                "selection_pipeline",
+                "selection_pipeline", "selection_pipeline_packed",
                 # inherits lm_perplexity's 1-row vocabulary-size scalar
-                "perplexity_buckets",
+                "perplexity_buckets", "perplexity_maintenance",
                 # corpus-total scalar (1-row aggregate) stitched onto the
                 # per-slice vocabulary — O(1) per probe row by construction
                 "vocab_divergence",
