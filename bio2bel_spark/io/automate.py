@@ -17,6 +17,7 @@ and short-circuit on the cached artifact thereafter.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -24,6 +25,17 @@ from pyspark.sql import SparkSession
 from bio2bel_spark.dataset import Dataset, ensure_dataset
 
 __all__ = ["ensure_populated", "ensure_triples_tsv", "ensure_graph_json"]
+
+
+def _fresh_tmp(path: str) -> str:
+    """Scratch location next to ``path`` for write-then-rename publication;
+    a stale copy from a crashed earlier build is removed first."""
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    elif os.path.exists(tmp):
+        os.remove(tmp)
+    return tmp
 
 
 def _instantiate(cls, spark, warehouse, input_paths):
@@ -83,7 +95,11 @@ def ensure_triples_tsv(
     if not ds.is_populated():
         ds.populate(**populate_kwargs)
     kg = KnowledgeGraph(None, ds.table(edges_table))
-    write_triples_tsv(kg.triples(), path)
+    # write-then-rename: a crash mid-export can never leave a partial file
+    # that a later call would serve as a valid cache hit
+    tmp = _fresh_tmp(path)
+    write_triples_tsv(kg.triples(), tmp)
+    os.replace(tmp, path)
     return path
 
 
@@ -111,6 +127,10 @@ def ensure_graph_json(
         ds.populate(**populate_kwargs)
     kg = KnowledgeGraph(None, ds.table(edges_table))
     kg.nodes = kg.induced_nodes()
-    write_json(kg.nodes, os.path.join(path, "nodes"))
-    write_json(kg.edges, os.path.join(path, "edges"))
+    # build in a scratch dir and rename into place: a crash between the
+    # nodes and edges writes can never publish a half-export as a cache hit
+    tmp = _fresh_tmp(path)
+    write_json(kg.nodes, os.path.join(tmp, "nodes"))
+    write_json(kg.edges, os.path.join(tmp, "edges"))
+    os.replace(tmp, path)
     return path

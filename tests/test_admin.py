@@ -58,6 +58,51 @@ def test_where_predicate_pushdown(served):
     assert [r["id"] for r in body["rows"]] == [42]
 
 
+def test_where_grammar_accepts_predicates(served):
+    base, _ = served
+    from urllib.parse import quote
+
+    for pred, want in [
+        ("id >= 197 AND score < 300.0", [197, 198, 199]),
+        ("name LIKE 'name19_' AND id > 197", [198, 199]),
+        ("id IN (1, 3) OR name = 'name5'", [1, 3, 5]),
+        ("NOT (id < 198) AND name IS NOT NULL", [198, 199]),
+    ]:
+        status, body = _get(
+            base, f"/table/things?where={quote(pred)}&limit=10"
+        )
+        assert status == 200, pred
+        assert sorted(r["id"] for r in body["rows"]) == want, pred
+
+
+def test_where_rejects_expression_injection(served):
+    """The ADVICE-flagged injection surface: raw Spark SQL expressions
+    (reflect/java_method, arithmetic, casts, subqueries, unknown columns)
+    must be rejected with 400 by the whitelist parser — they never reach
+    df.where()."""
+    base, _ = served
+    from urllib.parse import quote
+
+    for bad in [
+        "reflect('java.lang.System','getenv') = 'x'",
+        "java_method('java.lang.System','exit',0) IS NULL",
+        "id = reflect('a','b')",
+        "cast(id AS string) = '1'",
+        "id + 1 = 2",
+        "nope = 1",           # unknown column
+        "id = 1; drop",       # statement smuggling
+        "exists(select 1)",
+    ]:
+        try:
+            urllib.request.urlopen(
+                base + f"/table/things?where={quote(bad)}", timeout=30
+            )
+            raise AssertionError(f"expected 400 for {bad!r}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+            assert "error" in json.loads(e.read()), bad
+
+
 def test_actions_and_stats(served):
     base, _ = served
     status, acts = _get(base, "/actions?limit=10")

@@ -74,3 +74,30 @@ def test_ensure_graph_json_cache_or_build(spark, tmp_path, tf_inputs):
     assert os.path.isdir(os.path.join(path, "edges"))
     assert ensure_graph_json("tfregulons", spark, warehouse=wh,
                              input_paths=tf_inputs) == path
+
+
+def test_ensure_exports_publish_atomically(spark, tmp_path, tf_inputs):
+    """Write-then-rename publication: stale scratch from a crashed build is
+    cleaned and rebuilt, never served; after success no scratch remains and
+    the published artifact is complete."""
+    import shutil
+
+    import bio2bel_spark.sources.datasets  # noqa: F401
+
+    wh = str(tmp_path / "wh")
+    # simulate a crash that left graph scratch behind (nodes only, no edges)
+    exports = os.path.join(wh, "_exports", "tfregulons")
+    os.makedirs(os.path.join(exports, "tfregulons.graph.json.tmp", "nodes"))
+    path = ensure_graph_json("tfregulons", spark, warehouse=wh,
+                             input_paths=tf_inputs)
+    assert os.path.isdir(os.path.join(path, "nodes"))
+    assert os.path.isdir(os.path.join(path, "edges"))
+    assert not os.path.exists(path + ".tmp")  # scratch renamed away
+    # same for the TSV: stale scratch file is replaced, publication atomic
+    shutil.rmtree(os.path.join(exports))
+    os.makedirs(exports)
+    open(os.path.join(exports, "tfregulons.bel.tsv.tmp"), "w").write("junk")
+    tsv = ensure_triples_tsv("tfregulons", spark, warehouse=wh,
+                             input_paths=tf_inputs)
+    assert open(tsv).read().count("\t") >= 2
+    assert not os.path.exists(tsv + ".tmp")
