@@ -180,6 +180,80 @@ def _minhash_from_hashes(hashes: Column, n_hashes: int) -> Column:
     )
 
 
+def _shingle_projection(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    backend: str,
+) -> DataFrame:
+    """Persisted ``(id, __tn, __sh)`` shingle-hash table — the ONE md5
+    pass every fuzzy-pipeline stage (signature fold, banding, verify)
+    shares. ``__tn`` records text-is-null so the signature fold can keep
+    the null-doc guard without touching the text again."""
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("__tn"),
+        shingle_hashes(text_col, shingle_n, backend).alias("__sh"),
+    ).transform(tracked_persist)
+
+
+def _sig_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int
+) -> DataFrame:
+    """``(id, __sig)`` from a :func:`_shingle_projection` table — the
+    arithmetic minhash fold only, no re-hash of text. Null text gets a
+    null signature (same guard as :func:`minhash_signature` — the fold
+    would otherwise emit the fake all-init vector)."""
+    return sh.select(
+        F.col(id_col),
+        F.when(
+            ~F.col("__tn"), _minhash_from_hashes(F.col("__sh"), n_hashes)
+        ).alias("__sig"),
+    )
+
+
+def _bucket_cap(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop banding rows in buckets larger than ``max_bucket`` — the hub
+    guard that bounds every LSH pair join (a bucket contributes at most
+    ``max_bucket²`` candidates regardless of corpus size)."""
+    counts = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+    )
+    return banded.join(
+        counts.select("band", "bucket"), ["band", "bucket"], "left_semi"
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    a_key: str,
+    b_key: str,
+    threshold: float,
+) -> DataFrame:
+    """True n-gram Jaccard over candidate pairs against two shingle
+    tables ``(a_key, __sh_a)`` / ``(b_key, __sh_b)`` — the shared verify
+    tail of the self-dedup and cross-table (record-linkage) pipelines."""
+    return (
+        cand.join(sh_a, a_key)
+        .join(sh_b, b_key)
+        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__sh_a") + F.size("__sh_b") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_key, b_key, F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _banded_buckets(
     docs: DataFrame,
     text_col: str,
@@ -251,8 +325,7 @@ def lsh_candidate_pairs(
         banded = _banded_buckets(
             docs, text_col, id_col, n_hashes, bands, backend
         )
-    counts = banded.groupBy("band", "bucket").count().filter(F.col("count") <= max_bucket)
-    bounded = banded.join(counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
+    bounded = _bucket_cap(banded, max_bucket)
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     return (
@@ -281,19 +354,57 @@ def jaccard_verify(
     sh = shingles if shingles is not None else docs.select(
         F.col(id_col), shingle_hashes(text_col, shingle_n, backend).alias("__sh")
     ).transform(tracked_persist)  # joined from both pair sides
-    out = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
-        .withColumn("__inter", F.size(F.array_intersect("__sh_a", "__sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("__inter")
-            / (F.size("__sh_a") + F.size("__sh_b") - F.col("__inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_pairs(
+        candidates,
+        sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"),
+        sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"),
+        "id_a", "id_b", threshold,
     )
-    return out
+
+
+def fuzzy_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    backend: str = "md5",
+    banded: "DataFrame | None" = None,
+    shingles: "DataFrame | None" = None,
+) -> DataFrame:
+    """Verified near-duplicate pairs ``(id_a, id_b, jaccard)`` — the
+    shared LSH-candidates → true-Jaccard-verify head of every fuzzy
+    pipeline (cluster dedup, leakage audit, recall report).
+
+    When the caller holds neither seam, ONE shared shingle projection
+    feeds both the signature/banding fold and the verify join, so the
+    corpus text is md5-shingled exactly once (the naive composition pays
+    the pass twice — once inside the minhash, once for the verify)."""
+    if banded is None and shingles is None:
+        sh_full = _shingle_projection(
+            docs, text_col, id_col, shingle_n, backend
+        )
+        shingles = sh_full.select(id_col, "__sh")
+        banded = _bands_from_sig(
+            _sig_from_shingles(sh_full, id_col, n_hashes),
+            id_col, n_hashes, bands,
+        )
+    return jaccard_verify(
+        lsh_candidate_pairs(
+            docs, text_col, id_col, n_hashes, bands, max_bucket, backend,
+            banded=banded,
+        ),
+        docs,
+        text_col,
+        id_col,
+        shingle_n,
+        threshold,
+        backend,
+        shingles=shingles,
+    )
 
 
 def dedup_fuzzy(
@@ -340,18 +451,9 @@ def dedup_fuzzy(
     """
     from bio2bel_spark.operators.graph import min_label_components
 
-    pairs = jaccard_verify(
-        lsh_candidate_pairs(
-            docs, text_col, id_col, n_hashes, bands, max_bucket, backend,
-            banded=banded,
-        ),
-        docs,
-        text_col,
-        id_col,
-        shingle_n,
-        threshold,
-        backend,
-        shingles=shingles,
+    pairs = fuzzy_pairs(
+        docs, text_col, id_col, n_hashes, bands, shingle_n, threshold,
+        max_bucket, backend, banded=banded, shingles=shingles,
     )
     comp = min_label_components(
         pairs, src="id_a", dst="id_b", max_iterations=max_iterations
@@ -417,50 +519,33 @@ def fuzzy_join(
     tables in one bounded join). ``max_bucket`` caps each side's bucket
     population, so a single bucket contributes at most ``max_bucket²``
     candidate pairs regardless of corpus size. Candidates are verified with
-    true Jaccard — LSH only costs recall, never precision.
+    true Jaccard — LSH only costs recall, never precision. Each side is
+    md5-shingled exactly ONCE (the shared :func:`_shingle_projection`
+    feeds its signature fold AND its verify join).
     """
-    bl = _banded_buckets(left, text_col, left_id, n_hashes, bands, backend)
-    br = _banded_buckets(right, text_col, right_id, n_hashes, bands, backend)
-
-    def _bounded(banded, idc):
-        counts = (
-            banded.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") <= max_bucket)
+    def _side(df, idc):
+        sh = _shingle_projection(df, text_col, idc, shingle_n, backend)
+        banded = _bands_from_sig(
+            _sig_from_shingles(sh, idc, n_hashes), idc, n_hashes, bands
         )
-        return banded.join(
-            counts.select("band", "bucket"), ["band", "bucket"], "left_semi"
-        ).select("band", "bucket", F.col(idc))
+        return sh.select(idc, "__sh"), _bucket_cap(banded, max_bucket)
 
+    shl, bl = _side(left, left_id)
+    shr, br = _side(right, right_id)
     cand = (
-        _bounded(bl, left_id)
-        .withColumnRenamed(left_id, "lid")
+        bl.select("band", "bucket", F.col(left_id).alias("lid"))
         .join(
-            _bounded(br, right_id).withColumnRenamed(right_id, "rid"),
+            br.select("band", "bucket", F.col(right_id).alias("rid")),
             ["band", "bucket"],
         )
         .select("lid", "rid")
         .distinct()
     )
-    shl = left.select(
-        F.col(left_id).alias("lid"),
-        shingle_hashes(text_col, shingle_n, backend).alias("__sh_l"),
-    )
-    shr = right.select(
-        F.col(right_id).alias("rid"),
-        shingle_hashes(text_col, shingle_n, backend).alias("__sh_r"),
-    )
-    return (
-        cand.join(shl, "lid")
-        .join(shr, "rid")
-        .withColumn("__inter", F.size(F.array_intersect("__sh_l", "__sh_r")))
-        .withColumn(
-            "jaccard",
-            F.col("__inter")
-            / (F.size("__sh_l") + F.size("__sh_r") - F.col("__inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("lid", "rid", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_pairs(
+        cand,
+        shl.withColumnRenamed(left_id, "lid").withColumnRenamed("__sh", "__sh_a"),
+        shr.withColumnRenamed(right_id, "rid").withColumnRenamed("__sh", "__sh_b"),
+        "lid", "rid", threshold,
     )
 
 
@@ -1149,16 +1234,9 @@ def split_leakage_report(
     """
     from bio2bel_spark.operators.sketch import split_column
 
-    pairs = jaccard_verify(
-        lsh_candidate_pairs(
-            docs, text_col=text_col, id_col=id_col,
-            n_hashes=n_hashes, bands=bands, max_bucket=max_bucket,
-            backend=backend,
-        ),
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=threshold,
+    pairs = fuzzy_pairs(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        bands=bands, threshold=threshold, max_bucket=max_bucket,
         backend=backend,
     )
     splits = docs.select(
@@ -1260,28 +1338,15 @@ def incremental_fuzzy_dedup(
 
     Returns the admitted (new, near-unique) rows of ``new_docs``.
     """
-    from bio2bel_spark.operators.caching import tracked_persist
-
     eff_bands = within_batch_bands if within_batch_bands is not None else bands
     dedup_kwargs["bands"] = eff_bands
-    # ONE md5 shingle pass per batch: the persisted hash table feeds the
+    # ONE md5 shingle pass per batch: the shared projection feeds the
     # signature (arithmetic fold), the banding, the within-batch verify,
     # and the index rows — without the seam each consumer would re-hash
     # the batch's text (measured 3x the md5 work per increment)
     shingle_n = dedup_kwargs.get("shingle_n", 3)
-    sh = new_docs.select(
-        F.col(id_col),
-        F.col(text_col).isNull().alias("__tn"),
-        shingle_hashes(text_col, shingle_n, backend).alias("__sh"),
-    ).transform(tracked_persist)
-    # same null-text guard as minhash_signature: a null doc must get a
-    # null signature, never the fake all-init vector the fold would emit
-    sig_df = sh.select(
-        F.col(id_col),
-        F.when(
-            ~F.col("__tn"), _minhash_from_hashes(F.col("__sh"), n_hashes)
-        ).alias("__sig"),
-    )
+    sh = _shingle_projection(new_docs, text_col, id_col, shingle_n, backend)
+    sig_df = _sig_from_shingles(sh, id_col, n_hashes)
     # within-batch banding honors within_batch_bands; the CROSS-batch index
     # banding must stay on ``bands``. The two bandings share one projection
     # when the counts agree (the common case).
