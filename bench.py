@@ -78,11 +78,17 @@ def main() -> int:
     # each clean query is measured twice and the MIN is reported: the first
     # execution pays one-off costs (file listing, codegen, Python worker
     # spin-up) and single runs on this shared box swing ±50% under host
-    # noise; min-of-2 reads the steady-state plan cost
+    # noise; min-of-2 reads the steady-state plan cost. The 1-min loadavg
+    # at each query's measurement is recorded so round-over-round drift
+    # triage can tell co-tenant noise from real plan regressions without
+    # re-running anything (the round-7 lesson: four same-code samples
+    # spanned 167-206 s, loadavg-correlated).
     timings: dict[str, float] = {}
+    loadavg: dict[str, float] = {}
     for name, fn in clean.items():
         best = float("inf")
         try:
+            loadavg[name] = round(os.getloadavg()[0], 1)
             for _ in range(2):
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -94,6 +100,8 @@ def main() -> int:
             print(f"BENCH FAIL {name}: {errs[name]}", file=sys.stderr)
         release_cached(spark)
 
+    loads = sorted(loadavg.values())
+    load_range = [loads[0], loads[-1]] if loads else []
     with open(os.path.join(HERE, "BENCH_FULL.json"), "w") as fh:
         json.dump(
             {
@@ -101,6 +109,8 @@ def main() -> int:
                 "value": round(sum(timings.values()), 2),
                 "unit": "sec",
                 "queries": timings,
+                "loadavg": loadavg,
+                "load_range": load_range,
                 "sf": sf,
                 "errs": errs,
             },
@@ -118,6 +128,9 @@ def main() -> int:
                 "queries": headline,
                 "sf": sf,
                 "n_queries": len(timings),
+                # host-noise context: [min, max] 1-min loadavg across the
+                # timed pass (per-query values live in BENCH_FULL.json)
+                "load_range": load_range,
                 # names are capped so a mass failure can't blow the line past
                 # the driver's tail capture; the full map is in BENCH_FULL
                 "n_errs": len(errs),

@@ -1,0 +1,102 @@
+"""Wall-time SLOPE measurements for the three heaviest composed pipelines
+(round-8 verdict ask #3): the per-operator 10× tests pin correctness
+invariants; this file pins the COST curve — each composed plan must grow
+≤ ~linearly when the corpus grows 10×.
+
+Scaling discipline: replicas are made TEXTUALLY DISTINCT (full-alphabet
+rotation per replica) so near-duplicate density stays constant. Exact
+duplication would be the wrong experiment for dedup-shaped pipelines —
+every LSH bucket would grow 10× and the candidate PAIR count 100×, i.e.
+the workload itself would become quadratically harder, not 10× bigger.
+With rotated replicas a 10× corpus means 10× distinct documents with the
+same per-doc shape, which is what "10× data" means at 100 TB.
+
+The measured ratios are recorded in PLANS.md (manual-evidence section).
+Marked ``slow``: run with ``SPARK_GRAFT_SLOW=1``.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+ALPHA = string.ascii_lowercase + string.ascii_uppercase
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("SPARK_GRAFT_SLOW"),
+        reason="scale-stress: set SPARK_GRAFT_SLOW=1 to run",
+    ),
+]
+
+#: 10× data may cost at most this much wall time (linear = 10; headroom
+#: for shuffle constants and host noise, but a quadratic stage — e.g. an
+#: unguarded pair join — lands at ~100× and fails immediately)
+MAX_RATIO = 14.0
+
+
+@pytest.fixture(scope="module")
+def sf_dirs(spark, tmp_path_factory):
+    """Two sf-dir layouts holding the 1× and 10× documents corpora as
+    multi-file parquet (so no single-split skew masks the slope)."""
+    from bio2bel_spark.tables import load_table
+
+    base = load_table(spark, SF_DIR, "documents")
+    cols = base.columns
+    one = str(tmp_path_factory.mktemp("sf_1x"))
+    ten = str(tmp_path_factory.mktemp("sf_10x"))
+    base.repartition(8).write.parquet(os.path.join(one, "documents.parquet"))
+
+    def replica(rep: int):
+        if rep == 0:
+            return base.select(*cols)
+        rot = ALPHA[rep:] + ALPHA[:rep]
+        return base.select(
+            (F.col("doc_id") + rep * 10_000_000).alias("doc_id"),
+            F.translate("text", ALPHA, rot).alias("text"),
+            *[c for c in cols if c not in ("doc_id", "text")],
+        )
+
+    big = replica(0)
+    for rep in range(1, 10):
+        big = big.unionByName(replica(rep))
+    big.repartition(32).write.parquet(os.path.join(ten, "documents.parquet"))
+    return one, ten
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    """min-of-2 end-to-end wall seconds through the noop sink (the bench
+    protocol: first run pays one-off codegen/listing costs)."""
+    from bio2bel_spark.operators.caching import release_cached
+
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+        release_cached(spark)
+    return best
+
+
+@pytest.mark.parametrize(
+    "name", ["curation_pipeline_v2", "selection_pipeline", "incremental_fuzzy"]
+)
+def test_composed_pipeline_scales_linearly(spark, sf_dirs, name):
+    import __spark_entry__ as entrymod
+
+    one, ten = sf_dirs
+    fn = entrymod.QUERIES[name]
+    t1 = _time_query(spark, fn, one)
+    t10 = _time_query(spark, fn, ten)
+    ratio = t10 / t1
+    print(f"SLOPE {name}: 1x={t1:.1f}s 10x={t10:.1f}s ratio={ratio:.1f}")
+    assert ratio <= MAX_RATIO, (
+        f"{name}: 10x corpus cost {ratio:.1f}x wall time "
+        f"({t1:.1f}s -> {t10:.1f}s) — super-linear growth"
+    )
