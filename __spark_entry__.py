@@ -4328,21 +4328,33 @@ def _bpe_encode_sql(rounds: int = 6) -> str:
 import functools
 
 
-@functools.lru_cache(maxsize=1)
 def _compression_ratio_sql() -> "str | None":
     """Literal-table oracle for ``compression_ratio``: zlib has no DuckDB
     twin, but the oracle contract only needs an INDEPENDENT computation of
     the expected rows — so the per-doc ratios are computed here with
-    Python's zlib directly over the sf0.01 corpus (the scale the driver
-    compares at) and materialized as a VALUES table. This retires the last
-    rows-only query: hashes now check end-to-end (same-level determinism:
-    zlib level 6, identical library in-container). Returns None (driver
-    falls back to rows-only) only if the canonical corpus is unreadable."""
+    Python's zlib directly over the comparison corpus and materialized as
+    a VALUES table. This retires the last rows-only query: hashes now
+    check end-to-end (same-level determinism: zlib level 6, identical
+    library in-container). The corpus scale follows the harness:
+    ``SPARK_GRAFT_ORACLE_SF`` (tests/conftest.py exports the suite's
+    sf_dir) or ``ORACLE_SF_DIR`` (scripts/oracle_check.py), defaulting to
+    sf0.01 — the scale the driver compares at. Returns None (driver falls
+    back to rows-only) only if the corpus is unreadable."""
     import os
-    import zlib
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    path = os.path.join(sf_dir, "documents.parquet")
+    sf_dir = (
+        os.environ.get("SPARK_GRAFT_ORACLE_SF")
+        or os.environ.get("ORACLE_SF_DIR")
+        or "/root/testdata/sf0.01"
+    )
+    return _compression_ratio_sql_for(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _compression_ratio_sql_for(path: str) -> "str | None":
+    import zlib
     try:
         import pyarrow.parquet as pq
 

@@ -16,6 +16,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+# literal-table oracles (e.g. compression_ratio's python-zlib VALUES table)
+# must be generated from the SAME corpus the suite compares against
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", TESTDATA)
 
 
 def pytest_configure(config):
