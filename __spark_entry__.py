@@ -728,6 +728,41 @@ def q_sparql_path(spark, sf_dir):
     )
 
 
+_SPARQL_PLUS_FIXTURE = """\
+<http://ex.org/n1> <http://ex.org/under> <http://ex.org/n2> .
+<http://ex.org/n2> <http://ex.org/under> <http://ex.org/n3> .
+<http://ex.org/n3> <http://ex.org/under> <http://ex.org/n4> .
+<http://ex.org/z1> <http://ex.org/under> <http://ex.org/z2> .
+<http://ex.org/n1> <http://ex.org/name> "one" .
+<http://ex.org/n2> <http://ex.org/name> "two" .
+<http://ex.org/n3> <http://ex.org/name> "three" .
+<http://ex.org/n4> <http://ex.org/name> "four" .
+"""
+
+
+def q_sparql_path_plus(spark, sf_dir):
+    """The planner's one-or-more property path (``p+``) driver-checked:
+    the transitive ``under`` closure of every named node paired with the
+    reached node's name — a 3-deep chain plus a disconnected edge, so the
+    closure does real multi-hop work. Compiles to the semi-naive
+    frontier iteration (kg_descendants BFS shape); oracle replays the
+    closure with WITH RECURSIVE."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_plus.nt", _SPARQL_PLUS_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?n ?rn WHERE {
+               ?x ex:name ?n .
+               ?x ex:under+/ex:name ?rn
+           }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -3767,6 +3802,7 @@ QUERIES: dict[str, Callable] = {
     # CCNet histogram maintainer twin) lead ...
     "sparql_values": q_sparql_values,
     "sparql_path": q_sparql_path,
+    "sparql_path_plus": q_sparql_path_plus,
     "selection_pipeline_packed": q_selection_pipeline_packed,
     "perplexity_maintenance": q_perplexity_maintenance,
     # ... then the 4 queries no driver round had checked first-party
@@ -3824,12 +3860,13 @@ QUERIES: dict[str, Callable] = {
     "kg_degree_distribution": q_kg_degree_distribution,
     "shipping_priority": q_shipping_priority,
     "quality_topk": q_quality_topk,
-    "forecast_revenue": q_forecast_revenue,
     # ---- end of the driver's 50-query correctness window ----
     # Displaced this round (all r07 first-party hash-green, none touched
     # by round-8 changes, all still hash-checked by the local sweep):
     # indra_statements, media_features, event_sessions, audio_features,
-    # image_features, video_features, image_phash_pairs, triangle_count.
+    # image_features, video_features, image_phash_pairs, triangle_count,
+    # forecast_revenue (bumped for sparql_path_plus).
+    "forecast_revenue": q_forecast_revenue,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -5975,6 +6012,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN t x ON x.s = n.s AND x.p = 'http://ex.org/xref'
             JOIN v ON v.x = x.o
             WHERE n.p = 'http://ex.org/name'
+        """,
+        # one-or-more path replay: WITH RECURSIVE closure over the under
+        # chain, then both name hops
+        "sparql_path_plus": """
+            WITH RECURSIVE t(s, p, o) AS (
+                SELECT * FROM (VALUES
+                    ('http://ex.org/n1', 'http://ex.org/under', 'http://ex.org/n2'),
+                    ('http://ex.org/n2', 'http://ex.org/under', 'http://ex.org/n3'),
+                    ('http://ex.org/n3', 'http://ex.org/under', 'http://ex.org/n4'),
+                    ('http://ex.org/z1', 'http://ex.org/under', 'http://ex.org/z2'),
+                    ('http://ex.org/n1', 'http://ex.org/name', 'one'),
+                    ('http://ex.org/n2', 'http://ex.org/name', 'two'),
+                    ('http://ex.org/n3', 'http://ex.org/name', 'three'),
+                    ('http://ex.org/n4', 'http://ex.org/name', 'four')
+                ) v(s, p, o)
+            ), hop AS (
+                SELECT s, o FROM t WHERE p = 'http://ex.org/under'
+            ), closure(s, o) AS (
+                SELECT s, o FROM hop
+                UNION
+                SELECT c.s, h.o FROM closure c JOIN hop h ON h.s = c.o
+            )
+            SELECT n.o AS n, rn.o AS rn
+            FROM closure c
+            JOIN t n ON n.s = c.s AND n.p = 'http://ex.org/name'
+            JOIN t rn ON rn.s = c.o AND rn.p = 'http://ex.org/name'
         """,
         # property-path replay: two-hop join through the container entity
         "sparql_path": """

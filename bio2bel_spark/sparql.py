@@ -39,10 +39,16 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   leave the variable unbound/NULL). ``UNDEF`` on a variable that is
   already bound when the VALUES joins is outside the subset (it would
   need a right-nullable compatible join) and raises.
-* **Property paths with ``/``** (e.g. ``?s ex:a/ex:b ?o``) — desugared at
-  parse time into chained patterns through fresh internal variables, so
-  each hop stays one pushable pattern scan; only constant (IRI/prefixed)
-  path segments are supported.
+* **Property paths** — ``/`` sequence (desugared at parse time into
+  chained patterns through fresh internal variables, so each hop stays
+  one pushable pattern scan), per-hop ``^`` inverse (swapped scan),
+  ``a|b`` alternation (union of the hop scans, bag semantics), and
+  ``p+`` one-or-more (DISTINCT transitive-pair closure via semi-naive
+  frontier iteration, bounded by ``max_path_depth`` — the
+  ``kg_descendants`` BFS shape, O(path diameter) equi-join rounds with
+  checkpointing; evaluation of a ``+`` hop is eager). Only constant
+  (IRI/prefixed) segments are supported inside paths; ``*``/``?``
+  (zero-length paths) are outside the subset.
 * **bindings=** — TRUE rdflib ``initBindings`` semantics: each binding is
   substituted into the parsed patterns/filters/VALUES as a constant
   BEFORE compilation (so Catalyst pushes the equality into the pattern
@@ -88,7 +94,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/|^+])
     """,
     re.VERBOSE,
 )
@@ -252,34 +258,80 @@ class _Parser:
                 self.next()
                 elements.append(self.parse_values())
             else:
-                s = self.parse_term()
-                segs = [self.parse_term()]
+                s = self.parse_term() if self.peek()[1] != "^" else None
+                if s is None:
+                    raise SparqlError(
+                        "a triple pattern must start with a subject term"
+                    )
+                segs = [self.parse_path_unit()]
                 while self.peek()[1] == "/":
                     self.next()
-                    segs.append(self.parse_term())
+                    segs.append(self.parse_path_unit())
                 o = self.parse_term()
-                if len(segs) == 1:
-                    elements.append(("triple", s, segs[0], o))
-                else:
-                    # property path a/b/c — desugar into chained patterns
-                    # through fresh internal variables (each hop stays one
-                    # pushable scan + hash join; SPARQL path-internal
-                    # bindings are anonymous, so the vars never project)
-                    for seg in segs:
-                        if seg[0] == "var":
+                plain = (
+                    len(segs) == 1
+                    and not segs[0]["inverse"]
+                    and not segs[0]["plus"]
+                    and len(segs[0]["preds"]) == 1
+                )
+                if plain:
+                    elements.append(("triple", s, segs[0]["preds"][0], o))
+                    continue
+                # property path — desugar into chained per-hop elements
+                # through fresh internal variables (each plain hop stays
+                # one pushable scan + hash join; modified hops compile to
+                # a derived (s, o) relation; SPARQL path-internal bindings
+                # are anonymous, so the vars never project)
+                for seg in segs:
+                    for p in seg["preds"]:
+                        if p[0] == "var":
                             raise SparqlError(
                                 "variable predicates are not supported "
                                 "inside property paths"
                             )
-                    cur = s
-                    for idx, seg in enumerate(segs):
-                        if idx == len(segs) - 1:
-                            nxt = o
-                        else:
-                            nxt = ("var", f"__path_{self.fresh}")
-                            self.fresh += 1
-                        elements.append(("triple", cur, seg, nxt))
-                        cur = nxt
+                cur = s
+                for idx, seg in enumerate(segs):
+                    if idx == len(segs) - 1:
+                        nxt = o
+                    else:
+                        nxt = ("var", f"__path_{self.fresh}")
+                        self.fresh += 1
+                    if (
+                        not seg["inverse"] and not seg["plus"]
+                        and len(seg["preds"]) == 1
+                    ):
+                        elements.append(
+                            ("triple", cur, seg["preds"][0], nxt)
+                        )
+                    elif (
+                        seg["inverse"] and not seg["plus"]
+                        and len(seg["preds"]) == 1
+                    ):
+                        # pure inverse: just a swapped pattern scan
+                        elements.append(
+                            ("triple", nxt, seg["preds"][0], cur)
+                        )
+                    else:
+                        elements.append(("pathhop", cur, seg, nxt))
+                    cur = nxt
+
+    def parse_path_unit(self) -> dict:
+        """One path hop: ``['^'] pred ('|' pred)* ['+']``. Alternation
+        binds within the hop (``a|b/c`` is ``(a|b)`` then ``/c`` — declare
+        intent with one hop per ``/`` segment)."""
+        inverse = False
+        if self.peek()[1] == "^":
+            self.next()
+            inverse = True
+        preds = [self.parse_term()]
+        while self.peek()[1] == "|":
+            self.next()
+            preds.append(self.parse_term())
+        plus = False
+        if self.peek()[1] == "+":
+            self.next()
+            plus = True
+        return {"inverse": inverse, "preds": preds, "plus": plus}
 
     def parse_values(self):
         """VALUES ?v { t1 t2 } or VALUES (?a ?b) { (t t) (t UNDEF) }."""
@@ -430,6 +482,88 @@ def _compile_triple(triples: DataFrame, s, p, o) -> DataFrame:
     return out.select(*cols)
 
 
+def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
+    """DISTINCT one-or-more transitive closure of a ``(__ps, __po)`` hop
+    relation — the SPARQL ``p+`` ArbitraryLengthPath (set semantics).
+
+    Semi-naive frontier iteration (the ``kg_descendants`` BFS shape): each
+    round extends only the paths discovered last round by one hop, anti-
+    joins against everything known, and checkpoints — O(path diameter)
+    equi-join rounds, never a quadratic self-join of the closure. Stops
+    early when a round adds nothing; ``max_depth`` bounds the worst case
+    (a cycle is handled by the anti-join — revisited pairs add nothing).
+    """
+    rel = rel.distinct().localCheckpoint(eager=True)
+    paths = rel
+    frontier = rel
+    for _ in range(max_depth):
+        step = (
+            frontier.select(F.col("__ps"), F.col("__po").alias("__pm"))
+            .join(
+                rel.select(
+                    F.col("__ps").alias("__pm"), F.col("__po")
+                ),
+                "__pm",
+            )
+            .select("__ps", "__po")
+            .distinct()
+        )
+        new = step.join(
+            paths, ["__ps", "__po"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        paths = paths.union(new).localCheckpoint(eager=True)
+        frontier = new
+    return paths
+
+
+def _compile_pathhop(
+    triples: DataFrame,
+    s,
+    seg: dict,
+    o,
+    prefixes: dict,
+    max_path_depth: int,
+) -> DataFrame:
+    """One modified path hop (inverse / alternation / one-or-more) as a
+    derived binding table: build the hop's ``(__ps, __po)`` relation from
+    per-predicate pattern scans (each pushable), close it if ``+``, then
+    bind the endpoint terms exactly like a triple pattern."""
+    rel = None
+    for p in seg["preds"]:
+        pr = _resolve(p, prefixes)
+        r = triples.filter(F.col("p") == F.lit(pr[1])).select(
+            F.col("s").alias("__ps"), F.col("o").alias("__po")
+        )
+        rel = r if rel is None else rel.unionByName(r)
+    if seg["inverse"]:
+        rel = rel.select(
+            F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
+        )
+    if seg["plus"]:
+        rel = _pair_closure(rel, max_path_depth)
+    cols, filters, seen = [], [], {}
+    for pos, term in (("__ps", s), ("__po", o)):
+        if term[0] == "const":
+            filters.append(F.col(pos) == F.lit(term[1]))
+        else:
+            var = term[1]
+            if var in seen:  # ?x p+ ?x — same-node cycles
+                filters.append(F.col(pos) == F.col(seen[var]))
+            else:
+                seen[var] = pos
+                cols.append(F.col(pos).alias(var))
+    if not cols:
+        raise SparqlError(
+            "all-constant property-path patterns are not supported"
+        )
+    out = rel
+    for f in filters:
+        out = out.filter(f)
+    return out.select(*cols)
+
+
 def _compile_filter(expr, bound: set[str]) -> Column:
     kind = expr[0]
     if kind == "or":
@@ -526,7 +660,10 @@ def _join_compatible(
 
 
 def _compile_group(
-    triples: DataFrame, elements: list, prefixes: dict[str, str]
+    triples: DataFrame,
+    elements: list,
+    prefixes: dict[str, str],
+    max_path_depth: int = 12,
 ) -> "tuple[DataFrame, set[str]]":
     """Compile a group pattern; returns (bindings, nullable-vars) where
     nullable-vars are those that may be NULL (first bound under an
@@ -535,12 +672,22 @@ def _compile_group(
     nullable: set[str] = set()
     pending_filters: list = []
     for el in elements:
-        if el[0] == "triple":
-            s, p, o = (_resolve(t, prefixes) for t in el[1:])
-            pat = _compile_triple(triples, s, p, o)
-            if not pat.columns:
-                raise SparqlError(
-                    "all-constant triple patterns are not supported"
+        if el[0] in ("triple", "pathhop"):
+            if el[0] == "triple":
+                s, p, o = (_resolve(t, prefixes) for t in el[1:])
+                pat = _compile_triple(triples, s, p, o)
+                if not pat.columns:
+                    raise SparqlError(
+                        "all-constant triple patterns are not supported"
+                    )
+            else:
+                pat = _compile_pathhop(
+                    triples,
+                    _resolve(el[1], prefixes),
+                    el[2],
+                    _resolve(el[3], prefixes),
+                    prefixes,
+                    max_path_depth,
                 )
             if current is None:
                 current = pat
@@ -553,7 +700,9 @@ def _compile_group(
         elif el[0] == "optional":
             if current is None:
                 raise SparqlError("OPTIONAL cannot be the first pattern")
-            sub, sub_nullable = _compile_group(triples, el[1], prefixes)
+            sub, sub_nullable = _compile_group(
+                triples, el[1], prefixes, max_path_depth
+            )
             new_vars = set(sub.columns) - set(current.columns)
             soft_shared = set(sub.columns) & set(current.columns) & nullable
             current = _join_compatible(current, sub, "optional", nullable)
@@ -562,7 +711,8 @@ def _compile_group(
             nullable |= new_vars | sub_nullable | soft_shared
         elif el[0] == "union":
             branches = [
-                _compile_group(triples, b, prefixes) for b in el[1]
+                _compile_group(triples, b, prefixes, max_path_depth)
+                for b in el[1]
             ]
             all_vars: list[str] = []
             for bdf, _ in branches:
@@ -677,6 +827,8 @@ def _collect_vars(elements) -> set:
     for el in elements:
         if el[0] == "triple":
             out |= {t[1] for t in el[1:] if t[0] == "var"}
+        elif el[0] == "pathhop":
+            out |= {t[1] for t in (el[1], el[3]) if t[0] == "var"}
         elif el[0] == "optional":
             out |= _collect_vars(el[1])
         elif el[0] == "union":
@@ -728,6 +880,14 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
                     for t in el[1:]
                 )
             )
+        elif el[0] == "pathhop":
+            sub = tuple(
+                ("const", binds[t[1]])
+                if t[0] == "var" and t[1] in binds
+                else t
+                for t in (el[1], el[3])
+            )
+            out.append(("pathhop", sub[0], el[2], sub[1]))
         elif el[0] == "optional":
             out.append(("optional", _substitute(el[1], binds, prefixes)))
         elif el[0] == "union":
@@ -765,6 +925,7 @@ def sparql_select(
     query: str,
     prefixes: "dict[str, str] | None" = None,
     bindings: "dict[str, str] | None" = None,
+    max_path_depth: int = 12,
 ) -> DataFrame:
     """Evaluate a SPARQL-subset SELECT over a ``(s, p, o)`` DataFrame.
 
@@ -790,7 +951,7 @@ def sparql_select(
                 f"bindings for variables not in the pattern: {missing}"
             )
         group = _substitute(group, binds, pfx)
-    out, _ = _compile_group(triples, group, pfx)
+    out, _ = _compile_group(triples, group, pfx, max_path_depth)
     # re-project each bound variable as its constant (initBindings extends
     # every solution with the binding)
     for var, value in binds.items():

@@ -385,6 +385,88 @@ def test_property_path_three_segments(triples):
     assert got.count() == 0  # chain breaks at the third hop
 
 
+def test_property_path_inverse(triples):
+    """^p swaps subject/object: members reached from their pathway."""
+    got = sparql_select(
+        triples,
+        """SELECT ?m ?pw WHERE { ?m ^ex:member ?pw }""",
+        prefixes=PFX,
+    )
+    assert {(r.m, r.pw) for r in got.collect()} == {
+        (EX + "a", EX + "c"), (EX + "b", EX + "c"),
+    }
+
+
+def test_property_path_alternation(triples):
+    """a|b unions the hop scans (the reference's xref-fallback idiom as
+    one hop instead of chained OPTIONALs)."""
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?x WHERE { ?e ex:xref|ex:alt_xref ?x }""",
+        prefixes=PFX,
+    )
+    assert {(r.e, r.x) for r in got.collect()} == {
+        (EX + "a", "chebi:1"), (EX + "d", "chebi:9"),
+    }
+
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    rows = (
+        [(EX + c, EX + "under", EX + n) for c, n in
+         [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("z1", "z2")]]
+        + [(EX + "p", EX + "loops", EX + "q"), (EX + "q", EX + "loops", EX + "p")]
+        + [(EX + n, EX + "name", n) for n in ["n1", "n2", "n3", "n4"]]
+    )
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_property_path_plus_closure(chain_triples):
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?x ?y WHERE { ?x ex:under+ ?y }""",
+        prefixes=PFX,
+    )
+    pairs = {(r.x.rsplit("/", 1)[1], r.y.rsplit("/", 1)[1]) for r in got.collect()}
+    assert pairs == {
+        ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+        ("n2", "n3"), ("n2", "n4"), ("n3", "n4"), ("z1", "z2"),
+    }
+
+
+def test_property_path_plus_cycle_terminates(chain_triples):
+    """A 2-cycle must close to the 4 distinct pairs (incl. self-reach via
+    the cycle) and terminate — the anti-join absorbs revisits."""
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?x ?y WHERE { ?x ex:loops+ ?y }""",
+        prefixes=PFX,
+    )
+    pairs = {(r.x.rsplit("/", 1)[1], r.y.rsplit("/", 1)[1]) for r in got.collect()}
+    assert pairs == {("p", "p"), ("p", "q"), ("q", "p"), ("q", "q")}
+
+
+def test_property_path_plus_in_sequence(chain_triples):
+    """p+/name composes: all transitive containers' names of n1."""
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?n WHERE { ?x ex:name "n1" . ?x ex:under+/ex:name ?n }""",
+        prefixes=PFX,
+    )
+    assert sorted(r.n for r in got.collect()) == ["n2", "n3", "n4"]
+
+
+def test_property_path_plus_depth_bound(chain_triples):
+    """max_path_depth bounds the closure: depth 1 keeps only direct hops."""
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?x ?y WHERE { ?x ex:under+ ?y }""",
+        prefixes=PFX,
+        max_path_depth=0,
+    )
+    assert got.count() == 4  # the raw hop relation only
+
+
 def test_property_path_var_segment_rejected(triples):
     with pytest.raises(SparqlError, match="property paths"):
         sparql_select(
