@@ -728,6 +728,27 @@ def q_sparql_path(spark, sf_dir):
     )
 
 
+def q_sparql_not_exists(spark, sf_dir):
+    """The planner's FILTER NOT EXISTS driver-checked: genes with NO xref
+    triple survive the anti join on the shared entity variable (e3 only —
+    e1/e2 both carry xrefs). Oracle replays with a SQL NOT EXISTS."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql.nt", _SPARQL_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?n WHERE {
+               ?e ex:type "gene" .
+               ?e ex:name ?n .
+               FILTER NOT EXISTS { ?e ex:xref ?x }
+           }""",
+    )
+
+
 _SPARQL_PLUS_FIXTURE = """\
 <http://ex.org/n1> <http://ex.org/under> <http://ex.org/n2> .
 <http://ex.org/n2> <http://ex.org/under> <http://ex.org/n3> .
@@ -3867,6 +3888,9 @@ QUERIES: dict[str, Callable] = {
     # image_features, video_features, image_phash_pairs, triangle_count,
     # forecast_revenue (bumped for sparql_path_plus).
     "forecast_revenue": q_forecast_revenue,
+    # (sparql_not_exists: anti-join compilation shares the machinery the
+    # in-window path/VALUES queries check; sweep-checked)
+    "sparql_not_exists": q_sparql_not_exists,
     "indra_statements": q_indra_statements,
     "media_features": q_media_features,
     "event_sessions": q_event_sessions,
@@ -6012,6 +6036,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN t x ON x.s = n.s AND x.p = 'http://ex.org/xref'
             JOIN v ON v.x = x.o
             WHERE n.p = 'http://ex.org/name'
+        """,
+        # NOT EXISTS replay: genes without an xref triple
+        "sparql_not_exists": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400')
+            )
+            SELECT ty.s AS e, n.o AS n
+            FROM t ty JOIN t n ON n.s = ty.s AND n.p = 'http://ex.org/name'
+            WHERE ty.p = 'http://ex.org/type' AND ty.o = 'gene'
+              AND NOT EXISTS (
+                  SELECT 1 FROM t x
+                  WHERE x.s = ty.s AND x.p = 'http://ex.org/xref'
+              )
         """,
         # one-or-more path replay: WITH RECURSIVE closure over the under
         # chain, then both name hops

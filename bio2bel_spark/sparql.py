@@ -34,6 +34,11 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   a branch is NULL on its rows) and concatenated; joining a UNION result
   on a variable not bound in every branch is rejected rather than
   silently null-dropped.
+* **FILTER [NOT] EXISTS { group } / MINUS { group }** — compiled to a
+  semi/anti join on the variables shared with the outer pattern (the
+  groups must share ≥1 variable, bound in required patterns on both
+  sides — within that subset MINUS and NOT EXISTS coincide, and the
+  anti join is a hash join, never a per-row subquery).
 * **VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) }** — inline data:
   the rows become a tiny broadcast-joined binding table (``UNDEF`` rows
   leave the variable unbound/NULL). ``UNDEF`` on a variable that is
@@ -250,10 +255,25 @@ class _Parser:
                 elements.append(("optional", self.parse_group()))
             elif self.at_keyword("FILTER"):
                 self.next()
+                # FILTER [NOT] EXISTS { group } — the paren-less form
+                if self.at_keyword("NOT"):
+                    self.next()
+                    if not self.at_keyword("EXISTS"):
+                        raise SparqlError("expected EXISTS after FILTER NOT")
+                    self.next()
+                    elements.append(("notexists", self.parse_group()))
+                    continue
+                if self.at_keyword("EXISTS"):
+                    self.next()
+                    elements.append(("exists", self.parse_group()))
+                    continue
                 self.expect("(")
                 expr = self.parse_or()
                 self.expect(")")
                 elements.append(("filter", expr))
+            elif self.at_keyword("MINUS"):
+                self.next()
+                elements.append(("minus", self.parse_group()))
             elif self.at_keyword("VALUES"):
                 self.next()
                 elements.append(self.parse_values())
@@ -753,6 +773,38 @@ def _compile_group(
                 current = _join_compatible(current, padded, "inner", nullable)
                 nullable -= {v for v in shared if v not in u_nullable}
             nullable |= u_nullable
+        elif el[0] in ("exists", "notexists", "minus"):
+            if current is None:
+                raise SparqlError(
+                    f"{el[0].upper()} cannot be the first pattern"
+                )
+            sub, sub_nullable = _compile_group(
+                triples, el[1], prefixes, max_path_depth
+            )
+            shared = [c for c in current.columns if c in sub.columns]
+            if not shared:
+                raise SparqlError(
+                    f"{el[0].upper()} needs at least one variable shared "
+                    "with the outer pattern"
+                )
+            # compatible-mapping with an UNBOUND side (outer var under an
+            # earlier OPTIONAL, or the inner group binding the var under
+            # its own OPTIONAL) would need null-tolerant anti semantics —
+            # outside the subset; both sides must bind the shared vars
+            bad = sorted(
+                set(shared) & (nullable | sub_nullable)
+            )
+            if bad:
+                raise SparqlError(
+                    f"{el[0].upper()} on possibly-unbound shared "
+                    f"variables {bad} is not supported; bind them in "
+                    "required patterns on both sides"
+                )
+            # EXISTS = semi join, NOT EXISTS / MINUS = anti join on the
+            # shared binding (equivalent within this subset: the groups
+            # always share a variable and bind it non-null)
+            how = "left_semi" if el[0] == "exists" else "left_anti"
+            current = current.join(sub.select(*shared), shared, how)
         elif el[0] == "values":
             _, names, rows = el
             undef = {
@@ -829,7 +881,7 @@ def _collect_vars(elements) -> set:
             out |= {t[1] for t in el[1:] if t[0] == "var"}
         elif el[0] == "pathhop":
             out |= {t[1] for t in (el[1], el[3]) if t[0] == "var"}
-        elif el[0] == "optional":
+        elif el[0] in ("optional", "exists", "notexists", "minus"):
             out |= _collect_vars(el[1])
         elif el[0] == "union":
             for b in el[1]:
@@ -888,8 +940,8 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
                 for t in (el[1], el[3])
             )
             out.append(("pathhop", sub[0], el[2], sub[1]))
-        elif el[0] == "optional":
-            out.append(("optional", _substitute(el[1], binds, prefixes)))
+        elif el[0] in ("optional", "exists", "notexists", "minus"):
+            out.append((el[0], _substitute(el[1], binds, prefixes)))
         elif el[0] == "union":
             out.append(
                 ("union", [_substitute(b, binds, prefixes) for b in el[1]])

@@ -476,6 +476,74 @@ def test_property_path_var_segment_rejected(triples):
         )
 
 
+def test_filter_not_exists(triples):
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             ?e ex:type "gene" . ?e ex:name ?n .
+             FILTER NOT EXISTS { ?e ex:xref ?x }
+           }""",
+        prefixes=PFX,
+    )
+    assert sorted(r.n for r in got.collect()) == ["beta", "delta"]
+    # the anti join is a hash join, never a per-row subquery
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_exists_and_minus(triples):
+    q = """SELECT ?n WHERE {
+             ?e ex:type "gene" . ?e ex:name ?n . %s { ?e ex:alt_xref ?x }
+           }"""
+    ex = sparql_select(triples, q % "FILTER EXISTS", prefixes=PFX)
+    assert sorted(r.n for r in ex.collect()) == ["delta"]
+    mi = sparql_select(triples, q % "MINUS", prefixes=PFX)
+    assert sorted(r.n for r in mi.collect()) == ["alpha", "beta"]
+
+
+def test_not_exists_with_inner_filter(triples):
+    """The inner group's FILTER constrains what must not exist."""
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             ?e ex:type "gene" . ?e ex:name ?n .
+             FILTER NOT EXISTS {
+                 ?e ex:xref ?x . FILTER(STRSTARTS(?x, "uniprot:"))
+             }
+           }""",
+        prefixes=PFX,
+    )
+    # nobody has a uniprot xref, so nothing is excluded
+    assert sorted(r.n for r in got.collect()) == ["alpha", "beta", "delta"]
+
+
+def test_not_exists_subset_boundaries(triples):
+    with pytest.raises(SparqlError, match="shared"):
+        sparql_select(
+            triples,
+            """SELECT ?n WHERE {
+                 ?e ex:name ?n . FILTER NOT EXISTS { ?q ex:xref ?x }
+               }""",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="possibly-unbound"):
+        sparql_select(
+            triples,
+            """SELECT ?n WHERE {
+                 ?e ex:name ?n .
+                 OPTIONAL { ?e ex:xref ?x }
+                 FILTER NOT EXISTS { ?y ex:alt_xref ?x }
+               }""",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="first pattern"):
+        sparql_select(
+            triples,
+            """SELECT ?n WHERE { MINUS { ?e ex:name ?n } }""",
+            prefixes=PFX,
+        )
+
+
 def test_bindings_substitute_into_scan(spark, tmp_path, triples):
     """initBindings constants reach the parquet scan as pushed filters
     (substitution, not a post-join filter)."""
