@@ -269,6 +269,32 @@ SHOWCASE = {
         "projections; the top-word share is one map-side-combinable "
         "aggregation; the gate itself is two equi-joins on the doc id."
     ),
+    "sparql_values": (
+        "SPARQL VALUES inline data joins as a BROADCAST hash join "
+        "(LocalTableScan build side) — the pattern side never shuffles "
+        "for a binding table, and an UNDEF cell rides through as NULL."
+    ),
+    "sparql_path": (
+        "A / property path desugars into chained pattern scans: each "
+        "hop keeps its constant-predicate filter pushable and the hops "
+        "hash-join through the anonymous internal variable."
+    ),
+    "sparql_not_exists": (
+        "FILTER NOT EXISTS compiles to ONE hash anti join on the shared "
+        "variable — no per-row subquery, no nested loop."
+    ),
+    "selection_pipeline_packed": (
+        "Gate -> DSIR fit -> Gumbel top-40 -> concat-chunk packing as "
+        "ONE plan: the only additions over selection_pipeline are the "
+        "TakeOrdered boundary and one per-source window over the 40 "
+        "selected rows — packing adds no corpus-scale shuffle."
+    ),
+    "perplexity_maintenance": (
+        "Incremental CCNet bucketing: three histogram increments are "
+        "counter-sum merges over the compressed (lang, milli) domain; "
+        "thresholds broadcast back onto the scored stream exactly like "
+        "the one-pass plan (same eqNullSafe broadcast join)."
+    ),
 }
 
 
