@@ -84,6 +84,43 @@ def _time_query(spark, fn, sf_dir: str) -> float:
     return best
 
 
+def test_path_plus_closure_scales(spark):
+    """The SPARQL p+ closure at data scale: a 50k-edge forest of 12-deep
+    chains closes in O(depth) equi-join rounds. Work per round is one
+    hash join of the frontier against the hop relation — wall time must
+    stay minutes-free (the naive all-pairs alternative would be ~2.5e9
+    candidate pairs)."""
+    from pyspark.sql import functions as F
+
+    from bio2bel_spark.sparql import sparql_select
+
+    n_chains, depth = 4_000, 12
+    hop = (
+        spark.range(n_chains)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("lvl"),
+                F.col("id").alias("chain"))
+        .select(
+            F.concat_ws("_", F.lit("n"), "chain", "lvl").alias("s"),
+            F.lit("under").alias("p"),
+            F.concat_ws("_", F.lit("n"), "chain", (F.col("lvl") + 1)).alias("o"),
+        )
+        .repartition(16)
+    )
+    start = time.time()
+    got = sparql_select(
+        hop, "SELECT ?x ?y WHERE { ?x <under> ?y }  ", max_path_depth=depth
+    )
+    base_pairs = got.count()
+    closure = sparql_select(
+        hop, "SELECT ?x ?y WHERE { ?x <under>+ ?y }", max_path_depth=depth
+    ).count()
+    wall = time.time() - start
+    assert base_pairs == n_chains * depth
+    # a depth-d chain closes to d*(d+1)/2 pairs
+    assert closure == n_chains * depth * (depth + 1) // 2
+    assert wall < 240, f"closure took {wall:.0f}s"
+
+
 @pytest.mark.parametrize(
     "name", ["curation_pipeline_v2", "selection_pipeline", "incremental_fuzzy"]
 )

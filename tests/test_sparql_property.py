@@ -193,6 +193,66 @@ def test_values_match_naive_join(spark, seed):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_not_exists_matches_naive(spark, seed):
+    """FILTER NOT EXISTS / EXISTS / MINUS vs the naive evaluator: keep a
+    solution iff no (resp. some) inner solution agrees on the shared
+    variable. Within the planner's subset (shared vars bound non-null on
+    both sides) MINUS must coincide with NOT EXISTS."""
+    rng = random.Random(500 + seed)
+    triples = _rand_triples(rng, 40)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    p_req, p_in = rng.choice(PREDS), rng.choice(PREDS)
+    req = _naive_bgp(triples, [("?x", p_req, "?y")])
+    inner_x = {mu["x"] for mu in _naive_bgp(triples, [("?x", p_in, "?w")])}
+    want_not = {(mu["x"], mu["y"]) for mu in req if mu["x"] not in inner_x}
+    want_yes = {(mu["x"], mu["y"]) for mu in req if mu["x"] in inner_x}
+    for clause, want in [
+        ("FILTER NOT EXISTS", want_not),
+        ("MINUS", want_not),
+        ("FILTER EXISTS", want_yes),
+    ]:
+        got = {
+            (r.x, r.y)
+            for r in sparql_select(
+                tdf,
+                f"""SELECT ?x ?y WHERE {{
+                      ?x <{p_req}> ?y . {clause} {{ ?x <{p_in}> ?w }}
+                    }}""",
+            ).collect()
+        }
+        assert got == want, (clause, seed)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_path_plus_matches_naive_closure(spark, seed):
+    """p+ vs a python transitive closure over the same random hop set —
+    including cyclic relations (random triples cycle freely)."""
+    rng = random.Random(600 + seed)
+    triples = _rand_triples(rng, 25)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    p = rng.choice(PREDS)
+    hop = {(s, o) for s, pp, o in triples if pp == p}
+    closure = set(hop)
+    while True:
+        new = {
+            (a, d)
+            for a, b in closure
+            for c, d in hop
+            if b == c and (a, d) not in closure
+        }
+        if not new:
+            break
+        closure |= new
+    got = {
+        (r.x, r.y)
+        for r in sparql_select(
+            tdf, f"SELECT ?x ?y WHERE {{ ?x <{p}>+ ?y }}"
+        ).collect()
+    }
+    assert got == closure
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_chained_optional_property(spark, seed):
     """Two OPTIONALs binding the same variable: the planner's nullable
     compatible join must equal the naive left-associative LeftJoin."""
