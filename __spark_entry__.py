@@ -1462,19 +1462,23 @@ def q_perplexity_maintenance(spark, sf_dir):
     result equals the one-pass ccnet_perplexity_buckets fit — the same
     DuckDB oracle as perplexity_buckets."""
     from bio2bel_spark.operators.textquality import (
+        lm_model,
         perplexity_buckets_from_state,
         perplexity_hist_merge,
         perplexity_histogram_state,
     )
 
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # the frozen reference LM is fit ONCE (persisted) and shared by every
+    # increment and the final bucketing — the maintainer's cost shape
+    model = lm_model(docs, persist=True)
     state = None
     for k in range(3):
         bs = perplexity_histogram_state(
-            docs.filter(F.col("doc_id") % 3 == k), reference=docs
+            docs.filter(F.col("doc_id") % 3 == k), model=model
         )
         state = bs if state is None else perplexity_hist_merge([state, bs])
-    return perplexity_buckets_from_state(docs, state, reference=docs)
+    return perplexity_buckets_from_state(docs, state, model=model)
 
 
 def q_selection_pipeline(spark, sf_dir):

@@ -234,16 +234,48 @@ def bigrams(col) -> Column:
     ).otherwise(F.array().cast("array<struct<g:string,w1:string>>"))
 
 
+def lm_model(
+    reference: DataFrame, text_col: str = "text", persist: bool = False
+) -> "dict[str, DataFrame]":
+    """Fit the add-smoothing bigram LM count tables once:
+    ``{"bi": (g, c_bi), "uni": (w1, c_uni), "vocab": 1-row (__v)}`` —
+    the reusable model :func:`lm_perplexity` scores against.
+
+    ``persist=True`` pins the three tables (MEMORY_AND_DISK via
+    ``tracked_persist``) for MULTI-CONSUMER use — the incremental
+    maintainer's shape, where the same frozen reference model scores
+    every micro-batch: the fit is paid once per stream, not once per
+    batch (per-batch cost drops from O(reference + batch) to O(batch))."""
+    ref_bi = reference.select(F.explode(bigrams(text_col)).alias("b"))
+    bi_counts = ref_bi.groupBy(F.col("b.g").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_bi")
+    )
+    ref_uni = reference.select(F.explode(tokens(text_col)).alias("w1"))
+    uni_counts = ref_uni.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c_uni")
+    )
+    vocab = ref_uni.agg(F.count_distinct("w1").cast("double").alias("__v"))
+    model = {"bi": bi_counts, "uni": uni_counts, "vocab": vocab}
+    if persist:
+        from bio2bel_spark.operators.caching import tracked_persist
+
+        model = {k: v.transform(tracked_persist) for k, v in model.items()}
+    return model
+
+
 def lm_perplexity(
     docs: DataFrame,
     reference: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    model: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Bigram language-model quality score per document — the CCNet/KenLM-
     style perplexity filter, self-trained on ``reference`` (default: the
-    scored corpus itself).
+    scored corpus itself). Pass ``model`` (a :func:`lm_model` result) to
+    score against an already-fit — typically persisted — model instead of
+    re-fitting; ``reference`` is ignored then.
 
     Model: add-``alpha`` smoothed bigram LM,
     ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)`` with unigram
@@ -261,17 +293,11 @@ def lm_perplexity(
     average is one shuffle on the doc id. No Python, no collect, no
     iteration.
     """
-    ref = reference if reference is not None else docs
-
-    ref_bi = ref.select(F.explode(bigrams(text_col)).alias("b"))
-    bi_counts = ref_bi.groupBy(F.col("b.g").alias("g")).agg(
-        F.count(F.lit(1)).cast("long").alias("c_bi")
-    )
-    ref_uni = ref.select(F.explode(tokens(text_col)).alias("w1"))
-    uni_counts = ref_uni.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("long").alias("c_uni")
-    )
-    vocab = ref_uni.agg(F.count_distinct("w1").cast("double").alias("__v"))
+    if model is None:
+        model = lm_model(
+            reference if reference is not None else docs, text_col
+        )
+    bi_counts, uni_counts, vocab = model["bi"], model["uni"], model["vocab"]
 
     doc_bi = docs.select(
         F.col(id_col), F.explode(bigrams(text_col)).alias("b")
@@ -968,13 +994,14 @@ def _ppl_scored(
     id_col: str,
     lang_col: str,
     alpha: float,
+    model: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-doc ``(id, lang, perplexity, __m)`` with the integer
     milli-perplexity key — the shared scoring head of the one-pass
     bucketing and the incremental histogram maintainer."""
     ppl = lm_perplexity(
         docs, reference=reference, text_col=text_col, id_col=id_col,
-        alpha=alpha,
+        alpha=alpha, model=model,
     )
     return (
         docs.select(id_col, lang_col)
@@ -1055,11 +1082,12 @@ def _ppl_bucketize(
 
 def perplexity_histogram_state(
     docs: DataFrame,
-    reference: DataFrame,
+    reference: "DataFrame | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
     alpha: float = 1.0,
+    model: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """``(lang, m, c)`` integer milli-perplexity histogram over one corpus
     slice, scored against a FIXED ``reference`` LM — the mergeable state
@@ -1067,8 +1095,12 @@ def perplexity_histogram_state(
     frozen across increments (the maintainer's contract: scores from
     different LMs are not comparable); state is bounded by the compressed
     milli-perplexity value domain per language, never the corpus size, and
-    merging is plain counter summing."""
-    scored = _ppl_scored(docs, reference, text_col, id_col, lang_col, alpha)
+    merging is plain counter summing. Pass ``model`` (a persisted
+    :func:`lm_model` fit of the frozen reference) so repeated increments
+    pay the reference fit once, not once per batch."""
+    scored = _ppl_scored(
+        docs, reference, text_col, id_col, lang_col, alpha, model=model
+    )
     return (
         scored.where(F.col("__m").isNotNull())
         .groupBy(F.col(lang_col).alias("lang"), F.col("__m").alias("m"))
@@ -1110,19 +1142,22 @@ def perplexity_thresholds_from_state(
 def perplexity_buckets_from_state(
     docs: DataFrame,
     state: DataFrame,
-    reference: DataFrame,
+    reference: "DataFrame | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
     cuts: "tuple[float, float]" = (0.33, 0.67),
     alpha: float = 1.0,
+    model: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Bucket documents against MAINTAINED histogram state instead of
     re-fitting thresholds over history — the read side of the incremental
     CCNet maintainer (same output schema as
-    :func:`ccnet_perplexity_buckets`). ``reference`` must be the same
-    frozen LM corpus the state was accumulated under."""
-    scored = _ppl_scored(docs, reference, text_col, id_col, lang_col, alpha)
+    :func:`ccnet_perplexity_buckets`). ``reference`` (or ``model``)
+    must be the same frozen LM the state was accumulated under."""
+    scored = _ppl_scored(
+        docs, reference, text_col, id_col, lang_col, alpha, model=model
+    )
     thr = perplexity_thresholds_from_state(state, cuts).select(
         F.col("lang").alias("__tl"),
         F.col("t1").alias("__t1"),

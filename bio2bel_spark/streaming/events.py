@@ -580,16 +580,24 @@ def run_perplexity_maintenance(
     one-pass ``ccnet_perplexity_buckets`` fit over everything the state
     has seen — head/middle/tail boundaries keep up with a growing 100 TB
     corpus at O(histogram) state, never a history re-scan.
+
+    The reference LM count tables are fit ONCE here (persisted via
+    ``lm_model(persist=True)``) and every micro-batch scores against the
+    pinned tables — per-batch cost is O(batch), not
+    O(reference + batch).
     """
     from bio2bel_spark.operators.textquality import (
+        lm_model,
         perplexity_hist_merge,
         perplexity_histogram_state,
     )
 
+    model = lm_model(reference, text_col=text_col, persist=True)
+
     def transition(prev, batch_df):
         batch_state = perplexity_histogram_state(
-            batch_df, reference, text_col=text_col, id_col=id_col,
-            lang_col=lang_col, alpha=alpha,
+            batch_df, text_col=text_col, id_col=id_col,
+            lang_col=lang_col, alpha=alpha, model=model,
         )
         if prev is None:
             return batch_state
