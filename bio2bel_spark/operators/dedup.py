@@ -261,6 +261,7 @@ def _banded_buckets(
     n_hashes: int,
     bands: int,
     backend: str,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """(id, band, bucket) LSH banding rows, persisted.
 
@@ -271,7 +272,9 @@ def _banded_buckets(
     """
     sig = docs.select(
         F.col(id_col),
-        minhash_signature(text_col, n_hashes, backend=backend).alias("__sig"),
+        minhash_signature(
+            text_col, n_hashes, shingle_n=shingle_n, backend=backend
+        ).alias("__sig"),
     )
     return _bands_from_sig(sig, id_col, n_hashes, bands)
 
@@ -311,6 +314,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 1000,
     backend: str = "md5",
     banded: "DataFrame | None" = None,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b).
 
@@ -319,11 +323,14 @@ def lsh_candidate_pairs(
     buckets (e.g. empty/boilerplate docs) that would otherwise produce a
     quadratic blowup — at 100 TB this guard is what keeps the join bounded.
     Pass ``banded`` (a precomputed ``(id, band, bucket)`` table) to skip
-    the signature pass when the caller already holds one.
+    the signature pass when the caller already holds one. ``shingle_n``
+    must match the verify stage's so candidate generation and
+    verification band/score the SAME gram base.
     """
     if banded is None:
         banded = _banded_buckets(
-            docs, text_col, id_col, n_hashes, bands, backend
+            docs, text_col, id_col, n_hashes, bands, backend,
+            shingle_n=shingle_n,
         )
     bounded = _bucket_cap(banded, max_bucket)
     a = bounded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
@@ -977,7 +984,8 @@ def lsh_recall_report(
         docs, text_col, id_col, shingle_n, threshold, backend
     ).select("id_a", "id_b")
     cand = lsh_candidate_pairs(
-        docs, text_col, id_col, n_hashes=n_hashes, bands=bands, backend=backend
+        docs, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        backend=backend, shingle_n=shingle_n,
     ).select("id_a", "id_b")
     from bio2bel_spark.operators.caching import tracked_persist
 

@@ -1071,7 +1071,13 @@ def _ppl_bucketize(
             id_col,
             lang_col,
             "perplexity",
+            # a language the threshold table has never seen (possible only
+            # on the maintained-state read path, where the state can lag a
+            # brand-new language) is honestly 'unscored', not silently
+            # 'tail' via the NULL-threshold fall-through; unreachable in
+            # the one-pass fit (thresholds come from the same docs)
             F.when(F.col("__m").isNull(), F.lit("unscored"))
+            .when(F.col("__t1").isNull(), F.lit("unscored"))
             .when(F.col("__m") <= F.col("__t1"), F.lit("head"))
             .when(F.col("__m") <= F.col("__t2"), F.lit("middle"))
             .otherwise(F.lit("tail"))

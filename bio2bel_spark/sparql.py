@@ -502,6 +502,17 @@ def _compile_triple(triples: DataFrame, s, p, o) -> DataFrame:
     return out.select(*cols)
 
 
+def _raise_unconverged(frontier: DataFrame, max_depth: int) -> None:
+    """Truncating a ``p+`` closure would return silently WRONG results —
+    make exhaustion loud instead (the caller raises ``max_path_depth``)."""
+    if frontier.limit(1).count() != 0:
+        raise SparqlError(
+            f"p+ closure did not converge within max_path_depth="
+            f"{max_depth} rounds — the graph has longer paths; raise "
+            "sparql_select(max_path_depth=...)"
+        )
+
+
 def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
     """DISTINCT one-or-more transitive closure of a ``(__ps, __po)`` hop
     relation — the SPARQL ``p+`` ArbitraryLengthPath (set semantics).
@@ -510,8 +521,10 @@ def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
     round extends only the paths discovered last round by one hop, anti-
     joins against everything known, and checkpoints — O(path diameter)
     equi-join rounds, never a quadratic self-join of the closure. Stops
-    early when a round adds nothing; ``max_depth`` bounds the worst case
-    (a cycle is handled by the anti-join — revisited pairs add nothing).
+    early when a round adds nothing; exhausting ``max_depth`` with the
+    frontier still growing raises rather than returning a truncated
+    (silently wrong) closure. Cycles are handled by the anti-join —
+    revisited pairs add nothing.
     """
     rel = rel.distinct().localCheckpoint(eager=True)
     paths = rel
@@ -532,10 +545,60 @@ def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
             paths, ["__ps", "__po"], "left_anti"
         ).localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
-            break
+            return paths
         paths = paths.union(new).localCheckpoint(eager=True)
         frontier = new
+    # one more probe round decides converged-exactly-at-the-bound vs not
+    final = (
+        frontier.select(F.col("__ps"), F.col("__po").alias("__pm"))
+        .join(rel.select(F.col("__ps").alias("__pm"), F.col("__po")), "__pm")
+        .select("__ps", "__po")
+        .join(paths, ["__ps", "__po"], "left_anti")
+    )
+    _raise_unconverged(final, max_depth)
     return paths
+
+
+def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
+    """``(start, reached)`` pairs of the one-or-more closure FROM a
+    constant subject — plain reachability BFS, so per-round state is the
+    start node's frontier, never the whole graph's pair closure (the
+    kg_descendants shape; the scale answer for ``<node> p+ ?o``)."""
+    reached = (
+        rel.filter(F.col("__ps") == F.lit(start))
+        .select(F.col("__po").alias("__n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for _ in range(max_depth):
+        step = (
+            frontier.join(
+                rel.select(F.col("__ps").alias("__n"), F.col("__po")), "__n"
+            )
+            .select(F.col("__po").alias("__n"))
+            .distinct()
+        )
+        new = step.join(reached, "__n", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.limit(1).count() == 0:
+            return reached.select(
+                F.lit(start).alias("__ps"), F.col("__n").alias("__po")
+            )
+        reached = reached.union(new).localCheckpoint(eager=True)
+        frontier = new
+    final = (
+        frontier.join(
+            rel.select(F.col("__ps").alias("__n"), F.col("__po")), "__n"
+        )
+        .select(F.col("__po").alias("__n"))
+        .join(reached, "__n", "left_anti")
+    )
+    _raise_unconverged(final, max_depth)
+    return reached.select(
+        F.lit(start).alias("__ps"), F.col("__n").alias("__po")
+    )
 
 
 def _compile_pathhop(
@@ -562,7 +625,20 @@ def _compile_pathhop(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
         )
     if seg["plus"]:
-        rel = _pair_closure(rel, max_path_depth)
+        # a constant endpoint seeds a plain reachability BFS instead of
+        # the whole relation's pair closure — per-round state is the
+        # seed's frontier, never the graph's all-pairs closure
+        if s[0] == "const":
+            rel = _closure_from(rel, s[1], max_path_depth)
+        elif o[0] == "const":
+            inv = rel.select(
+                F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
+            )
+            rel = _closure_from(inv, o[1], max_path_depth).select(
+                F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
+            )
+        else:
+            rel = _pair_closure(rel, max_path_depth)
     cols, filters, seen = [], [], {}
     for pos, term in (("__ps", s), ("__po", o)):
         if term[0] == "const":
@@ -574,10 +650,6 @@ def _compile_pathhop(
             else:
                 seen[var] = pos
                 cols.append(F.col(pos).alias(var))
-    if not cols:
-        raise SparqlError(
-            "all-constant property-path patterns are not supported"
-        )
     out = rel
     for f in filters:
         out = out.filter(f)
@@ -691,15 +763,13 @@ def _compile_group(
     current: DataFrame | None = None
     nullable: set[str] = set()
     pending_filters: list = []
+    group_unsat = False  # a constant pattern with no match empties the group
+    saw_guard = False  # the group contained all-constant existence guards
     for el in elements:
         if el[0] in ("triple", "pathhop"):
             if el[0] == "triple":
                 s, p, o = (_resolve(t, prefixes) for t in el[1:])
                 pat = _compile_triple(triples, s, p, o)
-                if not pat.columns:
-                    raise SparqlError(
-                        "all-constant triple patterns are not supported"
-                    )
             else:
                 pat = _compile_pathhop(
                     triples,
@@ -709,6 +779,15 @@ def _compile_group(
                     prefixes,
                     max_path_depth,
                 )
+            if not pat.columns:
+                # all-constant pattern (written literally, or every var
+                # consumed by bindings= substitution): an existence guard
+                # — rdflib keeps solutions iff it matches. Evaluated
+                # eagerly; bounded (limit 1).
+                saw_guard = True
+                if pat.limit(1).count() == 0:
+                    group_unsat = True
+                continue
             if current is None:
                 current = pat
             else:
@@ -845,7 +924,14 @@ def _compile_group(
         elif el[0] == "filter":
             pending_filters.append(el[1])
     if current is None:
-        raise SparqlError("empty group pattern")
+        if not saw_guard:
+            raise SparqlError("empty group pattern")
+        # only constant existence guards: the group yields the single
+        # EMPTY solution mapping (one zero-column row) when they all
+        # match — bindings= re-projects the constants over it
+        current = triples.sparkSession.range(1).select()
+    if group_unsat:
+        current = current.filter(F.lit(False))
     # filters apply to the completed group (correct for group-local vars)
     for expr in pending_filters:
         current = current.filter(
@@ -911,11 +997,6 @@ def _subst_expr(expr, binds: dict):
     return expr
 
 
-#: a comparison that is constant-false — stands in for a VALUES clause the
-#: bindings made unsatisfiable (every row filtered out, no columns left)
-_FALSE_FILTER = ("filter", ("cmp", "=", ("lit", 0), ("lit", 1)))
-
-
 def _substitute(elements, binds: dict, prefixes: dict) -> list:
     """rdflib initBindings semantics: rewrite each bound variable into the
     parsed algebra as a constant (patterns, filters, VALUES, recursively
@@ -951,22 +1032,33 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
         elif el[0] == "values":
             _, names, rows = el
             keep = [i for i, n in enumerate(names) if n not in binds]
-            new_rows = []
-            for row in rows:
-                compatible = all(
+            kept_rows = [
+                row
+                for row in rows
+                if all(
                     row[i] is None  # UNDEF is compatible with any binding
                     or str(_resolve(row[i], prefixes)[1]) == str(binds[n])
                     for i, n in enumerate(names)
                     if n in binds
                 )
-                if compatible:
-                    new_rows.append([row[i] for i in keep])
+            ]
             if keep:
-                out.append(("values", [names[i] for i in keep], new_rows))
-            elif not new_rows:
-                # bindings ruled out every VALUES row: the group is empty
-                out.append(_FALSE_FILTER)
-            # else: the VALUES is fully consumed by the bindings — drop it
+                out.append((
+                    "values",
+                    [names[i] for i in keep],
+                    [[row[i] for i in keep] for row in kept_rows],
+                ))
+            else:
+                # every VALUES var is bound: keep ONE column so the clause
+                # still contributes its row multiplicity (SPARQL bag
+                # semantics — n compatible rows multiply solutions by n)
+                # and an unsatisfiable clause becomes an EMPTY table, which
+                # empties the group instead of erroring; the kept column's
+                # data is irrelevant — sparql_select re-projects the bound
+                # constant over it
+                out.append((
+                    "values", [names[0]], [[row[0]] for row in kept_rows]
+                ))
         else:  # pragma: no cover — parser emits no other element kinds
             out.append(el)
     return out

@@ -456,15 +456,113 @@ def test_property_path_plus_in_sequence(chain_triples):
     assert sorted(r.n for r in got.collect()) == ["n2", "n3", "n4"]
 
 
-def test_property_path_plus_depth_bound(chain_triples):
-    """max_path_depth bounds the closure: depth 1 keeps only direct hops."""
+def test_property_path_plus_depth_exhaustion_raises(chain_triples):
+    """Exhausting max_path_depth with the frontier still growing must
+    RAISE — a truncated closure is a silently wrong answer."""
+    with pytest.raises(SparqlError, match="did not converge"):
+        sparql_select(
+            chain_triples,
+            """SELECT ?x ?y WHERE { ?x ex:under+ ?y }""",
+            prefixes=PFX,
+            max_path_depth=0,
+        ).count()
+    # exactly-at-the-bound convergence is NOT an error (chain depth 3
+    # needs 2 extension rounds beyond the direct hops)
     got = sparql_select(
         chain_triples,
         """SELECT ?x ?y WHERE { ?x ex:under+ ?y }""",
         prefixes=PFX,
-        max_path_depth=0,
+        max_path_depth=2,
     )
-    assert got.count() == 4  # the raw hop relation only
+    assert got.count() == 7
+
+
+def test_property_path_plus_constant_seed(chain_triples):
+    """<node> p+ ?o runs the reachability BFS (constant-seeded closure),
+    and ?s p+ <node> the inverse — results equal the pair-closure slice."""
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?y WHERE { <http://ex.org/n1> ex:under+ ?y }""",
+        prefixes=PFX,
+    )
+    assert sorted(r.y.rsplit("/", 1)[1] for r in got.collect()) == [
+        "n2", "n3", "n4"
+    ]
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?x WHERE { ?x ex:under+ <http://ex.org/n4> }""",
+        prefixes=PFX,
+    )
+    assert sorted(r.x.rsplit("/", 1)[1] for r in got.collect()) == [
+        "n1", "n2", "n3"
+    ]
+
+
+def test_all_constant_pattern_is_existence_guard(triples):
+    """A pattern with every term constant (written literally or via
+    bindings= substitution) keeps/drops solutions by its existence —
+    the rdflib behavior, not an error."""
+    # matching guard: no-op
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             <http://ex.org/a> ex:type "gene" . ?e ex:name ?n
+           }""",
+        prefixes=PFX,
+    )
+    assert got.count() == 4
+    # non-matching guard: empties the group
+    got = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+             <http://ex.org/a> ex:type "nope" . ?e ex:name ?n
+           }""",
+        prefixes=PFX,
+    )
+    assert got.count() == 0
+    # the code-review repro: bindings covering every var of the pattern
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE { ?e ex:name ?n }""",
+        prefixes=PFX,
+        bindings={"e": EX + "a", "n": "alpha"},
+    )
+    assert [(r.e, r.n) for r in got.collect()] == [(EX + "a", "alpha")]
+    got = sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE { ?e ex:name ?n }""",
+        prefixes=PFX,
+        bindings={"e": EX + "a", "n": "WRONG"},
+    )
+    assert got.count() == 0
+
+
+def test_values_fully_consumed_by_bindings(triples):
+    """The code-review repro: a VALUES clause whose every variable is
+    bound keeps its row multiplicity (compatible rows) or empties the
+    group (no compatible row) — never 'empty group pattern'."""
+    got = sparql_select(
+        triples,
+        """SELECT ?v WHERE { VALUES ?v { "a" "b" } }""",
+        prefixes=PFX,
+        bindings={"v": "a"},
+    )
+    assert [r.v for r in got.collect()] == ["a"]
+    got = sparql_select(
+        triples,
+        """SELECT ?v WHERE { VALUES ?v { "a" "b" } }""",
+        prefixes=PFX,
+        bindings={"v": "zzz"},
+    )
+    assert got.count() == 0
+    # consumed VALUES alongside a live pattern: guard + multiplicity
+    got = sparql_select(
+        triples,
+        """SELECT ?e WHERE { ?e ex:type "gene" . VALUES ?t { "x" } }""",
+        prefixes=PFX,
+        bindings={"t": "x"},
+    )
+    assert got.count() == 3
 
 
 def test_property_path_var_segment_rejected(triples):

@@ -447,3 +447,35 @@ def test_ccnet_buckets_null_lang_is_its_own_group(spark):
     counts = Counter(r["bucket"] for r in got)
     assert counts == {"head": 3, "middle": 4, "tail": 2}, counts
     assert all(r["lang"] is None for r in got)
+
+
+def test_buckets_from_state_unseen_language_is_unscored(spark):
+    """Maintained-state read path: a language the histogram state has
+    never seen must bucket 'unscored', not fall through the NULL
+    thresholds to 'tail' (state can lag a brand-new language by a
+    batch)."""
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat row %d" % i, "en")
+         for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    model = tq.lm_model(ref)
+    seen = spark.createDataFrame(
+        [(i, "the cat sat on the mat row %d" % i, "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    state = tq.perplexity_histogram_state(seen, model=model)
+    batch = seen.unionByName(
+        spark.createDataFrame(
+            [(50, "der schnelle braune fuchs springt heute", "de")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in tq.perplexity_buckets_from_state(
+            batch, state, model=model
+        ).collect()
+    }
+    assert got[50] == "unscored"  # de absent from state: honest, not 'tail'
+    assert set(got[i] for i in range(6)) <= {"head", "middle", "tail"}
