@@ -798,7 +798,11 @@ def _compile_group(
                 nullable -= set(shared)
         elif el[0] == "optional":
             if current is None:
-                raise SparqlError("OPTIONAL cannot be the first pattern")
+                if not saw_guard:
+                    raise SparqlError("OPTIONAL cannot be the first pattern")
+                # constant guards preceded it: OPTIONAL extends the single
+                # empty solution mapping
+                current = triples.sparkSession.range(1).select()
             sub, sub_nullable = _compile_group(
                 triples, el[1], prefixes, max_path_depth
             )
