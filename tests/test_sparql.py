@@ -537,6 +537,29 @@ def test_all_constant_pattern_is_existence_guard(triples):
     assert got.count() == 0
 
 
+def test_optional_after_constant_guard(triples):
+    """A guards-only prefix leaves the empty solution; OPTIONAL extends
+    it (or leaves the var unbound when the guard's subject has none)."""
+    got = sparql_select(
+        triples,
+        """SELECT ?x WHERE {
+             <http://ex.org/a> ex:type "gene" .
+             OPTIONAL { <http://ex.org/a> ex:xref ?x }
+           }""",
+        prefixes=PFX,
+    )
+    assert [r.x for r in got.collect()] == ["chebi:1"]
+    got = sparql_select(
+        triples,
+        """SELECT ?x WHERE {
+             <http://ex.org/b> ex:type "gene" .
+             OPTIONAL { <http://ex.org/b> ex:xref ?x }
+           }""",
+        prefixes=PFX,
+    )
+    assert [r.x for r in got.collect()] == [None]
+
+
 def test_values_fully_consumed_by_bindings(triples):
     """The code-review repro: a VALUES clause whose every variable is
     bound keeps its row multiplicity (compatible rows) or empties the
