@@ -402,7 +402,7 @@ def fuzzy_pairs(
     return jaccard_verify(
         lsh_candidate_pairs(
             docs, text_col, id_col, n_hashes, bands, max_bucket, backend,
-            banded=banded,
+            banded=banded, shingle_n=shingle_n,
         ),
         docs,
         text_col,
@@ -1178,6 +1178,7 @@ def lsh_bucket_audit(
     bands: int = 8,
     max_bucket: int = 1000,
     backend: str = "md5",
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Observability for the LSH hub guard: ONE summary row —
     ``(n_buckets, n_dropped_buckets, max_bucket_size, n_docs_in_dropped)``
@@ -1189,7 +1190,9 @@ def lsh_bucket_audit(
     when ``n_dropped_buckets > 0``. Pure grouped count over the banded
     table — no pair join, safe at any scale.
     """
-    banded = _banded_buckets(docs, text_col, id_col, n_hashes, bands, backend)
+    banded = _banded_buckets(
+        docs, text_col, id_col, n_hashes, bands, backend, shingle_n=shingle_n
+    )
     counts = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("sz")
     )

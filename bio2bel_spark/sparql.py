@@ -564,6 +564,10 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
     constant subject — plain reachability BFS, so per-round state is the
     start node's frontier, never the whole graph's pair closure (the
     kg_descendants shape; the scale answer for ``<node> p+ ?o``)."""
+    # pin the hop relation once — every BFS round joins against it, and
+    # without the checkpoint each round would re-execute the full
+    # per-predicate scan/union lineage (the _pair_closure discipline)
+    rel = rel.distinct().localCheckpoint(eager=True)
     reached = (
         rel.filter(F.col("__ps") == F.lit(start))
         .select(F.col("__po").alias("__n"))
@@ -608,6 +612,7 @@ def _compile_pathhop(
     o,
     prefixes: dict,
     max_path_depth: int,
+    eager: bool = True,
 ) -> DataFrame:
     """One modified path hop (inverse / alternation / one-or-more) as a
     derived binding table: build the hop's ``(__ps, __po)`` relation from
@@ -624,7 +629,12 @@ def _compile_pathhop(
         rel = rel.select(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
         )
-    if seg["plus"]:
+    if seg["plus"] and not eager:
+        # the enclosing group is already known-empty: skip the closure
+        # iteration entirely — the raw hop relation has the same schema
+        # and every row is filtered out downstream
+        pass
+    elif seg["plus"]:
         # a constant endpoint seeds a plain reachability BFS instead of
         # the whole relation's pair closure — per-round state is the
         # seed's frontier, never the graph's all-pairs closure
@@ -756,10 +766,16 @@ def _compile_group(
     elements: list,
     prefixes: dict[str, str],
     max_path_depth: int = 12,
+    skip_eager: bool = False,
 ) -> "tuple[DataFrame, set[str]]":
     """Compile a group pattern; returns (bindings, nullable-vars) where
     nullable-vars are those that may be NULL (first bound under an
-    OPTIONAL that may not match)."""
+    OPTIONAL that may not match). ``skip_eager`` marks a group whose
+    output is already known-empty (an enclosing constant guard failed):
+    compilation still runs — the SCHEMA must come out right — but eager
+    work (existence probes, p+ closure iteration) is skipped; the raw hop
+    relation stands in for a closure since every row is filtered out
+    anyway."""
     current: DataFrame | None = None
     nullable: set[str] = set()
     pending_filters: list = []
@@ -778,15 +794,19 @@ def _compile_group(
                     _resolve(el[3], prefixes),
                     prefixes,
                     max_path_depth,
+                    eager=not (group_unsat or skip_eager),
                 )
             if not pat.columns:
                 # all-constant pattern (written literally, or every var
                 # consumed by bindings= substitution): an existence guard
                 # — rdflib keeps solutions iff it matches. Evaluated
-                # eagerly; bounded (limit 1).
+                # eagerly; bounded (limit 1). Once the group is already
+                # known-empty the probe is skipped — its outcome cannot
+                # matter.
                 saw_guard = True
-                if pat.limit(1).count() == 0:
-                    group_unsat = True
+                if not (group_unsat or skip_eager):
+                    if pat.limit(1).count() == 0:
+                        group_unsat = True
                 continue
             if current is None:
                 current = pat
@@ -804,7 +824,8 @@ def _compile_group(
                 # empty solution mapping
                 current = triples.sparkSession.range(1).select()
             sub, sub_nullable = _compile_group(
-                triples, el[1], prefixes, max_path_depth
+                triples, el[1], prefixes, max_path_depth,
+                skip_eager=group_unsat or skip_eager,
             )
             new_vars = set(sub.columns) - set(current.columns)
             soft_shared = set(sub.columns) & set(current.columns) & nullable
@@ -814,7 +835,10 @@ def _compile_group(
             nullable |= new_vars | sub_nullable | soft_shared
         elif el[0] == "union":
             branches = [
-                _compile_group(triples, b, prefixes, max_path_depth)
+                _compile_group(
+                    triples, b, prefixes, max_path_depth,
+                    skip_eager=group_unsat or skip_eager,
+                )
                 for b in el[1]
             ]
             all_vars: list[str] = []
@@ -862,7 +886,8 @@ def _compile_group(
                     f"{el[0].upper()} cannot be the first pattern"
                 )
             sub, sub_nullable = _compile_group(
-                triples, el[1], prefixes, max_path_depth
+                triples, el[1], prefixes, max_path_depth,
+                skip_eager=group_unsat or skip_eager,
             )
             shared = [c for c in current.columns if c in sub.columns]
             if not shared:

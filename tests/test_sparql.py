@@ -588,6 +588,23 @@ def test_values_fully_consumed_by_bindings(triples):
     assert got.count() == 3
 
 
+def test_failed_guard_skips_closure_iteration(chain_triples):
+    """A group already emptied by a failed constant guard must not pay —
+    or spuriously raise from — the p+ closure: the correct answer is the
+    empty set even when the graph has paths beyond max_path_depth."""
+    got = sparql_select(
+        chain_triples,
+        """SELECT ?x ?y WHERE {
+             <http://ex.org/nope> ex:name "missing" .
+             ?x ex:under+ ?y
+           }""",
+        prefixes=PFX,
+        max_path_depth=0,  # would raise 'did not converge' if iterated
+    )
+    assert got.count() == 0
+    assert got.columns == ["x", "y"]  # schema survives the short-circuit
+
+
 def test_property_path_var_segment_rejected(triples):
     with pytest.raises(SparqlError, match="property paths"):
         sparql_select(
