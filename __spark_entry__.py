@@ -4434,6 +4434,10 @@ def _compression_ratio_sql_for(path: str) -> "str | None":
         c = len(zlib.compress(b, 6))
         ratio = repr(round(c / len(b), 6)) if b else "CAST(NULL AS DOUBLE)"
         vals.append(f"({doc_id},{len(b)},{c},{ratio})")
+    if not vals:
+        # an empty corpus would render 'VALUES ' — invalid SQL; fall back
+        # to the documented rows-only path instead
+        return None
     return f"""
         SELECT doc_id::BIGINT AS doc_id, n_bytes::BIGINT AS n_bytes,
                n_compressed::BIGINT AS n_compressed,

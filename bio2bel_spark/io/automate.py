@@ -38,6 +38,24 @@ def _fresh_tmp(path: str) -> str:
     return tmp
 
 
+def _publish(tmp: str, path: str) -> None:
+    """Atomically publish ``tmp`` as ``path``. A concurrent builder (or a
+    leftover artifact) may have created ``path`` between the exists-check
+    and this rename — ``os.replace`` of a directory onto a non-empty
+    directory raises (ENOTEMPTY on POSIX). Losing that race is a cache
+    HIT, not an error: the other build's artifact is equally valid, so
+    discard ours and serve theirs."""
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        if not os.path.exists(path):
+            raise
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _instantiate(cls, spark, warehouse, input_paths):
     from bio2bel_spark.sources.datasets import SourceDataset
 
@@ -99,7 +117,7 @@ def ensure_triples_tsv(
     # that a later call would serve as a valid cache hit
     tmp = _fresh_tmp(path)
     write_triples_tsv(kg.triples(), tmp)
-    os.replace(tmp, path)
+    _publish(tmp, path)
     return path
 
 
@@ -132,5 +150,5 @@ def ensure_graph_json(
     tmp = _fresh_tmp(path)
     write_json(kg.nodes, os.path.join(tmp, "nodes"))
     write_json(kg.edges, os.path.join(tmp, "edges"))
-    os.replace(tmp, path)
+    _publish(tmp, path)
     return path

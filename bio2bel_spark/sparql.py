@@ -47,13 +47,29 @@ Supported subset (everything the reference's queries use, plus FILTER)::
 * **Property paths** — ``/`` sequence (desugared at parse time into
   chained patterns through fresh internal variables, so each hop stays
   one pushable pattern scan), per-hop ``^`` inverse (swapped scan),
-  ``a|b`` alternation (union of the hop scans, bag semantics), and
-  ``p+`` one-or-more (DISTINCT transitive-pair closure via semi-naive
-  frontier iteration, bounded by ``max_path_depth`` — the
-  ``kg_descendants`` BFS shape, O(path diameter) equi-join rounds with
-  checkpointing; evaluation of a ``+`` hop is eager). Only constant
-  (IRI/prefixed) segments are supported inside paths; ``*``/``?``
-  (zero-length paths) are outside the subset.
+  ``(a|b)`` alternation (union of the hop scans), ``p+`` one-or-more
+  (DISTINCT transitive-pair closure via POINTER DOUBLING — the covered
+  path length doubles per equi-join round, so a depth-D hierarchy
+  closes in ``ceil(log2(D))`` rounds, bounded by ``max_path_depth``;
+  a constant endpoint instead seeds an O(frontier)-state reachability
+  BFS; evaluation of a closing hop is eager), ``p*`` zero-or-more
+  (the closure plus the zero-length rows: a constant endpoint matches
+  itself, two variables bind every subject/object in the graph) and
+  ``p?`` zero-or-one. Only constant (IRI/prefixed) segments are
+  supported inside paths, and an unparenthesized ``|`` mixed with
+  ``/``/``^``/modifiers is rejected — SPARQL gives ``|`` the lowest
+  precedence (``a|b/c`` = ``a|(b/c)``) while this hop-level grammar
+  would bind it tightest, so the ambiguous forms demand parentheses
+  (``(a|b)/c``) rather than silently diverge. Variable names with the
+  reserved ``__path_`` prefix are rejected at tokenize time.
+* **Aggregates** — ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` with
+  ``COUNT`` (incl. ``*`` and ``DISTINCT``), ``SUM``/``AVG`` (lexical
+  form cast to double), ``MIN``/``MAX`` (lexicographic, matching DuckDB
+  over VARCHAR) and ``SAMPLE`` (evaluated as MIN — deterministic and
+  spec-valid). Compiled to one ``groupBy().agg()`` — map-side partial
+  aggregation, so a grouped count shuffles partial counts, not
+  solutions. Non-key SELECT vars must go through an aggregate;
+  ``GROUP BY`` without aggregates is DISTINCT over the keys.
 * **bindings=** — TRUE rdflib ``initBindings`` semantics: each binding is
   substituted into the parsed patterns/filters/VALUES as a constant
   BEFORE compilation (so Catalyst pushes the equality into the pattern
@@ -99,7 +115,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/|^+])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/|^+?])
     """,
     re.VERBOSE,
 )
@@ -115,6 +131,15 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
+        if kind == "var" and m.group()[1:].startswith("__path_"):
+            # reserved for property-path desugaring internals — a user
+            # variable with this prefix would either be silently dropped
+            # by the internals cleanup or collide with a fresh var and
+            # corrupt joins; reject it loudly up front
+            raise SparqlError(
+                f"variable {m.group()!r} uses the reserved '__path_' "
+                "prefix (internal property-path variables); rename it"
+            )
         out.append((kind, m.group()))
     out.append(("eof", ""))
     return out
@@ -127,6 +152,11 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 # element := triple | OPTIONAL group | FILTER '(' expr ')'
 # triple  := term term term
 # expr    := or-expr with && / ! / comparisons / function calls
+
+
+#: aggregate functions the SELECT clause accepts (SAMPLE is evaluated as
+#: MIN — a deterministic, spec-valid choice of representative)
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
 
 
 class _Parser:
@@ -171,26 +201,95 @@ class _Parser:
         if self.at_keyword("DISTINCT"):
             self.next()
             distinct = True
-        projection: list[str] | None
+        projection: "list[tuple] | None"
         if self.peek()[1] == "*":
             self.next()
             projection = None
         else:
             projection = []
-            while self.peek()[0] == "var":
-                projection.append(self.next()[1][1:])
+            while True:
+                kind, v = self.peek()
+                if kind == "var":
+                    self.next()
+                    projection.append(("var", v[1:]))
+                elif v == "(":
+                    projection.append(self.parse_agg_projection())
+                else:
+                    break
             if not projection:
                 raise SparqlError("SELECT needs ?vars or *")
         if not self.at_keyword("WHERE"):
             raise SparqlError("expected WHERE")
         self.next()
         group = self.parse_group()
+        group_by = self.parse_group_by()
         order = self.parse_order()
         limit = self.parse_limit()
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
-        modifiers = {"distinct": distinct, "order": order, "limit": limit}
+        modifiers = {
+            "distinct": distinct,
+            "order": order,
+            "limit": limit,
+            "group_by": group_by,
+        }
         return prefixes, projection, group, modifiers
+
+    def parse_agg_projection(self) -> tuple:
+        """``( AGG([DISTINCT] ?v|*) AS ?alias )`` — the aggregate
+        projection form. Returns ("agg", fn, distinct, arg-or-None,
+        alias)."""
+        self.expect("(")
+        kind, fn = self.next()
+        if kind != "keyword" or fn.upper() not in _AGG_FNS:
+            raise SparqlError(
+                f"unsupported projection expression {fn!r} (supported "
+                f"aggregates: {sorted(_AGG_FNS)})"
+            )
+        fn = fn.upper()
+        self.expect("(")
+        distinct = False
+        if self.at_keyword("DISTINCT"):
+            self.next()
+            distinct = True
+        arg: "str | None"
+        if self.peek()[1] == "*":
+            self.next()
+            arg = None
+            if fn != "COUNT":
+                raise SparqlError(f"{fn}(*) is not valid SPARQL")
+            if distinct:
+                raise SparqlError("COUNT(DISTINCT *) is outside the subset")
+        else:
+            kind2, av = self.next()
+            if kind2 != "var":
+                raise SparqlError(f"{fn} expects ?var or *, got {av!r}")
+            arg = av[1:]
+        self.expect(")")
+        if not self.at_keyword("AS"):
+            raise SparqlError("aggregate projection needs AS ?alias")
+        self.next()
+        kind3, alias = self.next()
+        if kind3 != "var":
+            raise SparqlError(f"AS expects ?alias, got {alias!r}")
+        self.expect(")")
+        return ("agg", fn, distinct, arg, alias[1:])
+
+    def parse_group_by(self) -> list:
+        if not self.at_keyword("GROUP"):
+            return []
+        self.next()
+        if not self.at_keyword("BY"):
+            raise SparqlError("expected BY after GROUP")
+        self.next()
+        keys = []
+        while self.peek()[0] == "var":
+            keys.append(self.next()[1][1:])
+        if not keys:
+            raise SparqlError("GROUP BY needs at least one ?var")
+        if len(set(keys)) != len(keys):
+            raise SparqlError(f"repeated GROUP BY variable in {keys}")
+        return keys
 
     def parse_order(self) -> "list[tuple[str, bool]]":
         if not self.at_keyword("ORDER"):
@@ -288,10 +387,21 @@ class _Parser:
                     self.next()
                     segs.append(self.parse_path_unit())
                 o = self.parse_term()
+                if len(segs) > 1 and any(s["bare_alt"] for s in segs):
+                    # SPARQL gives '|' lower precedence than '/': 'a|b/c'
+                    # means 'a|(b/c)', not the hop-level '(a|b)/c' this
+                    # desugaring would produce — demand parentheses
+                    raise SparqlError(
+                        "unparenthesized '|' inside a '/' sequence "
+                        "diverges from SPARQL precedence ('a|b/c' means "
+                        "'a|(b/c)'); parenthesize — e.g. '(a|b)/c'"
+                    )
                 plain = (
                     len(segs) == 1
                     and not segs[0]["inverse"]
                     and not segs[0]["plus"]
+                    and not segs[0]["star"]
+                    and not segs[0]["qmark"]
                     and len(segs[0]["preds"]) == 1
                 )
                 if plain:
@@ -316,15 +426,16 @@ class _Parser:
                     else:
                         nxt = ("var", f"__path_{self.fresh}")
                         self.fresh += 1
+                    modified = seg["plus"] or seg["star"] or seg["qmark"]
                     if (
-                        not seg["inverse"] and not seg["plus"]
+                        not seg["inverse"] and not modified
                         and len(seg["preds"]) == 1
                     ):
                         elements.append(
                             ("triple", cur, seg["preds"][0], nxt)
                         )
                     elif (
-                        seg["inverse"] and not seg["plus"]
+                        seg["inverse"] and not modified
                         and len(seg["preds"]) == 1
                     ):
                         # pure inverse: just a swapped pattern scan
@@ -336,22 +447,48 @@ class _Parser:
                     cur = nxt
 
     def parse_path_unit(self) -> dict:
-        """One path hop: ``['^'] pred ('|' pred)* ['+']``. Alternation
-        binds within the hop (``a|b/c`` is ``(a|b)`` then ``/c`` — declare
-        intent with one hop per ``/`` segment)."""
+        """One path hop: ``['^'] ( pred | '(' pred ('|' pred)* ')' )
+        ['+'|'*'|'?']``.
+
+        SPARQL's path grammar gives ``|`` the LOWEST precedence (``a|b/c``
+        is ``a|(b/c)``, ``a|b+`` is ``a|(b+)``, ``^a|b`` is ``(^a)|b``)
+        while this hop-level parser would bind it tightest — so an
+        UNPARENTHESIZED alternation combined with ``/``, ``^`` or a
+        length modifier is REJECTED rather than silently evaluated with
+        the wrong grouping; write ``(a|b)/c`` / ``(a|b)+`` / ``^(a|b)``
+        to state the hop-level intent explicitly."""
         inverse = False
         if self.peek()[1] == "^":
             self.next()
             inverse = True
+        paren = self.peek()[1] == "("
+        if paren:
+            self.next()
         preds = [self.parse_term()]
         while self.peek()[1] == "|":
             self.next()
             preds.append(self.parse_term())
-        plus = False
-        if self.peek()[1] == "+":
-            self.next()
-            plus = True
-        return {"inverse": inverse, "preds": preds, "plus": plus}
+        if paren:
+            self.expect(")")
+        mod = None
+        if self.peek()[1] in ("+", "*", "?"):
+            mod = self.next()[1]
+        bare_alt = len(preds) > 1 and not paren
+        if bare_alt and (inverse or mod is not None):
+            raise SparqlError(
+                "unparenthesized '|' combined with '^' or a length "
+                "modifier diverges from SPARQL precedence ('a|b+' means "
+                "'a|(b+)'); parenthesize the alternation — e.g. '(a|b)+' "
+                "or '^(a|b)'"
+            )
+        return {
+            "inverse": inverse,
+            "preds": preds,
+            "plus": mod == "+",
+            "star": mod == "*",
+            "qmark": mod == "?",
+            "bare_alt": bare_alt,
+        }
 
     def parse_values(self):
         """VALUES ?v { t1 t2 } or VALUES (?a ?b) { (t t) (t UNDEF) }."""
@@ -513,48 +650,61 @@ def _raise_unconverged(frontier: DataFrame, max_depth: int) -> None:
         )
 
 
+#: observability for scale tests: join-round counts of the last closure
+#: evaluations (reset per call; read-only for callers)
+_closure_stats = {"pair_rounds": 0, "seed_rounds": 0}
+
+
 def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
     """DISTINCT one-or-more transitive closure of a ``(__ps, __po)`` hop
-    relation — the SPARQL ``p+`` ArbitraryLengthPath (set semantics).
+    relation — the SPARQL ``p+``/``p*`` ArbitraryLengthPath (set
+    semantics; ``*`` adds the zero-length rows outside this function).
 
-    Semi-naive frontier iteration (the ``kg_descendants`` BFS shape): each
-    round extends only the paths discovered last round by one hop, anti-
-    joins against everything known, and checkpoints — O(path diameter)
-    equi-join rounds, never a quadratic self-join of the closure. Stops
-    early when a round adds nothing; exhausting ``max_depth`` with the
-    frontier still growing raises rather than returning a truncated
-    (silently wrong) closure. Cycles are handled by the anti-join —
-    revisited pairs add nothing.
+    Pointer doubling: each round joins the known closure WITH ITSELF
+    (``P ← P ∪ P∘P``), so the covered path length doubles per round — a
+    depth-1000 hierarchy converges in ~10 equi-join rounds instead of
+    1000 (sequential job-launch latency is the dominant cost of deep
+    closures on a cluster). The final closure is the same size either
+    way, so unlike the seeded tier (:func:`_closure_from`) nothing is
+    saved by keeping per-round state small — halving round count is pure
+    win. Each round anti-joins against the known set and checkpoints
+    (lineage stays O(1) deep). ``max_depth`` bounds the reachable path
+    LENGTH: ``ceil(log2(max_depth + 1))`` doubling rounds cover it, and
+    a final probe round distinguishes converged-at-the-bound from
+    truncated — truncation raises rather than returning a silently
+    wrong closure. Cycles are handled by the anti-join.
     """
+    import math
+
     rel = rel.distinct().localCheckpoint(eager=True)
     paths = rel
-    frontier = rel
-    for _ in range(max_depth):
-        step = (
-            frontier.select(F.col("__ps"), F.col("__po").alias("__pm"))
+    rounds = math.ceil(math.log2(max_depth + 1)) if max_depth > 0 else 0
+    _closure_stats["pair_rounds"] = 0
+
+    def _compose(p: DataFrame) -> DataFrame:
+        return (
+            p.select(F.col("__ps"), F.col("__po").alias("__pm"))
             .join(
-                rel.select(
-                    F.col("__ps").alias("__pm"), F.col("__po")
-                ),
+                p.select(F.col("__ps").alias("__pm"), F.col("__po")),
                 "__pm",
             )
             .select("__ps", "__po")
             .distinct()
         )
-        new = step.join(
-            paths, ["__ps", "__po"], "left_anti"
-        ).localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        _closure_stats["pair_rounds"] += 1
+        new = (
+            _compose(paths)
+            .join(paths, ["__ps", "__po"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
         if new.limit(1).count() == 0:
             return paths
         paths = paths.union(new).localCheckpoint(eager=True)
-        frontier = new
     # one more probe round decides converged-exactly-at-the-bound vs not
-    final = (
-        frontier.select(F.col("__ps"), F.col("__po").alias("__pm"))
-        .join(rel.select(F.col("__ps").alias("__pm"), F.col("__po")), "__pm")
-        .select("__ps", "__po")
-        .join(paths, ["__ps", "__po"], "left_anti")
-    )
+    _closure_stats["pair_rounds"] += 1
+    final = _compose(paths).join(paths, ["__ps", "__po"], "left_anti")
     _raise_unconverged(final, max_depth)
     return paths
 
@@ -563,7 +713,15 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
     """``(start, reached)`` pairs of the one-or-more closure FROM a
     constant subject — plain reachability BFS, so per-round state is the
     start node's frontier, never the whole graph's pair closure (the
-    kg_descendants shape; the scale answer for ``<node> p+ ?o``)."""
+    kg_descendants shape; the scale answer for ``<node> p+ ?o``).
+
+    Deliberately NOT pointer doubling: doubling accelerates by squaring
+    the RELATION, i.e. materializing the graph's bounded pair closure —
+    the exact O(nodes × depth) state this seeded tier exists to avoid.
+    From a single seed, information moves one hop per join against the
+    original relation, so O(depth) rounds with an O(frontier)-sized
+    state is the scalable trade; a caller who prefers log rounds at
+    pair-closure cost can leave the endpoint unbound and filter."""
     # pin the hop relation once — every BFS round joins against it, and
     # without the checkpoint each round would re-execute the full
     # per-predicate scan/union lineage (the _pair_closure discipline)
@@ -575,7 +733,9 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     frontier = reached
+    _closure_stats["seed_rounds"] = 0
     for _ in range(max_depth):
+        _closure_stats["seed_rounds"] += 1
         step = (
             frontier.join(
                 rel.select(F.col("__ps").alias("__n"), F.col("__po")), "__n"
@@ -605,6 +765,28 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
     )
 
 
+def _zero_length_rows(triples: DataFrame, s, o) -> DataFrame:
+    """The zero-length-path solutions a ``*``/``?`` hop adds: a constant
+    endpoint matches ITSELF (the spec's zero-length path relates every
+    term to itself, whether or not it appears in the graph), and two
+    variable endpoints bind every subject/object term in the graph."""
+    spark = triples.sparkSession
+    if s[0] == "const":
+        return spark.createDataFrame(
+            [(s[1], s[1])], "`__ps` string, `__po` string"
+        )
+    if o[0] == "const":
+        return spark.createDataFrame(
+            [(o[1], o[1])], "`__ps` string, `__po` string"
+        )
+    nodes = (
+        triples.select(F.col("s").alias("__ps"))
+        .unionByName(triples.select(F.col("o").alias("__ps")))
+        .distinct()
+    )
+    return nodes.select("__ps", F.col("__ps").alias("__po"))
+
+
 def _compile_pathhop(
     triples: DataFrame,
     s,
@@ -614,10 +796,11 @@ def _compile_pathhop(
     max_path_depth: int,
     eager: bool = True,
 ) -> DataFrame:
-    """One modified path hop (inverse / alternation / one-or-more) as a
-    derived binding table: build the hop's ``(__ps, __po)`` relation from
-    per-predicate pattern scans (each pushable), close it if ``+``, then
-    bind the endpoint terms exactly like a triple pattern."""
+    """One modified path hop (inverse / alternation / ``+``/``*``/``?``)
+    as a derived binding table: build the hop's ``(__ps, __po)`` relation
+    from per-predicate pattern scans (each pushable), close it if
+    ``+``/``*``, union the zero-length rows if ``*``/``?``, then bind the
+    endpoint terms exactly like a triple pattern."""
     rel = None
     for p in seg["preds"]:
         pr = _resolve(p, prefixes)
@@ -629,12 +812,14 @@ def _compile_pathhop(
         rel = rel.select(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
         )
-    if seg["plus"] and not eager:
+    closing = seg["plus"] or seg["star"]
+    if not eager:
         # the enclosing group is already known-empty: skip the closure
-        # iteration entirely — the raw hop relation has the same schema
-        # and every row is filtered out downstream
+        # iteration (and the zero-length union) entirely — the raw hop
+        # relation has the same schema and every row is filtered out
+        # downstream
         pass
-    elif seg["plus"]:
+    elif closing:
         # a constant endpoint seeds a plain reachability BFS instead of
         # the whole relation's pair closure — per-round state is the
         # seed's frontier, never the graph's all-pairs closure
@@ -649,6 +834,11 @@ def _compile_pathhop(
             )
         else:
             rel = _pair_closure(rel, max_path_depth)
+    if eager and (seg["star"] or seg["qmark"]):
+        # zero-or-more / zero-or-one: union the zero-length solutions;
+        # both forms are set semantics, so de-dup after the union (the
+        # closure may already contain (x, x) cycle pairs)
+        rel = rel.unionByName(_zero_length_rows(triples, s, o)).distinct()
     cols, filters, seen = [], [], {}
     for pos, term in (("__ps", s), ("__po", o)):
         if term[0] == "const":
@@ -969,6 +1159,70 @@ def _compile_group(
     return current, nullable
 
 
+def _apply_aggregation(
+    out: DataFrame, projection, group_by: list
+) -> DataFrame:
+    """GROUP BY / aggregate SELECT over the compiled binding table —
+    one ``groupBy().agg()`` (map-side partial aggregation for free; a
+    grouped COUNT never shuffles raw solutions, only partial counts).
+
+    Typing follows the string-valued triples model: COUNT is BIGINT,
+    SUM/AVG cast the lexical form to DOUBLE, MIN/MAX compare
+    lexicographically (exactly what DuckDB does over VARCHAR — oracle
+    parity), and SAMPLE is evaluated as MIN (a deterministic, spec-valid
+    representative: SAMPLE may return any value of the group).
+    """
+    if projection is None:
+        raise SparqlError(
+            "SELECT * cannot be combined with aggregates or GROUP BY; "
+            "list the variables explicitly"
+        )
+    plain = [it[1] for it in projection if it[0] == "var"]
+    agg_items = [it for it in projection if it[0] == "agg"]
+    missing = [v for v in group_by if v not in out.columns]
+    if missing:
+        raise SparqlError(f"GROUP BY vars never bound: {missing}")
+    stray = [v for v in plain if v not in group_by]
+    if stray:
+        raise SparqlError(
+            f"SELECT vars {stray} are not GROUP BY keys — project them "
+            "through an aggregate (e.g. SAMPLE) or group by them"
+        )
+    if not agg_items:
+        # GROUP BY with only key projections = DISTINCT over the keys
+        return out.select(*group_by).dropDuplicates()
+    exprs = []
+    for _, fn, distinct, arg, alias in agg_items:
+        if alias in out.columns:
+            raise SparqlError(
+                f"aggregate alias ?{alias} collides with a bound variable"
+            )
+        if arg is None:  # COUNT(*)
+            exprs.append(F.count(F.lit(1)).alias(alias))
+            continue
+        if arg not in out.columns:
+            raise SparqlError(f"aggregate over unbound variable ?{arg}")
+        col = F.col(arg)
+        if fn == "COUNT":
+            e = F.countDistinct(col) if distinct else F.count(col)
+        elif distinct:
+            raise SparqlError(
+                f"{fn}(DISTINCT ...) is outside the subset (only COUNT)"
+            )
+        elif fn == "SUM":
+            e = F.sum(col.cast("double"))
+        elif fn == "AVG":
+            e = F.avg(col.cast("double"))
+        elif fn == "MIN" or fn == "SAMPLE":
+            e = F.min(col)
+        else:  # MAX
+            e = F.max(col)
+        exprs.append(e.alias(alias))
+    if group_by:
+        return out.groupBy(*group_by).agg(*exprs)
+    return out.agg(*exprs)
+
+
 def _expr_vars(expr) -> set:
     kind = expr[0]
     if kind == "var":
@@ -1133,8 +1387,17 @@ def sparql_select(
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
         out = out.drop(*internals)
-    if projection is not None:
-        missing = [v for v in projection if v not in out.columns]
+    group_by = modifiers["group_by"]
+    agg_items = [it for it in (projection or []) if it[0] == "agg"]
+    if agg_items or group_by:
+        out = _apply_aggregation(out, projection, group_by)
+    projection_names = (
+        None
+        if projection is None
+        else [it[1] if it[0] == "var" else it[4] for it in projection]
+    )
+    if projection_names is not None:
+        missing = [v for v in projection_names if v not in out.columns]
         if missing:
             raise SparqlError(f"projected vars never bound: {missing}")
 
@@ -1159,11 +1422,11 @@ def sparql_select(
     if modifiers["distinct"]:
         # SPARQL solution-modifier order: project -> DISTINCT -> ORDER ->
         # LIMIT, so sort keys must survive the projection
-        if projection is not None:
-            out = out.select(*projection)
+        if projection_names is not None:
+            out = out.select(*projection_names)
         out = out.dropDuplicates()
         return _apply_order_limit(out)
     out = _apply_order_limit(out)
-    if projection is not None:
-        out = out.select(*projection)
+    if projection_names is not None:
+        out = out.select(*projection_names)
     return out
