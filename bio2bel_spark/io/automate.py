@@ -16,8 +16,11 @@ and short-circuit on the cached artifact thereafter.
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
+import time
+import uuid
 from typing import Optional
 
 from pyspark.sql import SparkSession
@@ -28,14 +31,43 @@ __all__ = ["ensure_populated", "ensure_triples_tsv", "ensure_graph_json"]
 
 
 def _fresh_tmp(path: str) -> str:
-    """Scratch location next to ``path`` for write-then-rename publication;
-    a stale copy from a crashed earlier build is removed first."""
-    tmp = path + ".tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    elif os.path.exists(tmp):
-        os.remove(tmp)
-    return tmp
+    """UNIQUE scratch location next to ``path`` (same filesystem, so the
+    final ``os.replace`` stays atomic) for write-then-rename publication.
+    Uniqueness (pid + random suffix) is what makes concurrent builders
+    safe: with a fixed ``path + '.tmp'`` two builders would share one
+    scratch dir, each rmtree-ing/overwriting the other's in-progress
+    write — the loser could fail mid-write, or a corrupted interleaved
+    artifact could win the rename. With per-build scratch, the only
+    contended step is the final atomic rename, which ``_publish``
+    resolves as a cache hit. A crashed build's leftover scratch is inert
+    (never matches a later build's unique name) and is swept here."""
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    for stale in os.listdir(parent):
+        # sweep scratch left by CRASHED builds only: a live concurrent
+        # builder's scratch is younger than this grace window
+        cand = os.path.join(parent, stale)
+        if not stale.startswith(base + ".tmp."):
+            continue
+        try:
+            if time.time() - os.path.getmtime(cand) < 3600:
+                continue
+            if os.path.isdir(cand):
+                shutil.rmtree(cand, ignore_errors=True)
+            else:
+                os.remove(cand)
+        except OSError:
+            continue  # another sweeper won the race — fine
+    return f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+
+
+#: os.replace failures that mean "a concurrent builder already published
+#: a valid artifact at the destination" — the only errors _publish may
+#: swallow. ENOTEMPTY/EEXIST: directory rename onto a non-empty
+#: directory; ENOTDIR: file-vs-directory shape collision on the path.
+_RACE_ERRNOS = frozenset(
+    {errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR}
+)
 
 
 def _publish(tmp: str, path: str) -> None:
@@ -44,11 +76,14 @@ def _publish(tmp: str, path: str) -> None:
     and this rename — ``os.replace`` of a directory onto a non-empty
     directory raises (ENOTEMPTY on POSIX). Losing that race is a cache
     HIT, not an error: the other build's artifact is equally valid, so
-    discard ours and serve theirs."""
+    discard ours and serve theirs. ONLY the directory-collision errnos
+    are treated that way — an EACCES/EXDEV/EIO with a stale artifact
+    already at ``path`` is a real failure and must not be masked as a
+    cache hit, so everything else re-raises."""
     try:
         os.replace(tmp, path)
-    except OSError:
-        if not os.path.exists(path):
+    except OSError as exc:
+        if exc.errno not in _RACE_ERRNOS or not os.path.exists(path):
             raise
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

@@ -64,12 +64,19 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   reserved ``__path_`` prefix are rejected at tokenize time.
 * **Aggregates** — ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` with
   ``COUNT`` (incl. ``*`` and ``DISTINCT``), ``SUM``/``AVG`` (lexical
-  form cast to double), ``MIN``/``MAX`` (lexicographic, matching DuckDB
-  over VARCHAR) and ``SAMPLE`` (evaluated as MIN — deterministic and
-  spec-valid). Compiled to one ``groupBy().agg()`` — map-side partial
-  aggregation, so a grouped count shuffles partial counts, not
-  solutions. Non-key SELECT vars must go through an aggregate;
-  ``GROUP BY`` without aggregates is DISTINCT over the keys.
+  form cast to double; the empty/all-unbound group is ``0.0`` per
+  SPARQL 1.1 §18.5.1, not SQL's NULL), ``MIN``/``MAX`` (lexicographic,
+  matching DuckDB over VARCHAR) and ``SAMPLE`` (evaluated as MIN —
+  deterministic and spec-valid). Compiled to one ``groupBy().agg()`` —
+  map-side partial aggregation, so a grouped count shuffles partial
+  counts, not solutions. Non-key SELECT vars must go through an
+  aggregate; ``GROUP BY`` without aggregates is DISTINCT over the keys;
+  duplicate projection aliases are rejected at compile time.
+* **HAVING** — ``... GROUP BY ?g HAVING (?n > 2) (COUNT(?x) < 9)``:
+  constraints reference group keys, projected aggregate aliases, or
+  aggregate calls directly; direct calls become hidden columns of the
+  SAME single aggregation (no second shuffle) and the constraint is a
+  post-aggregation filter. Multiple constraints conjoin, per spec.
 * **bindings=** — TRUE rdflib ``initBindings`` semantics: each binding is
   substituted into the parsed patterns/filters/VALUES as a constant
   BEFORE compilation (so Catalyst pushes the equality into the pattern
@@ -92,6 +99,7 @@ than hand-written.
 from __future__ import annotations
 
 import re
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -223,6 +231,7 @@ class _Parser:
         self.next()
         group = self.parse_group()
         group_by = self.parse_group_by()
+        having = self.parse_having()
         order = self.parse_order()
         limit = self.parse_limit()
         if self.peek()[0] != "eof":
@@ -232,6 +241,7 @@ class _Parser:
             "order": order,
             "limit": limit,
             "group_by": group_by,
+            "having": having,
         }
         return prefixes, projection, group, modifiers
 
@@ -290,6 +300,24 @@ class _Parser:
         if len(set(keys)) != len(keys):
             raise SparqlError(f"repeated GROUP BY variable in {keys}")
         return keys
+
+    def parse_having(self):
+        """``HAVING (expr) [(expr) ...]`` — each constraint is a
+        parenthesized filter expression that may additionally contain
+        aggregate calls (``HAVING (COUNT(?x) > 2)``); multiple
+        constraints are conjoined, per spec."""
+        if not self.at_keyword("HAVING"):
+            return None
+        self.next()
+        if self.peek()[1] != "(":
+            raise SparqlError("HAVING needs a parenthesized expression")
+        expr = None
+        while self.peek()[1] == "(":
+            self.expect("(")
+            e = self.parse_or()
+            self.expect(")")
+            expr = e if expr is None else ("and", expr, e)
+        return expr
 
     def parse_order(self) -> "list[tuple[str, bool]]":
         if not self.at_keyword("ORDER"):
@@ -581,6 +609,32 @@ class _Parser:
             e = self.parse_or()
             self.expect(")")
             return e
+        if kind == "keyword" and v.upper() in _AGG_FNS:
+            # aggregate call inside an expression — only HAVING accepts
+            # these (compile-time rejected elsewhere)
+            fn = v.upper()
+            self.next()
+            self.expect("(")
+            distinct = False
+            if self.at_keyword("DISTINCT"):
+                self.next()
+                distinct = True
+            if self.peek()[1] == "*":
+                self.next()
+                if fn != "COUNT":
+                    raise SparqlError(f"{fn}(*) is not valid SPARQL")
+                if distinct:
+                    raise SparqlError(
+                        "COUNT(DISTINCT *) is outside the subset"
+                    )
+                arg = None
+            else:
+                kind2, av = self.next()
+                if kind2 != "var":
+                    raise SparqlError(f"{fn} expects ?var or *, got {av!r}")
+                arg = av[1:]
+            self.expect(")")
+            return ("agg_expr", fn, distinct, arg)
         if kind == "keyword" and v.upper() in ("BOUND", "REGEX", "CONTAINS", "STRSTARTS"):
             fn = v.upper()
             self.next()
@@ -650,9 +704,26 @@ def _raise_unconverged(frontier: DataFrame, max_depth: int) -> None:
         )
 
 
-#: observability for scale tests: join-round counts of the last closure
-#: evaluations (reset per call; read-only for callers)
-_closure_stats = {"pair_rounds": 0, "seed_rounds": 0}
+class _ClosureStats(threading.local):
+    """Observability for scale tests: join-round counts of the last
+    closure evaluations (reset per call; read-only for callers).
+    Thread-LOCAL so concurrent ``sparql_select`` calls from different
+    threads each see their own counts instead of interleaved ones —
+    the stats exist to verify the doubling-round bound, and a shared
+    dict would let a neighbor's closure corrupt that measurement."""
+
+    def __init__(self):
+        self.pair_rounds = 0
+        self.seed_rounds = 0
+
+    def __getitem__(self, key: str) -> int:
+        return getattr(self, key)
+
+    def __setitem__(self, key: str, value: int) -> None:
+        setattr(self, key, value)
+
+
+_closure_stats = _ClosureStats()
 
 
 def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
@@ -885,6 +956,10 @@ def _compile_filter(expr, bound: set[str]) -> Column:
             return a0.contains(lit)
         if fn == "STRSTARTS":
             return a0.startswith(lit)
+    if kind == "agg_expr":
+        raise SparqlError(
+            "aggregate calls are only valid inside HAVING constraints"
+        )
     raise SparqlError(f"unsupported filter expression {expr!r}")
 
 
@@ -893,6 +968,10 @@ def _operand(term, bound: set[str]) -> Column:
         if term[1] not in bound:
             raise SparqlError(f"FILTER references unbound variable ?{term[1]}")
         return F.col(term[1])
+    if term[0] == "agg_expr":
+        raise SparqlError(
+            "aggregate calls are only valid inside HAVING constraints"
+        )
     return F.lit(term[1])
 
 
@@ -1159,18 +1238,103 @@ def _compile_group(
     return current, nullable
 
 
-def _apply_aggregation(
-    out: DataFrame, projection, group_by: list
-) -> DataFrame:
-    """GROUP BY / aggregate SELECT over the compiled binding table —
-    one ``groupBy().agg()`` (map-side partial aggregation for free; a
-    grouped COUNT never shuffles raw solutions, only partial counts).
+def _agg_column(
+    out: DataFrame, fn: str, distinct: bool, arg: "str | None"
+) -> Column:
+    """One aggregate expression over the binding table's string-valued
+    columns. Typing follows the string-valued triples model: COUNT is
+    BIGINT, SUM/AVG cast the lexical form to DOUBLE (and coalesce the
+    empty/all-unbound group to ``0.0`` — SPARQL 1.1 §18.5.1 defines
+    ``Sum({}) = 0`` and ``Avg({}) = 0`` where SQL would yield NULL),
+    MIN/MAX compare lexicographically (exactly what DuckDB does over
+    VARCHAR — oracle parity), and SAMPLE is evaluated as MIN (a
+    deterministic, spec-valid representative)."""
+    if arg is None:  # COUNT(*)
+        return F.count(F.lit(1))
+    if arg not in out.columns:
+        raise SparqlError(f"aggregate over unbound variable ?{arg}")
+    col = F.col(arg)
+    if fn == "COUNT":
+        return F.countDistinct(col) if distinct else F.count(col)
+    if distinct:
+        raise SparqlError(
+            f"{fn}(DISTINCT ...) is outside the subset (only COUNT)"
+        )
+    if fn == "SUM":
+        return F.coalesce(F.sum(col.cast("double")), F.lit(0.0))
+    if fn == "AVG":
+        return F.coalesce(F.avg(col.cast("double")), F.lit(0.0))
+    if fn == "MIN" or fn == "SAMPLE":
+        return F.min(col)
+    return F.max(col)  # MAX
 
-    Typing follows the string-valued triples model: COUNT is BIGINT,
-    SUM/AVG cast the lexical form to DOUBLE, MIN/MAX compare
-    lexicographically (exactly what DuckDB does over VARCHAR — oracle
-    parity), and SAMPLE is evaluated as MIN (a deterministic, spec-valid
-    representative: SAMPLE may return any value of the group).
+
+def _having_aggs(expr, found: list) -> None:
+    """Collect ``("agg_expr", fn, distinct, arg)`` nodes from a HAVING
+    expression tree in deterministic left-to-right order."""
+    kind = expr[0]
+    if kind == "agg_expr":
+        key = expr[1:]
+        if key not in found:
+            found.append(key)
+    elif kind in ("or", "and"):
+        _having_aggs(expr[1], found)
+        _having_aggs(expr[2], found)
+    elif kind == "not":
+        _having_aggs(expr[1], found)
+    elif kind == "cmp":
+        _having_aggs(expr[2], found)
+        _having_aggs(expr[3], found)
+    elif kind == "call":
+        for a in expr[2]:
+            _having_aggs(a, found)
+
+
+def _rewrite_having(expr, aliases: dict):
+    """Replace aggregate calls with references to their synthesized
+    post-aggregation columns, leaving a plain filter expression."""
+    kind = expr[0]
+    if kind == "agg_expr":
+        return ("var", aliases[expr[1:]])
+    if kind in ("or", "and"):
+        return (
+            kind,
+            _rewrite_having(expr[1], aliases),
+            _rewrite_having(expr[2], aliases),
+        )
+    if kind == "not":
+        return ("not", _rewrite_having(expr[1], aliases))
+    if kind == "cmp":
+        return (
+            "cmp",
+            expr[1],
+            _rewrite_having(expr[2], aliases),
+            _rewrite_having(expr[3], aliases),
+        )
+    if kind == "call":
+        return (
+            "call",
+            expr[1],
+            [_rewrite_having(a, aliases) for a in expr[2]],
+        )
+    return expr
+
+
+def _apply_aggregation(
+    out: DataFrame, projection, group_by: list, having=None
+) -> DataFrame:
+    """GROUP BY / aggregate SELECT / HAVING over the compiled binding
+    table — ONE ``groupBy().agg()`` (map-side partial aggregation for
+    free; a grouped COUNT never shuffles raw solutions, only partial
+    counts). Aggregate typing lives in :func:`_agg_column`.
+
+    HAVING constraints may reference group keys, projected aggregate
+    aliases, or contain aggregate calls directly
+    (``HAVING (COUNT(?x) > 2)``) — direct calls are synthesized as
+    hidden ``__having_N`` columns in the same single aggregation, the
+    constraint compiles to a post-aggregation filter (Catalyst folds it
+    into the aggregate's output — no second shuffle), and the hidden
+    columns are dropped after the filter.
     """
     if projection is None:
         raise SparqlError(
@@ -1188,39 +1352,48 @@ def _apply_aggregation(
             f"SELECT vars {stray} are not GROUP BY keys — project them "
             "through an aggregate (e.g. SAMPLE) or group by them"
         )
-    if not agg_items:
+    having_specs: list = []
+    if having is not None:
+        _having_aggs(having, having_specs)
+    if not agg_items and not having_specs:
         # GROUP BY with only key projections = DISTINCT over the keys
-        return out.select(*group_by).dropDuplicates()
+        grouped = out.select(*group_by).dropDuplicates()
+        if having is not None:
+            grouped = grouped.filter(
+                _compile_filter(having, set(grouped.columns))
+            )
+        return grouped
     exprs = []
+    seen = set(plain)
     for _, fn, distinct, arg, alias in agg_items:
         if alias in out.columns:
             raise SparqlError(
                 f"aggregate alias ?{alias} collides with a bound variable"
             )
-        if arg is None:  # COUNT(*)
-            exprs.append(F.count(F.lit(1)).alias(alias))
-            continue
-        if arg not in out.columns:
-            raise SparqlError(f"aggregate over unbound variable ?{arg}")
-        col = F.col(arg)
-        if fn == "COUNT":
-            e = F.countDistinct(col) if distinct else F.count(col)
-        elif distinct:
+        if alias in seen:
             raise SparqlError(
-                f"{fn}(DISTINCT ...) is outside the subset (only COUNT)"
+                f"duplicate projection alias ?{alias} — each SELECT "
+                "column needs a distinct name"
             )
-        elif fn == "SUM":
-            e = F.sum(col.cast("double"))
-        elif fn == "AVG":
-            e = F.avg(col.cast("double"))
-        elif fn == "MIN" or fn == "SAMPLE":
-            e = F.min(col)
-        else:  # MAX
-            e = F.max(col)
-        exprs.append(e.alias(alias))
-    if group_by:
-        return out.groupBy(*group_by).agg(*exprs)
-    return out.agg(*exprs)
+        seen.add(alias)
+        exprs.append(_agg_column(out, fn, distinct, arg).alias(alias))
+    # direct aggregate calls inside HAVING ride the SAME aggregation as
+    # hidden columns (dropped post-filter)
+    having_aliases = {
+        spec: f"__having_{i}" for i, spec in enumerate(having_specs)
+    }
+    for spec, alias in having_aliases.items():
+        fn, distinct, arg = spec
+        exprs.append(_agg_column(out, fn, distinct, arg).alias(alias))
+    grouped = out.groupBy(*group_by).agg(*exprs) if group_by else out.agg(*exprs)
+    if having is not None:
+        plainified = _rewrite_having(having, having_aliases)
+        grouped = grouped.filter(
+            _compile_filter(plainified, set(grouped.columns))
+        )
+    if having_aliases:
+        grouped = grouped.drop(*having_aliases.values())
+    return grouped
 
 
 def _expr_vars(expr) -> set:
@@ -1233,6 +1406,8 @@ def _expr_vars(expr) -> set:
         return _expr_vars(expr[1])
     if kind == "cmp":
         return _expr_vars(expr[2]) | _expr_vars(expr[3])
+    if kind == "agg_expr":
+        return {expr[3]} if expr[3] is not None else set()
     if kind == "call":
         out: set = set()
         for a in expr[2]:
@@ -1388,9 +1563,14 @@ def sparql_select(
     if internals:
         out = out.drop(*internals)
     group_by = modifiers["group_by"]
+    having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
+    if having is not None and not (agg_items or group_by):
+        raise SparqlError(
+            "HAVING needs a GROUP BY or an aggregate projection"
+        )
     if agg_items or group_by:
-        out = _apply_aggregation(out, projection, group_by)
+        out = _apply_aggregation(out, projection, group_by, having)
     projection_names = (
         None
         if projection is None

@@ -77,27 +77,68 @@ def test_ensure_graph_json_cache_or_build(spark, tmp_path, tf_inputs):
 
 
 def test_ensure_exports_publish_atomically(spark, tmp_path, tf_inputs):
-    """Write-then-rename publication: stale scratch from a crashed build is
-    cleaned and rebuilt, never served; after success no scratch remains and
-    the published artifact is complete."""
-    import shutil
+    """Write-then-rename publication with PER-BUILD unique scratch: a
+    crashed build's old scratch is swept (it can never be served — its
+    name never matches a later build's), a YOUNG scratch dir (a live
+    concurrent builder's) is left untouched, and after success the
+    build's own scratch is renamed away and the artifact is complete."""
+    import glob
 
     import bio2bel_spark.sources.datasets  # noqa: F401
 
     wh = str(tmp_path / "wh")
-    # simulate a crash that left graph scratch behind (nodes only, no edges)
+    # simulate a crash that left graph scratch behind (nodes only, no
+    # edges) — old enough to be swept
     exports = os.path.join(wh, "_exports", "tfregulons")
-    os.makedirs(os.path.join(exports, "tfregulons.graph.json.tmp", "nodes"))
+    crashed = os.path.join(exports, "tfregulons.graph.json.tmp.99.dead")
+    os.makedirs(os.path.join(crashed, "nodes"))
+    os.utime(crashed, (0, 0))
+    # a FRESH scratch dir = a live concurrent builder; must survive
+    live = os.path.join(exports, "tfregulons.graph.json.tmp.98.live")
+    os.makedirs(live)
     path = ensure_graph_json("tfregulons", spark, warehouse=wh,
                              input_paths=tf_inputs)
     assert os.path.isdir(os.path.join(path, "nodes"))
     assert os.path.isdir(os.path.join(path, "edges"))
-    assert not os.path.exists(path + ".tmp")  # scratch renamed away
-    # same for the TSV: stale scratch file is replaced, publication atomic
-    shutil.rmtree(os.path.join(exports))
-    os.makedirs(exports)
-    open(os.path.join(exports, "tfregulons.bel.tsv.tmp"), "w").write("junk")
+    assert not os.path.exists(crashed)  # stale scratch swept
+    assert os.path.isdir(live)  # live builder's scratch untouched
+    leftover = glob.glob(path + ".tmp.*")
+    assert leftover == [live]  # our own scratch renamed away
+    # same for the TSV: a stale crashed scratch FILE is swept too
+    stale_tsv = os.path.join(exports, "tfregulons.bel.tsv.tmp.97.dead")
+    open(stale_tsv, "w").write("junk")
+    os.utime(stale_tsv, (0, 0))
     tsv = ensure_triples_tsv("tfregulons", spark, warehouse=wh,
                              input_paths=tf_inputs)
     assert open(tsv).read().count("\t") >= 2
-    assert not os.path.exists(tsv + ".tmp")
+    assert not os.path.exists(stale_tsv)
+    assert glob.glob(tsv + ".tmp.*") == []
+
+
+def test_publish_race_is_cache_hit_but_real_errors_raise(tmp_path):
+    """_publish: losing the directory-rename race to a concurrent builder
+    serves the winner's artifact; any OTHER OSError (EACCES, EIO, ...)
+    must re-raise even when a stale artifact sits at the destination —
+    masking it as a cache hit would hide a real failure."""
+    import errno
+    from unittest import mock
+
+    from bio2bel_spark.io.automate import _publish
+
+    dest = tmp_path / "artifact"
+    dest.mkdir()
+    (dest / "winner").write_text("x")
+    tmp = tmp_path / "artifact.tmp.1.aaaa"
+    tmp.mkdir()
+    (tmp / "loser").write_text("y")
+    # ENOTEMPTY (the real race shape): swallowed, winner served, tmp gone
+    _publish(str(tmp), str(dest))
+    assert (dest / "winner").exists() and not tmp.exists()
+    # EACCES with the artifact present: must raise, not fake a cache hit
+    tmp.mkdir()
+    with mock.patch(
+        "os.replace", side_effect=OSError(errno.EACCES, "denied")
+    ):
+        with pytest.raises(OSError, match="denied"):
+            _publish(str(tmp), str(dest))
+    assert tmp.exists()  # fresh build preserved for diagnosis

@@ -1,0 +1,370 @@
+"""Round-9/10 SPARQL surface: ``p*`` / ``p?`` zero-length semantics, the
+pointer-doubling round bound, GROUP BY aggregates (typing, errors), HAVING,
+and the SPARQL-spec SUM/AVG-of-empty = 0 divergence from SQL.
+
+These pin bio2bel_spark/sparql.py:_pair_closure / _zero_length_rows /
+_apply_aggregation — the paths the round-9 diff added with engine-only
+coverage (parity target: rdflib's full evaluation of the same queries,
+reference src/bio2bel/sources/rhea.py:38-47 runs arbitrary rdflib SPARQL).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+
+import pytest
+
+from bio2bel_spark.sparql import SparqlError, _closure_stats, sparql_select
+
+EX = "http://ex.org/"
+PFX = {"ex": EX}
+
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    rows = (
+        [(EX + c, EX + "under", EX + n) for c, n in
+         [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("z1", "z2")]]
+        + [(EX + n, EX + "name", n) for n in ["n1", "n2", "n3", "n4"]]
+    )
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+@pytest.fixture(scope="module")
+def typed_triples(spark):
+    rows = [
+        (EX + "a", EX + "type", "gene"),
+        (EX + "a", EX + "score", "3"),
+        (EX + "b", EX + "type", "gene"),
+        (EX + "b", EX + "score", "5"),
+        (EX + "b", EX + "score", "5"),  # duplicate triple row
+        (EX + "c", EX + "type", "pathway"),
+        (EX + "c", EX + "score", "2"),
+        (EX + "d", EX + "type", "gene"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+# ---------------------------------------------------------------- p* / p?
+
+
+def _local(term: str) -> str:
+    return term.rsplit("/", 1)[-1]
+
+
+def test_star_var_var_adds_identity_over_all_terms(chain_triples):
+    """``?x p* ?y`` = closure ∪ zero-length identity over EVERY graph
+    term — subjects AND objects, IRIs AND literals (spec: the zero-length
+    path relates each term to itself)."""
+    got = sparql_select(
+        chain_triples,
+        "SELECT ?x ?y WHERE { ?x ex:under* ?y }",
+        prefixes=PFX,
+    )
+    pairs = {(r.x, r.y) for r in got.collect()}
+    terms = {EX + n for n in ["n1", "n2", "n3", "n4", "z1", "z2"]} | {
+        "n1", "n2", "n3", "n4",
+    }
+    closure = {
+        (EX + a, EX + b)
+        for a, b in [
+            ("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+            ("n2", "n3"), ("n2", "n4"), ("n3", "n4"), ("z1", "z2"),
+        ]
+    }
+    assert pairs == {(t, t) for t in terms} | closure
+
+
+def test_star_constant_endpoint_matches_itself(chain_triples):
+    # seeded: the constant reaches itself (zero-length) plus its closure
+    got = sparql_select(
+        chain_triples,
+        "SELECT ?y WHERE { <http://ex.org/n2> ex:under* ?y }",
+        prefixes=PFX,
+    )
+    assert sorted(_local(r.y) for r in got.collect()) == ["n2", "n3", "n4"]
+    # spec conformance: a constant ABSENT from the graph still matches
+    # itself on the zero-length path
+    got = sparql_select(
+        chain_triples,
+        "SELECT ?y WHERE { <http://ex.org/ghost> ex:under* ?y }",
+        prefixes=PFX,
+    )
+    assert [_local(r.y) for r in got.collect()] == ["ghost"]
+
+
+def test_star_composes_in_sequence(chain_triples):
+    """``under*/name`` — zero hops keeps the start node itself, so n1's
+    own name joins the transitive containers' names."""
+    got = sparql_select(
+        chain_triples,
+        'SELECT ?n WHERE { ?x ex:name "n1" . ?x ex:under*/ex:name ?n }',
+        prefixes=PFX,
+    )
+    assert sorted(r.n for r in got.collect()) == ["n1", "n2", "n3", "n4"]
+
+
+def test_question_zero_or_one_hop(chain_triples):
+    got = sparql_select(
+        chain_triples,
+        "SELECT ?y WHERE { <http://ex.org/n1> ex:under? ?y }",
+        prefixes=PFX,
+    )
+    # itself (zero) plus the single direct hop — NOT the closure
+    assert sorted(_local(r.y) for r in got.collect()) == ["n1", "n2"]
+
+
+def test_question_dedups_identity_overlap(spark):
+    """A self-loop hop coincides with the zero-length row — set
+    semantics must dedup them."""
+    tdf = spark.createDataFrame(
+        [(EX + "s", EX + "p", EX + "s")], "s string, p string, o string"
+    )
+    got = sparql_select(
+        tdf, "SELECT ?y WHERE { <http://ex.org/s> ex:p? ?y }", prefixes=PFX
+    )
+    assert [r.y for r in got.collect()] == [EX + "s"]
+
+
+# ------------------------------------------------------- pointer doubling
+
+
+def test_pair_closure_round_bound_deep_chain(spark):
+    """A depth-D chain must close in ≤ ceil(log2(D+1)) + 1 join rounds
+    (doubling covers length 2^r after r rounds; +1 is the convergence
+    probe) with the exact (D+1)·D/2-pair closure — the log-round scale
+    property the pointer-doubling rewrite exists for."""
+    depth = 40
+    rows = [
+        (EX + f"c{i}", EX + "under", EX + f"c{i + 1}") for i in range(depth)
+    ]
+    tdf = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        tdf,
+        "SELECT ?x ?y WHERE { ?x ex:under* ?y }",
+        prefixes=PFX,
+        max_path_depth=64,
+    )
+    n_terms = depth + 1
+    want_rows = n_terms + depth * (depth + 1) // 2  # identity + closure
+    assert got.count() == want_rows
+    assert _closure_stats["pair_rounds"] <= math.ceil(math.log2(64 + 1)) + 1
+
+
+def test_closure_stats_are_thread_local():
+    """Concurrent sparql_select calls must not interleave each other's
+    round counts — the stats verify the doubling bound, so a shared dict
+    would let a neighbor thread corrupt the measurement."""
+    seen = {}
+
+    def _probe(name, value):
+        _closure_stats["pair_rounds"] = value
+        seen[name] = _closure_stats["pair_rounds"]
+
+    _closure_stats["pair_rounds"] = 99
+    t = threading.Thread(target=_probe, args=("worker", 7))
+    t.start()
+    t.join()
+    assert seen["worker"] == 7
+    assert _closure_stats["pair_rounds"] == 99  # untouched by the worker
+
+
+# ------------------------------------------------------------- aggregates
+
+
+def test_grouped_count_and_count_distinct(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } GROUP BY ?t",
+        prefixes=PFX,
+    )
+    assert {(r.t, r.n) for r in got.collect()} == {("gene", 3), ("pathway", 1)}
+    # the duplicated score triple dedups under COUNT(DISTINCT ?v) per
+    # entity but not under COUNT(?v)
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e (COUNT(DISTINCT ?v) AS ?n) WHERE { ?e ex:score ?v } "
+        "GROUP BY ?e",
+        prefixes=PFX,
+    )
+    assert {(_local(r.e), r.n) for r in got.collect()} == {
+        ("a", 1), ("b", 1), ("c", 1),
+    }
+
+
+def test_sum_avg_cast_lexical_to_double(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (SUM(?v) AS ?s) (AVG(?v) AS ?a) WHERE "
+        "{ ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
+        prefixes=PFX,
+    ).collect()
+    by_t = {r.t: (r.s, r.a) for r in got}
+    # gene: a=3, b=5 (dup row counts twice in the bag) → sum 13, avg 13/3
+    assert by_t["gene"] == (13.0, pytest.approx(13.0 / 3))
+    assert by_t["pathway"] == (2.0, 2.0)
+
+
+def test_min_max_lexicographic_and_sample(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (SAMPLE(?v) AS ?any) "
+        "WHERE { ?e ex:score ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert (got.lo, got.hi) == ("2", "5")  # string compare, DuckDB parity
+    assert got.any == "2"  # SAMPLE evaluated as MIN: deterministic
+
+
+def test_count_star_and_empty_group_sum_is_zero(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT (COUNT(*) AS ?n) WHERE { ?e ex:score ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert got.n == 4
+    # SPARQL 1.1 §18.5.1: Sum({}) = 0 and Avg({}) = 0 — NOT SQL's NULL
+    got = sparql_select(
+        typed_triples,
+        "SELECT (SUM(?v) AS ?s) (AVG(?v) AS ?a) (COUNT(?v) AS ?n) "
+        "WHERE { ?e ex:missing ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert (got.s, got.a, got.n) == (0.0, 0.0, 0)
+
+
+def test_aggregate_errors(typed_triples):
+    with pytest.raises(SparqlError, match="not GROUP BY keys"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e (COUNT(?v) AS ?n) WHERE { ?e ex:score ?v } "
+            "GROUP BY ?v",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="SELECT \\*"):
+        sparql_select(
+            typed_triples,
+            "SELECT * WHERE { ?e ex:score ?v } GROUP BY ?e",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="collides with a bound"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e (COUNT(?v) AS ?v) WHERE { ?e ex:score ?v } "
+            "GROUP BY ?e",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="duplicate projection alias"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e (COUNT(?v) AS ?n) (SUM(?v) AS ?n) "
+            "WHERE { ?e ex:score ?v } GROUP BY ?e",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e (COUNT(?zz) AS ?n) WHERE { ?e ex:score ?v } "
+            "GROUP BY ?e",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="only COUNT"):
+        sparql_select(
+            typed_triples,
+            "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?e ex:score ?v }",
+            prefixes=PFX,
+        )
+
+
+# ----------------------------------------------------------------- HAVING
+
+
+def test_having_on_projected_alias(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } "
+        "GROUP BY ?t HAVING (?n > 1)",
+        prefixes=PFX,
+    )
+    assert [(r.t, r.n) for r in got.collect()] == [("gene", 3)]
+
+
+def test_having_direct_aggregate_call(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t WHERE { ?e ex:type ?t } GROUP BY ?t "
+        "HAVING (COUNT(?e) > 1)",
+        prefixes=PFX,
+    )
+    assert got.columns == ["t"]  # hidden __having_* columns dropped
+    assert [r.t for r in got.collect()] == ["gene"]
+
+
+def test_having_multiple_constraints_conjoin(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (COUNT(?e) AS ?n) WHERE "
+        "{ ?e ex:type ?t . ?e ex:score ?v } "
+        "GROUP BY ?t HAVING (?n >= 1) (SUM(?v) < 3)",
+        prefixes=PFX,
+    )
+    # gene sums to 13, pathway to 2 — only pathway passes BOTH constraints
+    assert [(r.t, r.n) for r in got.collect()] == [("pathway", 1)]
+    # an aggregate over a var unbound anywhere in the pattern is a
+    # compile-time error even when it only appears inside HAVING
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } "
+            "GROUP BY ?t HAVING (SUM(?zz) < 3)",
+            prefixes=PFX,
+        )
+
+
+def test_having_mixes_alias_key_and_direct_agg(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (COUNT(?e) AS ?n) WHERE "
+        '{ ?e ex:type ?t . ?e ex:score ?v } '
+        'GROUP BY ?t HAVING (?n >= 1 && SUM(?v) > 3 && ?t != "x")',
+        prefixes=PFX,
+    )
+    assert {(r.t, r.n) for r in got.collect()} == {("gene", 3)}
+
+
+def test_having_errors(typed_triples):
+    with pytest.raises(SparqlError, match="HAVING needs"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e ?v WHERE { ?e ex:score ?v } HAVING (?v > 1)",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="only valid inside HAVING"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e WHERE { ?e ex:score ?v . FILTER(COUNT(?v) > 1) }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="parenthesized"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } "
+            "GROUP BY ?t HAVING ?n > 1",
+            prefixes=PFX,
+        )
+
+
+def test_having_keeps_single_aggregation_plan(typed_triples):
+    """Direct HAVING aggregates must NOT cost a second shuffle: exactly
+    one aggregation subtree (partial+final HashAggregate pair over one
+    Exchange) in the physical plan."""
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t WHERE { ?e ex:type ?t } GROUP BY ?t "
+        "HAVING (COUNT(?e) > 1)",
+        prefixes=PFX,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2  # one for the agg (+AQE reuse artifacts)

@@ -278,3 +278,36 @@ def test_chained_optional_property(spark, seed):
     want_bindings = _naive_leftjoin(step, o2)
     want = {(mu["x"], mu["y"], mu.get("w")) for mu in want_bindings}
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_path_star_matches_naive_closure_plus_identity(spark, seed):
+    """p* vs python closure ∪ identity over every graph term — pins the
+    zero-length-row semantics (_zero_length_rows) under random cyclic
+    relations, where the closure itself already contains some (t, t)
+    pairs that must dedup against the identity rows."""
+    rng = random.Random(900 + seed)
+    triples = _rand_triples(rng, 25)
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    p = rng.choice(PREDS)
+    hop = {(s, o) for s, pp, o in triples if pp == p}
+    closure = set(hop)
+    while True:
+        new = {
+            (a, d)
+            for a, b in closure
+            for c, d in hop
+            if b == c and (a, d) not in closure
+        }
+        if not new:
+            break
+        closure |= new
+    terms = {s for s, _, _ in triples} | {o for _, _, o in triples}
+    want = closure | {(t, t) for t in terms}
+    got = {
+        (r.x, r.y)
+        for r in sparql_select(
+            tdf, f"SELECT ?x ?y WHERE {{ ?x <{p}>* ?y }}"
+        ).collect()
+    }
+    assert got == want
