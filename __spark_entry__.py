@@ -2408,6 +2408,50 @@ def q_image_phash_pairs(spark, sf_dir):
     return image_near_pairs(media.unionByName(twins), max_hamming=7)
 
 
+def q_png_features(spark, sf_dir):
+    """Compressed-image pipeline end-to-end with NO codec library:
+    deterministic zlib-compressed RGB PNGs per document (every scanline
+    cycles through all five PNG filter types), decoded by the stdlib-zlib
+    inflate + per-row unfilter path and NN-resized to the resize_plan
+    target in one Arrow mapInPandas pass. The pixel grid equals the PPM
+    generator's, so the SAME integer-grid DuckDB replay hash-checks the
+    full PNG encode→decode round trip."""
+    from bio2bel_spark.operators.multimodal import (
+        decode_resize_features,
+        png_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    imgs = png_from_documents(docs.select("doc_id", "n_chars"))
+    out = decode_resize_features(imgs, max_side=64, backend="png")
+    return out.select(
+        "doc_id", "width", "height", "target_width", "target_height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_luma", 4).alias("std_luma"),
+    )
+
+
+def q_png_phash_pairs(spark, sf_dir):
+    """Compressed-image near-duplicate pairs: aHash over REAL PNG decode
+    (signature-dispatched raster path) → pigeonhole-banded hamming join;
+    perceptual twins regenerated under shifted ids must surface at
+    hamming ≤ 7. Same oracle as image_phash_pairs — the PNG round trip
+    is lossless, so the fingerprints are identical."""
+    from bio2bel_spark.operators.multimodal import (
+        image_near_pairs,
+        png_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = png_from_documents(docs)
+    twins = png_from_documents(
+        docs.filter(F.col("doc_id") % 50 == 0)
+    ).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return image_near_pairs(media.unionByName(twins), max_hamming=7)
+
+
 def q_image_features(spark, sf_dir):
     """REAL image pipeline end-to-end: deterministic P6 PPM rasters per
     document, decoded and nearest-neighbor resized to the resize_plan
@@ -3961,6 +4005,8 @@ QUERIES: dict[str, Callable] = {
     "sparql_group_count": q_sparql_group_count,
     "sparql_group_having": q_sparql_group_having,
     "selection_pipeline_tokens": q_selection_pipeline_tokens,
+    "png_features": q_png_features,
+    "png_phash_pairs": q_png_phash_pairs,
     # round-8 rotation (per round-7 verdict asks #1/#2): the 4 NEW queries
     # (SPARQL VALUES + property path, the packed selection pipeline, the
     # CCNet histogram maintainer twin) lead ...
@@ -7111,6 +7157,48 @@ def oracle_sql() -> dict[str, str]:
         # as an integer grid expansion; float-only steps (scale, luma
         # weights) use the identical IEEE expression trees and 4dp rounding
         # absorbs aggregation-order differences.
+        # PNG twin: the compressed round trip is lossless and the pixel
+        # grid equals the PPM generator's, so the identical integer-grid
+        # replay hash-checks the zlib inflate + unfilter decode
+        "png_features": """
+            WITH m AS (
+                SELECT doc_id,
+                       (n_chars % 640 + 32)::INT AS w,
+                       (n_chars % 480 + 32)::INT AS h
+                FROM documents WHERE doc_id % 10 = 0
+            ), s AS (
+                SELECT doc_id, w, h, least(64.0 / w, 64.0 / h, 1.0) AS sc
+                FROM m
+            ), tt AS (
+                SELECT doc_id, w, h,
+                       floor(w * sc + 0.5)::INT AS tw,
+                       floor(h * sc + 0.5)::INT AS th
+                FROM s
+            ), px AS (
+                -- range() cannot lateral-correlate on tw/th; targets are
+                -- always <= max_side=64, so cross a fixed 64x64 grid and
+                -- filter to the per-image target extent
+                SELECT doc_id, w, h, tw, th,
+                       (xi.i * w) // tw AS sx,
+                       (yi.i * h) // th AS sy
+                FROM tt, range(64) xi(i), range(64) yi(i)
+                WHERE xi.i < tw AND yi.i < th
+            ), ch AS (
+                SELECT doc_id, w, h, tw, th,
+                       ((sx * (doc_id % 7 + 1)) % 256)::DOUBLE AS r,
+                       ((sy * (doc_id % 5 + 1)) % 256)::DOUBLE AS g,
+                       ((sx + sy + doc_id) % 256)::DOUBLE AS b
+                FROM px
+            )
+            SELECT doc_id, w AS width, h AS height,
+                   tw AS target_width, th AS target_height,
+                   round(avg(r), 4) AS mean_r,
+                   round(avg(g), 4) AS mean_g,
+                   round(avg(b), 4) AS mean_b,
+                   round(stddev_pop(0.299::DOUBLE * r + 0.587::DOUBLE * g
+                                    + 0.114::DOUBLE * b), 4) AS std_luma
+            FROM ch GROUP BY doc_id, w, h, tw, th
+        """,
         "image_features": """
             WITH m AS (
                 SELECT doc_id,
@@ -7156,6 +7244,52 @@ def oracle_sql() -> dict[str, str]:
         # bit_count(xor) (60 images -> 1.7k pairs; the Spark side's banded
         # join is a recall optimization with identical output). numpy-vs-
         # DuckDB bit parity verified over sf0.01 AND sf0.1 corpora.
+        # PNG twin of the aHash pairs (lossless round trip = identical
+        # fingerprints)
+        "png_phash_pairs": """
+            WITH m AS (
+                SELECT doc_id,
+                       (n_chars % 640 + 32)::INT AS w,
+                       (n_chars % 480 + 32)::INT AS h
+                FROM documents WHERE doc_id % 10 = 0
+            ), grid AS (
+                SELECT doc_id, w, h, yi.i AS gy, xi.i AS gx,
+                       (xi.i * w) // 8 AS sx, (yi.i * h) // 8 AS sy
+                FROM m, range(8) xi(i), range(8) yi(i)
+            ), px AS (
+                SELECT doc_id, gy, gx,
+                       0.299::DOUBLE * ((sx * (doc_id % 7 + 1)) % 256)
+                     + 0.587::DOUBLE * ((sy * (doc_id % 5 + 1)) % 256)
+                     + 0.114::DOUBLE * ((sx + sy + doc_id) % 256) AS luma
+                FROM grid
+            ), mn AS (
+                SELECT doc_id, avg(luma) AS mu FROM px GROUP BY doc_id
+            ), bits AS (
+                SELECT p.doc_id, gy * 8 + gx AS pos,
+                       CASE WHEN p.luma > mn.mu THEN 1 ELSE 0 END AS bit
+                FROM px p JOIN mn USING (doc_id)
+            ), packed AS (
+                SELECT doc_id,
+                       sum(bit::HUGEINT * (1::HUGEINT << (63 - pos))) AS v
+                FROM bits GROUP BY doc_id
+            ), ph AS (
+                SELECT doc_id,
+                       (CASE WHEN v >= 9223372036854775808::HUGEINT
+                             THEN v - 18446744073709551616::HUGEINT
+                             ELSE v END)::BIGINT AS phash
+                FROM packed
+            ), allph AS (
+                SELECT doc_id, phash FROM ph
+                UNION ALL
+                -- perceptual twins: regenerated under id+1e6 from the SAME
+                -- source pixels, so the twin's hash IS the base hash
+                SELECT doc_id + 1000000, phash FROM ph WHERE doc_id % 50 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.phash, b.phash)) AS hamming
+            FROM allph a JOIN allph b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 7
+        """,
         "image_phash_pairs": """
             WITH m AS (
                 SELECT doc_id,

@@ -8,8 +8,11 @@ audio (stdlib ``wave`` + numpy — ``backend='wav'`` in
 raster images (binary P6 PPM — :func:`decode_resize_features` parses the
 bytes, nearest-neighbor resizes to the :func:`resize_plan` target, and
 emits channel statistics; generator twin :func:`image_from_documents`).
-Compressed-format codecs (JPEG/PNG/video) are STUBBED because Pillow/ffmpeg
-are not in this container:
+PNG also decodes FOR REAL (stdlib zlib inflate + per-row filter reversal of
+all five PNG filters — :func:`_png_decode`, generator twin
+:func:`png_from_documents`), so compressed-image dedup/features are
+first-class. Remaining compressed codecs (JPEG/video) are STUBBED because
+Pillow/ffmpeg are not in this container:
 
 * :data:`MEDIA_SCHEMA` — ``content BINARY`` + typed metadata struct, the
   lakehouse layout for a 100 TB multimodal corpus (partition by ``kind``,
@@ -348,6 +351,227 @@ def _ppm_decode(content: bytes):
     return pixels.reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic 8-bit RGB PNG of the SAME doc_id-seeded gradient as
+    :func:`_ppm_bytes` — a REAL compressed image built with stdlib zlib
+    only. Each scanline uses filter ``(doc_id + y) % 5``, so every PNG
+    filter type (None/Sub/Up/Average/Paeth) is exercised on every image
+    taller than 4 rows; filtering is the local (non-recursive) direction,
+    so the encoder is pure vectorized numpy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = ((x * (doc_id % 7 + 1)) % 256).astype(np.uint8)
+    g = ((y * (doc_id % 5 + 1)) % 256).astype(np.uint8)
+    b = ((x + y + doc_id) % 256).astype(np.uint8)
+    raw = np.dstack([r, g, b]).reshape(height, width * 3).astype(np.int16)
+    zero = np.zeros(width * 3, dtype=np.int16)
+    out = bytearray()
+    prior = zero
+    for row in range(height):
+        cur = raw[row]
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        up_left = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        ftype = (doc_id + row) % 5
+        if ftype == 0:  # None
+            filt = cur
+        elif ftype == 1:  # Sub
+            filt = cur - left
+        elif ftype == 2:  # Up
+            filt = cur - prior
+        elif ftype == 3:  # Average
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prior), np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+            )
+            filt = cur - pred
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(out), 6)
+    body = b"".join(
+        # split IDAT so multi-chunk reassembly is exercised, per spec
+        _png_chunk(b"IDAT", idat[i : i + 8192])
+        for i in range(0, max(len(idat), 1), 8192)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + body
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(content: bytes):
+    """Parse an 8-bit RGB (color type 2, non-interlaced) PNG into an
+    (H, W, 3) uint8 array — stdlib zlib + per-row filter reversal, no
+    codec library. Chunk CRCs are verified and anything malformed raises:
+    a corrupt image must fail loudly, not feature-ify.
+
+    Unfiltering is the recursive direction; the hot filters vectorize
+    anyway — Sub is a per-channel modular cumsum, Up a vector add —
+    and only Average/Paeth rows walk pixels (bounded by the row width).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    complete = False
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in PNG chunk {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: need 8-bit RGB (color type 2), "
+                    f"non-interlaced; got depth={depth} color={ctype} "
+                    f"interlace={inter}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            complete = True
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not complete:
+        raise ValueError("truncated PNG: no IEND chunk")
+    stride = width * 3
+    data = zlib.decompress(bytes(idat))
+    if len(data) != (stride + 1) * height:
+        raise ValueError("PNG pixel payload does not match dimensions")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for yy in range(height):
+        ftype, filt = rows[yy, 0], rows[yy, 1:]
+        if ftype == 0:  # None
+            recon = filt.copy()
+        elif ftype == 1:  # Sub: per-channel modular prefix sum
+            recon = (
+                np.cumsum(filt.reshape(-1, 3).astype(np.uint32), axis=0)
+                % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            recon = filt + prior  # uint8 wraps mod 256
+        elif ftype in (3, 4):  # Average / Paeth: left-recursive
+            # plain-int lists: numpy scalar indexing is ~10x slower in
+            # this sequential recurrence
+            f = filt.tolist()
+            pr = prior.tolist()
+            rec = [0] * stride
+            if ftype == 3:
+                for i in range(stride):
+                    left = rec[i - 3] if i >= 3 else 0
+                    rec[i] = (f[i] + ((left + pr[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = rec[i - 3] if i >= 3 else 0
+                    up = pr[i]
+                    ul = pr[i - 3] if i >= 3 else 0
+                    p = left + up - ul
+                    pa = p - left if p >= left else left - p
+                    pb = p - up if p >= up else up - p
+                    pc = p - ul if p >= ul else ul - p
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    rec[i] = (f[i] + pred) & 0xFF
+            recon = np.asarray(rec, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[yy] = recon
+        prior = recon
+    return out.reshape(height, width, 3)
+
+
+def _raster_decode(content: bytes):
+    """Decode a raster image by signature: P6 PPM or 8-bit RGB PNG —
+    the shared entry the image feature/ahash paths call, so PPM and PNG
+    corpora flow through identical downstream math."""
+    content = bytes(content)
+    if content[:8] == _PNG_SIG:
+        return _png_decode(content)
+    if content[:2] == b"P6":
+        return _ppm_decode(content)
+    raise ValueError("unsupported raster format (need P6 PPM or RGB PNG)")
+
+
+def png_from_documents(docs: DataFrame) -> DataFrame:
+    """Build an image media table of REAL zlib-compressed PNG bytes per
+    document — same deterministic gradient and dimensions as
+    :func:`image_from_documents`, so both corpora share one oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            widths = (batch["n_chars"] % 640 + 32).astype(int)
+            heights = (batch["n_chars"] % 480 + 32).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "kind": "image",
+                    "content": [
+                        _png_bytes(int(i), int(w), int(h))
+                        for i, w, h in zip(batch["doc_id"], widths, heights)
+                    ],
+                    "meta": [
+                        {
+                            "width": int(w),
+                            "height": int(h),
+                            "n_frames": None,
+                            "sample_rate": None,
+                            "format": "png",
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _nn_resize(img, target_w: int, target_h: int):
     """Nearest-neighbor resample via index gather — pure numpy."""
     import numpy as np
@@ -400,16 +624,20 @@ def decode_resize_features(
     leaves the UDF. Output: ``(doc_id, width, height, target_width,
     target_height, mean_r, mean_g, mean_b, std_luma)``.
 
-    ``backend='ppm'`` (default) parses binary P6 PPM with pure numpy;
-    ``backend='pillow'`` decodes any PIL-supported format (JPEG/PNG/...)
+    ``backend='ppm'``/``'png'``/``'raster'`` (default ``'ppm'``; all three
+    are the same signature-dispatched path) parse binary P6 PPM or 8-bit
+    RGB PNG with stdlib zlib + numpy;
+    ``backend='pillow'`` decodes any PIL-supported format (JPEG/...)
     — gated on the optional pillow package like the xlsx sink, with a
     clear driver-side ImportError when it is absent. Both paths share the
     resize + statistics math, so swapping codecs never changes features.
     """
     import numpy as np  # noqa: F401 — imported for the closure below
 
-    if backend not in ("ppm", "pillow"):
-        raise ValueError(f"backend must be ppm|pillow, got {backend!r}")
+    if backend not in ("ppm", "png", "raster", "pillow"):
+        raise ValueError(
+            f"backend must be ppm|png|raster|pillow, got {backend!r}"
+        )
     if backend == "pillow":
         try:
             import PIL  # noqa: F401
@@ -442,7 +670,8 @@ def decode_resize_features(
                         _Image.open(_io.BytesIO(bytes(content))).convert("RGB")
                     )
                 else:
-                    img = _ppm_decode(bytes(content))
+                    # ppm/png/raster all dispatch on the content signature
+                    img = _raster_decode(bytes(content))
                 h, w = img.shape[:2]
                 scale = min(max_side / w, max_side / h, 1.0)
                 # floor(x + 0.5), not Python round: resize_plan's F.round is
@@ -477,7 +706,7 @@ def decode_resize_features(
 
 def image_ahash(media: DataFrame, hash_side: int = 8) -> DataFrame:
     """64-bit average-hash (aHash) perceptual fingerprint per image:
-    decode P6 PPM → luma → nearest-neighbor downsample to
+    decode (P6 PPM or PNG, by signature) → luma → NN downsample to
     ``hash_side × hash_side`` → one bit per cell (1 where the cell exceeds
     the mean), packed row-major into a signed 64-bit long.
 
@@ -498,7 +727,7 @@ def image_ahash(media: DataFrame, hash_side: int = 8) -> DataFrame:
         for batch in batches:
             ids, hashes = [], []
             for doc_id, content in zip(batch["doc_id"], batch["content"]):
-                img = _ppm_decode(bytes(content)).astype(np.float64)
+                img = _raster_decode(bytes(content)).astype(np.float64)
                 luma = (
                     0.299 * img[..., 0]
                     + 0.587 * img[..., 1]
