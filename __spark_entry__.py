@@ -4000,243 +4000,206 @@ def q_quantile_transform(spark, sf_dir):
 # window slots; displaced stable queries stay hash-checked by the local
 # oracle sweep (tests/test_entry_oracle.py, scripts/oracle_check.py).
 QUERIES: dict[str, Callable] = {
-    # round-10 additions (re-ordered into the window by the rotation pass)
-    "sparql_path_star": q_sparql_path_star,
-    "sparql_group_count": q_sparql_group_count,
-    "sparql_group_having": q_sparql_group_having,
-    "selection_pipeline_tokens": q_selection_pipeline_tokens,
-    "png_features": q_png_features,
-    "png_phash_pairs": q_png_phash_pairs,
-    # round-8 rotation (per round-7 verdict asks #1/#2): the 4 NEW queries
-    # (SPARQL VALUES + property path, the packed selection pipeline, the
-    # CCNet histogram maintainer twin) lead ...
-    "sparql_values": q_sparql_values,
-    "sparql_path": q_sparql_path,
-    "sparql_path_plus": q_sparql_path_plus,
-    "selection_pipeline_packed": q_selection_pipeline_packed,
-    "perplexity_maintenance": q_perplexity_maintenance,
-    # ... then the 4 queries no driver round had checked first-party
-    # (judge-verified green in the round-7 sweep; this makes the ledger
-    # say so first-party) ...
-    "dsir_maintenance": q_dsir_maintenance,
-    "sparql_topk": q_sparql_topk,
-    "quality_gate": q_quality_gate,
-    "selection_pipeline": q_selection_pipeline,
-    # ... compression_ratio keeps its slot: the round-8 python-zlib
-    # literal-table oracle upgrades its r07 no_oracle row to hash-checked
-    "compression_ratio": q_compression_ratio,
-    # ... and the r07 window keepers — the SPARQL planner core, the DSIR /
-    # perplexity / BPE / quantization families the round-8 refactors
-    # touch, and the dedup-family queries now riding the shared
-    # shingle/banding seams (fuzzy_join, decontaminate,
-    # dedup_quality_survivor) ...
-    "sparql_optional_filter": q_sparql_optional_filter,
-    "sparql_union": q_sparql_union,
-    "dsir_weights": q_dsir_weights,
-    "dsir_select": q_dsir_select,
-    "perplexity_buckets": q_perplexity_buckets,
-    "bpe_encode": q_bpe_encode,
-    "embedding_quantize": q_embedding_quantize,
-    "quantized_recall": q_quantized_recall,
-    "knn_join": q_knn_join,
-    "fuzzy_join": q_fuzzy_join,
-    "pack_first_fit": q_pack_first_fit,
-    "heavy_hitters": q_heavy_hitters,
-    "hll_grouped": q_hll_grouped,
-    "lm_perplexity": q_lm_perplexity,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "dedup_quality_survivor": q_dedup_quality_survivor,
-    "decontaminate": q_decontaminate,
-    "corpus_report": q_corpus_report,
-    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,
-    "cms_counts": q_cms_counts,
-    "bloom_decontaminate": q_bloom_decontaminate,
-    "kmv_distinct": q_kmv_distinct,
-    "kmv_grouped": q_kmv_grouped,
-    "hll_distinct": q_hll_distinct,
-    "pack_chunks": q_pack_chunks,
-    "chunk_spans": q_chunk_spans,
-    "sliding_windows": q_sliding_windows,
-    "hash_split_counts": q_hash_split_counts,
-    "extractor_suite": q_extractor_suite,
-    "filter_suite": q_filter_suite,
-    "semi_join_enrich": q_semi_join_enrich,
-    "value_quantiles": q_value_quantiles,
-    "stratified_sample": q_stratified_sample,
-    "weighted_mixture": q_weighted_mixture,
-    "dict_lookup": q_dict_lookup,
-    "grounding_retry": q_grounding_retry,
-    "point_lookup": q_point_lookup,
-    "kg_degree_distribution": q_kg_degree_distribution,
-    "shipping_priority": q_shipping_priority,
-    "quality_topk": q_quality_topk,
+    # STALEST-FIRST rotation (scripts/rotate_window.py): the first
+    # 50 entries are the driver's correctness window — queries never
+    # driver-checked lead, then ascending last-green round. The
+    # ledger-freshness test asserts this invariant; regenerate with
+    #   python scripts/rotate_window.py
+    "sparql_path_star": q_sparql_path_star,  # never driver-checked
+    "sparql_group_count": q_sparql_group_count,  # never driver-checked
+    "sparql_group_having": q_sparql_group_having,  # never driver-checked
+    "selection_pipeline_tokens": q_selection_pipeline_tokens,  # never driver-checked
+    "png_features": q_png_features,  # never driver-checked
+    "png_phash_pairs": q_png_phash_pairs,  # never driver-checked
+    "sparql_not_exists": q_sparql_not_exists,  # never driver-checked
+    "ivf_topk": q_ivf_topk,  # last green r01
+    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,  # last green r01
+    "media_frame_sample": q_media_frame_sample,  # last green r01
+    "media_resize_plan": q_media_resize_plan,  # last green r01
+    "rdf_reactions": q_rdf_reactions,  # last green r03
+    "kg_components": q_kg_components,  # last green r03
+    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,  # last green r03
+    "dedup_lsh_verified": q_dedup_lsh_verified,  # last green r03
+    "dedup_exact": q_dedup_exact,  # last green r03
+    "minhash_signatures": q_minhash_signatures,  # last green r03
+    "relation_dispatch": q_relation_dispatch,  # last green r03
+    "kg_edge_list": q_kg_edge_list,  # last green r03
+    "kg_triples": q_kg_triples,  # last green r03
+    "kg_descendants": q_kg_descendants,  # last green r03
+    "events_hourly": q_events_hourly,  # last green r03
+    "obo_scan": q_obo_scan,  # last green r03
+    "cx_pivot": q_cx_pivot,  # last green r03
+    "curie_normalize": q_curie_normalize,  # last green r03
+    "latest_event_per_user": q_latest_event_per_user,  # last green r03
+    "cosine_topk": q_cosine_topk,  # last green r03
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # last green r03
+    "line_dedup": q_line_dedup,  # last green r03
+    "simhash_docs": q_simhash_docs,  # last green r03
+    "upsert_anti": q_upsert_anti,  # last green r03
+    "content_hash_tree": q_content_hash_tree,  # last green r03
+    "json_props": q_json_props,  # last green r03
+    "kg_summary": q_kg_summary,  # last green r03
+    "kg_pathway_edges": q_kg_pathway_edges,  # last green r03
+    "kg_union_dedup": q_kg_union_dedup,  # last green r03
+    "pathway_size_distribution": q_pathway_size_distribution,  # last green r03
+    "gene_pathway_counts": q_gene_pathway_counts,  # last green r03
+    "pathway_to_symbols": q_pathway_to_symbols,  # last green r03
+    "substring_search": q_substring_search,  # last green r03
+    "in_set_lookup": q_in_set_lookup,  # last green r03
+    "revenue_by_region": q_revenue_by_region,  # last green r03
+    "distinct_segments": q_distinct_segments,  # last green r03
+    "nation_segments": q_nation_segments,  # last green r03
+    "content_hash": q_content_hash,  # last green r03
+    "word_counts": q_word_counts,  # last green r03
+    "first_prefixed_token": q_first_prefixed_token,  # last green r03
+    "dedup_drop_exact": q_dedup_drop_exact,  # last green r03
+    "dedup_lsh_fast": q_dedup_lsh_fast,  # last green r03
+    "embedding_near_pairs_exact": q_embedding_near_pairs_exact,  # last green r03
     # ---- end of the driver's 50-query correctness window ----
-    # Displaced this round (all r07 first-party hash-green, none touched
-    # by round-8 changes, all still hash-checked by the local sweep):
-    # indra_statements, media_features, event_sessions, audio_features,
-    # image_features, video_features, image_phash_pairs, triangle_count,
-    # forecast_revenue (bumped for sparql_path_plus).
-    "forecast_revenue": q_forecast_revenue,
-    # (sparql_not_exists: anti-join compilation shares the machinery the
-    # in-window path/VALUES queries check; sweep-checked)
-    "sparql_not_exists": q_sparql_not_exists,
-    "indra_statements": q_indra_statements,
-    "media_features": q_media_features,
-    "event_sessions": q_event_sessions,
-    "audio_features": q_audio_features,
-    "image_features": q_image_features,
-    "video_features": q_video_features,
-    "image_phash_pairs": q_image_phash_pairs,
-    "triangle_count": q_triangle_count,
-    # (incremental_fuzzy: first-party green r06, the round-8 seam refactor
-    # left its hash unchanged — re-proven by the local sweep)
-    "incremental_fuzzy": q_incremental_fuzzy,
-    # (curation_pipeline_v2 displaced by dsir_select; green r06, retimed and
-    # triaged this round, and it stays hash-checked by the local sweep)
-    "curation_pipeline_v2": q_curation_pipeline_v2,
-    # (rdf_reactions displaced by embedding_quantize; the SPARQL planner it
-    # runs through is first-party-checked via sparql_optional_filter +
-    # sparql_union, and it stays hash-checked by the local sweep)
-    "rdf_reactions": q_rdf_reactions,
-    # (mean_pool displaced by bpe_encode; its round-7 ADVICE fix carries
-    # regression tests + the eqNullSafe plan assert, and it stays
-    # hash-checked by the local sweep)
-    "mean_pool": q_mean_pool,
-    # (join_strategy displaced by perplexity_buckets; its round-7 ADVICE
-    # fix carries regression tests + a mirrored oracle, and it stays
-    # hash-checked by the local sweep)
-    "join_strategy": q_join_strategy,
-    # (topk_maintenance displaced by dsir_weights; green r06 and still
-    # hash-checked by the local sweep)
-    "topk_maintenance": q_topk_maintenance,
-    # (psi_maintenance displaced by sparql_union; green r06 and still
-    # hash-checked by the local sweep)
-    "psi_maintenance": q_psi_maintenance,
-    # (cms_maintenance displaced by indra_statements; green r06 and still
-    # hash-checked by the local sweep)
-    "cms_maintenance": q_cms_maintenance,
-    # (hll_maintenance displaced by sparql_optional_filter; green r06 and
-    # still hash-checked by the local sweep)
-    "hll_maintenance": q_hll_maintenance,
-    "temperature_mixture": q_temperature_mixture,
-    "token_budget_select": q_token_budget_select,
-    "cluster_split": q_cluster_split,
-    "winnowing_fingerprints": q_winnowing,
-    "weighted_sample": q_weighted_sample,
-    "lexical_diversity": q_lexical_diversity,
-    "vocab_divergence": q_vocab_divergence,
-    "oov_rate": q_oov_rate,
-    "quantile_transform": q_quantile_transform,
-    "zorder_layout": q_zorder,
-    "hilbert_layout": q_hilbert_layout,
-    "hilbert_layout_3d": q_hilbert_layout_3d,
-    "loop_detection": q_loop_detection,
-    "ngram_contamination": q_ngram_contamination,
-    "ab_test": q_ab_test,
-    "bloom_join": q_bloom_join,
-    "robust_scale": q_robust_scale,
-    "split_leakage": q_split_leakage,
-    "equiheight_histogram": q_equiheight_histogram,
-    "edit_distance_pairs": q_edit_distance,
-    "join_size_estimate": q_join_size,
-    "soft_cluster": q_soft_cluster,
-    "asof_join_tolerance": q_asof_join_tolerance,
-    "asof_join_nearest": q_asof_join_nearest,
-    "interval_overlap": q_interval_overlap,
-    "hypertable_rollup": q_hypertable_rollup,
-    "timeline_features": q_timeline_features,
-    "label_consistency": q_label_consistency,
-    "scd2_apply": q_scd2_apply,
-    "cooccurrence_pmi": q_cooccurrence_pmi,
-    "bm25_search": q_bm25_search,
-    "srp_near_pairs": q_srp_near_pairs,
-    "table_diff": q_table_diff,
-    "cdc_apply": q_cdc_apply,
-    "lsh_recall": q_lsh_recall,
-    "bpe_merges": q_bpe_merges,
-    "psi_drift": q_psi_drift,
-    "zipf_fit": q_zipf_fit,
-    "target_encoding": q_target_encoding,
-    "k_core": q_k_core,
-    "k_hop_profile": q_k_hop_profile,
-    "pathway_enrichment": q_pathway_enrichment,
-    "value_histogram": q_value_histogram,
-    "comembership": q_comembership,
-    "session_paths": q_session_paths,
-    "decayed_sum": q_decayed_sum,
-    "negative_samples": q_negative_samples,
-    "hard_negative_samples": q_hard_negative_samples,
-    "quantile_sketch_grouped": q_quantile_sketch_grouped,
-    "validate_lineitem": q_validate_lineitem,
-    "dup_span_profile": q_dup_span_profile,
-    "dup_span_scrub": q_dup_span_scrub,
-    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,
-    "asof_join": q_asof_join,
-    "asof_join_forward": q_asof_join_forward,
-    "interval_join": q_interval_join,
-    "funnel_counts": q_funnel_counts,
-    "retention_matrix": q_retention_matrix,
-    "event_pivot": q_event_pivot,
-    "quantile_sketch": q_quantile_sketch,
-    "winsorized_stats": q_winsorized_stats,
-    "zscore_outliers": q_zscore_outliers,
-    "impute_median": q_impute_median,
-    "feature_correlations": q_feature_correlations,
-    "training_pipeline": q_training_pipeline,
-    "pagerank": q_pagerank,
-    "pricing_summary": q_pricing_summary,
-    "kmeans_assign": q_kmeans_assign,
-    "embedding_dedup": q_embedding_dedup,
-    "deterministic_shuffle": q_deterministic_shuffle,
-    "ivf_topk": q_ivf_topk,
-    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,
-    "kg_components": q_kg_components,
-    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,
-    "dedup_lsh_verified": q_dedup_lsh_verified,
-    "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
-    "relation_dispatch": q_relation_dispatch,
-    "kg_edge_list": q_kg_edge_list,
-    "kg_triples": q_kg_triples,
-    "kg_descendants": q_kg_descendants,
-    "events_hourly": q_events_hourly,
-    "obo_scan": q_obo_scan,
-    "cx_pivot": q_cx_pivot,
-    "curie_normalize": q_curie_normalize,
-    "latest_event_per_user": q_latest_event_per_user,
-    "cosine_topk": q_cosine_topk,
-    "media_frame_sample": q_media_frame_sample,
-    "media_resize_plan": q_media_resize_plan,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "line_dedup": q_line_dedup,
-    "simhash_docs": q_simhash_docs,
-    "upsert_anti": q_upsert_anti,
-    "content_hash_tree": q_content_hash_tree,
-    "json_props": q_json_props,
-    "kg_summary": q_kg_summary,
-    "kg_pathway_edges": q_kg_pathway_edges,
-    "kg_union_dedup": q_kg_union_dedup,
-    "pathway_size_distribution": q_pathway_size_distribution,
-    "gene_pathway_counts": q_gene_pathway_counts,
-    "pathway_to_symbols": q_pathway_to_symbols,
-    "substring_search": q_substring_search,
-    "in_set_lookup": q_in_set_lookup,
-    "revenue_by_region": q_revenue_by_region,
-    "distinct_segments": q_distinct_segments,
-    "nation_segments": q_nation_segments,
-    "content_hash": q_content_hash,
-    "word_counts": q_word_counts,
-    "first_prefixed_token": q_first_prefixed_token,
-    "dedup_drop_exact": q_dedup_drop_exact,
-    "dedup_lsh_fast": q_dedup_lsh_fast,
-    "embedding_near_pairs_exact": q_embedding_near_pairs_exact,
-    "repetition_metrics": q_repetition_metrics,
-    "top_word_fraction": q_top_word_fraction,
-    "pii_scrub": q_pii_scrub,
-    "text_quality": q_text_quality,
-    "language_confusion": q_language_confusion,
-    "token_stats": q_token_stats,
-    "doc_fingerprints": q_doc_fingerprints,
+    "repetition_metrics": q_repetition_metrics,  # last green r03
+    "top_word_fraction": q_top_word_fraction,  # last green r03
+    "pii_scrub": q_pii_scrub,  # last green r03
+    "text_quality": q_text_quality,  # last green r03
+    "language_confusion": q_language_confusion,  # last green r03
+    "token_stats": q_token_stats,  # last green r03
+    "doc_fingerprints": q_doc_fingerprints,  # last green r03
+    "asof_join": q_asof_join,  # last green r04
+    "asof_join_forward": q_asof_join_forward,  # last green r04
+    "interval_join": q_interval_join,  # last green r04
+    "funnel_counts": q_funnel_counts,  # last green r04
+    "retention_matrix": q_retention_matrix,  # last green r04
+    "event_pivot": q_event_pivot,  # last green r04
+    "quantile_sketch": q_quantile_sketch,  # last green r04
+    "winsorized_stats": q_winsorized_stats,  # last green r04
+    "zscore_outliers": q_zscore_outliers,  # last green r04
+    "impute_median": q_impute_median,  # last green r04
+    "feature_correlations": q_feature_correlations,  # last green r04
+    "training_pipeline": q_training_pipeline,  # last green r04
+    "pagerank": q_pagerank,  # last green r04
+    "pricing_summary": q_pricing_summary,  # last green r04
+    "kmeans_assign": q_kmeans_assign,  # last green r04
+    "embedding_dedup": q_embedding_dedup,  # last green r04
+    "deterministic_shuffle": q_deterministic_shuffle,  # last green r04
+    "value_histogram": q_value_histogram,  # last green r05
+    "comembership": q_comembership,  # last green r05
+    "session_paths": q_session_paths,  # last green r05
+    "decayed_sum": q_decayed_sum,  # last green r05
+    "negative_samples": q_negative_samples,  # last green r05
+    "hard_negative_samples": q_hard_negative_samples,  # last green r05
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,  # last green r05
+    "validate_lineitem": q_validate_lineitem,  # last green r05
+    "dup_span_profile": q_dup_span_profile,  # last green r05
+    "dup_span_scrub": q_dup_span_scrub,  # last green r05
+    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
+    "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
+    "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
+    "mean_pool": q_mean_pool,  # last green r06
+    "join_strategy": q_join_strategy,  # last green r06
+    "topk_maintenance": q_topk_maintenance,  # last green r06
+    "psi_maintenance": q_psi_maintenance,  # last green r06
+    "cms_maintenance": q_cms_maintenance,  # last green r06
+    "hll_maintenance": q_hll_maintenance,  # last green r06
+    "temperature_mixture": q_temperature_mixture,  # last green r06
+    "token_budget_select": q_token_budget_select,  # last green r06
+    "cluster_split": q_cluster_split,  # last green r06
+    "winnowing_fingerprints": q_winnowing,  # last green r06
+    "weighted_sample": q_weighted_sample,  # last green r06
+    "lexical_diversity": q_lexical_diversity,  # last green r06
+    "vocab_divergence": q_vocab_divergence,  # last green r06
+    "oov_rate": q_oov_rate,  # last green r06
+    "quantile_transform": q_quantile_transform,  # last green r06
+    "zorder_layout": q_zorder,  # last green r06
+    "hilbert_layout": q_hilbert_layout,  # last green r06
+    "hilbert_layout_3d": q_hilbert_layout_3d,  # last green r06
+    "loop_detection": q_loop_detection,  # last green r06
+    "ngram_contamination": q_ngram_contamination,  # last green r06
+    "ab_test": q_ab_test,  # last green r06
+    "bloom_join": q_bloom_join,  # last green r06
+    "robust_scale": q_robust_scale,  # last green r06
+    "split_leakage": q_split_leakage,  # last green r06
+    "equiheight_histogram": q_equiheight_histogram,  # last green r06
+    "edit_distance_pairs": q_edit_distance,  # last green r06
+    "join_size_estimate": q_join_size,  # last green r06
+    "soft_cluster": q_soft_cluster,  # last green r06
+    "asof_join_tolerance": q_asof_join_tolerance,  # last green r06
+    "asof_join_nearest": q_asof_join_nearest,  # last green r06
+    "interval_overlap": q_interval_overlap,  # last green r06
+    "hypertable_rollup": q_hypertable_rollup,  # last green r06
+    "timeline_features": q_timeline_features,  # last green r06
+    "label_consistency": q_label_consistency,  # last green r06
+    "scd2_apply": q_scd2_apply,  # last green r06
+    "cooccurrence_pmi": q_cooccurrence_pmi,  # last green r06
+    "bm25_search": q_bm25_search,  # last green r06
+    "srp_near_pairs": q_srp_near_pairs,  # last green r06
+    "table_diff": q_table_diff,  # last green r06
+    "cdc_apply": q_cdc_apply,  # last green r06
+    "lsh_recall": q_lsh_recall,  # last green r06
+    "bpe_merges": q_bpe_merges,  # last green r06
+    "psi_drift": q_psi_drift,  # last green r06
+    "zipf_fit": q_zipf_fit,  # last green r06
+    "target_encoding": q_target_encoding,  # last green r06
+    "k_core": q_k_core,  # last green r06
+    "k_hop_profile": q_k_hop_profile,  # last green r06
+    "pathway_enrichment": q_pathway_enrichment,  # last green r06
+    "forecast_revenue": q_forecast_revenue,  # last green r07
+    "indra_statements": q_indra_statements,  # last green r07
+    "media_features": q_media_features,  # last green r07
+    "event_sessions": q_event_sessions,  # last green r07
+    "audio_features": q_audio_features,  # last green r07
+    "image_features": q_image_features,  # last green r07
+    "video_features": q_video_features,  # last green r07
+    "image_phash_pairs": q_image_phash_pairs,  # last green r07
+    "triangle_count": q_triangle_count,  # last green r07
+    "sparql_values": q_sparql_values,  # last green r09
+    "sparql_path": q_sparql_path,  # last green r09
+    "sparql_path_plus": q_sparql_path_plus,  # last green r09
+    "selection_pipeline_packed": q_selection_pipeline_packed,  # last green r09
+    "perplexity_maintenance": q_perplexity_maintenance,  # last green r09
+    "dsir_maintenance": q_dsir_maintenance,  # last green r09
+    "sparql_topk": q_sparql_topk,  # last green r09
+    "quality_gate": q_quality_gate,  # last green r09
+    "selection_pipeline": q_selection_pipeline,  # last green r09
+    "compression_ratio": q_compression_ratio,  # last green r09
+    "sparql_optional_filter": q_sparql_optional_filter,  # last green r09
+    "sparql_union": q_sparql_union,  # last green r09
+    "dsir_weights": q_dsir_weights,  # last green r09
+    "dsir_select": q_dsir_select,  # last green r09
+    "perplexity_buckets": q_perplexity_buckets,  # last green r09
+    "bpe_encode": q_bpe_encode,  # last green r09
+    "embedding_quantize": q_embedding_quantize,  # last green r09
+    "quantized_recall": q_quantized_recall,  # last green r09
+    "knn_join": q_knn_join,  # last green r09
+    "fuzzy_join": q_fuzzy_join,  # last green r09
+    "pack_first_fit": q_pack_first_fit,  # last green r09
+    "heavy_hitters": q_heavy_hitters,  # last green r09
+    "hll_grouped": q_hll_grouped,  # last green r09
+    "lm_perplexity": q_lm_perplexity,  # last green r09
+    "tfidf_top_terms": q_tfidf_top_terms,  # last green r09
+    "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r09
+    "decontaminate": q_decontaminate,  # last green r09
+    "corpus_report": q_corpus_report,  # last green r09
+    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
+    "cms_counts": q_cms_counts,  # last green r09
+    "bloom_decontaminate": q_bloom_decontaminate,  # last green r09
+    "kmv_distinct": q_kmv_distinct,  # last green r09
+    "kmv_grouped": q_kmv_grouped,  # last green r09
+    "hll_distinct": q_hll_distinct,  # last green r09
+    "pack_chunks": q_pack_chunks,  # last green r09
+    "chunk_spans": q_chunk_spans,  # last green r09
+    "sliding_windows": q_sliding_windows,  # last green r09
+    "hash_split_counts": q_hash_split_counts,  # last green r09
+    "extractor_suite": q_extractor_suite,  # last green r09
+    "filter_suite": q_filter_suite,  # last green r09
+    "semi_join_enrich": q_semi_join_enrich,  # last green r09
+    "value_quantiles": q_value_quantiles,  # last green r09
+    "stratified_sample": q_stratified_sample,  # last green r09
+    "weighted_mixture": q_weighted_mixture,  # last green r09
+    "dict_lookup": q_dict_lookup,  # last green r09
+    "grounding_retry": q_grounding_retry,  # last green r09
+    "point_lookup": q_point_lookup,  # last green r09
+    "kg_degree_distribution": q_kg_degree_distribution,  # last green r09
+    "shipping_priority": q_shipping_priority,  # last green r09
+    "quality_topk": q_quality_topk,  # last green r09
 }
 
 

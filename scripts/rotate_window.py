@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Rotate the driver correctness window: rewrite __spark_entry__.QUERIES in
+STALEST-FIRST order so the 50-slot window always holds (a) queries never
+driver-checked (new this round, or never rotated in) and (b) the queries
+whose last driver-green row is oldest. tests/test_ledger_freshness.py
+asserts the resulting invariant, so skipping this pass fails CI.
+
+Ties (same last-green round) keep their previous relative order, so the
+rewrite is deterministic and the diff minimal. Comments inside the QUERIES
+literal are replaced by a generated header; durable per-query commentary
+belongs on the q_* functions.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY = os.path.join(ROOT, "__spark_entry__.py")
+WINDOW = 50
+
+
+def last_green_rounds(root: str = ROOT) -> dict[str, int]:
+    """query -> latest round with a green driver row (hash, or rows for
+    the documented rows-only checks)."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rn = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            green = row.get("err") is None and (
+                row.get("hash_match") or row.get("rows_match")
+            )
+            if green:
+                out[name] = max(out.get(name, 0), rn)
+    return out
+
+
+def parse_queries_block(src: str):
+    m = re.search(
+        r"(QUERIES: dict\[str, Callable\] = \{\n)(.*?)(\n\}\n)", src, re.S
+    )
+    if not m:
+        raise SystemExit("QUERIES literal not found")
+    entries = re.findall(r'^    "([a-z0-9_]+)": (q_\w+),', m.group(2), re.M)
+    return m, entries
+
+
+def rotated_order(entries, greens):
+    order = {k: i for i, (k, _) in enumerate(entries)}
+    return sorted(
+        entries, key=lambda kv: (greens.get(kv[0], -1), order[kv[0]])
+    )
+
+
+def main() -> int:
+    src = open(ENTRY).read()
+    m, entries = parse_queries_block(src)
+    greens = last_green_rounds()
+    ordered = rotated_order(entries, greens)
+    if [k for k, _ in ordered[:WINDOW]] == [k for k, _ in entries[:WINDOW]]:
+        print("window already stalest-first; no rewrite")
+        return 0
+    lines = [
+        "    # STALEST-FIRST rotation (scripts/rotate_window.py): the first",
+        "    # 50 entries are the driver's correctness window — queries never",
+        "    # driver-checked lead, then ascending last-green round. The",
+        "    # ledger-freshness test asserts this invariant; regenerate with",
+        "    #   python scripts/rotate_window.py",
+    ]
+    for i, (k, v) in enumerate(ordered):
+        if i == WINDOW:
+            lines.append(
+                "    # ---- end of the driver's 50-query correctness window ----"
+            )
+        g = greens.get(k)
+        tag = "never driver-checked" if g is None else f"last green r{g:02d}"
+        lines.append(f'    "{k}": {v},  # {tag}')
+    new_block = m.group(1) + "\n".join(lines) + m.group(3)
+    out = src[: m.start()] + new_block + src[m.end():]
+    open(ENTRY, "w").write(out)
+    print(f"rotated {len(ordered)} queries; window head: "
+          f"{[k for k, _ in ordered[:8]]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
