@@ -30,6 +30,23 @@ from bio2bel_spark.dataset import Dataset, ensure_dataset
 __all__ = ["ensure_populated", "ensure_triples_tsv", "ensure_graph_json"]
 
 
+def _tree_mtime(path: str) -> float:
+    """Newest mtime anywhere in a scratch tree. A directory's OWN mtime
+    only moves when direct children are created, so a live builder
+    streaming data into ``tmp/nodes/part-*`` looks hours old from the
+    top — the files inside are what prove the build is alive."""
+    newest = os.path.getmtime(path)
+    for root, _dirs, files in os.walk(path):
+        for entry in files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, entry))
+                )
+            except OSError:
+                continue  # file vanished mid-walk (the build is live!)
+    return newest
+
+
 def _fresh_tmp(path: str) -> str:
     """UNIQUE scratch location next to ``path`` (same filesystem, so the
     final ``os.replace`` stays atomic) for write-then-rename publication.
@@ -39,22 +56,30 @@ def _fresh_tmp(path: str) -> str:
     write — the loser could fail mid-write, or a corrupted interleaved
     artifact could win the rename. With per-build scratch, the only
     contended step is the final atomic rename, which ``_publish``
-    resolves as a cache hit. A crashed build's leftover scratch is inert
-    (never matches a later build's unique name) and is swept here."""
+    resolves as a cache hit.
+
+    A crashed build's leftover scratch is inert (it never matches a later
+    build's unique name) and is swept here once NOTHING in its tree has
+    been touched for an hour — tree mtime, not top-level mtime, so a live
+    builder streaming into a subdirectory is never mistaken for a crash.
+    The pre-uniqueness fixed name (``path + '.tmp'``) is swept by the
+    same rule so old crashes don't leak disk forever."""
     base = os.path.basename(path)
     parent = os.path.dirname(path) or "."
     for stale in os.listdir(parent):
-        # sweep scratch left by CRASHED builds only: a live concurrent
-        # builder's scratch is younger than this grace window
-        cand = os.path.join(parent, stale)
-        if not stale.startswith(base + ".tmp."):
+        if not (
+            stale.startswith(base + ".tmp.") or stale == base + ".tmp"
+        ):
             continue
+        cand = os.path.join(parent, stale)
         try:
-            if time.time() - os.path.getmtime(cand) < 3600:
-                continue
             if os.path.isdir(cand):
+                if time.time() - _tree_mtime(cand) < 3600:
+                    continue
                 shutil.rmtree(cand, ignore_errors=True)
             else:
+                if time.time() - os.path.getmtime(cand) < 3600:
+                    continue
                 os.remove(cand)
         except OSError:
             continue  # another sweeper won the race — fine
@@ -185,5 +210,14 @@ def ensure_graph_json(
     tmp = _fresh_tmp(path)
     write_json(kg.nodes, os.path.join(tmp, "nodes"))
     write_json(kg.edges, os.path.join(tmp, "edges"))
+    # completeness gate: if a sweeper raced us and removed part of the
+    # scratch between the two writes (a build stalled >1h mid-export),
+    # publishing would pin a permanent half-artifact — fail loudly instead
+    for part in ("nodes", "edges"):
+        if not os.path.isdir(os.path.join(tmp, part)):
+            raise RuntimeError(
+                f"graph export scratch lost its {part!r} half before "
+                "publication (stalled >1h mid-export and swept?); rerun"
+            )
     _publish(tmp, path)
     return path

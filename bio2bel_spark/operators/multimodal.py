@@ -383,36 +383,31 @@ def _png_bytes(doc_id: int, width: int, height: int) -> bytes:
     g = ((y * (doc_id % 5 + 1)) % 256).astype(np.uint8)
     b = ((x + y + doc_id) % 256).astype(np.uint8)
     raw = np.dstack([r, g, b]).reshape(height, width * 3).astype(np.int16)
-    zero = np.zeros(width * 3, dtype=np.int16)
-    out = bytearray()
-    prior = zero
-    for row in range(height):
-        cur = raw[row]
-        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
-        up_left = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
-        ftype = (doc_id + row) % 5
-        if ftype == 0:  # None
-            filt = cur
-        elif ftype == 1:  # Sub
-            filt = cur - left
-        elif ftype == 2:  # Up
-            filt = cur - prior
-        elif ftype == 3:  # Average
-            filt = cur - (left + prior) // 2
-        else:  # Paeth
-            p = left + prior - up_left
-            pa, pb, pc = (
-                np.abs(p - left), np.abs(p - prior), np.abs(p - up_left),
-            )
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
-            )
-            filt = cur - pred
-        out.append(ftype)
-        out.extend((filt % 256).astype(np.uint8).tobytes())
-        prior = cur
+    # filtering is the LOCAL (non-recursive) direction, so all five
+    # variants vectorize whole-image; each row then picks its type
+    zcol = np.zeros((height, 3), np.int16)
+    prior = np.vstack([np.zeros((1, width * 3), np.int16), raw[:-1]])
+    left = np.concatenate([zcol, raw[:, :-3]], axis=1)
+    up_left = np.concatenate([zcol, prior[:, :-3]], axis=1)
+    p = left + prior - up_left
+    pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+    pred = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left)
+    )
+    variants = np.stack([
+        raw,                          # 0 None
+        raw - left,                   # 1 Sub
+        raw - prior,                  # 2 Up
+        raw - (left + prior) // 2,    # 3 Average
+        raw - pred,                   # 4 Paeth
+    ])
+    ftypes = (doc_id + np.arange(height)) % 5
+    filt = (variants[ftypes, np.arange(height)] % 256).astype(np.uint8)
+    out = np.concatenate(
+        [ftypes.astype(np.uint8)[:, None], filt], axis=1
+    ).tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    idat = zlib.compress(bytes(out), 6)
+    idat = zlib.compress(out, 6)
     body = b"".join(
         # split IDAT so multi-chunk reassembly is exercised, per spec
         _png_chunk(b"IDAT", idat[i : i + 8192])
@@ -449,15 +444,19 @@ def _png_decode(content: bytes):
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         tag = content[pos + 4 : pos + 8]
-        payload = content[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        if pos + 12 + length > len(content):
+            # payload OR the 4 CRC bytes cut off — one loud error, never
+            # a struct.error leaking out of the unpacks below
             raise ValueError("truncated PNG chunk")
+        payload = content[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", content[pos + 8 + length : pos + 12 + length]
         )
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in PNG chunk {tag!r}")
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad IHDR length {length}")
             width, height, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload
             )

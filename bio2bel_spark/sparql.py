@@ -139,14 +139,15 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
-        if kind == "var" and m.group()[1:].startswith("__path_"):
-            # reserved for property-path desugaring internals — a user
-            # variable with this prefix would either be silently dropped
-            # by the internals cleanup or collide with a fresh var and
-            # corrupt joins; reject it loudly up front
+        if kind == "var" and m.group()[1:].startswith(("__path_", "__having_")):
+            # reserved for planner internals (property-path desugaring /
+            # HAVING hidden aggregate columns) — a user variable with
+            # either prefix would be silently dropped by the internals
+            # cleanup or collide with a synthesized column and fail with
+            # an ambiguous-reference error; reject it loudly up front
             raise SparqlError(
-                f"variable {m.group()!r} uses the reserved '__path_' "
-                "prefix (internal property-path variables); rename it"
+                f"variable {m.group()!r} uses a reserved '__path_'/"
+                "'__having_' prefix (planner internals); rename it"
             )
         out.append((kind, m.group()))
     out.append(("eof", ""))

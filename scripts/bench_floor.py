@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Quiet-host bench FLOOR: min-of-3 steady-state timings for the plan-heavy
+queries at sf0.1, recorded into PLANS.md with the 1-min loadavg per sample —
+the per-round baseline the bench-history deltas are judged against (the
+co-tenant band on this box spans ±25%; a floor row with loadavg <= 2 is a
+real plan cost, a bench delta without one is weather).
+
+Usage: python scripts/bench_floor.py [round_tag]
+Writes/overwrites the "## Quiet-host floor" section under the MANUAL
+EVIDENCE marker in PLANS.md. Refuses to record (exits 1) when the host is
+not quiet (loadavg > 2 at start), so a noisy sample can never masquerade
+as the floor.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: the plan-heavy set: every query whose steady state PLANS.md argues
+#: about, plus the current round's new surface
+FLOOR_SET = [
+    "curation_pipeline_v2",
+    "winnowing_fingerprints",
+    "incremental_fuzzy",
+    "ngram_contamination",
+    "pagerank",
+    "selection_pipeline",
+    "selection_pipeline_packed",
+    "selection_pipeline_tokens",
+    "dsir_maintenance",
+    "dedup_quality_survivor",
+    "fuzzy_join",
+    "png_features",
+    "png_phash_pairs",
+    "sparql_path_star",
+    "sparql_group_count",
+    "sparql_group_having",
+]
+
+N_RUNS = 3
+MARK = "<!-- MANUAL EVIDENCE (preserved by dump_plans.py) -->"
+SECTION = "## Quiet-host floor"
+
+
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r?"
+    if os.getloadavg()[0] > 2.0:
+        print(f"host not quiet (loadavg {os.getloadavg()[0]:.1f} > 2); "
+              "refusing to record a floor")
+        return 1
+
+    import __spark_entry__ as entrymod
+    from bio2bel_spark.operators.caching import release_cached
+    from bio2bel_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bio2bel-spark-floor",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    rows = []
+    for name in FLOOR_SET:
+        fn = qs[name]
+        samples, loads = [], []
+        for _ in range(N_RUNS):
+            loads.append(os.getloadavg()[0])
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            release_cached(spark)
+        rows.append((name, min(samples), max(loads)))
+        print(f"{name}: min-of-{N_RUNS} {min(samples):.2f}s "
+              f"(samples {['%.2f' % s for s in samples]}, "
+              f"loadavg<= {max(loads):.1f})")
+    spark.stop()
+
+    lines = [
+        SECTION,
+        "",
+        f"Round {tag} floor: min-of-{N_RUNS} per query at sf0.1, fresh",
+        "session, recorded only when start loadavg <= 2 (this sample:",
+        f"loadavg at start {os.getloadavg()[0]:.1f}). Compare bench",
+        "deltas against THIS table, not the co-tenant-weather bench line.",
+        "",
+        "| query | floor s | max loadavg during |",
+        "|---|---|---|",
+    ]
+    for name, best, ld in rows:
+        lines.append(f"| {name} | {best:.2f} | {ld:.1f} |")
+    lines.append("")
+    block = "\n".join(lines)
+
+    plans = open(os.path.join(HERE, "PLANS.md")).read()
+    if SECTION in plans:
+        start = plans.index(SECTION)
+        nxt = plans.find("\n## ", start + 1)
+        end = nxt if nxt != -1 else len(plans)
+        plans = plans[:start] + block + plans[end + 1 if nxt != -1 else end:]
+    else:
+        mark = plans.index(MARK) + len(MARK)
+        plans = plans[:mark] + "\n\n" + block + plans[mark:]
+    open(os.path.join(HERE, "PLANS.md"), "w").write(plans)
+    print(f"floor table written to PLANS.md ({len(rows)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -295,6 +295,30 @@ SHOWCASE = {
         "thresholds broadcast back onto the scored stream exactly like "
         "the one-pass plan (same eqNullSafe broadcast join)."
     ),
+    "sparql_group_having": (
+        "HAVING with a direct aggregate call rides the SAME single "
+        "aggregation (partial+final HashAggregate over ONE exchange) as "
+        "a hidden column; the constraint is a post-aggregation Filter — "
+        "no second shuffle, no re-aggregation."
+    ),
+    "sparql_path_star": (
+        "p* = the pointer-doubling pair closure UNION the zero-length "
+        "identity rows (a distinct projection of the graph's terms) — "
+        "the closing hop joins stay equi-joins; no nested loop, no "
+        "per-row recursion."
+    ),
+    "selection_pipeline_tokens": (
+        "Tokenizer-aware packing stays ONE plan: BPE merges are 6 driver "
+        "scalars; encoding the 40 SELECTED docs is a map-only chained "
+        "rewrite (never the corpus); the pack window is per-source over "
+        "40 rows — subword budgeting adds no corpus-scale work."
+    ),
+    "png_features": (
+        "Compressed-image decode is ONE Arrow mapInPandas over a narrow "
+        "(doc_id, content) projection — the binary column never reaches "
+        "a shuffle; zlib inflate + unfilter happen inside the Python "
+        "worker, output is 9 scalar columns."
+    ),
 }
 
 

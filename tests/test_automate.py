@@ -142,3 +142,51 @@ def test_publish_race_is_cache_hit_but_real_errors_raise(tmp_path):
         with pytest.raises(OSError, match="denied"):
             _publish(str(tmp), str(dest))
     assert tmp.exists()  # fresh build preserved for diagnosis
+
+
+def test_sweep_uses_tree_mtime_not_top_level(tmp_path):
+    """A live builder streaming into a SUBDIRECTORY keeps only inner-file
+    mtimes fresh (the top dir's mtime never moves after the subdir is
+    created) — the sweeper must read the tree, not the root, or it
+    rmtree's an in-progress build (round-10 review finding)."""
+    import os
+    import time
+
+    from bio2bel_spark.io.automate import _fresh_tmp
+
+    artifact = tmp_path / "x.graph.json"
+    live = tmp_path / "x.graph.json.tmp.77.live"
+    (live / "nodes").mkdir(parents=True)
+    inner = live / "nodes" / "part-0.json"
+    inner.write_text("data")
+    # age every DIRECTORY mtime past the grace window; the inner FILE
+    # stays fresh = the build is alive
+    old = time.time() - 7200
+    os.utime(live, (old, old))
+    os.utime(live / "nodes", (old, old))
+    _fresh_tmp(str(artifact))
+    assert live.is_dir() and inner.exists()
+    # and once the inner file goes stale too, the same scratch is swept
+    os.utime(inner, (old, old))
+    os.utime(live, (old, old))
+    os.utime(live / "nodes", (old, old))
+    _fresh_tmp(str(artifact))
+    assert not live.exists()
+
+
+def test_sweep_cleans_legacy_fixed_name_scratch(tmp_path):
+    """Scratch left by the pre-uniqueness scheme (exactly path + '.tmp')
+    is swept by the same staleness rule — old crashes must not leak disk
+    forever."""
+    import os
+    import time
+
+    from bio2bel_spark.io.automate import _fresh_tmp
+
+    artifact = tmp_path / "y.bel.tsv"
+    legacy = tmp_path / "y.bel.tsv.tmp"
+    legacy.write_text("junk")
+    old = time.time() - 7200
+    os.utime(legacy, (old, old))
+    _fresh_tmp(str(artifact))
+    assert not legacy.exists()

@@ -117,3 +117,20 @@ def test_png_features_equal_ppm_features(spark):
     h_ppm = {r.doc_id: r.phash for r in image_ahash(ppm).collect()}
     h_png = {r.doc_id: r.phash for r in image_ahash(png).collect()}
     assert h_ppm == h_png
+
+
+def test_png_truncated_crc_and_bad_ihdr_raise_valueerror():
+    """Every malformed shape must raise ValueError, never leak a
+    struct.error: truncation INSIDE a chunk's CRC bytes, and an IHDR
+    whose declared length is not 13."""
+    png = bytearray(_png_bytes(5, 12, 9))
+    # cut inside the IHDR CRC (IHDR chunk spans bytes 8..33; CRC 29..33)
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode(bytes(png[:31]))
+    # IHDR with a wrong declared length, re-CRC'd so it parses that far
+    bad = bytearray(png)
+    bad[8:12] = struct.pack(">I", 14)  # claim 14-byte IHDR
+    payload = bytes(bad[16:30])  # 14 bytes now
+    bad[30:34] = struct.pack(">I", zlib.crc32(b"IHDR" + payload) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="bad IHDR length"):
+        _png_decode(bytes(bad))

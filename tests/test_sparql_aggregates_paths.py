@@ -368,3 +368,16 @@ def test_having_keeps_single_aggregation_plan(typed_triples):
     plan = got._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 2  # one for the agg (+AQE reuse artifacts)
+
+
+def test_reserved_having_prefix_rejected(typed_triples):
+    """?__having_* is a planner-internal name (HAVING hidden aggregate
+    columns) — a user variable with it would collide with a synthesized
+    column; rejected at tokenize time like ?__path_*."""
+    with pytest.raises(SparqlError, match="reserved"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?t (COUNT(?e) AS ?__having_0) WHERE { ?e ex:type ?t } "
+            "GROUP BY ?t HAVING (SUM(?e) > 1)",
+            prefixes=PFX,
+        )
