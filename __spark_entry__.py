@@ -868,6 +868,29 @@ def q_sparql_group_having(spark, sf_dir):
     )
 
 
+def q_sparql_group_concat(spark, sf_dir):
+    """The planner's GROUP_CONCAT driver-checked: values join in SORTED
+    order (deterministic across partitions — the spec leaves order
+    undefined), with DISTINCT and a custom SEPARATOR. Oracle replays as
+    DuckDB string_agg(DISTINCT ... ORDER BY ...)."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_agg.nt", _SPARQL_AGG_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?t (GROUP_CONCAT(DISTINCT ?x; SEPARATOR="|") AS ?xs)
+                  (COUNT(?x) AS ?n) WHERE {
+               ?e ex:type ?t .
+               ?e ex:xref ?x
+           }
+           GROUP BY ?t ORDER BY ?t""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -2421,7 +2444,12 @@ def q_png_features(spark, sf_dir):
         png_from_documents,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # _spread: the single-file parquet scans as 1 partition, which would
+    # serialize the genuinely-per-pixel inflate+unfilter work on 1 core
+    docs = _spread(
+        spark,
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+    )
     imgs = png_from_documents(docs.select("doc_id", "n_chars"))
     out = decode_resize_features(imgs, max_side=64, backend="png")
     return out.select(
@@ -2444,7 +2472,10 @@ def q_png_phash_pairs(spark, sf_dir):
         png_from_documents,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = _spread(
+        spark,
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+    )
     media = png_from_documents(docs)
     twins = png_from_documents(
         docs.filter(F.col("doc_id") % 50 == 0)
@@ -4005,6 +4036,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_group_concat": q_sparql_group_concat,  # never driver-checked
     "sparql_path_star": q_sparql_path_star,  # never driver-checked
     "sparql_group_count": q_sparql_group_count,  # never driver-checked
     "sparql_group_having": q_sparql_group_having,  # never driver-checked
@@ -6361,6 +6393,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*)::BIGINT AS n_rows, count(x)::BIGINT AS n_x,
                    count(DISTINCT e)::BIGINT AS n_e
             FROM base GROUP BY t ORDER BY t
+        """,
+        # GROUP_CONCAT replay: sorted-order string_agg over the xref
+        # fan-out (the planner sorts before joining — deterministic)
+        "sparql_group_concat": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:101'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400'),
+                ('http://ex.org/e5', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e6', 'http://ex.org/type', 'anatomy')
+            )
+            SELECT ty.o AS t,
+                   string_agg(DISTINCT x.o, '|' ORDER BY x.o) AS xs,
+                   count(x.o)::BIGINT AS n
+            FROM t ty
+            JOIN t x ON x.s = ty.s AND x.p = 'http://ex.org/xref'
+            WHERE ty.p = 'http://ex.org/type'
+            GROUP BY ty.o ORDER BY t
         """,
         # HAVING replay: grouped distinct count filtered on the alias AND
         # a direct MIN() aggregate constraint

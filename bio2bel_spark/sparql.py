@@ -66,8 +66,11 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   ``COUNT`` (incl. ``*`` and ``DISTINCT``), ``SUM``/``AVG`` (lexical
   form cast to double; the empty/all-unbound group is ``0.0`` per
   SPARQL 1.1 §18.5.1, not SQL's NULL), ``MIN``/``MAX`` (lexicographic,
-  matching DuckDB over VARCHAR) and ``SAMPLE`` (evaluated as MIN —
-  deterministic and spec-valid). Compiled to one ``groupBy().agg()`` —
+  matching DuckDB over VARCHAR), ``SAMPLE`` (evaluated as MIN —
+  deterministic and spec-valid) and ``GROUP_CONCAT`` (incl. ``DISTINCT``
+  and ``; SEPARATOR="s"``; values join in SORTED order — the spec leaves
+  order undefined, sorting makes it deterministic across partitions).
+  Compiled to one ``groupBy().agg()`` —
   map-side partial aggregation, so a grouped count shuffles partial
   counts, not solutions. Non-key SELECT vars must go through an
   aggregate; ``GROUP BY`` without aggregates is DISTINCT over the keys;
@@ -123,7 +126,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,=<>!*/|^+?])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/|^+?])
     """,
     re.VERBOSE,
 )
@@ -165,7 +168,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 #: aggregate functions the SELECT clause accepts (SAMPLE is evaluated as
 #: MIN — a deterministic, spec-valid choice of representative)
-_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"}
+_AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 
 class _Parser:
@@ -248,9 +251,23 @@ class _Parser:
 
     def parse_agg_projection(self) -> tuple:
         """``( AGG([DISTINCT] ?v|*) AS ?alias )`` — the aggregate
-        projection form. Returns ("agg", fn, distinct, arg-or-None,
-        alias)."""
+        projection form (GROUP_CONCAT also accepts
+        ``; SEPARATOR="s"`` before its closing paren). Returns
+        ("agg", fn, distinct, arg-or-None, alias, separator)."""
         self.expect("(")
+        fn, distinct, arg, sep = self.parse_agg_call()
+        if not self.at_keyword("AS"):
+            raise SparqlError("aggregate projection needs AS ?alias")
+        self.next()
+        kind3, alias = self.next()
+        if kind3 != "var":
+            raise SparqlError(f"AS expects ?alias, got {alias!r}")
+        self.expect(")")
+        return ("agg", fn, distinct, arg, alias[1:], sep)
+
+    def parse_agg_call(self) -> tuple:
+        """``AGG([DISTINCT] ?v|*[; SEPARATOR="s"])`` — the aggregate call
+        shared by SELECT projections and HAVING constraints."""
         kind, fn = self.next()
         if kind != "keyword" or fn.upper() not in _AGG_FNS:
             raise SparqlError(
@@ -276,15 +293,23 @@ class _Parser:
             if kind2 != "var":
                 raise SparqlError(f"{fn} expects ?var or *, got {av!r}")
             arg = av[1:]
+        sep = " "  # the spec's default GROUP_CONCAT separator
+        if self.peek()[1] == ";":
+            if fn != "GROUP_CONCAT":
+                raise SparqlError(f"only GROUP_CONCAT takes a SEPARATOR")
+            self.next()
+            if not self.at_keyword("SEPARATOR"):
+                raise SparqlError("expected SEPARATOR after ';'")
+            self.next()
+            self.expect("=")
+            kind4, lit = self.next()
+            if kind4 != "string":
+                raise SparqlError(
+                    f"SEPARATOR expects a string literal, got {lit!r}"
+                )
+            sep = _unquote(lit)
         self.expect(")")
-        if not self.at_keyword("AS"):
-            raise SparqlError("aggregate projection needs AS ?alias")
-        self.next()
-        kind3, alias = self.next()
-        if kind3 != "var":
-            raise SparqlError(f"AS expects ?alias, got {alias!r}")
-        self.expect(")")
-        return ("agg", fn, distinct, arg, alias[1:])
+        return fn, distinct, arg, sep
 
     def parse_group_by(self) -> list:
         if not self.at_keyword("GROUP"):
@@ -613,29 +638,8 @@ class _Parser:
         if kind == "keyword" and v.upper() in _AGG_FNS:
             # aggregate call inside an expression — only HAVING accepts
             # these (compile-time rejected elsewhere)
-            fn = v.upper()
-            self.next()
-            self.expect("(")
-            distinct = False
-            if self.at_keyword("DISTINCT"):
-                self.next()
-                distinct = True
-            if self.peek()[1] == "*":
-                self.next()
-                if fn != "COUNT":
-                    raise SparqlError(f"{fn}(*) is not valid SPARQL")
-                if distinct:
-                    raise SparqlError(
-                        "COUNT(DISTINCT *) is outside the subset"
-                    )
-                arg = None
-            else:
-                kind2, av = self.next()
-                if kind2 != "var":
-                    raise SparqlError(f"{fn} expects ?var or *, got {av!r}")
-                arg = av[1:]
-            self.expect(")")
-            return ("agg_expr", fn, distinct, arg)
+            fn, distinct, arg, sep = self.parse_agg_call()
+            return ("agg_expr", fn, distinct, arg, sep)
         if kind == "keyword" and v.upper() in ("BOUND", "REGEX", "CONTAINS", "STRSTARTS"):
             fn = v.upper()
             self.next()
@@ -1240,7 +1244,8 @@ def _compile_group(
 
 
 def _agg_column(
-    out: DataFrame, fn: str, distinct: bool, arg: "str | None"
+    out: DataFrame, fn: str, distinct: bool, arg: "str | None",
+    sep: str = " ",
 ) -> Column:
     """One aggregate expression over the binding table's string-valued
     columns. Typing follows the string-valued triples model: COUNT is
@@ -1248,8 +1253,11 @@ def _agg_column(
     empty/all-unbound group to ``0.0`` — SPARQL 1.1 §18.5.1 defines
     ``Sum({}) = 0`` and ``Avg({}) = 0`` where SQL would yield NULL),
     MIN/MAX compare lexicographically (exactly what DuckDB does over
-    VARCHAR — oracle parity), and SAMPLE is evaluated as MIN (a
-    deterministic, spec-valid representative)."""
+    VARCHAR — oracle parity), SAMPLE is evaluated as MIN (a
+    deterministic, spec-valid representative), and GROUP_CONCAT joins
+    the group's values in SORTED order (the spec leaves concatenation
+    order undefined; sorting makes it deterministic across partitions
+    and replayable as DuckDB ``string_agg(... ORDER BY ...)``)."""
     if arg is None:  # COUNT(*)
         return F.count(F.lit(1))
     if arg not in out.columns:
@@ -1257,9 +1265,13 @@ def _agg_column(
     col = F.col(arg)
     if fn == "COUNT":
         return F.countDistinct(col) if distinct else F.count(col)
+    if fn == "GROUP_CONCAT":
+        bag = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.array_join(F.array_sort(bag), sep)
     if distinct:
         raise SparqlError(
-            f"{fn}(DISTINCT ...) is outside the subset (only COUNT)"
+            f"{fn}(DISTINCT ...) is outside the subset "
+            "(COUNT and GROUP_CONCAT only)"
         )
     if fn == "SUM":
         return F.coalesce(F.sum(col.cast("double")), F.lit(0.0))
@@ -1366,7 +1378,7 @@ def _apply_aggregation(
         return grouped
     exprs = []
     seen = set(plain)
-    for _, fn, distinct, arg, alias in agg_items:
+    for _, fn, distinct, arg, alias, sep in agg_items:
         if alias in out.columns:
             raise SparqlError(
                 f"aggregate alias ?{alias} collides with a bound variable"
@@ -1377,15 +1389,15 @@ def _apply_aggregation(
                 "column needs a distinct name"
             )
         seen.add(alias)
-        exprs.append(_agg_column(out, fn, distinct, arg).alias(alias))
+        exprs.append(_agg_column(out, fn, distinct, arg, sep).alias(alias))
     # direct aggregate calls inside HAVING ride the SAME aggregation as
     # hidden columns (dropped post-filter)
     having_aliases = {
         spec: f"__having_{i}" for i, spec in enumerate(having_specs)
     }
     for spec, alias in having_aliases.items():
-        fn, distinct, arg = spec
-        exprs.append(_agg_column(out, fn, distinct, arg).alias(alias))
+        fn, distinct, arg, sep = spec
+        exprs.append(_agg_column(out, fn, distinct, arg, sep).alias(alias))
     grouped = out.groupBy(*group_by).agg(*exprs) if group_by else out.agg(*exprs)
     if having is not None:
         plainified = _rewrite_having(having, having_aliases)

@@ -51,8 +51,9 @@ SECTION = "## Quiet-host floor"
 
 def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r?"
-    if os.getloadavg()[0] > 2.0:
-        print(f"host not quiet (loadavg {os.getloadavg()[0]:.1f} > 2); "
+    start_load = os.getloadavg()[0]
+    if start_load > 2.0:
+        print(f"host not quiet (loadavg {start_load:.1f} > 2); "
               "refusing to record a floor")
         return 1
 
@@ -86,8 +87,9 @@ def main() -> int:
         SECTION,
         "",
         f"Round {tag} floor: min-of-{N_RUNS} per query at sf0.1, fresh",
-        "session, recorded only when start loadavg <= 2 (this sample:",
-        f"loadavg at start {os.getloadavg()[0]:.1f}). Compare bench",
+        "session, recorded only when start loadavg <= 2 (this sample",
+        f"started at loadavg {start_load:.1f}; the per-query max column",
+        "includes the floor run's own 32-core load). Compare bench",
         "deltas against THIS table, not the co-tenant-weather bench line.",
         "",
         "| query | floor s | max loadavg during |",

@@ -269,7 +269,7 @@ def test_aggregate_errors(typed_triples):
             "GROUP BY ?e",
             prefixes=PFX,
         )
-    with pytest.raises(SparqlError, match="only COUNT"):
+    with pytest.raises(SparqlError, match="COUNT and GROUP_CONCAT only"):
         sparql_select(
             typed_triples,
             "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?e ex:score ?v }",
@@ -379,5 +379,34 @@ def test_reserved_having_prefix_rejected(typed_triples):
             typed_triples,
             "SELECT ?t (COUNT(?e) AS ?__having_0) WHERE { ?e ex:type ?t } "
             "GROUP BY ?t HAVING (SUM(?e) > 1)",
+            prefixes=PFX,
+        )
+
+
+def test_group_concat_sorted_distinct_and_separator(typed_triples):
+    """GROUP_CONCAT joins the group's values in SORTED order (determinism
+    across partitions; spec leaves order undefined), honors DISTINCT and
+    ``; SEPARATOR=``, and defaults to a single space."""
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?t (GROUP_CONCAT(?v) AS ?vs) WHERE "
+        "{ ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
+        prefixes=PFX,
+    )
+    by_t = {r.t: r.vs for r in got.collect()}
+    assert by_t == {"gene": "3 5 5", "pathway": "2"}
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?t (GROUP_CONCAT(DISTINCT ?v; SEPARATOR="|") AS ?vs) '
+        "WHERE { ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
+        prefixes=PFX,
+    )
+    by_t = {r.t: r.vs for r in got.collect()}
+    assert by_t == {"gene": "3|5", "pathway": "2"}
+    with pytest.raises(SparqlError, match="SEPARATOR"):
+        sparql_select(
+            typed_triples,
+            'SELECT ?t (COUNT(?v; SEPARATOR=",") AS ?n) WHERE '
+            "{ ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
             prefixes=PFX,
         )
