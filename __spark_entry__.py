@@ -891,6 +891,29 @@ def q_sparql_group_concat(spark, sf_dir):
     )
 
 
+def q_sparql_bind(spark, sf_dir):
+    """The planner's BIND driver-checked: computed columns from the value
+    functions (CONCAT/UCASE/SUBSTR/STR/REPLACE), plus a value function
+    inside a FILTER comparison — all pure withColumn/filter expressions,
+    zero extra shuffles. Oracle replays the string functions in SQL."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_agg.nt", _SPARQL_AGG_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?t ?label ?short WHERE {
+               ?e ex:type ?t .
+               BIND (CONCAT(UCASE(?t), "/", SUBSTR(STR(?e), 15)) AS ?label)
+               BIND (REPLACE(?t, "way$", "") AS ?short)
+               FILTER(STRLEN(?t) > 4)
+           }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -4036,6 +4059,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_bind": q_sparql_bind,  # never driver-checked
     "sparql_group_concat": q_sparql_group_concat,  # never driver-checked
     "sparql_path_star": q_sparql_path_star,  # never driver-checked
     "sparql_group_count": q_sparql_group_count,  # never driver-checked
@@ -6393,6 +6417,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*)::BIGINT AS n_rows, count(x)::BIGINT AS n_x,
                    count(DISTINCT e)::BIGINT AS n_e
             FROM base GROUP BY t ORDER BY t
+        """,
+        # BIND replay: the value functions as SQL string expressions
+        "sparql_bind": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:101'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400'),
+                ('http://ex.org/e5', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e6', 'http://ex.org/type', 'anatomy')
+            )
+            SELECT ty.s AS e, ty.o AS t,
+                   upper(ty.o) || '/' || substr(ty.s, 15) AS label,
+                   regexp_replace(ty.o, 'way$', '') AS short
+            FROM t ty
+            WHERE ty.p = 'http://ex.org/type' AND length(ty.o) > 4
         """,
         # GROUP_CONCAT replay: sorted-order string_agg over the xref
         # fan-out (the planner sorts before joining — deterministic)

@@ -75,6 +75,14 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   counts, not solutions. Non-key SELECT vars must go through an
   aggregate; ``GROUP BY`` without aggregates is DISTINCT over the keys;
   duplicate projection aliases are rejected at compile time.
+* **BIND** — ``BIND (expr AS ?v)`` extends every solution of the pattern
+  so far with a computed column (a pure ``withColumn`` — zero shuffles).
+  Expressions: variables, literals, ``CONCAT``/``STR``/``STRLEN``/
+  ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE`` (regex, per fn:replace),
+  and any boolean filter expression; the same value functions also work
+  inside FILTER comparisons (``FILTER(STRLEN(?n) > 4)``). Per spec an
+  expression error (e.g. an OPTIONAL-unbound argument) leaves the BIND
+  variable unbound — exactly SQL NULL propagation.
 * **HAVING** — ``... GROUP BY ?g HAVING (?n > 2) (COUNT(?x) < 9)``:
   constraints reference group keys, projected aggregate aliases, or
   aggregate calls directly; direct calls become hidden columns of the
@@ -169,6 +177,10 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 #: aggregate functions the SELECT clause accepts (SAMPLE is evaluated as
 #: MIN — a deterministic, spec-valid choice of representative)
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
+
+#: value-returning scalar functions (BIND expressions; boolean-returning
+#: FILTER functions live in _compile_filter)
+_VALUE_FNS = {"CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE"}
 
 
 class _Parser:
@@ -424,6 +436,18 @@ class _Parser:
                 expr = self.parse_or()
                 self.expect(")")
                 elements.append(("filter", expr))
+            elif self.at_keyword("BIND"):
+                self.next()
+                self.expect("(")
+                expr = self.parse_or()
+                if not self.at_keyword("AS"):
+                    raise SparqlError("BIND needs (expr AS ?var)")
+                self.next()
+                kind2, v2 = self.next()
+                if kind2 != "var":
+                    raise SparqlError(f"BIND AS expects ?var, got {v2!r}")
+                self.expect(")")
+                elements.append(("bind", expr, v2[1:]))
             elif self.at_keyword("MINUS"):
                 self.next()
                 elements.append(("minus", self.parse_group()))
@@ -640,7 +664,9 @@ class _Parser:
             # these (compile-time rejected elsewhere)
             fn, distinct, arg, sep = self.parse_agg_call()
             return ("agg_expr", fn, distinct, arg, sep)
-        if kind == "keyword" and v.upper() in ("BOUND", "REGEX", "CONTAINS", "STRSTARTS"):
+        if kind == "keyword" and v.upper() in (
+            ("BOUND", "REGEX", "CONTAINS", "STRSTARTS") + tuple(_VALUE_FNS)
+        ):
             fn = v.upper()
             self.next()
             self.expect("(")
@@ -977,7 +1003,74 @@ def _operand(term, bound: set[str]) -> Column:
         raise SparqlError(
             "aggregate calls are only valid inside HAVING constraints"
         )
+    if term[0] == "call" and term[1] in _VALUE_FNS:
+        return _value_expr(term, bound)
     return F.lit(term[1])
+
+
+def _lit_arg(fn: str, term, want=str):
+    if term[0] != "lit" or not isinstance(term[1], (str, int) if want is str else int):
+        raise SparqlError(f"{fn} expects a literal here, got {term!r}")
+    return term[1]
+
+
+def _value_expr(expr, bound: set[str]) -> Column:
+    """Compile a VALUE-returning expression (the BIND subset): variables,
+    literals, CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR/REPLACE, and any
+    boolean expression (comparisons, &&/||/!, BOUND/REGEX/...). Per spec
+    an expression ERROR (e.g. an OPTIONAL-unbound argument) leaves the
+    BIND variable unbound — which is exactly SQL NULL propagation, so no
+    special-casing: NULL in → NULL out."""
+    kind = expr[0]
+    if kind == "var":
+        if expr[1] not in bound:
+            raise SparqlError(
+                f"BIND expression references unbound variable ?{expr[1]}"
+            )
+        return F.col(expr[1])
+    if kind == "lit":
+        return F.lit(expr[1])
+    if kind == "call" and expr[1] in _VALUE_FNS:
+        fn, args = expr[1], expr[2]
+        if fn == "CONCAT":
+            return F.concat(
+                *[_value_expr(a, bound).cast("string") for a in args]
+            )
+        a0 = _value_expr(args[0], bound)
+        if fn == "STR":
+            return a0.cast("string")
+        if fn == "STRLEN":
+            return F.length(a0)
+        if fn == "UCASE":
+            return F.upper(a0)
+        if fn == "LCASE":
+            return F.lower(a0)
+        if fn == "SUBSTR":
+            if len(args) not in (2, 3):
+                raise SparqlError("SUBSTR takes (?s, start[, length])")
+            start = _lit_arg("SUBSTR", args[1])
+            if not isinstance(start, int):
+                raise SparqlError("SUBSTR start must be an integer literal")
+            if len(args) == 3:
+                ln = _lit_arg("SUBSTR", args[2])
+                if not isinstance(ln, int):
+                    raise SparqlError(
+                        "SUBSTR length must be an integer literal"
+                    )
+                return F.substring(a0, start, ln)
+            return a0.substr(F.lit(start), F.length(a0))
+        if fn == "REPLACE":
+            if len(args) != 3:
+                raise SparqlError('REPLACE takes (?s, "pattern", "repl")')
+            pat = _lit_arg("REPLACE", args[1])
+            rep = _lit_arg("REPLACE", args[2])
+            if not isinstance(pat, str) or not isinstance(rep, str):
+                raise SparqlError("REPLACE pattern/replacement must be "
+                                  "string literals")
+            # spec REPLACE is regex-based (XPath fn:replace)
+            return F.regexp_replace(a0, pat, rep)
+    # boolean expression as a value (SPARQL booleans are first-class)
+    return _compile_filter(expr, bound)
 
 
 def _join_compatible(
@@ -1224,6 +1317,23 @@ def _compile_group(
                 )
                 nullable -= shared  # re-bound to the VALUES' non-null data
                 nullable |= undef - shared
+        elif el[0] == "bind":
+            _, expr, var = el
+            if current is None:
+                # BIND may open a group: it extends the single empty
+                # solution mapping (spec: BIND over the pattern so far)
+                current = triples.sparkSession.range(1).select()
+            if var in current.columns:
+                raise SparqlError(
+                    f"BIND target ?{var} is already bound in scope"
+                )
+            current = current.withColumn(
+                var, _value_expr(expr, set(current.columns))
+            )
+            # an expression over possibly-unbound sources can itself be
+            # unbound (spec: expression error -> var unbound = NULL)
+            if _expr_vars(expr) & nullable:
+                nullable.add(var)
         elif el[0] == "filter":
             pending_filters.append(el[1])
     if current is None:
@@ -1447,6 +1557,8 @@ def _collect_vars(elements) -> set:
             out |= set(el[1])
         elif el[0] == "filter":
             out |= _expr_vars(el[1])
+        elif el[0] == "bind":
+            out |= _expr_vars(el[1]) | {el[2]}
     return out
 
 
@@ -1500,6 +1612,15 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
             )
         elif el[0] == "filter":
             out.append(("filter", _subst_expr(el[1], binds)))
+        elif el[0] == "bind":
+            if el[2] in binds:
+                # a binding on a COMPUTED variable would need post-hoc
+                # equality semantics over the expression — outside the
+                # subset; constrain a pattern variable instead
+                raise SparqlError(
+                    f"bindings= cannot constrain BIND target ?{el[2]}"
+                )
+            out.append(("bind", _subst_expr(el[1], binds), el[2]))
         elif el[0] == "values":
             _, names, rows = el
             keep = [i for i, n in enumerate(names) if n not in binds]

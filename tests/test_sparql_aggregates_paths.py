@@ -410,3 +410,83 @@ def test_group_concat_sorted_distinct_and_separator(typed_triples):
             "{ ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
             prefixes=PFX,
         )
+
+
+# ------------------------------------------------------------------- BIND
+
+
+def test_bind_scalar_functions_and_join(typed_triples):
+    """BIND extends each solution with a computed column; later patterns
+    and filters can use it; value functions also work inside FILTER."""
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?e ?k WHERE { ?e ex:type ?t . '
+        'BIND (CONCAT(UCASE(?t), ":", STR(STRLEN(?t))) AS ?k) '
+        'FILTER(STRLEN(?t) > 4) }',
+        prefixes=PFX,
+    )
+    rows = {(_local(r.e), r.k) for r in got.collect()}
+    assert rows == {("c", "PATHWAY:7")}
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?e ?s WHERE { ?e ex:type "gene" . '
+        'BIND (REPLACE(SUBSTR(STR(?e), 8, 6), "ex\\\\.", "EX_") AS ?s) }',
+        prefixes=PFX,
+    )
+    # http://ex.org/a -> substr(8,6) = "ex.org" -> regex replace -> EX_org
+    assert {r.s for r in got.collect()} == {"EX_org"}
+
+
+def test_bind_over_optional_unbound_is_null(typed_triples):
+    """Spec: an expression error (unbound argument) leaves the BIND var
+    unbound — NULL propagation, and BOUND() can test it downstream."""
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e ?u WHERE { ?e ex:type ?t . "
+        "OPTIONAL { ?e ex:score ?v } "
+        "BIND (UCASE(?v) AS ?u) }",
+        prefixes=PFX,
+    )
+    by_e = {_local(r.e): r.u for r in got.collect()}
+    assert by_e["d"] is None  # d has no score
+    assert by_e["a"] == "3"
+
+
+def test_bind_opens_a_group_and_booleans(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?v WHERE { BIND ("x" AS ?v) }',
+        prefixes=PFX,
+    )
+    assert [r.v for r in got.collect()] == ["x"]
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?e ?big WHERE { ?e ex:score ?v . '
+        'BIND (?v >= "3" AS ?big) }',
+        prefixes=PFX,
+    )
+    assert {(_local(r.e), r.big) for r in got.collect()} == {
+        ("a", True), ("b", True), ("c", False),
+    }
+
+
+def test_bind_errors(typed_triples):
+    with pytest.raises(SparqlError, match="already bound"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?t WHERE { ?e ex:type ?t . BIND (UCASE(?t) AS ?t) }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?k WHERE { ?e ex:type ?t . BIND (UCASE(?zz) AS ?k) }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="cannot constrain BIND"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?k WHERE { ?e ex:type ?t . BIND (UCASE(?t) AS ?k) }",
+            prefixes=PFX,
+            bindings={"k": "GENE"},
+        )
