@@ -914,6 +914,53 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_sparql_modifiers(spark, sf_dir):
+    """The solution-modifier tail driver-checked end-to-end: a COMPUTED
+    GROUP BY key (UCASE expression materialized pre-aggregation), grouped
+    count, ORDER BY, then OFFSET+LIMIT paging. Oracle replays with SQL
+    GROUP BY upper() ... ORDER BY ... LIMIT/OFFSET."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_agg.nt", _SPARQL_AGG_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?k (COUNT(?e) AS ?n) WHERE {
+               ?e ex:type ?t
+           }
+           GROUP BY (UCASE(?t) AS ?k) ORDER BY ?k LIMIT 2 OFFSET 1""",
+    )
+
+
+def q_sparql_ask_probe(spark, sf_dir):
+    """The ASK query form driver-checked: two existence probes (one
+    satisfiable, one not) evaluated through the planner's bounded
+    limit(1) probe and returned as a tiny boolean table. Oracle replays
+    with SQL EXISTS."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_ask
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_agg.nt", _SPARQL_AGG_FIXTURE)
+    )
+    yes = sparql_ask(
+        triples,
+        'PREFIX ex: <http://ex.org/> ASK { ?e ex:type "gene" . '
+        "?e ex:xref ?x }",
+    )
+    no = sparql_ask(
+        triples,
+        'PREFIX ex: <http://ex.org/> ASK { ?e ex:type "unobtainium" }',
+    )
+    return spark.createDataFrame(
+        [("gene_with_xref", yes), ("unobtainium", no)],
+        "probe string, ask boolean",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -4059,6 +4106,8 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_modifiers": q_sparql_modifiers,  # never driver-checked
+    "sparql_ask_probe": q_sparql_ask_probe,  # never driver-checked
     "sparql_bind": q_sparql_bind,  # never driver-checked
     "sparql_group_concat": q_sparql_group_concat,  # never driver-checked
     "sparql_path_star": q_sparql_path_star,  # never driver-checked
@@ -6417,6 +6466,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*)::BIGINT AS n_rows, count(x)::BIGINT AS n_x,
                    count(DISTINCT e)::BIGINT AS n_e
             FROM base GROUP BY t ORDER BY t
+        """,
+        # computed-GROUP-BY-key + OFFSET paging replay
+        "sparql_modifiers": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:101'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400'),
+                ('http://ex.org/e5', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e6', 'http://ex.org/type', 'anatomy')
+            )
+            SELECT upper(ty.o) AS k, count(ty.s)::BIGINT AS n
+            FROM t ty WHERE ty.p = 'http://ex.org/type'
+            GROUP BY upper(ty.o) ORDER BY k LIMIT 2 OFFSET 1
+        """,
+        # ASK replay: SQL EXISTS over the same fixture
+        "sparql_ask_probe": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:101'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400'),
+                ('http://ex.org/e5', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e6', 'http://ex.org/type', 'anatomy')
+            )
+            SELECT 'gene_with_xref' AS probe,
+                   EXISTS (SELECT 1 FROM t ty JOIN t x ON x.s = ty.s
+                           AND x.p = 'http://ex.org/xref'
+                           WHERE ty.p = 'http://ex.org/type'
+                             AND ty.o = 'gene') AS ask
+            UNION ALL
+            SELECT 'unobtainium',
+                   EXISTS (SELECT 1 FROM t ty
+                           WHERE ty.p = 'http://ex.org/type'
+                             AND ty.o = 'unobtainium')
         """,
         # BIND replay: the value functions as SQL string expressions
         "sparql_bind": """

@@ -115,7 +115,7 @@ import threading
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparql_select", "SparqlError"]
+__all__ = ["sparql_select", "sparql_ask", "SparqlError"]
 
 
 class SparqlError(ValueError):
@@ -207,7 +207,7 @@ class _Parser:
         return kind == "keyword" and v.upper() == word
 
     # -- query ----------------------------------------------------------
-    def parse_query(self):
+    def parse_prefixes(self) -> dict:
         prefixes: dict[str, str] = {}
         while self.at_keyword("PREFIX"):
             self.next()
@@ -218,8 +218,28 @@ class _Parser:
             if kind != "iri":
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             prefixes[pname[:-1]] = iri[1:-1]
+        return prefixes
+
+    def parse_ask(self):
+        """``PREFIX* ASK [WHERE] { group }`` — the boolean query form."""
+        prefixes = self.parse_prefixes()
+        if not self.at_keyword("ASK"):
+            raise SparqlError("expected ASK")
+        self.next()
+        if self.at_keyword("WHERE"):
+            self.next()
+        group = self.parse_group()
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return prefixes, group
+
+    def parse_query(self):
+        prefixes = self.parse_prefixes()
         if not self.at_keyword("SELECT"):
-            raise SparqlError("only SELECT queries are supported")
+            raise SparqlError(
+                "only SELECT queries are supported here (use sparql_ask "
+                "for ASK)"
+            )
         self.next()
         distinct = False
         if self.at_keyword("DISTINCT"):
@@ -249,13 +269,14 @@ class _Parser:
         group_by = self.parse_group_by()
         having = self.parse_having()
         order = self.parse_order()
-        limit = self.parse_limit()
+        limit, offset = self.parse_limit_offset()
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         modifiers = {
             "distinct": distinct,
             "order": order,
             "limit": limit,
+            "offset": offset,
             "group_by": group_by,
             "having": having,
         }
@@ -324,19 +345,42 @@ class _Parser:
         return fn, distinct, arg, sep
 
     def parse_group_by(self) -> list:
+        """``GROUP BY`` conditions: plain ``?var`` keys, or computed keys
+        ``( expr AS ?v )`` (the spec's GroupCondition expression form —
+        the alias is required in this subset so the key has a stable
+        projectable name). Computed entries are ("expr", expr, name)."""
         if not self.at_keyword("GROUP"):
             return []
         self.next()
         if not self.at_keyword("BY"):
             raise SparqlError("expected BY after GROUP")
         self.next()
-        keys = []
-        while self.peek()[0] == "var":
-            keys.append(self.next()[1][1:])
+        keys: list = []
+        while True:
+            kind, v = self.peek()
+            if kind == "var":
+                self.next()
+                keys.append(v[1:])
+            elif v == "(":
+                self.next()
+                expr = self.parse_or()
+                if not self.at_keyword("AS"):
+                    raise SparqlError(
+                        "a GROUP BY expression needs (expr AS ?var)"
+                    )
+                self.next()
+                kind2, v2 = self.next()
+                if kind2 != "var":
+                    raise SparqlError(f"AS expects ?var, got {v2!r}")
+                self.expect(")")
+                keys.append(("expr", expr, v2[1:]))
+            else:
+                break
         if not keys:
             raise SparqlError("GROUP BY needs at least one ?var")
-        if len(set(keys)) != len(keys):
-            raise SparqlError(f"repeated GROUP BY variable in {keys}")
+        names = [k if isinstance(k, str) else k[2] for k in keys]
+        if len(set(names)) != len(names):
+            raise SparqlError(f"repeated GROUP BY variable in {names}")
         return keys
 
     def parse_having(self):
@@ -384,14 +428,33 @@ class _Parser:
             raise SparqlError("ORDER BY needs at least one sort key")
         return order
 
-    def parse_limit(self) -> "int | None":
-        if not self.at_keyword("LIMIT"):
-            return None
-        self.next()
-        kind, v = self.next()
-        if kind != "number" or "." in v or int(v) < 0:
-            raise SparqlError(f"LIMIT expects a nonnegative integer, got {v!r}")
-        return int(v)
+    def parse_limit_offset(self) -> "tuple[int | None, int]":
+        """``LIMIT n`` / ``OFFSET n`` in either order (the spec's
+        LimitOffsetClauses). OFFSET skips the first n solutions of the
+        (ordered) sequence; LIMIT caps what remains."""
+        limit: "int | None" = None
+        offset = 0
+        seen: set = set()
+        while True:
+            word = (
+                "LIMIT" if self.at_keyword("LIMIT")
+                else "OFFSET" if self.at_keyword("OFFSET")
+                else None
+            )
+            if word is None or word in seen:
+                break
+            seen.add(word)
+            self.next()
+            kind, v = self.next()
+            if kind != "number" or "." in v or int(v) < 0:
+                raise SparqlError(
+                    f"{word} expects a nonnegative integer, got {v!r}"
+                )
+            if word == "LIMIT":
+                limit = int(v)
+            else:
+                offset = int(v)
+        return limit, offset
 
     # -- group ----------------------------------------------------------
     def parse_group(self) -> list:
@@ -1466,6 +1529,21 @@ def _apply_aggregation(
         )
     plain = [it[1] for it in projection if it[0] == "var"]
     agg_items = [it for it in projection if it[0] == "agg"]
+    # computed GROUP BY keys materialize as named columns first, then
+    # everything below sees plain key names
+    keys: list = []
+    for g in group_by:
+        if isinstance(g, str):
+            keys.append(g)
+            continue
+        _, gexpr, gname = g
+        if gname in out.columns:
+            raise SparqlError(
+                f"GROUP BY key ?{gname} collides with a bound variable"
+            )
+        out = out.withColumn(gname, _value_expr(gexpr, set(out.columns)))
+        keys.append(gname)
+    group_by = keys
     missing = [v for v in group_by if v not in out.columns]
     if missing:
         raise SparqlError(f"GROUP BY vars never bound: {missing}")
@@ -1729,6 +1807,8 @@ def sparql_select(
                     for v, asc in modifiers["order"]
                 ]
             )
+        if modifiers["offset"]:
+            df = df.offset(modifiers["offset"])
         if modifiers["limit"] is not None:
             df = df.limit(modifiers["limit"])
         return df
@@ -1744,3 +1824,35 @@ def sparql_select(
     if projection_names is not None:
         out = out.select(*projection_names)
     return out
+
+
+def sparql_ask(
+    triples: DataFrame,
+    query: str,
+    prefixes: "dict[str, str] | None" = None,
+    bindings: "dict[str, str] | None" = None,
+    max_path_depth: int = 12,
+) -> bool:
+    """Evaluate a SPARQL ``ASK`` over a ``(s, p, o)`` DataFrame: True iff
+    the pattern has at least one solution. Compiles through the same
+    planner as :func:`sparql_select`; the existence probe is bounded
+    (``limit(1)``), so it costs one short-circuiting job, never a full
+    materialization. ``prefixes``/``bindings`` behave exactly as in
+    :func:`sparql_select` (rdflib ``initBindings`` parity —
+    reference src/bio2bel/sources/rhea.py:38-47 runs arbitrary rdflib
+    query forms, ASK included)."""
+    toks = _tokenize(query)
+    declared, group = _Parser(toks).parse_ask()
+    pfx = dict(prefixes or {})
+    pfx.update(declared)
+    binds = {k: str(v) for k, v in (bindings or {}).items()}
+    if binds:
+        known = _collect_vars(group)
+        missing = sorted(v for v in binds if v not in known)
+        if missing:
+            raise SparqlError(
+                f"bindings for variables not in the pattern: {missing}"
+            )
+        group = _substitute(group, binds, pfx)
+    out, _ = _compile_group(triples, group, pfx, max_path_depth)
+    return out.limit(1).count() > 0

@@ -28,6 +28,9 @@ QUADRATIC_OK = {"kg_summary", "tfidf_top_terms", "lm_perplexity",
                 # doc-gram stream — O(1) per probe row by construction
                 "dsir_weights", "dsir_select", "dsir_maintenance",
                 "selection_pipeline", "selection_pipeline_packed",
+                # same DSIR 1-row scalar stitches; the added BPE stage is
+                # map-only over the 40 selected docs
+                "selection_pipeline_tokens",
                 # inherits lm_perplexity's 1-row vocabulary-size scalar
                 "perplexity_buckets", "perplexity_maintenance",
                 # corpus-total scalar (1-row aggregate) stitched onto the

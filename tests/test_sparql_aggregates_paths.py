@@ -490,3 +490,61 @@ def test_bind_errors(typed_triples):
             prefixes=PFX,
             bindings={"k": "GENE"},
         )
+
+
+# --------------------------------------------- OFFSET / ASK / expr keys
+
+
+def test_offset_pages_the_ordered_sequence(typed_triples):
+    q = ("SELECT ?e WHERE { ?e ex:type ?t } ORDER BY ?e "
+         "LIMIT 2 OFFSET 1")
+    got = sparql_select(typed_triples, q, prefixes=PFX)
+    assert [_local(r.e) for r in got.collect()] == ["b", "c"]
+    # OFFSET LIMIT order also parses (the spec allows either)
+    q2 = ("SELECT ?e WHERE { ?e ex:type ?t } ORDER BY ?e "
+          "OFFSET 3 LIMIT 5")
+    got = sparql_select(typed_triples, q2, prefixes=PFX)
+    assert [_local(r.e) for r in got.collect()] == ["d"]
+    with pytest.raises(SparqlError, match="OFFSET expects"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e WHERE { ?e ex:type ?t } OFFSET -1",
+            prefixes=PFX,
+        )
+
+
+def test_group_by_expression_key(typed_triples):
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?k (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } "
+        "GROUP BY (UCASE(?t) AS ?k) ORDER BY ?k",
+        prefixes=PFX,
+    )
+    assert [(r.k, r.n) for r in got.collect()] == [
+        ("GENE", 3), ("PATHWAY", 1),
+    ]
+    with pytest.raises(SparqlError, match="collides"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?t (COUNT(?e) AS ?n) WHERE { ?e ex:type ?t } "
+            "GROUP BY (UCASE(?t) AS ?t)",
+            prefixes=PFX,
+        )
+
+
+def test_ask_form(typed_triples):
+    from bio2bel_spark.sparql import sparql_ask
+
+    assert sparql_ask(
+        typed_triples, 'ASK { ?e ex:type "gene" }', prefixes=PFX
+    ) is True
+    assert sparql_ask(
+        typed_triples, 'ASK WHERE { ?e ex:type "unobtainium" }', prefixes=PFX
+    ) is False
+    # bindings parameterize exactly like SELECT
+    assert sparql_ask(
+        typed_triples, "ASK { ?e ex:type ?t }", prefixes=PFX,
+        bindings={"t": "pathway"},
+    ) is True
+    with pytest.raises(SparqlError, match="sparql_ask"):
+        sparql_select(typed_triples, "ASK { ?e ex:type ?t }", prefixes=PFX)
