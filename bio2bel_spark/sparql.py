@@ -74,7 +74,11 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   map-side partial aggregation, so a grouped count shuffles partial
   counts, not solutions. Non-key SELECT vars must go through an
   aggregate; ``GROUP BY`` without aggregates is DISTINCT over the keys;
-  duplicate projection aliases are rejected at compile time.
+  duplicate projection aliases are rejected at compile time. Computed
+  keys — ``GROUP BY (UCASE(?t) AS ?k)`` — materialize as named columns
+  before the single aggregation. ``OFFSET`` pages the ordered sequence
+  (either order with ``LIMIT``). The ``ASK`` form is
+  :func:`sparql_ask` — same planner, bounded ``limit(1)`` probe.
 * **BIND** — ``BIND (expr AS ?v)`` extends every solution of the pattern
   so far with a computed column (a pure ``withColumn`` — zero shuffles).
   Expressions: variables, literals, ``CONCAT``/``STR``/``STRLEN``/
