@@ -80,7 +80,10 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   (either order with ``LIMIT``). The ``ASK`` form is
   :func:`sparql_ask` — same planner, bounded ``limit(1)`` probe.
 * **BIND** — ``BIND (expr AS ?v)`` extends every solution of the pattern
-  so far with a computed column (a pure ``withColumn`` — zero shuffles).
+  so far with a computed column (a pure ``withColumn`` — zero shuffles;
+  the column materializes as STRING — the binding-table invariant — so
+  it joins/unions cleanly with pattern-bound data, booleans taking
+  their lexical form).
   Expressions: variables, literals, ``CONCAT``/``STR``/``STRLEN``/
   ``UCASE``/``LCASE``/``SUBSTR``/``REPLACE`` (regex, per fn:replace),
   and any boolean filter expression; the same value functions also work
@@ -333,7 +336,7 @@ class _Parser:
         sep = " "  # the spec's default GROUP_CONCAT separator
         if self.peek()[1] == ";":
             if fn != "GROUP_CONCAT":
-                raise SparqlError(f"only GROUP_CONCAT takes a SEPARATOR")
+                raise SparqlError("only GROUP_CONCAT takes a SEPARATOR")
             self.next()
             if not self.at_keyword("SEPARATOR"):
                 raise SparqlError("expected SEPARATOR after ';'")
@@ -1070,13 +1073,16 @@ def _operand(term, bound: set[str]) -> Column:
         raise SparqlError(
             "aggregate calls are only valid inside HAVING constraints"
         )
-    if term[0] == "call" and term[1] in _VALUE_FNS:
+    if term[0] == "call":
+        # value functions compile to their value; boolean functions
+        # (BOUND/REGEX/...) compile to their boolean via _value_expr's
+        # fallback — NEVER to a string literal of the function's name
         return _value_expr(term, bound)
     return F.lit(term[1])
 
 
-def _lit_arg(fn: str, term, want=str):
-    if term[0] != "lit" or not isinstance(term[1], (str, int) if want is str else int):
+def _lit_arg(fn: str, term):
+    if term[0] != "lit":
         raise SparqlError(f"{fn} expects a literal here, got {term!r}")
     return term[1]
 
@@ -1116,8 +1122,14 @@ def _value_expr(expr, bound: set[str]) -> Column:
             if len(args) not in (2, 3):
                 raise SparqlError("SUBSTR takes (?s, start[, length])")
             start = _lit_arg("SUBSTR", args[1])
-            if not isinstance(start, int):
-                raise SparqlError("SUBSTR start must be an integer literal")
+            if not isinstance(start, int) or start < 1:
+                # XPath fn:substring treats start < 1 as "from the
+                # beginning"; Spark's substr counts from the END — a
+                # silent divergence, so reject the ambiguous form loudly
+                raise SparqlError(
+                    "SUBSTR start must be a positive (1-based) integer "
+                    "literal"
+                )
             if len(args) == 3:
                 ln = _lit_arg("SUBSTR", args[2])
                 if not isinstance(ln, int):
@@ -1394,8 +1406,14 @@ def _compile_group(
                 raise SparqlError(
                     f"BIND target ?{var} is already bound in scope"
                 )
+            # cast("string"): a materialized binding column must keep the
+            # all-string binding-table invariant — a native int/boolean
+            # column joined or UNION'd with pattern-bound string data
+            # would coerce the string side and crash under ANSI mode
+            # (and break the VARCHAR lexicographic oracle parity)
             current = current.withColumn(
-                var, _value_expr(expr, set(current.columns))
+                var,
+                _value_expr(expr, set(current.columns)).cast("string"),
             )
             # an expression over possibly-unbound sources can itself be
             # unbound (spec: expression error -> var unbound = NULL)
@@ -1460,8 +1478,8 @@ def _agg_column(
 
 
 def _having_aggs(expr, found: list) -> None:
-    """Collect ``("agg_expr", fn, distinct, arg)`` nodes from a HAVING
-    expression tree in deterministic left-to-right order."""
+    """Collect ``("agg_expr", fn, distinct, arg, sep)`` nodes from a
+    HAVING expression tree in deterministic left-to-right order."""
     kind = expr[0]
     if kind == "agg_expr":
         key = expr[1:]
@@ -1545,7 +1563,10 @@ def _apply_aggregation(
             raise SparqlError(
                 f"GROUP BY key ?{gname} collides with a bound variable"
             )
-        out = out.withColumn(gname, _value_expr(gexpr, set(out.columns)))
+        # string-cast for the same binding-table invariant as BIND
+        out = out.withColumn(
+            gname, _value_expr(gexpr, set(out.columns)).cast("string")
+        )
         keys.append(gname)
     group_by = keys
     missing = [v for v in group_by if v not in out.columns]

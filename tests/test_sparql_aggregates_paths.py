@@ -465,9 +465,65 @@ def test_bind_opens_a_group_and_booleans(typed_triples):
         'BIND (?v >= "3" AS ?big) }',
         prefixes=PFX,
     )
+    # materialized BIND columns are STRING (the binding-table invariant):
+    # booleans take their lexical form
     assert {(_local(r.e), r.big) for r in got.collect()} == {
-        ("a", True), ("b", True), ("c", False),
+        ("a", "true"), ("b", "true"), ("c", "false"),
     }
+
+
+def test_bind_column_keeps_string_invariant(spark):
+    """A numeric-valued BIND column must stay a STRING column: UNION'd
+    or joined with pattern-bound string data, a native int column would
+    coerce the string side and crash under ANSI mode (round-10 review
+    finding — confirmed live with a bigint-coerced union)."""
+    rows = [
+        (EX + "a", EX + "label", "x9z"),
+        (EX + "b", EX + "type", "gene"),
+    ]
+    tdf = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        tdf,
+        "SELECT ?e ?x WHERE { { ?e ex:label ?x } "
+        "UNION { ?e ex:type ?t . BIND (STRLEN(?t) AS ?x) } }",
+        prefixes=PFX,
+    )
+    assert dict(got.dtypes)["x"] == "string"
+    assert {(r.e, r.x) for r in got.collect()} == {
+        (EX + "a", "x9z"), (EX + "b", "4"),
+    }
+
+
+def test_boolean_functions_as_comparison_operands(typed_triples):
+    """BOUND/REGEX/CONTAINS used INSIDE a comparison must evaluate (they
+    used to compile to a string literal of the function NAME, making the
+    filter vacuously true — round-10 review finding)."""
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e WHERE { ?e ex:type ?t . OPTIONAL { ?e ex:score ?v } "
+        'FILTER(BOUND(?v) = "true") }',
+        prefixes=PFX,
+    )
+    assert sorted(_local(r.e) for r in got.collect()) == ["a", "b", "b", "c"]
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?e WHERE { ?e ex:score ?v . '
+        'FILTER(CONTAINS(?v, "5") = "false") }',
+        prefixes=PFX,
+    )
+    assert sorted(_local(r.e) for r in got.collect()) == ["a", "c"]
+
+
+def test_substr_rejects_nonpositive_start(typed_triples):
+    # Spark substr counts negative starts from the END; fn:substring says
+    # "from the beginning" — the divergence is rejected, never silent
+    with pytest.raises(SparqlError, match="positive"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?k WHERE { ?e ex:type ?t . "
+            "BIND (SUBSTR(?t, -1) AS ?k) }",
+            prefixes=PFX,
+        )
 
 
 def test_bind_errors(typed_triples):
