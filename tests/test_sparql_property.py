@@ -311,3 +311,42 @@ def test_path_star_matches_naive_closure_plus_identity(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_grouped_aggregates_match_naive_bag(spark, seed):
+    """Grouped COUNT / COUNT DISTINCT / SUM / MIN / GROUP_CONCAT vs a
+    python bag replay over the naive BGP evaluator — pins bag semantics
+    (join fan-out multiplies solutions) and the aggregate typing."""
+    rng = random.Random(1300 + seed)
+    triples = _rand_triples(rng, 30) + [
+        (n, "score", str(rng.randint(1, 9))) for n in NODES for _ in range(2)
+    ]
+    tdf = spark.createDataFrame(triples, "s string, p string, o string")
+    q = (
+        "SELECT ?x (COUNT(?y) AS ?n) (COUNT(DISTINCT ?y) AS ?nd) "
+        "(SUM(?v) AS ?sv) (MIN(?y) AS ?lo) "
+        '(GROUP_CONCAT(?y; SEPARATOR=",") AS ?ys) '
+        "WHERE { ?x <p0> ?y . ?x <score> ?v } GROUP BY ?x"
+    )
+    got = {
+        r.x: (r.n, r.nd, r.sv, r.lo, r.ys)
+        for r in sparql_select(tdf, q).collect()
+    }
+    sols = _naive_bgp(
+        triples, [("?x", "p0", "?y"), ("?x", "score", "?v")]
+    )
+    groups: dict = {}
+    for mu in sols:
+        groups.setdefault(mu["x"], []).append(mu)
+    want = {}
+    for x, mus in groups.items():
+        ys = [mu["y"] for mu in mus]
+        want[x] = (
+            len(ys),
+            len(set(ys)),
+            float(sum(float(mu["v"]) for mu in mus)),
+            min(ys),
+            ",".join(sorted(ys)),
+        )
+    assert got == want
