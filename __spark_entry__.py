@@ -961,6 +961,27 @@ def q_sparql_ask_probe(spark, sf_dir):
     )
 
 
+def q_sparql_construct_graph(spark, sf_dir):
+    """The CONSTRUCT query form driver-checked: the WHERE solutions
+    (with an OPTIONAL whose misses must emit NO triple) instantiate a
+    two-triple template into a DISTINCT derived graph — the solution
+    table computes once, each template triple is a projection of it.
+    Oracle = UNION of per-template SELECTs, DISTINCT."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_construct
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_agg.nt", _SPARQL_AGG_FIXTURE)
+    )
+    return sparql_construct(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/kind> ?t .
+                       ?e <http://ex.org/ref> ?x }
+           WHERE { ?e ex:type ?t . OPTIONAL { ?e ex:xref ?x } }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -4106,6 +4127,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_construct_graph": q_sparql_construct_graph,  # never driver-checked
     "sparql_modifiers": q_sparql_modifiers,  # never driver-checked
     "sparql_ask_probe": q_sparql_ask_probe,  # never driver-checked
     "sparql_bind": q_sparql_bind,  # never driver-checked
@@ -6466,6 +6488,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*)::BIGINT AS n_rows, count(x)::BIGINT AS n_x,
                    count(DISTINCT e)::BIGINT AS n_e
             FROM base GROUP BY t ORDER BY t
+        """,
+        # CONSTRUCT replay: union of per-template-triple SELECTs over the
+        # same solutions (OPTIONAL miss -> no ref triple), DISTINCT
+        "sparql_construct_graph": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:101'),
+                ('http://ex.org/e2', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/type', 'gene'),
+                ('http://ex.org/e4', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e4', 'http://ex.org/xref', 'chebi:400'),
+                ('http://ex.org/e5', 'http://ex.org/type', 'pathway'),
+                ('http://ex.org/e6', 'http://ex.org/type', 'anatomy')
+            ), sol AS (
+                SELECT ty.s AS e, ty.o AS t, x.o AS x
+                FROM t ty
+                LEFT JOIN t x
+                  ON x.s = ty.s AND x.p = 'http://ex.org/xref'
+                WHERE ty.p = 'http://ex.org/type'
+            )
+            SELECT DISTINCT * FROM (
+                SELECT e AS s, 'http://ex.org/kind' AS p, t AS o FROM sol
+                UNION ALL
+                SELECT e, 'http://ex.org/ref', x FROM sol WHERE x IS NOT NULL
+            )
         """,
         # computed-GROUP-BY-key + OFFSET paging replay
         "sparql_modifiers": """

@@ -122,7 +122,7 @@ import threading
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparql_select", "sparql_ask", "SparqlError"]
+__all__ = ["sparql_select", "sparql_ask", "sparql_construct", "SparqlError"]
 
 
 class SparqlError(ValueError):
@@ -240,12 +240,46 @@ class _Parser:
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         return prefixes, group
 
+    def parse_construct(self):
+        """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
+        LIMIT/OFFSET]`` — the graph-building query form. The template is
+        plain triples only (vars, IRIs, prefixed names, literals)."""
+        prefixes = self.parse_prefixes()
+        if not self.at_keyword("CONSTRUCT"):
+            raise SparqlError("expected CONSTRUCT")
+        self.next()
+        self.expect("{")
+        template: list = []
+        while True:
+            kind, v = self.peek()
+            if v == "}":
+                self.next()
+                break
+            if v == ".":
+                self.next()
+                continue
+            s = self.parse_term()
+            p = self.parse_term()
+            o = self.parse_term()
+            template.append((s, p, o))
+        if not template:
+            raise SparqlError("CONSTRUCT template needs at least one triple")
+        if not self.at_keyword("WHERE"):
+            raise SparqlError("CONSTRUCT needs WHERE { ... }")
+        self.next()
+        group = self.parse_group()
+        order = self.parse_order()
+        limit, offset = self.parse_limit_offset()
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return prefixes, template, group, order, limit, offset
+
     def parse_query(self):
         prefixes = self.parse_prefixes()
         if not self.at_keyword("SELECT"):
             raise SparqlError(
                 "only SELECT queries are supported here (use sparql_ask "
-                "for ASK)"
+                "for ASK / sparql_construct for CONSTRUCT)"
             )
         self.next()
         distinct = False
@@ -1881,3 +1915,76 @@ def sparql_ask(
         group = _substitute(group, binds, pfx)
     out, _ = _compile_group(triples, group, pfx, max_path_depth)
     return out.limit(1).count() > 0
+
+
+def sparql_construct(
+    triples: DataFrame,
+    query: str,
+    prefixes: "dict[str, str] | None" = None,
+    bindings: "dict[str, str] | None" = None,
+    max_path_depth: int = 12,
+) -> DataFrame:
+    """Evaluate a SPARQL ``CONSTRUCT`` over a ``(s, p, o)`` DataFrame,
+    returning the derived graph as a DISTINCT ``(s, p, o)`` DataFrame —
+    the subgraph-derivation form the reference's rdflib pipelines use to
+    reshape downloaded RDF (reference src/bio2bel/sources/rhea.py runs
+    arbitrary rdflib query forms over the parsed graph).
+
+    Per spec: each solution of the WHERE pattern instantiates every
+    template triple; a solution leaving any template position unbound
+    (an OPTIONAL miss) contributes no triple for that template row; the
+    result is a GRAPH, i.e. set semantics — one DISTINCT over the
+    unioned instantiations. Plan shape: the solution table is computed
+    ONCE, each template triple is a projection of it, and the union +
+    dropDuplicates is the only added shuffle. ``ORDER BY``/``LIMIT``/
+    ``OFFSET`` page the solution sequence before instantiation."""
+    toks = _tokenize(query)
+    declared, template, group, order, limit, offset = _Parser(
+        toks
+    ).parse_construct()
+    pfx = dict(prefixes or {})
+    pfx.update(declared)
+    binds = {k: str(v) for k, v in (bindings or {}).items()}
+    if binds:
+        known = _collect_vars(group)
+        missing = sorted(v for v in binds if v not in known)
+        if missing:
+            raise SparqlError(
+                f"bindings for variables not in the pattern: {missing}"
+            )
+        group = _substitute(group, binds, pfx)
+    out, _ = _compile_group(triples, group, pfx, max_path_depth)
+    for var, value in binds.items():
+        out = out.withColumn(var, F.lit(value))
+    internals = [c for c in out.columns if c.startswith("__path_")]
+    if internals:
+        out = out.drop(*internals)
+    if order:
+        for var, _asc in order:
+            if var not in out.columns:
+                raise SparqlError(f"ORDER BY var ?{var} not bound here")
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in order]
+        )
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+
+    def _pos(term) -> Column:
+        if term[0] == "var":
+            if term[1] not in out.columns:
+                raise SparqlError(
+                    f"CONSTRUCT template variable ?{term[1]} is never "
+                    "bound by the WHERE pattern"
+                )
+            return F.col(term[1])
+        return F.lit(str(_resolve(term, pfx)[1]))
+
+    built = None
+    for s, p, o in template:
+        row = out.select(
+            _pos(s).alias("s"), _pos(p).alias("p"), _pos(o).alias("o")
+        ).na.drop()  # an unbound (OPTIONAL-miss) position emits no triple
+        built = row if built is None else built.unionByName(row)
+    return built.dropDuplicates()

@@ -604,3 +604,67 @@ def test_ask_form(typed_triples):
     ) is True
     with pytest.raises(SparqlError, match="sparql_ask"):
         sparql_select(typed_triples, "ASK { ?e ex:type ?t }", prefixes=PFX)
+
+
+# --------------------------------------------------------------- CONSTRUCT
+
+
+def test_construct_instantiates_template(typed_triples):
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/scored> ?v .
+                       ?v <http://ex.org/scoreOf> ?e }
+           WHERE { ?e ex:type "gene" . ?e ex:score ?v }""",
+    )
+    assert got.columns == ["s", "p", "o"]
+    rows = {(r.s, r.p, r.o) for r in got.collect()}
+    # b's duplicate score row dedups: a CONSTRUCT result is a GRAPH
+    assert rows == {
+        (EX + "a", EX + "scored", "3"),
+        (EX + "b", EX + "scored", "5"),
+        ("3", EX + "scoreOf", EX + "a"),
+        ("5", EX + "scoreOf", EX + "b"),
+    }
+
+
+def test_construct_optional_miss_emits_no_triple(typed_triples):
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/hasScore> ?v }
+           WHERE { ?e ex:type "gene" . OPTIONAL { ?e ex:score ?v } }""",
+    )
+    # d has no score -> contributes NO triple (never a NULL object)
+    assert {(r.s, r.o) for r in got.collect()} == {
+        (EX + "a", "3"), (EX + "b", "5"),
+    }
+
+
+def test_construct_bindings_and_errors(typed_triples):
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/is> ?t }
+           WHERE { ?e ex:type ?t }""",
+        bindings={"t": "pathway"},
+    )
+    assert {(r.s, r.o) for r in got.collect()} == {(EX + "c", "pathway")}
+    with pytest.raises(SparqlError, match="never\\s+bound"):
+        sparql_construct(
+            typed_triples,
+            "PREFIX ex: <http://ex.org/> "
+            "CONSTRUCT { ?e <http://ex.org/is> ?zz } "
+            "WHERE { ?e ex:type ?t }",
+        )
+    with pytest.raises(SparqlError, match="template needs"):
+        sparql_construct(
+            typed_triples,
+            "CONSTRUCT { } WHERE { ?e <http://ex.org/type> ?t }",
+        )
