@@ -961,6 +961,26 @@ def q_sparql_ask_probe(spark, sf_dir):
     )
 
 
+def q_sparql_negated_path(spark, sf_dir):
+    """Negated property sets driver-checked: ``!(type)`` keeps every
+    edge whose predicate is NOT in the set — ONE NOT-IN pattern scan,
+    composed here with a ``/`` sequence hop. Oracle replays the NOT-IN
+    filter + join in SQL."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    triples = read_ntriples(
+        spark, _fixture_path("mini_sparql_path.nt", _SPARQL_PATH_FIXTURE)
+    )
+    return sparql_select(
+        triples,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?e ?pn WHERE {
+               ?e !(ex:name|ex:xref)/ex:name ?pn
+           }""",
+    )
+
+
 def q_sparql_construct_graph(spark, sf_dir):
     """The CONSTRUCT query form driver-checked: the WHERE solutions
     (with an OPTIONAL whose misses must emit NO triple) instantiate a
@@ -4127,6 +4147,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_negated_path": q_sparql_negated_path,  # never driver-checked
     "sparql_construct_graph": q_sparql_construct_graph,  # never driver-checked
     "sparql_modifiers": q_sparql_modifiers,  # never driver-checked
     "sparql_ask_probe": q_sparql_ask_probe,  # never driver-checked
@@ -6488,6 +6509,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT t, count(*)::BIGINT AS n_rows, count(x)::BIGINT AS n_x,
                    count(DISTINCT e)::BIGINT AS n_e
             FROM base GROUP BY t ORDER BY t
+        """,
+        # negated-property-set replay: NOT-IN predicate scan + name hop
+        "sparql_negated_path": """
+            WITH t(s, p, o) AS (VALUES
+                ('http://ex.org/e1', 'http://ex.org/name', 'alpha'),
+                ('http://ex.org/e1', 'http://ex.org/partOf', 'http://ex.org/e4'),
+                ('http://ex.org/e1', 'http://ex.org/xref', 'chebi:100'),
+                ('http://ex.org/e2', 'http://ex.org/name', 'beta'),
+                ('http://ex.org/e2', 'http://ex.org/partOf', 'http://ex.org/e5'),
+                ('http://ex.org/e2', 'http://ex.org/xref', 'uniprot:200'),
+                ('http://ex.org/e3', 'http://ex.org/name', 'gamma'),
+                ('http://ex.org/e3', 'http://ex.org/partOf', 'http://ex.org/e6'),
+                ('http://ex.org/e4', 'http://ex.org/name', 'delta'),
+                ('http://ex.org/e5', 'http://ex.org/name', 'epsilon')
+            )
+            SELECT hop.s AS e, n.o AS pn
+            FROM t hop
+            JOIN t n ON n.s = hop.o AND n.p = 'http://ex.org/name'
+            WHERE hop.p NOT IN ('http://ex.org/name', 'http://ex.org/xref')
         """,
         # CONSTRUCT replay: union of per-template-triple SELECTs over the
         # same solutions (OPTIONAL miss -> no ref triple), DISTINCT

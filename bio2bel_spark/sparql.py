@@ -54,10 +54,13 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   a constant endpoint instead seeds an O(frontier)-state reachability
   BFS; evaluation of a closing hop is eager), ``p*`` zero-or-more
   (the closure plus the zero-length rows: a constant endpoint matches
-  itself, two variables bind every subject/object in the graph) and
-  ``p?`` zero-or-one. Only constant (IRI/prefixed) segments are
-  supported inside paths, and an unparenthesized ``|`` mixed with
-  ``/``/``^``/modifiers is rejected — SPARQL gives ``|`` the lowest
+  itself, two variables bind every subject/object in the graph),
+  ``p?`` zero-or-one, and negated property sets ``!p`` / ``!(a|b)``
+  (one NOT-IN scan; composes with ``^`` and length modifiers; inverse
+  members inside the set are outside the subset). Only constant
+  (IRI/prefixed) segments are supported inside paths, and an
+  unparenthesized ``|`` mixed with ``/``/``^``/``!``/modifiers is
+  rejected — SPARQL gives ``|`` the lowest
   precedence (``a|b/c`` = ``a|(b/c)``) while this hop-level grammar
   would bind it tightest, so the ambiguous forms demand parentheses
   (``(a|b)/c``) rather than silently diverge. Variable names with the
@@ -197,10 +200,13 @@ class _Parser:
         self.fresh = 0  # fresh internal vars for property-path desugaring
 
     def peek(self) -> tuple[str, str]:
-        return self.toks[self.i]
+        # clamp at the sentinel: a malformed query that consumes past the
+        # appended ("eof", "") token must keep reading eof and fail with
+        # a SparqlError from the grammar, never an IndexError
+        return self.toks[min(self.i, len(self.toks) - 1)]
 
     def next(self) -> tuple[str, str]:
-        t = self.toks[self.i]
+        t = self.peek()
         self.i += 1
         return t
 
@@ -581,6 +587,7 @@ class _Parser:
                 plain = (
                     len(segs) == 1
                     and not segs[0]["inverse"]
+                    and not segs[0]["negated"]
                     and not segs[0]["plus"]
                     and not segs[0]["star"]
                     and not segs[0]["qmark"]
@@ -608,7 +615,10 @@ class _Parser:
                     else:
                         nxt = ("var", f"__path_{self.fresh}")
                         self.fresh += 1
-                    modified = seg["plus"] or seg["star"] or seg["qmark"]
+                    modified = (
+                        seg["plus"] or seg["star"] or seg["qmark"]
+                        or seg["negated"]
+                    )
                     if (
                         not seg["inverse"] and not modified
                         and len(seg["preds"]) == 1
@@ -643,6 +653,13 @@ class _Parser:
         if self.peek()[1] == "^":
             self.next()
             inverse = True
+        negated = False
+        if self.peek()[1] == "!":
+            # negated property set: !pred or !(a|b) — any predicate NOT
+            # in the set. '^' INSIDE the set (inverse members) is outside
+            # the subset and fails as a bad term below.
+            self.next()
+            negated = True
         paren = self.peek()[1] == "("
         if paren:
             self.next()
@@ -656,15 +673,16 @@ class _Parser:
         if self.peek()[1] in ("+", "*", "?"):
             mod = self.next()[1]
         bare_alt = len(preds) > 1 and not paren
-        if bare_alt and (inverse or mod is not None):
+        if bare_alt and (inverse or negated or mod is not None):
             raise SparqlError(
-                "unparenthesized '|' combined with '^' or a length "
+                "unparenthesized '|' combined with '^'/'!' or a length "
                 "modifier diverges from SPARQL precedence ('a|b+' means "
-                "'a|(b+)'); parenthesize the alternation — e.g. '(a|b)+' "
-                "or '^(a|b)'"
+                "'a|(b+)', '!a|b' means '(!a)|b'); parenthesize the "
+                "alternation — e.g. '(a|b)+', '^(a|b)' or '!(a|b)'"
             )
         return {
             "inverse": inverse,
+            "negated": negated,
             "preds": preds,
             "plus": mod == "+",
             "star": mod == "*",
@@ -1007,13 +1025,23 @@ def _compile_pathhop(
     from per-predicate pattern scans (each pushable), close it if
     ``+``/``*``, union the zero-length rows if ``*``/``?``, then bind the
     endpoint terms exactly like a triple pattern."""
-    rel = None
-    for p in seg["preds"]:
-        pr = _resolve(p, prefixes)
-        r = triples.filter(F.col("p") == F.lit(pr[1])).select(
+    if seg.get("negated"):
+        # negated property set: ONE scan keeping every predicate outside
+        # the set. Inherently broader than an equality scan — with a
+        # predicate-partitioned triples layout this is the partition
+        # complement, still a single pushable NOT-IN filter.
+        consts = [str(_resolve(p, prefixes)[1]) for p in seg["preds"]]
+        rel = triples.filter(~F.col("p").isin(consts)).select(
             F.col("s").alias("__ps"), F.col("o").alias("__po")
         )
-        rel = r if rel is None else rel.unionByName(r)
+    else:
+        rel = None
+        for p in seg["preds"]:
+            pr = _resolve(p, prefixes)
+            r = triples.filter(F.col("p") == F.lit(pr[1])).select(
+                F.col("s").alias("__ps"), F.col("o").alias("__po")
+            )
+            rel = r if rel is None else rel.unionByName(r)
     if seg["inverse"]:
         rel = rel.select(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")

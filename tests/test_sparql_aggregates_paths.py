@@ -668,3 +668,84 @@ def test_construct_bindings_and_errors(typed_triples):
             typed_triples,
             "CONSTRUCT { } WHERE { ?e <http://ex.org/type> ?t }",
         )
+
+
+# -------------------------------------------------- negated property sets
+
+
+def test_negated_property_set(typed_triples):
+    # !ex:type = any predicate but type — here, the score edges
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e ?v WHERE { ?e !ex:type ?v }",
+        prefixes=PFX,
+    )
+    assert sorted((_local(r.e), r.v) for r in got.collect()) == [
+        ("a", "3"), ("b", "5"), ("b", "5"), ("c", "2"),
+    ]
+    # !(type|score) over this fixture matches nothing
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e ?v WHERE { ?e !(ex:type|ex:score) ?v }",
+        prefixes=PFX,
+    )
+    assert got.count() == 0
+
+
+def test_negated_set_composes_with_inverse_and_sequence(typed_triples):
+    # ^!ex:score: inverse of "any predicate but score" = type edges seen
+    # from the object side
+    got = sparql_select(
+        typed_triples,
+        'SELECT ?e WHERE { "gene" ^!ex:score ?e }',
+        prefixes=PFX,
+    )
+    assert sorted(_local(r.e) for r in got.collect()) == ["a", "b", "d"]
+    # inside a sequence: entity -> (anything but score) -> literal
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e ?v WHERE { ?e !ex:score/!ex:anything ?v }",
+        prefixes=PFX,
+    )
+    assert got.count() == 0  # type objects are literals, no outgoing edges
+
+
+def test_negated_set_precedence_and_errors(typed_triples):
+    with pytest.raises(SparqlError, match="parenthesize"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e ?v WHERE { ?e !ex:type|ex:score ?v }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="bad term"):
+        sparql_select(
+            typed_triples,
+            "SELECT ?e ?v WHERE { ?e !(^ex:type) ?v }",
+            prefixes=PFX,
+        )
+
+
+def test_parser_never_crashes_on_garbage(typed_triples):
+    """Malformed queries must fail with SparqlError, never IndexError —
+    incl. queries that truncate mid-clause (the parser clamps at the eof
+    sentinel)."""
+    import random
+
+    bad = [
+        "SELECT ?x WHERE { ?x",
+        "SELECT ?x WHERE { ?x <p>",
+        "SELECT (COUNT(?x",
+        "SELECT ?x WHERE { ?x <p> ?y } GROUP BY (",
+        "SELECT ?x WHERE { ?x <p> ?y } HAVING (?n >",
+        "CONSTRUCT {",
+        "PREFIX ex:",
+        "SELECT ?x WHERE { BIND (",
+        "SELECT ?x WHERE { ?s !(<a>",
+    ]
+    rng = random.Random(0)
+    soup = "SELECT ?x WHERE { } ( ) . ?v <i> \"s\" OPTIONAL FILTER + * !".split()
+    for _ in range(60):
+        bad.append(" ".join(rng.choices(soup, k=rng.randint(1, 12))))
+    for q in bad:
+        with pytest.raises(SparqlError):
+            sparql_select(typed_triples, q, prefixes=PFX)
