@@ -1821,6 +1821,59 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
     return out
 
 
+def _solutions(
+    triples: DataFrame,
+    group: list,
+    pfx: dict,
+    bindings: "dict[str, str] | None",
+    max_path_depth: int,
+    extra_bindable: "set | None" = None,
+) -> DataFrame:
+    """The shared WHERE pipeline of every query form (SELECT / ASK /
+    CONSTRUCT): validate + substitute ``initBindings`` into the parsed
+    group, compile it, re-project each binding as its constant (a
+    binding extends every solution), and drop the anonymous
+    property-path internals. ``extra_bindable`` admits binding names
+    that are legal even though the pattern never mentions them (e.g.
+    variables used only in a CONSTRUCT template)."""
+    binds = {k: str(v) for k, v in (bindings or {}).items()}
+    if binds:
+        known = _collect_vars(group) | (extra_bindable or set())
+        missing = sorted(v for v in binds if v not in known)
+        if missing:
+            raise SparqlError(
+                f"bindings for variables not in the pattern: {missing}"
+            )
+        group = _substitute(group, binds, pfx)
+    out, _ = _compile_group(triples, group, pfx, max_path_depth)
+    for var, value in binds.items():
+        out = out.withColumn(var, F.lit(value))
+    internals = [c for c in out.columns if c.startswith("__path_")]
+    if internals:
+        out = out.drop(*internals)
+    return out
+
+
+def _order_page(
+    df: DataFrame, order: list, limit: "int | None", offset: int
+) -> DataFrame:
+    """ORDER BY → OFFSET → LIMIT over a solution table. With a LIMIT the
+    plan is TakeOrdered (map-side partial heaps); without one a range-
+    partition sort — the standard distributed total order."""
+    for var, _asc in order:
+        if var not in df.columns:
+            raise SparqlError(f"ORDER BY var ?{var} not bound here")
+    if order:
+        df = df.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in order]
+        )
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
 def sparql_select(
     triples: DataFrame,
     query: str,
@@ -1843,24 +1896,7 @@ def sparql_select(
     declared, projection, group, modifiers = _Parser(toks).parse_query()
     pfx = dict(prefixes or {})
     pfx.update(declared)
-    binds = {k: str(v) for k, v in (bindings or {}).items()}
-    if binds:
-        known = _collect_vars(group)
-        missing = sorted(v for v in binds if v not in known)
-        if missing:
-            raise SparqlError(
-                f"bindings for variables not in the pattern: {missing}"
-            )
-        group = _substitute(group, binds, pfx)
-    out, _ = _compile_group(triples, group, pfx, max_path_depth)
-    # re-project each bound variable as its constant (initBindings extends
-    # every solution with the binding)
-    for var, value in binds.items():
-        out = out.withColumn(var, F.lit(value))
-    # property-path internals are anonymous — never part of the solution
-    internals = [c for c in out.columns if c.startswith("__path_")]
-    if internals:
-        out = out.drop(*internals)
+    out = _solutions(triples, group, pfx, bindings, max_path_depth)
     group_by = modifiers["group_by"]
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
@@ -1881,24 +1917,9 @@ def sparql_select(
             raise SparqlError(f"projected vars never bound: {missing}")
 
     def _apply_order_limit(df: DataFrame) -> DataFrame:
-        for var, _asc in modifiers["order"]:
-            if var not in df.columns:
-                raise SparqlError(f"ORDER BY var ?{var} not bound here")
-        if modifiers["order"]:
-            # orderBy + limit plans as TakeOrdered (map-side partial
-            # heaps) — no full sort; without LIMIT it is a range-partition
-            # sort, the standard distributed total order
-            df = df.orderBy(
-                *[
-                    F.col(v).asc() if asc else F.col(v).desc()
-                    for v, asc in modifiers["order"]
-                ]
-            )
-        if modifiers["offset"]:
-            df = df.offset(modifiers["offset"])
-        if modifiers["limit"] is not None:
-            df = df.limit(modifiers["limit"])
-        return df
+        return _order_page(
+            df, modifiers["order"], modifiers["limit"], modifiers["offset"]
+        )
 
     if modifiers["distinct"]:
         # SPARQL solution-modifier order: project -> DISTINCT -> ORDER ->
@@ -1932,16 +1953,7 @@ def sparql_ask(
     declared, group = _Parser(toks).parse_ask()
     pfx = dict(prefixes or {})
     pfx.update(declared)
-    binds = {k: str(v) for k, v in (bindings or {}).items()}
-    if binds:
-        known = _collect_vars(group)
-        missing = sorted(v for v in binds if v not in known)
-        if missing:
-            raise SparqlError(
-                f"bindings for variables not in the pattern: {missing}"
-            )
-        group = _substitute(group, binds, pfx)
-    out, _ = _compile_group(triples, group, pfx, max_path_depth)
+    out = _solutions(triples, group, pfx, bindings, max_path_depth)
     return out.limit(1).count() > 0
 
 
@@ -1972,32 +1984,24 @@ def sparql_construct(
     ).parse_construct()
     pfx = dict(prefixes or {})
     pfx.update(declared)
-    binds = {k: str(v) for k, v in (bindings or {}).items()}
-    if binds:
-        known = _collect_vars(group)
-        missing = sorted(v for v in binds if v not in known)
-        if missing:
-            raise SparqlError(
-                f"bindings for variables not in the pattern: {missing}"
-            )
-        group = _substitute(group, binds, pfx)
-    out, _ = _compile_group(triples, group, pfx, max_path_depth)
-    for var, value in binds.items():
-        out = out.withColumn(var, F.lit(value))
-    internals = [c for c in out.columns if c.startswith("__path_")]
-    if internals:
-        out = out.drop(*internals)
-    if order:
-        for var, _asc in order:
-            if var not in out.columns:
-                raise SparqlError(f"ORDER BY var ?{var} not bound here")
-        out = out.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in order]
-        )
-    if offset:
-        out = out.offset(offset)
-    if limit is not None:
-        out = out.limit(limit)
+    # a binding may target a variable used ONLY in the template (rdflib
+    # emits the constant into every instantiated triple) — admit those
+    # names; _solutions re-projects every binding as a constant column
+    template_vars = {
+        t[1] for tri in template for t in tri if t[0] == "var"
+    }
+    out = _solutions(
+        triples, group, pfx, bindings, max_path_depth,
+        extra_bindable=template_vars,
+    )
+    out = _order_page(out, order, limit, offset)
+    if len(template) > 1:
+        # pin the solution table: each template triple is a consumer, and
+        # without this every branch re-executes the WHERE plan — under
+        # LIMIT/OFFSET (or ORDER BY ties) each GlobalLimit could then pick
+        # a DIFFERENT solution subset, instantiating an INCOHERENT graph
+        # (triples of one template row pairing with another's solutions)
+        out = out.localCheckpoint(eager=True)
 
     def _pos(term) -> Column:
         if term[0] == "var":

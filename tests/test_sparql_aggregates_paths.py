@@ -749,3 +749,37 @@ def test_parser_never_crashes_on_garbage(typed_triples):
     for q in bad:
         with pytest.raises(SparqlError):
             sparql_select(typed_triples, q, prefixes=PFX)
+
+
+def test_construct_limit_is_coherent_across_template(typed_triples):
+    """Under LIMIT, every template triple must instantiate from the SAME
+    paged solution set — the solution table is pinned once, so the two
+    branches can never page different subsets (round-10 review finding:
+    independent GlobalLimits are nondeterministic per branch)."""
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/kind> ?t .
+                       ?e <http://ex.org/knownAs> ?e }
+           WHERE { ?e ex:type ?t } ORDER BY ?e LIMIT 2""",
+    ).collect()
+    kind_subjects = {r.s for r in got if r.p == EX + "kind"}
+    known_subjects = {r.s for r in got if r.p == EX + "knownAs"}
+    assert kind_subjects == known_subjects == {EX + "a", EX + "b"}
+
+
+def test_construct_binding_on_template_only_var(typed_triples):
+    """rdflib initBindings parity: a binding for a variable used ONLY in
+    the template becomes a constant in every instantiated triple."""
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/source> ?src }
+           WHERE { ?e ex:type "pathway" }""",
+        bindings={"src": "rhea"},
+    )
+    assert {(r.s, r.o) for r in got.collect()} == {(EX + "c", "rhea")}
