@@ -1995,21 +1995,32 @@ def sparql_construct(
         extra_bindable=template_vars,
     )
     out = _order_page(out, order, limit, offset)
-    if len(template) > 1:
-        # pin the solution table: each template triple is a consumer, and
-        # without this every branch re-executes the WHERE plan — under
-        # LIMIT/OFFSET (or ORDER BY ties) each GlobalLimit could then pick
-        # a DIFFERENT solution subset, instantiating an INCOHERENT graph
-        # (triples of one template row pairing with another's solutions)
-        out = out.localCheckpoint(eager=True)
-
-    def _pos(term) -> Column:
-        if term[0] == "var":
-            if term[1] not in out.columns:
+    # fail fast on an invalid template BEFORE any materialization below
+    # can execute the (possibly expensive) WHERE plan
+    for tri in template:
+        for term in tri:
+            if term[0] == "var" and term[1] not in out.columns:
                 raise SparqlError(
                     f"CONSTRUCT template variable ?{term[1]} is never "
                     "bound by the WHERE pattern"
                 )
+    if len(template) > 1:
+        # each template triple is a consumer of the solution table, and
+        # without sharing every branch re-executes the WHERE plan. When a
+        # page was cut (LIMIT/OFFSET), independent GlobalLimits could even
+        # pick DIFFERENT solution subsets per branch — an incoherent graph
+        # — so the paged table is pinned EAGERLY (checkpoint). Unpaged,
+        # re-execution is deterministic and merely wasteful, so a lazy
+        # persist shares the one scan without running a job at build time.
+        if limit is not None or offset:
+            out = out.localCheckpoint(eager=True)
+        else:
+            from bio2bel_spark.operators.caching import tracked_persist
+
+            out = tracked_persist(out)
+
+    def _pos(term) -> Column:
+        if term[0] == "var":
             return F.col(term[1])
         return F.lit(str(_resolve(term, pfx)[1]))
 

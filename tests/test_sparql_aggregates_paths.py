@@ -768,6 +768,42 @@ def test_construct_limit_is_coherent_across_template(typed_triples):
     kind_subjects = {r.s for r in got if r.p == EX + "kind"}
     known_subjects = {r.s for r in got if r.p == EX + "knownAs"}
     assert kind_subjects == known_subjects == {EX + "a", EX + "b"}
+    # the REAL pin: LIMIT with NO ORDER is a nondeterministic page — the
+    # two branches must still see the SAME subset, whichever it is
+    # (without the solution-table pin, each branch cuts its own
+    # GlobalLimit and can page different solutions)
+    got = sparql_construct(
+        typed_triples,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?e <http://ex.org/kind> ?t .
+                       ?e <http://ex.org/knownAs> ?e }
+           WHERE { ?e ex:type ?t } LIMIT 2""",
+    ).collect()
+    kind_subjects = {r.s for r in got if r.p == EX + "kind"}
+    known_subjects = {r.s for r in got if r.p == EX + "knownAs"}
+    assert kind_subjects == known_subjects and len(kind_subjects) == 2
+
+
+def test_construct_invalid_template_fails_before_any_job(typed_triples):
+    """An unbound template variable must raise at BUILD time, before the
+    solution table is materialized (the pin would otherwise execute the
+    whole WHERE plan just to throw)."""
+    from unittest import mock
+
+    from bio2bel_spark.sparql import sparql_construct
+
+    with mock.patch.object(
+        type(typed_triples), "localCheckpoint",
+        side_effect=AssertionError("materialized before validation"),
+    ):
+        with pytest.raises(SparqlError, match="never\\s+bound"):
+            sparql_construct(
+                typed_triples,
+                "PREFIX ex: <http://ex.org/> "
+                "CONSTRUCT { ?e <http://ex.org/a> ?typo . "
+                "?e <http://ex.org/b> ?e } "
+                "WHERE { ?e ex:type ?t } LIMIT 1",
+            )
 
 
 def test_construct_binding_on_template_only_var(typed_triples):
