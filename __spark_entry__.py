@@ -4147,63 +4147,12 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
-    "sparql_negated_path": q_sparql_negated_path,  # never driver-checked
-    "sparql_construct_graph": q_sparql_construct_graph,  # never driver-checked
-    "sparql_modifiers": q_sparql_modifiers,  # never driver-checked
-    "sparql_ask_probe": q_sparql_ask_probe,  # never driver-checked
-    "sparql_bind": q_sparql_bind,  # never driver-checked
-    "sparql_group_concat": q_sparql_group_concat,  # never driver-checked
-    "sparql_path_star": q_sparql_path_star,  # never driver-checked
-    "sparql_group_count": q_sparql_group_count,  # never driver-checked
-    "sparql_group_having": q_sparql_group_having,  # never driver-checked
-    "selection_pipeline_tokens": q_selection_pipeline_tokens,  # never driver-checked
-    "png_features": q_png_features,  # never driver-checked
-    "png_phash_pairs": q_png_phash_pairs,  # never driver-checked
-    "sparql_not_exists": q_sparql_not_exists,  # never driver-checked
-    "ivf_topk": q_ivf_topk,  # last green r01
-    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,  # last green r01
-    "media_frame_sample": q_media_frame_sample,  # last green r01
-    "media_resize_plan": q_media_resize_plan,  # last green r01
-    "rdf_reactions": q_rdf_reactions,  # last green r03
-    "kg_components": q_kg_components,  # last green r03
-    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,  # last green r03
-    "dedup_lsh_verified": q_dedup_lsh_verified,  # last green r03
-    "dedup_exact": q_dedup_exact,  # last green r03
-    "minhash_signatures": q_minhash_signatures,  # last green r03
-    "relation_dispatch": q_relation_dispatch,  # last green r03
-    "kg_edge_list": q_kg_edge_list,  # last green r03
-    "kg_triples": q_kg_triples,  # last green r03
-    "kg_descendants": q_kg_descendants,  # last green r03
-    "events_hourly": q_events_hourly,  # last green r03
-    "obo_scan": q_obo_scan,  # last green r03
-    "cx_pivot": q_cx_pivot,  # last green r03
-    "curie_normalize": q_curie_normalize,  # last green r03
-    "latest_event_per_user": q_latest_event_per_user,  # last green r03
-    "cosine_topk": q_cosine_topk,  # last green r03
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # last green r03
-    "line_dedup": q_line_dedup,  # last green r03
-    "simhash_docs": q_simhash_docs,  # last green r03
-    "upsert_anti": q_upsert_anti,  # last green r03
-    "content_hash_tree": q_content_hash_tree,  # last green r03
-    "json_props": q_json_props,  # last green r03
-    "kg_summary": q_kg_summary,  # last green r03
-    "kg_pathway_edges": q_kg_pathway_edges,  # last green r03
-    "kg_union_dedup": q_kg_union_dedup,  # last green r03
-    "pathway_size_distribution": q_pathway_size_distribution,  # last green r03
-    "gene_pathway_counts": q_gene_pathway_counts,  # last green r03
-    "pathway_to_symbols": q_pathway_to_symbols,  # last green r03
-    "substring_search": q_substring_search,  # last green r03
-    "in_set_lookup": q_in_set_lookup,  # last green r03
-    "revenue_by_region": q_revenue_by_region,  # last green r03
-    "distinct_segments": q_distinct_segments,  # last green r03
-    "nation_segments": q_nation_segments,  # last green r03
     "content_hash": q_content_hash,  # last green r03
     "word_counts": q_word_counts,  # last green r03
     "first_prefixed_token": q_first_prefixed_token,  # last green r03
     "dedup_drop_exact": q_dedup_drop_exact,  # last green r03
     "dedup_lsh_fast": q_dedup_lsh_fast,  # last green r03
     "embedding_near_pairs_exact": q_embedding_near_pairs_exact,  # last green r03
-    # ---- end of the driver's 50-query correctness window ----
     "repetition_metrics": q_repetition_metrics,  # last green r03
     "top_word_fraction": q_top_word_fraction,  # last green r03
     "pii_scrub": q_pii_scrub,  # last green r03
@@ -4248,6 +4197,7 @@ QUERIES: dict[str, Callable] = {
     "cms_maintenance": q_cms_maintenance,  # last green r06
     "hll_maintenance": q_hll_maintenance,  # last green r06
     "temperature_mixture": q_temperature_mixture,  # last green r06
+    # ---- end of the driver's 50-query correctness window ----
     "token_budget_select": q_token_budget_select,  # last green r06
     "cluster_split": q_cluster_split,  # last green r06
     "winnowing_fingerprints": q_winnowing,  # last green r06
@@ -4348,6 +4298,56 @@ QUERIES: dict[str, Callable] = {
     "kg_degree_distribution": q_kg_degree_distribution,  # last green r09
     "shipping_priority": q_shipping_priority,  # last green r09
     "quality_topk": q_quality_topk,  # last green r09
+    "sparql_negated_path": q_sparql_negated_path,  # last green r10
+    "sparql_construct_graph": q_sparql_construct_graph,  # last green r10
+    "sparql_modifiers": q_sparql_modifiers,  # last green r10
+    "sparql_ask_probe": q_sparql_ask_probe,  # last green r10
+    "sparql_bind": q_sparql_bind,  # last green r10
+    "sparql_group_concat": q_sparql_group_concat,  # last green r10
+    "sparql_path_star": q_sparql_path_star,  # last green r10
+    "sparql_group_count": q_sparql_group_count,  # last green r10
+    "sparql_group_having": q_sparql_group_having,  # last green r10
+    "selection_pipeline_tokens": q_selection_pipeline_tokens,  # last green r10
+    "png_features": q_png_features,  # last green r10
+    "png_phash_pairs": q_png_phash_pairs,  # last green r10
+    "sparql_not_exists": q_sparql_not_exists,  # last green r10
+    "ivf_topk": q_ivf_topk,  # last green r10
+    "embedding_near_pairs_ivf": q_embedding_near_pairs_ivf,  # last green r10
+    "media_frame_sample": q_media_frame_sample,  # last green r10
+    "media_resize_plan": q_media_resize_plan,  # last green r10
+    "rdf_reactions": q_rdf_reactions,  # last green r10
+    "kg_components": q_kg_components,  # last green r10
+    "dedup_fuzzy_clusters": q_dedup_fuzzy_clusters,  # last green r10
+    "dedup_lsh_verified": q_dedup_lsh_verified,  # last green r10
+    "dedup_exact": q_dedup_exact,  # last green r10
+    "minhash_signatures": q_minhash_signatures,  # last green r10
+    "relation_dispatch": q_relation_dispatch,  # last green r10
+    "kg_edge_list": q_kg_edge_list,  # last green r10
+    "kg_triples": q_kg_triples,  # last green r10
+    "kg_descendants": q_kg_descendants,  # last green r10
+    "events_hourly": q_events_hourly,  # last green r10
+    "obo_scan": q_obo_scan,  # last green r10
+    "cx_pivot": q_cx_pivot,  # last green r10
+    "curie_normalize": q_curie_normalize,  # last green r10
+    "latest_event_per_user": q_latest_event_per_user,  # last green r10
+    "cosine_topk": q_cosine_topk,  # last green r10
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # last green r10
+    "line_dedup": q_line_dedup,  # last green r10
+    "simhash_docs": q_simhash_docs,  # last green r10
+    "upsert_anti": q_upsert_anti,  # last green r10
+    "content_hash_tree": q_content_hash_tree,  # last green r10
+    "json_props": q_json_props,  # last green r10
+    "kg_summary": q_kg_summary,  # last green r10
+    "kg_pathway_edges": q_kg_pathway_edges,  # last green r10
+    "kg_union_dedup": q_kg_union_dedup,  # last green r10
+    "pathway_size_distribution": q_pathway_size_distribution,  # last green r10
+    "gene_pathway_counts": q_gene_pathway_counts,  # last green r10
+    "pathway_to_symbols": q_pathway_to_symbols,  # last green r10
+    "substring_search": q_substring_search,  # last green r10
+    "in_set_lookup": q_in_set_lookup,  # last green r10
+    "revenue_by_region": q_revenue_by_region,  # last green r10
+    "distinct_segments": q_distinct_segments,  # last green r10
+    "nation_segments": q_nation_segments,  # last green r10
 }
 
 
@@ -6615,7 +6615,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ty.s AS e, ty.o AS t,
                    upper(ty.o) || '/' || substr(ty.s, 15) AS label,
-                   regexp_replace(ty.o, 'way$', '') AS short
+                   regexp_replace(ty.o, 'way$', '', 'g') AS short
             FROM t ty
             WHERE ty.p = 'http://ex.org/type' AND length(ty.o) > 4
         """,

@@ -1502,14 +1502,17 @@ def _compile_group(
 
 def _agg_column(
     out: DataFrame, fn: str, distinct: bool, arg: "str | None",
-    sep: str = " ",
+    sep: str = " ", grouped: bool = False,
 ) -> Column:
     """One aggregate expression over the binding table's string-valued
     columns. Typing follows the string-valued triples model: COUNT is
-    BIGINT, SUM/AVG cast the lexical form to DOUBLE (and coalesce the
-    empty/all-unbound group to ``0.0`` — SPARQL 1.1 §18.5.1 defines
-    ``Sum({}) = 0`` and ``Avg({}) = 0`` where SQL would yield NULL),
-    MIN/MAX compare lexicographically (exactly what DuckDB does over
+    BIGINT; SUM/AVG cast the lexical form to DOUBLE and, for the global
+    (no GROUP BY) aggregate only, coalesce the empty input to ``0.0`` —
+    SPARQL 1.1 §18.5.1 defines ``Sum({}) = 0`` / ``Avg({}) = 0`` for the
+    empty multiset, while a GROUP BY group whose values are all unbound
+    is an aggregation error leaving the variable unbound (NULL), which
+    is also rdflib's behavior; MIN/MAX compare lexicographically
+    (exactly what DuckDB does over
     VARCHAR — oracle parity), SAMPLE is evaluated as MIN (a
     deterministic, spec-valid representative), and GROUP_CONCAT joins
     the group's values in SORTED order (the spec leaves concatenation
@@ -1531,9 +1534,11 @@ def _agg_column(
             "(COUNT and GROUP_CONCAT only)"
         )
     if fn == "SUM":
-        return F.coalesce(F.sum(col.cast("double")), F.lit(0.0))
+        s = F.sum(col.cast("double"))
+        return s if grouped else F.coalesce(s, F.lit(0.0))
     if fn == "AVG":
-        return F.coalesce(F.avg(col.cast("double")), F.lit(0.0))
+        a = F.avg(col.cast("double"))
+        return a if grouped else F.coalesce(a, F.lit(0.0))
     if fn == "MIN" or fn == "SAMPLE":
         return F.min(col)
     return F.max(col)  # MAX
@@ -1612,6 +1617,12 @@ def _apply_aggregation(
             "list the variables explicitly"
         )
     plain = [it[1] for it in projection if it[0] == "var"]
+    if len(set(plain)) != len(plain):
+        dup = next(v for v in plain if plain.count(v) > 1)
+        raise SparqlError(
+            f"duplicate projection alias ?{dup} — each SELECT "
+            "column needs a distinct name"
+        )
     agg_items = [it for it in projection if it[0] == "agg"]
     # computed GROUP BY keys materialize as named columns first, then
     # everything below sees plain key names
@@ -1664,7 +1675,10 @@ def _apply_aggregation(
                 "column needs a distinct name"
             )
         seen.add(alias)
-        exprs.append(_agg_column(out, fn, distinct, arg, sep).alias(alias))
+        exprs.append(
+            _agg_column(out, fn, distinct, arg, sep, bool(group_by))
+            .alias(alias)
+        )
     # direct aggregate calls inside HAVING ride the SAME aggregation as
     # hidden columns (dropped post-filter)
     having_aliases = {
@@ -1672,7 +1686,10 @@ def _apply_aggregation(
     }
     for spec, alias in having_aliases.items():
         fn, distinct, arg, sep = spec
-        exprs.append(_agg_column(out, fn, distinct, arg, sep).alias(alias))
+        exprs.append(
+            _agg_column(out, fn, distinct, arg, sep, bool(group_by))
+            .alias(alias)
+        )
     grouped = out.groupBy(*group_by).agg(*exprs) if group_by else out.agg(*exprs)
     if having is not None:
         plainified = _rewrite_having(having, having_aliases)

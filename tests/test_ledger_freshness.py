@@ -7,13 +7,11 @@ This test makes skipping the rotation a CI failure:
   last driver-green round, never-checked = -1) as every non-window entry.
   A new query has no CORRECTNESS row, so it ranks stalest automatically
   and CANNOT land outside the window.
-* K-round freshness ratchet — with 194 queries and a 50-slot window, a
-  full rotation takes ceil(194/50) = 4 rounds, so once rotation runs
+* K-round freshness ratchet — with 200 queries and a 50-slot window, a
+  full rotation takes ceil(200/50) = 4 rounds, so once rotation runs
   every round, no query's last green row can be older than K = 5 rounds.
-  The ratchet asserts staleness <= K for every query that has EVER been
-  driver-checked OR sits in the current window; rounds r1-r9 did not
-  rotate, so the bound is enforced relative to the best achievable
-  schedule (see _max_allowed_staleness) and tightens as rounds pass.
+  The ratchet asserts staleness <= K for every non-window query; window
+  members are excused because the imminent driver run re-greens them.
 
 Regenerate the window with ``python scripts/rotate_window.py``.
 """
@@ -35,14 +33,11 @@ from rotate_window import (  # noqa: E402
 )
 
 #: once rotation runs every round, every query must have a driver-green row
-#: within this many rounds (window 50 of ~194 queries -> full cycle in 4)
+#: within this many rounds (window 50 of ~200 queries -> full cycle in 4).
+#: The pre-rotation grace term was retired in round 11: as of the r10
+#: ledger no query outside the window is staler than 4 rounds, so the
+#: ratchet now runs at the tight bound with no excuse schedule.
 K_ROUNDS = 5
-
-#: the first round whose builder ran the stalest-first rotation; queries
-#: last checked before it are excused exactly until the rotation has had
-#: time to cycle them back through (they are, by construction, the ones
-#: the rotation schedules first)
-ROTATION_STARTED = 10
 
 
 def _entries():
@@ -82,20 +77,15 @@ def test_every_query_green_within_k_rounds():
     greens = last_green_rounds(ROOT)
     latest = _latest_round()
     window = set(keys[:WINDOW])
-    # the rotation cycles ~WINDOW stale queries per round starting at
-    # ROTATION_STARTED; a query not yet recycled is excused only while the
-    # schedule could not have reached it
-    cycle = -(-len(keys) // WINDOW)  # ceil
-    grace = max(0, ROTATION_STARTED + cycle - 1 - latest)
     overdue = []
     for k in keys:
         if k in window:
             continue  # scheduled for the imminent driver run
         staleness = latest - greens.get(k, -1)
-        if staleness > K_ROUNDS + grace:
+        if staleness > K_ROUNDS:
             overdue.append((k, greens.get(k)))
     assert not overdue, (
         f"{len(overdue)} queries have no driver-green row in the last "
-        f"{K_ROUNDS + grace} rounds and are not in the current window: "
+        f"{K_ROUNDS} rounds and are not in the current window: "
         f"{overdue[:10]}; run: python scripts/rotate_window.py"
     )

@@ -234,6 +234,34 @@ def test_count_star_and_empty_group_sum_is_zero(typed_triples):
     assert (got.s, got.a, got.n) == (0.0, 0.0, 0)
 
 
+def test_grouped_sum_avg_all_unbound_group_is_unbound(typed_triples):
+    """A GROUP BY group whose aggregated values are all unbound (an
+    OPTIONAL that never matched) leaves SUM/AVG unbound (NULL) — the
+    §18.5.1 ``Sum({}) = 0`` rule covers only the empty multiset, and
+    rdflib likewise leaves the variable unbound here. Only the global
+    no-GROUP-BY empty aggregate coalesces to 0.0 (pinned above)."""
+    got = sparql_select(
+        typed_triples,
+        "SELECT ?e (SUM(?v) AS ?s) (AVG(?v) AS ?a) (COUNT(?v) AS ?n) "
+        "WHERE { ?e ex:type ?t . OPTIONAL { ?e ex:score ?v } } "
+        "GROUP BY ?e",
+        prefixes=PFX,
+    ).collect()
+    by_e = {_local(r.e): (r.s, r.a, r.n) for r in got}
+    assert by_e["d"] == (None, None, 0)  # no score triples at all
+    assert by_e["c"] == (2.0, 2.0, 1)
+
+
+def test_duplicate_plain_projection_rejected(typed_triples):
+    for q in (
+        "SELECT ?t ?t (COUNT(?v) AS ?n) WHERE "
+        "{ ?e ex:type ?t . ?e ex:score ?v } GROUP BY ?t",
+        "SELECT ?t ?t WHERE { ?e ex:type ?t } GROUP BY ?t",
+    ):
+        with pytest.raises(SparqlError, match="duplicate projection alias"):
+            sparql_select(typed_triples, q, prefixes=PFX)
+
+
 def test_aggregate_errors(typed_triples):
     with pytest.raises(SparqlError, match="not GROUP BY keys"):
         sparql_select(
