@@ -190,7 +190,25 @@ _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 #: value-returning scalar functions (BIND expressions; boolean-returning
 #: FILTER functions live in _compile_filter)
-_VALUE_FNS = {"CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE"}
+_VALUE_FNS = {
+    "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
+    "IF", "COALESCE",
+}
+
+#: boolean-returning functions legal in FILTER (and, via _operand, as
+#: comparison operands / IF conditions)
+_BOOL_FNS = {
+    "BOUND", "REGEX", "CONTAINS", "STRSTARTS",
+    "ISIRI", "ISURI", "ISLITERAL",
+}
+
+#: the string-valued triples model carries no term-type tags, so isIRI /
+#: isLiteral classify by lexical shape: a term is an IRI iff it looks like
+#: a scheme'd identifier — ``scheme://...`` or ``urn:...`` (the two forms
+#: every graph this engine loads uses for entity identifiers); everything
+#: else bound is a literal. A deliberate, documented approximation of
+#: rdflib's term typing.
+_IRI_SHAPE = r"^([A-Za-z][A-Za-z0-9+.-]*://|urn:).*"
 
 
 class _Parser:
@@ -287,7 +305,16 @@ class _Parser:
                 "only SELECT queries are supported here (use sparql_ask "
                 "for ASK / sparql_construct for CONSTRUCT)"
             )
-        self.next()
+        projection, group, modifiers = self.parse_select_body()
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return prefixes, projection, group, modifiers
+
+    def parse_select_body(self):
+        """``SELECT [DISTINCT] proj WHERE group modifiers`` — the body
+        shared by the top-level query and ``{ SELECT ... }`` subqueries
+        (which stop at their closing ``}`` instead of eof)."""
+        self.next()  # SELECT
         distinct = False
         if self.at_keyword("DISTINCT"):
             self.next()
@@ -317,8 +344,6 @@ class _Parser:
         having = self.parse_having()
         order = self.parse_order()
         limit, offset = self.parse_limit_offset()
-        if self.peek()[0] != "eof":
-            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         modifiers = {
             "distinct": distinct,
             "order": order,
@@ -327,7 +352,7 @@ class _Parser:
             "group_by": group_by,
             "having": having,
         }
-        return prefixes, projection, group, modifiers
+        return projection, group, modifiers
 
     def parse_agg_projection(self) -> tuple:
         """``( AGG([DISTINCT] ?v|*) AS ?alias )`` — the aggregate
@@ -506,6 +531,15 @@ class _Parser:
     # -- group ----------------------------------------------------------
     def parse_group(self) -> list:
         self.expect("{")
+        if self.at_keyword("SELECT"):
+            # subquery: { SELECT ... } — a group that IS a nested query.
+            # Parsed here so the form works anywhere a group does (a
+            # direct element, a UNION branch, an OPTIONAL body); the
+            # spec evaluates it bottom-up, projecting only its SELECT
+            # variables outward.
+            projection, group, modifiers = self.parse_select_body()
+            self.expect("}")
+            return [("subquery", projection, group, modifiers)]
         elements: list = []
         while True:
             kind, v = self.peek()
@@ -521,8 +555,15 @@ class _Parser:
                 while self.at_keyword("UNION"):
                     self.next()
                     branches.append(self.parse_group())
-                if len(branches) == 1:
-                    elements.append(("union", branches))  # plain sub-group
+                if (
+                    len(branches) == 1
+                    and len(branches[0]) == 1
+                    and branches[0][0][0] == "subquery"
+                ):
+                    # a direct { SELECT ... } element: keep it first-class
+                    # (its own compile path and error wording) instead of
+                    # wrapping it as a one-branch UNION
+                    elements.append(branches[0][0])
                 else:
                     elements.append(("union", branches))
             elif self.at_keyword("OPTIONAL"):
@@ -591,6 +632,7 @@ class _Parser:
                     and not segs[0]["plus"]
                     and not segs[0]["star"]
                     and not segs[0]["qmark"]
+                    and segs[0]["range"] is None
                     and len(segs[0]["preds"]) == 1
                 )
                 if plain:
@@ -617,7 +659,7 @@ class _Parser:
                         self.fresh += 1
                     modified = (
                         seg["plus"] or seg["star"] or seg["qmark"]
-                        or seg["negated"]
+                        or seg["negated"] or seg["range"] is not None
                     )
                     if (
                         not seg["inverse"] and not modified
@@ -670,10 +712,39 @@ class _Parser:
         if paren:
             self.expect(")")
         mod = None
+        rng = None
         if self.peek()[1] in ("+", "*", "?"):
             mod = self.next()[1]
+        elif self.peek()[1] == "{":
+            # bounded length quantifier {n} / {n,m} / {n,} — in the
+            # SPARQL 1.1 drafts (and most engines' extensions), dropped
+            # from the final grammar; supported here because bounded
+            # reachability is what ontology QC actually asks for
+            self.next()
+            kind_n, vn = self.next()
+            if kind_n != "number" or "." in vn or int(vn) < 0:
+                raise SparqlError(
+                    f"path quantifier expects a nonnegative integer, "
+                    f"got {vn!r}"
+                )
+            lo = int(vn)
+            hi: "int | None" = lo
+            if self.peek()[1] == ",":
+                self.next()
+                if self.peek()[1] == "}":
+                    hi = None  # {n,} — unbounded
+                else:
+                    kind_m, vm = self.next()
+                    if kind_m != "number" or "." in vm or int(vm) < lo:
+                        raise SparqlError(
+                            f"path quantifier upper bound must be an "
+                            f"integer >= {lo}, got {vm!r}"
+                        )
+                    hi = int(vm)
+            self.expect("}")
+            rng = (lo, hi)
         bare_alt = len(preds) > 1 and not paren
-        if bare_alt and (inverse or negated or mod is not None):
+        if bare_alt and (inverse or negated or mod is not None or rng):
             raise SparqlError(
                 "unparenthesized '|' combined with '^'/'!' or a length "
                 "modifier diverges from SPARQL precedence ('a|b+' means "
@@ -687,6 +758,7 @@ class _Parser:
             "plus": mod == "+",
             "star": mod == "*",
             "qmark": mod == "?",
+            "range": rng,
             "bare_alt": bare_alt,
         }
 
@@ -786,16 +858,16 @@ class _Parser:
             # these (compile-time rejected elsewhere)
             fn, distinct, arg, sep = self.parse_agg_call()
             return ("agg_expr", fn, distinct, arg, sep)
-        if kind == "keyword" and v.upper() in (
-            ("BOUND", "REGEX", "CONTAINS", "STRSTARTS") + tuple(_VALUE_FNS)
-        ):
+        if kind == "keyword" and v.upper() in (_BOOL_FNS | _VALUE_FNS):
             fn = v.upper()
             self.next()
             self.expect("(")
-            args = [self.parse_primary()]
+            # full expressions per argument: IF's condition is typically a
+            # comparison, and nesting (REGEX(CONCAT(...), ...)) is legal
+            args = [self.parse_or()]
             while self.peek()[1] == ",":
                 self.next()
-                args.append(self.parse_primary())
+                args.append(self.parse_or())
             self.expect(")")
             return ("call", fn, args)
         if kind == "var":
@@ -1011,6 +1083,72 @@ def _zero_length_rows(triples: DataFrame, s, o) -> DataFrame:
     return nodes.select("__ps", F.col("__ps").alias("__po"))
 
 
+def _range_paths(
+    rel: DataFrame,
+    lo: int,
+    hi: "int | None",
+    triples: DataFrame,
+    s,
+    o,
+    max_depth: int,
+) -> DataFrame:
+    """``(__ps, __po)`` pairs connected by a path of length in
+    ``[lo, hi]`` (``hi=None`` = unbounded) — the ``{n,m}`` quantifier,
+    desugared onto the existing closure plumbing:
+
+    * bounded ``{n,m}``: one LAZY declarative plan — ``hi`` repeated
+      self-compositions (equi-join + distinct per power, so each power
+      stays a set and growth is bounded by the true path count), union
+      of the powers in ``[lo, hi]``. No driver-side iteration or
+      convergence probes: the bound is user-given, Catalyst sees the
+      whole plan.
+    * unbounded ``{n,}``: paths of length >= n = ``rel^(n-1)`` composed
+      with the eager ``p+`` pointer-doubling closure (``{0,}`` is ``*``,
+      ``{1,}`` is ``+``).
+    * ``lo == 0`` unions the zero-length rows exactly like ``*``/``?``.
+
+    Set semantics throughout (distinct after the final union — powers
+    of different lengths can connect the same pair)."""
+    rel = rel.distinct()
+
+    def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select(F.col("__ps"), F.col("__po").alias("__pm"))
+            .join(
+                b.select(F.col("__ps").alias("__pm"), F.col("__po")),
+                "__pm",
+            )
+            .select("__ps", "__po")
+            .distinct()
+        )
+
+    if hi is None:
+        acc = _pair_closure(rel, max_depth)  # all lengths >= 1
+        cur = None
+        for _ in range(lo - 1):  # shift the floor up: rel^(lo-1) ∘ (+)
+            cur = rel if cur is None else _compose(cur, rel)
+        if cur is not None:
+            acc = _compose(cur, acc)
+    else:
+        if hi > max_depth:
+            raise SparqlError(
+                f"path quantifier upper bound {hi} exceeds "
+                f"max_path_depth={max_depth}; raise "
+                "sparql_select(max_path_depth=...)"
+            )
+        acc, cur = None, None
+        for k in range(1, hi + 1):
+            cur = rel if cur is None else _compose(cur, rel)
+            if k >= lo:
+                acc = cur if acc is None else acc.unionByName(cur)
+        # {0,0} (or a group whose hops are all zero-length): no powers
+        if acc is None:
+            acc = rel.filter(F.lit(False))
+    if lo == 0:
+        acc = acc.unionByName(_zero_length_rows(triples, s, o))
+    return acc.distinct()
+
+
 def _compile_pathhop(
     triples: DataFrame,
     s,
@@ -1045,6 +1183,12 @@ def _compile_pathhop(
     if seg["inverse"]:
         rel = rel.select(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
+        )
+    rng = seg.get("range")
+    if rng is not None and eager:
+        # {n,m} quantifier — mutually exclusive with +/*/? by the parser
+        rel = _range_paths(
+            rel, rng[0], rng[1], triples, s, o, max_path_depth
         )
     closing = seg["plus"] or seg["star"]
     if not eager:
@@ -1110,6 +1254,13 @@ def _compile_filter(expr, bound: set[str]) -> Column:
         a0 = _operand(args[0], bound)
         if fn == "BOUND":
             return a0.isNotNull()
+        if fn in ("ISIRI", "ISURI"):
+            # IRI-by-lexical-shape (see _IRI_SHAPE); an unbound argument
+            # is an expression error -> NULL, which FILTER treats as false
+            return a0.rlike(_IRI_SHAPE)
+        if fn == "ISLITERAL":
+            # bound and not IRI-shaped (the string model's literal test)
+            return a0.isNotNull() & ~a0.rlike(_IRI_SHAPE)
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
         lit = str(args[1][1])
@@ -1151,8 +1302,9 @@ def _lit_arg(fn: str, term):
 
 def _value_expr(expr, bound: set[str]) -> Column:
     """Compile a VALUE-returning expression (the BIND subset): variables,
-    literals, CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR/REPLACE, and any
-    boolean expression (comparisons, &&/||/!, BOUND/REGEX/...). Per spec
+    literals, CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR/REPLACE/IF/COALESCE,
+    and any boolean expression (comparisons, &&/||/!, BOUND/REGEX/
+    isIRI/isLiteral/...). Per spec
     an expression ERROR (e.g. an OPTIONAL-unbound argument) leaves the
     BIND variable unbound — which is exactly SQL NULL propagation, so no
     special-casing: NULL in → NULL out."""
@@ -1169,6 +1321,31 @@ def _value_expr(expr, bound: set[str]) -> Column:
         fn, args = expr[1], expr[2]
         if fn == "CONCAT":
             return F.concat(
+                *[_value_expr(a, bound).cast("string") for a in args]
+            )
+        if fn == "IF":
+            # IF(cond, then, else) — cond must be a boolean expression
+            # (comparison / &&,||,! / boolean function); branches are
+            # string-cast so mixed-type arms stay inside the all-string
+            # binding-table model. A NULL (error) condition yields the
+            # else branch via ``otherwise`` — matching the spec's "IF
+            # with an error condition is an error" only approximately,
+            # but deterministically.
+            if len(args) != 3:
+                raise SparqlError("IF takes (condition, then, else)")
+            if args[0][0] in ("var", "lit"):
+                raise SparqlError(
+                    "IF condition must be a boolean expression "
+                    "(comparison, &&/||/!, or a boolean function)"
+                )
+            cond = _compile_filter(args[0], bound)
+            return F.when(
+                cond, _value_expr(args[1], bound).cast("string")
+            ).otherwise(_value_expr(args[2], bound).cast("string"))
+        if fn == "COALESCE":
+            if len(args) < 2:
+                raise SparqlError("COALESCE takes at least two arguments")
+            return F.coalesce(
                 *[_value_expr(a, bound).cast("string") for a in args]
             )
         a0 = _value_expr(args[0], bound)
@@ -1267,6 +1444,64 @@ def _join_compatible(
             c, F.coalesce(F.col(c), F.col(f"__opt_{c}"))
         ).drop(f"__opt_{c}")
     return joined
+
+
+def _compile_subquery(
+    triples: DataFrame,
+    el: tuple,
+    prefixes: dict[str, str],
+    max_path_depth: int,
+    skip_eager: bool = False,
+) -> "tuple[DataFrame, set[str]]":
+    """Compile a ``{ SELECT ... }`` subquery bottom-up (the spec's
+    evaluation order): inner WHERE group, then the full SELECT pipeline
+    (aggregation / DISTINCT / ORDER / LIMIT / projection), exactly as
+    the top level via :func:`_finish_select`. Only the projected
+    variables are visible outward. Every output column is cast to
+    string — subquery values re-enter the binding table, and aggregates
+    come out native BIGINT/DOUBLE, so the cast keeps the all-string
+    binding-table invariant (a COUNT joins/compares by its lexical
+    form, consistent with the engine's string-valued triples model).
+
+    Returns (bindings, nullable-vars): a projected variable is nullable
+    outward iff the inner group could leave it unbound (plain var under
+    OPTIONAL; SUM/AVG/MIN/MAX/SAMPLE over a nullable argument — a
+    group whose values are all unbound aggregates to NULL; a computed
+    GROUP BY key over nullable sources)."""
+    _, projection, group, modifiers = el
+    out, inner_nullable = _compile_group(
+        triples, group, prefixes, max_path_depth, skip_eager=skip_eager
+    )
+    internals = [c for c in out.columns if c.startswith("__path_")]
+    if internals:
+        out = out.drop(*internals)
+    out = _finish_select(out, projection, modifiers)
+    nullable: set[str] = set()
+    if projection is None:
+        nullable = inner_nullable & set(out.columns)
+    else:
+        for it in projection:
+            if it[0] == "var" and it[1] in inner_nullable:
+                nullable.add(it[1])
+            elif it[0] == "agg":
+                _, fn, _d, arg, alias, _sep = it
+                if (
+                    fn in ("SUM", "AVG", "MIN", "MAX", "SAMPLE")
+                    and arg in inner_nullable
+                ):
+                    nullable.add(alias)
+        names = set(out.columns)
+        for g in modifiers["group_by"]:
+            if (
+                not isinstance(g, str)
+                and g[2] in names
+                and _expr_vars(g[1]) & inner_nullable
+            ):
+                nullable.add(g[2])
+    out = out.select(
+        *[F.col(c).cast("string").alias(c) for c in out.columns]
+    )
+    return out, nullable
 
 
 def _compile_group(
@@ -1388,6 +1623,31 @@ def _compile_group(
                 current = _join_compatible(current, padded, "inner", nullable)
                 nullable -= {v for v in shared if v not in u_nullable}
             nullable |= u_nullable
+        elif el[0] == "subquery":
+            sub, sub_nullable = _compile_subquery(
+                triples, el, prefixes, max_path_depth,
+                skip_eager=group_unsat or skip_eager,
+            )
+            if current is None:
+                current = sub
+                nullable |= sub_nullable
+                continue
+            shared = [c for c in current.columns if c in sub.columns]
+            bad = [v for v in shared if v in sub_nullable]
+            if bad:
+                # the subquery side being unbound would need a
+                # RIGHT-nullable compatible join — outside the subset
+                # (same restriction as UNION branches)
+                raise SparqlError(
+                    f"joining a subquery on variables {bad} it may leave "
+                    "unbound is not supported; bind them in required "
+                    "patterns inside the subquery"
+                )
+            current = _join_compatible(current, sub, "inner", nullable)
+            # shared vars re-bind to the subquery's (non-null) values;
+            # new subquery vars inherit its nullability
+            nullable -= set(shared)
+            nullable |= sub_nullable - set(shared)
         elif el[0] in ("exists", "notexists", "minus"):
             if current is None:
                 raise SparqlError(
@@ -1741,6 +2001,16 @@ def _collect_vars(elements) -> set:
             out |= _expr_vars(el[1])
         elif el[0] == "bind":
             out |= _expr_vars(el[1]) | {el[2]}
+        elif el[0] == "subquery":
+            # only the PROJECTED names are visible outward (SELECT * =
+            # everything the inner group mentions)
+            _, projection, grp, _mods = el
+            if projection is None:
+                out |= _collect_vars(grp)
+            else:
+                out |= {
+                    it[1] if it[0] == "var" else it[4] for it in projection
+                }
     return out
 
 
@@ -1833,6 +2103,26 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
                 out.append((
                     "values", [names[0]], [[row[0]] for row in kept_rows]
                 ))
+        elif el[0] == "subquery":
+            # substituting a constant INTO a subquery would change its
+            # evaluation scope (grouping keys, projections, aggregation
+            # domains) in ways initBindings semantics don't define —
+            # reject rather than silently cross-joining or corrupting;
+            # constrain the subquery's OUTPUT with VALUES/FILTER instead
+            _, projection, grp, _mods = el
+            inner = _collect_vars(grp) | (
+                set()
+                if projection is None
+                else {it[1] if it[0] == "var" else it[4] for it in projection}
+            )
+            hit = sorted(set(binds) & inner)
+            if hit:
+                raise SparqlError(
+                    f"bindings= cannot constrain variables used inside a "
+                    f"subquery: {hit}; filter the subquery's output with "
+                    "VALUES or FILTER instead"
+                )
+            out.append(el)
         else:  # pragma: no cover — parser emits no other element kinds
             out.append(el)
     return out
@@ -1914,6 +2204,15 @@ def sparql_select(
     pfx = dict(prefixes or {})
     pfx.update(declared)
     out = _solutions(triples, group, pfx, bindings, max_path_depth)
+    return _finish_select(out, projection, modifiers)
+
+
+def _finish_select(
+    out: DataFrame, projection, modifiers: dict
+) -> DataFrame:
+    """The post-WHERE SELECT pipeline (shared by the top-level query and
+    subqueries): aggregation, then the spec's solution-modifier order —
+    project -> DISTINCT -> ORDER -> OFFSET/LIMIT."""
     group_by = modifiers["group_by"]
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
