@@ -1002,6 +1002,179 @@ def q_sparql_construct_graph(spark, sf_dir):
     )
 
 
+def _scale_triples(spark, sf_dir):
+    """The SPARQL-at-bench-scale substrate (round-11 verdict ask): ONE
+    ``(s, p, o)`` triples table synthesized deterministically from the
+    TPC-H parquet — ~1.4M triples at sf0.1, ~77k at the sf0.01 oracle
+    gate — so BGP joins, property-path closures, and aggregates run over
+    a graph whose size scales with the benchmark instead of a 10-triple
+    literal fixture. Predicates:
+
+    * ``order://K  ex:hasPart   part://K``   (one per lineitem row — bag
+      semantics preserved: a part twice in an order is two solutions)
+    * ``part://K   ex:returnedAs R``          (one per lineitem row)
+    * ``part://K   ex:inBrand   Brand#N``    (one per part)
+    * ``part://K   ex:childOf   part://K/10`` (K >= 10: a forest of
+      depth ~log10(|part|) rooted at keys 1-9 — the path substrate)
+    * ``part://K   ex:isRoot    "true"``     (K in 1..9)
+    * ``order://K  ex:status    F|O|P``      (one per order)
+
+    Every SPARQL pattern compiles to a predicate-equality scan of this
+    union — the filter pushes into the parquet reads, which is exactly
+    the predicate-partitioned layout a 100 TB triple store would use."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ex = "http://ex.org/"
+
+    def t(s, p, o):
+        return F.concat(F.lit(s[0]), F.col(s[1]).cast("string")).alias(
+            "s"
+        ), F.lit(ex + p).alias("p"), o.alias("o")
+
+    has_part = li.select(
+        *t(("order://", "l_orderkey"), "hasPart",
+           F.concat(F.lit("part://"), F.col("l_partkey").cast("string")))
+    )
+    shipped = li.select(
+        *t(("part://", "l_partkey"), "returnedAs", F.col("l_returnflag"))
+    )
+    in_brand = part.select(
+        *t(("part://", "p_partkey"), "inBrand", F.col("p_brand"))
+    )
+    child_of = part.filter(F.col("p_partkey") >= 10).select(
+        *t(("part://", "p_partkey"), "childOf",
+           F.concat(F.lit("part://"),
+                    F.expr("CAST(p_partkey DIV 10 AS STRING)")))
+    )
+    is_root = part.filter(F.col("p_partkey").between(1, 9)).select(
+        *t(("part://", "p_partkey"), "isRoot", F.lit("true"))
+    )
+    status = orders.select(
+        *t(("order://", "o_orderkey"), "status", F.col("o_orderstatus"))
+    )
+    return (
+        has_part.unionByName(shipped).unionByName(in_brand)
+        .unionByName(child_of).unionByName(is_root).unionByName(status)
+    )
+
+
+#: the same synthesized triples as DuckDB CTEs, one per predicate (the
+#: oracle replays each SPARQL pattern scan as its CTE)
+_SCALE_TRIPLES_SQL = """
+    hp AS (SELECT 'order://'||l_orderkey AS s, 'part://'||l_partkey AS o
+           FROM lineitem),
+    ib AS (SELECT 'part://'||p_partkey AS s, p_brand AS o FROM part),
+    co AS (SELECT 'part://'||p_partkey AS s,
+                  'part://'||(p_partkey//10) AS o
+           FROM part WHERE p_partkey >= 10),
+    rt AS (SELECT 'part://'||p_partkey AS s FROM part
+           WHERE p_partkey BETWEEN 1 AND 9),
+    st AS (SELECT 'order://'||o_orderkey AS s, o_orderstatus AS o
+           FROM orders)
+"""
+
+
+def q_sparql_scale_bgp(spark, sf_dir):
+    """SPARQL at bench scale #1: a three-pattern BGP + FILTER + grouped
+    COUNT over the ~1.4M-triple synthesized graph (sf0.1) — the first
+    driver row where the planner's joins and aggregation run at
+    benchmark size instead of a literal fixture. Each pattern is a
+    pushed predicate-equality scan; the plan is two hash joins + one
+    aggregation exchange. Oracle replays the BGP as CTE self-joins."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (COUNT(?ord) AS ?n) WHERE {
+               ?ord ex:hasPart ?part .
+               ?part ex:inBrand ?brand .
+               ?ord ex:status "F" .
+               FILTER(STRSTARTS(?brand, "Brand#1"))
+           } GROUP BY ?brand""",
+    )
+
+
+def q_sparql_scale_path(spark, sf_dir):
+    """SPARQL at bench scale #2: ``childOf+`` pointer-doubling closure
+    over the part forest (~20k edges, depth ~5 at sf0.1), grouped per
+    root — descendant counts for the nine depth-1 roots. Oracle is a
+    DuckDB recursive CTE over the same edges."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?root (COUNT(?d) AS ?n) WHERE {
+               ?d ex:childOf+ ?root .
+               ?root ex:isRoot "true"
+           } GROUP BY ?root""",
+    )
+
+
+def q_sparql_path_range(spark, sf_dir):
+    """The round-11 ``{n,m}`` path quantifier at bench scale: ancestors
+    exactly 2-3 levels up the part forest, counted per ancestor, HAVING
+    trimming the tail — one lazy plan of two bounded self-compositions.
+    Oracle composes the edge CTE twice/thrice and UNIONs (set
+    semantics both sides)."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?anc (COUNT(?x) AS ?n) WHERE {
+               ?x ex:childOf{2,3} ?anc .
+           } GROUP BY ?anc HAVING (COUNT(?x) >= 20)""",
+    )
+
+
+def q_sparql_subquery(spark, sf_dir):
+    """Round-11 subqueries driver-checked at scale: the aggregate-then-
+    join idiom — an inner ``{ SELECT ... GROUP BY ... ORDER BY ... LIMIT
+    5 }`` picks the top-5 brands by part count (deterministic ?brand
+    tie-break), the outer pattern fans each back out to its orders and
+    re-aggregates per status. The inner COUNT re-enters the binding
+    table as its lexical string (engine invariant); the oracle casts the
+    same way via str-equal hashing."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand ?n ?status (COUNT(?ord) AS ?m) WHERE {
+               { SELECT ?brand (COUNT(?p) AS ?n) WHERE {
+                     ?p ex:inBrand ?brand
+                 } GROUP BY ?brand ORDER BY DESC(?n) ?brand LIMIT 5 }
+               ?part ex:inBrand ?brand .
+               ?ord ex:hasPart ?part .
+               ?ord ex:status ?status .
+           } GROUP BY ?brand ?n ?status""",
+    )
+
+
+def q_sparql_scale_fns(spark, sf_dir):
+    """Round-11 value functions (IF / COALESCE / isIRI / isLiteral /
+    BOUND) driver-checked over the scale graph: per-part brand-bucket ×
+    root/child classification via BINDs over an OPTIONAL, grouped. The
+    oracle replays IF as CASE WHEN and COALESCE/isIRI by shape."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?k ?r (COUNT(?part) AS ?n) WHERE {
+               ?part ex:inBrand ?brand .
+               OPTIONAL { ?part ex:childOf ?anc }
+               BIND(IF(STRSTARTS(?brand, "Brand#1"), "b1", "rest") AS ?k)
+               BIND(COALESCE(?anc, "root") AS ?c)
+               BIND(IF(ISIRI(?c), "child", "root") AS ?r)
+               FILTER(ISLITERAL(?brand) && ISIRI(?part))
+           } GROUP BY ?k ?r""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -4147,6 +4320,11 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_scale_bgp": q_sparql_scale_bgp,  # never driver-checked
+    "sparql_scale_path": q_sparql_scale_path,  # never driver-checked
+    "sparql_path_range": q_sparql_path_range,  # never driver-checked
+    "sparql_subquery": q_sparql_subquery,  # never driver-checked
+    "sparql_scale_fns": q_sparql_scale_fns,  # never driver-checked
     "content_hash": q_content_hash,  # last green r03
     "word_counts": q_word_counts,  # last green r03
     "first_prefixed_token": q_first_prefixed_token,  # last green r03
@@ -4192,12 +4370,12 @@ QUERIES: dict[str, Callable] = {
     "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
     "mean_pool": q_mean_pool,  # last green r06
     "join_strategy": q_join_strategy,  # last green r06
+    # ---- end of the driver's 50-query correctness window ----
     "topk_maintenance": q_topk_maintenance,  # last green r06
     "psi_maintenance": q_psi_maintenance,  # last green r06
     "cms_maintenance": q_cms_maintenance,  # last green r06
     "hll_maintenance": q_hll_maintenance,  # last green r06
     "temperature_mixture": q_temperature_mixture,  # last green r06
-    # ---- end of the driver's 50-query correctness window ----
     "token_budget_select": q_token_budget_select,  # last green r06
     "cluster_split": q_cluster_split,  # last green r06
     "winnowing_fingerprints": q_winnowing,  # last green r06
@@ -8830,6 +9008,61 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS pack_chars
             FROM c GROUP BY 1, 2
+        """,
+        # --- round-11 SPARQL-at-bench-scale oracles: each replays the
+        # query's algebra over the SAME synthesized triples (one CTE per
+        # predicate, see _SCALE_TRIPLES_SQL) -----------------------------
+        "sparql_scale_bgp": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT ib.o AS brand, COUNT(*)::BIGINT AS n
+            FROM hp
+            JOIN ib ON ib.s = hp.o
+            JOIN st ON st.s = hp.s AND st.o = 'F'
+            WHERE ib.o LIKE 'Brand#1%'
+            GROUP BY ib.o
+        """,
+        "sparql_scale_path": "WITH RECURSIVE " + _SCALE_TRIPLES_SQL + """,
+            reach AS (
+                SELECT c.s AS d, c.o AS a FROM co c
+                UNION
+                SELECT r.d, c.o FROM reach r JOIN co c ON r.a = c.s
+            )
+            SELECT a AS root, COUNT(*)::BIGINT AS n
+            FROM reach JOIN rt ON rt.s = reach.a
+            GROUP BY a
+        """,
+        "sparql_path_range": "WITH " + _SCALE_TRIPLES_SQL + """,
+            d2 AS (SELECT e1.s AS x, e2.o AS a
+                   FROM co e1 JOIN co e2 ON e1.o = e2.s),
+            d3 AS (SELECT d2.x, e3.o AS a
+                   FROM d2 JOIN co e3 ON d2.a = e3.s),
+            u AS (SELECT x, a FROM d2 UNION SELECT x, a FROM d3)
+            SELECT a AS anc, COUNT(*)::BIGINT AS n
+            FROM u GROUP BY a HAVING COUNT(*) >= 20
+        """,
+        "sparql_subquery": "WITH " + _SCALE_TRIPLES_SQL + """,
+            top5 AS (
+                SELECT ib.o AS brand, COUNT(*)::BIGINT AS cnt
+                FROM ib GROUP BY ib.o
+                ORDER BY cnt DESC, brand LIMIT 5
+            )
+            -- the engine re-projects the inner COUNT as its lexical
+            -- string (binding-table invariant) -> cast to VARCHAR
+            SELECT t.brand, t.cnt::VARCHAR AS n, st.o AS status,
+                   COUNT(*)::BIGINT AS m
+            FROM top5 t
+            JOIN ib ON ib.o = t.brand
+            JOIN hp ON hp.o = ib.s
+            JOIN st ON st.s = hp.s
+            GROUP BY t.brand, t.cnt, st.o
+        """,
+        "sparql_scale_fns": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT CASE WHEN ib.o LIKE 'Brand#1%' THEN 'b1'
+                        ELSE 'rest' END AS k,
+                   CASE WHEN co.s IS NOT NULL THEN 'child'
+                        ELSE 'root' END AS r,
+                   COUNT(*)::BIGINT AS n
+            FROM ib LEFT JOIN co ON co.s = ib.s
+            GROUP BY 1, 2
         """,
         **(
             {"compression_ratio": _compression_ratio_sql()}
