@@ -1175,6 +1175,23 @@ def q_sparql_scale_fns(spark, sf_dir):
     )
 
 
+def q_sparql_describe(spark, sf_dir):
+    """Round-11 DESCRIBE query form over the scale graph: describe every
+    forest root bound by the WHERE group plus one explicit IRI — the
+    distinct triples whose subject is a described resource (blank-node-
+    free Concise Bounded Description, rdflib parity). The resource set
+    is 10 rows -> broadcast semi join against the triples scan. Oracle
+    replays the union-filter in SQL."""
+    from bio2bel_spark.sparql import sparql_describe
+
+    return sparql_describe(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           DESCRIBE ?root <order://1>
+           WHERE { ?root ex:isRoot "true" }""",
+    )
+
+
 _CX_FIXTURE = """\
 [{"nodes": [{"@id": 1, "n": "TP53", "r": "uniprot:P04637"},
             {"@id": 2, "n": "complex X", "r": "cx:2"}]},
@@ -4325,6 +4342,7 @@ QUERIES: dict[str, Callable] = {
     "sparql_path_range": q_sparql_path_range,  # never driver-checked
     "sparql_subquery": q_sparql_subquery,  # never driver-checked
     "sparql_scale_fns": q_sparql_scale_fns,  # never driver-checked
+    "sparql_describe": q_sparql_describe,  # never driver-checked
     "content_hash": q_content_hash,  # last green r03
     "word_counts": q_word_counts,  # last green r03
     "first_prefixed_token": q_first_prefixed_token,  # last green r03
@@ -9054,6 +9072,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN hp ON hp.o = ib.s
             JOIN st ON st.s = hp.s
             GROUP BY t.brand, t.cnt, st.o
+        """,
+        "sparql_describe": """
+            WITH roots AS (
+                SELECT 'part://'||p_partkey AS r FROM part
+                WHERE p_partkey BETWEEN 1 AND 9
+                UNION ALL SELECT 'order://1'
+            ), t AS (
+                SELECT 'order://'||l_orderkey AS s,
+                       'http://ex.org/hasPart' AS p,
+                       'part://'||l_partkey AS o FROM lineitem
+                UNION ALL
+                SELECT 'part://'||l_partkey, 'http://ex.org/returnedAs',
+                       l_returnflag FROM lineitem
+                UNION ALL
+                SELECT 'part://'||p_partkey, 'http://ex.org/inBrand',
+                       p_brand FROM part
+                UNION ALL
+                SELECT 'part://'||p_partkey, 'http://ex.org/childOf',
+                       'part://'||(p_partkey//10) FROM part
+                WHERE p_partkey >= 10
+                UNION ALL
+                SELECT 'part://'||p_partkey, 'http://ex.org/isRoot',
+                       'true' FROM part WHERE p_partkey BETWEEN 1 AND 9
+                UNION ALL
+                SELECT 'order://'||o_orderkey, 'http://ex.org/status',
+                       o_orderstatus FROM orders
+            )
+            SELECT DISTINCT t.s, t.p, t.o
+            FROM t JOIN roots ON t.s = roots.r
         """,
         "sparql_scale_fns": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT CASE WHEN ib.o LIKE 'Brand#1%' THEN 'b1'

@@ -125,7 +125,10 @@ import threading
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparql_select", "sparql_ask", "sparql_construct", "SparqlError"]
+__all__ = [
+    "sparql_select", "sparql_ask", "sparql_construct", "sparql_describe",
+    "SparqlError",
+]
 
 
 class SparqlError(ValueError):
@@ -263,6 +266,44 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         return prefixes, group
+
+    def parse_describe(self):
+        """``PREFIX* DESCRIBE (?var | <iri> | pname)+ [WHERE { group }]``
+        — the resource-description query form."""
+        prefixes = self.parse_prefixes()
+        if not self.at_keyword("DESCRIBE"):
+            raise SparqlError("expected DESCRIBE")
+        self.next()
+        terms: list = []
+        while True:
+            kind, v = self.peek()
+            if kind == "var":
+                self.next()
+                terms.append(("var", v[1:]))
+            elif kind == "iri":
+                self.next()
+                terms.append(("const", v[1:-1]))
+            elif kind == "pname":
+                self.next()
+                pre, _, local = v.partition(":")
+                terms.append(("pname", pre, local))
+            else:
+                break
+        if not terms:
+            raise SparqlError("DESCRIBE needs at least one ?var or IRI")
+        group = None
+        if self.at_keyword("WHERE"):
+            self.next()
+            group = self.parse_group()
+        elif self.peek()[1] == "{":
+            group = self.parse_group()
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        if group is None and any(t[0] == "var" for t in terms):
+            raise SparqlError(
+                "DESCRIBE ?var needs a WHERE group that binds it"
+            )
+        return prefixes, terms, group
 
     def parse_construct(self):
         """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
@@ -2271,6 +2312,59 @@ def sparql_ask(
     pfx.update(declared)
     out = _solutions(triples, group, pfx, bindings, max_path_depth)
     return out.limit(1).count() > 0
+
+
+def sparql_describe(
+    triples: DataFrame,
+    query: str,
+    prefixes: "dict[str, str] | None" = None,
+    bindings: "dict[str, str] | None" = None,
+    max_path_depth: int = 12,
+) -> DataFrame:
+    """Evaluate a SPARQL ``DESCRIBE`` over a ``(s, p, o)`` DataFrame:
+    the distinct triples whose SUBJECT is one of the described
+    resources. DESCRIBE's result form is implementation-defined by the
+    spec (§16.4); this is the blank-node-free Concise Bounded
+    Description — exactly what rdflib's evaluator returns for a graph
+    without blank nodes, and the only self-consistent reading of CBD in
+    a model that has none.
+
+    Resources are the explicit IRIs plus, for each ``DESCRIBE ?v``, the
+    distinct bindings of ``?v`` in the WHERE solutions. Scale shape:
+    the resource set is a distinct projection (small by construction —
+    it's a description request), so the final filter is a broadcast
+    semi join against the triples scan; an IRI-only DESCRIBE compiles
+    to a pushable ``isin`` scan filter with no join at all."""
+    toks = _tokenize(query)
+    declared, terms, group = _Parser(toks).parse_describe()
+    pfx = dict(prefixes or {})
+    pfx.update(declared)
+    consts = [str(_resolve(t, pfx)[1]) for t in terms if t[0] != "var"]
+    varnames = [t[1] for t in terms if t[0] == "var"]
+    if group is None:
+        if bindings:
+            raise SparqlError(
+                "DESCRIBE bindings= need a WHERE group to constrain"
+            )
+        return triples.filter(F.col("s").isin(consts)).distinct()
+    sol = _solutions(triples, group, pfx, bindings, max_path_depth)
+    missing = [v for v in varnames if v not in sol.columns]
+    if missing:
+        raise SparqlError(f"DESCRIBE vars never bound: {missing}")
+    res = None
+    for v in varnames:
+        r = (
+            sol.select(F.col(v).alias("s"))
+            .filter(F.col("s").isNotNull())
+            .distinct()
+        )
+        res = r if res is None else res.unionByName(r)
+    if consts:
+        cdf = triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], "`s` string"
+        )
+        res = cdf if res is None else res.unionByName(cdf)
+    return triples.join(F.broadcast(res.distinct()), "s", "left_semi").distinct()
 
 
 def sparql_construct(

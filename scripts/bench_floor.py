@@ -42,6 +42,16 @@ FLOOR_SET = [
     "sparql_path_star",
     "sparql_group_count",
     "sparql_group_having",
+    # round-10 bench movers >2x on a loaded host (untouched code) — floored
+    # to prove they were weather, per the round-10 verdict ask
+    "simhash_docs",
+    "video_features",
+    "kg_pathway_edges",
+    # round-11 bench-scale SPARQL surface
+    "sparql_scale_bgp",
+    "sparql_scale_path",
+    "sparql_path_range",
+    "sparql_subquery",
 ]
 
 N_RUNS = 3

@@ -415,6 +415,60 @@ def test_subquery_scope_and_binding_errors(pathways):
         )
 
 
+def test_describe_iri_only_is_pushable_scan(pathways):
+    from bio2bel_spark.sparql import sparql_describe
+
+    got = sparql_describe(
+        pathways, "DESCRIBE <http://ex.org/b> <http://ex.org/p1>"
+    ).collect()
+    assert sorted((r.s, _local(r.p), r.o) for r in got) == [
+        (EX + "b", "in", EX + "p1"),
+        (EX + "b", "in", EX + "p2"),
+        (EX + "b", "type", "gene"),
+        (EX + "p1", "label", "P-one"),
+    ]
+    # the IRI-only form must push the subject filter into the scan plan
+    df = sparql_describe(pathways, "DESCRIBE <http://ex.org/b>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_describe_var_with_where(pathways):
+    from bio2bel_spark.sparql import sparql_describe
+
+    got = sparql_describe(
+        pathways,
+        'DESCRIBE ?pw WHERE { ?m ex:in ?pw . ?m ex:type "pathway" }',
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.s, _local(r.p), r.o) for r in got) == [
+        (EX + "p2", "label", "P-two"),
+        (EX + "p3", "label", "P-three"),
+    ]
+    # mixed var + pname form, distinct graph semantics
+    got2 = sparql_describe(
+        pathways,
+        'DESCRIBE ?pw ex:p3 WHERE { ?m ex:in ?pw . ?m ex:type "pathway" }',
+        prefixes=PFX,
+    ).collect()
+    assert len(got2) == 2  # p3 described twice collapses to once
+
+
+def test_describe_errors(pathways):
+    from bio2bel_spark.sparql import sparql_describe
+
+    with pytest.raises(SparqlError, match="binds it"):
+        sparql_describe(pathways, "DESCRIBE ?x", prefixes=PFX)
+    with pytest.raises(SparqlError, match="never bound"):
+        sparql_describe(
+            pathways,
+            "DESCRIBE ?zz WHERE { ?m ex:in ?pw }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="at least one"):
+        sparql_describe(pathways, "DESCRIBE WHERE { ?m ex:in ?pw }")
+
+
 def test_subquery_in_ask(pathways):
     assert sparql_ask(
         pathways,
