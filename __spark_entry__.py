@@ -1018,6 +1018,8 @@ def _scale_triples(spark, sf_dir):
       depth ~log10(|part|) rooted at keys 1-9 — the path substrate)
     * ``part://K   ex:isRoot    "true"``     (K in 1..9)
     * ``order://K  ex:status    F|O|P``      (one per order)
+    * ``part://K   ex:retailPrice "<lexical double>"`` (one per part —
+      the numeric-literal substrate for ABS/ROUND/isNumeric)
 
     Every SPARQL pattern compiles to a predicate-equality scan of this
     union — the filter pushes into the parquet reads, which is exactly
@@ -1053,9 +1055,14 @@ def _scale_triples(spark, sf_dir):
     status = orders.select(
         *t(("order://", "o_orderkey"), "status", F.col("o_orderstatus"))
     )
+    price = part.select(
+        *t(("part://", "p_partkey"), "retailPrice",
+           F.col("p_retailprice").cast("string"))
+    )
     return (
         has_part.unionByName(shipped).unionByName(in_brand)
         .unionByName(child_of).unionByName(is_root).unionByName(status)
+        .unionByName(price)
     )
 
 
@@ -1071,7 +1078,8 @@ _SCALE_TRIPLES_SQL = """
     rt AS (SELECT 'part://'||p_partkey AS s FROM part
            WHERE p_partkey BETWEEN 1 AND 9),
     st AS (SELECT 'order://'||o_orderkey AS s, o_orderstatus AS o
-           FROM orders)
+           FROM orders),
+    pr AS (SELECT 'part://'||p_partkey AS s, p_retailprice AS o FROM part)
 """
 
 
@@ -1172,6 +1180,34 @@ def q_sparql_scale_fns(spark, sf_dir):
                BIND(IF(ISIRI(?c), "child", "root") AS ?r)
                FILTER(ISLITERAL(?brand) && ISIRI(?part))
            } GROUP BY ?k ?r""",
+    )
+
+
+def q_sparql_scale_builtins(spark, sf_dir):
+    """Round-11 builtin round-out driver-checked at bench scale:
+    STRENDS / STRAFTER / STRBEFORE (first-occurrence semantics —
+    "33" -> ""), isNumeric over lexical forms, and the numeric fns
+    ROUND (XPath half-toward-+inf = floor(x+0.5)) and FLOOR over the
+    per-part retailPrice literals, re-aggregated per leading brand
+    digit. The oracle replays STRAFTER/STRBEFORE with strpos/substr
+    and the numeric fns with the same floor() forms (sums cast to
+    DOUBLE so both sides hash as %.6f floats)."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?digit (COUNT(?part) AS ?n) (SUM(?r) AS ?tot)
+                  (SUM(?f) AS ?flo) WHERE {
+               ?part ex:inBrand ?brand .
+               ?part ex:retailPrice ?price .
+               FILTER(STRENDS(?brand, "3"))
+               BIND(STRAFTER(?brand, "#") AS ?bno)
+               FILTER(ISNUMERIC(?bno))
+               BIND(STRBEFORE(?bno, "3") AS ?digit)
+               BIND(ROUND(?price) AS ?r)
+               BIND(FLOOR(?price) AS ?f)
+           } GROUP BY ?digit""",
     )
 
 
@@ -4337,6 +4373,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_scale_builtins": q_sparql_scale_builtins,  # never driver-checked
     "sparql_scale_bgp": q_sparql_scale_bgp,  # never driver-checked
     "sparql_scale_path": q_sparql_scale_path,  # never driver-checked
     "sparql_path_range": q_sparql_path_range,  # never driver-checked
@@ -9098,9 +9135,32 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'order://'||o_orderkey, 'http://ex.org/status',
                        o_orderstatus FROM orders
+                UNION ALL
+                SELECT 'part://'||p_partkey, 'http://ex.org/retailPrice',
+                       CAST(p_retailprice AS VARCHAR) FROM part
             )
             SELECT DISTINCT t.s, t.p, t.o
             FROM t JOIN roots ON t.s = roots.r
+        """,
+        "sparql_scale_builtins": "WITH " + _SCALE_TRIPLES_SQL + """,
+            b3 AS (
+                -- STRENDS(?brand,"3") + STRAFTER(?brand,"#"):
+                -- brands are 'Brand#N' / 'Brand#NN', all-digit suffix,
+                -- so the ISNUMERIC(?bno) filter never drops a row here
+                SELECT ib.s AS part,
+                       substr(ib.o, strpos(ib.o, '#') + 1) AS bno
+                FROM ib WHERE ib.o LIKE '%3'
+            )
+            SELECT CASE WHEN strpos(b3.bno, '3') > 0
+                        THEN substr(b3.bno, 1, strpos(b3.bno, '3') - 1)
+                        ELSE '' END AS digit,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(floor(pr.o + 0.5) AS BIGINT))
+                        AS DOUBLE) AS tot,
+                   CAST(SUM(CAST(floor(pr.o) AS BIGINT))
+                        AS DOUBLE) AS flo
+            FROM b3 JOIN pr ON pr.s = b3.part
+            GROUP BY 1
         """,
         "sparql_scale_fns": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT CASE WHEN ib.o LIKE 'Brand#1%' THEN 'b1'

@@ -195,23 +195,39 @@ _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 #: FILTER functions live in _compile_filter)
 _VALUE_FNS = {
     "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
-    "IF", "COALESCE",
+    "IF", "COALESCE", "STRBEFORE", "STRAFTER",
+    "ABS", "ROUND", "CEIL", "FLOOR", "LANG", "DATATYPE",
 }
 
 #: boolean-returning functions legal in FILTER (and, via _operand, as
 #: comparison operands / IF conditions)
 _BOOL_FNS = {
-    "BOUND", "REGEX", "CONTAINS", "STRSTARTS",
-    "ISIRI", "ISURI", "ISLITERAL",
+    "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS",
+    "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK", "SAMETERM",
 }
+
+#: value functions that can yield NULL (an expression error) even when
+#: every input variable is bound: LANG/DATATYPE error on IRI-shaped terms,
+#: the numeric functions error (cast-to-NULL) on non-numeric lexical
+#: forms. A BIND over one of these must mark its variable nullable so
+#: downstream joins keep SPARQL's compatible-mapping (IS NULL OR =) form.
+_NULL_INTRODUCING_FNS = {"LANG", "DATATYPE", "ABS", "ROUND", "CEIL", "FLOOR"}
 
 #: the string-valued triples model carries no term-type tags, so isIRI /
 #: isLiteral classify by lexical shape: a term is an IRI iff it looks like
 #: a scheme'd identifier — ``scheme://...`` or ``urn:...`` (the two forms
-#: every graph this engine loads uses for entity identifiers); everything
-#: else bound is a literal. A deliberate, documented approximation of
-#: rdflib's term typing.
+#: every graph this engine loads uses for entity identifiers); a blank
+#: node keeps its N-Triples ``_:label`` verbatim through the scan
+#: (ingest.py:220 ``otherwise(c)``); everything else bound is a literal.
+#: A deliberate, documented approximation of rdflib's term typing.
 _IRI_SHAPE = r"^([A-Za-z][A-Za-z0-9+.-]*://|urn:).*"
+_BLANK_SHAPE = r"^_:"
+#: xsd numeric lexical space (integer/decimal/double incl. exponent form) —
+#: the isNumeric test for a model that stores every value as its lexical form
+_NUMERIC_SHAPE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+#: the only datatype a simple-literal-only model can carry (the N-Triples
+#: scan strips ^^<dt> and @lang at ingest, ingest.py:219)
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
 class _Parser:
@@ -1292,6 +1308,13 @@ def _compile_filter(expr, bound: set[str]) -> Column:
         }[op]
     if kind == "call":
         _, fn, args = expr
+        if fn == "SAMETERM":
+            # the string model carries exactly one lexical form per term,
+            # so sameTerm degenerates to plain equality (an unbound
+            # argument is an error -> NULL -> effective false in FILTER)
+            if len(args) != 2:
+                raise SparqlError("sameTerm takes exactly two arguments")
+            return _operand(args[0], bound) == _operand(args[1], bound)
         a0 = _operand(args[0], bound)
         if fn == "BOUND":
             return a0.isNotNull()
@@ -1299,9 +1322,29 @@ def _compile_filter(expr, bound: set[str]) -> Column:
             # IRI-by-lexical-shape (see _IRI_SHAPE); an unbound argument
             # is an expression error -> NULL, which FILTER treats as false
             return a0.rlike(_IRI_SHAPE)
+        if fn == "ISBLANK":
+            return a0.rlike(_BLANK_SHAPE)
         if fn == "ISLITERAL":
-            # bound and not IRI-shaped (the string model's literal test)
-            return a0.isNotNull() & ~a0.rlike(_IRI_SHAPE)
+            # bound, not IRI-shaped, not a blank label (the string
+            # model's literal test)
+            return (
+                a0.isNotNull()
+                & ~a0.rlike(_IRI_SHAPE)
+                & ~a0.rlike(_BLANK_SHAPE)
+            )
+        if fn == "ISNUMERIC":
+            return a0.rlike(_NUMERIC_SHAPE)
+        if fn == "REGEX" and len(args) == 3:
+            # REGEX(?x, "pat", "flags") — XPath flags i/s/m/x map 1:1 to
+            # Java inline flags, so prefix the pattern; 'q' (literal
+            # match) has no inline form and is rejected loudly
+            pat = str(_lit_arg("REGEX", args[1]))
+            flags = str(_lit_arg("REGEX", args[2]))
+            if not flags or not set(flags) <= set("ismx"):
+                raise SparqlError(
+                    f"unsupported REGEX flags {flags!r} (supported: ismx)"
+                )
+            return a0.rlike(f"(?{flags}){pat}")
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
         lit = str(args[1][1])
@@ -1311,6 +1354,8 @@ def _compile_filter(expr, bound: set[str]) -> Column:
             return a0.contains(lit)
         if fn == "STRSTARTS":
             return a0.startswith(lit)
+        if fn == "STRENDS":
+            return a0.endswith(lit)
     if kind == "agg_expr":
         raise SparqlError(
             "aggregate calls are only valid inside HAVING constraints"
@@ -1343,9 +1388,10 @@ def _lit_arg(fn: str, term):
 
 def _value_expr(expr, bound: set[str]) -> Column:
     """Compile a VALUE-returning expression (the BIND subset): variables,
-    literals, CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR/REPLACE/IF/COALESCE,
+    literals, CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR/REPLACE/IF/COALESCE/
+    STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/LANG/DATATYPE,
     and any boolean expression (comparisons, &&/||/!, BOUND/REGEX/
-    isIRI/isLiteral/...). Per spec
+    isIRI/isLiteral/isNumeric/isBlank/sameTerm/...). Per spec
     an expression ERROR (e.g. an OPTIONAL-unbound argument) leaves the
     BIND variable unbound — which is exactly SQL NULL propagation, so no
     special-casing: NULL in → NULL out."""
@@ -1390,6 +1436,65 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 *[_value_expr(a, bound).cast("string") for a in args]
             )
         a0 = _value_expr(args[0], bound)
+        if fn == "LANG":
+            # the N-Triples scan strips @tags at ingest (ingest.py:219),
+            # so every literal this model holds is a simple literal:
+            # LANG(literal) = "" is the exact spec answer for the terms
+            # the model can represent; LANG of an IRI or blank node is an
+            # expression error -> NULL (unbound)
+            return F.when(
+                a0.isNotNull()
+                & ~a0.rlike(_IRI_SHAPE)
+                & ~a0.rlike(_BLANK_SHAPE),
+                F.lit(""),
+            )
+        if fn == "DATATYPE":
+            # simple literals only (see LANG): DATATYPE(literal) =
+            # xsd:string exactly; error (NULL) on IRI / blank terms
+            return F.when(
+                a0.isNotNull()
+                & ~a0.rlike(_IRI_SHAPE)
+                & ~a0.rlike(_BLANK_SHAPE),
+                F.lit(_XSD_STRING),
+            )
+        if fn == "ABS":
+            # numeric fns operate on the lexical form: try_cast (NOT
+            # cast — ANSI mode throws) turns a non-numeric argument into
+            # NULL = the spec's expression error
+            return F.abs(a0.try_cast("double"))
+        if fn == "CEIL":
+            return F.ceil(a0.try_cast("double")).cast("long")
+        if fn == "FLOOR":
+            return F.floor(a0.try_cast("double")).cast("long")
+        if fn == "ROUND":
+            # XPath fn:round: a half value rounds toward POSITIVE infinity
+            # (ROUND(-2.5) = -2) — not Spark round()'s HALF_UP
+            # (away-from-zero) mode; floor(x + 0.5) is the exact rule
+            return F.floor(a0.try_cast("double") + F.lit(0.5)).cast("long")
+        if fn in ("STRBEFORE", "STRAFTER"):
+            if len(args) != 2:
+                raise SparqlError(f'{fn} takes (?s, "needle")')
+            lit = _lit_arg(fn, args[1])
+            if not isinstance(lit, str):
+                raise SparqlError(f"{fn} needle must be a string literal")
+            if lit == "":
+                # fn:substring-before(s, "") = ""; -after(s, "") = s
+                target = F.lit("") if fn == "STRBEFORE" else a0
+                return F.when(a0.isNotNull(), target)
+            found = a0.contains(lit)
+            if fn == "STRBEFORE":
+                # substring_index(_, lit, 1) = everything before the FIRST
+                # occurrence; the when() guard supplies the no-match -> ""
+                # case (substring_index would return the whole string)
+                return F.when(
+                    found, F.substring_index(a0, lit, 1)
+                ).otherwise(F.when(a0.isNotNull(), F.lit("")))
+            return F.when(
+                found,
+                a0.substr(
+                    F.instr(a0, lit) + F.lit(len(lit)), F.length(a0)
+                ),
+            ).otherwise(F.when(a0.isNotNull(), F.lit("")))
         if fn == "STR":
             return a0.cast("string")
         if fn == "STRLEN":
@@ -1779,8 +1884,10 @@ def _compile_group(
                 _value_expr(expr, set(current.columns)).cast("string"),
             )
             # an expression over possibly-unbound sources can itself be
-            # unbound (spec: expression error -> var unbound = NULL)
-            if _expr_vars(expr) & nullable:
+            # unbound (spec: expression error -> var unbound = NULL); so
+            # can LANG/DATATYPE/numeric fns over BOUND inputs (error on
+            # IRI-shaped / non-numeric terms)
+            if _expr_vars(expr) & nullable or _expr_introduces_null(expr):
                 nullable.add(var)
         elif el[0] == "filter":
             pending_filters.append(el[1])
@@ -2000,6 +2107,25 @@ def _apply_aggregation(
     if having_aliases:
         grouped = grouped.drop(*having_aliases.values())
     return grouped
+
+
+def _expr_introduces_null(expr) -> bool:
+    """True when the expression tree contains a call that can return NULL
+    even over fully-bound inputs (see _NULL_INTRODUCING_FNS). COALESCE is
+    deliberately NOT exempted — treating its result as possibly-null is
+    conservative and only costs the IS-NULL-OR-= residual form downstream."""
+    kind = expr[0]
+    if kind == "call":
+        if expr[1] in _NULL_INTRODUCING_FNS:
+            return True
+        return any(_expr_introduces_null(a) for a in expr[2])
+    if kind in ("or", "and"):
+        return _expr_introduces_null(expr[1]) or _expr_introduces_null(expr[2])
+    if kind == "not":
+        return _expr_introduces_null(expr[1])
+    if kind == "cmp":
+        return _expr_introduces_null(expr[2]) or _expr_introduces_null(expr[3])
+    return False
 
 
 def _expr_vars(expr) -> set:
