@@ -1211,6 +1211,34 @@ def q_sparql_scale_builtins(spark, sf_dir):
     )
 
 
+def q_sparql_update_graph(spark, sf_dir):
+    """SPARQL 1.1 Update driver-checked at bench scale: a two-operation
+    sequence over the synthesized graph — a modify that re-files every
+    Brand#1x part under ex:brandGroup (+ an ex:rebranded marker) while
+    deleting the old ex:inBrand triples, then a DELETE WHERE stripping
+    'P'-status orders. Returns the updated graph filtered to the four
+    touched predicates (the full update plan executes; the projection
+    just keeps the driver compare compact). The oracle replays
+    (G \\ D) ∪ I as SQL set ops per predicate."""
+    from bio2bel_spark.sparql import sparql_update
+
+    ex = "http://ex.org/"
+    updated = sparql_update(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           DELETE { ?p ex:inBrand ?b }
+           INSERT { ?p ex:brandGroup ?b . ?p ex:rebranded "true" }
+           WHERE { ?p ex:inBrand ?b . FILTER(STRSTARTS(?b, "Brand#1")) } ;
+           DELETE WHERE { ?o ex:status "P" }""",
+    )
+    return updated.filter(
+        F.col("p").isin(
+            [ex + "inBrand", ex + "brandGroup", ex + "rebranded",
+             ex + "status"]
+        )
+    )
+
+
 def q_sparql_describe(spark, sf_dir):
     """Round-11 DESCRIBE query form over the scale graph: describe every
     forest root bound by the WHERE group plus one explicit IRI — the
@@ -4373,6 +4401,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_update_graph": q_sparql_update_graph,  # never driver-checked
     "sparql_scale_builtins": q_sparql_scale_builtins,  # never driver-checked
     "sparql_scale_bgp": q_sparql_scale_bgp,  # never driver-checked
     "sparql_scale_path": q_sparql_scale_path,  # never driver-checked
@@ -9141,6 +9170,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT t.s, t.p, t.o
             FROM t JOIN roots ON t.s = roots.r
+        """,
+        "sparql_update_graph": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT DISTINCT * FROM (
+                -- (G \\ D): inBrand rows whose brand was NOT re-filed
+                SELECT s, 'http://ex.org/inBrand' AS p, o FROM ib
+                WHERE o NOT LIKE 'Brand#1%'
+                UNION ALL
+                -- I: the modify's two insert templates
+                SELECT s, 'http://ex.org/brandGroup', o FROM ib
+                WHERE o LIKE 'Brand#1%'
+                UNION ALL
+                SELECT s, 'http://ex.org/rebranded', 'true' FROM ib
+                WHERE o LIKE 'Brand#1%'
+                UNION ALL
+                -- op 2, DELETE WHERE: status minus the 'P' rows
+                SELECT s, 'http://ex.org/status', o FROM st WHERE o <> 'P'
+            )
         """,
         "sparql_scale_builtins": "WITH " + _SCALE_TRIPLES_SQL + """,
             b3 AS (

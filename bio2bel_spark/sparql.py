@@ -127,7 +127,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "sparql_select", "sparql_ask", "sparql_construct", "sparql_describe",
-    "SparqlError",
+    "sparql_update", "SparqlError",
 ]
 
 
@@ -321,14 +321,10 @@ class _Parser:
             )
         return prefixes, terms, group
 
-    def parse_construct(self):
-        """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
-        LIMIT/OFFSET]`` — the graph-building query form. The template is
-        plain triples only (vars, IRIs, prefixed names, literals)."""
-        prefixes = self.parse_prefixes()
-        if not self.at_keyword("CONSTRUCT"):
-            raise SparqlError("expected CONSTRUCT")
-        self.next()
+    def parse_template_block(self, what: str, ground: bool = False):
+        """A braced block of plain triples — the template form shared by
+        CONSTRUCT and the UPDATE operations. ``ground=True`` (INSERT
+        DATA / DELETE DATA) additionally rejects variables, per spec."""
         self.expect("{")
         template: list = []
         while True:
@@ -342,9 +338,24 @@ class _Parser:
             s = self.parse_term()
             p = self.parse_term()
             o = self.parse_term()
+            if ground and any(t[0] == "var" for t in (s, p, o)):
+                raise SparqlError(
+                    f"{what} triples must be ground (no variables)"
+                )
             template.append((s, p, o))
         if not template:
-            raise SparqlError("CONSTRUCT template needs at least one triple")
+            raise SparqlError(f"{what} needs at least one triple")
+        return template
+
+    def parse_construct(self):
+        """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
+        LIMIT/OFFSET]`` — the graph-building query form. The template is
+        plain triples only (vars, IRIs, prefixed names, literals)."""
+        prefixes = self.parse_prefixes()
+        if not self.at_keyword("CONSTRUCT"):
+            raise SparqlError("expected CONSTRUCT")
+        self.next()
+        template = self.parse_template_block("CONSTRUCT template")
         if not self.at_keyword("WHERE"):
             raise SparqlError("CONSTRUCT needs WHERE { ... }")
         self.next()
@@ -354,6 +365,84 @@ class _Parser:
         if self.peek()[0] != "eof":
             raise SparqlError(f"trailing input at {self.peek()[1]!r}")
         return prefixes, template, group, order, limit, offset
+
+    #: graph-management / federation forms that cannot mean anything over
+    #: a single (s, p, o) DataFrame — rejected with a pointed error
+    _UNSUPPORTED_UPDATE = {
+        "CLEAR", "DROP", "LOAD", "CREATE", "COPY", "MOVE", "ADD", "WITH",
+        "USING", "GRAPH",
+    }
+
+    def parse_update_op(self):
+        """One SPARQL 1.1 Update operation (after any PREFIX decls):
+        ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` / the
+        general ``[DELETE {t}] [INSERT {t}] WHERE {group}`` modify form.
+        Returns ("data", delete_triples, insert_triples) — ground — or
+        ("modify", delete_template, insert_template, group)."""
+        kind, v = self.peek()
+        if kind == "keyword" and v.upper() in self._UNSUPPORTED_UPDATE:
+            raise SparqlError(
+                f"{v.upper()} is a graph-management/federation form — "
+                "not meaningful over a single-DataFrame graph (supported: "
+                "INSERT DATA, DELETE DATA, DELETE WHERE, "
+                "DELETE/INSERT ... WHERE)"
+            )
+        if self.at_keyword("INSERT"):
+            self.next()
+            if self.at_keyword("DATA"):
+                self.next()
+                data = self.parse_template_block("INSERT DATA", ground=True)
+                return ("data", None, data)
+            ins = self.parse_template_block("INSERT template")
+            if not self.at_keyword("WHERE"):
+                raise SparqlError(
+                    "INSERT { ... } needs WHERE { ... } "
+                    "(use INSERT DATA for ground triples)"
+                )
+            self.next()
+            return ("modify", None, ins, self.parse_group())
+        if not self.at_keyword("DELETE"):
+            raise SparqlError("expected INSERT or DELETE")
+        self.next()
+        if self.at_keyword("DATA"):
+            self.next()
+            data = self.parse_template_block("DELETE DATA", ground=True)
+            return ("data", data, None)
+        if self.at_keyword("WHERE"):
+            # DELETE WHERE { triples }: the pattern IS the template
+            self.next()
+            tmpl = self.parse_template_block("DELETE WHERE")
+            group = [("triple", s, p, o) for (s, p, o) in tmpl]
+            return ("modify", tmpl, None, group)
+        delete_t = self.parse_template_block("DELETE template")
+        insert_t = None
+        if self.at_keyword("INSERT"):
+            self.next()
+            insert_t = self.parse_template_block("INSERT template")
+        if not self.at_keyword("WHERE"):
+            raise SparqlError(
+                "DELETE { ... } needs WHERE { ... } (use DELETE DATA "
+                "for ground triples or DELETE WHERE for the shorthand)"
+            )
+        self.next()
+        return ("modify", delete_t, insert_t, self.parse_group())
+
+    def parse_update(self):
+        """``PREFIX* op ( ';' PREFIX* op )* ';'?`` — a sequence of update
+        operations. Each op is returned with a SNAPSHOT of the prefixes
+        declared up to its position (the grammar lets a later op add —
+        or re-declare — prefixes; resolution must not be retroactive)."""
+        prefixes = self.parse_prefixes()
+        ops = [(dict(prefixes), self.parse_update_op())]
+        while self.peek()[1] == ";":
+            self.next()
+            if self.peek()[0] == "eof":
+                break  # a trailing ';' is legal in the grammar
+            prefixes.update(self.parse_prefixes())
+            ops.append((dict(prefixes), self.parse_update_op()))
+        if self.peek()[0] != "eof":
+            raise SparqlError(f"trailing input at {self.peek()[1]!r}")
+        return ops
 
     def parse_query(self):
         prefixes = self.parse_prefixes()
@@ -2533,13 +2622,7 @@ def sparql_construct(
     out = _order_page(out, order, limit, offset)
     # fail fast on an invalid template BEFORE any materialization below
     # can execute the (possibly expensive) WHERE plan
-    for tri in template:
-        for term in tri:
-            if term[0] == "var" and term[1] not in out.columns:
-                raise SparqlError(
-                    f"CONSTRUCT template variable ?{term[1]} is never "
-                    "bound by the WHERE pattern"
-                )
+    _validate_template(template, out.columns, "CONSTRUCT")
     if len(template) > 1:
         # each template triple is a consumer of the solution table, and
         # without sharing every branch re-executes the WHERE plan. When a
@@ -2555,6 +2638,31 @@ def sparql_construct(
 
             out = tracked_persist(out)
 
+    return _instantiate_template(out, template, pfx).dropDuplicates()
+
+
+def _validate_template(template, columns, label: str) -> None:
+    """Reject a template referencing a variable the WHERE pattern never
+    binds — at compile time, before any job can run."""
+    cols = set(columns)
+    for tri in template:
+        for term in tri:
+            if term[0] == "var" and term[1] not in cols:
+                raise SparqlError(
+                    f"{label} template variable ?{term[1]} is never "
+                    "bound by the WHERE pattern"
+                )
+
+
+def _instantiate_template(out: DataFrame, template, pfx) -> DataFrame:
+    """Instantiate plain-triple templates over a solution table (shared
+    by CONSTRUCT and the UPDATE modify forms): each template triple is a
+    projection of the solutions; a solution leaving any position unbound
+    (an OPTIONAL miss) emits no triple for that template row, per spec.
+    Returns the unioned instantiations WITHOUT dedup — callers decide
+    (CONSTRUCT dedups to a graph; UPDATE's anti-join/union don't care
+    about multiplicity)."""
+
     def _pos(term) -> Column:
         if term[0] == "var":
             return F.col(term[1])
@@ -2566,4 +2674,106 @@ def sparql_construct(
             _pos(s).alias("s"), _pos(p).alias("p"), _pos(o).alias("o")
         ).na.drop()  # an unbound (OPTIONAL-miss) position emits no triple
         built = row if built is None else built.unionByName(row)
-    return built.dropDuplicates()
+    return built
+
+
+def sparql_update(
+    triples: DataFrame,
+    query: str,
+    prefixes: "dict[str, str] | None" = None,
+    bindings: "dict[str, str] | None" = None,
+    max_path_depth: int = 12,
+) -> DataFrame:
+    """Evaluate SPARQL 1.1 Update operations over a ``(s, p, o)``
+    DataFrame and return the UPDATED graph as a NEW DataFrame — the
+    Spark-first reading of a mutating protocol over immutable data: the
+    input is never modified; each operation contributes the lazy plan
+    ``(G \\ D) ∪ I``, and ``;``-separated operations apply left to right
+    with each WHERE evaluated against the graph state the previous
+    operation produced (the spec's evaluation order).
+
+    Supported operations: ``INSERT DATA { ... }`` / ``DELETE DATA
+    { ... }`` (ground triples), ``DELETE WHERE { triples }`` (the
+    pattern is the template), and the general modify form ``DELETE
+    { t } INSERT { t } WHERE { group }`` with either template optional.
+    Graph-management / federation forms (CLEAR, DROP, LOAD, WITH,
+    GRAPH, ...) are rejected at parse — they have no meaning over a
+    single-DataFrame graph.
+
+    Set semantics: the result is a DISTINCT graph. Intermediate
+    multiplicity cannot change membership through anti-join / union, so
+    the dedup happens ONCE at the very end instead of per operation —
+    one shuffle for the whole sequence.
+
+    Scale shape: deletes are hash anti-joins on ``(s, p, o)``; DATA
+    payloads are driver-literal by construction and broadcast; a modify
+    carrying BOTH templates computes its solution table once and shares
+    it across the two instantiations (tracked_persist — the same
+    multi-consumer policy as CONSTRUCT's multi-template sharing). Both
+    D and I are evaluated against the PRE-operation graph, so inserts
+    win over deletes on overlap, per spec.
+
+    Reference parity: the reference's rdflib pipelines hold graphs that
+    expose ``Graph.update()`` (src/bio2bel/sources/rhea.py loads RDF
+    with rdflib); this engine returns the new graph instead of mutating
+    in place — callers re-assign, exactly like every other DataFrame op.
+    """
+    toks = _tokenize(query)
+    ops = _Parser(toks).parse_update()
+    graph = triples
+    for declared, op in ops:
+        pfx = dict(prefixes or {})
+        pfx.update(declared)
+        graph = _apply_update_op(graph, op, pfx, bindings, max_path_depth)
+    return graph.dropDuplicates()
+
+
+def _apply_update_op(
+    graph: DataFrame, op, pfx, bindings, max_path_depth: int
+) -> DataFrame:
+    spark = graph.sparkSession
+    if op[0] == "data":
+        _, dels, ins = op
+        if dels:
+            ddf = spark.createDataFrame(
+                [tuple(str(_resolve(t, pfx)[1]) for t in tri) for tri in dels],
+                "s string, p string, o string",
+            )
+            graph = graph.join(F.broadcast(ddf), ["s", "p", "o"], "left_anti")
+        if ins:
+            idf = spark.createDataFrame(
+                [tuple(str(_resolve(t, pfx)[1]) for t in tri) for tri in ins],
+                "s string, p string, o string",
+            )
+            graph = graph.unionByName(idf)
+        return graph
+    _, delete_t, insert_t, group = op
+    template_vars = {
+        t[1]
+        for tmpl in (delete_t, insert_t)
+        if tmpl
+        for tri in tmpl
+        for t in tri
+        if t[0] == "var"
+    }
+    sol = _solutions(
+        graph, group, pfx, bindings, max_path_depth,
+        extra_bindable=template_vars,
+    )
+    for tmpl, label in ((delete_t, "DELETE"), (insert_t, "INSERT")):
+        if tmpl:
+            _validate_template(tmpl, sol.columns, label)
+    if delete_t and insert_t:
+        from bio2bel_spark.operators.caching import tracked_persist
+
+        sol = tracked_persist(sol)
+    out = graph
+    if delete_t:
+        out = out.join(
+            _instantiate_template(sol, delete_t, pfx),
+            ["s", "p", "o"],
+            "left_anti",
+        )
+    if insert_t:
+        out = out.unionByName(_instantiate_template(sol, insert_t, pfx))
+    return out
