@@ -214,3 +214,114 @@ def test_input_dataframe_not_mutated(graph):
         'PREFIX ex: <http://ex.org/> DELETE WHERE { ?s ex:type "gene" }',
     ).collect()
     assert _triples(graph) == before
+
+
+# ------------------------------------------------- property: naive replay
+
+
+def _render(term) -> str:
+    if term[0] == "var":
+        return "?" + term[1]
+    v = term[1]
+    return f"<{v}>" if v.startswith("http") else f'"{v}"'
+
+
+def _naive_solutions(triples, patterns):
+    """All bindings of a conjunctive (required-only) pattern list over a
+    triple list — the brute-force reference for the planner's joins."""
+    sols = [dict()]
+    for pat in patterns:
+        new = []
+        for b in sols:
+            for tri in triples:
+                b2, ok = dict(b), True
+                for term, val in zip(pat, tri):
+                    if term[0] == "const":
+                        if term[1] != val:
+                            ok = False
+                            break
+                    elif term[1] in b2:
+                        if b2[term[1]] != val:
+                            ok = False
+                            break
+                    else:
+                        b2[term[1]] = val
+                if ok:
+                    new.append(b2)
+        sols = new
+    return sols
+
+
+def _naive_instantiate(sols, template):
+    out = set()
+    for b in sols:
+        for tri in template:
+            out.add(tuple(
+                b[t[1]] if t[0] == "var" else t[1] for t in tri
+            ))
+    return out
+
+
+def test_update_matches_naive_replay(spark):
+    """Random small graphs × random modify ops, engine vs a brute-force
+    Python evaluator of (G \\ D) ∪ I — pins join, instantiation, anti-
+    join, union, and final set semantics in one sweep."""
+    import random
+
+    preds = [EX + p for p in ("p0", "p1", "p2")]
+    subjects = [EX + f"s{i}" for i in range(5)]
+    lits = ["red", "blue", "green"]
+    for seed in range(30):
+        rng = random.Random(seed)
+        triples = sorted({
+            (rng.choice(subjects), rng.choice(preds),
+             rng.choice(subjects + lits))
+            for _ in range(rng.randint(6, 14))
+        })
+        # pattern 1 binds ?x/?y; pattern 2 (sometimes) chains on ?y
+        pats = [(("var", "x"), ("const", rng.choice(preds)), ("var", "y"))]
+        if rng.random() < 0.6:
+            pats.append(
+                (("var", "y"), ("const", rng.choice(preds)), ("var", "z"))
+            )
+        tvars = ["x", "y"] + (["z"] if len(pats) == 2 else [])
+
+        def rand_template(rng, tvars):
+            tmpl = []
+            for _ in range(rng.randint(1, 2)):
+                s = ("var", rng.choice(tvars))
+                p = ("const", rng.choice(preds))
+                o = rng.choice(
+                    [("var", rng.choice(tvars)), ("const", rng.choice(lits))]
+                )
+                tmpl.append((s, p, o))
+            return tmpl
+
+        delete_t = rand_template(rng, tvars) if rng.random() < 0.8 else None
+        insert_t = rand_template(rng, tvars) if rng.random() < 0.8 else None
+        if delete_t is None and insert_t is None:
+            delete_t = rand_template(rng, tvars)
+
+        q = ""
+        if delete_t:
+            q += "DELETE { " + " . ".join(
+                " ".join(_render(t) for t in tri) for tri in delete_t
+            ) + " } "
+        if insert_t:
+            q += "INSERT { " + " . ".join(
+                " ".join(_render(t) for t in tri) for tri in insert_t
+            ) + " } "
+        q += "WHERE { " + " . ".join(
+            " ".join(_render(t) for t in tri) for tri in pats
+        ) + " }"
+
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        got = {
+            (r.s, r.p, r.o)
+            for r in sparql_update(df, q).collect()
+        }
+        sols = _naive_solutions(triples, pats)
+        d = _naive_instantiate(sols, delete_t) if delete_t else set()
+        i = _naive_instantiate(sols, insert_t) if insert_t else set()
+        want = (set(triples) - d) | i
+        assert got == want, f"seed {seed}: {q}\n got={got}\nwant={want}"
