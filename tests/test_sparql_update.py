@@ -325,3 +325,33 @@ def test_update_matches_naive_replay(spark):
         i = _naive_instantiate(sols, insert_t) if insert_t else set()
         want = (set(triples) - d) | i
         assert got == want, f"seed {seed}: {q}\n got={got}\nwant={want}"
+
+
+def test_update_parser_never_crashes_on_garbage(graph):
+    """Malformed update strings must fail with SparqlError (or parse to a
+    valid no-op), never IndexError/TypeError — same clamp-at-eof contract
+    as the query parser."""
+    import random
+
+    bad = [
+        "INSERT",
+        "INSERT DATA {",
+        "INSERT DATA { <a> <b>",
+        "DELETE { ?s <p> ?o }",
+        "DELETE WHERE { ?s",
+        "DELETE DATA { ?s <p> \"v\" }",
+        "INSERT { ?s <p> ?o } WHERE",
+        ";",
+        "INSERT DATA { <a> <b> \"c\" } ; DELETE",
+        "PREFIX ex: INSERT DATA { <a> <b> \"c\" }",
+    ]
+    rng = random.Random(1)
+    soup = 'INSERT DELETE DATA WHERE { } . ; ?v <i> "s" FILTER ('.split()
+    for _ in range(60):
+        bad.append(" ".join(rng.choices(soup, k=rng.randint(1, 12))))
+    for q in bad:
+        try:
+            sparql_update(graph, q)
+        except SparqlError:
+            pass  # the designed failure mode
+        # anything else (IndexError, Py4J crash, ...) propagates and fails
