@@ -1546,20 +1546,27 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 & ~a0.rlike(_BLANK_SHAPE),
                 F.lit(_XSD_STRING),
             )
-        if fn == "ABS":
-            # numeric fns operate on the lexical form: try_cast (NOT
-            # cast — ANSI mode throws) turns a non-numeric argument into
-            # NULL = the spec's expression error
-            return F.abs(a0.try_cast("double"))
-        if fn == "CEIL":
-            return F.ceil(a0.try_cast("double")).cast("long")
-        if fn == "FLOOR":
-            return F.floor(a0.try_cast("double")).cast("long")
-        if fn == "ROUND":
+        if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            # numeric fns operate on the lexical form, and their domain
+            # is exactly the isNumeric lexical space: anything else —
+            # words, but also "NaN"/"Infinity", which Spark's double
+            # parser would otherwise ACCEPT and the long cast would
+            # clamp to 0 / Long.MAX — is the spec's expression error
+            # (NULL). try_cast (not cast) keeps ANSI mode from throwing.
+            # Magnitudes beyond the long range still clamp at the long
+            # extremes (Spark's primitive floor/ceil-to-long cast) — a
+            # documented approximation at astronomical lexical forms.
+            num = F.when(a0.rlike(_NUMERIC_SHAPE), a0).try_cast("double")
+            if fn == "ABS":
+                return F.abs(num)
+            if fn == "CEIL":
+                return F.ceil(num).cast("long")
+            if fn == "FLOOR":
+                return F.floor(num).cast("long")
             # XPath fn:round: a half value rounds toward POSITIVE infinity
             # (ROUND(-2.5) = -2) — not Spark round()'s HALF_UP
             # (away-from-zero) mode; floor(x + 0.5) is the exact rule
-            return F.floor(a0.try_cast("double") + F.lit(0.5)).cast("long")
+            return F.floor(num + F.lit(0.5)).cast("long")
         if fn in ("STRBEFORE", "STRAFTER"):
             if len(args) != 2:
                 raise SparqlError(f'{fn} takes (?s, "needle")')

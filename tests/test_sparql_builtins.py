@@ -253,3 +253,23 @@ def test_nested_null_introducer_detected(spark):
     ).collect()
     # CONCAT over an error is an error -> unbound
     assert [r.v for r in got] == [None]
+
+
+def test_numeric_fns_domain_is_isnumeric(spark):
+    """ROUND/ABS reject exactly what isNumeric rejects: "NaN"/"Infinity"
+    parse as doubles in Spark but are NOT xsd numeric lexical forms — they
+    must be expression errors (unbound), not a clamped 0 / Long.MAX."""
+    rows = [
+        (EX + "a", EX + "v", "NaN"),
+        (EX + "b", EX + "v", "Infinity"),
+        (EX + "c", EX + "v", "-2.5"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    got = _vals(
+        t, "SELECT ?s ?v WHERE { ?s ex:v ?x . BIND(ROUND(?x) AS ?v) }"
+    )
+    assert got == [("a", None), ("b", None), ("c", "-2")]
+    got2 = _vals(
+        t, "SELECT ?s ?v WHERE { ?s ex:v ?x . BIND(ABS(?x) AS ?v) }"
+    )
+    assert got2 == [("a", None), ("b", None), ("c", "2.5")]
