@@ -4451,10 +4451,10 @@ QUERIES: dict[str, Callable] = {
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
+    # ---- end of the driver's 50-query correctness window ----
     "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
     "mean_pool": q_mean_pool,  # last green r06
     "join_strategy": q_join_strategy,  # last green r06
-    # ---- end of the driver's 50-query correctness window ----
     "topk_maintenance": q_topk_maintenance,  # last green r06
     "psi_maintenance": q_psi_maintenance,  # last green r06
     "cms_maintenance": q_cms_maintenance,  # last green r06

@@ -1269,6 +1269,15 @@ def _range_paths(
         )
 
     if hi is None:
+        if lo - 1 > max_depth:
+            # the floor shift below is lo-1 chained equi-joins built on
+            # the driver — an unchecked huge lower bound would be a
+            # Catalyst planning explosion, not a query
+            raise SparqlError(
+                f"path quantifier lower bound {lo} exceeds "
+                f"max_path_depth={max_depth}; raise "
+                "sparql_select(max_path_depth=...)"
+            )
         acc = _pair_closure(rel, max_depth)  # all lengths >= 1
         cur = None
         for _ in range(lo - 1):  # shift the floor up: rel^(lo-1) ∘ (+)
@@ -1429,10 +1438,14 @@ def _compile_filter(expr, bound: set[str]) -> Column:
             # match) has no inline form and is rejected loudly
             pat = str(_lit_arg("REGEX", args[1]))
             flags = str(_lit_arg("REGEX", args[2]))
-            if not flags or not set(flags) <= set("ismx"):
+            if not set(flags) <= set("ismx"):
                 raise SparqlError(
                     f"unsupported REGEX flags {flags!r} (supported: ismx)"
                 )
+            if not flags:
+                # flags="" is legal fn:matches and means the 2-arg form
+                # ("(?)" would be a Java regex syntax error)
+                return a0.rlike(pat)
             return a0.rlike(f"(?{flags}){pat}")
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
@@ -1519,8 +1532,9 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 cond, _value_expr(args[1], bound).cast("string")
             ).otherwise(_value_expr(args[2], bound).cast("string"))
         if fn == "COALESCE":
-            if len(args) < 2:
-                raise SparqlError("COALESCE takes at least two arguments")
+            # spec §17.4.1.3: any number of arguments, one included
+            if len(args) < 1:
+                raise SparqlError("COALESCE takes at least one argument")
             return F.coalesce(
                 *[_value_expr(a, bound).cast("string") for a in args]
             )
@@ -1707,9 +1721,10 @@ def _compile_subquery(
 
     Returns (bindings, nullable-vars): a projected variable is nullable
     outward iff the inner group could leave it unbound (plain var under
-    OPTIONAL; SUM/AVG/MIN/MAX/SAMPLE over a nullable argument — a
-    group whose values are all unbound aggregates to NULL; a computed
-    GROUP BY key over nullable sources)."""
+    OPTIONAL; SUM/AVG always — their lexical-form cast can NULL a group
+    of BOUND non-numeric values, and an all-unbound group aggregates to
+    NULL; MIN/MAX/SAMPLE over a nullable argument; a computed GROUP BY
+    key over nullable sources or null-introducing functions)."""
     _, projection, group, modifiers = el
     out, inner_nullable = _compile_group(
         triples, group, prefixes, max_path_depth, skip_eager=skip_eager
@@ -1727,8 +1742,13 @@ def _compile_subquery(
                 nullable.add(it[1])
             elif it[0] == "agg":
                 _, fn, _d, arg, alias, _sep = it
-                if (
-                    fn in ("SUM", "AVG", "MIN", "MAX", "SAMPLE")
+                if fn in ("SUM", "AVG"):
+                    # always nullable: the lexical-form cast can fail on
+                    # a BOUND but non-numeric argument, NULLing the whole
+                    # group — not just when the argument is OPTIONAL
+                    nullable.add(alias)
+                elif (
+                    fn in ("MIN", "MAX", "SAMPLE")
                     and arg in inner_nullable
                 ):
                     nullable.add(alias)
@@ -1737,7 +1757,10 @@ def _compile_subquery(
             if (
                 not isinstance(g, str)
                 and g[2] in names
-                and _expr_vars(g[1]) & inner_nullable
+                and (
+                    _expr_vars(g[1]) & inner_nullable
+                    or _expr_introduces_null(g[1])
+                )
             ):
                 nullable.add(g[2])
     out = out.select(
@@ -2707,10 +2730,19 @@ def sparql_update(
     GRAPH, ...) are rejected at parse — they have no meaning over a
     single-DataFrame graph.
 
-    Set semantics: the result is a DISTINCT graph. Intermediate
-    multiplicity cannot change membership through anti-join / union, so
-    the dedup happens ONCE at the very end instead of per operation —
-    one shuffle for the whole sequence.
+    Set semantics: the input is assumed to be a graph (a SET of
+    triples — dropDuplicates first if unsure) and the result is a
+    DISTINCT graph. Membership through anti-join / union is unaffected
+    by intermediate multiplicity, so the final dedup is the only
+    unconditional one — BUT a later operation's WHERE can OBSERVE
+    multiplicity (a COUNT inside a subquery would double-count a triple
+    an earlier op re-inserted), so the solution graph is deduped for
+    ops that follow an insert; delete-only prefixes stay shuffle-free.
+
+    ``bindings=`` (rdflib initBindings) are validated against the UNION
+    of all operations' variables, then each operation receives the
+    subset its own pattern/templates mention — a binding consumed by op
+    1 must not make op 2 raise.
 
     Scale shape: deletes are hash anti-joins on ``(s, p, o)``; DATA
     payloads are driver-literal by construction and broadcast; a modify
@@ -2727,17 +2759,62 @@ def sparql_update(
     """
     toks = _tokenize(query)
     ops = _Parser(toks).parse_update()
+    per_op_vars = [_update_op_vars(op) for _, op in ops]
+    if bindings:
+        unknown = sorted(set(bindings) - set().union(*per_op_vars))
+        if unknown:
+            raise SparqlError(
+                "bindings for variables not in any operation's pattern "
+                f"or template: {unknown}"
+            )
     graph = triples
-    for declared, op in ops:
+    dirty = False  # an earlier op inserted rows -> graph may be a bag
+    for (declared, op), opvars in zip(ops, per_op_vars):
         pfx = dict(prefixes or {})
         pfx.update(declared)
-        graph = _apply_update_op(graph, op, pfx, bindings, max_path_depth)
+        op_bindings = (
+            {k: v for k, v in bindings.items() if k in opvars} or None
+            if bindings
+            else None
+        )
+        sol_graph = graph.dropDuplicates() if dirty else graph
+        graph = _apply_update_op(
+            graph, op, pfx, op_bindings, max_path_depth, sol_graph
+        )
+        if op[2]:  # ("data", dels, INS) / ("modify", del_t, INS_T, group)
+            dirty = True
     return graph.dropDuplicates()
 
 
+def _update_op_vars(op) -> set:
+    """Every variable an update operation can mention — its WHERE group
+    plus its templates (a binding may target a template-only variable,
+    like CONSTRUCT's extra_bindable)."""
+    if op[0] != "modify":
+        return set()
+    _, delete_t, insert_t, group = op
+    vars_ = set(_collect_vars(group))
+    for tmpl in (delete_t, insert_t):
+        if tmpl:
+            vars_ |= {t[1] for tri in tmpl for t in tri if t[0] == "var"}
+    return vars_
+
+
 def _apply_update_op(
-    graph: DataFrame, op, pfx, bindings, max_path_depth: int
+    graph: DataFrame,
+    op,
+    pfx,
+    bindings,
+    max_path_depth: int,
+    sol_graph: "DataFrame | None" = None,
 ) -> DataFrame:
+    """``sol_graph`` is the graph the WHERE pattern evaluates over —
+    deduped by the caller when an earlier op may have introduced
+    duplicates (multiplicity is invisible to anti-join/union but NOT to
+    aggregates inside the pattern); deletes/inserts still apply to the
+    raw ``graph``."""
+    if sol_graph is None:
+        sol_graph = graph
     spark = graph.sparkSession
     if op[0] == "data":
         _, dels, ins = op
@@ -2764,7 +2841,7 @@ def _apply_update_op(
         if t[0] == "var"
     }
     sol = _solutions(
-        graph, group, pfx, bindings, max_path_depth,
+        sol_graph, group, pfx, bindings, max_path_depth,
         extra_bindable=template_vars,
     )
     for tmpl, label in ((delete_t, "DELETE"), (insert_t, "INSERT")):

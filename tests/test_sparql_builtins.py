@@ -273,3 +273,20 @@ def test_numeric_fns_domain_is_isnumeric(spark):
         t, "SELECT ?s ?v WHERE { ?s ex:v ?x . BIND(ABS(?x) AS ?v) }"
     )
     assert got2 == [("a", None), ("b", None), ("c", "2.5")]
+
+
+def test_regex_empty_flags_is_two_arg_form(terms):
+    got = _rows(
+        terms,
+        'SELECT ?s WHERE { ?s ex:name ?n . FILTER(REGEX(?n, "^beta", "")) }',
+    )
+    assert [r.s[-1] for r in got] == ["b"]
+
+
+def test_coalesce_single_argument(terms):
+    got = _vals(
+        terms,
+        'SELECT ?s ?v WHERE { ?s ex:name ?n . FILTER(?s = "http://ex.org/a") '
+        "BIND(COALESCE(?n) AS ?v) }",
+    )
+    assert got == [("a", "alpha")]

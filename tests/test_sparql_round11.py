@@ -280,12 +280,14 @@ def test_if_condition_forms_and_errors(mixed_terms):
             'BIND(IF(BOUND(?x), "a") AS ?y) }',
             prefixes=PFX,
         )
-    with pytest.raises(SparqlError, match="at least two"):
-        sparql_select(
-            mixed_terms,
-            "SELECT ?s WHERE { ?s ex:label ?x . BIND(COALESCE(?x) AS ?y) }",
-            prefixes=PFX,
-        )
+    # COALESCE(?x) with ONE argument is legal per §17.4.1.3 (round-11
+    # review relaxed the original two-arg floor)
+    one = sparql_select(
+        mixed_terms,
+        "SELECT ?s ?y WHERE { ?s ex:label ?x . BIND(COALESCE(?x) AS ?y) }",
+        prefixes=PFX,
+    ).collect()
+    assert all(r.y is not None for r in one)
 
 
 # ------------------------------------------------------------- subqueries
@@ -482,3 +484,36 @@ def test_subquery_in_ask(pathways):
         "GROUP BY ?pw HAVING (COUNT(?m) > 5) } }",
         prefixes=PFX,
     )
+
+
+def test_unbounded_quantifier_floor_is_depth_checked(chain):
+    """{n,} with a huge n must be a loud SparqlError, not an n-way
+    chained-join planning explosion (round-11 review finding)."""
+    with pytest.raises(SparqlError, match="lower bound"):
+        sparql_select(
+            chain,
+            "SELECT ?x ?y WHERE { ?x ex:under{1000000,} ?y }",
+            prefixes=PFX,
+        ).collect()
+
+
+def test_subquery_null_introducing_group_key_is_guarded(spark):
+    """A computed GROUP BY key over a null-introducing fn (ROUND of a
+    bound non-numeric) exports as NULLABLE: joining on it alone must hit
+    the loud no-hash-key rejection instead of silently dropping the
+    NULL-key solution (round-11 review finding)."""
+    rows = [
+        (EX + "a", EX + "v", "2.5"),
+        (EX + "b", EX + "v", "oops"),
+        (EX + "t", EX + "tag", "3"),
+    ]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    with pytest.raises(SparqlError, match="OPTIONAL-bound variables"):
+        sparql_select(
+            t,
+            "SELECT ?x ?k WHERE { "
+            "{ SELECT ?k (COUNT(?s) AS ?c) WHERE { ?s ex:v ?o } "
+            "  GROUP BY (ROUND(?o) AS ?k) } "
+            "?x ex:tag ?k }",
+            prefixes=PFX,
+        ).collect()

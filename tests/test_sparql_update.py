@@ -355,3 +355,47 @@ def test_update_parser_never_crashes_on_garbage(graph):
         except SparqlError:
             pass  # the designed failure mode
         # anything else (IndexError, Py4J crash, ...) propagates and fails
+
+
+# --------------------------------------------- round-11 review regressions
+
+
+def test_aggregating_where_after_insert_sees_a_set(spark):
+    """A later op's WHERE must never observe multiplicity an earlier
+    insert created: re-inserting a present triple, then COUNTing it in a
+    subquery, must count 1 (RDF graphs are sets) — pins the dirty-flag
+    dedup of the solution graph."""
+    g = spark.createDataFrame(
+        [("urn:a", "urn:p", "urn:b")], "s string, p string, o string"
+    )
+    out = sparql_update(
+        g,
+        """INSERT DATA { <urn:a> <urn:p> <urn:b> } ;
+           INSERT { ?s <urn:n> ?n } WHERE {
+             { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <urn:p> ?o }
+               GROUP BY ?s } }""",
+    )
+    got = {(r.p, r.o) for r in out.collect()}
+    assert ("urn:n", "1") in got and ("urn:n", "2") not in got
+
+
+def test_bindings_shared_across_ops(spark):
+    """A binding consumed by op 1 must not make op 2 raise; a binding no
+    op mentions still fails loudly."""
+    g = spark.createDataFrame(
+        [("urn:a", "urn:p", "x"), ("urn:b", "urn:p", "y"),
+         ("urn:a", "urn:done", "1")],
+        "s string, p string, o string",
+    )
+    out = sparql_update(
+        g,
+        "DELETE WHERE { ?s <urn:p> ?o } ; DELETE WHERE { ?a <urn:done> ?b }",
+        bindings={"s": "urn:a"},
+    )
+    got = sorted((r.s, r.p) for r in out.collect())
+    # op 1 deleted only urn:a's p-triple (binding); op 2 deleted done
+    assert got == [("urn:b", "urn:p")]
+    with pytest.raises(SparqlError, match="not in any operation"):
+        sparql_update(
+            g, "DELETE WHERE { ?s <urn:p> ?o }", bindings={"zz": "urn:a"}
+        )
