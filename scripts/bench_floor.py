@@ -52,6 +52,8 @@ FLOOR_SET = [
     "sparql_scale_path",
     "sparql_path_range",
     "sparql_subquery",
+    "sparql_scale_builtins",
+    "sparql_update_graph",
 ]
 
 N_RUNS = 3

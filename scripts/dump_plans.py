@@ -319,6 +319,25 @@ SHOWCASE = {
         "a shuffle; zlib inflate + unfilter happen inside the Python "
         "worker, output is 9 scalar columns."
     ),
+    "sparql_scale_builtins": (
+        "The builtin library stays scan-side: STRENDS compiles to a "
+        "StringEndsWith PUSHED into the parquet scan (check "
+        "PushedFilters), STRAFTER/STRBEFORE/ROUND/FLOOR are pure "
+        "projections, the brand->price hop is ONE broadcast hash join, "
+        "and the grouped SUMs are ONE partial+final aggregation "
+        "exchange. Catalyst constant-folds the predicate-literal "
+        "comparison on every other union branch to FALSE and prunes "
+        "the scans away."
+    ),
+    "sparql_update_graph": (
+        "UPDATE is membership algebra, not mutation: each DELETE is a "
+        "hash ANTI join of the graph against the instantiated delete "
+        "set, the INSERT templates are projections of ONE shared "
+        "solution table (InMemoryRelation reused across all three "
+        "consumers), and the final set-semantics dedup is the single "
+        "added exchange. Both ops' WHERE filters (StringStartsWith, "
+        "EqualTo) push into the parquet scans."
+    ),
 }
 
 
