@@ -1211,6 +1211,52 @@ def q_sparql_scale_builtins(spark, sf_dir):
     )
 
 
+def _scale_quads(spark, sf_dir):
+    """The named-graph substrate: the scale triples tagged into a quad
+    store by predicate family — lineitem-derived facts in
+    ``graph://lineitem``, part-derived in ``graph://part``, order status
+    in ``graph://orders``, and retailPrice left in the DEFAULT graph
+    (g NULL) so default-graph semantics are exercised too."""
+    ex = "http://ex.org/"
+    t = _scale_triples(spark, sf_dir)
+    g = (
+        F.when(
+            F.col("p").isin([ex + "hasPart", ex + "returnedAs"]),
+            "graph://lineitem",
+        )
+        .when(
+            F.col("p").isin(
+                [ex + "inBrand", ex + "childOf", ex + "isRoot"]
+            ),
+            "graph://part",
+        )
+        .when(F.col("p") == ex + "status", "graph://orders")
+    )
+    return t.select(g.alias("g"), "s", "p", "o")
+
+
+def q_sparql_graph_scale(spark, sf_dir):
+    """Named graphs driver-checked at bench scale: GRAPH ?g binds the
+    graph label per solution (all-named-graphs scan + g projected as a
+    join column), GRAPH <iri> scopes its pattern to one graph (filter
+    pushed into the scan), and the retailPrice pattern runs against the
+    DEFAULT graph (g IS NULL) — three dataset contexts joined in one
+    plan. Oracle replays the contexts as their per-predicate CTEs with
+    the graph labels as literals."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?g ?brand (COUNT(?ord) AS ?n) WHERE {
+               GRAPH ?g { ?part ex:inBrand ?brand }
+               GRAPH <graph://lineitem> { ?ord ex:hasPart ?part }
+               ?part ex:retailPrice ?price .
+               FILTER(STRSTARTS(?brand, "Brand#2"))
+           } GROUP BY ?g ?brand""",
+    )
+
+
 def q_sparql_update_graph(spark, sf_dir):
     """SPARQL 1.1 Update driver-checked at bench scale: a two-operation
     sequence over the synthesized graph — a modify that re-files every
@@ -4401,6 +4447,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_graph_scale": q_sparql_graph_scale,  # never driver-checked
     "sparql_update_graph": q_sparql_update_graph,  # never driver-checked
     "sparql_scale_builtins": q_sparql_scale_builtins,  # never driver-checked
     "sparql_scale_bgp": q_sparql_scale_bgp,  # never driver-checked
@@ -4450,8 +4497,8 @@ QUERIES: dict[str, Callable] = {
     "dup_span_profile": q_dup_span_profile,  # last green r05
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
-    "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
     "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
     "mean_pool": q_mean_pool,  # last green r06
     "join_strategy": q_join_strategy,  # last green r06
@@ -9170,6 +9217,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT t.s, t.p, t.o
             FROM t JOIN roots ON t.s = roots.r
+        """,
+        "sparql_graph_scale": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT 'graph://part' AS g, ib.o AS brand,
+                   COUNT(*)::BIGINT AS n
+            FROM ib
+            JOIN hp ON hp.o = ib.s   -- GRAPH <graph://lineitem> hasPart
+            JOIN pr ON pr.s = ib.s   -- default-graph retailPrice
+            WHERE ib.o LIKE 'Brand#2%'
+            GROUP BY ib.o
         """,
         "sparql_update_graph": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT DISTINCT * FROM (

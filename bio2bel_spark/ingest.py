@@ -225,6 +225,41 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """N-Quads file → ``quads(g, s, p, o)`` DataFrame (S7, named-graph
+    extension): a line's optional fourth term is its graph label; lines
+    without one belong to the DEFAULT graph (``g`` NULL) — exactly the
+    dataset the SPARQL planner's ``GRAPH`` clause expects (patterns
+    outside GRAPH match the default graph, ``GRAPH ?g``/``GRAPH <iri>``
+    match the named graphs). Parsing is distributed line-regex, same as
+    :func:`read_ntriples`."""
+    lines = spark.read.text(path)
+    pat = (
+        r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+"
+        r"(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@[\w-]+)?)"
+        r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
+    )
+    df = lines.select(
+        F.regexp_extract("value", pat, 1).alias("s_raw"),
+        F.regexp_extract("value", pat, 2).alias("p_raw"),
+        F.regexp_extract("value", pat, 3).alias("o_raw"),
+        F.regexp_extract("value", pat, 4).alias("g_raw"),
+    ).filter(F.col("p_raw") != "")
+    strip = lambda c: F.when(  # noqa: E731
+        c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1)
+    ).when(
+        c.startswith('"'), F.regexp_extract(c, r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$', 1)
+    ).otherwise(c)
+    return df.select(
+        F.when(F.col("g_raw") == "", F.lit(None)).otherwise(
+            strip(F.col("g_raw"))
+        ).alias("g"),
+        strip(F.col("s_raw")).alias("s"),
+        strip(F.col("p_raw")).alias("p"),
+        strip(F.col("o_raw")).alias("o"),
+    )
+
+
 # --------------------------------------------------------------------- CX (S9)
 
 

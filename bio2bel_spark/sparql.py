@@ -715,6 +715,22 @@ class _Parser:
             elif self.at_keyword("OPTIONAL"):
                 self.next()
                 elements.append(("optional", self.parse_group()))
+            elif self.at_keyword("GRAPH"):
+                self.next()
+                gkind, gv = self.peek()
+                if gkind == "var":
+                    self.next()
+                    gterm = ("var", gv[1:])
+                elif gkind == "iri":
+                    self.next()
+                    gterm = ("const", gv[1:-1])
+                elif gkind == "pname":
+                    self.next()
+                    pre, _, local = gv.partition(":")
+                    gterm = ("pname", pre, local)
+                else:
+                    raise SparqlError("GRAPH needs ?var or an IRI")
+                elements.append(("graph", gterm, self.parse_group()))
             elif self.at_keyword("FILTER"):
                 self.next()
                 # FILTER [NOT] EXISTS { group } — the paren-less form
@@ -1045,10 +1061,17 @@ def _resolve(term, prefixes: dict[str, str]):
     return term
 
 
-def _compile_triple(triples: DataFrame, s, p, o) -> DataFrame:
-    """One pattern = one filtered projection of the triples scan."""
+def _compile_triple(triples: DataFrame, s, p, o, g=None) -> DataFrame:
+    """One pattern = one filtered projection of the triples scan. ``g``
+    (a term over the source's ``g`` column) extends the pattern to a
+    QUAD inside ``GRAPH ?var`` — the graph name rides as one more
+    projected/filtered position, so same-graph scoping across patterns
+    is ordinary equi-join on the graph variable."""
+    terms = list(zip(("s", "p", "o"), (s, p, o)))
+    if g is not None:
+        terms.append(("g", g))
     cols, filters, seen = [], [], {}
-    for pos, term in zip(("s", "p", "o"), (s, p, o)):
+    for pos, term in terms:
         if term[0] == "const":
             filters.append(F.col(pos) == F.lit(term[1]))
         else:
@@ -1775,6 +1798,8 @@ def _compile_group(
     prefixes: dict[str, str],
     max_path_depth: int = 12,
     skip_eager: bool = False,
+    quads: "DataFrame | None" = None,
+    gvar: "str | None" = None,
 ) -> "tuple[DataFrame, set[str]]":
     """Compile a group pattern; returns (bindings, nullable-vars) where
     nullable-vars are those that may be NULL (first bound under an
@@ -1783,7 +1808,16 @@ def _compile_group(
     compilation still runs — the SCHEMA must come out right — but eager
     work (existence probes, p+ closure iteration) is skipped; the raw hop
     relation stands in for a closure since every row is filtered out
-    anyway."""
+    anyway.
+
+    Named-graph context: ``quads`` is the full (g, s, p, o) table when
+    the input is a quad store (None for a plain triples input) — only
+    ``GRAPH`` elements read it; ``triples`` is always the source the
+    CURRENT context's patterns scan (the default graph at the top
+    level, a named-graph filter inside ``GRAPH <iri>``, all named
+    graphs inside ``GRAPH ?g``). ``gvar`` is the graph variable when
+    compiling inside ``GRAPH ?g``: every triple pattern then also
+    binds/joins the ``g`` column as that variable."""
     current: DataFrame | None = None
     nullable: set[str] = set()
     pending_filters: list = []
@@ -1793,8 +1827,18 @@ def _compile_group(
         if el[0] in ("triple", "pathhop"):
             if el[0] == "triple":
                 s, p, o = (_resolve(t, prefixes) for t in el[1:])
-                pat = _compile_triple(triples, s, p, o)
+                pat = _compile_triple(
+                    triples, s, p, o,
+                    g=None if gvar is None else ("var", gvar),
+                )
             else:
+                if gvar is not None:
+                    raise SparqlError(
+                        "property paths inside GRAPH ?var are not "
+                        "supported (use GRAPH <iri> { ... } or plain "
+                        "patterns); paths are fine inside a named "
+                        "GRAPH <iri> group"
+                    )
                 pat = _compile_pathhop(
                     triples,
                     _resolve(el[1], prefixes),
@@ -1834,6 +1878,7 @@ def _compile_group(
             sub, sub_nullable = _compile_group(
                 triples, el[1], prefixes, max_path_depth,
                 skip_eager=group_unsat or skip_eager,
+                quads=quads, gvar=gvar,
             )
             new_vars = set(sub.columns) - set(current.columns)
             soft_shared = set(sub.columns) & set(current.columns) & nullable
@@ -1846,6 +1891,7 @@ def _compile_group(
                 _compile_group(
                     triples, b, prefixes, max_path_depth,
                     skip_eager=group_unsat or skip_eager,
+                    quads=quads, gvar=gvar,
                 )
                 for b in el[1]
             ]
@@ -1889,6 +1935,11 @@ def _compile_group(
                 nullable -= {v for v in shared if v not in u_nullable}
             nullable |= u_nullable
         elif el[0] == "subquery":
+            if gvar is not None:
+                raise SparqlError(
+                    "subqueries inside GRAPH ?var are not supported; "
+                    "nest the GRAPH clause inside the subquery instead"
+                )
             sub, sub_nullable = _compile_subquery(
                 triples, el, prefixes, max_path_depth,
                 skip_eager=group_unsat or skip_eager,
@@ -1921,6 +1972,7 @@ def _compile_group(
             sub, sub_nullable = _compile_group(
                 triples, el[1], prefixes, max_path_depth,
                 skip_eager=group_unsat or skip_eager,
+                quads=quads, gvar=gvar,
             )
             shared = [c for c in current.columns if c in sub.columns]
             if not shared:
@@ -1946,6 +1998,55 @@ def _compile_group(
             # always share a variable and bind it non-null)
             how = "left_semi" if el[0] == "exists" else "left_anti"
             current = current.join(sub.select(*shared), shared, how)
+        elif el[0] == "graph":
+            _, gterm_raw, sub_elements = el
+            if quads is None:
+                raise SparqlError(
+                    "GRAPH needs a quad input (a 'g' column — see "
+                    "ingest.read_nquads); this query runs over plain "
+                    "triples"
+                )
+            gt = _resolve(gterm_raw, prefixes)
+            if gt[0] == "const":
+                # a named GRAPH <iri> group compiles against that one
+                # graph's triples — the filter pushes into the scan and
+                # EVERY feature (paths, OPTIONAL, subqueries) works
+                # inside, because the subgroup sees an ordinary triples
+                # source
+                sub_src = quads.filter(
+                    F.col("g") == F.lit(str(gt[1]))
+                ).drop("g")
+                sub, sub_nullable = _compile_group(
+                    sub_src, sub_elements, prefixes, max_path_depth,
+                    skip_eager=group_unsat or skip_eager, quads=quads,
+                )
+            else:
+                # GRAPH ?g: patterns inside scan ALL named graphs and
+                # additionally bind/join the g column as ?g — same-graph
+                # scoping is ordinary equi-join on the graph variable
+                named = quads.filter(F.col("g").isNotNull())
+                sub, sub_nullable = _compile_group(
+                    named, sub_elements, prefixes, max_path_depth,
+                    skip_eager=group_unsat or skip_eager,
+                    quads=quads, gvar=gt[1],
+                )
+            if current is None:
+                current = sub
+                nullable |= sub_nullable
+            else:
+                shared = [c for c in current.columns if c in sub.columns]
+                bad = [v for v in shared if v in sub_nullable]
+                if bad:
+                    # right-nullable compatible join — outside the subset
+                    # (same restriction as UNION branches / subqueries)
+                    raise SparqlError(
+                        f"joining a GRAPH group on variables {bad} it "
+                        "may leave unbound is not supported; bind them "
+                        "in required patterns inside the GRAPH group"
+                    )
+                current = _join_compatible(current, sub, "inner", nullable)
+                nullable -= set(shared)
+                nullable |= sub_nullable - set(shared)
         elif el[0] == "values":
             _, names, rows = el
             undef = {
@@ -2278,6 +2379,10 @@ def _collect_vars(elements) -> set:
             out |= {t[1] for t in (el[1], el[3]) if t[0] == "var"}
         elif el[0] in ("optional", "exists", "notexists", "minus"):
             out |= _collect_vars(el[1])
+        elif el[0] == "graph":
+            if el[1][0] == "var":
+                out.add(el[1][1])
+            out |= _collect_vars(el[2])
         elif el[0] == "union":
             for b in el[1]:
                 out |= _collect_vars(b)
@@ -2344,6 +2449,11 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
             out.append(("pathhop", sub[0], el[2], sub[1]))
         elif el[0] in ("optional", "exists", "notexists", "minus"):
             out.append((el[0], _substitute(el[1], binds, prefixes)))
+        elif el[0] == "graph":
+            gt = el[1]
+            if gt[0] == "var" and gt[1] in binds:
+                gt = ("const", binds[gt[1]])
+            out.append(("graph", gt, _substitute(el[2], binds, prefixes)))
         elif el[0] == "union":
             out.append(
                 ("union", [_substitute(b, binds, prefixes) for b in el[1]])
@@ -2438,7 +2548,16 @@ def _solutions(
                 f"bindings for variables not in the pattern: {missing}"
             )
         group = _substitute(group, binds, pfx)
-    out, _ = _compile_group(triples, group, pfx, max_path_depth)
+    quads = None
+    if "g" in triples.columns:
+        # quad store (g, s, p, o): per SPARQL dataset semantics the
+        # default graph — what patterns OUTSIDE any GRAPH clause match —
+        # is the g-IS-NULL rows; GRAPH clauses read the named graphs
+        quads = triples
+        triples = triples.filter(F.col("g").isNull()).drop("g")
+    out, _ = _compile_group(
+        triples, group, pfx, max_path_depth, quads=quads
+    )
     for var, value in binds.items():
         out = out.withColumn(var, F.lit(value))
     internals = [c for c in out.columns if c.startswith("__path_")]
@@ -2580,6 +2699,12 @@ def sparql_describe(
     it's a description request), so the final filter is a broadcast
     semi join against the triples scan; an IRI-only DESCRIBE compiles
     to a pushable ``isin`` scan filter with no join at all."""
+    if "g" in triples.columns:
+        raise SparqlError(
+            "DESCRIBE over a quad store is ambiguous (which graph's "
+            "description?) — filter to one graph and drop the 'g' "
+            "column first"
+        )
     toks = _tokenize(query)
     declared, terms, group = _Parser(toks).parse_describe()
     pfx = dict(prefixes or {})
@@ -2757,6 +2882,12 @@ def sparql_update(
     with rdflib); this engine returns the new graph instead of mutating
     in place — callers re-assign, exactly like every other DataFrame op.
     """
+    if "g" in triples.columns:
+        raise SparqlError(
+            "UPDATE over a quad store is not supported (deletes/inserts "
+            "are (s, p, o) triples — which graph would they target?); "
+            "filter to one graph and drop the 'g' column first"
+        )
     toks = _tokenize(query)
     ops = _Parser(toks).parse_update()
     per_op_vars = [_update_op_vars(op) for _, op in ops]

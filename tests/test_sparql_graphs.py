@@ -1,0 +1,192 @@
+"""Named graphs: the SPARQL GRAPH clause over a (g, s, p, o) quad store,
+plus the N-Quads scan that produces one.
+
+Pins bio2bel_spark/sparql.py:_compile_group (quads/gvar threading),
+_compile_triple (quad form), ingest.read_nquads — parity target: rdflib
+Dataset/ConjunctiveGraph GRAPH evaluation (default graph = unnamed
+context; reference src/bio2bel/sources/rhea.py loads RDF with rdflib,
+whose stores are context-aware).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bio2bel_spark.sparql import (
+    SparqlError,
+    sparql_describe,
+    sparql_select,
+    sparql_update,
+)
+
+EX = "http://ex.org/"
+G1 = "http://g.org/one"
+G2 = "http://g.org/two"
+PFX = {"ex": EX, "g": "http://g.org/"}
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        # default graph (g NULL)
+        (None, EX + "a", EX + "type", "gene"),
+        (None, EX + "b", EX + "type", "gene"),
+        # named graph one
+        (G1, EX + "a", EX + "score", "5"),
+        (G1, EX + "b", EX + "score", "7"),
+        (G1, EX + "x", EX + "under", EX + "y"),
+        (G1, EX + "y", EX + "under", EX + "z"),
+        # named graph two
+        (G2, EX + "a", EX + "score", "9"),
+        (G2, EX + "b", EX + "flag", "true"),
+    ]
+    return spark.createDataFrame(rows, "g string, s string, p string, o string")
+
+
+def test_default_graph_excludes_named(quads):
+    got = sparql_select(
+        quads, "SELECT ?s ?o WHERE { ?s ex:type ?o }", prefixes=PFX
+    ).collect()
+    assert sorted(r.s[-1] for r in got) == ["a", "b"]
+    # scores live ONLY in named graphs: invisible to default-graph patterns
+    none = sparql_select(
+        quads, "SELECT ?s WHERE { ?s ex:score ?v }", prefixes=PFX
+    ).collect()
+    assert none == []
+
+
+def test_graph_iri_scopes_to_one_graph(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?s ?v WHERE { GRAPH <http://g.org/one> { ?s ex:score ?v } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.s[-1], r.v) for r in got) == [("a", "5"), ("b", "7")]
+    # prefixed-name graph labels resolve too
+    got2 = sparql_select(
+        quads,
+        "SELECT ?s ?v WHERE { GRAPH g:two { ?s ex:score ?v } }",
+        prefixes=PFX,
+    ).collect()
+    assert [(r.s[-1], r.v) for r in got2] == [("a", "9")]
+
+
+def test_graph_var_binds_and_scopes(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s ?v WHERE { GRAPH ?g { ?s ex:score ?v } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.s[-1], r.v) for r in got) == [
+        (G1, "a", "5"), (G1, "b", "7"), (G2, "a", "9"),
+    ]
+
+
+def test_graph_var_same_graph_scoping(quads):
+    """Two patterns inside one GRAPH ?g must co-locate in the SAME graph:
+    score+flag only co-occur in graph two for ?s=b... but b's score is in
+    graph one — so the join across patterns yields nothing for mixed
+    placements."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:score ?v . ?s ex:flag ?f } }",
+        prefixes=PFX,
+    ).collect()
+    assert got == []  # score(b)@G1, flag(b)@G2: never the same graph
+
+
+def test_graph_joins_default_graph(quads):
+    got = sparql_select(
+        quads,
+        """SELECT ?s ?v WHERE {
+             ?s ex:type "gene" .
+             GRAPH <http://g.org/two> { ?s ex:score ?v }
+           }""",
+        prefixes=PFX,
+    ).collect()
+    assert [(r.s[-1], r.v) for r in got] == [("a", "9")]
+
+
+def test_paths_inside_named_graph_iri(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?x ?y WHERE { GRAPH <http://g.org/one> "
+        "{ ?x ex:under+ ?y } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.x[-1], r.y[-1]) for r in got) == [
+        ("x", "y"), ("x", "z"), ("y", "z"),
+    ]
+
+
+def test_paths_inside_graph_var_rejected(quads):
+    with pytest.raises(SparqlError, match="paths inside GRAPH"):
+        sparql_select(
+            quads,
+            "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:under+ ?y } }",
+            prefixes=PFX,
+        )
+
+
+def test_graph_needs_quads(spark):
+    t = spark.createDataFrame(
+        [(EX + "a", EX + "p", "v")], "s string, p string, o string"
+    )
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_select(
+            t, "SELECT ?s WHERE { GRAPH ?g { ?s ex:p ?o } }", prefixes=PFX
+        )
+
+
+def test_bindings_substitute_into_graph_var(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?s ?v WHERE { GRAPH ?g { ?s ex:score ?v } }",
+        prefixes=PFX,
+        bindings={"g": G2},
+    ).collect()
+    assert [(r.s[-1], r.v) for r in got] == [("a", "9")]
+
+
+def test_update_and_describe_reject_quads(quads):
+    with pytest.raises(SparqlError, match="quad store"):
+        sparql_update(quads, 'DELETE WHERE { ?s <urn:p> ?o }')
+    with pytest.raises(SparqlError, match="quad store"):
+        sparql_describe(quads, "DESCRIBE <http://ex.org/a>")
+
+
+def test_read_nquads(spark, tmp_path):
+    from bio2bel_spark.ingest import read_nquads
+
+    nq = tmp_path / "data.nq"
+    nq.write_text(
+        '<http://ex.org/a> <http://ex.org/p> "v1" <http://g.org/one> .\n'
+        '<http://ex.org/a> <http://ex.org/p> "v0" .\n'
+        '<http://ex.org/b> <http://ex.org/q> <http://ex.org/a> '
+        "<http://g.org/two> .\n"
+        '# comment-ish garbage line that must not parse\n'
+        '<http://ex.org/c> <http://ex.org/p> '
+        '"typed"^^<http://www.w3.org/2001/XMLSchema#string> '
+        "<http://g.org/one> .\n"
+    )
+    got = sorted(
+        ((r.g, r.s[-1], r.o)
+         for r in read_nquads(spark, str(nq)).collect()),
+        key=lambda t: (t[0] or "", t[1], t[2]),
+    )
+    assert got == [
+        (None, "a", "v0"),
+        ("http://g.org/one", "a", "v1"),
+        ("http://g.org/one", "c", "typed"),
+        ("http://g.org/two", "b", "http://ex.org/a"),
+    ]
+
+
+def test_graph_var_used_in_aggregation(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+        "GROUP BY ?g",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.n) for r in got) == [(G1, 4), (G2, 2)]
