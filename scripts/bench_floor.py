@@ -54,6 +54,7 @@ FLOOR_SET = [
     "sparql_subquery",
     "sparql_scale_builtins",
     "sparql_update_graph",
+    "sparql_graph_scale",
 ]
 
 N_RUNS = 3

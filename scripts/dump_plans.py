@@ -329,6 +329,13 @@ SHOWCASE = {
         "comparison on every other union branch to FALSE and prunes "
         "the scans away."
     ),
+    "sparql_graph_scale": (
+        "Three dataset contexts in ONE plan: GRAPH ?g scans the named "
+        "graphs with g riding as a join column, GRAPH <iri> prunes to "
+        "one graph (pushed predicate filter), the default-graph pattern "
+        "scans only g-IS-NULL rows — all joined as ordinary hash joins, "
+        "one aggregation exchange; no per-graph driver loop."
+    ),
     "sparql_update_graph": (
         "UPDATE is membership algebra, not mutation: each DELETE is a "
         "hash ANTI join of the graph against the instantiated delete "
