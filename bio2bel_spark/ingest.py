@@ -213,15 +213,25 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", pat, 2).alias("p_raw"),
         F.regexp_extract("value", pat, 3).alias("o_raw"),
     ).filter(F.col("p_raw") != "")
-    strip = lambda c: F.when(  # noqa: E731
-        c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1)
-    ).when(
-        c.startswith('"'), F.regexp_extract(c, r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$', 1)
-    ).otherwise(c)
     return df.select(
-        strip(F.col("s_raw")).alias("s"),
-        strip(F.col("p_raw")).alias("p"),
-        strip(F.col("o_raw")).alias("o"),
+        _term_col(F.col("s_raw")).alias("s"),
+        _term_col(F.col("p_raw")).alias("p"),
+        _term_col(F.col("o_raw")).alias("o"),
+    )
+
+
+def _term_col(c):
+    """Unwrap one raw N-Triples/N-Quads term column: ``<iri>`` -> iri,
+    ``"lexical"[^^<dt>|@lang]`` -> lexical form, blank labels pass
+    through verbatim. ONE definition shared by both line readers so the
+    unwrapping rules can never diverge between them."""
+    return (
+        F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
+        .when(
+            c.startswith('"'),
+            F.regexp_extract(c, r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$', 1),
+        )
+        .otherwise(c)
     )
 
 
@@ -245,18 +255,13 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract("value", pat, 3).alias("o_raw"),
         F.regexp_extract("value", pat, 4).alias("g_raw"),
     ).filter(F.col("p_raw") != "")
-    strip = lambda c: F.when(  # noqa: E731
-        c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1)
-    ).when(
-        c.startswith('"'), F.regexp_extract(c, r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$', 1)
-    ).otherwise(c)
     return df.select(
         F.when(F.col("g_raw") == "", F.lit(None)).otherwise(
-            strip(F.col("g_raw"))
+            _term_col(F.col("g_raw"))
         ).alias("g"),
-        strip(F.col("s_raw")).alias("s"),
-        strip(F.col("p_raw")).alias("p"),
-        strip(F.col("o_raw")).alias("o"),
+        _term_col(F.col("s_raw")).alias("s"),
+        _term_col(F.col("p_raw")).alias("p"),
+        _term_col(F.col("o_raw")).alias("o"),
     )
 
 

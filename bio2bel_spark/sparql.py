@@ -1292,10 +1292,11 @@ def _range_paths(
         )
 
     if hi is None:
-        if lo - 1 > max_depth:
+        if lo > max_depth:
             # the floor shift below is lo-1 chained equi-joins built on
-            # the driver — an unchecked huge lower bound would be a
-            # Catalyst planning explosion, not a query
+            # the driver PLUS the full closure — strictly more work than
+            # the bounded form, so the cap must be at least as strict as
+            # the bounded branch's (hi > max_depth)
             raise SparqlError(
                 f"path quantifier lower bound {lo} exceeds "
                 f"max_path_depth={max_depth}; raise "
@@ -1731,6 +1732,7 @@ def _compile_subquery(
     prefixes: dict[str, str],
     max_path_depth: int,
     skip_eager: bool = False,
+    quads: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, set[str]]":
     """Compile a ``{ SELECT ... }`` subquery bottom-up (the spec's
     evaluation order): inner WHERE group, then the full SELECT pipeline
@@ -1750,7 +1752,8 @@ def _compile_subquery(
     key over nullable sources or null-introducing functions)."""
     _, projection, group, modifiers = el
     out, inner_nullable = _compile_group(
-        triples, group, prefixes, max_path_depth, skip_eager=skip_eager
+        triples, group, prefixes, max_path_depth, skip_eager=skip_eager,
+        quads=quads,
     )
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
@@ -1942,7 +1945,7 @@ def _compile_group(
                 )
             sub, sub_nullable = _compile_subquery(
                 triples, el, prefixes, max_path_depth,
-                skip_eager=group_unsat or skip_eager,
+                skip_eager=group_unsat or skip_eager, quads=quads,
             )
             if current is None:
                 current = sub
@@ -2006,6 +2009,14 @@ def _compile_group(
                     "ingest.read_nquads); this query runs over plain "
                     "triples"
                 )
+            if gvar is not None:
+                # per spec the outer ?g would range over ALL named-graph
+                # names crossed with the inner results — a cartesian
+                # nobody means; reject like paths/subqueries in GRAPH ?var
+                raise SparqlError(
+                    "a GRAPH clause nested inside GRAPH ?var is not "
+                    "supported; use GRAPH <iri> as the outer context"
+                )
             gt = _resolve(gterm_raw, prefixes)
             if gt[0] == "const":
                 # a named GRAPH <iri> group compiles against that one
@@ -2030,6 +2041,14 @@ def _compile_group(
                     skip_eager=group_unsat or skip_eager,
                     quads=quads, gvar=gt[1],
                 )
+                if gt[1] not in sub.columns:
+                    # only triple patterns bind ?g; a BIND/VALUES-only
+                    # body would silently drop the graph-membership
+                    # constraint — fail loudly instead
+                    raise SparqlError(
+                        f"GRAPH ?{gt[1]} group binds the graph variable "
+                        "only through triple patterns — add at least one"
+                    )
             if current is None:
                 current = sub
                 nullable |= sub_nullable

@@ -190,3 +190,55 @@ def test_graph_var_used_in_aggregation(quads):
         prefixes=PFX,
     ).collect()
     assert sorted((r.g, r.n) for r in got) == [(G1, 4), (G2, 2)]
+
+
+# --------------------------------------------- second review regressions
+
+
+def test_graph_inside_subquery(quads):
+    """The 'nest the GRAPH clause inside the subquery' workaround the
+    engine's own error message suggests must actually work — the quads
+    context is forwarded through _compile_subquery."""
+    got = sparql_select(
+        quads,
+        """SELECT ?s (COUNT(?v) AS ?n) WHERE {
+             { SELECT ?s ?v WHERE {
+                 GRAPH <http://g.org/one> { ?s ex:score ?v } } }
+           } GROUP BY ?s""",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.s[-1], r.n) for r in got) == [("a", 1), ("b", 1)]
+
+
+def test_nested_graph_inside_graph_var_rejected(quads):
+    with pytest.raises(SparqlError, match="nested inside GRAPH"):
+        sparql_select(
+            quads,
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "GRAPH <http://g.org/one> { ?s ex:score ?v } } }",
+            prefixes=PFX,
+        )
+
+
+def test_graph_var_body_must_bind_the_var(quads):
+    """A BIND/VALUES-only GRAPH ?g body binds nothing to ?g — must fail
+    loudly, not silently drop the graph-membership constraint."""
+    with pytest.raises(SparqlError, match="triple patterns"):
+        sparql_select(
+            quads,
+            'SELECT ?g ?x WHERE { GRAPH ?g { BIND("v" AS ?x) } }',
+            prefixes=PFX,
+        )
+
+
+def test_unbounded_floor_cap_matches_bounded(quads):
+    """{n,} and {n,n} must be capped at the SAME bound — the unbounded
+    form does strictly more work (review: off-by-one let {13,} through
+    where {13,13} raised)."""
+    with pytest.raises(SparqlError, match="lower bound"):
+        sparql_select(
+            quads,
+            "SELECT ?x ?y WHERE { GRAPH <http://g.org/one> "
+            "{ ?x ex:under{13,} ?y } }",
+            prefixes=PFX,
+        )
