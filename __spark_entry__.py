@@ -1257,6 +1257,31 @@ def q_sparql_graph_scale(spark, sf_dir):
     )
 
 
+def q_sparql_from_dataset(spark, sf_dir):
+    """FROM / FROM NAMED dataset construction at bench scale: FROM
+    promotes the part-facts graph to the default graph, FROM NAMED
+    keeps only the lineitem graph addressable by GRAPH clauses, and the
+    orders graph drops out of the dataset entirely (SPARQL 1.1 §13.2:
+    an explicit dataset is exactly what's described). The rewrite is a
+    canonicalizing filter+union BEFORE planning, so the plan below it
+    is the ordinary pushed-scan/hash-join shape. Oracle replays the
+    dataset as the per-predicate CTEs."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand ?g (COUNT(?ord) AS ?n)
+           FROM <graph://part>
+           FROM NAMED <graph://lineitem>
+           WHERE {
+               ?part ex:inBrand ?brand .
+               GRAPH ?g { ?ord ex:hasPart ?part }
+               FILTER(STRSTARTS(?brand, "Brand#1"))
+           } GROUP BY ?brand ?g""",
+    )
+
+
 def q_sparql_update_graph(spark, sf_dir):
     """SPARQL 1.1 Update driver-checked at bench scale: a two-operation
     sequence over the synthesized graph — a modify that re-files every
@@ -4447,6 +4472,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_from_dataset": q_sparql_from_dataset,  # never driver-checked
     "sparql_graph_scale": q_sparql_graph_scale,  # never driver-checked
     "sparql_update_graph": q_sparql_update_graph,  # never driver-checked
     "sparql_scale_builtins": q_sparql_scale_builtins,  # never driver-checked
@@ -4496,8 +4522,8 @@ QUERIES: dict[str, Callable] = {
     "validate_lineitem": q_validate_lineitem,  # last green r05
     "dup_span_profile": q_dup_span_profile,  # last green r05
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
-    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     # ---- end of the driver's 50-query correctness window ----
+    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
     "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
     "mean_pool": q_mean_pool,  # last green r06
@@ -9217,6 +9243,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT t.s, t.p, t.o
             FROM t JOIN roots ON t.s = roots.r
+        """,
+        "sparql_from_dataset": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT ib.o AS brand, 'graph://lineitem' AS g,
+                   COUNT(*)::BIGINT AS n
+            FROM ib JOIN hp ON hp.o = ib.s
+            WHERE ib.o LIKE 'Brand#1%'
+            GROUP BY ib.o
         """,
         "sparql_graph_scale": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT 'graph://part' AS g, ib.o AS brand,

@@ -482,6 +482,22 @@ class _Parser:
                     break
             if not projection:
                 raise SparqlError("SELECT needs ?vars or *")
+        from_default: list[str] = []
+        from_named: list[str] = []
+        while self.at_keyword("FROM"):
+            self.next()
+            target = from_default
+            if self.at_keyword("NAMED"):
+                self.next()
+                target = from_named
+            kind, v = self.next()
+            if kind == "iri":
+                target.append(("const", v[1:-1]))
+            elif kind == "pname":
+                pre, _, local = v.partition(":")
+                target.append(("pname", pre, local))
+            else:
+                raise SparqlError(f"FROM needs an IRI, got {v!r}")
         if not self.at_keyword("WHERE"):
             raise SparqlError("expected WHERE")
         self.next()
@@ -497,6 +513,8 @@ class _Parser:
             "offset": offset,
             "group_by": group_by,
             "having": having,
+            "from_default": from_default,
+            "from_named": from_named,
         }
         return projection, group, modifiers
 
@@ -1751,6 +1769,11 @@ def _compile_subquery(
     NULL; MIN/MAX/SAMPLE over a nullable argument; a computed GROUP BY
     key over nullable sources or null-introducing functions)."""
     _, projection, group, modifiers = el
+    if modifiers.get("from_default") or modifiers.get("from_named"):
+        raise SparqlError(
+            "FROM/FROM NAMED are only legal at the top level, not "
+            "inside a subquery (SPARQL 1.1 grammar)"
+        )
     out, inner_nullable = _compile_group(
         triples, group, prefixes, max_path_depth, skip_eager=skip_eager,
         quads=quads,
@@ -2627,8 +2650,50 @@ def sparql_select(
     declared, projection, group, modifiers = _Parser(toks).parse_query()
     pfx = dict(prefixes or {})
     pfx.update(declared)
+    triples = _apply_dataset_clauses(triples, modifiers, pfx)
     out = _solutions(triples, group, pfx, bindings, max_path_depth)
     return _finish_select(out, projection, modifiers)
+
+
+def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
+    """``FROM`` / ``FROM NAMED`` rewrite a quad store into the described
+    dataset in CANONICAL form — default graph as g-IS-NULL rows — so the
+    rest of the planner needs no dataset awareness at all:
+
+    * ``FROM <g>...``: those graphs' triples become the default graph
+      (their union is the spec's RDF merge — set semantics, so a
+      multi-graph FROM dedups); graphs not mentioned disappear.
+    * ``FROM NAMED <g>...``: exactly those named graphs stay addressable
+      by GRAPH clauses.
+    * any dataset clause present = the dataset is EXACTLY what's
+      described (FROM only -> no named graphs; FROM NAMED only -> empty
+      default graph), per SPARQL 1.1 §13.2.
+    """
+    from_d = [str(_resolve(t, pfx)[1]) for t in modifiers.get("from_default", [])]
+    from_n = [str(_resolve(t, pfx)[1]) for t in modifiers.get("from_named", [])]
+    if not from_d and not from_n:
+        return triples
+    if "g" not in triples.columns:
+        raise SparqlError(
+            "FROM/FROM NAMED need a quad input (a 'g' column — see "
+            "ingest.read_nquads); this query runs over plain triples"
+        )
+    parts = []
+    if from_d:
+        d = triples.filter(F.col("g").isin(from_d)).withColumn(
+            "g", F.lit(None).cast("string")
+        )
+        if len(from_d) > 1:
+            # the default graph is the MERGE of the FROM graphs — a
+            # triple present in two of them must not double solutions
+            d = d.dropDuplicates()
+        parts.append(d)
+    if from_n:
+        parts.append(triples.filter(F.col("g").isin(from_n)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _finish_select(

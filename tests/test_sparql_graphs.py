@@ -242,3 +242,87 @@ def test_unbounded_floor_cap_matches_bounded(quads):
             "{ ?x ex:under{13,} ?y } }",
             prefixes=PFX,
         )
+
+
+# ------------------------------------------------------ FROM / FROM NAMED
+
+
+def test_from_promotes_named_graph_to_default(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?s ?v FROM <http://g.org/one> WHERE { ?s ex:score ?v }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.s[-1], r.v) for r in got) == [("a", "5"), ("b", "7")]
+    # dataset is EXACTLY what's described: the original default graph's
+    # ex:type triples are gone
+    none = sparql_select(
+        quads,
+        "SELECT ?s FROM <http://g.org/one> WHERE { ?s ex:type ?t }",
+        prefixes=PFX,
+    ).collect()
+    assert none == []
+
+
+def test_from_merge_of_two_graphs(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?s ?v FROM <http://g.org/one> FROM <http://g.org/two> "
+        "WHERE { ?s ex:score ?v }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.s[-1], r.v) for r in got) == [
+        ("a", "5"), ("a", "9"), ("b", "7"),
+    ]
+
+
+def test_from_merge_dedups_shared_triples(spark):
+    # the same triple in both FROM graphs is ONE triple in the merge
+    rows = [
+        ("http://g.org/one", EX + "a", EX + "p", "v"),
+        ("http://g.org/two", EX + "a", EX + "p", "v"),
+    ]
+    q = spark.createDataFrame(rows, "g string, s string, p string, o string")
+    got = sparql_select(
+        q,
+        "SELECT ?s FROM <http://g.org/one> FROM <http://g.org/two> "
+        "WHERE { ?s ex:p \"v\" }",
+        prefixes=PFX,
+    ).collect()
+    assert len(got) == 1
+
+
+def test_from_named_restricts_graph_clause(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s FROM NAMED <http://g.org/two> "
+        "WHERE { GRAPH ?g { ?s ex:score ?v } }",
+        prefixes=PFX,
+    ).collect()
+    # graph one is NOT in the dataset: only two's score row survives
+    assert [(r.g, r.s[-1]) for r in got] == [(G2, "a")]
+    # FROM NAMED only -> the default graph is EMPTY
+    none = sparql_select(
+        quads,
+        "SELECT ?s FROM NAMED <http://g.org/two> WHERE { ?s ex:type ?t }",
+        prefixes=PFX,
+    ).collect()
+    assert none == []
+
+
+def test_from_needs_quads_and_not_in_subqueries(spark, quads):
+    t = spark.createDataFrame(
+        [(EX + "a", EX + "p", "v")], "s string, p string, o string"
+    )
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_select(
+            t, "SELECT ?s FROM <http://g.org/one> WHERE { ?s ex:p ?o }",
+            prefixes=PFX,
+        )
+    with pytest.raises(SparqlError, match="top level"):
+        sparql_select(
+            quads,
+            "SELECT ?s WHERE { { SELECT ?s FROM <http://g.org/one> "
+            "WHERE { ?s ex:score ?v } } }",
+            prefixes=PFX,
+        )
