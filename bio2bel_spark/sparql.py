@@ -506,6 +506,27 @@ class _Parser:
         having = self.parse_having()
         order = self.parse_order()
         limit, offset = self.parse_limit_offset()
+        expr_items = [it for it in (projection or []) if it[0] == "expr"]
+        if expr_items:
+            # SELECT expressions desugar to trailing BINDs — evaluated
+            # over the group's solutions before projection/DISTINCT,
+            # exactly the spec's Extend step. Combined with GROUP BY /
+            # aggregates the Extend would run post-aggregation, a
+            # different pipeline stage — out of subset, loud error.
+            if group_by or any(
+                it[0] == "agg" for it in projection
+            ):
+                raise SparqlError(
+                    "(expr AS ?x) projections cannot be combined with "
+                    "GROUP BY/aggregates here; BIND inside the WHERE "
+                    "group or aggregate first in a subquery"
+                )
+            for _, expr, alias in expr_items:
+                group.append(("bind", expr, alias))
+            projection = [
+                ("var", it[2]) if it[0] == "expr" else it
+                for it in projection
+            ]
         modifiers = {
             "distinct": distinct,
             "order": order,
@@ -521,9 +542,23 @@ class _Parser:
     def parse_agg_projection(self) -> tuple:
         """``( AGG([DISTINCT] ?v|*) AS ?alias )`` — the aggregate
         projection form (GROUP_CONCAT also accepts
-        ``; SEPARATOR="s"`` before its closing paren). Returns
-        ("agg", fn, distinct, arg-or-None, alias, separator)."""
+        ``; SEPARATOR="s"`` before its closing paren) — or the general
+        ``( expr AS ?alias )`` SELECT-expression form, which the caller
+        desugars into a trailing BIND. Returns
+        ("agg", fn, distinct, arg-or-None, alias, separator) or
+        ("expr", expr-tree, alias)."""
         self.expect("(")
+        kind0, v0 = self.peek()
+        if not (kind0 == "keyword" and v0.upper() in _AGG_FNS):
+            expr = self.parse_or()
+            if not self.at_keyword("AS"):
+                raise SparqlError("projection expression needs AS ?alias")
+            self.next()
+            kind3, alias = self.next()
+            if kind3 != "var":
+                raise SparqlError(f"AS expects ?alias, got {alias!r}")
+            self.expect(")")
+            return ("expr", expr, alias[1:])
         fn, distinct, arg, sep = self.parse_agg_call()
         if not self.at_keyword("AS"):
             raise SparqlError("aggregate projection needs AS ?alias")

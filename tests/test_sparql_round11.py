@@ -517,3 +517,43 @@ def test_subquery_null_introducing_group_key_is_guarded(spark):
             "?x ex:tag ?k }",
             prefixes=PFX,
         ).collect()
+
+
+# ------------------------------------------------- SELECT (expr AS ?x)
+
+
+def test_select_expression_projection(pathways):
+    """(expr AS ?x) in the SELECT clause desugars to a trailing BIND —
+    the spec's Extend step — and projects like any var."""
+    got = sparql_select(
+        pathways,
+        'SELECT ?m (UCASE(?t) AS ?loud) (CONCAT(?t, "!") AS ?bang) '
+        "WHERE { ?m ex:type ?t }",
+        prefixes=PFX,
+    ).collect()
+    rows = sorted((r.m[-1], r.loud, r.bang) for r in got)
+    assert rows == [
+        ("a", "GENE", "gene!"),
+        ("b", "GENE", "gene!"),
+        ("c", "PATHWAY", "pathway!"),
+    ]
+
+
+def test_select_expression_with_group_by_rejected(pathways):
+    with pytest.raises(SparqlError, match="cannot be combined"):
+        sparql_select(
+            pathways,
+            "SELECT (UCASE(?pw) AS ?u) (COUNT(?m) AS ?n) "
+            "WHERE { ?m ex:in ?pw } GROUP BY ?pw",
+            prefixes=PFX,
+        )
+
+
+def test_select_expression_in_subquery(pathways):
+    got = sparql_select(
+        pathways,
+        "SELECT ?loud WHERE { { SELECT (UCASE(?t) AS ?loud) "
+        'WHERE { ?m ex:type ?t . FILTER(?t = "pathway") } } }',
+        prefixes=PFX,
+    ).collect()
+    assert [r.loud for r in got] == ["PATHWAY"]
