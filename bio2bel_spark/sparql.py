@@ -2752,6 +2752,15 @@ def _finish_select(
         else [it[1] if it[0] == "var" else it[4] for it in projection]
     )
     if projection_names is not None:
+        if len(set(projection_names)) != len(projection_names):
+            dups = sorted(
+                {v for v in projection_names
+                 if projection_names.count(v) > 1}
+            )
+            # the SPARQL grammar forbids repeating a variable in SELECT,
+            # and a duplicate-named output column would break any
+            # column-keyed consumer downstream
+            raise SparqlError(f"duplicate SELECT projection: {dups}")
         missing = [v for v in projection_names if v not in out.columns]
         if missing:
             raise SparqlError(f"projected vars never bound: {missing}")

@@ -557,3 +557,13 @@ def test_select_expression_in_subquery(pathways):
         prefixes=PFX,
     ).collect()
     assert [r.loud for r in got] == ["PATHWAY"]
+
+
+def test_duplicate_plain_projection_rejected(pathways):
+    """SELECT ?o ?o is forbidden by the SPARQL grammar — and a
+    duplicate-named output column breaks column-keyed consumers. Raise
+    at compile time (the grouped-key form was already rejected)."""
+    with pytest.raises(SparqlError, match="duplicate SELECT projection"):
+        sparql_select(
+            pathways, "SELECT ?t ?t WHERE { ?m ex:type ?t }", prefixes=PFX
+        )
