@@ -482,8 +482,8 @@ class _Parser:
                     break
             if not projection:
                 raise SparqlError("SELECT needs ?vars or *")
-        from_default: list[str] = []
-        from_named: list[str] = []
+        from_default: list[tuple] = []  # parser term tuples, _resolve later
+        from_named: list[tuple] = []
         while self.at_keyword("FROM"):
             self.next()
             target = from_default
@@ -506,27 +506,6 @@ class _Parser:
         having = self.parse_having()
         order = self.parse_order()
         limit, offset = self.parse_limit_offset()
-        expr_items = [it for it in (projection or []) if it[0] == "expr"]
-        if expr_items:
-            # SELECT expressions desugar to trailing BINDs — evaluated
-            # over the group's solutions before projection/DISTINCT,
-            # exactly the spec's Extend step. Combined with GROUP BY /
-            # aggregates the Extend would run post-aggregation, a
-            # different pipeline stage — out of subset, loud error.
-            if group_by or any(
-                it[0] == "agg" for it in projection
-            ):
-                raise SparqlError(
-                    "(expr AS ?x) projections cannot be combined with "
-                    "GROUP BY/aggregates here; BIND inside the WHERE "
-                    "group or aggregate first in a subquery"
-                )
-            for _, expr, alias in expr_items:
-                group.append(("bind", expr, alias))
-            projection = [
-                ("var", it[2]) if it[0] == "expr" else it
-                for it in projection
-            ]
         modifiers = {
             "distinct": distinct,
             "order": order,
@@ -1824,6 +1803,14 @@ def _compile_subquery(
         for it in projection:
             if it[0] == "var" and it[1] in inner_nullable:
                 nullable.add(it[1])
+            elif it[0] == "expr":
+                # a projection expression over nullable sources — or a
+                # null-introducing fn — can leave its alias unbound
+                if (
+                    _expr_vars(it[1]) & inner_nullable
+                    or _expr_introduces_null(it[1])
+                ):
+                    nullable.add(it[2])
             elif it[0] == "agg":
                 _, fn, _d, arg, alias, _sep = it
                 if fn in ("SUM", "AVG"):
@@ -2406,6 +2393,25 @@ def _apply_aggregation(
     return grouped
 
 
+def _expr_has_agg(expr) -> bool:
+    """True when the expression tree contains an aggregate call (an
+    ``agg_expr`` node) at any depth — e.g. ``((COUNT(?m)) AS ?n)``,
+    where parenthesization hides the aggregate from a top-level tag
+    check."""
+    kind = expr[0]
+    if kind == "agg_expr":
+        return True
+    if kind == "call":
+        return any(_expr_has_agg(a) for a in expr[2])
+    if kind in ("or", "and"):
+        return _expr_has_agg(expr[1]) or _expr_has_agg(expr[2])
+    if kind == "not":
+        return _expr_has_agg(expr[1])
+    if kind == "cmp":
+        return _expr_has_agg(expr[2]) or _expr_has_agg(expr[3])
+    return False
+
+
 def _expr_introduces_null(expr) -> bool:
     """True when the expression tree contains a call that can return NULL
     even over fully-bound inputs (see _NULL_INTRODUCING_FNS). COALESCE is
@@ -2477,7 +2483,10 @@ def _collect_vars(elements) -> set:
                 out |= _collect_vars(grp)
             else:
                 out |= {
-                    it[1] if it[0] == "var" else it[4] for it in projection
+                    it[1] if it[0] == "var"
+                    else it[2] if it[0] == "expr"
+                    else it[4]
+                    for it in projection
                 }
     return out
 
@@ -2740,6 +2749,34 @@ def _finish_select(
     group_by = modifiers["group_by"]
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
+    expr_items = [it for it in (projection or []) if it[0] == "expr"]
+    if expr_items:
+        # the spec's Extend step: evaluated over the COMPLETED group's
+        # solutions, before projection/DISTINCT — the alias is NOT in
+        # scope inside the WHERE group (a FILTER there referencing it
+        # keeps raising the loud unbound-variable error, matching
+        # SPARQL §18.2.1 in-scope rules). Combined with GROUP BY /
+        # aggregates — top-level agg items OR an aggregate nested in
+        # the expression tree — the Extend would run post-aggregation,
+        # a different pipeline stage: out of subset, loud error.
+        if (
+            group_by
+            or agg_items
+            or any(_expr_has_agg(it[1]) for it in expr_items)
+        ):
+            raise SparqlError(
+                "(expr AS ?x) projections cannot be combined with "
+                "GROUP BY/aggregates here; BIND inside the WHERE "
+                "group or aggregate first in a subquery"
+            )
+        for _, expr, alias in expr_items:
+            if alias in out.columns:
+                raise SparqlError(
+                    f"projection alias ?{alias} is already bound"
+                )
+            out = out.withColumn(
+                alias, _value_expr(expr, set(out.columns)).cast("string")
+            )
     if having is not None and not (agg_items or group_by):
         raise SparqlError(
             "HAVING needs a GROUP BY or an aggregate projection"
@@ -2749,7 +2786,12 @@ def _finish_select(
     projection_names = (
         None
         if projection is None
-        else [it[1] if it[0] == "var" else it[4] for it in projection]
+        else [
+            it[1] if it[0] == "var"
+            else it[2] if it[0] == "expr"
+            else it[4]
+            for it in projection
+        ]
     )
     if projection_names is not None:
         if len(set(projection_names)) != len(projection_names):

@@ -567,3 +567,37 @@ def test_duplicate_plain_projection_rejected(pathways):
         sparql_select(
             pathways, "SELECT ?t ?t WHERE { ?m ex:type ?t }", prefixes=PFX
         )
+
+
+def test_select_expression_alias_not_in_scope_for_filters(pathways):
+    """SPARQL §18.2.1: the Extend alias is NOT visible inside the WHERE
+    group — a FILTER referencing it must keep raising the loud
+    unbound-variable error (review: the BIND desugar briefly put the
+    alias in scope, silently changing filter results)."""
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_select(
+            pathways,
+            'SELECT (UCASE(?t) AS ?u) WHERE { ?m ex:type ?t . '
+            'FILTER(?u = "GENE") }',
+            prefixes=PFX,
+        )
+
+
+def test_select_expression_nested_aggregate_rejected(pathways):
+    """((COUNT(?m)) AS ?n) hides the aggregate from a top-level tag
+    check — the expr tree is walked, same loud rejection."""
+    with pytest.raises(SparqlError, match="cannot be combined"):
+        sparql_select(
+            pathways,
+            "SELECT ((COUNT(?m)) AS ?n) WHERE { ?m ex:type ?t }",
+            prefixes=PFX,
+        )
+
+
+def test_select_expression_alias_collision(pathways):
+    with pytest.raises(SparqlError, match="already bound"):
+        sparql_select(
+            pathways,
+            "SELECT (UCASE(?t) AS ?t) WHERE { ?m ex:type ?t }",
+            prefixes=PFX,
+        )
