@@ -55,6 +55,7 @@ FLOOR_SET = [
     "sparql_scale_builtins",
     "sparql_update_graph",
     "sparql_graph_scale",
+    "sparql_from_dataset",
 ]
 
 N_RUNS = 3

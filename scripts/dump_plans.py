@@ -336,6 +336,13 @@ SHOWCASE = {
         "scans only g-IS-NULL rows — all joined as ordinary hash joins, "
         "one aggregation exchange; no per-graph driver loop."
     ),
+    "sparql_from_dataset": (
+        "FROM/FROM NAMED are a canonicalizing filter+union BEFORE "
+        "planning (default graph rebuilt as g-IS-NULL rows), so the "
+        "plan below the rewrite is the ordinary pushed-scan / hash-join "
+        "/ single-aggregation-exchange shape — dataset construction "
+        "adds no new operator, no extra shuffle."
+    ),
     "sparql_update_graph": (
         "UPDATE is membership algebra, not mutation: each DELETE is a "
         "hash ANTI join of the graph against the instantiated delete "
