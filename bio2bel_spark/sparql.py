@@ -506,6 +506,14 @@ class _Parser:
         having = self.parse_having()
         order = self.parse_order()
         limit, offset = self.parse_limit_offset()
+        if self.at_keyword("VALUES"):
+            # trailing VALUES clause (legal for the top level AND
+            # subselects per the grammar): §18.2.4.4 defines it as a
+            # JOIN of the inline data with the WHERE pattern — i.e.
+            # exactly a VALUES element at the end of the group, before
+            # aggregation and the solution modifiers
+            self.next()
+            group.append(self.parse_values())
         modifiers = {
             "distinct": distinct,
             "order": order,

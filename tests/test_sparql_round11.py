@@ -601,3 +601,37 @@ def test_select_expression_alias_collision(pathways):
             "SELECT (UCASE(?t) AS ?t) WHERE { ?m ex:type ?t }",
             prefixes=PFX,
         )
+
+
+# ---------------------------------------------------- trailing VALUES
+
+
+def test_trailing_values_clause(pathways):
+    """Post-modifier VALUES (§18.2.4.4) joins the inline data with the
+    WHERE pattern — including under aggregation, where it restricts the
+    groups (the join happens BEFORE GROUP BY per the algebra)."""
+    got = sparql_select(
+        pathways,
+        "SELECT ?m ?t WHERE { ?m ex:type ?t } "
+        'VALUES ?t { "pathway" }',
+        prefixes=PFX,
+    ).collect()
+    assert [(r.m[-1], r.t) for r in got] == [("c", "pathway")]
+    agg = sparql_select(
+        pathways,
+        "SELECT ?pw (COUNT(?m) AS ?n) WHERE { ?m ex:in ?pw } "
+        "GROUP BY ?pw "
+        "VALUES ?pw { <http://ex.org/p1> <http://ex.org/p3> }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((_local(r.pw), r.n) for r in agg) == [("p1", 2), ("p3", 1)]
+
+
+def test_trailing_values_in_subselect(pathways):
+    got = sparql_select(
+        pathways,
+        "SELECT ?m WHERE { { SELECT ?m ?t WHERE { ?m ex:type ?t } "
+        'VALUES ?t { "gene" } } }',
+        prefixes=PFX,
+    ).collect()
+    assert sorted(r.m[-1] for r in got) == ["a", "b"]
