@@ -659,27 +659,32 @@ class _Parser:
             expr = e if expr is None else ("and", expr, e)
         return expr
 
-    def parse_order(self) -> "list[tuple[str, bool]]":
+    def parse_order(self) -> "list[tuple[tuple, bool]]":
+        """ORDER BY keys: plain ?vars, ASC/DESC(expr), or bare value-
+        function calls (``ORDER BY STRLEN(?x) ?y``). Each key is an
+        expression tree — a plain variable is ("var", name)."""
         if not self.at_keyword("ORDER"):
             return []
         self.next()
         if not self.at_keyword("BY"):
             raise SparqlError("expected BY after ORDER")
         self.next()
-        order: list[tuple[str, bool]] = []
+        order: list[tuple[tuple, bool]] = []
         while True:
             kind, v = self.peek()
             if kind == "var":
                 self.next()
-                order.append((v[1:], True))
+                order.append((("var", v[1:]), True))
             elif kind == "keyword" and v.upper() in ("ASC", "DESC"):
                 self.next()
                 self.expect("(")
-                kind2, v2 = self.next()
-                if kind2 != "var":
-                    raise SparqlError(f"ORDER BY expects ?var, got {v2!r}")
+                expr = self.parse_or()
                 self.expect(")")
-                order.append((v2[1:], v.upper() == "ASC"))
+                order.append((expr, v.upper() == "ASC"))
+            elif (
+                kind == "keyword" and v.upper() in (_BOOL_FNS | _VALUE_FNS)
+            ) or v == "(":
+                order.append((self.parse_primary(), True))
             else:
                 break
         if not order:
@@ -1046,6 +1051,24 @@ class _Parser:
         if op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             return ("cmp", op, left, self.parse_primary())
+        negated = False
+        if self.at_keyword("NOT"):
+            # NOT here can only start NOT IN (FILTER negation is '!')
+            self.next()
+            if not self.at_keyword("IN"):
+                raise SparqlError("expected IN after NOT")
+            negated = True
+        if self.at_keyword("IN"):
+            self.next()
+            self.expect("(")
+            items = []
+            if self.peek()[1] != ")":
+                items.append(self.parse_or())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.parse_or())
+            self.expect(")")
+            return ("in", left, items, negated)
         return left
 
     def parse_primary(self):
@@ -1081,6 +1104,11 @@ class _Parser:
         if kind == "number":
             self.next()
             return ("lit", float(v) if "." in v else int(v))
+        if kind == "iri":
+            # the string model stores IRIs as their plain string — an
+            # <iri> in an expression is exactly that string literal
+            self.next()
+            return ("lit", v[1:-1])
         raise SparqlError(f"bad filter primary {v!r}")
 
 
@@ -1468,6 +1496,24 @@ def _compile_filter(expr, bound: set[str]) -> Column:
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[op]
+    if kind == "in":
+        # §17.4.1.9: IN = equality against each member ('||'-chained);
+        # an all-literal list compiles to isin — a PUSHABLE scan
+        # predicate. Empty list: IN () is false, NOT IN () true.
+        # Unbound left side -> error (NULL) -> effective false either
+        # way after the NOT (SQL three-valued ~NULL = NULL matches).
+        _, term, items, negated = expr
+        col = _operand(term, bound)
+        if not items:
+            c = F.lit(False) & col.isNotNull()
+        elif all(i[0] == "lit" for i in items):
+            c = col.isin([i[1] for i in items])
+        else:
+            c = None
+            for i in items:
+                e = col == _operand(i, bound)
+                c = e if c is None else (c | e)
+        return ~c if negated else c
     if kind == "call":
         _, fn, args = expr
         if fn == "SAMETERM":
@@ -1538,12 +1584,12 @@ def _operand(term, bound: set[str]) -> Column:
         raise SparqlError(
             "aggregate calls are only valid inside HAVING constraints"
         )
-    if term[0] == "call":
-        # value functions compile to their value; boolean functions
-        # (BOUND/REGEX/...) compile to their boolean via _value_expr's
-        # fallback — NEVER to a string literal of the function's name
-        return _value_expr(term, bound)
-    return F.lit(term[1])
+    if term[0] == "lit":
+        return F.lit(term[1])
+    # calls compile to their value; boolean trees (BOUND/REGEX/IN/
+    # comparisons/&&...) compile to their boolean via _value_expr's
+    # fallback — NEVER to a literal of the node's payload
+    return _value_expr(term, bound)
 
 
 def _lit_arg(fn: str, term):
@@ -2417,6 +2463,10 @@ def _expr_has_agg(expr) -> bool:
         return _expr_has_agg(expr[1])
     if kind == "cmp":
         return _expr_has_agg(expr[2]) or _expr_has_agg(expr[3])
+    if kind == "in":
+        return _expr_has_agg(expr[1]) or any(
+            _expr_has_agg(i) for i in expr[2]
+        )
     return False
 
 
@@ -2436,6 +2486,10 @@ def _expr_introduces_null(expr) -> bool:
         return _expr_introduces_null(expr[1])
     if kind == "cmp":
         return _expr_introduces_null(expr[2]) or _expr_introduces_null(expr[3])
+    if kind == "in":
+        return _expr_introduces_null(expr[1]) or any(
+            _expr_introduces_null(i) for i in expr[2]
+        )
     return False
 
 
@@ -2449,6 +2503,11 @@ def _expr_vars(expr) -> set:
         return _expr_vars(expr[1])
     if kind == "cmp":
         return _expr_vars(expr[2]) | _expr_vars(expr[3])
+    if kind == "in":
+        out = _expr_vars(expr[1])
+        for i in expr[2]:
+            out |= _expr_vars(i)
+        return out
     if kind == "agg_expr":
         return {expr[3]} if expr[3] is not None else set()
     if kind == "call":
@@ -2511,6 +2570,11 @@ def _subst_expr(expr, binds: dict):
         return (
             "cmp", expr[1],
             _subst_expr(expr[2], binds), _subst_expr(expr[3], binds),
+        )
+    if kind == "in":
+        return (
+            "in", _subst_expr(expr[1], binds),
+            [_subst_expr(i, binds) for i in expr[2]], expr[3],
         )
     if kind == "call":
         return ("call", expr[1], [_subst_expr(a, binds) for a in expr[2]])
@@ -2665,14 +2729,20 @@ def _order_page(
 ) -> DataFrame:
     """ORDER BY → OFFSET → LIMIT over a solution table. With a LIMIT the
     plan is TakeOrdered (map-side partial heaps); without one a range-
-    partition sort — the standard distributed total order."""
-    for var, _asc in order:
-        if var not in df.columns:
-            raise SparqlError(f"ORDER BY var ?{var} not bound here")
+    partition sort — the standard distributed total order. Keys are
+    expression trees; a plain ("var", v) key gets the pointed
+    not-bound-here error, anything else compiles through _value_expr."""
+    cols = []
+    for key, asc in order:
+        if key[0] == "var":
+            if key[1] not in df.columns:
+                raise SparqlError(f"ORDER BY var ?{key[1]} not bound here")
+            c = F.col(key[1])
+        else:
+            c = _value_expr(key, set(df.columns))
+        cols.append(c.asc() if asc else c.desc())
     if order:
-        df = df.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in order]
-        )
+        df = df.orderBy(*cols)
     if offset:
         df = df.offset(offset)
     if limit is not None:

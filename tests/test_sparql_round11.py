@@ -635,3 +635,59 @@ def test_trailing_values_in_subselect(pathways):
         prefixes=PFX,
     ).collect()
     assert sorted(r.m[-1] for r in got) == ["a", "b"]
+
+
+# -------------------------------------------- IN / NOT IN + ORDER BY expr
+
+
+def test_in_and_not_in(pathways):
+    got = sparql_select(
+        pathways,
+        'SELECT ?m WHERE { ?m ex:in ?pw . '
+        "FILTER(?pw IN (<http://ex.org/p1>, <http://ex.org/p3>)) }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted(_local(r.m) for r in got) == ["a", "b", "c"]
+    got2 = sparql_select(
+        pathways,
+        'SELECT ?m ?pw WHERE { ?m ex:in ?pw . '
+        "FILTER(?pw NOT IN (<http://ex.org/p1>, <http://ex.org/p2>)) }",
+        prefixes=PFX,
+    ).collect()
+    assert [(_local(r.m), _local(r.pw)) for r in got2] == [("c", "p3")]
+
+
+def test_in_unbound_is_error_not_in_empty_is_true(pathways):
+    # unbound left side (OPTIONAL miss) -> expression error -> dropped
+    got = sparql_select(
+        pathways,
+        'SELECT ?m WHERE { ?m ex:type ?t . OPTIONAL { ?m ex:nope ?z } '
+        'FILTER(?z IN ("a")) }',
+        prefixes=PFX,
+    ).collect()
+    assert got == []
+    # NOT IN () over a bound term is TRUE (empty member list)
+    got2 = sparql_select(
+        pathways,
+        "SELECT ?m WHERE { ?m ex:type ?t . FILTER(?t NOT IN ()) }",
+        prefixes=PFX,
+    ).collect()
+    assert len(got2) == 3
+
+
+def test_order_by_expression(pathways):
+    got = sparql_select(
+        pathways,
+        "SELECT ?lab WHERE { ?pw ex:label ?lab } "
+        "ORDER BY STRLEN(?lab) ?lab",
+        prefixes=PFX,
+    ).collect()
+    # P-one(5) P-two(5) P-three(7); tie broken by ?lab
+    assert [r.lab for r in got] == ["P-one", "P-two", "P-three"]
+    got2 = sparql_select(
+        pathways,
+        "SELECT ?lab WHERE { ?pw ex:label ?lab } "
+        "ORDER BY DESC(STRLEN(?lab)) ?lab LIMIT 1",
+        prefixes=PFX,
+    ).collect()
+    assert [r.lab for r in got2] == ["P-three"]
