@@ -1073,6 +1073,18 @@ class _Parser:
 
     def parse_primary(self):
         kind, v = self.peek()
+        if kind == "keyword" and v.upper() == "EXISTS":
+            self.next()
+            return ("exists_expr", self.parse_group())
+        if kind == "keyword" and v.upper() == "NOT":
+            # NOT EXISTS { ... } as an expression operand; plain NOT
+            # backtracks so parse_cmp's NOT IN handling still sees it
+            save = self.i
+            self.next()
+            if self.at_keyword("EXISTS"):
+                self.next()
+                return ("not", ("exists_expr", self.parse_group()))
+            self.i = save
         if v == "(":
             self.next()
             e = self.parse_or()
@@ -1481,14 +1493,29 @@ def _compile_pathhop(
     return out.select(*cols)
 
 
-def _compile_filter(expr, bound: set[str]) -> Column:
+def _compile_filter(expr, bound: set[str], markers=None) -> Column:
     kind = expr[0]
     if kind == "or":
-        return _compile_filter(expr[1], bound) | _compile_filter(expr[2], bound)
+        return _compile_filter(expr[1], bound, markers) | _compile_filter(
+            expr[2], bound, markers
+        )
     if kind == "and":
-        return _compile_filter(expr[1], bound) & _compile_filter(expr[2], bound)
+        return _compile_filter(expr[1], bound, markers) & _compile_filter(
+            expr[2], bound, markers
+        )
     if kind == "not":
-        return ~_compile_filter(expr[1], bound)
+        return ~_compile_filter(expr[1], bound, markers)
+    if kind == "exists_expr":
+        # inside a FILTER the enclosing group pre-joins one boolean
+        # marker column per EXISTS node (see _apply_filter); reaching
+        # here without markers means EXISTS in a value context (BIND /
+        # IF / comparison operand) — out of subset, loud error
+        if markers is None or id(expr) not in markers:
+            raise SparqlError(
+                "EXISTS { ... } is only supported inside FILTER "
+                "expressions (not BIND/IF value contexts)"
+            )
+        return F.coalesce(F.col(markers[id(expr)]), F.lit(False))
     if kind == "cmp":
         _, op, l, r = expr
         lc, rc = _operand(l, bound), _operand(r, bound)
@@ -2240,10 +2267,90 @@ def _compile_group(
         current = current.filter(F.lit(False))
     # filters apply to the completed group (correct for group-local vars)
     for expr in pending_filters:
-        current = current.filter(
-            _compile_filter(expr, set(current.columns))
+        current = _apply_filter(
+            current, expr, triples, prefixes, max_path_depth, nullable,
+            group_unsat or skip_eager, quads, gvar,
         )
     return current, nullable
+
+
+def _collect_exists_nodes(expr, acc: list) -> None:
+    kind = expr[0]
+    if kind == "exists_expr":
+        acc.append(expr)
+        return  # nested EXISTS inside its group compiles with the group
+    if kind in ("or", "and"):
+        _collect_exists_nodes(expr[1], acc)
+        _collect_exists_nodes(expr[2], acc)
+    elif kind == "not":
+        _collect_exists_nodes(expr[1], acc)
+    elif kind == "cmp":
+        _collect_exists_nodes(expr[2], acc)
+        _collect_exists_nodes(expr[3], acc)
+    elif kind == "in":
+        _collect_exists_nodes(expr[1], acc)
+        for i in expr[2]:
+            _collect_exists_nodes(i, acc)
+
+
+def _apply_filter(
+    current: DataFrame,
+    expr,
+    triples: DataFrame,
+    prefixes,
+    max_path_depth: int,
+    nullable: set,
+    skip_eager: bool,
+    quads,
+    gvar,
+) -> DataFrame:
+    """Apply one FILTER to the completed group. An ``EXISTS { ... }``
+    inside the expression compiles to a correlated membership test:
+    the inner group's shared-variable projection becomes a DISTINCT
+    marker table LEFT-joined onto the solutions, and the expression
+    reads the marker as a boolean (coalesce NULL -> false). Plan shape:
+    one hash join per EXISTS node, a pushable filter otherwise — never
+    a per-row subquery. An uncorrelated EXISTS is a constant: one
+    bounded limit(1) probe. The standalone ``FILTER EXISTS`` /
+    ``FILTER NOT EXISTS`` statement forms keep their cheaper semi/anti
+    join compilation (group elements, not expressions)."""
+    nodes: list = []
+    _collect_exists_nodes(expr, nodes)
+    if not nodes:
+        return current.filter(_compile_filter(expr, set(current.columns)))
+    markers: dict[int, str] = {}
+    added: list[str] = []
+    for i, node in enumerate(nodes):
+        sub, sub_nullable = _compile_group(
+            triples, node[1], prefixes, max_path_depth,
+            skip_eager=skip_eager, quads=quads, gvar=gvar,
+        )
+        mcol = f"__exists_{i}"
+        shared = [c for c in current.columns if c in sub.columns]
+        if not shared:
+            val = False if skip_eager else sub.limit(1).count() > 0
+            current = current.withColumn(mcol, F.lit(val))
+        else:
+            bad = sorted(set(shared) & (nullable | sub_nullable))
+            if bad:
+                # same restriction as the statement forms: compatible
+                # mapping with an unbound side needs null-tolerant
+                # semantics — outside the subset
+                raise SparqlError(
+                    f"EXISTS on possibly-unbound shared variables {bad} "
+                    "is not supported; bind them in required patterns "
+                    "on both sides"
+                )
+            marker = (
+                sub.select(*shared).distinct().withColumn(mcol, F.lit(True))
+            )
+            current = current.join(marker, shared, "left")
+        markers[id(node)] = mcol
+        added.append(mcol)
+    out = current.filter(
+        _compile_filter(expr, set(current.columns), markers)
+    )
+    return out.drop(*added)
 
 
 def _agg_column(
@@ -2510,6 +2617,8 @@ def _expr_vars(expr) -> set:
         return out
     if kind == "agg_expr":
         return {expr[3]} if expr[3] is not None else set()
+    if kind == "exists_expr":
+        return _collect_vars(expr[1])
     if kind == "call":
         out: set = set()
         for a in expr[2]:
@@ -2558,26 +2667,32 @@ def _collect_vars(elements) -> set:
     return out
 
 
-def _subst_expr(expr, binds: dict):
+def _subst_expr(expr, binds: dict, prefixes: dict):
     kind = expr[0]
     if kind == "var":
         return ("lit", binds[expr[1]]) if expr[1] in binds else expr
     if kind in ("or", "and"):
-        return (kind, _subst_expr(expr[1], binds), _subst_expr(expr[2], binds))
+        return (
+            kind,
+            _subst_expr(expr[1], binds, prefixes),
+            _subst_expr(expr[2], binds, prefixes),
+        )
     if kind == "not":
-        return ("not", _subst_expr(expr[1], binds))
+        return ("not", _subst_expr(expr[1], binds, prefixes))
+    if kind == "exists_expr":
+        return ("exists_expr", _substitute(expr[1], binds, prefixes))
     if kind == "cmp":
         return (
             "cmp", expr[1],
-            _subst_expr(expr[2], binds), _subst_expr(expr[3], binds),
+            _subst_expr(expr[2], binds, prefixes), _subst_expr(expr[3], binds, prefixes),
         )
     if kind == "in":
         return (
-            "in", _subst_expr(expr[1], binds),
-            [_subst_expr(i, binds) for i in expr[2]], expr[3],
+            "in", _subst_expr(expr[1], binds, prefixes),
+            [_subst_expr(i, binds, prefixes) for i in expr[2]], expr[3],
         )
     if kind == "call":
-        return ("call", expr[1], [_subst_expr(a, binds) for a in expr[2]])
+        return ("call", expr[1], [_subst_expr(a, binds, prefixes) for a in expr[2]])
     return expr
 
 
@@ -2617,7 +2732,7 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
                 ("union", [_substitute(b, binds, prefixes) for b in el[1]])
             )
         elif el[0] == "filter":
-            out.append(("filter", _subst_expr(el[1], binds)))
+            out.append(("filter", _subst_expr(el[1], binds, prefixes)))
         elif el[0] == "bind":
             if el[2] in binds:
                 # a binding on a COMPUTED variable would need post-hoc
@@ -2626,7 +2741,7 @@ def _substitute(elements, binds: dict, prefixes: dict) -> list:
                 raise SparqlError(
                     f"bindings= cannot constrain BIND target ?{el[2]}"
                 )
-            out.append(("bind", _subst_expr(el[1], binds), el[2]))
+            out.append(("bind", _subst_expr(el[1], binds, prefixes), el[2]))
         elif el[0] == "values":
             _, names, rows = el
             keep = [i for i, n in enumerate(names) if n not in binds]

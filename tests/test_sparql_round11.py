@@ -691,3 +691,68 @@ def test_order_by_expression(pathways):
         prefixes=PFX,
     ).collect()
     assert [r.lab for r in got2] == ["P-three"]
+
+
+# ------------------------------------------- EXISTS inside expressions
+
+
+def test_exists_inside_boolean_expression(pathways):
+    """EXISTS { } embedded in ||/&&/! — compiled as a correlated marker
+    join, not the standalone semi-join statement form."""
+    got = sparql_select(
+        pathways,
+        'SELECT ?m ?t WHERE { ?m ex:type ?t . '
+        'FILTER(?t = "pathway" || EXISTS { ?m ex:in <http://ex.org/p1> }) }',
+        prefixes=PFX,
+    ).collect()
+    # a,b are in p1; c matches the type disjunct
+    assert sorted(_local(r.m) for r in got) == ["a", "b", "c"]
+
+
+def test_not_exists_as_expression_operand(pathways):
+    got = sparql_select(
+        pathways,
+        'SELECT ?m WHERE { ?m ex:type ?t . '
+        'FILTER(?t = "gene" && NOT EXISTS { ?m ex:in <http://ex.org/p2> }) }',
+        prefixes=PFX,
+    ).collect()
+    # genes NOT in p2: only a
+    assert [_local(r.m) for r in got] == ["a"]
+
+
+def test_uncorrelated_exists_is_constant_probe(pathways):
+    got = sparql_select(
+        pathways,
+        "SELECT ?m WHERE { ?m ex:type ?t . "
+        'FILTER(EXISTS { ?z ex:label "P-one" }) }',
+        prefixes=PFX,
+    ).collect()
+    assert len(got) == 3  # constant-true existence keeps everything
+    none = sparql_select(
+        pathways,
+        "SELECT ?m WHERE { ?m ex:type ?t . "
+        'FILTER(EXISTS { ?z ex:label "nope" }) }',
+        prefixes=PFX,
+    ).collect()
+    assert none == []
+
+
+def test_exists_expr_in_value_context_rejected(pathways):
+    with pytest.raises(SparqlError, match="only supported inside FILTER"):
+        sparql_select(
+            pathways,
+            'SELECT ?m ?v WHERE { ?m ex:type ?t . '
+            'BIND(IF(EXISTS { ?m ex:in ?p }, "y", "n") AS ?v) }',
+            prefixes=PFX,
+        )
+
+
+def test_exists_expr_with_bindings_substitution(pathways):
+    got = sparql_select(
+        pathways,
+        "SELECT ?m WHERE { ?m ex:type ?t . "
+        "FILTER(EXISTS { ?m ex:in ?pw }) }",
+        prefixes=PFX,
+        bindings={"pw": EX + "p3"},
+    ).collect()
+    assert [_local(r.m) for r in got] == ["c"]
