@@ -1257,6 +1257,30 @@ def q_sparql_graph_scale(spark, sf_dir):
     )
 
 
+def q_sparql_expr_suite(spark, sf_dir):
+    """The round-11 expression round-out at bench scale: FILTER with an
+    all-literal IN (compiles to a pushable isin scan predicate) OR an
+    embedded EXISTS (correlated marker join against the isRoot facts),
+    grouped, then ORDER BY over a mix of a native aggregate, a STRLEN
+    expression key, and a var tie-break, LIMIT-paged. The oracle replays
+    IN/EXISTS as IN + left-join-IS-NOT-NULL and the sort keys verbatim
+    (the compare is order-insensitive, so the LIMIT page only needs the
+    same SET — the three-key sort is total, making the page
+    deterministic on both sides)."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (COUNT(?part) AS ?n) WHERE {
+               ?part ex:inBrand ?brand .
+               FILTER(?brand IN ("Brand#11", "Brand#22", "Brand#13")
+                      || EXISTS { ?part ex:isRoot "true" })
+           } GROUP BY ?brand
+           ORDER BY DESC(?n) STRLEN(?brand) ?brand LIMIT 10""",
+    )
+
+
 def q_sparql_from_dataset(spark, sf_dir):
     """FROM / FROM NAMED dataset construction at bench scale: FROM
     promotes the part-facts graph to the default graph, FROM NAMED
@@ -4472,6 +4496,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_expr_suite": q_sparql_expr_suite,  # never driver-checked
     "sparql_from_dataset": q_sparql_from_dataset,  # never driver-checked
     "sparql_graph_scale": q_sparql_graph_scale,  # never driver-checked
     "sparql_update_graph": q_sparql_update_graph,  # never driver-checked
@@ -4521,8 +4546,8 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch_grouped": q_quantile_sketch_grouped,  # last green r05
     "validate_lineitem": q_validate_lineitem,  # last green r05
     "dup_span_profile": q_dup_span_profile,  # last green r05
-    "dup_span_scrub": q_dup_span_scrub,  # last green r05
     # ---- end of the driver's 50-query correctness window ----
+    "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
     "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
@@ -9243,6 +9268,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT t.s, t.p, t.o
             FROM t JOIN roots ON t.s = roots.r
+        """,
+        "sparql_expr_suite": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT ib.o AS brand, COUNT(*)::BIGINT AS n
+            FROM ib LEFT JOIN rt ON rt.s = ib.s
+            WHERE ib.o IN ('Brand#11', 'Brand#22', 'Brand#13')
+               OR rt.s IS NOT NULL
+            GROUP BY ib.o
+            ORDER BY n DESC, length(ib.o), ib.o LIMIT 10
         """,
         "sparql_from_dataset": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT ib.o AS brand, 'graph://lineitem' AS g,
