@@ -163,15 +163,18 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind in ("ws", "comment"):
             continue
-        if kind == "var" and m.group()[1:].startswith(("__path_", "__having_")):
+        if kind == "var" and m.group()[1:].startswith(
+            ("__path_", "__having_", "__exists_")
+        ):
             # reserved for planner internals (property-path desugaring /
-            # HAVING hidden aggregate columns) — a user variable with
-            # either prefix would be silently dropped by the internals
-            # cleanup or collide with a synthesized column and fail with
-            # an ambiguous-reference error; reject it loudly up front
+            # HAVING hidden aggregate columns / EXISTS filter markers) —
+            # a user variable with any of these prefixes would be
+            # silently dropped by the internals cleanup or collide with
+            # a synthesized column; reject it loudly up front
             raise SparqlError(
                 f"variable {m.group()!r} uses a reserved '__path_'/"
-                "'__having_' prefix (planner internals); rename it"
+                "'__having_'/'__exists_' prefix (planner internals); "
+                "rename it"
             )
         out.append((kind, m.group()))
     out.append(("eof", ""))
@@ -506,14 +509,15 @@ class _Parser:
         having = self.parse_having()
         order = self.parse_order()
         limit, offset = self.parse_limit_offset()
+        trailing_values = None
         if self.at_keyword("VALUES"):
             # trailing VALUES clause (legal for the top level AND
-            # subselects per the grammar): §18.2.4.4 defines it as a
-            # JOIN of the inline data with the WHERE pattern — i.e.
-            # exactly a VALUES element at the end of the group, before
-            # aggregation and the solution modifiers
+            # subselects per the grammar): §18.2.4.3 joins the inline
+            # data AFTER Grouping/Aggregation and HAVING — NOT into the
+            # WHERE group — so it is carried as a modifier and applied
+            # by _finish_select at that pipeline stage
             self.next()
-            group.append(self.parse_values())
+            trailing_values = self.parse_values()
         modifiers = {
             "distinct": distinct,
             "order": order,
@@ -523,6 +527,7 @@ class _Parser:
             "having": having,
             "from_default": from_default,
             "from_named": from_named,
+            "trailing_values": trailing_values,
         }
         return projection, group, modifiers
 
@@ -1121,6 +1126,13 @@ class _Parser:
             # <iri> in an expression is exactly that string literal
             self.next()
             return ("lit", v[1:-1])
+        if kind == "pname":
+            # expressions compile without a prefix table in scope —
+            # point at the working spelling instead of a generic error
+            raise SparqlError(
+                f"prefixed name {v!r} is not supported inside "
+                "expressions; write the full <...> IRI"
+            )
         raise SparqlError(f"bad filter primary {v!r}")
 
 
@@ -1512,8 +1524,9 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
         # IF / comparison operand) — out of subset, loud error
         if markers is None or id(expr) not in markers:
             raise SparqlError(
-                "EXISTS { ... } is only supported inside FILTER "
-                "expressions (not BIND/IF value contexts)"
+                "EXISTS { ... } is only supported in BOOLEAN positions "
+                "of a FILTER (combined with ||/&&/!) — not as a "
+                "comparison operand, IN member, or BIND/IF value"
             )
         return F.coalesce(F.col(markers[id(expr)]), F.lit(False))
     if kind == "cmp":
@@ -1532,7 +1545,9 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
         _, term, items, negated = expr
         col = _operand(term, bound)
         if not items:
-            c = F.lit(False) & col.isNotNull()
+            # bound term -> FALSE (so NOT IN () is TRUE); unbound ->
+            # NULL = the expression error, false after any negation too
+            c = F.when(col.isNotNull(), F.lit(False))
         elif all(i[0] == "lit" for i in items):
             c = col.isin([i[1] for i in items])
         else:
@@ -1876,7 +1891,7 @@ def _compile_subquery(
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
         out = out.drop(*internals)
-    out = _finish_select(out, projection, modifiers)
+    out = _finish_select(out, projection, modifiers, prefixes)
     nullable: set[str] = set()
     if projection is None:
         nullable = inner_nullable & set(out.columns)
@@ -1904,6 +1919,17 @@ def _compile_subquery(
                     and arg in inner_nullable
                 ):
                     nullable.add(alias)
+        tv = modifiers.get("trailing_values")
+        if tv:
+            # UNDEF rows in a trailing VALUES leave non-shared exported
+            # columns NULL for those rows
+            undef_names = {
+                tv[1][i]
+                for row in tv[2]
+                for i, t in enumerate(row)
+                if t is None
+            }
+            nullable |= undef_names & set(out.columns)
         names = set(out.columns)
         for g in modifiers["group_by"]:
             if (
@@ -2275,6 +2301,11 @@ def _compile_group(
 
 
 def _collect_exists_nodes(expr, acc: list) -> None:
+    """Collect EXISTS nodes in BOOLEAN positions only (or/and/not) —
+    an EXISTS in a value position (comparison operand, IN member, call
+    argument) is out of subset and must hit _compile_filter's loud
+    rejection WITHOUT first building marker joins or running the
+    uncorrelated probe job."""
     kind = expr[0]
     if kind == "exists_expr":
         acc.append(expr)
@@ -2284,13 +2315,6 @@ def _collect_exists_nodes(expr, acc: list) -> None:
         _collect_exists_nodes(expr[2], acc)
     elif kind == "not":
         _collect_exists_nodes(expr[1], acc)
-    elif kind == "cmp":
-        _collect_exists_nodes(expr[2], acc)
-        _collect_exists_nodes(expr[3], acc)
-    elif kind == "in":
-        _collect_exists_nodes(expr[1], acc)
-        for i in expr[2]:
-            _collect_exists_nodes(i, acc)
 
 
 def _apply_filter(
@@ -2889,7 +2913,7 @@ def sparql_select(
     pfx.update(declared)
     triples = _apply_dataset_clauses(triples, modifiers, pfx)
     out = _solutions(triples, group, pfx, bindings, max_path_depth)
-    return _finish_select(out, projection, modifiers)
+    return _finish_select(out, projection, modifiers, pfx)
 
 
 def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
@@ -2934,24 +2958,34 @@ def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
 
 
 def _finish_select(
-    out: DataFrame, projection, modifiers: dict
+    out: DataFrame, projection, modifiers: dict, pfx=None
 ) -> DataFrame:
     """The post-WHERE SELECT pipeline (shared by the top-level query and
-    subqueries): aggregation, then the spec's solution-modifier order —
+    subqueries), in the spec's stage order: aggregation + HAVING
+    (§18.2.4.1-2), trailing VALUES join (§18.2.4.3), SELECT-expression
+    Extend (§18.2.4.4), then the solution modifiers —
     project -> DISTINCT -> ORDER -> OFFSET/LIMIT."""
     group_by = modifiers["group_by"]
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
     expr_items = [it for it in (projection or []) if it[0] == "expr"]
+    if having is not None and not (agg_items or group_by):
+        raise SparqlError(
+            "HAVING needs a GROUP BY or an aggregate projection"
+        )
+    if agg_items or group_by:
+        out = _apply_aggregation(out, projection, group_by, having)
+    out = _apply_trailing_values(out, modifiers, pfx)
     if expr_items:
         # the spec's Extend step: evaluated over the COMPLETED group's
-        # solutions, before projection/DISTINCT — the alias is NOT in
-        # scope inside the WHERE group (a FILTER there referencing it
-        # keeps raising the loud unbound-variable error, matching
-        # SPARQL §18.2.1 in-scope rules). Combined with GROUP BY /
-        # aggregates — top-level agg items OR an aggregate nested in
-        # the expression tree — the Extend would run post-aggregation,
-        # a different pipeline stage: out of subset, loud error.
+        # solutions (after the trailing-VALUES join), before
+        # projection/DISTINCT — the alias is NOT in scope inside the
+        # WHERE group (a FILTER there referencing it keeps raising the
+        # loud unbound-variable error, matching SPARQL §18.2.1 in-scope
+        # rules). Combined with GROUP BY / aggregates — top-level agg
+        # items OR an aggregate nested in the expression tree — the
+        # Extend would need the aggregate's value, a form this subset
+        # does not compile: loud error.
         if (
             group_by
             or agg_items
@@ -2970,12 +3004,6 @@ def _finish_select(
             out = out.withColumn(
                 alias, _value_expr(expr, set(out.columns)).cast("string")
             )
-    if having is not None and not (agg_items or group_by):
-        raise SparqlError(
-            "HAVING needs a GROUP BY or an aggregate projection"
-        )
-    if agg_items or group_by:
-        out = _apply_aggregation(out, projection, group_by, having)
     projection_names = (
         None
         if projection is None
@@ -3016,6 +3044,58 @@ def _finish_select(
     if projection_names is not None:
         out = out.select(*projection_names)
     return out
+
+
+def _apply_trailing_values(out: DataFrame, modifiers: dict, pfx) -> DataFrame:
+    """§18.2.4.3: join the trailing VALUES data AFTER aggregation and
+    HAVING. Subset restrictions (each a loud error, never a silent
+    divergence): the inline data must share at least one variable with
+    the result (a no-shared-vars clause would cross-extend every
+    solution), and UNDEF is not allowed on a shared variable (it would
+    need a null-tolerant join). The join compares lexical forms — the
+    result side is cast to string so a native aggregate alias (BIGINT
+    COUNT) matches its lexical spelling instead of tripping an ANSI
+    cast. Solution rows with a NULL shared value do not match any
+    inline row (subset restriction vs the spec's compatible mapping)."""
+    tv = modifiers.get("trailing_values")
+    if not tv:
+        return out
+    _, names, rows = tv
+    undef = {
+        names[i] for row in rows for i, t in enumerate(row) if t is None
+    }
+    shared = [n for n in names if n in out.columns]
+    if not shared:
+        raise SparqlError(
+            "trailing VALUES sharing no variable with the result would "
+            "cross-extend every solution — share at least one variable"
+        )
+    bad = sorted(set(shared) & undef)
+    if bad:
+        raise SparqlError(
+            f"UNDEF on shared trailing-VALUES variables {bad} would "
+            "need a null-tolerant join — outside the subset"
+        )
+    data = [
+        tuple(
+            None if t is None else str(_resolve(t, pfx or {})[1])
+            for t in row
+        )
+        for row in rows
+    ]
+    schema = ", ".join(f"`__tv_{n}` string" for n in names)
+    vdf = out.sparkSession.createDataFrame(data, schema=schema)
+    cond = None
+    for c in shared:
+        e = F.col(c).cast("string") == F.col(f"__tv_{c}")
+        cond = e if cond is None else cond & e
+    joined = out.join(F.broadcast(vdf), cond, "inner")
+    for n in names:
+        if n in shared:
+            joined = joined.drop(f"__tv_{n}")
+        else:
+            joined = joined.withColumnRenamed(f"__tv_{n}", n)
+    return joined
 
 
 def sparql_ask(

@@ -738,11 +738,20 @@ def test_uncorrelated_exists_is_constant_probe(pathways):
 
 
 def test_exists_expr_in_value_context_rejected(pathways):
-    with pytest.raises(SparqlError, match="only supported inside FILTER"):
+    with pytest.raises(SparqlError, match="BOOLEAN positions"):
         sparql_select(
             pathways,
             'SELECT ?m ?v WHERE { ?m ex:type ?t . '
             'BIND(IF(EXISTS { ?m ex:in ?p }, "y", "n") AS ?v) }',
+            prefixes=PFX,
+        )
+    # EXISTS as a comparison operand: rejected WITHOUT building joins
+    # or running the probe job first (round-11 review finding)
+    with pytest.raises(SparqlError, match="BOOLEAN positions"):
+        sparql_select(
+            pathways,
+            'SELECT ?m WHERE { ?m ex:type ?t . '
+            'FILTER(EXISTS { ?m ex:in ?p } = "true") }',
             prefixes=PFX,
         )
 
@@ -756,3 +765,28 @@ def test_exists_expr_with_bindings_substitution(pathways):
         bindings={"pw": EX + "p3"},
     ).collect()
     assert [_local(r.m) for r in got] == ["c"]
+
+
+def test_trailing_values_joins_after_aggregation(pathways):
+    """§18.2.4.3: the trailing VALUES joins AFTER grouping — a VALUES
+    variable that is not in the aggregated result shares nothing and is
+    rejected loudly (the spec's cross-extension is out of subset), NOT
+    silently pre-filtered into wrong group counts."""
+    with pytest.raises(SparqlError, match="sharing no variable"):
+        sparql_select(
+            pathways,
+            "SELECT ?pw (COUNT(?m) AS ?n) WHERE { ?m ex:in ?pw } "
+            "GROUP BY ?pw VALUES ?m { <http://ex.org/a> }",
+            prefixes=PFX,
+        )
+
+
+def test_trailing_values_matches_native_aggregate_alias(pathways):
+    # joining on the COUNT alias compares lexical forms (BIGINT 2 = "2")
+    got = sparql_select(
+        pathways,
+        "SELECT ?pw (COUNT(?m) AS ?n) WHERE { ?m ex:in ?pw } "
+        'GROUP BY ?pw VALUES ?n { "2" }',
+        prefixes=PFX,
+    ).collect()
+    assert [(_local(r.pw), r.n) for r in got] == [("p1", 2), ("p2", 2)]
