@@ -1900,11 +1900,14 @@ def _compile_subquery(
             if it[0] == "var" and it[1] in inner_nullable:
                 nullable.add(it[1])
             elif it[0] == "expr":
-                # a projection expression over nullable sources — or a
-                # null-introducing fn — can leave its alias unbound
+                # a projection expression over nullable sources, a
+                # null-introducing fn, or an embedded SUM/AVG-style
+                # aggregate (whose lexical cast can NULL a group) can
+                # leave its alias unbound
                 if (
                     _expr_vars(it[1]) & inner_nullable
                     or _expr_introduces_null(it[1])
+                    or _expr_has_agg(it[1])
                 ):
                     nullable.add(it[2])
             elif it[0] == "agg":
@@ -2437,6 +2440,10 @@ def _having_aggs(expr, found: list) -> None:
     elif kind == "cmp":
         _having_aggs(expr[2], found)
         _having_aggs(expr[3], found)
+    elif kind == "in":
+        _having_aggs(expr[1], found)
+        for i in expr[2]:
+            _having_aggs(i, found)
     elif kind == "call":
         for a in expr[2]:
             _having_aggs(a, found)
@@ -2463,6 +2470,13 @@ def _rewrite_having(expr, aliases: dict):
             _rewrite_having(expr[2], aliases),
             _rewrite_having(expr[3], aliases),
         )
+    if kind == "in":
+        return (
+            "in",
+            _rewrite_having(expr[1], aliases),
+            [_rewrite_having(i, aliases) for i in expr[2]],
+            expr[3],
+        )
     if kind == "call":
         return (
             "call",
@@ -2473,8 +2487,9 @@ def _rewrite_having(expr, aliases: dict):
 
 
 def _apply_aggregation(
-    out: DataFrame, projection, group_by: list, having=None
-) -> DataFrame:
+    out: DataFrame, projection, group_by: list, having=None,
+    extend_specs=None,
+) -> "tuple[DataFrame, dict]":
     """GROUP BY / aggregate SELECT / HAVING over the compiled binding
     table — ONE ``groupBy().agg()`` (map-side partial aggregation for
     free; a grouped COUNT never shuffles raw solutions, only partial
@@ -2487,6 +2502,14 @@ def _apply_aggregation(
     constraint compiles to a post-aggregation filter (Catalyst folds it
     into the aggregate's output — no second shuffle), and the hidden
     columns are dropped after the filter.
+
+    ``extend_specs`` are aggregate calls appearing inside SELECT
+    expressions (``(ROUND(AVG(?v)) AS ?a)``): they ride the SAME single
+    aggregation as hidden ``__having_xN`` columns (string-cast — the
+    Extend step computes over lexical forms) and are returned as a
+    spec->alias map for the caller to rewrite with and drop afterwards.
+
+    Returns ``(aggregated, extend_alias_map)``.
     """
     if projection is None:
         raise SparqlError(
@@ -2531,14 +2554,15 @@ def _apply_aggregation(
     having_specs: list = []
     if having is not None:
         _having_aggs(having, having_specs)
-    if not agg_items and not having_specs:
+    extend_specs = extend_specs or []
+    if not agg_items and not having_specs and not extend_specs:
         # GROUP BY with only key projections = DISTINCT over the keys
         grouped = out.select(*group_by).dropDuplicates()
         if having is not None:
             grouped = grouped.filter(
                 _compile_filter(having, set(grouped.columns))
             )
-        return grouped
+        return grouped, {}
     exprs = []
     seen = set(plain)
     for _, fn, distinct, arg, alias, sep in agg_items:
@@ -2567,6 +2591,20 @@ def _apply_aggregation(
             _agg_column(out, fn, distinct, arg, sep, bool(group_by))
             .alias(alias)
         )
+    # aggregate calls inside SELECT expressions: same single
+    # aggregation, string-cast (the Extend computes on lexical forms —
+    # e.g. ROUND's isNumeric-shape guard needs a string), kept until
+    # the caller's Extend step consumes them
+    extend_aliases = {
+        spec: f"__having_x{i}" for i, spec in enumerate(extend_specs)
+    }
+    for spec, alias in extend_aliases.items():
+        fn, distinct, arg, sep = spec
+        exprs.append(
+            _agg_column(out, fn, distinct, arg, sep, bool(group_by))
+            .cast("string")
+            .alias(alias)
+        )
     grouped = out.groupBy(*group_by).agg(*exprs) if group_by else out.agg(*exprs)
     if having is not None:
         plainified = _rewrite_having(having, having_aliases)
@@ -2575,7 +2613,7 @@ def _apply_aggregation(
         )
     if having_aliases:
         grouped = grouped.drop(*having_aliases.values())
-    return grouped
+    return grouped, extend_aliases
 
 
 def _expr_has_agg(expr) -> bool:
@@ -2973,37 +3011,40 @@ def _finish_select(
         raise SparqlError(
             "HAVING needs a GROUP BY or an aggregate projection"
         )
-    if agg_items or group_by:
-        out = _apply_aggregation(out, projection, group_by, having)
+    # aggregate calls inside SELECT expressions — (ROUND(AVG(?v)) AS
+    # ?a), or a bare ((COUNT(?m)) AS ?n) global aggregate — ride the
+    # single aggregation as hidden string columns (see
+    # _apply_aggregation) that the Extend below consumes
+    extend_specs: list = []
+    for it in expr_items:
+        _having_aggs(it[1], extend_specs)
+    extend_aliases: dict = {}
+    if agg_items or group_by or extend_specs:
+        out, extend_aliases = _apply_aggregation(
+            out, projection, group_by, having, extend_specs
+        )
     out = _apply_trailing_values(out, modifiers, pfx)
     if expr_items:
-        # the spec's Extend step: evaluated over the COMPLETED group's
-        # solutions (after the trailing-VALUES join), before
-        # projection/DISTINCT — the alias is NOT in scope inside the
-        # WHERE group (a FILTER there referencing it keeps raising the
-        # loud unbound-variable error, matching SPARQL §18.2.1 in-scope
-        # rules). Combined with GROUP BY / aggregates — top-level agg
-        # items OR an aggregate nested in the expression tree — the
-        # Extend would need the aggregate's value, a form this subset
-        # does not compile: loud error.
-        if (
-            group_by
-            or agg_items
-            or any(_expr_has_agg(it[1]) for it in expr_items)
-        ):
-            raise SparqlError(
-                "(expr AS ?x) projections cannot be combined with "
-                "GROUP BY/aggregates here; BIND inside the WHERE "
-                "group or aggregate first in a subquery"
-            )
+        # the spec's Extend step: evaluated over the COMPLETED (and,
+        # in an aggregate query, GROUPED) solutions, after the
+        # trailing-VALUES join, before projection/DISTINCT — the alias
+        # is NOT in scope inside the WHERE group (a FILTER there
+        # referencing it keeps raising the loud unbound-variable
+        # error, matching SPARQL §18.2.1 in-scope rules). In an
+        # aggregate query the expression may reference group keys and
+        # aggregate calls; anything else is unbound -> loud error.
         for _, expr, alias in expr_items:
             if alias in out.columns:
                 raise SparqlError(
                     f"projection alias ?{alias} is already bound"
                 )
+            rewritten = _rewrite_having(expr, extend_aliases)
             out = out.withColumn(
-                alias, _value_expr(expr, set(out.columns)).cast("string")
+                alias,
+                _value_expr(rewritten, set(out.columns)).cast("string"),
             )
+        if extend_aliases:
+            out = out.drop(*extend_aliases.values())
     projection_names = (
         None
         if projection is None

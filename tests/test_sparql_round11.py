@@ -539,14 +539,29 @@ def test_select_expression_projection(pathways):
     ]
 
 
-def test_select_expression_with_group_by_rejected(pathways):
-    with pytest.raises(SparqlError, match="cannot be combined"):
-        sparql_select(
-            pathways,
-            "SELECT (UCASE(?pw) AS ?u) (COUNT(?m) AS ?n) "
-            "WHERE { ?m ex:in ?pw } GROUP BY ?pw",
-            prefixes=PFX,
-        )
+def test_select_expression_over_group_keys_and_aggregates(pathways):
+    """In an aggregate query, SELECT expressions may combine group keys
+    and aggregate calls — computed post-aggregation as the spec's
+    Extend, riding the SAME single aggregation as hidden columns."""
+    got = sparql_select(
+        pathways,
+        "SELECT (UCASE(?pw) AS ?u) (COUNT(?m) AS ?n) "
+        "WHERE { ?m ex:in ?pw } GROUP BY ?pw",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.u[-2:].upper(), r.n) for r in got) == [
+        ("P1", 2), ("P2", 2), ("P3", 1),
+    ]
+    # aggregate call INSIDE the expression: (CONCAT("n=", COUNT(?m)))
+    got2 = sparql_select(
+        pathways,
+        'SELECT ?pw (CONCAT("n=", STR(COUNT(?m))) AS ?lbl) '
+        "WHERE { ?m ex:in ?pw } GROUP BY ?pw",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((_local(r.pw), r.lbl) for r in got2) == [
+        ("p1", "n=2"), ("p2", "n=2"), ("p3", "n=1"),
+    ]
 
 
 def test_select_expression_in_subquery(pathways):
@@ -583,15 +598,16 @@ def test_select_expression_alias_not_in_scope_for_filters(pathways):
         )
 
 
-def test_select_expression_nested_aggregate_rejected(pathways):
-    """((COUNT(?m)) AS ?n) hides the aggregate from a top-level tag
-    check — the expr tree is walked, same loud rejection."""
-    with pytest.raises(SparqlError, match="cannot be combined"):
-        sparql_select(
-            pathways,
-            "SELECT ((COUNT(?m)) AS ?n) WHERE { ?m ex:type ?t }",
-            prefixes=PFX,
-        )
+def test_select_expression_nested_aggregate_is_global_agg(pathways):
+    """((COUNT(?m)) AS ?n) — a parenthesized aggregate inside an
+    expression item — evaluates as a GLOBAL aggregation, exactly like
+    the unparenthesized (COUNT(?m) AS ?n) form."""
+    got = sparql_select(
+        pathways,
+        "SELECT ((COUNT(?m)) AS ?n) WHERE { ?m ex:type ?t }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["3"]
 
 
 def test_select_expression_alias_collision(pathways):
