@@ -1198,7 +1198,7 @@ def q_sparql_scale_builtins(spark, sf_dir):
         _scale_triples(spark, sf_dir),
         """PREFIX ex: <http://ex.org/>
            SELECT ?digit (COUNT(?part) AS ?n) (SUM(?r) AS ?tot)
-                  (SUM(?f) AS ?flo) WHERE {
+                  (SUM(?f) AS ?flo) (ROUND(AVG(?r)) AS ?avgr) WHERE {
                ?part ex:inBrand ?brand .
                ?part ex:retailPrice ?price .
                FILTER(STRENDS(?brand, "3"))
@@ -9326,7 +9326,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(pr.o + 0.5) AS BIGINT))
                         AS DOUBLE) AS tot,
                    CAST(SUM(CAST(floor(pr.o) AS BIGINT))
-                        AS DOUBLE) AS flo
+                        AS DOUBLE) AS flo,
+                   -- aggregate-Extend replay: ROUND(AVG(?r)) over the
+                   -- per-row rounded prices, as its lexical string
+                   CAST(CAST(floor(
+                       AVG(CAST(floor(pr.o + 0.5) AS BIGINT)) + 0.5
+                   ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
             GROUP BY 1
         """,
