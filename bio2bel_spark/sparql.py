@@ -1096,8 +1096,9 @@ class _Parser:
             self.expect(")")
             return e
         if kind == "keyword" and v.upper() in _AGG_FNS:
-            # aggregate call inside an expression — only HAVING accepts
-            # these (compile-time rejected elsewhere)
+            # aggregate call inside an expression — HAVING constraints
+            # and SELECT expressions accept these (compile-time
+            # rejected in FILTER/BIND/ORDER value positions)
             fn, distinct, arg, sep = self.parse_agg_call()
             return ("agg_expr", fn, distinct, arg, sep)
         if kind == "keyword" and v.upper() in (_BOOL_FNS | _VALUE_FNS):
@@ -1612,7 +1613,8 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
             return a0.endswith(lit)
     if kind == "agg_expr":
         raise SparqlError(
-            "aggregate calls are only valid inside HAVING constraints"
+            "aggregate calls are only valid inside HAVING constraints "
+            "and SELECT expressions"
         )
     raise SparqlError(f"unsupported filter expression {expr!r}")
 
@@ -1624,7 +1626,8 @@ def _operand(term, bound: set[str]) -> Column:
         return F.col(term[1])
     if term[0] == "agg_expr":
         raise SparqlError(
-            "aggregate calls are only valid inside HAVING constraints"
+            "aggregate calls are only valid inside HAVING constraints "
+            "and SELECT expressions"
         )
     if term[0] == "lit":
         return F.lit(term[1])
@@ -1901,13 +1904,25 @@ def _compile_subquery(
                 nullable.add(it[1])
             elif it[0] == "expr":
                 # a projection expression over nullable sources, a
-                # null-introducing fn, or an embedded SUM/AVG-style
-                # aggregate (whose lexical cast can NULL a group) can
-                # leave its alias unbound
+                # null-introducing fn, or an embedded aggregate that can
+                # itself be NULL (SUM/AVG lexical-cast failure; MIN/MAX/
+                # SAMPLE over a nullable argument) can leave its alias
+                # unbound — COUNT/GROUP_CONCAT never can, mirroring the
+                # plain 'agg' item logic above
+                specs: list = []
+                _having_aggs(it[1], specs)
+                agg_nullable = any(
+                    fn in ("SUM", "AVG")
+                    or (
+                        fn in ("MIN", "MAX", "SAMPLE")
+                        and arg in inner_nullable
+                    )
+                    for fn, _d, arg, _s in specs
+                )
                 if (
                     _expr_vars(it[1]) & inner_nullable
                     or _expr_introduces_null(it[1])
-                    or _expr_has_agg(it[1])
+                    or agg_nullable
                 ):
                     nullable.add(it[2])
             elif it[0] == "agg":
@@ -3007,10 +3022,6 @@ def _finish_select(
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
     expr_items = [it for it in (projection or []) if it[0] == "expr"]
-    if having is not None and not (agg_items or group_by):
-        raise SparqlError(
-            "HAVING needs a GROUP BY or an aggregate projection"
-        )
     # aggregate calls inside SELECT expressions — (ROUND(AVG(?v)) AS
     # ?a), or a bare ((COUNT(?m)) AS ?n) global aggregate — ride the
     # single aggregation as hidden string columns (see
@@ -3018,6 +3029,10 @@ def _finish_select(
     extend_specs: list = []
     for it in expr_items:
         _having_aggs(it[1], extend_specs)
+    if having is not None and not (agg_items or group_by or extend_specs):
+        raise SparqlError(
+            "HAVING needs a GROUP BY or an aggregate projection"
+        )
     extend_aliases: dict = {}
     if agg_items or group_by or extend_specs:
         out, extend_aliases = _apply_aggregation(

@@ -549,8 +549,9 @@ def test_select_expression_over_group_keys_and_aggregates(pathways):
         "WHERE { ?m ex:in ?pw } GROUP BY ?pw",
         prefixes=PFX,
     ).collect()
-    assert sorted((r.u[-2:].upper(), r.n) for r in got) == [
-        ("P1", 2), ("P2", 2), ("P3", 1),
+    assert sorted((r.u, r.n) for r in got) == [
+        ("HTTP://EX.ORG/P1", 2), ("HTTP://EX.ORG/P2", 2),
+        ("HTTP://EX.ORG/P3", 1),
     ]
     # aggregate call INSIDE the expression: (CONCAT("n=", COUNT(?m)))
     got2 = sparql_select(
@@ -806,3 +807,30 @@ def test_trailing_values_matches_native_aggregate_alias(pathways):
         prefixes=PFX,
     ).collect()
     assert [(_local(r.pw), r.n) for r in got] == [("p1", 2), ("p2", 2)]
+
+
+def test_having_with_expression_only_aggregate(pathways):
+    """HAVING is legal when the only aggregate lives inside a SELECT
+    expression (the implicit global group) — review finding: the
+    precondition ran before extend specs were collected."""
+    got = sparql_select(
+        pathways,
+        "SELECT ((COUNT(?m)) AS ?n) WHERE { ?m ex:type ?t } "
+        "HAVING (COUNT(?m) > 0)",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["3"]
+
+
+def test_expression_count_export_joins_like_plain_count(pathways):
+    """((COUNT(?m)) AS ?n) exported from a subquery is never NULL —
+    joining on it must work exactly like the unparenthesized form."""
+    got = sparql_select(
+        pathways,
+        "SELECT ?pw ?n WHERE { "
+        "{ SELECT ?pw ((COUNT(?m)) AS ?n) WHERE { ?m ex:in ?pw } "
+        "  GROUP BY ?pw } "
+        "?x ex:in ?pw . }",
+        prefixes=PFX,
+    ).collect()
+    assert len(got) == 5  # one row per (member, pathway) fan-out
