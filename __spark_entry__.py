@@ -4496,57 +4496,6 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
-    "sparql_expr_suite": q_sparql_expr_suite,  # never driver-checked
-    "sparql_from_dataset": q_sparql_from_dataset,  # never driver-checked
-    "sparql_graph_scale": q_sparql_graph_scale,  # never driver-checked
-    "sparql_update_graph": q_sparql_update_graph,  # never driver-checked
-    "sparql_scale_builtins": q_sparql_scale_builtins,  # never driver-checked
-    "sparql_scale_bgp": q_sparql_scale_bgp,  # never driver-checked
-    "sparql_scale_path": q_sparql_scale_path,  # never driver-checked
-    "sparql_path_range": q_sparql_path_range,  # never driver-checked
-    "sparql_subquery": q_sparql_subquery,  # never driver-checked
-    "sparql_scale_fns": q_sparql_scale_fns,  # never driver-checked
-    "sparql_describe": q_sparql_describe,  # never driver-checked
-    "content_hash": q_content_hash,  # last green r03
-    "word_counts": q_word_counts,  # last green r03
-    "first_prefixed_token": q_first_prefixed_token,  # last green r03
-    "dedup_drop_exact": q_dedup_drop_exact,  # last green r03
-    "dedup_lsh_fast": q_dedup_lsh_fast,  # last green r03
-    "embedding_near_pairs_exact": q_embedding_near_pairs_exact,  # last green r03
-    "repetition_metrics": q_repetition_metrics,  # last green r03
-    "top_word_fraction": q_top_word_fraction,  # last green r03
-    "pii_scrub": q_pii_scrub,  # last green r03
-    "text_quality": q_text_quality,  # last green r03
-    "language_confusion": q_language_confusion,  # last green r03
-    "token_stats": q_token_stats,  # last green r03
-    "doc_fingerprints": q_doc_fingerprints,  # last green r03
-    "asof_join": q_asof_join,  # last green r04
-    "asof_join_forward": q_asof_join_forward,  # last green r04
-    "interval_join": q_interval_join,  # last green r04
-    "funnel_counts": q_funnel_counts,  # last green r04
-    "retention_matrix": q_retention_matrix,  # last green r04
-    "event_pivot": q_event_pivot,  # last green r04
-    "quantile_sketch": q_quantile_sketch,  # last green r04
-    "winsorized_stats": q_winsorized_stats,  # last green r04
-    "zscore_outliers": q_zscore_outliers,  # last green r04
-    "impute_median": q_impute_median,  # last green r04
-    "feature_correlations": q_feature_correlations,  # last green r04
-    "training_pipeline": q_training_pipeline,  # last green r04
-    "pagerank": q_pagerank,  # last green r04
-    "pricing_summary": q_pricing_summary,  # last green r04
-    "kmeans_assign": q_kmeans_assign,  # last green r04
-    "embedding_dedup": q_embedding_dedup,  # last green r04
-    "deterministic_shuffle": q_deterministic_shuffle,  # last green r04
-    "value_histogram": q_value_histogram,  # last green r05
-    "comembership": q_comembership,  # last green r05
-    "session_paths": q_session_paths,  # last green r05
-    "decayed_sum": q_decayed_sum,  # last green r05
-    "negative_samples": q_negative_samples,  # last green r05
-    "hard_negative_samples": q_hard_negative_samples,  # last green r05
-    "quantile_sketch_grouped": q_quantile_sketch_grouped,  # last green r05
-    "validate_lineitem": q_validate_lineitem,  # last green r05
-    "dup_span_profile": q_dup_span_profile,  # last green r05
-    # ---- end of the driver's 50-query correctness window ----
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4597,6 +4546,7 @@ QUERIES: dict[str, Callable] = {
     "zipf_fit": q_zipf_fit,  # last green r06
     "target_encoding": q_target_encoding,  # last green r06
     "k_core": q_k_core,  # last green r06
+    # ---- end of the driver's 50-query correctness window ----
     "k_hop_profile": q_k_hop_profile,  # last green r06
     "pathway_enrichment": q_pathway_enrichment,  # last green r06
     "forecast_revenue": q_forecast_revenue,  # last green r07
@@ -4708,6 +4658,56 @@ QUERIES: dict[str, Callable] = {
     "revenue_by_region": q_revenue_by_region,  # last green r10
     "distinct_segments": q_distinct_segments,  # last green r10
     "nation_segments": q_nation_segments,  # last green r10
+    "sparql_expr_suite": q_sparql_expr_suite,  # last green r11
+    "sparql_from_dataset": q_sparql_from_dataset,  # last green r11
+    "sparql_graph_scale": q_sparql_graph_scale,  # last green r11
+    "sparql_update_graph": q_sparql_update_graph,  # last green r11
+    "sparql_scale_builtins": q_sparql_scale_builtins,  # last green r11
+    "sparql_scale_bgp": q_sparql_scale_bgp,  # last green r11
+    "sparql_scale_path": q_sparql_scale_path,  # last green r11
+    "sparql_path_range": q_sparql_path_range,  # last green r11
+    "sparql_subquery": q_sparql_subquery,  # last green r11
+    "sparql_scale_fns": q_sparql_scale_fns,  # last green r11
+    "sparql_describe": q_sparql_describe,  # last green r11
+    "content_hash": q_content_hash,  # last green r11
+    "word_counts": q_word_counts,  # last green r11
+    "first_prefixed_token": q_first_prefixed_token,  # last green r11
+    "dedup_drop_exact": q_dedup_drop_exact,  # last green r11
+    "dedup_lsh_fast": q_dedup_lsh_fast,  # last green r11
+    "embedding_near_pairs_exact": q_embedding_near_pairs_exact,  # last green r11
+    "repetition_metrics": q_repetition_metrics,  # last green r11
+    "top_word_fraction": q_top_word_fraction,  # last green r11
+    "pii_scrub": q_pii_scrub,  # last green r11
+    "text_quality": q_text_quality,  # last green r11
+    "language_confusion": q_language_confusion,  # last green r11
+    "token_stats": q_token_stats,  # last green r11
+    "doc_fingerprints": q_doc_fingerprints,  # last green r11
+    "asof_join": q_asof_join,  # last green r11
+    "asof_join_forward": q_asof_join_forward,  # last green r11
+    "interval_join": q_interval_join,  # last green r11
+    "funnel_counts": q_funnel_counts,  # last green r11
+    "retention_matrix": q_retention_matrix,  # last green r11
+    "event_pivot": q_event_pivot,  # last green r11
+    "quantile_sketch": q_quantile_sketch,  # last green r11
+    "winsorized_stats": q_winsorized_stats,  # last green r11
+    "zscore_outliers": q_zscore_outliers,  # last green r11
+    "impute_median": q_impute_median,  # last green r11
+    "feature_correlations": q_feature_correlations,  # last green r11
+    "training_pipeline": q_training_pipeline,  # last green r11
+    "pagerank": q_pagerank,  # last green r11
+    "pricing_summary": q_pricing_summary,  # last green r11
+    "kmeans_assign": q_kmeans_assign,  # last green r11
+    "embedding_dedup": q_embedding_dedup,  # last green r11
+    "deterministic_shuffle": q_deterministic_shuffle,  # last green r11
+    "value_histogram": q_value_histogram,  # last green r11
+    "comembership": q_comembership,  # last green r11
+    "session_paths": q_session_paths,  # last green r11
+    "decayed_sum": q_decayed_sum,  # last green r11
+    "negative_samples": q_negative_samples,  # last green r11
+    "hard_negative_samples": q_hard_negative_samples,  # last green r11
+    "quantile_sketch_grouped": q_quantile_sketch_grouped,  # last green r11
+    "validate_lineitem": q_validate_lineitem,  # last green r11
+    "dup_span_profile": q_dup_span_profile,  # last green r11
 }
 
 

@@ -17,6 +17,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -24,11 +25,32 @@ ENTRY = os.path.join(ROOT, "__spark_entry__.py")
 WINDOW = 50
 
 
+def tracked_ledgers(root: str = ROOT) -> list[str]:
+    """Git-TRACKED CORRECTNESS_r*.json paths only (round-11 verdict ask #1).
+
+    The driver drops a fresh ledger AFTER the round's final commit, so an
+    untracked ledger on disk postdates HEAD and must not move the ratchet:
+    gating on ``git ls-files`` makes the freshness tests a property of the
+    committed tree, not of whatever the driver wrote since. Falls back to a
+    plain glob when git is unavailable (e.g. an exported tarball).
+    """
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        if out:
+            return sorted(os.path.join(root, p) for p in out)
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
 def last_green_rounds(root: str = ROOT) -> dict[str, int]:
     """query -> latest round with a green driver row (hash, or rows for
     the documented rows-only checks)."""
     out: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in tracked_ledgers(root):
         rn = int(re.search(r"_r(\d+)\.json$", path).group(1))
         for name, row in json.load(open(path)).items():
             green = row.get("err") is None and (

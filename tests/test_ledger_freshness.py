@@ -7,18 +7,22 @@ This test makes skipping the rotation a CI failure:
   last driver-green round, never-checked = -1) as every non-window entry.
   A new query has no CORRECTNESS row, so it ranks stalest automatically
   and CANNOT land outside the window.
-* K-round freshness ratchet — with 200 queries and a 50-slot window, a
-  full rotation takes ceil(200/50) = 4 rounds, so once rotation runs
-  every round, no query's last green row can be older than K = 5 rounds.
-  The ratchet asserts staleness <= K for every non-window query; window
-  members are excused because the imminent driver run re-greens them.
+* K-round freshness ratchet — a full rotation of N queries through the
+  50-slot window takes ceil(N/50) rounds, so once rotation runs every
+  round, no query's last green row can be older than K = ceil(N/50)+1
+  rounds. K is derived from the live registry size (a hard-coded 5 broke
+  when the registry outgrew 200 queries). The ratchet asserts
+  staleness <= K for every non-window query; window members are excused
+  because the imminent driver run re-greens them. Both checks read only
+  git-TRACKED ledgers, so the untracked ledger the driver drops after the
+  final commit cannot red a clean tree.
 
 Regenerate the window with ``python scripts/rotate_window.py``.
 """
 
 from __future__ import annotations
 
-import glob
+import math
 import os
 import re
 import sys
@@ -30,14 +34,8 @@ from rotate_window import (  # noqa: E402
     WINDOW,
     last_green_rounds,
     parse_queries_block,
+    tracked_ledgers,
 )
-
-#: once rotation runs every round, every query must have a driver-green row
-#: within this many rounds (window 50 of ~200 queries -> full cycle in 4).
-#: The pre-rotation grace term was retired in round 11: as of the r10
-#: ledger no query outside the window is staler than 4 rounds, so the
-#: ratchet now runs at the tight bound with no excuse schedule.
-K_ROUNDS = 5
 
 
 def _entries():
@@ -46,10 +44,21 @@ def _entries():
     return [k for k, _ in entries]
 
 
+def _k_rounds(n_queries: int) -> int:
+    """Registry-proportional staleness bound (round-11 verdict ask #1).
+
+    A full rotation of N queries through the 50-slot window takes
+    ceil(N/50) rounds, so with rotation running every round no query can
+    be staler than that cycle length; +1 absorbs the round in flight.
+    Hard-coding 5 broke the moment the registry outgrew 200 queries.
+    """
+    return math.ceil(n_queries / WINDOW) + 1
+
+
 def _latest_round() -> int:
     rounds = [
         int(re.search(r"_r(\d+)\.json$", p).group(1))
-        for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        for p in tracked_ledgers(ROOT)
     ]
     return max(rounds) if rounds else 0
 
@@ -74,6 +83,7 @@ def test_window_is_stalest_first():
 
 def test_every_query_green_within_k_rounds():
     keys = _entries()
+    k_rounds = _k_rounds(len(keys))
     greens = last_green_rounds(ROOT)
     latest = _latest_round()
     window = set(keys[:WINDOW])
@@ -82,10 +92,10 @@ def test_every_query_green_within_k_rounds():
         if k in window:
             continue  # scheduled for the imminent driver run
         staleness = latest - greens.get(k, -1)
-        if staleness > K_ROUNDS:
+        if staleness > k_rounds:
             overdue.append((k, greens.get(k)))
     assert not overdue, (
         f"{len(overdue)} queries have no driver-green row in the last "
-        f"{K_ROUNDS} rounds and are not in the current window: "
+        f"{k_rounds} rounds and are not in the current window: "
         f"{overdue[:10]}; run: python scripts/rotate_window.py"
     )
