@@ -67,8 +67,10 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   reserved ``__path_`` prefix are rejected at tokenize time.
 * **Aggregates** — ``SELECT ?g (COUNT(?x) AS ?n) ... GROUP BY ?g`` with
   ``COUNT`` (incl. ``*`` and ``DISTINCT``), ``SUM``/``AVG`` (lexical
-  form cast to double; the empty/all-unbound group is ``0.0`` per
-  SPARQL 1.1 §18.5.1, not SQL's NULL), ``MIN``/``MAX`` (lexicographic,
+  form cast to double; only the UNGROUPED global aggregate over an
+  empty input coalesces to ``0.0`` per SPARQL 1.1 §18.5.1 ``Sum({}) =
+  0`` — a grouped SUM/AVG whose group binds no values stays NULL,
+  matching rdflib and SQL), ``MIN``/``MAX`` (lexicographic,
   matching DuckDB over VARCHAR), ``SAMPLE`` (evaluated as MIN —
   deterministic and spec-valid) and ``GROUP_CONCAT`` (incl. ``DISTINCT``
   and ``; SEPARATOR="s"``; values join in SORTED order — the spec leaves
@@ -164,17 +166,18 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if kind in ("ws", "comment"):
             continue
         if kind == "var" and m.group()[1:].startswith(
-            ("__path_", "__having_", "__exists_")
+            ("__path_", "__having_", "__exists_", "__tv_")
         ):
             # reserved for planner internals (property-path desugaring /
-            # HAVING hidden aggregate columns / EXISTS filter markers) —
-            # a user variable with any of these prefixes would be
-            # silently dropped by the internals cleanup or collide with
-            # a synthesized column; reject it loudly up front
+            # HAVING hidden aggregate columns / EXISTS filter markers /
+            # trailing-VALUES join columns) — a user variable with any
+            # of these prefixes would be silently dropped by the
+            # internals cleanup or collide with a synthesized column;
+            # reject it loudly up front
             raise SparqlError(
                 f"variable {m.group()!r} uses a reserved '__path_'/"
-                "'__having_'/'__exists_' prefix (planner internals); "
-                "rename it"
+                "'__having_'/'__exists_'/'__tv_' prefix (planner "
+                "internals); rename it"
             )
         out.append((kind, m.group()))
     out.append(("eof", ""))
@@ -1540,15 +1543,15 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
     if kind == "in":
         # §17.4.1.9: IN = equality against each member ('||'-chained);
         # an all-literal list compiles to isin — a PUSHABLE scan
-        # predicate. Empty list: IN () is false, NOT IN () true.
-        # Unbound left side -> error (NULL) -> effective false either
+        # predicate. Empty list: the empty disjunction is FALSE without
+        # evaluating the operand (§17.4.1.9-10), so IN () is FALSE and
+        # NOT IN () is TRUE even for an UNBOUND left side. Non-empty
+        # list + unbound left -> error (NULL) -> effective false either
         # way after the NOT (SQL three-valued ~NULL = NULL matches).
         _, term, items, negated = expr
         col = _operand(term, bound)
         if not items:
-            # bound term -> FALSE (so NOT IN () is TRUE); unbound ->
-            # NULL = the expression error, false after any negation too
-            c = F.when(col.isNotNull(), F.lit(False))
+            c = F.lit(False)
         elif all(i[0] == "lit" for i in items):
             c = col.isin([i[1] for i in items])
         else:
@@ -1894,7 +1897,9 @@ def _compile_subquery(
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
         out = out.drop(*internals)
-    out = _finish_select(out, projection, modifiers, prefixes)
+    out = _finish_select(
+        out, projection, modifiers, prefixes, inner_nullable
+    )
     nullable: set[str] = set()
     if projection is None:
         nullable = inner_nullable & set(out.columns)
@@ -2881,14 +2886,18 @@ def _solutions(
     bindings: "dict[str, str] | None",
     max_path_depth: int,
     extra_bindable: "set | None" = None,
-) -> DataFrame:
+) -> "tuple[DataFrame, set[str]]":
     """The shared WHERE pipeline of every query form (SELECT / ASK /
     CONSTRUCT): validate + substitute ``initBindings`` into the parsed
     group, compile it, re-project each binding as its constant (a
     binding extends every solution), and drop the anonymous
     property-path internals. ``extra_bindable`` admits binding names
     that are legal even though the pattern never mentions them (e.g.
-    variables used only in a CONSTRUCT template)."""
+    variables used only in a CONSTRUCT template).
+
+    Returns ``(solutions, nullable)`` where ``nullable`` is the set of
+    variables the group can leave unbound (OPTIONAL-bound etc.) — the
+    trailing-VALUES join needs it to pick the compatible-mapping form."""
     binds = {k: str(v) for k, v in (bindings or {}).items()}
     if binds:
         known = _collect_vars(group) | (extra_bindable or set())
@@ -2905,7 +2914,7 @@ def _solutions(
         # is the g-IS-NULL rows; GRAPH clauses read the named graphs
         quads = triples
         triples = triples.filter(F.col("g").isNull()).drop("g")
-    out, _ = _compile_group(
+    out, nullable = _compile_group(
         triples, group, pfx, max_path_depth, quads=quads
     )
     for var, value in binds.items():
@@ -2913,7 +2922,8 @@ def _solutions(
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
         out = out.drop(*internals)
-    return out
+    # an initBindings constant is never NULL — it overwrites the column
+    return out, (nullable - set(binds)) & set(out.columns)
 
 
 def _order_page(
@@ -2931,6 +2941,15 @@ def _order_page(
                 raise SparqlError(f"ORDER BY var ?{key[1]} not bound here")
             c = F.col(key[1])
         else:
+            # an expression key referencing an unbound (or projected-out,
+            # under DISTINCT) variable gets the same pointed error as a
+            # plain ?var key, not a raw Spark AnalysisException
+            missing = sorted(_expr_vars(key) - set(df.columns))
+            if missing:
+                raise SparqlError(
+                    "ORDER BY expression references variable(s) not "
+                    f"bound here: {['?' + v for v in missing]}"
+                )
             c = _value_expr(key, set(df.columns))
         cols.append(c.asc() if asc else c.desc())
     if order:
@@ -2965,8 +2984,8 @@ def sparql_select(
     pfx = dict(prefixes or {})
     pfx.update(declared)
     triples = _apply_dataset_clauses(triples, modifiers, pfx)
-    out = _solutions(triples, group, pfx, bindings, max_path_depth)
-    return _finish_select(out, projection, modifiers, pfx)
+    out, nullable = _solutions(triples, group, pfx, bindings, max_path_depth)
+    return _finish_select(out, projection, modifiers, pfx, nullable)
 
 
 def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
@@ -3011,13 +3030,17 @@ def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
 
 
 def _finish_select(
-    out: DataFrame, projection, modifiers: dict, pfx=None
+    out: DataFrame, projection, modifiers: dict, pfx=None,
+    nullable: "set[str] | None" = None,
 ) -> DataFrame:
     """The post-WHERE SELECT pipeline (shared by the top-level query and
     subqueries), in the spec's stage order: aggregation + HAVING
     (§18.2.4.1-2), trailing VALUES join (§18.2.4.3), SELECT-expression
     Extend (§18.2.4.4), then the solution modifiers —
-    project -> DISTINCT -> ORDER -> OFFSET/LIMIT."""
+    project -> DISTINCT -> ORDER -> OFFSET/LIMIT. ``nullable`` is the
+    WHERE group's can-be-unbound variable set; the trailing-VALUES join
+    uses it (re-derived through the aggregation stage) to pick the
+    compatible-mapping join form for unbound shared variables."""
     group_by = modifiers["group_by"]
     having = modifiers["having"]
     agg_items = [it for it in (projection or []) if it[0] == "agg"]
@@ -3034,11 +3057,35 @@ def _finish_select(
             "HAVING needs a GROUP BY or an aggregate projection"
         )
     extend_aliases: dict = {}
+    where_nullable = set(nullable or ())
     if agg_items or group_by or extend_specs:
         out, extend_aliases = _apply_aggregation(
             out, projection, group_by, having, extend_specs
         )
-    out = _apply_trailing_values(out, modifiers, pfx)
+        # re-derive nullability through the aggregation stage: a plain
+        # group key stays nullable (grouping keeps a NULL-keyed group), a
+        # computed key is nullable over nullable sources or null-
+        # introducing fns, SUM/AVG are always nullable (all-unbound group
+        # -> NULL; lexical cast can NULL a bound non-numeric group),
+        # MIN/MAX/SAMPLE follow their argument; COUNT/GROUP_CONCAT never
+        tv_nullable = set()
+        for g in group_by:
+            if isinstance(g, str):
+                if g in where_nullable:
+                    tv_nullable.add(g)
+            elif (
+                _expr_vars(g[1]) & where_nullable
+                or _expr_introduces_null(g[1])
+            ):
+                tv_nullable.add(g[2])
+        for _, fn, _d, arg, alias, _sep in agg_items:
+            if fn in ("SUM", "AVG") or (
+                fn in ("MIN", "MAX", "SAMPLE") and arg in where_nullable
+            ):
+                tv_nullable.add(alias)
+    else:
+        tv_nullable = where_nullable
+    out = _apply_trailing_values(out, modifiers, pfx, tv_nullable)
     if expr_items:
         # the spec's Extend step: evaluated over the COMPLETED (and,
         # in an aggregate query, GROUPED) solutions, after the
@@ -3102,17 +3149,26 @@ def _finish_select(
     return out
 
 
-def _apply_trailing_values(out: DataFrame, modifiers: dict, pfx) -> DataFrame:
+def _apply_trailing_values(
+    out: DataFrame, modifiers: dict, pfx, nullable: "set[str] | None" = None
+) -> DataFrame:
     """§18.2.4.3: join the trailing VALUES data AFTER aggregation and
-    HAVING. Subset restrictions (each a loud error, never a silent
-    divergence): the inline data must share at least one variable with
-    the result (a no-shared-vars clause would cross-extend every
-    solution), and UNDEF is not allowed on a shared variable (it would
-    need a null-tolerant join). The join compares lexical forms — the
-    result side is cast to string so a native aggregate alias (BIGINT
-    COUNT) matches its lexical spelling instead of tripping an ANSI
-    cast. Solution rows with a NULL shared value do not match any
-    inline row (subset restriction vs the spec's compatible mapping)."""
+    HAVING, with the spec's compatible-mapping semantics: per shared
+    variable the bindings agree where BOTH are bound; a solution row
+    with the variable UNBOUND (NULL — e.g. OPTIONAL-bound) is compatible
+    with every inline row and takes the inline value (``coalesce``),
+    exactly like :func:`_join_compatible`. Scale-critical split: never-
+    null shared variables are pure equi keys (hash join); only variables
+    in ``nullable`` ride the ``IS NULL OR =`` form as a residual
+    predicate — and a clause whose shared variables are ALL nullable
+    would degrade to a nested loop, so the planner raises instead.
+    Subset restrictions (each a loud error, never a silent divergence):
+    the inline data must share at least one variable with the result (a
+    no-shared-vars clause would cross-extend every solution), and UNDEF
+    is not allowed on a shared variable (the inline side of the join
+    must be fully bound). The join compares lexical forms — the result
+    side is cast to string so a native aggregate alias (BIGINT COUNT)
+    matches its lexical spelling instead of tripping an ANSI cast."""
     tv = modifiers.get("trailing_values")
     if not tv:
         return out
@@ -3132,6 +3188,14 @@ def _apply_trailing_values(out: DataFrame, modifiers: dict, pfx) -> DataFrame:
             f"UNDEF on shared trailing-VALUES variables {bad} would "
             "need a null-tolerant join — outside the subset"
         )
+    soft = [n for n in shared if n in (nullable or ())]
+    hard = [n for n in shared if n not in (nullable or ())]
+    if not hard:
+        raise SparqlError(
+            f"trailing VALUES shares only nullable variables {soft} "
+            "with the result — the compatible join cannot hash-join; "
+            "share at least one always-bound variable"
+        )
     data = [
         tuple(
             None if t is None else str(_resolve(t, pfx or {})[1])
@@ -3142,12 +3206,24 @@ def _apply_trailing_values(out: DataFrame, modifiers: dict, pfx) -> DataFrame:
     schema = ", ".join(f"`__tv_{n}` string" for n in names)
     vdf = out.sparkSession.createDataFrame(data, schema=schema)
     cond = None
-    for c in shared:
+    for c in hard:
         e = F.col(c).cast("string") == F.col(f"__tv_{c}")
         cond = e if cond is None else cond & e
+    for c in soft:
+        e = F.col(c).isNull() | (
+            F.col(c).cast("string") == F.col(f"__tv_{c}")
+        )
+        cond = cond & e
     joined = out.join(F.broadcast(vdf), cond, "inner")
     for n in names:
-        if n in shared:
+        if n in soft:
+            # the merged solution takes the inline value where the
+            # solution side was unbound (lexical/string domain)
+            joined = joined.withColumn(
+                n,
+                F.coalesce(F.col(n).cast("string"), F.col(f"__tv_{n}")),
+            ).drop(f"__tv_{n}")
+        elif n in shared:
             joined = joined.drop(f"__tv_{n}")
         else:
             joined = joined.withColumnRenamed(f"__tv_{n}", n)
@@ -3173,7 +3249,7 @@ def sparql_ask(
     declared, group = _Parser(toks).parse_ask()
     pfx = dict(prefixes or {})
     pfx.update(declared)
-    out = _solutions(triples, group, pfx, bindings, max_path_depth)
+    out, _ = _solutions(triples, group, pfx, bindings, max_path_depth)
     return out.limit(1).count() > 0
 
 
@@ -3216,7 +3292,7 @@ def sparql_describe(
                 "DESCRIBE bindings= need a WHERE group to constrain"
             )
         return triples.filter(F.col("s").isin(consts)).distinct()
-    sol = _solutions(triples, group, pfx, bindings, max_path_depth)
+    sol, _ = _solutions(triples, group, pfx, bindings, max_path_depth)
     missing = [v for v in varnames if v not in sol.columns]
     if missing:
         raise SparqlError(f"DESCRIBE vars never bound: {missing}")
@@ -3269,7 +3345,7 @@ def sparql_construct(
     template_vars = {
         t[1] for tri in template for t in tri if t[0] == "var"
     }
-    out = _solutions(
+    out, _ = _solutions(
         triples, group, pfx, bindings, max_path_depth,
         extra_bindable=template_vars,
     )
@@ -3470,7 +3546,7 @@ def _apply_update_op(
         for t in tri
         if t[0] == "var"
     }
-    sol = _solutions(
+    sol, _ = _solutions(
         sol_graph, group, pfx, bindings, max_path_depth,
         extra_bindable=template_vars,
     )

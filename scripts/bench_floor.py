@@ -56,6 +56,14 @@ FLOOR_SET = [
     "sparql_update_graph",
     "sparql_graph_scale",
     "sparql_from_dataset",
+    # round-11 bench movers >2x on a loaded host — floored to triage
+    # weather vs real regression, per the round-11 verdict ask #2
+    "gene_pathway_counts",
+    "pathway_to_symbols",
+    "pathway_size_distribution",
+    "perplexity_maintenance",
+    "hilbert_layout_3d",
+    "sparql_values",
 ]
 
 N_RUNS = 3
