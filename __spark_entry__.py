@@ -1211,6 +1211,76 @@ def q_sparql_scale_builtins(spark, sf_dir):
     )
 
 
+def _scale_typed_triples(spark, sf_dir):
+    """Typed-literal substrate (round-12 verdict ask #3): the part slice
+    of the scale graph re-emitted with ENCODED typed/lang literals (the
+    round-12 term model, sparql.py _ENC_LIT_SHAPE):
+
+    * ``part://K ex:price "<p_retailprice>"^^xsd:decimal`` — a typed
+      numeric per part (~20k at sf0.1)
+    * ``part://K ex:name  "<p_name>"@en`` for EVEN part keys, plain
+      ``p_name`` for odd — a mixed lang-tagged/plain literal column
+    * ``part://K ex:inBrand Brand#N`` — plain (unchanged model)
+
+    The serialization is built with one concat per column — the typed
+    model costs nothing at scan time, and every pattern is still a
+    pushed predicate-equality scan."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    ex = "http://ex.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    s = F.concat(
+        F.lit("part://"), F.col("p_partkey").cast("string")
+    ).alias("s")
+    price = part.select(
+        s, F.lit(ex + "price").alias("p"),
+        F.concat(
+            F.lit('"'), F.col("p_retailprice").cast("string"),
+            F.lit(f'"^^<{xsd}decimal>'),
+        ).alias("o"),
+    )
+    name = part.select(
+        s, F.lit(ex + "name").alias("p"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.concat(F.lit('"'), F.col("p_name"), F.lit('"@en')),
+        ).otherwise(F.col("p_name")).alias("o"),
+    )
+    in_brand = part.select(
+        s, F.lit(ex + "inBrand").alias("p"), F.col("p_brand").alias("o")
+    )
+    return price.unionByName(name).unionByName(in_brand)
+
+
+def q_sparql_typed_literals(spark, sf_dir):
+    """Typed-literal SPARQL driver-checked at bench scale (round-12
+    verdict ask #3): a numeric FILTER against a typed-decimal literal
+    token (value comparison per §17.3 — the encoded ``^^xsd:decimal``
+    suffix is stripped and both sides compare as doubles), a lang-tag
+    FILTER (only the @en half of the names survives), a DATATYPE guard
+    projection, and FLOOR over the typed lexical form re-aggregated per
+    brand. The oracle replays all four directly against the part table
+    (the encoding round-trips: double -> lexical -> double is exact).
+    Parity: rdflib preserves datatype/lang on the reference's rhea load
+    (src/bio2bel/sources/rhea.py:36-47)."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_typed_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (COUNT(?part) AS ?n) (SUM(?f) AS ?tot) WHERE {
+               ?part ex:inBrand ?brand .
+               ?part ex:price ?pr .
+               ?part ex:name ?nm .
+               FILTER(?pr >
+                   "950.0"^^<http://www.w3.org/2001/XMLSchema#decimal>)
+               FILTER(LANG(?nm) = "en")
+               FILTER(DATATYPE(?pr) =
+                   <http://www.w3.org/2001/XMLSchema#decimal>)
+               BIND(FLOOR(?pr) AS ?f)
+           } GROUP BY ?brand""",
+    )
+
+
 def _scale_quads(spark, sf_dir):
     """The named-graph substrate: the scale triples tagged into a quad
     store by predicate family — lineitem-derived facts in
@@ -4496,6 +4566,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_typed_literals": q_sparql_typed_literals,  # never driver-checked
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4545,8 +4616,8 @@ QUERIES: dict[str, Callable] = {
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
     "target_encoding": q_target_encoding,  # last green r06
-    "k_core": q_k_core,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "k_core": q_k_core,  # last green r06
     "k_hop_profile": q_k_hop_profile,  # last green r06
     "pathway_enrichment": q_pathway_enrichment,  # last green r06
     "forecast_revenue": q_forecast_revenue,  # last green r07
@@ -9333,6 +9404,20 @@ def oracle_sql() -> dict[str, str]:
                        AVG(CAST(floor(pr.o + 0.5) AS BIGINT)) + 0.5
                    ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
+            GROUP BY 1
+        """,
+        "sparql_typed_literals": """
+            -- typed-literal replay: the encoded "..."^^xsd:decimal /
+            -- "..."@en terms decode back to exactly these part columns
+            -- (double -> lexical -> double round-trips exactly; LANG =
+            -- 'en' selects the even part keys; DATATYPE(?pr) is decimal
+            -- on every price row, a no-op guard)
+            SELECT p_brand AS brand,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(floor(p_retailprice) AS BIGINT))
+                        AS DOUBLE) AS tot
+            FROM part
+            WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
         """,
         "sparql_scale_fns": "WITH " + _SCALE_TRIPLES_SQL + """

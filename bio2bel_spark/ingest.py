@@ -188,16 +188,6 @@ _NT_LINE = re.compile(
 )
 
 
-def _strip_term(term: str) -> str:
-    if term.startswith("<") and term.endswith(">"):
-        return term[1:-1]
-    if term.startswith('"'):
-        # literal: keep lexical form only
-        end = term.rfind('"')
-        return term[1:end]
-    return term
-
-
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """N-Triples file → ``triples(s, p, o)`` DataFrame (S7).
 
@@ -222,15 +212,21 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 def _term_col(c):
     """Unwrap one raw N-Triples/N-Quads term column: ``<iri>`` -> iri,
-    ``"lexical"[^^<dt>|@lang]`` -> lexical form, blank labels pass
-    through verbatim. ONE definition shared by both line readers so the
-    unwrapping rules can never diverge between them."""
+    plain ``"lexical"`` -> bare lexical form, while a TYPED or LANG-
+    TAGGED literal — ``"1"^^<...#int>`` / ``"chat"@fr`` — keeps its
+    N-Triples serialization verbatim (the round-12 encoded-term model:
+    sparql.py reads the suffix in LANG/DATATYPE/STR, numeric comparisons
+    and aggregates; term identity stays plain string equality, and
+    ``"1"^^xsd:int`` is correctly a DIFFERENT term from ``"1"``). Blank
+    labels pass through verbatim. ONE definition shared by both line
+    readers so the unwrapping rules can never diverge between them."""
     return (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
         .when(
-            c.startswith('"'),
-            F.regexp_extract(c, r'^"(.*)"(?:\^\^<[^>]*>|@[\w-]+)?$', 1),
+            c.startswith('"') & c.rlike(r'^".*"(\^\^<[^>]*>|@[\w-]+)$'),
+            c,
         )
+        .when(c.startswith('"'), F.regexp_extract(c, r'^"(.*)"$', 1))
         .otherwise(c)
     )
 

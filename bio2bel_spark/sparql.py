@@ -109,6 +109,18 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   rdflib's behavior, NOT a post-hoc ``col == value`` filter (which would
   drop the NULL rows).
 
+* **Typed literals (round 12)** — the scan keeps ``"lex"^^<dt>`` /
+  ``"lex"@lang`` serializations verbatim (the ENCODED-TERM model, see
+  ``_ENC_LIT_SHAPE``); the same forms are legal literal tokens in query
+  text. ``LANG``/``DATATYPE`` read the suffix (plain literals stay
+  ``""``/``xsd:string``; ``@lang`` literals are ``rdf:langString``),
+  the string/numeric functions and SUM/AVG operate on the lexical form,
+  ``isNumeric`` demands an xsd-numeric datatype on typed literals, and a
+  comparison with an xsd-numeric typed literal on either side compares
+  by VALUE per §17.3 ("10"^^xsd:integer > "9"^^xsd:integer). Everything
+  else — joins, GROUP BY, DISTINCT, sameTerm — is term identity on the
+  serialization, which is exactly RDF's simple-entailment term equality.
+
 Plan shape (Spark-first): each triple pattern is one filtered projection of
 the triples table (constant predicates become pushable scan filters); shared
 variables become hash-join keys; Catalyst reorders the join tree, prunes
@@ -144,7 +156,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<iri><[^<>\s]*>)
-  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
@@ -231,9 +243,56 @@ _BLANK_SHAPE = r"^_:"
 #: xsd numeric lexical space (integer/decimal/double incl. exponent form) —
 #: the isNumeric test for a model that stores every value as its lexical form
 _NUMERIC_SHAPE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
-#: the only datatype a simple-literal-only model can carry (the N-Triples
-#: scan strips ^^<dt> and @lang at ingest, ingest.py:219)
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+#: ENCODED-TERM MODEL (round 12): a typed or language-tagged literal keeps
+#: its N-Triples serialization as the term string — ``"1"^^<...#integer>``,
+#: ``"chat"@fr`` — while IRIs, blank labels and PLAIN literals stay bare
+#: (the pre-round-12 string model, byte-identical). Term identity is still
+#: plain string equality, so BGP joins / GROUP BY / DISTINCT / sameTerm
+#: need no type awareness ("1"^^xsd:int and "1" are distinct RDF terms —
+#: correct); only the value layer (STR/LANG/DATATYPE, string + numeric
+#: functions, comparisons, SUM/AVG) decodes the suffix. The scan keeps the
+#: serialization verbatim (ingest.py _term_col), and the query grammar
+#: accepts the same two suffix forms on string tokens.
+#: Groups: 1 = lexical form, 2 = datatype IRI, 3 = lang tag.
+_ENC_LIT_SHAPE = r'^"(.*)"(\^\^<([^>]*)>|@([A-Za-z0-9-]+))$'
+_ENC_LEX_G, _ENC_DT_G, _ENC_LANG_G = 1, 3, 4
+#: the xsd numeric datatypes (§17.3 operand category) as a local-name set
+_XSD_NUM_LOCAL = (
+    "integer|decimal|double|float|int|long|short|byte|negativeInteger|"
+    "nonNegativeInteger|nonPositiveInteger|positiveInteger|unsignedLong|"
+    "unsignedInt|unsignedShort|unsignedByte"
+)
+_XSD_NUMERIC_DT_SHAPE = (
+    r"^http://www\.w3\.org/2001/XMLSchema#(" + _XSD_NUM_LOCAL + r")$"
+)
+#: one-regex test: an encoded literal whose datatype is xsd-numeric
+_TYPED_NUM_SHAPE = (
+    r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#('
+    + _XSD_NUM_LOCAL + r")>$"
+)
+
+
+def _lex(c: Column) -> Column:
+    """Lexical form of a term: strips the ``^^<dt>`` / ``@lang`` suffix
+    from an encoded typed/lang literal; identity for IRIs, blank labels
+    and plain literals. The ``startswith('"')`` guard keeps the regex off
+    the hot path — codegen's ``&&`` short-circuits, and ordinary terms
+    never start with a quote."""
+    return F.when(
+        c.startswith('"') & c.rlike(_ENC_LIT_SHAPE),
+        F.regexp_extract(c, _ENC_LIT_SHAPE, _ENC_LEX_G),
+    ).otherwise(c)
+
+
+def _num(c: Column) -> Column:
+    """Numeric value of a term (or NULL = expression error): the lexical
+    form when it is in the xsd numeric lexical space, cast to double.
+    Used by the typed-comparison branch and the numeric builtins."""
+    lx = _lex(c)
+    return F.when(lx.rlike(_NUMERIC_SHAPE), lx).try_cast("double")
 
 
 class _Parser:
@@ -1027,7 +1086,7 @@ class _Parser:
             pre, _, local = v.partition(":")
             return ("pname", pre, local)
         if kind == "string":
-            return ("const", _unquote(v))
+            return ("const", _string_token_value(v))
         if kind == "number":
             return ("const", v)
         raise SparqlError(f"bad term {v!r}")
@@ -1121,7 +1180,7 @@ class _Parser:
             return ("var", v[1:])
         if kind == "string":
             self.next()
-            return ("lit", _unquote(v))
+            return ("lit", _string_token_value(v))
         if kind == "number":
             self.next()
             return ("lit", float(v) if "." in v else int(v))
@@ -1143,6 +1202,14 @@ class _Parser:
 def _unquote(s: str) -> str:
     body = s[1:-1]
     return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def _string_token_value(v: str) -> str:
+    """Value of a ``string`` token: a PLAIN ``"..."`` unquotes to its bare
+    lexical form (the string model), while a typed/lang-tagged literal —
+    ``"..."^^<dt>`` / ``"..."@lang`` — keeps its N-Triples serialization
+    verbatim, matching what the scan stores (encoded-term model)."""
+    return _unquote(v) if v.endswith('"') else v
 
 
 # ------------------------------------------------------------------- compiler
@@ -1536,10 +1603,43 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
     if kind == "cmp":
         _, op, l, r = expr
         lc, rc = _operand(l, bound), _operand(r, bound)
-        return {
+        raw = {
             "=": lc == rc, "!=": lc != rc, "<": lc < rc,
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[op]
+        if not (_maybe_encoded(l) or _maybe_encoded(r)):
+            # neither operand can hold an encoded typed literal — keep
+            # the pre-round-12 plan (zero typed-model overhead)
+            return raw
+        # §17.3 numeric operand category: when either side is an xsd-
+        # numeric typed literal, compare by VALUE ("10"^^xsd:integer >
+        # "9"^^xsd:integer); the other side contributes its numeric
+        # value or NULL (a non-numeric operand is the spec's type
+        # error -> NULL -> effective false). Plain-vs-plain rows keep
+        # the raw (lexical, DuckDB-VARCHAR-matching) comparison, so the
+        # untyped path is byte-identical to the string model. The
+        # startswith guard short-circuits the regex off ordinary terms.
+        ls, rs = lc.cast("string"), rc.cast("string")
+        ln, rn = _num(ls), _num(rs)
+        num = {
+            "=": ln == rn, "!=": ln != rn, "<": ln < rn,
+            "<=": ln <= rn, ">": ln > rn, ">=": ln >= rn,
+        }[op]
+        if any(
+            t[0] == "lit" and isinstance(t[1], (int, float))
+            for t in (l, r)
+        ):
+            # a bare NUMBER token forces the numeric category outright:
+            # the other side contributes its numeric value (typed
+            # encoding stripped) or NULL — the spec's type-error-is-
+            # false, where the legacy raw path would ANSI-throw on the
+            # first non-castable row. Castable rows are value-identical
+            # to the legacy implicit double coercion.
+            return num
+        typed = (ls.startswith('"') & ls.rlike(_TYPED_NUM_SHAPE)) | (
+            rs.startswith('"') & rs.rlike(_TYPED_NUM_SHAPE)
+        )
+        return F.when(typed, num).otherwise(raw)
     if kind == "in":
         # §17.4.1.9: IN = equality against each member ('||'-chained);
         # an all-literal list compiles to isin — a PUSHABLE scan
@@ -1587,7 +1687,21 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
                 & ~a0.rlike(_BLANK_SHAPE)
             )
         if fn == "ISNUMERIC":
-            return a0.rlike(_NUMERIC_SHAPE)
+            # encoded typed literal: numeric iff the datatype is xsd-
+            # numeric AND the lexical form is in the numeric space (an
+            # @lang or xsd:string literal is NOT numeric even when its
+            # content looks like a number); plain terms keep the string
+            # model's lexical-shape test (documented approximation: a
+            # plain "12" answers true)
+            return F.when(
+                a0.startswith('"') & a0.rlike(_ENC_LIT_SHAPE),
+                F.regexp_extract(a0, _ENC_LIT_SHAPE, _ENC_DT_G).rlike(
+                    _XSD_NUMERIC_DT_SHAPE
+                )
+                & F.regexp_extract(a0, _ENC_LIT_SHAPE, _ENC_LEX_G).rlike(
+                    _NUMERIC_SHAPE
+                ),
+            ).otherwise(a0.rlike(_NUMERIC_SHAPE))
         if fn == "REGEX" and len(args) == 3:
             # REGEX(?x, "pat", "flags") — XPath flags i/s/m/x map 1:1 to
             # Java inline flags, so prefix the pattern; 'q' (literal
@@ -1601,25 +1715,45 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
             if not flags:
                 # flags="" is legal fn:matches and means the 2-arg form
                 # ("(?)" would be a Java regex syntax error)
-                return a0.rlike(pat)
-            return a0.rlike(f"(?{flags}){pat}")
+                return _lex(a0).rlike(pat)
+            return _lex(a0).rlike(f"(?{flags}){pat}")
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
         lit = str(args[1][1])
+        # string tests run over the LEXICAL form (typed/lang-tagged
+        # literals match by their content, not their serialization)
         if fn == "REGEX":
-            return a0.rlike(lit)
+            return _lex(a0).rlike(lit)
         if fn == "CONTAINS":
-            return a0.contains(lit)
+            return _lex(a0).contains(lit)
         if fn == "STRSTARTS":
-            return a0.startswith(lit)
+            return _lex(a0).startswith(lit)
         if fn == "STRENDS":
-            return a0.endswith(lit)
+            return _lex(a0).endswith(lit)
     if kind == "agg_expr":
         raise SparqlError(
             "aggregate calls are only valid inside HAVING constraints "
             "and SELECT expressions"
         )
     raise SparqlError(f"unsupported filter expression {expr!r}")
+
+
+def _maybe_encoded(term) -> bool:
+    """Parse-time test: can this comparison operand's VALUE be an encoded
+    typed literal at runtime? Variables can hold anything the scan
+    loaded; a quoted literal node is encoded iff its payload carries the
+    serialization; numbers / IRIs-as-strings / function results never
+    are. Gates the typed-comparison branch so literal-only comparisons
+    keep their original (pushdown-friendly) plan."""
+    if term[0] == "var":
+        return True
+    if term[0] == "lit":
+        return isinstance(term[1], str) and term[1].startswith('"')
+    if term[0] == "call":
+        # IF/COALESCE pass term VALUES through; every other function
+        # returns a plain lexical/numeric/boolean result
+        return term[1] in ("IF", "COALESCE")
+    return False  # boolean trees (and/or/not/cmp/in/exists) never are
 
 
 def _operand(term, bound: set[str]) -> Column:
@@ -1668,7 +1802,10 @@ def _value_expr(expr, bound: set[str]) -> Column:
         fn, args = expr[1], expr[2]
         if fn == "CONCAT":
             return F.concat(
-                *[_value_expr(a, bound).cast("string") for a in args]
+                *[
+                    _lex(_value_expr(a, bound).cast("string"))
+                    for a in args
+                ]
             )
         if fn == "IF":
             # IF(cond, then, else) — cond must be a boolean expression
@@ -1697,26 +1834,41 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 *[_value_expr(a, bound).cast("string") for a in args]
             )
         a0 = _value_expr(args[0], bound)
+        if fn in (
+            "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
+            "STRBEFORE", "STRAFTER",
+        ):
+            # the string functions operate on the LEXICAL form — a typed
+            # or lang-tagged literal contributes its quoted content, not
+            # its serialization (encoded-term model). Their outputs are
+            # plain strings (UCASE/etc. dropping an input's lang tag is a
+            # documented approximation of the spec's tag-preserving rule).
+            a0 = _lex(a0)
         if fn == "LANG":
-            # the N-Triples scan strips @tags at ingest (ingest.py:219),
-            # so every literal this model holds is a simple literal:
-            # LANG(literal) = "" is the exact spec answer for the terms
-            # the model can represent; LANG of an IRI or blank node is an
+            # encoded-term model: a lang-tagged literal carries its tag
+            # in the serialization (@tag -> group _ENC_LANG_G); typed and
+            # plain literals answer "" (regexp_extract's no-match value —
+            # the exact spec answer); LANG of an IRI or blank node is an
             # expression error -> NULL (unbound)
             return F.when(
                 a0.isNotNull()
                 & ~a0.rlike(_IRI_SHAPE)
                 & ~a0.rlike(_BLANK_SHAPE),
-                F.lit(""),
+                F.regexp_extract(a0, _ENC_LIT_SHAPE, _ENC_LANG_G),
             )
         if fn == "DATATYPE":
-            # simple literals only (see LANG): DATATYPE(literal) =
-            # xsd:string exactly; error (NULL) on IRI / blank terms
+            # encoded-term model: ^^<dt> answers dt, an @lang literal is
+            # rdf:langString (RDF 1.1), a plain literal xsd:string;
+            # error (NULL) on IRI / blank terms
+            dt = F.regexp_extract(a0, _ENC_LIT_SHAPE, _ENC_DT_G)
+            lang = F.regexp_extract(a0, _ENC_LIT_SHAPE, _ENC_LANG_G)
             return F.when(
                 a0.isNotNull()
                 & ~a0.rlike(_IRI_SHAPE)
                 & ~a0.rlike(_BLANK_SHAPE),
-                F.lit(_XSD_STRING),
+                F.when(dt != "", dt)
+                .when(lang != "", F.lit(_RDF_LANGSTRING))
+                .otherwise(F.lit(_XSD_STRING)),
             )
         if fn in ("ABS", "CEIL", "FLOOR", "ROUND"):
             # numeric fns operate on the lexical form, and their domain
@@ -1728,7 +1880,9 @@ def _value_expr(expr, bound: set[str]) -> Column:
             # Magnitudes beyond the long range still clamp at the long
             # extremes (Spark's primitive floor/ceil-to-long cast) — a
             # documented approximation at astronomical lexical forms.
-            num = F.when(a0.rlike(_NUMERIC_SHAPE), a0).try_cast("double")
+            # Typed numerics contribute their LEXICAL form (_num strips
+            # the ^^<dt> encoding before the shape test + cast).
+            num = _num(a0)
             if fn == "ABS":
                 return F.abs(num)
             if fn == "CEIL":
@@ -2434,10 +2588,12 @@ def _agg_column(
             "(COUNT and GROUP_CONCAT only)"
         )
     if fn == "SUM":
-        s = F.sum(col.cast("double"))
+        # _lex: a typed numeric ("5"^^xsd:integer) sums by its lexical
+        # form; plain terms are untouched (identity)
+        s = F.sum(_lex(col).cast("double"))
         return s if grouped else F.coalesce(s, F.lit(0.0))
     if fn == "AVG":
-        a = F.avg(col.cast("double"))
+        a = F.avg(_lex(col).cast("double"))
         return a if grouped else F.coalesce(a, F.lit(0.0))
     if fn == "MIN" or fn == "SAMPLE":
         return F.min(col)

@@ -177,7 +177,10 @@ def test_read_nquads(spark, tmp_path):
     assert got == [
         (None, "a", "v0"),
         ("http://g.org/one", "a", "v1"),
-        ("http://g.org/one", "c", "typed"),
+        # round 12: a typed literal KEEPS its serialization (encoded-term
+        # model, ingest._term_col) — "1"^^xsd:int and "1" are distinct terms
+        ("http://g.org/one", "c",
+         '"typed"^^<http://www.w3.org/2001/XMLSchema#string>'),
         ("http://g.org/two", "b", "http://ex.org/a"),
     ]
 
