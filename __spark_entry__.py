@@ -1305,6 +1305,40 @@ def _scale_quads(spark, sf_dir):
     return t.select(g.alias("g"), "s", "p", "o")
 
 
+def q_sparql_update_quads(spark, sf_dir):
+    """Graph-targeted SPARQL 1.1 UPDATE driver-checked at bench scale
+    (round-12 verdict ask #4): op 1 is a ``WITH <graph://part>`` modify
+    that re-files every Brand#1x part — the DELETE template removes its
+    ex:inBrand row from the WITH graph, one INSERT template writes an
+    ex:brandTier marker back into the WITH graph, and a second
+    ``GRAPH <graph://audit>`` template block writes the old brand into a
+    NEW named graph; op 2 is ``CLEAR GRAPH <graph://orders>``. Deletes
+    are null-safe hash anti-joins on (g, s, p, o); CLEAR is a pushed
+    scan filter. The result is projected to the four touched predicates
+    (status must come back EMPTY — its graph was cleared; lineitem and
+    default-graph rows are untouched by construction). The oracle
+    replays (G \\ D) ∪ I per graph as SQL set ops."""
+    from bio2bel_spark.sparql import sparql_update
+
+    ex = "http://ex.org/"
+    out = sparql_update(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           WITH <graph://part>
+           DELETE { ?p ex:inBrand ?b }
+           INSERT { ?p ex:brandTier "tier1" .
+                    GRAPH <graph://audit> { ?p ex:wasBrand ?b } }
+           WHERE { ?p ex:inBrand ?b . FILTER(STRSTARTS(?b, "Brand#1")) } ;
+           CLEAR GRAPH <graph://orders>""",
+    )
+    return out.filter(
+        F.col("p").isin(
+            [ex + "inBrand", ex + "brandTier", ex + "wasBrand",
+             ex + "status"]
+        )
+    )
+
+
 def q_sparql_graph_scale(spark, sf_dir):
     """Named graphs driver-checked at bench scale: GRAPH ?g binds the
     graph label per solution (all-named-graphs scan + g projected as a
@@ -4567,6 +4601,7 @@ QUERIES: dict[str, Callable] = {
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
     "sparql_typed_literals": q_sparql_typed_literals,  # never driver-checked
+    "sparql_update_quads": q_sparql_update_quads,  # never driver-checked
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4615,8 +4650,8 @@ QUERIES: dict[str, Callable] = {
     "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
-    "target_encoding": q_target_encoding,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "target_encoding": q_target_encoding,  # last green r06
     "k_core": q_k_core,  # last green r06
     "k_hop_profile": q_k_hop_profile,  # last green r06
     "pathway_enrichment": q_pathway_enrichment,  # last green r06
@@ -9405,6 +9440,26 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
             GROUP BY 1
+        """,
+        "sparql_update_quads": "WITH " + _SCALE_TRIPLES_SQL + """
+            -- (G \\ D) ∪ I per graph, projected to the touched
+            -- predicates; graph://orders was CLEARed so status
+            -- contributes nothing
+            SELECT * FROM (
+                -- G \\ D: inBrand survivors in the WITH graph
+                SELECT 'graph://part' AS g, s,
+                       'http://ex.org/inBrand' AS p, o
+                FROM ib WHERE o NOT LIKE 'Brand#1%'
+                UNION ALL
+                -- I template 1: the brandTier marker (WITH target)
+                SELECT DISTINCT 'graph://part', s,
+                       'http://ex.org/brandTier', 'tier1'
+                FROM ib WHERE o LIKE 'Brand#1%'
+                UNION ALL
+                -- I template 2: the audit quad (GRAPH block target)
+                SELECT 'graph://audit', s, 'http://ex.org/wasBrand', o
+                FROM ib WHERE o LIKE 'Brand#1%'
+            )
         """,
         "sparql_typed_literals": """
             -- typed-literal replay: the encoded "..."^^xsd:decimal /

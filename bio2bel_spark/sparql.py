@@ -412,6 +412,63 @@ class _Parser:
             raise SparqlError(f"{what} needs at least one triple")
         return template
 
+    def parse_graph_name(self, allow_var: bool = True):
+        """``?var`` (when allowed) / ``<iri>`` / ``prefix:name`` — the
+        graph-name position of GRAPH / WITH / USING clauses."""
+        gkind, gv = self.peek()
+        if gkind == "var" and allow_var:
+            self.next()
+            return ("var", gv[1:])
+        if gkind == "iri":
+            self.next()
+            return ("const", gv[1:-1])
+        if gkind == "pname":
+            self.next()
+            pre, _, local = gv.partition(":")
+            return ("pname", pre, local)
+        raise SparqlError(
+            "expected a graph name ("
+            + ("?var or " if allow_var else "")
+            + f"an IRI), got {gv!r}"
+        )
+
+    def parse_quad_block(self, what: str, ground: bool = False):
+        """A braced block of triples and ``GRAPH term { triples }``
+        sub-blocks — the QUAD template form of the UPDATE operations
+        (round 12). Returns ``(g, s, p, o)`` 4-tuples: ``g`` is None for
+        triples outside any GRAPH (the operation's WITH target, else the
+        default graph), a const/pname term for ``GRAPH <iri>``, or a var
+        term for ``GRAPH ?g`` (template position — bound by the WHERE).
+        ``ground=True`` additionally rejects variables anywhere,
+        including the graph position, per spec."""
+        self.expect("{")
+        template: list = []
+        while True:
+            kind, v = self.peek()
+            if v == "}":
+                self.next()
+                break
+            if v == ".":
+                self.next()
+                continue
+            if kind == "keyword" and v.upper() == "GRAPH":
+                self.next()
+                gterm = self.parse_graph_name(allow_var=not ground)
+                inner = self.parse_template_block(what, ground=ground)
+                template.extend((gterm, s, p, o) for s, p, o in inner)
+                continue
+            s = self.parse_term()
+            p = self.parse_term()
+            o = self.parse_term()
+            if ground and any(t[0] == "var" for t in (s, p, o)):
+                raise SparqlError(
+                    f"{what} triples must be ground (no variables)"
+                )
+            template.append((None, s, p, o))
+        if not template:
+            raise SparqlError(f"{what} needs at least one triple")
+        return template
+
     def parse_construct(self):
         """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
         LIMIT/OFFSET]`` — the graph-building query form. The template is
@@ -434,63 +491,120 @@ class _Parser:
     #: graph-management / federation forms that cannot mean anything over
     #: a single (s, p, o) DataFrame — rejected with a pointed error
     _UNSUPPORTED_UPDATE = {
-        "CLEAR", "DROP", "LOAD", "CREATE", "COPY", "MOVE", "ADD", "WITH",
-        "USING", "GRAPH",
+        "LOAD", "CREATE", "COPY", "MOVE", "ADD", "GRAPH",
     }
+
+    def parse_using(self):
+        """``USING <g>`` / ``USING NAMED <g>`` clauses (zero or more) —
+        the WHERE dataset of a modify, exactly FROM / FROM NAMED's
+        semantics (SPARQL 1.1 Update §3.1.3). Returns (default_terms,
+        named_terms) or None when absent."""
+        default, named = [], []
+        while self.at_keyword("USING"):
+            self.next()
+            if self.at_keyword("NAMED"):
+                self.next()
+                named.append(self.parse_graph_name(allow_var=False))
+            else:
+                default.append(self.parse_graph_name(allow_var=False))
+        return (default, named) if (default or named) else None
 
     def parse_update_op(self):
         """One SPARQL 1.1 Update operation (after any PREFIX decls):
         ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` / the
-        general ``[DELETE {t}] [INSERT {t}] WHERE {group}`` modify form.
-        Returns ("data", delete_triples, insert_triples) — ground — or
-        ("modify", delete_template, insert_template, group)."""
+        general ``[WITH <g>] [DELETE {t}] [INSERT {t}] USING* WHERE
+        {group}`` modify form / ``CLEAR|DROP [SILENT] (GRAPH <g> |
+        DEFAULT | NAMED | ALL)``. Templates are QUAD templates —
+        ``GRAPH term { ... }`` sub-blocks target named graphs (round
+        12). Returns ("data", delete_quads, insert_quads) — ground —
+        ("modify", delete_template, insert_template, group, with_g,
+        using), or ("clear", target) with target ("graph", term) /
+        "default" / "named" / "all"."""
         kind, v = self.peek()
         if kind == "keyword" and v.upper() in self._UNSUPPORTED_UPDATE:
             raise SparqlError(
-                f"{v.upper()} is a graph-management/federation form — "
-                "not meaningful over a single-DataFrame graph (supported: "
-                "INSERT DATA, DELETE DATA, DELETE WHERE, "
-                "DELETE/INSERT ... WHERE)"
+                f"{v.upper()} is outside the supported UPDATE subset "
+                "(supported: INSERT DATA, DELETE DATA, DELETE WHERE, "
+                "[WITH] DELETE/INSERT ... [USING] WHERE, CLEAR, DROP)"
             )
+        if self.at_keyword("CLEAR") or self.at_keyword("DROP"):
+            # DROP == CLEAR here: the store keeps no empty-graph
+            # bookkeeping (a graph IS its rows), so removing a graph's
+            # rows and dropping the graph coincide
+            self.next()
+            if self.at_keyword("SILENT"):
+                self.next()  # nothing to be loud about: no catalogs
+            if self.at_keyword("DEFAULT"):
+                self.next()
+                return ("clear", "default")
+            if self.at_keyword("NAMED"):
+                self.next()
+                return ("clear", "named")
+            if self.at_keyword("ALL"):
+                self.next()
+                return ("clear", "all")
+            if not self.at_keyword("GRAPH"):
+                raise SparqlError(
+                    "CLEAR/DROP needs GRAPH <g>, DEFAULT, NAMED or ALL"
+                )
+            self.next()
+            return ("clear", ("graph", self.parse_graph_name(False)))
+        with_g = None
+        if self.at_keyword("WITH"):
+            self.next()
+            with_g = self.parse_graph_name(allow_var=False)
         if self.at_keyword("INSERT"):
             self.next()
             if self.at_keyword("DATA"):
+                if with_g is not None:
+                    raise SparqlError("WITH does not apply to INSERT DATA")
                 self.next()
-                data = self.parse_template_block("INSERT DATA", ground=True)
+                data = self.parse_quad_block("INSERT DATA", ground=True)
                 return ("data", None, data)
-            ins = self.parse_template_block("INSERT template")
+            ins = self.parse_quad_block("INSERT template")
+            using = self.parse_using()
             if not self.at_keyword("WHERE"):
                 raise SparqlError(
                     "INSERT { ... } needs WHERE { ... } "
                     "(use INSERT DATA for ground triples)"
                 )
             self.next()
-            return ("modify", None, ins, self.parse_group())
+            return ("modify", None, ins, self.parse_group(), with_g, using)
         if not self.at_keyword("DELETE"):
-            raise SparqlError("expected INSERT or DELETE")
+            raise SparqlError("expected INSERT, DELETE, CLEAR or DROP")
         self.next()
         if self.at_keyword("DATA"):
+            if with_g is not None:
+                raise SparqlError("WITH does not apply to DELETE DATA")
             self.next()
-            data = self.parse_template_block("DELETE DATA", ground=True)
+            data = self.parse_quad_block("DELETE DATA", ground=True)
             return ("data", data, None)
         if self.at_keyword("WHERE"):
-            # DELETE WHERE { triples }: the pattern IS the template
+            # DELETE WHERE { quads }: the pattern IS the template; a
+            # GRAPH block deletes from (and matches in) that graph
             self.next()
-            tmpl = self.parse_template_block("DELETE WHERE")
-            group = [("triple", s, p, o) for (s, p, o) in tmpl]
-            return ("modify", tmpl, None, group)
-        delete_t = self.parse_template_block("DELETE template")
+            tmpl = self.parse_quad_block("DELETE WHERE")
+            group = [
+                ("triple", s, p, o) if g is None
+                else ("graph", g, [("triple", s, p, o)])
+                for (g, s, p, o) in tmpl
+            ]
+            return ("modify", tmpl, None, group, with_g, None)
+        delete_t = self.parse_quad_block("DELETE template")
         insert_t = None
         if self.at_keyword("INSERT"):
             self.next()
-            insert_t = self.parse_template_block("INSERT template")
+            insert_t = self.parse_quad_block("INSERT template")
+        using = self.parse_using()
         if not self.at_keyword("WHERE"):
             raise SparqlError(
                 "DELETE { ... } needs WHERE { ... } (use DELETE DATA "
                 "for ground triples or DELETE WHERE for the shorthand)"
             )
         self.next()
-        return ("modify", delete_t, insert_t, self.parse_group())
+        return (
+            "modify", delete_t, insert_t, self.parse_group(), with_g, using
+        )
 
     def parse_update(self):
         """``PREFIX* op ( ';' PREFIX* op )* ';'?`` — a sequence of update
@@ -829,19 +943,7 @@ class _Parser:
                 elements.append(("optional", self.parse_group()))
             elif self.at_keyword("GRAPH"):
                 self.next()
-                gkind, gv = self.peek()
-                if gkind == "var":
-                    self.next()
-                    gterm = ("var", gv[1:])
-                elif gkind == "iri":
-                    self.next()
-                    gterm = ("const", gv[1:-1])
-                elif gkind == "pname":
-                    self.next()
-                    pre, _, local = gv.partition(":")
-                    gterm = ("pname", pre, local)
-                else:
-                    raise SparqlError("GRAPH needs ?var or an IRI")
+                gterm = self.parse_graph_name()
                 elements.append(("graph", gterm, self.parse_group()))
             elif self.at_keyword("FILTER"):
                 self.next()
@@ -3529,11 +3631,13 @@ def sparql_construct(
 
 def _validate_template(template, columns, label: str) -> None:
     """Reject a template referencing a variable the WHERE pattern never
-    binds — at compile time, before any job can run."""
+    binds — at compile time, before any job can run. Accepts triple
+    (s, p, o) and quad (g, s, p, o) templates — a quad's graph position
+    is None for outside-GRAPH triples."""
     cols = set(columns)
     for tri in template:
         for term in tri:
-            if term[0] == "var" and term[1] not in cols:
+            if term is not None and term[0] == "var" and term[1] not in cols:
                 raise SparqlError(
                     f"{label} template variable ?{term[1]} is never "
                     "bound by the WHERE pattern"
@@ -3579,12 +3683,24 @@ def sparql_update(
     operation produced (the spec's evaluation order).
 
     Supported operations: ``INSERT DATA { ... }`` / ``DELETE DATA
-    { ... }`` (ground triples), ``DELETE WHERE { triples }`` (the
-    pattern is the template), and the general modify form ``DELETE
-    { t } INSERT { t } WHERE { group }`` with either template optional.
-    Graph-management / federation forms (CLEAR, DROP, LOAD, WITH,
-    GRAPH, ...) are rejected at parse — they have no meaning over a
-    single-DataFrame graph.
+    { ... }`` (ground triples/quads), ``DELETE WHERE { quads }`` (the
+    pattern is the template), the general modify form ``[WITH <g>]
+    DELETE { t } INSERT { t } [USING [NAMED] <g>]* WHERE { group }``
+    with either template optional, and ``CLEAR`` / ``DROP``
+    ``(GRAPH <g> | DEFAULT | NAMED | ALL)``. ``LOAD`` / ``CREATE`` /
+    ``COPY`` / ``MOVE`` / ``ADD`` stay rejected at parse.
+
+    GRAPH TARGETING (round 12): over a QUAD input (a ``g`` column, see
+    :func:`bio2bel_spark.ingest.read_nquads`) templates may contain
+    ``GRAPH term { triples }`` sub-blocks (constants or WHERE-bound
+    variables), ``WITH <g>`` makes g both the template target for
+    non-GRAPH triples and the WHERE's default graph, ``USING`` /
+    ``USING NAMED`` build the WHERE dataset exactly like FROM / FROM
+    NAMED, and CLEAR/DROP remove graphs (DROP == CLEAR: a graph IS its
+    rows — no empty-graph bookkeeping exists to distinguish them).
+    Over a plain TRIPLE input the graph-targeted forms raise; the
+    non-graph subset behaves exactly as before (CLEAR DEFAULT / ALL
+    empty the store, CLEAR NAMED is a no-op).
 
     Set semantics: the input is assumed to be a graph (a SET of
     triples — dropDuplicates first if unsure) and the result is a
@@ -3600,7 +3716,10 @@ def sparql_update(
     subset its own pattern/templates mention — a binding consumed by op
     1 must not make op 2 raise.
 
-    Scale shape: deletes are hash anti-joins on ``(s, p, o)``; DATA
+    Scale shape: deletes are hash anti-joins on ``(s, p, o)`` — over a
+    quad store on ``(g, s, p, o)`` with a NULL-SAFE g key (the default
+    graph is g IS NULL; EqualNullSafe is still a hash-join key, never a
+    nested loop) — CLEAR/DROP are pushed scan filters; DATA
     payloads are driver-literal by construction and broadcast; a modify
     carrying BOTH templates computes its solution table once and shares
     it across the two instantiations (tracked_persist — the same
@@ -3613,12 +3732,7 @@ def sparql_update(
     with rdflib); this engine returns the new graph instead of mutating
     in place — callers re-assign, exactly like every other DataFrame op.
     """
-    if "g" in triples.columns:
-        raise SparqlError(
-            "UPDATE over a quad store is not supported (deletes/inserts "
-            "are (s, p, o) triples — which graph would they target?); "
-            "filter to one graph and drop the 'g' column first"
-        )
+    has_g = "g" in triples.columns
     toks = _tokenize(query)
     ops = _Parser(toks).parse_update()
     per_op_vars = [_update_op_vars(op) for _, op in ops]
@@ -3639,13 +3753,44 @@ def sparql_update(
             if bindings
             else None
         )
+        if not has_g:
+            _reject_graph_targeting(op)
         sol_graph = graph.dropDuplicates() if dirty else graph
         graph = _apply_update_op(
-            graph, op, pfx, op_bindings, max_path_depth, sol_graph
+            graph, op, pfx, op_bindings, max_path_depth, sol_graph, has_g
         )
-        if op[2]:  # ("data", dels, INS) / ("modify", del_t, INS_T, group)
+        if op[0] != "clear" and op[2]:
+            # ("data", dels, INS) / ("modify", del_t, INS_T, ...)
             dirty = True
     return graph.dropDuplicates()
+
+
+def _reject_graph_targeting(op) -> None:
+    """Over a plain TRIPLE input the graph-targeted forms have nothing
+    to target — loud error, never a silent no-op. (CLEAR DEFAULT / ALL
+    stay legal: a triple store IS one default graph; CLEAR NAMED is a
+    legal no-op — there are no named graphs to clear.)"""
+    msg = (
+        "graph-targeted UPDATE ({}) needs a quad input (a 'g' column — "
+        "see ingest.read_nquads); this store is plain (s, p, o) triples"
+    )
+    if op[0] == "clear":
+        if isinstance(op[1], tuple):
+            raise SparqlError(msg.format("CLEAR/DROP GRAPH"))
+        return
+    if op[0] == "data":
+        _, dels, ins = op
+        if any(q[0] is not None for q in (dels or []) + (ins or [])):
+            raise SparqlError(msg.format("GRAPH block in DATA"))
+        return
+    _, delete_t, insert_t, _group, with_g, using = op
+    if with_g is not None:
+        raise SparqlError(msg.format("WITH"))
+    if using is not None:
+        raise SparqlError(msg.format("USING"))
+    for tmpl in (delete_t, insert_t):
+        if tmpl and any(q[0] is not None for q in tmpl):
+            raise SparqlError(msg.format("GRAPH block in a template"))
 
 
 def _update_op_vars(op) -> set:
@@ -3654,12 +3799,84 @@ def _update_op_vars(op) -> set:
     like CONSTRUCT's extra_bindable)."""
     if op[0] != "modify":
         return set()
-    _, delete_t, insert_t, group = op
+    delete_t, insert_t, group = op[1], op[2], op[3]
     vars_ = set(_collect_vars(group))
     for tmpl in (delete_t, insert_t):
         if tmpl:
-            vars_ |= {t[1] for tri in tmpl for t in tri if t[0] == "var"}
+            vars_ |= {
+                t[1]
+                for quad in tmpl
+                for t in quad
+                if t is not None and t[0] == "var"
+            }
     return vars_
+
+
+def _apply_clear(graph: DataFrame, target, pfx, has_g: bool) -> DataFrame:
+    """CLEAR / DROP as a pushed scan filter over the store. The NULL-
+    aware forms: the default graph is the g-IS-NULL rows, so CLEAR
+    GRAPH <g> must KEEP them (plain ``g != iri`` would three-value-NULL
+    them away)."""
+    if not has_g:
+        # a triple store is exactly one default graph
+        return graph if target == "named" else graph.limit(0)
+    if target == "all":
+        return graph.limit(0)
+    if target == "default":
+        return graph.filter(F.col("g").isNotNull())
+    if target == "named":
+        return graph.filter(F.col("g").isNull())
+    iri = str(_resolve(target[1], pfx)[1])
+    return graph.filter(F.col("g").isNull() | (F.col("g") != F.lit(iri)))
+
+
+def _anti_join_quads(graph: DataFrame, dels: DataFrame) -> DataFrame:
+    """``G \\ D`` over quads: hash anti-join on (g, s, p, o) with a
+    NULL-SAFE g key — default-graph rows carry g NULL on both sides and
+    must still match (EqualNullSafe is a legal hash-join key, so the
+    plan stays a BroadcastHashJoin/SortMergeJoin, never a nested
+    loop)."""
+    d = dels.select(
+        *[F.col(c).alias(f"__del_{c}") for c in ("g", "s", "p", "o")]
+    )
+    cond = (
+        F.col("g").eqNullSafe(F.col("__del_g"))
+        & (F.col("s") == F.col("__del_s"))
+        & (F.col("p") == F.col("__del_p"))
+        & (F.col("o") == F.col("__del_o"))
+    )
+    return graph.join(d, cond, "left_anti")
+
+
+def _instantiate_quads(
+    out: DataFrame, template, pfx, with_g: "str | None"
+) -> DataFrame:
+    """Instantiate QUAD templates over a solution table: each template
+    quad is a projection of the solutions; triples outside any GRAPH
+    block target the WITH graph (or the default graph — g NULL); a
+    solution leaving s/p/o (or a variable graph position) unbound emits
+    no quad, per spec."""
+
+    def _pos(term) -> Column:
+        if term[0] == "var":
+            return F.col(term[1])
+        return F.lit(str(_resolve(term, pfx)[1]))
+
+    built = None
+    for g, s, p, o in template:
+        gcol = F.lit(with_g).cast("string") if g is None else _pos(g)
+        row = out.select(
+            gcol.alias("g"), _pos(s).alias("s"),
+            _pos(p).alias("p"), _pos(o).alias("o"),
+        )
+        # g NULL is a legitimate target (the default graph) — only an
+        # unbound VARIABLE graph position suppresses the quad
+        subset = ["s", "p", "o"] + (
+            ["g"] if g is not None and g[0] == "var" else []
+        )
+        row = row.na.drop(subset=subset)
+        built = row if built is None else built.unionByName(row)
+    return built
 
 
 def _apply_update_op(
@@ -3669,41 +3886,82 @@ def _apply_update_op(
     bindings,
     max_path_depth: int,
     sol_graph: "DataFrame | None" = None,
+    has_g: bool = False,
 ) -> DataFrame:
     """``sol_graph`` is the graph the WHERE pattern evaluates over —
     deduped by the caller when an earlier op may have introduced
     duplicates (multiplicity is invisible to anti-join/union but NOT to
     aggregates inside the pattern); deletes/inserts still apply to the
-    raw ``graph``."""
+    raw ``graph``. ``has_g`` switches the quad-store path: templates
+    instantiate (g, s, p, o), deletes null-safe-join on g, and WITH /
+    USING shape the WHERE dataset."""
     if sol_graph is None:
         sol_graph = graph
     spark = graph.sparkSession
+    if op[0] == "clear":
+        return _apply_clear(graph, op[1], pfx, has_g)
     if op[0] == "data":
         _, dels, ins = op
+
+        def _ground(quads):
+            return [
+                (
+                    None if g is None else str(_resolve(g, pfx)[1]),
+                    str(_resolve(s, pfx)[1]),
+                    str(_resolve(p, pfx)[1]),
+                    str(_resolve(o, pfx)[1]),
+                )
+                for (g, s, p, o) in quads
+            ]
+
+        if has_g:
+            schema = "g string, s string, p string, o string"
+            if dels:
+                ddf = spark.createDataFrame(_ground(dels), schema)
+                graph = _anti_join_quads(graph, F.broadcast(ddf))
+            if ins:
+                graph = graph.unionByName(
+                    spark.createDataFrame(_ground(ins), schema)
+                )
+            return graph
         if dels:
             ddf = spark.createDataFrame(
-                [tuple(str(_resolve(t, pfx)[1]) for t in tri) for tri in dels],
-                "s string, p string, o string",
+                [r[1:] for r in _ground(dels)], "s string, p string, o string"
             )
             graph = graph.join(F.broadcast(ddf), ["s", "p", "o"], "left_anti")
         if ins:
             idf = spark.createDataFrame(
-                [tuple(str(_resolve(t, pfx)[1]) for t in tri) for tri in ins],
-                "s string, p string, o string",
+                [r[1:] for r in _ground(ins)], "s string, p string, o string"
             )
             graph = graph.unionByName(idf)
         return graph
-    _, delete_t, insert_t, group = op
+    _, delete_t, insert_t, group, with_g, using = op
+    wg = None if with_g is None else str(_resolve(with_g, pfx)[1])
+    where_graph = sol_graph
+    if has_g:
+        if using is not None:
+            # USING / USING NAMED are FROM / FROM NAMED for the WHERE
+            where_graph = _apply_dataset_clauses(
+                sol_graph,
+                {"from_default": using[0], "from_named": using[1]},
+                pfx,
+            )
+        elif wg is not None:
+            # WITH: the WHERE's default graph is g's contents; named
+            # graphs stay addressable (g itself included), per §3.1.3
+            where_graph = sol_graph.filter(F.col("g") == wg).withColumn(
+                "g", F.lit(None).cast("string")
+            ).unionByName(sol_graph.filter(F.col("g").isNotNull()))
     template_vars = {
         t[1]
         for tmpl in (delete_t, insert_t)
         if tmpl
-        for tri in tmpl
-        for t in tri
-        if t[0] == "var"
+        for quad in tmpl
+        for t in quad
+        if t is not None and t[0] == "var"
     }
     sol, _ = _solutions(
-        sol_graph, group, pfx, bindings, max_path_depth,
+        where_graph, group, pfx, bindings, max_path_depth,
         extra_bindable=template_vars,
     )
     for tmpl, label in ((delete_t, "DELETE"), (insert_t, "INSERT")):
@@ -3714,12 +3972,24 @@ def _apply_update_op(
 
         sol = tracked_persist(sol)
     out = graph
+    if has_g:
+        if delete_t:
+            out = _anti_join_quads(
+                out, _instantiate_quads(sol, delete_t, pfx, wg)
+            )
+        if insert_t:
+            out = out.unionByName(
+                _instantiate_quads(sol, insert_t, pfx, wg)
+            )
+        return out
     if delete_t:
         out = out.join(
-            _instantiate_template(sol, delete_t, pfx),
+            _instantiate_template(sol, [q[1:] for q in delete_t], pfx),
             ["s", "p", "o"],
             "left_anti",
         )
     if insert_t:
-        out = out.unionByName(_instantiate_template(sol, insert_t, pfx))
+        out = out.unionByName(
+            _instantiate_template(sol, [q[1:] for q in insert_t], pfx)
+        )
     return out

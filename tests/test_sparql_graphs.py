@@ -148,11 +148,25 @@ def test_bindings_substitute_into_graph_var(quads):
     assert [(r.s[-1], r.v) for r in got] == [("a", "9")]
 
 
-def test_update_and_describe_reject_quads(quads):
-    with pytest.raises(SparqlError, match="quad store"):
-        sparql_update(quads, 'DELETE WHERE { ?s <urn:p> ?o }')
+def test_describe_rejects_quads(quads):
+    # round 12 made UPDATE quad-aware (test_sparql_update_quads.py);
+    # DESCRIBE still wants one graph
     with pytest.raises(SparqlError, match="quad store"):
         sparql_describe(quads, "DESCRIBE <http://ex.org/a>")
+
+
+def test_update_over_quads_targets_default_graph(quads):
+    # a non-graph-targeted op touches ONLY the default graph: the
+    # delete's pattern matches default-graph rows, and named-graph rows
+    # survive untouched
+    out = sparql_update(
+        quads,
+        'PREFIX ex: <http://ex.org/> DELETE WHERE { ?s ex:type "gene" }',
+        prefixes=PFX,
+    )
+    rows = [(r.g, r.s, r.p, r.o) for r in out.collect()]
+    assert not any(g is None for g, *_ in rows)  # default graph emptied
+    assert len(rows) == 6  # all named-graph rows intact
 
 
 def test_read_nquads(spark, tmp_path):

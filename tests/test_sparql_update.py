@@ -201,10 +201,23 @@ def test_later_prefix_decl_not_retroactive(graph):
 # ------------------------------------------------------------- rejections
 
 
-def test_graph_management_rejected(graph):
-    for q in ("CLEAR DEFAULT", "DROP GRAPH <http://g>", "LOAD <http://u>"):
-        with pytest.raises(SparqlError, match="graph-management"):
-            sparql_update(graph, q)
+def test_graph_management_over_triples(graph):
+    # round 12: CLEAR DEFAULT/ALL are legal over a triple store (it IS
+    # one default graph) and empty it; CLEAR NAMED is a legal no-op
+    assert sparql_update(graph, "CLEAR DEFAULT").count() == 0
+    assert sparql_update(graph, "CLEAR ALL").count() == 0
+    assert sparql_update(graph, "CLEAR NAMED").count() == graph.count()
+    # graph-TARGETED forms still need a quad input; federation forms
+    # stay rejected at parse
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_update(graph, "DROP GRAPH <http://g>")
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_update(
+            graph,
+            "WITH <http://g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",
+        )
+    with pytest.raises(SparqlError, match="outside the supported"):
+        sparql_update(graph, "LOAD <http://u>")
 
 
 def test_input_dataframe_not_mutated(graph):
