@@ -1121,6 +1121,32 @@ def q_sparql_scale_path(spark, sf_dir):
     )
 
 
+def q_sparql_graph_path(spark, sf_dir):
+    """Property paths AND subqueries inside ``GRAPH ?var`` at bench
+    scale (round-12 verdict ask #5): the ``childOf+`` pointer-doubling
+    closure runs over GRAPH-SCOPED composite nodes (g + U+001F + term),
+    so ONE set of distributed joins computes every named graph's closure
+    with ?g bound alongside — no per-graph loop; the embedded aggregate
+    subquery evaluates per graph (?g rides its GROUP BY), its root
+    count joining back on ?g. All part facts live in graph://part, so
+    the oracle replays the recursive CTE once and tags the graph."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?g ?root (COUNT(?d) AS ?n) (SAMPLE(?tot) AS ?roots)
+           WHERE {
+               GRAPH ?g {
+                   ?d ex:childOf+ ?root .
+                   ?root ex:isRoot "true" .
+                   { SELECT (COUNT(?rr) AS ?tot)
+                     WHERE { ?rr ex:isRoot "true" } }
+               }
+           } GROUP BY ?g ?root""",
+    )
+
+
 def q_sparql_path_range(spark, sf_dir):
     """The round-11 ``{n,m}`` path quantifier at bench scale: ancestors
     exactly 2-3 levels up the part forest, counted per ancestor, HAVING
@@ -4602,6 +4628,7 @@ QUERIES: dict[str, Callable] = {
     #   python scripts/rotate_window.py
     "sparql_typed_literals": q_sparql_typed_literals,  # never driver-checked
     "sparql_update_quads": q_sparql_update_quads,  # never driver-checked
+    "sparql_graph_path": q_sparql_graph_path,  # never driver-checked
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4649,8 +4676,8 @@ QUERIES: dict[str, Callable] = {
     "lsh_recall": q_lsh_recall,  # last green r06
     "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
-    "zipf_fit": q_zipf_fit,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "zipf_fit": q_zipf_fit,  # last green r06
     "target_encoding": q_target_encoding,  # last green r06
     "k_core": q_k_core,  # last green r06
     "k_hop_profile": q_k_hop_profile,  # last green r06
@@ -9440,6 +9467,24 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
             GROUP BY 1
+        """,
+        "sparql_graph_path": "WITH RECURSIVE " + _SCALE_TRIPLES_SQL + """,
+            reach AS (
+                SELECT c.s AS d, c.o AS a FROM co c
+                UNION
+                SELECT r.d, c.o FROM reach r JOIN co c ON r.a = c.s
+            ),
+            nroots AS (SELECT COUNT(*) AS tot FROM rt)
+            -- every childOf/isRoot fact lives in graph://part, so the
+            -- per-graph closure equals the single-graph closure tagged
+            -- with its graph; the per-graph subquery's root count is
+            -- the SAMPLE'd lexical string
+            SELECT 'graph://part' AS g, a AS root,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(nroots.tot AS VARCHAR) AS roots
+            FROM reach JOIN rt ON rt.s = reach.a
+            CROSS JOIN nroots
+            GROUP BY a, nroots.tot
         """,
         "sparql_update_quads": "WITH " + _SCALE_TRIPLES_SQL + """
             -- (G \\ D) ∪ I per graph, projected to the touched

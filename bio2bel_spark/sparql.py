@@ -275,6 +275,17 @@ _TYPED_NUM_SHAPE = (
 )
 
 
+#: graph-scoped node encoding for property paths inside ``GRAPH ?var``:
+#: a path must stay within ONE graph, so the closure machinery runs over
+#: ``g + _GSEP + term`` composite nodes — node identity includes the
+#: graph, and the UNCHANGED pointer-doubling/BFS algorithms compute every
+#: graph's closure in the same joins (no per-graph loop). U+001F (unit
+#: separator) is illegal in IRIs (RFC 3987 forbids C0 controls), so the
+#: split-at-first-separator decode is unambiguous for any legal graph
+#: name.
+_GSEP = "\x1f"
+
+
 def _lex(c: Column) -> Column:
     """Lexical form of a term: strips the ``^^<dt>`` / ``@lang`` suffix
     from an encoded typed/lang literal; identity for IRIs, blank labels
@@ -1495,6 +1506,53 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
     )
 
 
+def _closure_from_multi(
+    rel: DataFrame, starts: DataFrame, max_depth: int
+) -> DataFrame:
+    """Reachability BFS from a SET of seed nodes — the constant-endpoint
+    closure inside ``GRAPH ?var``, where the seed exists once per named
+    graph (``starts``: one ``__ps`` row per graph-scoped seed). Per-round
+    state is (seed, frontier) pairs — O(seeds × frontier), never the
+    graph's all-pairs closure; same checkpoint/convergence discipline as
+    :func:`_closure_from`."""
+    rel = rel.distinct().localCheckpoint(eager=True)
+    starts = starts.distinct()
+    reached = (
+        rel.join(starts, "__ps")
+        .select("__ps", F.col("__po").alias("__n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    _closure_stats["seed_rounds"] = 0
+    for _ in range(max_depth):
+        _closure_stats["seed_rounds"] += 1
+        step = (
+            frontier.join(
+                rel.select(F.col("__ps").alias("__n"), F.col("__po")),
+                "__n",
+            )
+            .select("__ps", F.col("__po").alias("__n"))
+            .distinct()
+        )
+        new = step.join(reached, ["__ps", "__n"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.limit(1).count() == 0:
+            return reached.select("__ps", F.col("__n").alias("__po"))
+        reached = reached.union(new).localCheckpoint(eager=True)
+        frontier = new
+    final = (
+        frontier.join(
+            rel.select(F.col("__ps").alias("__n"), F.col("__po")), "__n"
+        )
+        .select("__ps", F.col("__po").alias("__n"))
+        .join(reached, ["__ps", "__n"], "left_anti")
+    )
+    _raise_unconverged(final, max_depth)
+    return reached.select("__ps", F.col("__n").alias("__po"))
+
+
 def _zero_length_rows(triples: DataFrame, s, o) -> DataFrame:
     """The zero-length-path solutions a ``*``/``?`` hop adds: a constant
     endpoint matches ITSELF (the spec's zero-length path relates every
@@ -1517,14 +1575,39 @@ def _zero_length_rows(triples: DataFrame, s, o) -> DataFrame:
     return nodes.select("__ps", F.col("__ps").alias("__po"))
 
 
+def _zero_length_rows_scoped(triples: DataFrame, s, o) -> DataFrame:
+    """:func:`_zero_length_rows` inside ``GRAPH ?var`` — the zero-length
+    relation exists PER NAMED GRAPH, in the graph-scoped node encoding
+    (``g + _GSEP + term``): a constant endpoint matches itself in every
+    named graph; variable endpoints bind each graph's own terms."""
+    if s[0] == "const" or o[0] == "const":
+        const = s[1] if s[0] == "const" else o[1]
+        seeds = triples.select("g").distinct().select(
+            F.concat(F.col("g"), F.lit(_GSEP), F.lit(const)).alias("__ps")
+        )
+        return seeds.select("__ps", F.col("__ps").alias("__po"))
+    nodes = (
+        triples.select(
+            F.concat(F.col("g"), F.lit(_GSEP), F.col("s")).alias("__ps")
+        )
+        .unionByName(
+            triples.select(
+                F.concat(F.col("g"), F.lit(_GSEP), F.col("o")).alias(
+                    "__ps"
+                )
+            )
+        )
+        .distinct()
+    )
+    return nodes.select("__ps", F.col("__ps").alias("__po"))
+
+
 def _range_paths(
     rel: DataFrame,
     lo: int,
     hi: "int | None",
-    triples: DataFrame,
-    s,
-    o,
     max_depth: int,
+    zero_rows,
 ) -> DataFrame:
     """``(__ps, __po)`` pairs connected by a path of length in
     ``[lo, hi]`` (``hi=None`` = unbounded) — the ``{n,m}`` quantifier,
@@ -1539,7 +1622,9 @@ def _range_paths(
     * unbounded ``{n,}``: paths of length >= n = ``rel^(n-1)`` composed
       with the eager ``p+`` pointer-doubling closure (``{0,}`` is ``*``,
       ``{1,}`` is ``+``).
-    * ``lo == 0`` unions the zero-length rows exactly like ``*``/``?``.
+    * ``lo == 0`` unions the zero-length rows exactly like ``*``/``?``
+      (``zero_rows``: a thunk, so the caller supplies the right node
+      encoding — plain or graph-scoped — and no job runs unless needed).
 
     Set semantics throughout (distinct after the final union — powers
     of different lengths can connect the same pair)."""
@@ -1589,7 +1674,7 @@ def _range_paths(
         if acc is None:
             acc = rel.filter(F.lit(False))
     if lo == 0:
-        acc = acc.unionByName(_zero_length_rows(triples, s, o))
+        acc = acc.unionByName(zero_rows())
     return acc.distinct()
 
 
@@ -1601,12 +1686,28 @@ def _compile_pathhop(
     prefixes: dict,
     max_path_depth: int,
     eager: bool = True,
+    gvar: "str | None" = None,
 ) -> DataFrame:
     """One modified path hop (inverse / alternation / ``+``/``*``/``?``)
     as a derived binding table: build the hop's ``(__ps, __po)`` relation
     from per-predicate pattern scans (each pushable), close it if
     ``+``/``*``, union the zero-length rows if ``*``/``?``, then bind the
-    endpoint terms exactly like a triple pattern."""
+    endpoint terms exactly like a triple pattern.
+
+    Inside ``GRAPH ?var`` (``gvar`` set, ``triples`` = all named graphs
+    with their ``g`` column): a path must stay within one graph, so the
+    relation is built over GRAPH-SCOPED composite nodes (``g + _GSEP +
+    term``) — the closure algorithms run unchanged and compute every
+    graph's closure in the same distributed joins; the endpoints (and
+    the graph variable) decode back out of the composite at binding
+    time. Constant endpoints seed the multi-source BFS (one seed per
+    named graph) instead of the single-seed form."""
+    scoped = gvar is not None
+
+    def _node(col: str) -> Column:
+        c = F.col(col)
+        return F.concat(F.col("g"), F.lit(_GSEP), c) if scoped else c
+
     if seg.get("negated"):
         # negated property set: ONE scan keeping every predicate outside
         # the set. Inherently broader than an equality scan — with a
@@ -1614,25 +1715,44 @@ def _compile_pathhop(
         # complement, still a single pushable NOT-IN filter.
         consts = [str(_resolve(p, prefixes)[1]) for p in seg["preds"]]
         rel = triples.filter(~F.col("p").isin(consts)).select(
-            F.col("s").alias("__ps"), F.col("o").alias("__po")
+            _node("s").alias("__ps"), _node("o").alias("__po")
         )
     else:
         rel = None
         for p in seg["preds"]:
             pr = _resolve(p, prefixes)
             r = triples.filter(F.col("p") == F.lit(pr[1])).select(
-                F.col("s").alias("__ps"), F.col("o").alias("__po")
+                _node("s").alias("__ps"), _node("o").alias("__po")
             )
             rel = r if rel is None else rel.unionByName(r)
     if seg["inverse"]:
         rel = rel.select(
             F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
         )
+
+    def _zero_rows() -> DataFrame:
+        return (
+            _zero_length_rows_scoped(triples, s, o)
+            if scoped
+            else _zero_length_rows(triples, s, o)
+        )
+
+    def _seeded(r: DataFrame, const: str) -> DataFrame:
+        if not scoped:
+            return _closure_from(r, const, max_path_depth)
+        seeds = triples.select("g").distinct().select(
+            F.concat(F.col("g"), F.lit(_GSEP), F.lit(const)).alias("__ps")
+        )
+        return _closure_from_multi(r, seeds, max_path_depth)
+
     rng = seg.get("range")
     if rng is not None and eager:
-        # {n,m} quantifier — mutually exclusive with +/*/? by the parser
+        # {n,m} quantifier — mutually exclusive with +/*/? by the
+        # parser. The composition joins run on whatever node encoding
+        # the relation carries; only the zero-length rows (lo == 0) are
+        # encoding-aware, supplied here.
         rel = _range_paths(
-            rel, rng[0], rng[1], triples, s, o, max_path_depth
+            rel, rng[0], rng[1], max_path_depth, _zero_rows
         )
     closing = seg["plus"] or seg["star"]
     if not eager:
@@ -1646,12 +1766,12 @@ def _compile_pathhop(
         # the whole relation's pair closure — per-round state is the
         # seed's frontier, never the graph's all-pairs closure
         if s[0] == "const":
-            rel = _closure_from(rel, s[1], max_path_depth)
+            rel = _seeded(rel, s[1])
         elif o[0] == "const":
             inv = rel.select(
                 F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
             )
-            rel = _closure_from(inv, o[1], max_path_depth).select(
+            rel = _seeded(inv, o[1]).select(
                 F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
             )
         else:
@@ -1660,18 +1780,35 @@ def _compile_pathhop(
         # zero-or-more / zero-or-one: union the zero-length solutions;
         # both forms are set semantics, so de-dup after the union (the
         # closure may already contain (x, x) cycle pairs)
-        rel = rel.unionByName(_zero_length_rows(triples, s, o)).distinct()
-    cols, filters, seen = [], [], {}
-    for pos, term in (("__ps", s), ("__po", o)):
+        rel = rel.unionByName(_zero_rows()).distinct()
+    if scoped:
+        # decode the composite nodes: graph prefix -> the GRAPH
+        # variable (both endpoints carry the same graph by
+        # construction), remainder -> the endpoint term
+        gcol = F.substring_index(F.col("__ps"), _GSEP, 1)
+
+        def _dec(col: str) -> Column:
+            c = F.col(col)
+            return c.substr(
+                F.length(F.substring_index(c, _GSEP, 1)) + 2, F.length(c)
+            )
+
+        cols, filters = [gcol.alias(gvar)], []
+        seen: dict = {gvar: gcol}
+        terms = ((_dec("__ps"), s), (_dec("__po"), o))
+    else:
+        cols, filters, seen = [], [], {}
+        terms = ((F.col("__ps"), s), (F.col("__po"), o))
+    for expr, term in terms:
         if term[0] == "const":
-            filters.append(F.col(pos) == F.lit(term[1]))
+            filters.append(expr == F.lit(term[1]))
         else:
             var = term[1]
             if var in seen:  # ?x p+ ?x — same-node cycles
-                filters.append(F.col(pos) == F.col(seen[var]))
+                filters.append(expr == seen[var])
             else:
-                seen[var] = pos
-                cols.append(F.col(pos).alias(var))
+                seen[var] = expr
+                cols.append(expr.alias(var))
     out = rel
     for f in filters:
         out = out.filter(f)
@@ -2123,6 +2260,7 @@ def _compile_subquery(
     max_path_depth: int,
     skip_eager: bool = False,
     quads: "DataFrame | None" = None,
+    gvar: "str | None" = None,
 ) -> "tuple[DataFrame, set[str]]":
     """Compile a ``{ SELECT ... }`` subquery bottom-up (the spec's
     evaluation order): inner WHERE group, then the full SELECT pipeline
@@ -2146,9 +2284,42 @@ def _compile_subquery(
             "FROM/FROM NAMED are only legal at the top level, not "
             "inside a subquery (SPARQL 1.1 grammar)"
         )
+    if gvar is not None:
+        # a subquery inside GRAPH ?var evaluates PER NAMED GRAPH with
+        # ?var bound alongside (SPARQL §18.2.2.3 active-graph
+        # semantics): the inner patterns already bind the g column as
+        # ?var (gvar threads into _compile_group), so the pipeline only
+        # needs ?var projected outward and — in an aggregate subquery —
+        # added to the GROUP BY keys (a global aggregate becomes the
+        # correct per-graph aggregate). LIMIT/OFFSET would page the
+        # UNION of graphs, not each graph, so they are rejected loudly.
+        if modifiers["limit"] is not None or modifiers["offset"]:
+            raise SparqlError(
+                "LIMIT/OFFSET inside a GRAPH ?var subquery would page "
+                "across graphs, not per graph — lift the subquery out "
+                "of the GRAPH clause or use GRAPH <iri>"
+            )
+        modifiers = dict(modifiers)
+        if projection is not None and not any(
+            it[0] == "var" and it[1] == gvar for it in projection
+        ):
+            projection = list(projection) + [("var", gvar)]
+        embedded: list = []
+        for it in projection or []:
+            if it[0] == "expr":
+                _having_aggs(it[1], embedded)
+        has_aggs = (
+            bool(modifiers["group_by"])
+            or any(it[0] == "agg" for it in projection or [])
+            or bool(embedded)
+        )
+        if has_aggs and gvar not in [
+            g for g in modifiers["group_by"] if isinstance(g, str)
+        ]:
+            modifiers["group_by"] = list(modifiers["group_by"]) + [gvar]
     out, inner_nullable = _compile_group(
         triples, group, prefixes, max_path_depth, skip_eager=skip_eager,
-        quads=quads,
+        quads=quads, gvar=gvar,
     )
     internals = [c for c in out.columns if c.startswith("__path_")]
     if internals:
@@ -2266,13 +2437,6 @@ def _compile_group(
                     g=None if gvar is None else ("var", gvar),
                 )
             else:
-                if gvar is not None:
-                    raise SparqlError(
-                        "property paths inside GRAPH ?var are not "
-                        "supported (use GRAPH <iri> { ... } or plain "
-                        "patterns); paths are fine inside a named "
-                        "GRAPH <iri> group"
-                    )
                 pat = _compile_pathhop(
                     triples,
                     _resolve(el[1], prefixes),
@@ -2281,6 +2445,7 @@ def _compile_group(
                     prefixes,
                     max_path_depth,
                     eager=not (group_unsat or skip_eager),
+                    gvar=gvar,
                 )
             if not pat.columns:
                 # all-constant pattern (written literally, or every var
@@ -2369,14 +2534,10 @@ def _compile_group(
                 nullable -= {v for v in shared if v not in u_nullable}
             nullable |= u_nullable
         elif el[0] == "subquery":
-            if gvar is not None:
-                raise SparqlError(
-                    "subqueries inside GRAPH ?var are not supported; "
-                    "nest the GRAPH clause inside the subquery instead"
-                )
             sub, sub_nullable = _compile_subquery(
                 triples, el, prefixes, max_path_depth,
                 skip_eager=group_unsat or skip_eager, quads=quads,
+                gvar=gvar,
             )
             if current is None:
                 current = sub

@@ -119,13 +119,17 @@ def test_paths_inside_named_graph_iri(quads):
     ]
 
 
-def test_paths_inside_graph_var_rejected(quads):
-    with pytest.raises(SparqlError, match="paths inside GRAPH"):
-        sparql_select(
-            quads,
-            "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:under+ ?y } }",
-            prefixes=PFX,
-        )
+def test_paths_inside_graph_var(quads):
+    # round 12: the closure runs over graph-scoped composite nodes, so
+    # one plan computes every graph's closure and binds ?g alongside
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:under+ ?y } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.x[-1], r.y[-1]) for r in got) == [
+        (G1, "x", "y"), (G1, "x", "z"), (G1, "y", "z"),
+    ]
 
 
 def test_graph_needs_quads(spark):
@@ -341,5 +345,85 @@ def test_from_needs_quads_and_not_in_subqueries(spark, quads):
             quads,
             "SELECT ?s WHERE { { SELECT ?s FROM <http://g.org/one> "
             "WHERE { ?s ex:score ?v } } }",
+            prefixes=PFX,
+        )
+
+
+# ------------------------- round 12: paths / subqueries in GRAPH ?var
+
+
+def test_star_path_inside_graph_var(quads):
+    """Zero-or-more inside GRAPH ?g: the zero-length rows exist PER
+    graph (each graph's own terms), so <x> under* pairs bind g=G1 for
+    the closure rows while every graph contributes its self-pairs."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?y WHERE { GRAPH ?g { <http://ex.org/x> ex:under* ?y } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.y.rsplit("/", 1)[-1]) for r in got) == [
+        (G1, "x"), (G1, "y"), (G1, "z"),
+        (G2, "x"),  # zero-length: x matches itself in every named graph
+    ]
+
+
+def test_const_endpoint_closure_inside_graph_var(quads):
+    """<x> under+ ?y inside GRAPH ?g seeds the multi-source BFS (one
+    seed per named graph) — only G1 has under edges."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?y WHERE { GRAPH ?g { <http://ex.org/x> ex:under+ ?y } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.y.rsplit("/", 1)[-1]) for r in got) == [
+        (G1, "y"), (G1, "z"),
+    ]
+
+
+def test_path_join_with_pattern_inside_graph_var(quads):
+    """A path hop and a plain pattern inside the same GRAPH ?g group
+    must co-scope: the join carries ?g as an equi key."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s ?y WHERE { GRAPH ?g { "
+        "?s ex:score ?v . ?x ex:under+ ?y } }",
+        prefixes=PFX,
+    ).collect()
+    # only G1 has BOTH score rows and under paths; G2's scores drop
+    assert {r.g for r in got} == {G1}
+    assert len(got) == 6  # 2 score rows x 3 closure pairs
+
+
+def test_subquery_inside_graph_var_aggregates_per_graph(quads):
+    """A global aggregate subquery inside GRAPH ?g becomes the correct
+    PER-GRAPH aggregate, ?g bound alongside."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?n WHERE { GRAPH ?g { "
+        "{ SELECT (COUNT(?v) AS ?n) WHERE { ?s ex:score ?v } } } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.n) for r in got) == [(G1, "2"), (G2, "1")]
+
+
+def test_subquery_inside_graph_var_joins_outer(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s ?v WHERE { GRAPH ?g { "
+        "?s ex:score ?v . "
+        "{ SELECT ?s WHERE { ?s ex:score ?v2 } } } }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted((r.g, r.s[-1], r.v) for r in got) == [
+        (G1, "a", "5"), (G1, "b", "7"), (G2, "a", "9"),
+    ]
+
+
+def test_subquery_limit_inside_graph_var_rejected(quads):
+    with pytest.raises(SparqlError, match="page across graphs"):
+        sparql_select(
+            quads,
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { ?s ex:score ?v } LIMIT 1 } } }",
             prefixes=PFX,
         )
