@@ -1121,6 +1121,56 @@ def q_sparql_scale_path(spark, sf_dir):
     )
 
 
+def _ntriples_file(spark, sf_dir):
+    """Serialize the scale graph to an actual on-disk N-Triples dataset
+    (round-12 verdict ask #7) — one ``<s> <p> <o|"o"> .`` line per
+    triple, written DISTRIBUTED as a text dataset (a directory of part
+    files; read_ntriples scans directories the same way). Deterministic
+    content keyed by sf_dir and cached under /tmp, so repeat runs pay
+    only the read path being proven."""
+    import hashlib
+    import os
+
+    path = "/tmp/bio2bel_nt_{}".format(
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t = _scale_triples(spark, sf_dir)
+        obj = F.when(
+            F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+            F.concat(F.lit("<"), F.col("o"), F.lit(">")),
+        ).otherwise(F.concat(F.lit('"'), F.col("o"), F.lit('"')))
+        line = F.concat(
+            F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
+            F.lit("> "), obj, F.lit(" ."),
+        )
+        t.select(line.alias("value")).write.mode("overwrite").text(path)
+    return path
+
+
+def q_sparql_ntriples_file(spark, sf_dir):
+    """The distributed N-Triples PARSE path proven at bench scale: the
+    ~1.4M-triple scale graph round-trips through an actual .nt dataset
+    on disk — write once (cached), then ``read_ntriples`` line-regex
+    parse (JVM-side regexp_extract over spark.read.text, no driver
+    bottleneck) feeding a two-pattern BGP aggregate. A mis-parse of any
+    IRI bracket or literal quote would shift the brand counts; the
+    oracle replays the counts from the parquet the file was derived
+    from, so the file layer must be lossless to hash-match."""
+    from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        read_ntriples(spark, _ntriples_file(spark, sf_dir)),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (COUNT(?part) AS ?n) WHERE {
+               ?part ex:inBrand ?brand .
+               ?part ex:retailPrice ?pr .
+               FILTER(ISNUMERIC(?pr))
+           } GROUP BY ?brand""",
+    )
+
+
 def q_sparql_graph_path(spark, sf_dir):
     """Property paths AND subqueries inside ``GRAPH ?var`` at bench
     scale (round-12 verdict ask #5): the ``childOf+`` pointer-doubling
@@ -4629,6 +4679,7 @@ QUERIES: dict[str, Callable] = {
     "sparql_typed_literals": q_sparql_typed_literals,  # never driver-checked
     "sparql_update_quads": q_sparql_update_quads,  # never driver-checked
     "sparql_graph_path": q_sparql_graph_path,  # never driver-checked
+    "sparql_ntriples_file": q_sparql_ntriples_file,  # never driver-checked
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4675,8 +4726,8 @@ QUERIES: dict[str, Callable] = {
     "cdc_apply": q_cdc_apply,  # last green r06
     "lsh_recall": q_lsh_recall,  # last green r06
     "bpe_merges": q_bpe_merges,  # last green r06
-    "psi_drift": q_psi_drift,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
     "target_encoding": q_target_encoding,  # last green r06
     "k_core": q_k_core,  # last green r06
@@ -9467,6 +9518,13 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
             GROUP BY 1
+        """,
+        "sparql_ntriples_file": "WITH " + _SCALE_TRIPLES_SQL + """
+            -- the .nt dataset is a lossless serialization of these
+            -- CTEs, so the parquet-side counts replay the file-side BGP
+            SELECT ib.o AS brand, COUNT(*)::BIGINT AS n
+            FROM ib JOIN pr ON pr.s = ib.s
+            GROUP BY ib.o
         """,
         "sparql_graph_path": "WITH RECURSIVE " + _SCALE_TRIPLES_SQL + """,
             reach AS (
