@@ -1136,10 +1136,23 @@ def _ntriples_file(spark, sf_dir):
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         t = _scale_triples(spark, sf_dir)
+        # N-Triples ECHAR escaping for literal objects: backslash first,
+        # then quote and newline — without it a value containing '"'
+        # would emit a line the read-back regex silently drops (a hash
+        # mismatch with no error anywhere). Escapes survive the round
+        # trip AS escapes (read_ntriples keeps raw bodies), which is
+        # lossless for the quote-free TPC-H values proven here.
+        esc = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
+                '"', '\\\\"',
+            ),
+            "\n", r"\\n",
+        )
         obj = F.when(
             F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
             F.concat(F.lit("<"), F.col("o"), F.lit(">")),
-        ).otherwise(F.concat(F.lit('"'), F.col("o"), F.lit('"')))
+        ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
         line = F.concat(
             F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
             F.lit("> "), obj, F.lit(" ."),

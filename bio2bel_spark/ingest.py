@@ -36,6 +36,11 @@ from typing import Iterable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# the N-Triples LANGTAG production — ONE definition shared with the
+# SPARQL layer so the scan and the query engine can never disagree on
+# what counts as an encoded (typed/lang-tagged) literal
+from bio2bel_spark.sparql import _LANGTAG
+
 DEFAULT_CACHE_ROOT = os.path.join(os.path.expanduser("~"), ".bio2bel_spark", "cache")
 
 
@@ -183,11 +188,6 @@ def read_obo(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 
 # ---------------------------------------------------------------- N-Triples (S7)
 
-_NT_LINE = re.compile(
-    r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@[\w-]+)?)\s*\.\s*$"
-)
-
-
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """N-Triples file → ``triples(s, p, o)`` DataFrame (S7).
 
@@ -223,10 +223,14 @@ def _term_col(c):
     return (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
         .when(
-            c.startswith('"') & c.rlike(r'^".*"(\^\^<[^>]*>|@[\w-]+)$'),
+            c.startswith('"')
+            & c.rlike(r'^".*"(\^\^<[^>]*>|@' + _LANGTAG + r")$"),
             c,
         )
-        .when(c.startswith('"'), F.regexp_extract(c, r'^"(.*)"$', 1))
+        .when(c.rlike(r'^"(.*)"$'), F.regexp_extract(c, r'^"(.*)"$', 1))
+        # anything else (blank labels; a quoted token with a suffix the
+        # strict LANGTAG grammar rejects) passes through verbatim rather
+        # than collapsing to an empty term
         .otherwise(c)
     )
 
@@ -242,7 +246,7 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path)
     pat = (
         r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+"
-        r"(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@[\w-]+)?)"
+        r"(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@" + _LANGTAG + r")?)"
         r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
     )
     df = lines.select(

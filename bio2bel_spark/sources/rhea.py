@@ -36,11 +36,16 @@ def _pred(triples: DataFrame, predicate: str, s: str, o: str) -> DataFrame:
 
 
 #: reference rhea.py:38-47 verbatim (modulo variable spelling)
+#: STR(?rid): rhea serves ``rh:id`` as a TYPED literal (xsd:long); the
+#: round-12 encoded-term model keeps the serialization in the binding, and
+#: the reference's python consumes ``str(rhea_id)`` — rdflib's Literal
+#: str() is the lexical form — so the query projects the lexical form
+#: explicitly (reference src/bio2bel/sources/rhea.py:36-47)
 REACTION_QUERY = """
-    SELECT ?reaction ?equation ?rhea_id WHERE {
+    SELECT ?reaction ?equation (STR(?rid) AS ?rhea_id) WHERE {
         ?reaction rh:equation ?equation .
         ?reaction rh:bidirectionalReaction ?bdr .
-        ?reaction rh:id ?rhea_id
+        ?reaction rh:id ?rid
     }
 """
 

@@ -156,7 +156,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
   | (?P<iri><[^<>\s]*>)
-  | (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?)
+  | (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^<[^<>\s]*>|\^\^[A-Za-z_][\w.-]*:[\w.-]*|@[A-Za-z]+(?:-[A-Za-z0-9]+)*)?)
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
@@ -256,8 +256,13 @@ _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 #: functions, comparisons, SUM/AVG) decodes the suffix. The scan keeps the
 #: serialization verbatim (ingest.py _term_col), and the query grammar
 #: accepts the same two suffix forms on string tokens.
-#: Groups: 1 = lexical form, 2 = datatype IRI, 3 = lang tag.
-_ENC_LIT_SHAPE = r'^"(.*)"(\^\^<([^>]*)>|@([A-Za-z0-9-]+))$'
+#: Groups (see the _ENC_*_G constants): 1 = lexical form, 2 = the whole
+#: suffix, 3 = datatype IRI, 4 = lang tag.
+#: _LANGTAG is the N-Triples LANGTAG production — ONE definition shared
+#: with the tokenizer and the ingest readers (ingest.py imports it), so
+#: the three classifiers can never disagree on what counts as encoded.
+_LANGTAG = r"[A-Za-z]+(?:-[A-Za-z0-9]+)*"
+_ENC_LIT_SHAPE = r'^"(.*)"(\^\^<([^>]*)>|@(' + _LANGTAG + r"))$"
 _ENC_LEX_G, _ENC_DT_G, _ENC_LANG_G = 1, 3, 4
 #: the xsd numeric datatypes (§17.3 operand category) as a local-name set
 _XSD_NUM_LOCAL = (
@@ -299,10 +304,20 @@ def _lex(c: Column) -> Column:
 
 
 def _num(c: Column) -> Column:
-    """Numeric value of a term (or NULL = expression error): the lexical
-    form when it is in the xsd numeric lexical space, cast to double.
-    Used by the typed-comparison branch and the numeric builtins."""
-    lx = _lex(c)
+    """Numeric value of a term (or NULL = expression error): a typed
+    literal contributes its lexical form ONLY when its datatype is
+    xsd-numeric — ``"12"^^xsd:string`` (or ``"12"@en``) is NOT a number,
+    matching ISNUMERIC and §17.3's operand categories — and a plain term
+    contributes its lexical form when numeric-shaped (the string model's
+    documented approximation). Used by the typed-comparison branch and
+    the numeric builtins."""
+    lx = F.when(
+        c.startswith('"') & c.rlike(_ENC_LIT_SHAPE),
+        F.when(
+            c.rlike(_TYPED_NUM_SHAPE),
+            F.regexp_extract(c, _ENC_LIT_SHAPE, _ENC_LEX_G),
+        ),
+    ).otherwise(c)
     return F.when(lx.rlike(_NUMERIC_SHAPE), lx).try_cast("double")
 
 
@@ -1321,8 +1336,21 @@ def _string_token_value(v: str) -> str:
     """Value of a ``string`` token: a PLAIN ``"..."`` unquotes to its bare
     lexical form (the string model), while a typed/lang-tagged literal —
     ``"..."^^<dt>`` / ``"..."@lang`` — keeps its N-Triples serialization
-    verbatim, matching what the scan stores (encoded-term model)."""
-    return _unquote(v) if v.endswith('"') else v
+    verbatim, matching what the scan stores (encoded-term model). The
+    prefixed-name datatype spelling (``"5"^^xsd:integer``) is captured
+    by the tokenizer ONLY to reject it with a pointed error — datatype
+    resolution would need a prefix table the expression layer doesn't
+    carry, and without this check the ``^`` tokens would fail deep in
+    path parsing with a baffling message."""
+    if v.endswith('"'):
+        return _unquote(v)
+    if "^^" in v and not v.endswith(">"):
+        raise SparqlError(
+            f"typed literal {v!r} uses a prefixed datatype name; write "
+            "the datatype as a full <...> IRI (prefixes are not in "
+            "scope for datatype resolution)"
+        )
+    return v
 
 
 # ------------------------------------------------------------------- compiler

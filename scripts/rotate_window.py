@@ -39,11 +39,13 @@ def tracked_ledgers(root: str = ROOT) -> list[str]:
             ["git", "ls-files", "CORRECTNESS_r*.json"],
             cwd=root, capture_output=True, text=True, check=True,
         ).stdout.split()
-        if out:
-            return sorted(os.path.join(root, p) for p in out)
     except (OSError, subprocess.CalledProcessError):
-        pass
-    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        # git unavailable (exported tarball) — the glob is all we have
+        return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    # git SUCCEEDED: its answer is authoritative, including "none tracked
+    # yet" — falling back to the glob there would re-admit exactly the
+    # untracked driver-dropped ledger this gate exists to exclude
+    return sorted(os.path.join(root, p) for p in out)
 
 
 def last_green_rounds(root: str = ROOT) -> dict[str, int]:

@@ -70,7 +70,12 @@ def test_read_ntriples(spark, tmp_path):
     df = ingest.read_ntriples(spark, str(p))
     rows = {(r["s"], r["p"], r["o"]) for r in df.collect()}
     assert ("http://ex/r1", "http://ex/equation", "A + B => C") in rows
-    assert ("http://ex/r1", "http://ex/acc", "RHEA:10000") in rows
+    # round 12 (encoded-term model): a typed literal keeps its N-Triples
+    # serialization through the scan; STR()/DATATYPE() decode it in SPARQL
+    assert (
+        "http://ex/r1", "http://ex/acc",
+        '"RHEA:10000"^^<http://www.w3.org/2001/XMLSchema#string>',
+    ) in rows
     assert df.count() == 3
 
 

@@ -231,3 +231,68 @@ def test_abs_on_typed_numeric(typed):
     ).collect()
     by = {_local(r.m): float(r.a) for r in got}
     assert by == {"a": 10.0, "b": 9.0, "c": 11.0}
+
+
+# ------------------------------------------- round-12 review regressions
+
+
+def test_typed_string_is_not_a_number_in_compare(typed):
+    """"10"^^xsd:integer = "10"^^xsd:string is a TYPE ERROR (row
+    dropped), not numeric equality — _num only decodes xsd-numeric
+    datatypes, agreeing with ISNUMERIC."""
+    got = sparql_select(
+        typed,
+        "SELECT ?m WHERE { ?m ex:price ?v . "
+        f'FILTER(?v = "10"^^<{XSD}string>) }}',
+        prefixes=PFX,
+    ).collect()
+    assert got == []
+
+
+def test_abs_of_typed_string_is_error(typed):
+    got = sparql_select(
+        typed,
+        "SELECT ?m ?a WHERE { ?m ex:code ?v . BIND(ABS(?v) AS ?a) "
+        "FILTER(BOUND(?a)) }",
+        prefixes=PFX,
+    ).collect()
+    # plain "12" keeps the string-model approximation; the typed
+    # xsd:string literal is an expression error -> unbound
+    assert [( _local(r.m), float(r.a)) for r in got] == [("a", 12.0)]
+
+
+def test_pname_datatype_pointed_error(typed):
+    with pytest.raises(Exception, match="full <...> IRI"):
+        sparql_select(
+            typed,
+            'SELECT ?m WHERE { ?m ex:price "10"^^xsd:integer }',
+            prefixes=PFX,
+        )
+
+
+def test_subtagged_lang_reads_through(spark):
+    df = spark.createDataFrame(
+        [(EX + "a", EX + "label", '"color"@en-US')],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        df,
+        "SELECT ?lg WHERE { ?s ex:label ?l . BIND(LANG(?l) AS ?lg) }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.lg for r in got] == ["en-US"]
+
+
+def test_nonstandard_lang_line_does_not_parse(spark, tmp_path):
+    """A lang tag outside the N-Triples LANGTAG grammar (underscore) is
+    a malformed line — dropped by the quad reader like any other garbage
+    line, never half-encoded."""
+    from bio2bel_spark.ingest import read_nquads
+
+    nq = tmp_path / "bad.nq"
+    nq.write_text(
+        f'<{EX}a> <{EX}p> "ok"@en .\n'
+        f'<{EX}b> <{EX}p> "bad"@en_US .\n'
+    )
+    got = [(r.s[-1], r.o) for r in read_nquads(spark, str(nq)).collect()]
+    assert got == [("a", '"ok"@en')]
