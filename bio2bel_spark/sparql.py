@@ -516,9 +516,18 @@ class _Parser:
 
     #: graph-management / federation forms that cannot mean anything over
     #: a single (s, p, o) DataFrame — rejected with a pointed error
-    _UNSUPPORTED_UPDATE = {
-        "LOAD", "CREATE", "COPY", "MOVE", "ADD", "GRAPH",
-    }
+    _UNSUPPORTED_UPDATE = {"GRAPH"}
+
+    def parse_graph_ref(self):
+        """``DEFAULT`` or ``[GRAPH] <g>`` — the graph-reference position
+        of COPY/MOVE/ADD (the GRAPH keyword is optional per the
+        grammar). Returns "default" or ("graph", term)."""
+        if self.at_keyword("DEFAULT"):
+            self.next()
+            return "default"
+        if self.at_keyword("GRAPH"):
+            self.next()
+        return ("graph", self.parse_graph_name(allow_var=False))
 
     def parse_using(self):
         """``USING <g>`` / ``USING NAMED <g>`` clauses (zero or more) —
@@ -553,6 +562,44 @@ class _Parser:
                 "(supported: INSERT DATA, DELETE DATA, DELETE WHERE, "
                 "[WITH] DELETE/INSERT ... [USING] WHERE, CLEAR, DROP)"
             )
+        if self.at_keyword("LOAD"):
+            # LOAD [SILENT] <source> [INTO GRAPH <g>] — the source is a
+            # local N-Triples path (file:// or bare); network IO is out
+            # of scope and rejected at apply time
+            self.next()
+            if self.at_keyword("SILENT"):
+                self.next()
+            src = self.parse_graph_name(allow_var=False)
+            target = None
+            if self.at_keyword("INTO"):
+                self.next()
+                if not self.at_keyword("GRAPH"):
+                    raise SparqlError("LOAD ... INTO needs GRAPH <g>")
+                self.next()
+                target = self.parse_graph_name(allow_var=False)
+            return ("load", src, target)
+        if self.at_keyword("CREATE"):
+            # CREATE [SILENT] GRAPH <g> — a validated NO-OP: this store
+            # keeps no empty-graph bookkeeping (a graph IS its rows), so
+            # creating an empty graph changes nothing; the form is
+            # accepted so spec-conforming scripts run unmodified
+            self.next()
+            if self.at_keyword("SILENT"):
+                self.next()
+            if not self.at_keyword("GRAPH"):
+                raise SparqlError("CREATE needs GRAPH <g>")
+            self.next()
+            return ("create", self.parse_graph_name(allow_var=False))
+        for kw in ("COPY", "MOVE", "ADD"):
+            if self.at_keyword(kw):
+                self.next()
+                if self.at_keyword("SILENT"):
+                    self.next()
+                src = self.parse_graph_ref()
+                if not self.at_keyword("TO"):
+                    raise SparqlError(f"{kw} needs: {kw} src TO dst")
+                self.next()
+                return ("gmove", kw, src, self.parse_graph_ref())
         if self.at_keyword("CLEAR") or self.at_keyword("DROP"):
             # DROP == CLEAR here: the store keeps no empty-graph
             # bookkeeping (a graph IS its rows), so removing a graph's
@@ -3875,9 +3922,13 @@ def sparql_update(
     { ... }`` (ground triples/quads), ``DELETE WHERE { quads }`` (the
     pattern is the template), the general modify form ``[WITH <g>]
     DELETE { t } INSERT { t } [USING [NAMED] <g>]* WHERE { group }``
-    with either template optional, and ``CLEAR`` / ``DROP``
-    ``(GRAPH <g> | DEFAULT | NAMED | ALL)``. ``LOAD`` / ``CREATE`` /
-    ``COPY`` / ``MOVE`` / ``ADD`` stay rejected at parse.
+    with either template optional, ``CLEAR`` / ``DROP``
+    ``(GRAPH <g> | DEFAULT | NAMED | ALL)``, ``LOAD <path> [INTO GRAPH
+    <g>]`` (local N-Triples via :func:`ingest.read_ntriples` — network
+    sources rejected), ``CREATE GRAPH <g>`` (a validated no-op: a graph
+    IS its rows), and ``COPY`` / ``MOVE`` / ``ADD`` ``src TO dst``
+    (NULL-aware filters + a retargeting union; ``src = dst`` is the
+    spec's no-op; COPY/MOVE overwrite dst).
 
     GRAPH TARGETING (round 12): over a QUAD input (a ``g`` column, see
     :func:`bio2bel_spark.ingest.read_nquads`) templates may contain
@@ -3948,8 +3999,10 @@ def sparql_update(
         graph = _apply_update_op(
             graph, op, pfx, op_bindings, max_path_depth, sol_graph, has_g
         )
-        if op[0] != "clear" and op[2]:
-            # ("data", dels, INS) / ("modify", del_t, INS_T, ...)
+        if (
+            op[0] in ("data", "modify") and op[2]
+        ) or op[0] in ("load", "gmove"):
+            # the op can insert rows -> the graph may now be a bag
             dirty = True
     return graph.dropDuplicates()
 
@@ -3966,6 +4019,14 @@ def _reject_graph_targeting(op) -> None:
     if op[0] == "clear":
         if isinstance(op[1], tuple):
             raise SparqlError(msg.format("CLEAR/DROP GRAPH"))
+        return
+    if op[0] == "create":
+        raise SparqlError(msg.format("CREATE GRAPH"))
+    if op[0] == "gmove":
+        raise SparqlError(msg.format(op[1] + " ... TO"))
+    if op[0] == "load":
+        if op[2] is not None:
+            raise SparqlError(msg.format("LOAD ... INTO GRAPH"))
         return
     if op[0] == "data":
         _, dels, ins = op
@@ -4089,6 +4150,62 @@ def _apply_update_op(
     spark = graph.sparkSession
     if op[0] == "clear":
         return _apply_clear(graph, op[1], pfx, has_g)
+    if op[0] == "create":
+        return graph  # validated no-op: a graph IS its rows
+    if op[0] == "load":
+        from bio2bel_spark.ingest import read_ntriples
+
+        src = str(_resolve(op[1], pfx)[1])
+        if src.startswith("file://"):
+            src = src[len("file://"):]
+        elif "://" in src:
+            raise SparqlError(
+                "LOAD only reads local N-Triples paths (file:// or "
+                "bare); network sources are out of scope"
+            )
+        loaded = read_ntriples(spark, src)
+        if has_g:
+            target = (
+                None if op[2] is None else str(_resolve(op[2], pfx)[1])
+            )
+            loaded = loaded.select(
+                F.lit(target).cast("string").alias("g"), "s", "p", "o"
+            )
+        return graph.unionByName(loaded)
+    if op[0] == "gmove":
+        # COPY/MOVE/ADD src TO dst over the quad store: retarget src's
+        # rows to dst (COPY/MOVE overwrite dst first; MOVE then drops
+        # src); src == dst is the spec's no-op. Pure filters + unions.
+        _, kind, src, dst = op
+
+        def _gval(ref):
+            return None if ref == "default" else str(_resolve(ref[1], pfx)[1])
+
+        sv, dv = _gval(src), _gval(dst)
+        if sv == dv:
+            return graph
+
+        def _in(ref_val):
+            c = F.col("g")
+            return c.isNull() if ref_val is None else c == F.lit(ref_val)
+
+        def _not_in(ref_val):
+            # NULL-aware complement: plain != would three-value-NULL the
+            # default graph's rows away
+            c = F.col("g")
+            if ref_val is None:
+                return c.isNotNull()
+            return c.isNull() | (c != F.lit(ref_val))
+
+        moved = graph.filter(_in(sv)).withColumn(
+            "g", F.lit(dv).cast("string")
+        )
+        out = graph
+        if kind in ("COPY", "MOVE"):
+            out = out.filter(_not_in(dv))  # dst is OVERWRITTEN, per spec
+        if kind == "MOVE":
+            out = out.filter(_not_in(sv))
+        return out.unionByName(moved)
     if op[0] == "data":
         _, dels, ins = op
 

@@ -225,3 +225,82 @@ def test_ground_data_rejects_graph_var(quads):
         sparql_update(
             quads, f'INSERT DATA {{ GRAPH ?g {{ <{EX}c> <{EX}p> "v" }} }}'
         )
+
+
+# ----------------------- round 12b: LOAD / CREATE / COPY / MOVE / ADD
+
+
+def test_load_into_graph(quads, tmp_path):
+    nt = tmp_path / "extra.nt"
+    nt.write_text(
+        f'<{EX}n1> <{EX}p> "v1" .\n'
+        f'<{EX}n2> <{EX}p> "v2" .\n'
+    )
+    out = sparql_update(quads, f"LOAD <file://{nt}> INTO GRAPH <{G2}>")
+    got = _rows(out)
+    assert (G2, "n1", "p", "v1") in got and (G2, "n2", "p", "v2") in got
+    out2 = sparql_update(quads, f"LOAD <{nt}>")  # bare path, default graph
+    assert (None, "n1", "p", "v1") in _rows(out2)
+
+
+def test_load_rejects_network_sources(quads):
+    with pytest.raises(SparqlError, match="network"):
+        sparql_update(quads, "LOAD <http://example.org/data.nt>")
+
+
+def test_create_is_validated_noop(quads):
+    out = sparql_update(quads, f"CREATE SILENT GRAPH <{EX}new>")
+    assert _rows(out) == _rows(quads)
+
+
+def test_copy_overwrites_dst(quads):
+    out = sparql_update(quads, f"COPY <{G1}> TO <{G2}>")
+    got = _rows(out)
+    # dst overwritten: G2's old rows gone, G1's rows present in both
+    assert (G2, "b", "flag", "true") not in got
+    assert (G2, "a", "score", "5") in got and (G1, "a", "score", "5") in got
+
+
+def test_move_drops_src(quads):
+    out = sparql_update(quads, f"MOVE <{G1}> TO <{G2}>")
+    got = _rows(out)
+    assert not any(g == G1 for g, *_ in got)
+    assert (G2, "a", "score", "5") in got
+    assert (G2, "b", "flag", "true") not in got  # dst overwritten
+
+
+def test_add_unions_without_overwrite(quads):
+    out = sparql_update(quads, f"ADD DEFAULT TO GRAPH <{G2}>")
+    got = _rows(out)
+    assert (G2, "a", "type", "gene") in got      # copied in
+    assert (None, "a", "type", "gene") in got    # src kept
+    assert (G2, "b", "flag", "true") in got      # dst NOT overwritten
+
+
+def test_copy_default_to_named_and_back(quads):
+    out = sparql_update(quads, f"COPY DEFAULT TO GRAPH <{G1}>")
+    got = _rows(out)
+    assert (G1, "a", "type", "gene") in got
+    assert (G1, "a", "score", "5") not in got    # dst overwritten
+    assert (None, "a", "type", "gene") in got    # src kept (COPY)
+    out2 = sparql_update(quads, f"MOVE GRAPH <{G2}> TO DEFAULT")
+    got2 = _rows(out2)
+    assert (None, "a", "score", "9") in got2
+    assert (None, "a", "type", "gene") not in got2  # default overwritten
+    assert not any(g == G2 for g, *_ in got2)
+
+
+def test_copy_to_self_is_noop(quads):
+    assert _rows(sparql_update(quads, f"MOVE <{G1}> TO <{G1}>")) == _rows(
+        quads
+    )
+
+
+def test_gmove_rejected_on_triples(spark):
+    t = spark.createDataFrame(
+        [(EX + "a", EX + "p", "v")], "s string, p string, o string"
+    )
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_update(t, f"COPY DEFAULT TO <{G1}>")
+    with pytest.raises(SparqlError, match="quad input"):
+        sparql_update(t, f"LOAD </tmp/x.nt> INTO GRAPH <{G1}>")
