@@ -3767,13 +3767,16 @@ def sparql_describe(
     the resource set is a distinct projection (small by construction —
     it's a description request), so the final filter is a broadcast
     semi join against the triples scan; an IRI-only DESCRIBE compiles
-    to a pushable ``isin`` scan filter with no join at all."""
+    to a pushable ``isin`` scan filter with no join at all.
+
+    Over a QUAD input the description comes from the DEFAULT graph
+    (g IS NULL) — the same dataset rule as every pattern outside a
+    GRAPH clause, and the WHERE group may still use GRAPH clauses to
+    find the resources (round 12; previously rejected)."""
+    quads = None
     if "g" in triples.columns:
-        raise SparqlError(
-            "DESCRIBE over a quad store is ambiguous (which graph's "
-            "description?) — filter to one graph and drop the 'g' "
-            "column first"
-        )
+        quads = triples
+        triples = triples.filter(F.col("g").isNull()).drop("g")
     toks = _tokenize(query)
     declared, terms, group = _Parser(toks).parse_describe()
     pfx = dict(prefixes or {})
@@ -3786,7 +3789,10 @@ def sparql_describe(
                 "DESCRIBE bindings= need a WHERE group to constrain"
             )
         return triples.filter(F.col("s").isin(consts)).distinct()
-    sol, _ = _solutions(triples, group, pfx, bindings, max_path_depth)
+    sol, _ = _solutions(
+        quads if quads is not None else triples,
+        group, pfx, bindings, max_path_depth,
+    )
     missing = [v for v in varnames if v not in sol.columns]
     if missing:
         raise SparqlError(f"DESCRIBE vars never bound: {missing}")

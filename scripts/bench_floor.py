@@ -64,6 +64,11 @@ FLOOR_SET = [
     "perplexity_maintenance",
     "hilbert_layout_3d",
     "sparql_values",
+    # round-12 bench-scale SPARQL surface
+    "sparql_typed_literals",
+    "sparql_update_quads",
+    "sparql_graph_path",
+    "sparql_ntriples_file",
 ]
 
 N_RUNS = 3

@@ -152,11 +152,19 @@ def test_bindings_substitute_into_graph_var(quads):
     assert [(r.s[-1], r.v) for r in got] == [("a", "9")]
 
 
-def test_describe_rejects_quads(quads):
-    # round 12 made UPDATE quad-aware (test_sparql_update_quads.py);
-    # DESCRIBE still wants one graph
-    with pytest.raises(SparqlError, match="quad store"):
-        sparql_describe(quads, "DESCRIBE <http://ex.org/a>")
+def test_describe_over_quads_uses_default_graph(quads):
+    # round 12: DESCRIBE over a quad store describes from the DEFAULT
+    # graph (the dataset rule every non-GRAPH pattern follows); the
+    # WHERE group may still use GRAPH clauses to find the resources
+    got = sparql_describe(quads, "DESCRIBE <http://ex.org/a>").collect()
+    assert [(r.s[-1], r.o) for r in got] == [("a", "gene")]
+    via_graph = sparql_describe(
+        quads,
+        "DESCRIBE ?s WHERE { GRAPH <http://g.org/two> "
+        "{ ?s <http://ex.org/score> ?v } }",
+    ).collect()
+    # found in G2, described from the default graph
+    assert [(r.s[-1], r.o) for r in via_graph] == [("a", "gene")]
 
 
 def test_update_over_quads_targets_default_graph(quads):
