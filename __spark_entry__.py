@@ -1131,7 +1131,7 @@ def _ntriples_file(spark, sf_dir):
     import hashlib
     import os
 
-    path = "/tmp/bio2bel_nt_{}".format(
+    path = "/tmp/bio2bel_nt_v2_{}".format(
         hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -1149,9 +1149,18 @@ def _ntriples_file(spark, sf_dir):
             ),
             "\n", r"\\n",
         )
+        # retailPrice serializes as a TYPED literal so the encoded-term
+        # model (and its isNumeric/value-compare semantics) is proven
+        # through the real file parse, not just createDataFrame fixtures
         obj = F.when(
             F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
             F.concat(F.lit("<"), F.col("o"), F.lit(">")),
+        ).when(
+            F.col("p") == "http://ex.org/retailPrice",
+            F.concat(
+                F.lit('"'), esc,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
+            ),
         ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
         line = F.concat(
             F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
@@ -1166,10 +1175,12 @@ def q_sparql_ntriples_file(spark, sf_dir):
     ~1.4M-triple scale graph round-trips through an actual .nt dataset
     on disk — write once (cached), then ``read_ntriples`` line-regex
     parse (JVM-side regexp_extract over spark.read.text, no driver
-    bottleneck) feeding a two-pattern BGP aggregate. A mis-parse of any
-    IRI bracket or literal quote would shift the brand counts; the
-    oracle replays the counts from the parquet the file was derived
-    from, so the file layer must be lossless to hash-match."""
+    bottleneck) feeding a two-pattern BGP aggregate. retailPrice rides
+    as a TYPED ``^^xsd:decimal`` literal, so isNumeric must classify by
+    datatype through the file-parsed encoding. A mis-parse of any IRI
+    bracket, literal quote, or typed suffix would shift the brand
+    counts; the oracle replays the counts from the parquet the file was
+    derived from, so the file layer must be lossless to hash-match."""
     from bio2bel_spark.ingest import read_ntriples
     from bio2bel_spark.sparql import sparql_select
 
