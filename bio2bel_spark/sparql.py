@@ -549,26 +549,34 @@ class _Parser:
         ``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` / the
         general ``[WITH <g>] [DELETE {t}] [INSERT {t}] USING* WHERE
         {group}`` modify form / ``CLEAR|DROP [SILENT] (GRAPH <g> |
-        DEFAULT | NAMED | ALL)``. Templates are QUAD templates —
+        DEFAULT | NAMED | ALL)`` / ``LOAD [SILENT] <src> [INTO GRAPH
+        <g>]`` / ``CREATE [SILENT] GRAPH <g>`` / ``COPY|MOVE|ADD
+        [SILENT] src TO dst``. Templates are QUAD templates —
         ``GRAPH term { ... }`` sub-blocks target named graphs (round
         12). Returns ("data", delete_quads, insert_quads) — ground —
         ("modify", delete_template, insert_template, group, with_g,
-        using), or ("clear", target) with target ("graph", term) /
-        "default" / "named" / "all"."""
+        using), ("clear", target) with target ("graph", term) /
+        "default" / "named" / "all", ("load", src, target, silent),
+        ("create", gname), or ("gmove", kind, src_ref, dst_ref) with
+        refs "default" / ("graph", term)."""
         kind, v = self.peek()
         if kind == "keyword" and v.upper() in self._UNSUPPORTED_UPDATE:
             raise SparqlError(
                 f"{v.upper()} is outside the supported UPDATE subset "
                 "(supported: INSERT DATA, DELETE DATA, DELETE WHERE, "
-                "[WITH] DELETE/INSERT ... [USING] WHERE, CLEAR, DROP)"
+                "[WITH] DELETE/INSERT ... [USING] WHERE, CLEAR, DROP, "
+                "LOAD, CREATE, COPY, MOVE, ADD)"
             )
         if self.at_keyword("LOAD"):
             # LOAD [SILENT] <source> [INTO GRAPH <g>] — the source is a
             # local N-Triples path (file:// or bare); network IO is out
-            # of scope and rejected at apply time
+            # of scope and rejected at apply time. SILENT makes a
+            # missing source a no-op instead of an error (§3.1.4).
             self.next()
+            silent = False
             if self.at_keyword("SILENT"):
                 self.next()
+                silent = True
             src = self.parse_graph_name(allow_var=False)
             target = None
             if self.at_keyword("INTO"):
@@ -577,7 +585,7 @@ class _Parser:
                     raise SparqlError("LOAD ... INTO needs GRAPH <g>")
                 self.next()
                 target = self.parse_graph_name(allow_var=False)
-            return ("load", src, target)
+            return ("load", src, target, silent)
         if self.at_keyword("CREATE"):
             # CREATE [SILENT] GRAPH <g> — a validated NO-OP: this store
             # keeps no empty-graph bookkeeping (a graph IS its rows), so
@@ -4006,9 +4014,13 @@ def sparql_update(
             graph, op, pfx, op_bindings, max_path_depth, sol_graph, has_g
         )
         if (
-            op[0] in ("data", "modify") and op[2]
-        ) or op[0] in ("load", "gmove"):
-            # the op can insert rows -> the graph may now be a bag
+            (op[0] in ("data", "modify") and op[2])
+            or op[0] == "load"
+            or (op[0] == "gmove" and op[1] == "ADD")
+        ):
+            # the op can introduce DUPLICATE rows -> later WHEREs need a
+            # deduped solution graph. COPY/MOVE cannot: their output is
+            # a disjoint-by-graph union of set inputs.
             dirty = True
     return graph.dropDuplicates()
 
@@ -4029,6 +4041,8 @@ def _reject_graph_targeting(op) -> None:
     if op[0] == "create":
         raise SparqlError(msg.format("CREATE GRAPH"))
     if op[0] == "gmove":
+        if op[2] == "default" and op[3] == "default":
+            return  # the spec's self-copy no-op touches only the default
         raise SparqlError(msg.format(op[1] + " ... TO"))
     if op[0] == "load":
         if op[2] is not None:
@@ -4159,15 +4173,27 @@ def _apply_update_op(
     if op[0] == "create":
         return graph  # validated no-op: a graph IS its rows
     if op[0] == "load":
+        import os as _os
+
         from bio2bel_spark.ingest import read_ntriples
 
         src = str(_resolve(op[1], pfx)[1])
-        if src.startswith("file://"):
-            src = src[len("file://"):]
+        m = re.match(r"^file://([^/]*)(/.*)$", src)
+        if m:
+            # RFC 8089: file://<authority><path> — the authority (empty
+            # or localhost) is not part of the filesystem path
+            src = m.group(2)
         elif "://" in src:
             raise SparqlError(
                 "LOAD only reads local N-Triples paths (file:// or "
                 "bare); network sources are out of scope"
+            )
+        if not _os.path.exists(src):
+            if op[3]:  # SILENT: a failed load is a no-op (§3.1.4)
+                return graph
+            raise SparqlError(
+                f"LOAD source not found: {src} (use LOAD SILENT to "
+                "treat a missing source as a no-op)"
             )
         loaded = read_ntriples(spark, src)
         if has_g:

@@ -216,7 +216,9 @@ def test_graph_management_over_triples(graph):
             graph,
             "WITH <http://g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }",
         )
-    with pytest.raises(SparqlError, match="outside the supported"):
+    # LOAD is supported for LOCAL N-Triples paths (round 12b); network
+    # sources stay out of scope
+    with pytest.raises(SparqlError, match="network"):
         sparql_update(graph, "LOAD <http://u>")
 
 

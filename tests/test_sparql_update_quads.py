@@ -290,10 +290,24 @@ def test_copy_default_to_named_and_back(quads):
     assert not any(g == G2 for g, *_ in got2)
 
 
-def test_copy_to_self_is_noop(quads):
-    assert _rows(sparql_update(quads, f"MOVE <{G1}> TO <{G1}>")) == _rows(
-        quads
-    )
+def test_self_copy_move_add_are_noops(quads):
+    base = _rows(quads)
+    for kw in ("COPY", "MOVE", "ADD"):
+        assert _rows(sparql_update(quads, f"{kw} <{G1}> TO <{G1}>")) == base
+
+
+def test_load_silent_missing_source_is_noop(quads):
+    out = sparql_update(quads, "LOAD SILENT </nonexistent/path.nt>")
+    assert _rows(out) == _rows(quads)
+    with pytest.raises(SparqlError, match="not found"):
+        sparql_update(quads, "LOAD </nonexistent/path.nt>")
+
+
+def test_load_file_uri_with_authority(quads, tmp_path):
+    nt = tmp_path / "auth.nt"
+    nt.write_text(f'<{EX}n9> <{EX}p> "v9" .\n')
+    out = sparql_update(quads, f"LOAD <file://localhost{nt}>")
+    assert (None, "n9", "p", "v9") in _rows(out)
 
 
 def test_gmove_rejected_on_triples(spark):
@@ -304,3 +318,7 @@ def test_gmove_rejected_on_triples(spark):
         sparql_update(t, f"COPY DEFAULT TO <{G1}>")
     with pytest.raises(SparqlError, match="quad input"):
         sparql_update(t, f"LOAD </tmp/x.nt> INTO GRAPH <{G1}>")
+    # the spec's defensive self-copy touches only the default graph and
+    # stays legal over a triple store
+    got = sparql_update(t, "COPY DEFAULT TO DEFAULT")
+    assert [(r.s, r.o) for r in got.collect()] == [(EX + "a", "v")]
