@@ -1381,6 +1381,28 @@ def q_sparql_typed_literals(spark, sf_dir):
     )
 
 
+def q_sparql_arith(spark, sf_dir):
+    """SPARQL numeric expressions at bench scale (round 12): BIND with
+    * / - and the spec's precedence over the per-part retailPrice
+    lexicals, an arithmetic FILTER band, and grouped COUNT/SUM of the
+    derived column. Arithmetic evaluates in double with type-error-as-
+    NULL (sparql.py ``("arith", ...)`` nodes -> plain Catalyst numeric
+    expressions — whole-stage codegen, no UDFs); FLOOR keeps the summed
+    values integer-valued so the DuckDB replay is float-order-exact."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (COUNT(?part) AS ?n) (SUM(?d) AS ?tot) WHERE {
+               ?part ex:inBrand ?brand .
+               ?part ex:retailPrice ?price .
+               BIND(FLOOR(?price * 0.9) - 10 AS ?d)
+               FILTER(?d > 850)
+           } GROUP BY ?brand""",
+    )
+
+
 def _scale_quads(spark, sf_dir):
     """The named-graph substrate: the scale triples tagged into a quad
     store by predicate family — lineitem-derived facts in
@@ -4704,6 +4726,7 @@ QUERIES: dict[str, Callable] = {
     "sparql_update_quads": q_sparql_update_quads,  # never driver-checked
     "sparql_graph_path": q_sparql_graph_path,  # never driver-checked
     "sparql_ntriples_file": q_sparql_ntriples_file,  # never driver-checked
+    "sparql_arith": q_sparql_arith,  # never driver-checked
     "dup_span_scrub": q_dup_span_scrub,  # last green r05
     "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
     "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
@@ -4749,8 +4772,8 @@ QUERIES: dict[str, Callable] = {
     "table_diff": q_table_diff,  # last green r06
     "cdc_apply": q_cdc_apply,  # last green r06
     "lsh_recall": q_lsh_recall,  # last green r06
-    "bpe_merges": q_bpe_merges,  # last green r06
     # ---- end of the driver's 50-query correctness window ----
+    "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
     "target_encoding": q_target_encoding,  # last green r06
@@ -9541,6 +9564,14 @@ def oracle_sql() -> dict[str, str]:
                        AVG(CAST(floor(pr.o + 0.5) AS BIGINT)) + 0.5
                    ) AS BIGINT) AS VARCHAR) AS avgr
             FROM b3 JOIN pr ON pr.s = b3.part
+            GROUP BY 1
+        """,
+        "sparql_arith": "WITH " + _SCALE_TRIPLES_SQL + """
+            SELECT ib.o AS brand, COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(floor(pr.o * 0.9) AS BIGINT) - 10)
+                        AS DOUBLE) AS tot
+            FROM ib JOIN pr ON pr.s = ib.s
+            WHERE floor(pr.o * 0.9) - 10 > 850
             GROUP BY 1
         """,
         "sparql_ntriples_file": "WITH " + _SCALE_TRIPLES_SQL + """

@@ -161,7 +161,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/|^+?])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/|^+?-])
     """,
     re.VERBOSE,
 )
@@ -1296,11 +1296,11 @@ class _Parser:
         return self.parse_cmp()
 
     def parse_cmp(self):
-        left = self.parse_primary()
+        left = self.parse_additive()
         op = self.peek()[1]
         if op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            return ("cmp", op, left, self.parse_primary())
+            return ("cmp", op, left, self.parse_additive())
         negated = False
         if self.at_keyword("NOT"):
             # NOT here can only start NOT IN (FILTER negation is '!')
@@ -1320,6 +1320,41 @@ class _Parser:
             self.expect(")")
             return ("in", left, items, negated)
         return left
+
+    # -- numeric expressions (round 12): SPARQL AdditiveExpression ----
+    def parse_additive(self):
+        """``a + b - c`` with the spec's precedence (* and / bind
+        tighter). A NUMBER token with a leading '-' right after an
+        operand is the grammar's NumericLiteralNegative juxtaposition
+        (``?x -1`` means ``?x - 1``)."""
+        left = self.parse_multiplicative()
+        while True:
+            kind, v = self.peek()
+            if kind == "op" and v in ("+", "-"):
+                self.next()
+                left = ("arith", v, left, self.parse_multiplicative())
+            elif kind == "number" and v.startswith("-"):
+                self.next()
+                num = float(v) if "." in v else int(v)
+                left = ("arith", "+", left, ("lit", num))
+            else:
+                return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.peek() in (("op", "*"), ("op", "/")):
+            op = self.next()[1]
+            left = ("arith", op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek() == ("op", "-"):
+            self.next()
+            return ("arith", "-", ("lit", 0), self.parse_unary())
+        if self.peek() == ("op", "+"):
+            self.next()
+            return self.parse_unary()
+        return self.parse_primary()
 
     def parse_primary(self):
         kind, v = self.peek()
@@ -2120,6 +2155,23 @@ def _value_expr(expr, bound: set[str]) -> Column:
         return F.col(expr[1])
     if kind == "lit":
         return F.lit(expr[1])
+    if kind == "arith":
+        # §17.3 numeric operators, evaluated in DOUBLE (rdflib would
+        # keep xsd:integer for integer operands — a documented
+        # approximation; oracles cast). A non-numeric operand is the
+        # spec's type error -> NULL (via _num, which also strips the
+        # ^^xsd-numeric encoding); division by zero likewise NULLs
+        # (try_divide) instead of tripping an ANSI exception.
+        _, aop, l, r = expr
+        ln = _num(_value_expr(l, bound).cast("string"))
+        rn = _num(_value_expr(r, bound).cast("string"))
+        if aop == "+":
+            return ln + rn
+        if aop == "-":
+            return ln - rn
+        if aop == "*":
+            return ln * rn
+        return F.try_divide(ln, rn)
     if kind == "call" and expr[1] in _VALUE_FNS:
         fn, args = expr[1], expr[2]
         if fn == "CONCAT":
@@ -2962,6 +3014,9 @@ def _having_aggs(expr, found: list) -> None:
     elif kind == "cmp":
         _having_aggs(expr[2], found)
         _having_aggs(expr[3], found)
+    elif kind == "arith":
+        _having_aggs(expr[2], found)
+        _having_aggs(expr[3], found)
     elif kind == "in":
         _having_aggs(expr[1], found)
         for i in expr[2]:
@@ -2998,6 +3053,13 @@ def _rewrite_having(expr, aliases: dict):
             _rewrite_having(expr[1], aliases),
             [_rewrite_having(i, aliases) for i in expr[2]],
             expr[3],
+        )
+    if kind == "arith":
+        return (
+            "arith",
+            expr[1],
+            _rewrite_having(expr[2], aliases),
+            _rewrite_having(expr[3], aliases),
         )
     if kind == "call":
         return (
@@ -3177,6 +3239,8 @@ def _expr_introduces_null(expr) -> bool:
         return _expr_introduces_null(expr[1])
     if kind == "cmp":
         return _expr_introduces_null(expr[2]) or _expr_introduces_null(expr[3])
+    if kind == "arith":
+        return True  # a non-numeric operand / division by zero NULLs
     if kind == "in":
         return _expr_introduces_null(expr[1]) or any(
             _expr_introduces_null(i) for i in expr[2]
@@ -3188,6 +3252,8 @@ def _expr_vars(expr) -> set:
     kind = expr[0]
     if kind == "var":
         return {expr[1]}
+    if kind == "arith":
+        return _expr_vars(expr[2]) | _expr_vars(expr[3])
     if kind in ("or", "and"):
         return _expr_vars(expr[1]) | _expr_vars(expr[2])
     if kind == "not":
@@ -3274,6 +3340,12 @@ def _subst_expr(expr, binds: dict, prefixes: dict):
         return (
             "in", _subst_expr(expr[1], binds, prefixes),
             [_subst_expr(i, binds, prefixes) for i in expr[2]], expr[3],
+        )
+    if kind == "arith":
+        return (
+            "arith", expr[1],
+            _subst_expr(expr[2], binds, prefixes),
+            _subst_expr(expr[3], binds, prefixes),
         )
     if kind == "call":
         return ("call", expr[1], [_subst_expr(a, binds, prefixes) for a in expr[2]])

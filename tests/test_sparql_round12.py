@@ -147,3 +147,72 @@ def test_tv_prefix_variable_rejected(scored):
             "SELECT ?__tv_x WHERE { ?__tv_x ex:type ?t }",
             prefixes=PFX,
         )
+
+
+# ----------------------------------------------- arithmetic expressions
+
+
+@pytest.fixture(scope="module")
+def nums(spark):
+    rows = [
+        (EX + "a", EX + "v", "10"), (EX + "b", EX + "v", "3"),
+        (EX + "c", EX + "v", "oops"),
+        (EX + "a", EX + "w", "4"), (EX + "b", EX + "w", "0"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_arith_bind_and_precedence(nums):
+    got = sparql_select(
+        nums,
+        "SELECT ?s ?n WHERE { ?s ex:v ?a . "
+        "BIND(-?a + (2 + 3) * 2 AS ?n) }",
+        prefixes=PFX,
+    ).collect()
+    by = {_local(r.s): r.n for r in got}
+    # * binds tighter than +; unary minus; non-numeric -> error (unbound)
+    assert by == {"a": "0.0", "b": "7.0", "c": None}
+
+
+def test_arith_filter_and_negative_juxtaposition(nums):
+    got = sparql_select(
+        nums,
+        "SELECT ?s WHERE { ?s ex:v ?a . FILTER(?a -1 > 8) }",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.s) for r in got] == ["a"]
+
+
+def test_arith_division_by_zero_is_error(nums):
+    got = sparql_select(
+        nums,
+        "SELECT ?s ?r WHERE { ?s ex:v ?a . ?s ex:w ?b . "
+        "BIND(?a / ?b AS ?r) }",
+        prefixes=PFX,
+    ).collect()
+    by = {_local(r.s): r.r for r in got}
+    assert by == {"a": "2.5", "b": None}  # row kept, var unbound
+
+
+def test_arith_over_aggregates_in_having_and_select(nums):
+    got = sparql_select(
+        nums,
+        "SELECT ?s ((SUM(?a) * 2) AS ?dbl) WHERE { ?s ex:v ?a . "
+        "FILTER(isNumeric(?a)) } GROUP BY ?s HAVING(SUM(?a) + 1 > 4)",
+        prefixes=PFX,
+    ).collect()
+    assert [( _local(r.s), r.dbl) for r in got] == [("a", "20.0")]
+
+
+def test_arith_strips_typed_encoding(spark):
+    df = spark.createDataFrame(
+        [(EX + "a", EX + "v",
+          '"7"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        df,
+        "SELECT ?n WHERE { ?s ex:v ?a . BIND(?a * 3 AS ?n) }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["21.0"]
