@@ -120,6 +120,13 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   by VALUE per §17.3 ("10"^^xsd:integer > "9"^^xsd:integer). Everything
   else — joins, GROUP BY, DISTINCT, sameTerm — is term identity on the
   serialization, which is exactly RDF's simple-entailment term equality.
+  Round-12 round-out: ``STRLANG``/``STRDT`` construct encoded terms (so
+  built terms join like loaded ones), ``LANGMATCHES`` does RFC 4647
+  basic filtering, ``YEAR``/``MONTH``/``DAY``/``HOURS``/``MINUTES``/
+  ``SECONDS`` read xsd:dateTime lexicals (error-as-NULL on non-datetime
+  input), ``MD5``/``SHA1``/``SHA256``/``SHA384``/``SHA512`` hash the
+  lexical form, and numeric expressions ``+ - * /`` evaluate in double
+  with the spec's precedence and type-error-as-NULL.
 
 Plan shape (Spark-first): each triple pattern is one filtered projection of
 the triples table (constant predicates become pushable scan filters); shared
@@ -215,6 +222,9 @@ _VALUE_FNS = {
     "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
     "IF", "COALESCE", "STRBEFORE", "STRAFTER",
     "ABS", "ROUND", "CEIL", "FLOOR", "LANG", "DATATYPE",
+    "STRLANG", "STRDT",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
 }
 
 #: boolean-returning functions legal in FILTER (and, via _operand, as
@@ -222,6 +232,7 @@ _VALUE_FNS = {
 _BOOL_FNS = {
     "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS",
     "ISIRI", "ISURI", "ISLITERAL", "ISNUMERIC", "ISBLANK", "SAMETERM",
+    "LANGMATCHES",
 }
 
 #: value functions that can yield NULL (an expression error) even when
@@ -229,7 +240,10 @@ _BOOL_FNS = {
 #: the numeric functions error (cast-to-NULL) on non-numeric lexical
 #: forms. A BIND over one of these must mark its variable nullable so
 #: downstream joins keep SPARQL's compatible-mapping (IS NULL OR =) form.
-_NULL_INTRODUCING_FNS = {"LANG", "DATATYPE", "ABS", "ROUND", "CEIL", "FLOOR"}
+_NULL_INTRODUCING_FNS = {
+    "LANG", "DATATYPE", "ABS", "ROUND", "CEIL", "FLOOR",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+}
 
 #: the string-valued triples model carries no term-type tags, so isIRI /
 #: isLiteral classify by lexical shape: a term is an IRI iff it looks like
@@ -2077,6 +2091,15 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
         lit = str(args[1][1])
+        if fn == "LANGMATCHES":
+            # RFC 4647 BASIC filtering (§17.4.3.2): "*" matches any
+            # non-empty tag; otherwise case-insensitive exact match or a
+            # prefix match at a subtag boundary ("en" matches "en-US").
+            # The first argument is typically LANG(?x).
+            if lit == "*":
+                return a0.isNotNull() & (a0 != "")
+            low = F.lower(a0)
+            return (low == lit.lower()) | low.startswith(lit.lower() + "-")
         # string tests run over the LEXICAL form (typed/lang-tagged
         # literals match by their content, not their serialization)
         if fn == "REGEX":
@@ -2210,7 +2233,9 @@ def _value_expr(expr, bound: set[str]) -> Column:
         a0 = _value_expr(args[0], bound)
         if fn in (
             "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
-            "STRBEFORE", "STRAFTER",
+            "STRBEFORE", "STRAFTER", "STRLANG", "STRDT",
+            "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+            "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
         ):
             # the string functions operate on the LEXICAL form — a typed
             # or lang-tagged literal contributes its quoted content, not
@@ -2293,6 +2318,45 @@ def _value_expr(expr, bound: set[str]) -> Column:
             ).otherwise(F.when(a0.isNotNull(), F.lit("")))
         if fn == "STR":
             return a0.cast("string")
+        if fn in ("STRLANG", "STRDT"):
+            # constructors for the ENCODED-TERM model: the lexical form
+            # (first arg, encoding stripped above) re-wrapped with a
+            # lang tag / datatype suffix, yielding exactly the term the
+            # scan would have produced — so constructed terms join and
+            # LANG()/DATATYPE() like loaded ones
+            if len(args) != 2:
+                raise SparqlError(f"{fn} takes (lexical, tag-or-iri)")
+            tag = _lit_arg(fn, args[1])
+            if fn == "STRLANG":
+                if not re.fullmatch(_LANGTAG, str(tag)):
+                    raise SparqlError(
+                        f"STRLANG tag {tag!r} is not a legal LANGTAG"
+                    )
+                return F.concat(
+                    F.lit('"'), a0.cast("string"), F.lit(f'"@{tag}')
+                )
+            return F.concat(
+                F.lit('"'), a0.cast("string"), F.lit(f'"^^<{tag}>')
+            )
+        if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # xsd:dateTime accessors over the LEXICAL form (typed
+            # ^^xsd:dateTime encodings strip above); a non-datetime
+            # input is the spec's expression error -> NULL (try_cast).
+            # SECONDS truncates to the integer second — the spec's
+            # xsd:decimal fractional part is a documented approximation.
+            ts = a0.try_cast("timestamp")
+            return {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute,
+                "SECONDS": F.second,
+            }[fn](ts)
+        if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            h = a0.cast("string")
+            if fn == "MD5":
+                return F.md5(h)
+            if fn == "SHA1":
+                return F.sha1(h)
+            return F.sha2(h, int(fn[3:]))
         if fn == "STRLEN":
             return F.length(a0)
         if fn == "UCASE":

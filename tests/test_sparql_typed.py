@@ -296,3 +296,101 @@ def test_nonstandard_lang_line_does_not_parse(spark, tmp_path):
     )
     got = [(r.s[-1], r.o) for r in read_nquads(spark, str(nq)).collect()]
     assert got == [("a", '"ok"@en')]
+
+
+# ------------------- round 12c: constructors / langmatches / datetime
+
+
+def test_langmatches_basic_filtering(typed):
+    got = sparql_select(
+        typed,
+        'SELECT ?m WHERE { ?m ex:label ?l . '
+        'FILTER(LANGMATCHES(LANG(?l), "en")) }',
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.m) for r in got] == ["b"]
+    star = sparql_select(
+        typed,
+        'SELECT ?m WHERE { ?m ex:label ?l . '
+        'FILTER(LANGMATCHES(LANG(?l), "*")) }',
+        prefixes=PFX,
+    ).collect()
+    # "*" matches any non-empty tag; the plain literal's "" does not
+    assert sorted(_local(r.m) for r in star) == ["a", "b"]
+
+
+def test_langmatches_subtag_prefix(spark):
+    df = spark.createDataFrame(
+        [(EX + "a", EX + "l", '"color"@en-US')],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        df,
+        'SELECT ?s WHERE { ?s ex:l ?l . '
+        'FILTER(LANGMATCHES(LANG(?l), "EN")) }',
+        prefixes=PFX,
+    ).collect()
+    assert len(got) == 1  # case-insensitive, matches at subtag boundary
+
+
+def test_strlang_and_strdt_construct_encoded_terms(typed):
+    got = sparql_select(
+        typed,
+        'SELECT ?n ?dt WHERE { ?m ex:label ?l . '
+        'FILTER(LANG(?l) = "fr") '
+        'BIND(STRLANG(STR(?l), "de") AS ?n) '
+        "BIND(DATATYPE(STRDT(STR(?l), "
+        f"<{XSD}token>)) AS ?dt) }}",
+        prefixes=PFX,
+    ).collect()
+    assert [(r.n, r.dt) for r in got] == [('"chat"@de', XSD + "token")]
+
+
+def test_strlang_rejects_bad_tag(typed):
+    with pytest.raises(Exception, match="LANGTAG"):
+        sparql_select(
+            typed,
+            'SELECT ?n WHERE { ?m ex:label ?l . '
+            'BIND(STRLANG(STR(?l), "not a tag") AS ?n) }',
+            prefixes=PFX,
+        )
+
+
+def test_datetime_accessors(spark):
+    df = spark.createDataFrame(
+        [
+            (EX + "a", EX + "t",
+             f'"2024-03-05T10:11:12"^^<{XSD}dateTime>'),
+            (EX + "b", EX + "t", "bogus"),
+        ],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        df,
+        "SELECT ?s ?y ?mo ?d ?h ?mi ?sec WHERE { ?s ex:t ?t . "
+        "BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?mo) "
+        "BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h) "
+        "BIND(MINUTES(?t) AS ?mi) BIND(SECONDS(?t) AS ?sec) }",
+        prefixes=PFX,
+    ).collect()
+    by = {_local(r.s): (r.y, r.mo, r.d, r.h, r.mi, r.sec) for r in got}
+    assert by["a"] == ("2024", "3", "5", "10", "11", "12")
+    assert by["b"] == (None,) * 6  # non-datetime -> expression error
+
+
+def test_hash_functions(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(EX + "a", EX + "v", "hello")], "s string, p string, o string"
+    )
+    got = sparql_select(
+        df,
+        "SELECT ?m ?s1 ?s256 WHERE { ?x ex:v ?v . "
+        "BIND(MD5(?v) AS ?m) BIND(SHA1(?v) AS ?s1) "
+        "BIND(SHA256(?v) AS ?s256) }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert got.m == hashlib.md5(b"hello").hexdigest()
+    assert got.s1 == hashlib.sha1(b"hello").hexdigest()
+    assert got.s256 == hashlib.sha256(b"hello").hexdigest()
