@@ -245,6 +245,21 @@ _NULL_INTRODUCING_FNS = {
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
 }
 
+#: the xsd:dateTime lexical space (optional fractional seconds and
+#: Z / ±hh:mm offset) — groups 1-6 are the YEAR..SECONDS components
+_XSD_DATETIME_SHAPE = (
+    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
+    r"(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?$"
+)
+
+#: functions whose result is ALWAYS numeric (or NULL) — arithmetic over
+#: them skips the _num lexical-shape test (one regex per operand saved
+#: on the hot path)
+_NUMERIC_RESULT_FNS = {
+    "ABS", "ROUND", "CEIL", "FLOOR", "STRLEN",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+}
+
 #: the string-valued triples model carries no term-type tags, so isIRI /
 #: isLiteral classify by lexical shape: a term is an IRI iff it looks like
 #: a scheme'd identifier — ``scheme://...`` or ``urn:...`` (the two forms
@@ -1348,9 +1363,16 @@ class _Parser:
                 self.next()
                 left = ("arith", v, left, self.parse_multiplicative())
             elif kind == "number" and v.startswith("-"):
+                # the juxtaposed negative literal heads its own
+                # multiplicative tail (grammar rule [116]: ``?a -1 * 2``
+                # is ``?a + ((-1) * 2)``)
                 self.next()
                 num = float(v) if "." in v else int(v)
-                left = ("arith", "+", left, ("lit", num))
+                right: tuple = ("lit", num)
+                while self.peek() in (("op", "*"), ("op", "/")):
+                    mop = self.next()[1]
+                    right = ("arith", mop, right, self.parse_unary())
+                left = ("arith", "+", left, right)
             else:
                 return left
 
@@ -2185,9 +2207,20 @@ def _value_expr(expr, bound: set[str]) -> Column:
         # spec's type error -> NULL (via _num, which also strips the
         # ^^xsd-numeric encoding); division by zero likewise NULLs
         # (try_divide) instead of tripping an ANSI exception.
+        # Statically-numeric operands (literals, nested arithmetic,
+        # numeric-result functions) skip the _num regex entirely —
+        # only term-valued operands pay the shape test.
+        def _arith_operand(t) -> Column:
+            if t[0] == "lit" and isinstance(t[1], (int, float)):
+                return F.lit(float(t[1]))
+            if t[0] == "arith" or (
+                t[0] == "call" and t[1] in _NUMERIC_RESULT_FNS
+            ):
+                return _value_expr(t, bound).cast("double")
+            return _num(_value_expr(t, bound).cast("string"))
+
         _, aop, l, r = expr
-        ln = _num(_value_expr(l, bound).cast("string"))
-        rn = _num(_value_expr(r, bound).cast("string"))
+        ln, rn = _arith_operand(l), _arith_operand(r)
         if aop == "+":
             return ln + rn
         if aop == "-":
@@ -2323,33 +2356,53 @@ def _value_expr(expr, bound: set[str]) -> Column:
             # (first arg, encoding stripped above) re-wrapped with a
             # lang tag / datatype suffix, yielding exactly the term the
             # scan would have produced — so constructed terms join and
-            # LANG()/DATATYPE() like loaded ones
+            # LANG()/DATATYPE() like canonically-written loaded ones
             if len(args) != 2:
                 raise SparqlError(f"{fn} takes (lexical, tag-or-iri)")
-            tag = _lit_arg(fn, args[1])
+            tag = str(_lit_arg(fn, args[1]))
             if fn == "STRLANG":
-                if not re.fullmatch(_LANGTAG, str(tag)):
+                if not re.fullmatch(_LANGTAG, tag):
                     raise SparqlError(
                         f"STRLANG tag {tag!r} is not a legal LANGTAG"
                     )
+                # RDF 1.1: the language-tag value space is lower case —
+                # normalize at construction so built terms string-match
+                # canonically-tagged data (mixed-case LOADED tags keep
+                # their serialization; LANGMATCHES compares both sides
+                # case-insensitively)
                 return F.concat(
-                    F.lit('"'), a0.cast("string"), F.lit(f'"@{tag}')
+                    F.lit('"'), a0.cast("string"),
+                    F.lit(f'"@{tag.lower()}'),
+                )
+            if not re.match(_IRI_SHAPE, tag):
+                # same loud-error policy as STRLANG's LANGTAG check —
+                # a non-IRI datatype would construct a malformed term
+                # that silently joins nothing
+                raise SparqlError(
+                    f"STRDT datatype {tag!r} is not an IRI; write it "
+                    "as <...>"
                 )
             return F.concat(
                 F.lit('"'), a0.cast("string"), F.lit(f'"^^<{tag}>')
             )
         if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
-            # xsd:dateTime accessors over the LEXICAL form (typed
-            # ^^xsd:dateTime encodings strip above); a non-datetime
-            # input is the spec's expression error -> NULL (try_cast).
-            # SECONDS truncates to the integer second — the spec's
-            # xsd:decimal fractional part is a documented approximation.
-            ts = a0.try_cast("timestamp")
-            return {
-                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
-                "HOURS": F.hour, "MINUTES": F.minute,
-                "SECONDS": F.second,
-            }[fn](ts)
+            # xsd:dateTime accessors: components are read from the
+            # LEXICAL form itself (typed ^^xsd:dateTime encodings strip
+            # above), NOT from a timestamp cast — a cast would
+            # normalize a timezone-offset lexical to the session zone
+            # and shift HOURS/DAY (XPath reads the value's own
+            # components). Non-datetime input is the expression error
+            # -> NULL. SECONDS truncates to the integer second — the
+            # spec's xsd:decimal fractional part is a documented
+            # approximation.
+            idx = {
+                "YEAR": 1, "MONTH": 2, "DAY": 3,
+                "HOURS": 4, "MINUTES": 5, "SECONDS": 6,
+            }[fn]
+            return F.when(
+                a0.rlike(_XSD_DATETIME_SHAPE),
+                F.regexp_extract(a0, _XSD_DATETIME_SHAPE, idx),
+            ).try_cast("int")
         if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
             h = a0.cast("string")
             if fn == "MD5":
@@ -3262,29 +3315,6 @@ def _apply_aggregation(
     if having_aliases:
         grouped = grouped.drop(*having_aliases.values())
     return grouped, extend_aliases
-
-
-def _expr_has_agg(expr) -> bool:
-    """True when the expression tree contains an aggregate call (an
-    ``agg_expr`` node) at any depth — e.g. ``((COUNT(?m)) AS ?n)``,
-    where parenthesization hides the aggregate from a top-level tag
-    check."""
-    kind = expr[0]
-    if kind == "agg_expr":
-        return True
-    if kind == "call":
-        return any(_expr_has_agg(a) for a in expr[2])
-    if kind in ("or", "and"):
-        return _expr_has_agg(expr[1]) or _expr_has_agg(expr[2])
-    if kind == "not":
-        return _expr_has_agg(expr[1])
-    if kind == "cmp":
-        return _expr_has_agg(expr[2]) or _expr_has_agg(expr[3])
-    if kind == "in":
-        return _expr_has_agg(expr[1]) or any(
-            _expr_has_agg(i) for i in expr[2]
-        )
-    return False
 
 
 def _expr_introduces_null(expr) -> bool:
