@@ -320,34 +320,40 @@ _TYPED_NUM_SHAPE = (
 _GSEP = "\x1f"
 
 
+#: one-pass strip patterns for regexp_replace: a matching encoded term
+#: is replaced by its quoted content ($1); a NON-matching input passes
+#: through UNCHANGED — identity for IRIs, blanks and plain literals with
+#: the operand appearing exactly ONCE in the compiled expression. (The
+#: earlier when/otherwise formulation repeated the operand subtree 4-16x
+#: and, composed through BIND + FILTER inlining, blew whole-stage
+#: codegen past the JVM method limit — interpreted-mode fallback.)
+_TYPED_NUM_STRIP = (
+    r'^"(.*)"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:'
+    + _XSD_NUM_LOCAL + r")>$"
+)
+
+
 def _lex(c: Column) -> Column:
     """Lexical form of a term: strips the ``^^<dt>`` / ``@lang`` suffix
     from an encoded typed/lang literal; identity for IRIs, blank labels
-    and plain literals. The ``startswith('"')`` guard keeps the regex off
-    the hot path — codegen's ``&&`` short-circuits, and ordinary terms
-    never start with a quote."""
-    return F.when(
-        c.startswith('"') & c.rlike(_ENC_LIT_SHAPE),
-        F.regexp_extract(c, _ENC_LIT_SHAPE, _ENC_LEX_G),
-    ).otherwise(c)
+    and plain literals. ONE regexp_replace — the operand compiles into
+    the plan exactly once."""
+    return F.regexp_replace(c, _ENC_LIT_SHAPE, "$1")
 
 
 def _num(c: Column) -> Column:
     """Numeric value of a term (or NULL = expression error): a typed
     literal contributes its lexical form ONLY when its datatype is
-    xsd-numeric — ``"12"^^xsd:string`` (or ``"12"@en``) is NOT a number,
-    matching ISNUMERIC and §17.3's operand categories — and a plain term
+    xsd-numeric — ``"12"^^xsd:string`` (or ``"12"@en``) is NOT a number
+    (its serialization fails the numeric shape un-stripped), matching
+    ISNUMERIC and §17.3's operand categories — and a plain term
     contributes its lexical form when numeric-shaped (the string model's
     documented approximation). Used by the typed-comparison branch and
     the numeric builtins."""
-    lx = F.when(
-        c.startswith('"') & c.rlike(_ENC_LIT_SHAPE),
-        F.when(
-            c.rlike(_TYPED_NUM_SHAPE),
-            F.regexp_extract(c, _ENC_LIT_SHAPE, _ENC_LEX_G),
-        ),
-    ).otherwise(c)
-    return F.when(lx.rlike(_NUMERIC_SHAPE), lx).try_cast("double")
+    stripped = F.regexp_replace(c, _TYPED_NUM_STRIP, "$1")
+    return F.when(stripped.rlike(_NUMERIC_SHAPE), stripped).try_cast(
+        "double"
+    )
 
 
 class _Parser:

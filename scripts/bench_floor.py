@@ -69,6 +69,7 @@ FLOOR_SET = [
     "sparql_update_quads",
     "sparql_graph_path",
     "sparql_ntriples_file",
+    "sparql_arith",
 ]
 
 N_RUNS = 3
