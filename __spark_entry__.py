@@ -4722,57 +4722,6 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
-    "sparql_typed_literals": q_sparql_typed_literals,  # never driver-checked
-    "sparql_update_quads": q_sparql_update_quads,  # never driver-checked
-    "sparql_graph_path": q_sparql_graph_path,  # never driver-checked
-    "sparql_ntriples_file": q_sparql_ntriples_file,  # never driver-checked
-    "sparql_arith": q_sparql_arith,  # never driver-checked
-    "dup_span_scrub": q_dup_span_scrub,  # last green r05
-    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r05
-    "incremental_fuzzy": q_incremental_fuzzy,  # last green r06
-    "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r06
-    "mean_pool": q_mean_pool,  # last green r06
-    "join_strategy": q_join_strategy,  # last green r06
-    "topk_maintenance": q_topk_maintenance,  # last green r06
-    "psi_maintenance": q_psi_maintenance,  # last green r06
-    "cms_maintenance": q_cms_maintenance,  # last green r06
-    "hll_maintenance": q_hll_maintenance,  # last green r06
-    "temperature_mixture": q_temperature_mixture,  # last green r06
-    "token_budget_select": q_token_budget_select,  # last green r06
-    "cluster_split": q_cluster_split,  # last green r06
-    "winnowing_fingerprints": q_winnowing,  # last green r06
-    "weighted_sample": q_weighted_sample,  # last green r06
-    "lexical_diversity": q_lexical_diversity,  # last green r06
-    "vocab_divergence": q_vocab_divergence,  # last green r06
-    "oov_rate": q_oov_rate,  # last green r06
-    "quantile_transform": q_quantile_transform,  # last green r06
-    "zorder_layout": q_zorder,  # last green r06
-    "hilbert_layout": q_hilbert_layout,  # last green r06
-    "hilbert_layout_3d": q_hilbert_layout_3d,  # last green r06
-    "loop_detection": q_loop_detection,  # last green r06
-    "ngram_contamination": q_ngram_contamination,  # last green r06
-    "ab_test": q_ab_test,  # last green r06
-    "bloom_join": q_bloom_join,  # last green r06
-    "robust_scale": q_robust_scale,  # last green r06
-    "split_leakage": q_split_leakage,  # last green r06
-    "equiheight_histogram": q_equiheight_histogram,  # last green r06
-    "edit_distance_pairs": q_edit_distance,  # last green r06
-    "join_size_estimate": q_join_size,  # last green r06
-    "soft_cluster": q_soft_cluster,  # last green r06
-    "asof_join_tolerance": q_asof_join_tolerance,  # last green r06
-    "asof_join_nearest": q_asof_join_nearest,  # last green r06
-    "interval_overlap": q_interval_overlap,  # last green r06
-    "hypertable_rollup": q_hypertable_rollup,  # last green r06
-    "timeline_features": q_timeline_features,  # last green r06
-    "label_consistency": q_label_consistency,  # last green r06
-    "scd2_apply": q_scd2_apply,  # last green r06
-    "cooccurrence_pmi": q_cooccurrence_pmi,  # last green r06
-    "bm25_search": q_bm25_search,  # last green r06
-    "srp_near_pairs": q_srp_near_pairs,  # last green r06
-    "table_diff": q_table_diff,  # last green r06
-    "cdc_apply": q_cdc_apply,  # last green r06
-    "lsh_recall": q_lsh_recall,  # last green r06
-    # ---- end of the driver's 50-query correctness window ----
     "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
@@ -4823,6 +4772,7 @@ QUERIES: dict[str, Callable] = {
     "kmv_distinct": q_kmv_distinct,  # last green r09
     "kmv_grouped": q_kmv_grouped,  # last green r09
     "hll_distinct": q_hll_distinct,  # last green r09
+    # ---- end of the driver's 50-query correctness window ----
     "pack_chunks": q_pack_chunks,  # last green r09
     "chunk_spans": q_chunk_spans,  # last green r09
     "sliding_windows": q_sliding_windows,  # last green r09
@@ -4939,6 +4889,56 @@ QUERIES: dict[str, Callable] = {
     "quantile_sketch_grouped": q_quantile_sketch_grouped,  # last green r11
     "validate_lineitem": q_validate_lineitem,  # last green r11
     "dup_span_profile": q_dup_span_profile,  # last green r11
+    "sparql_typed_literals": q_sparql_typed_literals,  # last green r12
+    "sparql_update_quads": q_sparql_update_quads,  # last green r12
+    "sparql_graph_path": q_sparql_graph_path,  # last green r12
+    "sparql_ntriples_file": q_sparql_ntriples_file,  # last green r12
+    "sparql_arith": q_sparql_arith,  # last green r12
+    "dup_span_scrub": q_dup_span_scrub,  # last green r12
+    "dup_span_scrub_keep_first": q_dup_span_scrub_keep_first,  # last green r12
+    "incremental_fuzzy": q_incremental_fuzzy,  # last green r12
+    "curation_pipeline_v2": q_curation_pipeline_v2,  # last green r12
+    "mean_pool": q_mean_pool,  # last green r12
+    "join_strategy": q_join_strategy,  # last green r12
+    "topk_maintenance": q_topk_maintenance,  # last green r12
+    "psi_maintenance": q_psi_maintenance,  # last green r12
+    "cms_maintenance": q_cms_maintenance,  # last green r12
+    "hll_maintenance": q_hll_maintenance,  # last green r12
+    "temperature_mixture": q_temperature_mixture,  # last green r12
+    "token_budget_select": q_token_budget_select,  # last green r12
+    "cluster_split": q_cluster_split,  # last green r12
+    "winnowing_fingerprints": q_winnowing,  # last green r12
+    "weighted_sample": q_weighted_sample,  # last green r12
+    "lexical_diversity": q_lexical_diversity,  # last green r12
+    "vocab_divergence": q_vocab_divergence,  # last green r12
+    "oov_rate": q_oov_rate,  # last green r12
+    "quantile_transform": q_quantile_transform,  # last green r12
+    "zorder_layout": q_zorder,  # last green r12
+    "hilbert_layout": q_hilbert_layout,  # last green r12
+    "hilbert_layout_3d": q_hilbert_layout_3d,  # last green r12
+    "loop_detection": q_loop_detection,  # last green r12
+    "ngram_contamination": q_ngram_contamination,  # last green r12
+    "ab_test": q_ab_test,  # last green r12
+    "bloom_join": q_bloom_join,  # last green r12
+    "robust_scale": q_robust_scale,  # last green r12
+    "split_leakage": q_split_leakage,  # last green r12
+    "equiheight_histogram": q_equiheight_histogram,  # last green r12
+    "edit_distance_pairs": q_edit_distance,  # last green r12
+    "join_size_estimate": q_join_size,  # last green r12
+    "soft_cluster": q_soft_cluster,  # last green r12
+    "asof_join_tolerance": q_asof_join_tolerance,  # last green r12
+    "asof_join_nearest": q_asof_join_nearest,  # last green r12
+    "interval_overlap": q_interval_overlap,  # last green r12
+    "hypertable_rollup": q_hypertable_rollup,  # last green r12
+    "timeline_features": q_timeline_features,  # last green r12
+    "label_consistency": q_label_consistency,  # last green r12
+    "scd2_apply": q_scd2_apply,  # last green r12
+    "cooccurrence_pmi": q_cooccurrence_pmi,  # last green r12
+    "bm25_search": q_bm25_search,  # last green r12
+    "srp_near_pairs": q_srp_near_pairs,  # last green r12
+    "table_diff": q_table_diff,  # last green r12
+    "cdc_apply": q_cdc_apply,  # last green r12
+    "lsh_recall": q_lsh_recall,  # last green r12
 }
 
 
