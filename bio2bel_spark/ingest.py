@@ -218,13 +218,26 @@ def _term_col(c):
     sparql.py reads the suffix in LANG/DATATYPE/STR, numeric comparisons
     and aggregates; term identity stays plain string equality, and
     ``"1"^^xsd:int`` is correctly a DIFFERENT term from ``"1"``). Blank
-    labels pass through verbatim. ONE definition shared by both line
-    readers so the unwrapping rules can never diverge between them."""
+    labels pass through verbatim. LANGUAGE TAGS canonicalize to
+    LOWERCASE (RDF 1.1 §3.3: the tag value space is lowercase, so
+    ``"x"@EN`` and ``"x"@en`` are the SAME literal — normalizing at
+    every construction point keeps term identity = string equality);
+    the query grammar (sparql._string_token_value) and STRLANG apply
+    the same rule. ONE definition shared by both line readers so the
+    unwrapping rules can never diverge between them."""
+    lang_shape = r'^(".*")@(' + _LANGTAG + r")$"
     return (
         F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
         .when(
-            c.startswith('"')
-            & c.rlike(r'^".*"(\^\^<[^>]*>|@' + _LANGTAG + r")$"),
+            c.startswith('"') & c.rlike(lang_shape),
+            F.concat(
+                F.regexp_extract(c, lang_shape, 1),
+                F.lit("@"),
+                F.lower(F.regexp_extract(c, lang_shape, 2)),
+            ),
+        )
+        .when(
+            c.startswith('"') & c.rlike(r'^".*"\^\^<[^>]*>$'),
             c,
         )
         .when(c.rlike(r'^"(.*)"$'), F.regexp_extract(c, r'^"(.*)"$', 1))

@@ -1473,7 +1473,13 @@ def _string_token_value(v: str) -> str:
     by the tokenizer ONLY to reject it with a pointed error — datatype
     resolution would need a prefix table the expression layer doesn't
     carry, and without this check the ``^`` tokens would fail deep in
-    path parsing with a baffling message."""
+    path parsing with a baffling message.
+
+    Language tags canonicalize to LOWERCASE here (RDF 1.1 §3.3: the
+    value space of language tags is lowercase), matching the same
+    normalization in the scan (ingest._term_col) and in STRLANG — so a
+    query's ``"chat"@FR`` term-equals loaded data however either side
+    spelled the tag."""
     if v.endswith('"'):
         return _unquote(v)
     if "^^" in v and not v.endswith(">"):
@@ -1482,6 +1488,9 @@ def _string_token_value(v: str) -> str:
             "the datatype as a full <...> IRI (prefixes are not in "
             "scope for datatype resolution)"
         )
+    m = re.fullmatch(r'(".*")@(' + _LANGTAG + r")", v, re.DOTALL)
+    if m:
+        return m.group(1) + "@" + m.group(2).lower()
     return v
 
 
@@ -2040,23 +2049,34 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
         )
         return F.when(typed, num).otherwise(raw)
     if kind == "in":
-        # §17.4.1.9: IN = equality against each member ('||'-chained);
-        # an all-literal list compiles to isin — a PUSHABLE scan
-        # predicate. Empty list: the empty disjunction is FALSE without
-        # evaluating the operand (§17.4.1.9-10), so IN () is FALSE and
-        # NOT IN () is TRUE even for an UNBOUND left side. Non-empty
-        # list + unbound left -> error (NULL) -> effective false either
-        # way after the NOT (SQL three-valued ~NULL = NULL matches).
+        # §17.4.1.9: IN = equality against each member ('||'-chained).
+        # A plain-string-literal list compiles to isin — a PUSHABLE scan
+        # predicate over the string term column. A list with NUMERIC or
+        # encoded-literal members desugars to the '='-cmp chain instead:
+        # isin([1]) would cast the string term column to BIGINT (ANSI
+        # runtime crash on encoded typed literals like "1"^^xsd:integer,
+        # silent never-match otherwise), while the cmp node carries the
+        # §17.3 typed-numeric value branch — so ?x IN (1, 2) matches
+        # "1"^^xsd:integer by VALUE, consistent with FILTER(?x = 1).
+        # Empty list: the empty disjunction is FALSE without evaluating
+        # the operand (§17.4.1.9-10), so IN () is FALSE and NOT IN () is
+        # TRUE even for an UNBOUND left side. Non-empty list + unbound
+        # left -> error (NULL) -> effective false either way after the
+        # NOT (SQL three-valued ~NULL = NULL matches).
         _, term, items, negated = expr
-        col = _operand(term, bound)
         if not items:
             c = F.lit(False)
-        elif all(i[0] == "lit" for i in items):
-            c = col.isin([i[1] for i in items])
+        elif all(
+            i[0] == "lit"
+            and isinstance(i[1], str)
+            and not i[1].startswith('"')
+            for i in items
+        ):
+            c = _operand(term, bound).isin([i[1] for i in items])
         else:
             c = None
             for i in items:
-                e = col == _operand(i, bound)
+                e = _compile_filter(("cmp", "=", term, i), bound, markers)
                 c = e if c is None else (c | e)
         return ~c if negated else c
     if kind == "call":
@@ -2158,9 +2178,10 @@ def _maybe_encoded(term) -> bool:
     if term[0] == "lit":
         return isinstance(term[1], str) and term[1].startswith('"')
     if term[0] == "call":
-        # IF/COALESCE pass term VALUES through; every other function
-        # returns a plain lexical/numeric/boolean result
-        return term[1] in ("IF", "COALESCE")
+        # IF/COALESCE pass term VALUES through, and STRDT/STRLANG
+        # CONSTRUCT encoded terms; every other function returns a plain
+        # lexical/numeric/boolean result
+        return term[1] in ("IF", "COALESCE", "STRDT", "STRLANG")
     return False  # boolean trees (and/or/not/cmp/in/exists) never are
 
 
@@ -2372,10 +2393,10 @@ def _value_expr(expr, bound: set[str]) -> Column:
                         f"STRLANG tag {tag!r} is not a legal LANGTAG"
                     )
                 # RDF 1.1: the language-tag value space is lower case —
-                # normalize at construction so built terms string-match
-                # canonically-tagged data (mixed-case LOADED tags keep
-                # their serialization; LANGMATCHES compares both sides
-                # case-insensitively)
+                # the same normalization the scan (ingest._term_col)
+                # and the query grammar apply, so constructed and
+                # loaded terms use ONE convention and term-equal
+                # regardless of how the source spelled the tag
                 return F.concat(
                     F.lit('"'), a0.cast("string"),
                     F.lit(f'"@{tag.lower()}'),
