@@ -1318,6 +1318,9 @@ def _scale_typed_triples(spark, sf_dir):
 
     * ``part://K ex:price "<p_retailprice>"^^xsd:decimal`` — a typed
       numeric per part (~20k at sf0.1)
+    * ``part://K ex:size  "<p_size>"^^xsd:integer`` — typed integers
+      1..50, MIXED magnitudes so lexical and value order diverge
+      ("10" < "9" lexically) — the §15.1 ordering substrate (round 13)
     * ``part://K ex:name  "<p_name>"@en`` for EVEN part keys, plain
       ``p_name`` for odd — a mixed lang-tagged/plain literal column
     * ``part://K ex:inBrand Brand#N`` — plain (unchanged model)
@@ -1338,6 +1341,13 @@ def _scale_typed_triples(spark, sf_dir):
             F.lit(f'"^^<{xsd}decimal>'),
         ).alias("o"),
     )
+    size = part.select(
+        s, F.lit(ex + "size").alias("p"),
+        F.concat(
+            F.lit('"'), F.col("p_size").cast("string"),
+            F.lit(f'"^^<{xsd}integer>'),
+        ).alias("o"),
+    )
     name = part.select(
         s, F.lit(ex + "name").alias("p"),
         F.when(
@@ -1348,7 +1358,9 @@ def _scale_typed_triples(spark, sf_dir):
     in_brand = part.select(
         s, F.lit(ex + "inBrand").alias("p"), F.col("p_brand").alias("o")
     )
-    return price.unionByName(name).unionByName(in_brand)
+    return (
+        price.unionByName(size).unionByName(name).unionByName(in_brand)
+    )
 
 
 def q_sparql_typed_literals(spark, sf_dir):
@@ -1400,6 +1412,97 @@ def q_sparql_arith(spark, sf_dir):
                BIND(FLOOR(?price * 0.9) - 10 AS ?d)
                FILTER(?d > 850)
            } GROUP BY ?brand""",
+    )
+
+
+def q_sparql_typed_order(spark, sf_dir):
+    """SPARQL §15.1 VALUE ordering driver-checked at bench scale (round
+    13 verdict ask #1): MIN/MAX over ``"N"^^xsd:integer`` part sizes
+    (1..50 — mixed magnitudes, so the lexicographic answer differs:
+    lexical MAX is "9", value MAX is "50") and an outer ORDER BY over a
+    typed aggregate result with LIMIT, so value-vs-lexical ordering also
+    decides WHICH rows survive. MIN/MAX compile to min_by/max_by over
+    the (bucket, value, raw) §15.1 key struct; ORDER BY expands each key
+    to the same triple (sparql._order_key_cols). The oracle replays
+    numeric MIN/MAX from the part table and re-encodes the terms."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_typed_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand ?lo ?hi ?n WHERE {
+               { SELECT ?brand (MIN(?sz) AS ?lo) (MAX(?sz) AS ?hi)
+                        (COUNT(?part) AS ?n)
+                 WHERE { ?part ex:inBrand ?brand . ?part ex:size ?sz }
+                 GROUP BY ?brand }
+           } ORDER BY DESC(?hi) ?lo ?brand LIMIT 10""",
+    )
+
+
+def _scale_datetime_triples(spark, sf_dir):
+    """xsd:dateTime substrate (round-13 verdict ask #4): per-order typed
+    instants with MIXED timezone spellings of the SAME timeline —
+    ``order://K ex:placedAt "<ts>Z"^^xsd:dateTime`` for odd keys, the
+    identical instant re-spelled two hours later with a ``+02:00``
+    offset for even keys — so lexical comparison misorders rows across
+    the spelling families and only instant normalization answers
+    correctly. Plus ``ex:status`` for the grouping dimension. Rendering
+    is date_format in the session zone (Etc/UTC here), matching the
+    oracle's naive-UTC strftime."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ex = "http://ex.org/"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    s = F.concat(
+        F.lit("order://"), F.col("o_orderkey").cast("string")
+    ).alias("s")
+    inst = F.timestamp_add(
+        "HOUR", (F.col("o_orderkey") % 24).cast("int"),
+        F.col("o_orderdate"),
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss"
+    ser = F.when(
+        F.col("o_orderkey") % 2 == 1,
+        F.concat(F.date_format(inst, fmt), F.lit("Z")),
+    ).otherwise(
+        F.concat(
+            F.date_format(F.timestamp_add("HOUR", F.lit(2), inst), fmt),
+            F.lit("+02:00"),
+        )
+    )
+    placed = orders.select(
+        s, F.lit(ex + "placedAt").alias("p"),
+        F.concat(F.lit('"'), ser, F.lit(f'"^^<{xsd}dateTime>')).alias("o"),
+    )
+    status = orders.select(
+        s, F.lit(ex + "status").alias("p"),
+        F.col("o_orderstatus").alias("o"),
+    )
+    return placed.unionByName(status)
+
+
+def q_sparql_datetime(spark, sf_dir):
+    """xsd:dateTime VALUE comparisons driver-checked at bench scale
+    (round-13 verdict ask #4): a typed-dateTime FILTER boundary over
+    ~15k per-order instants spelled in TWO timezone families (Z and
+    +02:00 — the even-key spellings are lexically two hours later but
+    denote the SAME instants), grouped per status with MIN(?t) picking
+    each group's earliest instant under the §15.1 dateTime bucket.
+    Lexical comparison would misclassify every even-key row within two
+    hours of the boundary and pick per-group minima from the wrong
+    spelling family. The oracle replays instants as naive-UTC
+    timestamps and re-encodes the winning serialization (instant
+    tie-break = raw serialization, the key struct's third field)."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_datetime_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?st (COUNT(?ord) AS ?n) (MIN(?t) AS ?first) WHERE {
+               ?ord ex:placedAt ?t .
+               ?ord ex:status ?st .
+               FILTER(?t >=
+        "1997-06-15T12:00:00Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>)
+           } GROUP BY ?st""",
     )
 
 
@@ -4722,6 +4825,8 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_typed_order": q_sparql_typed_order,  # new r13
+    "sparql_datetime": q_sparql_datetime,  # new r13
     "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
@@ -9632,6 +9737,56 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_typed_order": """
+            -- §15.1 VALUE ordering replay: MIN/MAX over the typed
+            -- integer sizes are the NUMERIC extremes (lexicographic
+            -- MAX would answer "9"), re-encoded as the engine's
+            -- "<n>"^^xsd:integer terms; the outer ORDER BY ... LIMIT
+            -- pages by the hi VALUE (desc), lo value, then brand
+            WITH agg AS (
+                SELECT p_brand AS brand,
+                       MIN(p_size) AS lo_v, MAX(p_size) AS hi_v,
+                       COUNT(*)::BIGINT AS n
+                FROM part GROUP BY 1)
+            SELECT brand,
+                   '"' || lo_v ||
+                   '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS lo,
+                   '"' || hi_v ||
+                   '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS hi,
+                   n
+            FROM agg
+            ORDER BY hi_v DESC, lo_v, brand
+            LIMIT 10
+        """,
+        "sparql_datetime": """
+            -- instant replay: both spelling families decode to the SAME
+            -- naive-UTC timeline (+02:00 wall-shift cancels the offset);
+            -- the boundary and per-group MIN compare instants, with the
+            -- serialization itself as the deterministic tie-break (the
+            -- engine key struct's third field)
+            WITH inst AS (
+                SELECT o_orderstatus AS st,
+                       o_orderdate
+                         + INTERVAL (o_orderkey % 24) HOUR AS t,
+                       CASE WHEN o_orderkey % 2 = 1
+                            THEN '"' || strftime(
+                                   o_orderdate
+                                     + INTERVAL (o_orderkey % 24) HOUR,
+                                   '%Y-%m-%dT%H:%M:%S')
+                                 || 'Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+                            ELSE '"' || strftime(
+                                   o_orderdate
+                                     + INTERVAL (o_orderkey % 24 + 2) HOUR,
+                                   '%Y-%m-%dT%H:%M:%S')
+                                 || '+02:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+                       END AS ser
+                FROM orders)
+            SELECT st, COUNT(*)::BIGINT AS n,
+                   first(ser ORDER BY t, ser) AS "first"
+            FROM inst
+            WHERE t >= TIMESTAMP '1997-06-15 12:00:00'
+            GROUP BY st
         """,
         "sparql_scale_fns": "WITH " + _SCALE_TRIPLES_SQL + """
             SELECT CASE WHEN ib.o LIKE 'Brand#1%' THEN 'b1'

@@ -70,8 +70,10 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   form cast to double; only the UNGROUPED global aggregate over an
   empty input coalesces to ``0.0`` per SPARQL 1.1 §18.5.1 ``Sum({}) =
   0`` — a grouped SUM/AVG whose group binds no values stays NULL,
-  matching rdflib and SQL), ``MIN``/``MAX`` (lexicographic,
-  matching DuckDB over VARCHAR), ``SAMPLE`` (evaluated as MIN —
+  matching rdflib and SQL), ``MIN``/``MAX`` (§15.1 VALUE ordering:
+  xsd-numeric and xsd:dateTime typed literals compare by value, other
+  terms lexically — identical to DuckDB over VARCHAR on untyped data),
+  ``SAMPLE`` (evaluated as MIN —
   deterministic and spec-valid) and ``GROUP_CONCAT`` (incl. ``DISTINCT``
   and ``; SEPARATOR="s"``; values join in SORTED order — the spec leaves
   order undefined, sorting makes it deterministic across partitions).
@@ -332,6 +334,16 @@ _TYPED_NUM_STRIP = (
     + _XSD_NUM_LOCAL + r")>$"
 )
 
+#: encoded ``^^xsd:dateTime`` literal — shape test and one-pass strip
+#: (same regexp_replace identity-on-non-match pattern as the numeric
+#: strips, for the same codegen reason)
+_TYPED_DT_SHAPE = (
+    r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$'
+)
+_TYPED_DT_STRIP = (
+    r'^"(.*)"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$'
+)
+
 
 def _lex(c: Column) -> Column:
     """Lexical form of a term: strips the ``^^<dt>`` / ``@lang`` suffix
@@ -353,6 +365,66 @@ def _num(c: Column) -> Column:
     stripped = F.regexp_replace(c, _TYPED_NUM_STRIP, "$1")
     return F.when(stripped.rlike(_NUMERIC_SHAPE), stripped).try_cast(
         "double"
+    )
+
+
+def _dt_val(c: Column) -> Column:
+    """Timestamp VALUE of a term for ``xsd:dateTime`` comparisons: strips
+    a ``^^xsd:dateTime`` encoding (identity for everything else — a bare
+    ISO-8601 literal in query text parses too) and try-casts to
+    TIMESTAMP, so a non-datetime operand is the spec's type error ->
+    NULL. Offsets normalize to the instant — ``...T00:00:00Z`` equals
+    ``...T01:00:00+01:00``, which lexical comparison gets wrong; a
+    lexical WITHOUT a timezone reads in the session zone (the
+    uniform-form contract: compare offset-free values only against
+    offset-free values, or set one session zone)."""
+    return F.regexp_replace(c, _TYPED_DT_STRIP, "$1").try_cast("timestamp")
+
+
+def _order_key_cols(c: Column) -> "list[Column]":
+    """SPARQL §15.1 value-ordering key for ORDER BY / MIN / MAX: one term
+    column expands to ``(bucket, value, raw)`` —
+
+    * bucket 1 = xsd-NUMERIC typed literal, ordered by double value,
+    * bucket 2 = ``xsd:dateTime`` typed literal, ordered by instant,
+    * bucket 0 = everything else (IRIs, blanks, plain and lang-tagged
+      literals, non-value-comparable datatypes), ordered LEXICALLY —
+      byte-identical to the pre-round-13 ordering, so queries over
+      untyped data keep their exact plan-visible sort keys.
+
+    ``"9"^^xsd:int`` thus sorts before ``"10"^^xsd:int`` (rdflib
+    orders by value; lexicographic said "10" < "9"). The bucket gate is
+    the TYPED shape only — a plain ``"12"`` keeps the string model's
+    lexical ordering (and DuckDB-VARCHAR oracle parity). Cross-bucket
+    order (plain < numeric < dateTime under ASC) is a documented
+    engine-total-order choice; §15.1 leaves cross-type order mostly
+    open. NULL (unbound) rows carry a NULL bucket and keep Spark's
+    nulls-first-asc / nulls-last-desc placement, matching §15.1's
+    "unbound precedes everything" under ASC."""
+    s = c.cast("string")
+    tn = F.when(
+        s.startswith('"') & s.rlike(_TYPED_NUM_SHAPE),
+        F.regexp_replace(s, _TYPED_NUM_STRIP, "$1"),
+    ).try_cast("double")
+    td = F.when(
+        s.startswith('"') & s.rlike(_TYPED_DT_SHAPE), _dt_val(s)
+    ).cast("double")
+    bucket = (
+        F.when(tn.isNotNull(), F.lit(1))
+        .when(td.isNotNull(), F.lit(2))
+        .when(s.isNotNull(), F.lit(0))
+    )
+    return [bucket, F.coalesce(tn, td), c]
+
+
+def _order_key_struct(c: Column) -> Column:
+    """The §15.1 key as ONE struct (field-wise comparison) for
+    ``min_by``/``max_by``; NULL for an unbound term so the aggregate
+    skips it — SQL MIN/MAX-ignores-NULL semantics preserved."""
+    bucket, val, raw = _order_key_cols(c)
+    return F.when(
+        c.isNotNull(),
+        F.struct(bucket.alias("b"), val.alias("v"), raw.alias("l")),
     )
 
 
@@ -2047,7 +2119,23 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
         typed = (ls.startswith('"') & ls.rlike(_TYPED_NUM_SHAPE)) | (
             rs.startswith('"') & rs.rlike(_TYPED_NUM_SHAPE)
         )
-        return F.when(typed, num).otherwise(raw)
+        # xsd:dateTime operand category: when either side is a typed
+        # dateTime literal, compare INSTANTS (timezone offsets
+        # normalize — "…T00:00:00Z" = "…T01:00:00+01:00", which lexical
+        # comparison gets wrong); the other side contributes its
+        # timestamp value (a bare ISO-8601 literal in the query parses
+        # directly) or NULL = the spec's type error -> false. Checked
+        # AFTER the numeric category, so numeric-vs-dateTime is a type
+        # error via the numeric branch.
+        ldt, rdt = _dt_val(ls), _dt_val(rs)
+        dtc = {
+            "=": ldt == rdt, "!=": ldt != rdt, "<": ldt < rdt,
+            "<=": ldt <= rdt, ">": ldt > rdt, ">=": ldt >= rdt,
+        }[op]
+        typed_dt = (ls.startswith('"') & ls.rlike(_TYPED_DT_SHAPE)) | (
+            rs.startswith('"') & rs.rlike(_TYPED_DT_SHAPE)
+        )
+        return F.when(typed, num).when(typed_dt, dtc).otherwise(raw)
     if kind == "in":
         # §17.4.1.9: IN = equality against each member ('||'-chained).
         # A plain-string-literal list compiles to isin — a PUSHABLE scan
@@ -3107,9 +3195,11 @@ def _agg_column(
     SPARQL 1.1 §18.5.1 defines ``Sum({}) = 0`` / ``Avg({}) = 0`` for the
     empty multiset, while a GROUP BY group whose values are all unbound
     is an aggregation error leaving the variable unbound (NULL), which
-    is also rdflib's behavior; MIN/MAX compare lexicographically
-    (exactly what DuckDB does over
-    VARCHAR — oracle parity), SAMPLE is evaluated as MIN (a
+    is also rdflib's behavior; MIN/MAX order by the §15.1 VALUE key
+    (_order_key_cols: xsd-numeric / xsd:dateTime typed literals by
+    value, everything else lexically — identical to DuckDB-over-VARCHAR
+    on untyped data) via min_by/max_by over the key struct, SAMPLE is
+    evaluated as MIN (a
     deterministic, spec-valid representative), and GROUP_CONCAT joins
     the group's values in SORTED order (the spec leaves concatenation
     order undefined; sorting makes it deterministic across partitions
@@ -3138,8 +3228,8 @@ def _agg_column(
         a = F.avg(_lex(col).cast("double"))
         return a if grouped else F.coalesce(a, F.lit(0.0))
     if fn == "MIN" or fn == "SAMPLE":
-        return F.min(col)
-    return F.max(col)  # MAX
+        return F.min_by(col, _order_key_struct(col))
+    return F.max_by(col, _order_key_struct(col))  # MAX
 
 
 def _having_aggs(expr, found: list) -> None:
@@ -3646,7 +3736,12 @@ def _order_page(
                     f"bound here: {['?' + v for v in missing]}"
                 )
             c = _value_expr(key, set(df.columns))
-        cols.append(c.asc() if asc else c.desc())
+        # §15.1 value ordering: each key expands to its (bucket, value,
+        # raw) triple so xsd-numeric / xsd:dateTime typed literals order
+        # by VALUE; untyped data sees the identical lexical order as
+        # before (bucket constant, value NULL)
+        for k in _order_key_cols(c):
+            cols.append(k.asc() if asc else k.desc())
     if order:
         df = df.orderBy(*cols)
     if offset:

@@ -156,3 +156,172 @@ def test_strlang_matches_loaded_regardless_of_case(typed):
         prefixes=PFX,
     ).collect()
     assert [_local(r.m) for r in got] == ["b"]
+
+
+# ------------------------------------- §15.1 value ordering (ask #1)
+
+
+@pytest.fixture(scope="module")
+def priced(spark):
+    """Typed integers whose LEXICAL order differs from their VALUE
+    order ("10" < "9" lexically), plus a decimal magnitude spread."""
+    rows = [
+        (EX + "a", EX + "price", f'"10"^^<{XSD}integer>'),
+        (EX + "b", EX + "price", f'"9"^^<{XSD}integer>'),
+        (EX + "c", EX + "price", f'"100"^^<{XSD}decimal>'),
+        (EX + "d", EX + "price", f'"2.5"^^<{XSD}decimal>'),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+#: rdflib's answers for the queries below (pinned from rdflib 7.x run
+#: offline: ORDER BY orders xsd-numeric literals by VALUE; MIN/MAX pick
+#: the numeric extremes). The differential test below re-derives them
+#: live when rdflib is importable; this module must pass without it.
+RDFLIB_ORDER = ["d", "b", "a", "c"]  # 2.5 < 9 < 10 < 100
+RDFLIB_MIN, RDFLIB_MAX = "2.5", "100"
+
+
+def test_order_by_typed_numeric_is_value_order(priced):
+    got = sparql_select(
+        priced,
+        "SELECT ?m WHERE { ?m ex:price ?v } ORDER BY ?v",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.m) for r in got] == RDFLIB_ORDER
+
+
+def test_order_by_desc_typed_numeric(priced):
+    got = sparql_select(
+        priced,
+        "SELECT ?m WHERE { ?m ex:price ?v } ORDER BY DESC(?v)",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.m) for r in got] == RDFLIB_ORDER[::-1]
+
+
+def test_min_max_typed_numeric_by_value(priced):
+    row = sparql_select(
+        priced,
+        "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) "
+        "WHERE { ?m ex:price ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert row.lo == f'"{RDFLIB_MIN}"^^<{XSD}decimal>'
+    assert row.hi == f'"{RDFLIB_MAX}"^^<{XSD}decimal>'
+
+
+def test_min_ignores_unbound(priced, spark):
+    """MIN over an OPTIONAL-unbound variable keeps SQL's
+    ignore-NULL semantics (min_by key is NULL for unbound rows)."""
+    got = sparql_select(
+        priced,
+        "SELECT (MIN(?w) AS ?lo) WHERE { ?m ex:price ?v . "
+        "OPTIONAL { ?m ex:weight ?w } }",
+        prefixes=PFX,
+    ).collect()
+    assert got[0].lo is None
+
+
+def test_order_by_untyped_stays_lexical(typed):
+    """Plain terms (even numeric-shaped ones) keep the string model's
+    LEXICAL order — DuckDB-VARCHAR oracle parity unchanged."""
+    got = sparql_select(
+        typed,
+        "SELECT ?l WHERE { ?m ex:label ?l } ORDER BY ?l",
+        prefixes=PFX,
+    ).collect()
+    assert [r.l for r in got] == ['"cat"@en', '"chat"@fr']
+
+
+def test_rdflib_differential_typed_order():
+    """Differential check against rdflib itself (the reference's SPARQL
+    engine) when importable — the DuckDB oracle twins replay ENGINE
+    semantics, so this is the one harness that can catch a
+    typed-ordering divergence. Skips (container has no rdflib) but runs
+    anywhere rdflib is installed; the pinned RDFLIB_* constants above
+    keep the assertion live regardless."""
+    rdflib = pytest.importorskip("rdflib")
+    g = rdflib.Graph()
+    for s, lex, dt in [
+        ("a", "10", "integer"), ("b", "9", "integer"),
+        ("c", "100", "decimal"), ("d", "2.5", "decimal"),
+    ]:
+        g.add((
+            rdflib.URIRef(EX + s),
+            rdflib.URIRef(EX + "price"),
+            rdflib.Literal(lex, datatype=rdflib.URIRef(XSD + dt)),
+        ))
+    got = [
+        _local(str(r.m))
+        for r in g.query(
+            f"PREFIX ex: <{EX}> "
+            "SELECT ?m WHERE { ?m ex:price ?v } ORDER BY ?v"
+        )
+    ]
+    assert got == RDFLIB_ORDER
+    agg = list(g.query(
+        f"PREFIX ex: <{EX}> "
+        "SELECT (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) "
+        "WHERE { ?m ex:price ?v }"
+    ))[0]
+    assert (str(agg.lo), str(agg.hi)) == (RDFLIB_MIN, RDFLIB_MAX)
+
+
+# --------------------------------- xsd:dateTime comparisons (ask #4)
+
+
+@pytest.fixture(scope="module")
+def timed(spark):
+    rows = [
+        # lexically "2024-01-02T00:00:00+09:00" > "2024-01-01T23:00:00Z"
+        # but the +09:00 instant is EARLIER (2024-01-01T15:00:00Z)
+        (EX + "x", EX + "at", f'"2024-01-02T00:00:00+09:00"^^<{XSD}dateTime>'),
+        (EX + "y", EX + "at", f'"2024-01-01T23:00:00Z"^^<{XSD}dateTime>'),
+        (EX + "z", EX + "at", f'"2024-01-01T23:00:00+00:00"^^<{XSD}dateTime>'),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_datetime_compare_by_instant(timed):
+    got = sparql_select(
+        timed,
+        "SELECT ?m WHERE { ?m ex:at ?t . "
+        f'FILTER(?t < "2024-01-01T20:00:00Z"^^<{XSD}dateTime>) }}',
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.m) for r in got] == ["x"]
+
+
+def test_datetime_equality_across_offset_spellings(timed):
+    """"...Z" and "...+00:00" spell the SAME instant — equal by value,
+    unequal lexically."""
+    got = sparql_select(
+        timed,
+        "SELECT ?m WHERE { ?m ex:at ?t . "
+        f'FILTER(?t = "2024-01-01T23:00:00Z"^^<{XSD}dateTime>) }}',
+        prefixes=PFX,
+    ).collect()
+    assert sorted(_local(r.m) for r in got) == ["y", "z"]
+
+
+def test_order_by_datetime_is_instant_order(timed):
+    got = sparql_select(
+        timed,
+        "SELECT ?m WHERE { ?m ex:at ?t } ORDER BY ?t ?m",
+        prefixes=PFX,
+    ).collect()
+    # x = 15:00Z instant first; the two equal-instant 23:00Z spellings
+    # tie on value and break on the key's own raw serialization
+    # ("+00:00" < "Z" — the third component of the §15.1 key triple), a
+    # deterministic total-order refinement the spec leaves open
+    assert [_local(r.m) for r in got] == ["x", "z", "y"]
+
+
+def test_min_datetime_by_instant(timed):
+    row = sparql_select(
+        timed,
+        "SELECT (MIN(?t) AS ?first) WHERE { ?m ex:at ?t }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert row.first == f'"2024-01-02T00:00:00+09:00"^^<{XSD}dateTime>'
