@@ -1089,16 +1089,19 @@ def q_sparql_scale_bgp(spark, sf_dir):
     driver row where the planner's joins and aggregation run at
     benchmark size instead of a literal fixture. Each pattern is a
     pushed predicate-equality scan; the plan is two hash joins + one
-    aggregation exchange. Oracle replays the BGP as CTE self-joins."""
+    aggregation exchange. Oracle replays the BGP as CTE self-joins.
+    Spelled with the round-13 Turtle ';' sugar (the ?ord patterns share
+    one subject) — pure parser desugaring, hash-identical to the
+    spelled-out form that ran rounds 8-12."""
     from bio2bel_spark.sparql import sparql_select
 
     return sparql_select(
         _scale_triples(spark, sf_dir),
         """PREFIX ex: <http://ex.org/>
            SELECT ?brand (COUNT(?ord) AS ?n) WHERE {
-               ?ord ex:hasPart ?part .
+               ?ord ex:hasPart ?part ;
+                    ex:status "F" .
                ?part ex:inBrand ?brand .
-               ?ord ex:status "F" .
                FILTER(STRSTARTS(?brand, "Brand#1"))
            } GROUP BY ?brand""",
     )
@@ -1324,6 +1327,8 @@ def _scale_typed_triples(spark, sf_dir):
     * ``part://K ex:name  "<p_name>"@en`` for EVEN part keys, plain
       ``p_name`` for odd — a mixed lang-tagged/plain literal column
     * ``part://K ex:inBrand Brand#N`` — plain (unchanged model)
+    * ``part://K rdf:type ex:Part`` — the class triple the Turtle ``a``
+      sugar resolves against (round 13)
 
     The serialization is built with one concat per column — the typed
     model costs nothing at scan time, and every pattern is still a
@@ -1358,8 +1363,16 @@ def _scale_typed_triples(spark, sf_dir):
     in_brand = part.select(
         s, F.lit(ex + "inBrand").alias("p"), F.col("p_brand").alias("o")
     )
+    rdf_type = part.select(
+        s,
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("p"),
+        F.lit(ex + "Part").alias("o"),
+    )
     return (
-        price.unionByName(size).unionByName(name).unionByName(in_brand)
+        price.unionByName(size)
+        .unionByName(name)
+        .unionByName(in_brand)
+        .unionByName(rdf_type)
     )
 
 
@@ -1424,7 +1437,13 @@ def q_sparql_typed_order(spark, sf_dir):
     decides WHICH rows survive. MIN/MAX compile to min_by/max_by over
     the (bucket, value, raw) §15.1 key struct; ORDER BY expands each key
     to the same triple (sparql._order_key_cols). The oracle replays
-    numeric MIN/MAX from the part table and re-encodes the terms."""
+    numeric MIN/MAX from the part table and re-encodes the terms.
+
+    The inner pattern is spelled with the round-13 TURTLE SUGAR — ``a``
+    for rdf:type and a ``;`` predicate-object list — and hashes
+    identically to the spelled-out form (pure parser desugaring; the
+    added rdf:type pattern matches every part, a no-op join the oracle
+    ignores)."""
     from bio2bel_spark.sparql import sparql_select
 
     return sparql_select(
@@ -1433,7 +1452,9 @@ def q_sparql_typed_order(spark, sf_dir):
            SELECT ?brand ?lo ?hi ?n WHERE {
                { SELECT ?brand (MIN(?sz) AS ?lo) (MAX(?sz) AS ?hi)
                         (COUNT(?part) AS ?n)
-                 WHERE { ?part ex:inBrand ?brand . ?part ex:size ?sz }
+                 WHERE { ?part a ex:Part ;
+                               ex:inBrand ?brand ;
+                               ex:size ?sz . }
                  GROUP BY ?brand }
            } ORDER BY DESC(?hi) ?lo ?brand LIMIT 10""",
     )

@@ -276,6 +276,8 @@ _BLANK_SHAPE = r"^_:"
 _NUMERIC_SHAPE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+#: the Turtle/SPARQL keyword ``a`` desugars to this IRI in verb position
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 #: ENCODED-TERM MODEL (round 12): a typed or language-tagged literal keeps
 #: its N-Triples serialization as the term string — ``"1"^^<...#integer>``,
@@ -521,10 +523,21 @@ class _Parser:
 
     def parse_template_block(self, what: str, ground: bool = False):
         """A braced block of plain triples — the template form shared by
-        CONSTRUCT and the UPDATE operations. ``ground=True`` (INSERT
-        DATA / DELETE DATA) additionally rejects variables, per spec."""
+        CONSTRUCT and the UPDATE operations, with the Turtle sugar
+        (``;`` predicate-object lists, ``,`` object lists, ``a`` =
+        rdf:type) desugared to repeated-subject triples. ``ground=True``
+        (INSERT DATA / DELETE DATA) additionally rejects variables, per
+        spec."""
         self.expect("{")
         template: list = []
+
+        def add(s, p, o):
+            if ground and any(t[0] == "var" for t in (s, p, o)):
+                raise SparqlError(
+                    f"{what} triples must be ground (no variables)"
+                )
+            template.append((s, p, o))
+
         while True:
             kind, v = self.peek()
             if v == "}":
@@ -534,13 +547,18 @@ class _Parser:
                 self.next()
                 continue
             s = self.parse_term()
-            p = self.parse_term()
-            o = self.parse_term()
-            if ground and any(t[0] == "var" for t in (s, p, o)):
-                raise SparqlError(
-                    f"{what} triples must be ground (no variables)"
-                )
-            template.append((s, p, o))
+            while True:
+                p = self.parse_verb_term()
+                add(s, p, self.parse_term())
+                while self.peek()[1] == ",":
+                    self.next()
+                    add(s, p, self.parse_term())
+                if self.peek()[1] != ";":
+                    break
+                while self.peek()[1] == ";":
+                    self.next()
+                if self.peek()[1] in (".", "}"):
+                    break
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
         return template
@@ -591,13 +609,27 @@ class _Parser:
                 template.extend((gterm, s, p, o) for s, p, o in inner)
                 continue
             s = self.parse_term()
-            p = self.parse_term()
-            o = self.parse_term()
-            if ground and any(t[0] == "var" for t in (s, p, o)):
-                raise SparqlError(
-                    f"{what} triples must be ground (no variables)"
-                )
-            template.append((None, s, p, o))
+            while True:  # Turtle ';' / ',' sugar, same as the triple form
+                p = self.parse_verb_term()
+                objs = [self.parse_term()]
+                while self.peek()[1] == ",":
+                    self.next()
+                    objs.append(self.parse_term())
+                for o in objs:
+                    if ground and any(
+                        t[0] == "var" for t in (s, p, o)
+                    ):
+                        raise SparqlError(
+                            f"{what} triples must be ground "
+                            "(no variables)"
+                        )
+                    template.append((None, s, p, o))
+                if self.peek()[1] != ";":
+                    break
+                while self.peek()[1] == ";":
+                    self.next()
+                if self.peek()[1] in (".", "}"):
+                    break
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
         return template
@@ -1175,74 +1207,99 @@ class _Parser:
                     raise SparqlError(
                         "a triple pattern must start with a subject term"
                     )
-                segs = [self.parse_path_unit()]
-                while self.peek()[1] == "/":
-                    self.next()
-                    segs.append(self.parse_path_unit())
-                o = self.parse_term()
-                if len(segs) > 1 and any(s["bare_alt"] for s in segs):
-                    # SPARQL gives '|' lower precedence than '/': 'a|b/c'
-                    # means 'a|(b/c)', not the hop-level '(a|b)/c' this
-                    # desugaring would produce — demand parentheses
-                    raise SparqlError(
-                        "unparenthesized '|' inside a '/' sequence "
-                        "diverges from SPARQL precedence ('a|b/c' means "
-                        "'a|(b/c)'); parenthesize — e.g. '(a|b)/c'"
+
+                def emit(o, segs):
+                    plain = (
+                        len(segs) == 1
+                        and not segs[0]["inverse"]
+                        and not segs[0]["negated"]
+                        and not segs[0]["plus"]
+                        and not segs[0]["star"]
+                        and not segs[0]["qmark"]
+                        and segs[0]["range"] is None
+                        and len(segs[0]["preds"]) == 1
                     )
-                plain = (
-                    len(segs) == 1
-                    and not segs[0]["inverse"]
-                    and not segs[0]["negated"]
-                    and not segs[0]["plus"]
-                    and not segs[0]["star"]
-                    and not segs[0]["qmark"]
-                    and segs[0]["range"] is None
-                    and len(segs[0]["preds"]) == 1
-                )
-                if plain:
-                    elements.append(("triple", s, segs[0]["preds"][0], o))
-                    continue
-                # property path — desugar into chained per-hop elements
-                # through fresh internal variables (each plain hop stays
-                # one pushable scan + hash join; modified hops compile to
-                # a derived (s, o) relation; SPARQL path-internal bindings
-                # are anonymous, so the vars never project)
-                for seg in segs:
-                    for p in seg["preds"]:
-                        if p[0] == "var":
-                            raise SparqlError(
-                                "variable predicates are not supported "
-                                "inside property paths"
+                    if plain:
+                        elements.append(
+                            ("triple", s, segs[0]["preds"][0], o)
+                        )
+                        return
+                    # property path — desugar into chained per-hop
+                    # elements through fresh internal variables (each
+                    # plain hop stays one pushable scan + hash join;
+                    # modified hops compile to a derived (s, o)
+                    # relation; SPARQL path-internal bindings are
+                    # anonymous, so the vars never project)
+                    for seg in segs:
+                        for p in seg["preds"]:
+                            if p[0] == "var":
+                                raise SparqlError(
+                                    "variable predicates are not "
+                                    "supported inside property paths"
+                                )
+                    cur = s
+                    for idx, seg in enumerate(segs):
+                        if idx == len(segs) - 1:
+                            nxt = o
+                        else:
+                            nxt = ("var", f"__path_{self.fresh}")
+                            self.fresh += 1
+                        modified = (
+                            seg["plus"] or seg["star"] or seg["qmark"]
+                            or seg["negated"] or seg["range"] is not None
+                        )
+                        if (
+                            not seg["inverse"] and not modified
+                            and len(seg["preds"]) == 1
+                        ):
+                            elements.append(
+                                ("triple", cur, seg["preds"][0], nxt)
                             )
-                cur = s
-                for idx, seg in enumerate(segs):
-                    if idx == len(segs) - 1:
-                        nxt = o
-                    else:
-                        nxt = ("var", f"__path_{self.fresh}")
-                        self.fresh += 1
-                    modified = (
-                        seg["plus"] or seg["star"] or seg["qmark"]
-                        or seg["negated"] or seg["range"] is not None
-                    )
-                    if (
-                        not seg["inverse"] and not modified
-                        and len(seg["preds"]) == 1
+                        elif (
+                            seg["inverse"] and not modified
+                            and len(seg["preds"]) == 1
+                        ):
+                            # pure inverse: just a swapped pattern scan
+                            elements.append(
+                                ("triple", nxt, seg["preds"][0], cur)
+                            )
+                        else:
+                            elements.append(("pathhop", cur, seg, nxt))
+                        cur = nxt
+
+                # Turtle sugar (round 13): ';' chains predicate-object
+                # lists on ONE subject, ',' chains objects on one
+                # (subject, path) — pure desugaring to repeated-subject
+                # triples, so every sugared form compiles to exactly
+                # the plan its spelled-out form does
+                while True:
+                    segs = [self.parse_path_unit()]
+                    while self.peek()[1] == "/":
+                        self.next()
+                        segs.append(self.parse_path_unit())
+                    if len(segs) > 1 and any(
+                        sg["bare_alt"] for sg in segs
                     ):
-                        elements.append(
-                            ("triple", cur, seg["preds"][0], nxt)
+                        # SPARQL gives '|' lower precedence than '/':
+                        # 'a|b/c' means 'a|(b/c)', not the hop-level
+                        # '(a|b)/c' this desugaring would produce —
+                        # demand parentheses
+                        raise SparqlError(
+                            "unparenthesized '|' inside a '/' sequence "
+                            "diverges from SPARQL precedence ('a|b/c' "
+                            "means 'a|(b/c)'); parenthesize — e.g. "
+                            "'(a|b)/c'"
                         )
-                    elif (
-                        seg["inverse"] and not modified
-                        and len(seg["preds"]) == 1
-                    ):
-                        # pure inverse: just a swapped pattern scan
-                        elements.append(
-                            ("triple", nxt, seg["preds"][0], cur)
-                        )
-                    else:
-                        elements.append(("pathhop", cur, seg, nxt))
-                    cur = nxt
+                    emit(self.parse_term(), segs)
+                    while self.peek()[1] == ",":
+                        self.next()
+                        emit(self.parse_term(), segs)
+                    if self.peek()[1] != ";":
+                        break
+                    while self.peek()[1] == ";":  # ';;' is legal Turtle
+                        self.next()
+                    if self.peek()[1] in (".", "}"):
+                        break  # trailing ';' before the terminator
 
     def parse_path_unit(self) -> dict:
         """One path hop: ``['^'] ( pred | '(' pred ('|' pred)* ')' )
@@ -1269,10 +1326,10 @@ class _Parser:
         paren = self.peek()[1] == "("
         if paren:
             self.next()
-        preds = [self.parse_term()]
+        preds = [self.parse_verb_term()]
         while self.peek()[1] == "|":
             self.next()
-            preds.append(self.parse_term())
+            preds.append(self.parse_verb_term())
         if paren:
             self.expect(")")
         mod = None
@@ -1380,6 +1437,15 @@ class _Parser:
         if kind == "number":
             return ("const", v)
         raise SparqlError(f"bad term {v!r}")
+
+    def parse_verb_term(self):
+        """A term in PREDICATE position: ``parse_term`` plus the Turtle
+        keyword ``a`` = ``rdf:type`` (case-SENSITIVE per the Turtle/
+        SPARQL grammars — ``A`` stays an error)."""
+        if self.peek() == ("keyword", "a"):
+            self.next()
+            return ("const", _RDF_TYPE)
+        return self.parse_term()
 
     # -- filter expressions ---------------------------------------------
     def parse_or(self):

@@ -325,3 +325,126 @@ def test_min_datetime_by_instant(timed):
         prefixes=PFX,
     ).collect()[0]
     assert row.first == f'"2024-01-02T00:00:00+09:00"^^<{XSD}dateTime>'
+
+
+# ----------------------------------------- Turtle sugar (ask #2)
+
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@pytest.fixture(scope="module")
+def zoo(spark):
+    rows = [
+        (EX + "rex", RDF_TYPE, EX + "Dog"),
+        (EX + "tom", RDF_TYPE, EX + "Cat"),
+        (EX + "rex", EX + "name", "Rex"),
+        (EX + "rex", EX + "likes", EX + "tom"),
+        (EX + "tom", EX + "name", "Tom"),
+        (EX + "Dog", EX + "subClassOf", EX + "Animal"),
+        (EX + "Animal", EX + "subClassOf", EX + "Thing"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_semicolon_predicate_object_list(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT ?n ?t WHERE { ?x ex:name ?n ; ex:likes ?t . }",
+        prefixes=PFX,
+    ).collect()
+    assert [(r.n, _local(r.t)) for r in got] == [("Rex", "tom")]
+
+
+def test_a_is_rdf_type(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT ?x WHERE { ?x a ex:Dog }",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.x) for r in got] == ["rex"]
+
+
+def test_semicolon_comma_a_combined_equals_spelled_out(zoo):
+    sugar = sparql_select(
+        zoo,
+        """SELECT ?x ?n WHERE {
+               ?x a ex:Dog ;
+                  ex:name ?n ;
+                  ex:likes ?t , ?t2 .
+           }""",
+        prefixes=PFX,
+    ).collect()
+    plain = sparql_select(
+        zoo,
+        f"""SELECT ?x ?n WHERE {{
+               ?x <{RDF_TYPE}> ex:Dog .
+               ?x ex:name ?n .
+               ?x ex:likes ?t .
+               ?x ex:likes ?t2 .
+           }}""",
+        prefixes=PFX,
+    ).collect()
+    assert sorted(map(tuple, sugar)) == sorted(map(tuple, plain))
+
+
+def test_trailing_semicolon_tolerated(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { ?x a ex:Cat ; ex:name ?n ; . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Tom"]
+
+
+def test_a_inside_property_path(zoo):
+    """``a/ex:subClassOf+`` — the Turtle verb as a path segment."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?c WHERE { ?x ex:name \"Rex\" . "
+        "?x a/ex:subClassOf+ ?c }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted(_local(r.c) for r in got) == ["Animal", "Thing"]
+
+
+def test_uppercase_A_stays_an_error(zoo):
+    from bio2bel_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="bad term"):
+        sparql_select(
+            zoo, "SELECT ?x WHERE { ?x A ex:Dog }", prefixes=PFX
+        )
+
+
+def test_construct_template_semicolon_sugar(zoo, spark):
+    from bio2bel_spark.sparql import sparql_construct
+
+    got = sparql_construct(
+        zoo,
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?x a ex:Pet ; ex:petName ?n . }
+           WHERE { ?x a ex:Dog ; ex:name ?n . }""",
+    ).collect()
+    triples = {(r.s, r.p, r.o) for r in got}
+    assert triples == {
+        (EX + "rex", RDF_TYPE, EX + "Pet"),
+        (EX + "rex", EX + "petName", "Rex"),
+    }
+
+
+def test_insert_data_comma_sugar(spark):
+    from bio2bel_spark.sparql import sparql_update
+
+    empty = spark.createDataFrame([], "s string, p string, o string")
+    out = sparql_update(
+        empty,
+        f"INSERT DATA {{ <{EX}x> a <{EX}T> ; "
+        f"<{EX}p> \"1\" , \"2\" . }}",
+    )
+    got = {(r.s, r.p, r.o) for r in out.collect()}
+    assert got == {
+        (EX + "x", RDF_TYPE, EX + "T"),
+        (EX + "x", EX + "p", "1"),
+        (EX + "x", EX + "p", "2"),
+    }
