@@ -1224,6 +1224,30 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_sparql_graph_topk(spark, sf_dir):
+    """Per-graph paging driver-checked at bench scale (round-13 verdict
+    ask #3, flipping the round-12 rejection): a DISTINCT + ORDER BY +
+    LIMIT subquery inside ``GRAPH ?var`` returns each named graph's OWN
+    top-5 objects — compiled as one row_number window partitioned by the
+    graph variable over the ~1.4M-quad store (ONE shuffle cuts every
+    graph's page; a plain limit would page the union and starve the
+    small graphs). The oracle replays with QUALIFY row_number() OVER
+    (PARTITION BY g ORDER BY o DESC) <= 5 on the distinct (g, o)
+    pairs."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?g ?o WHERE {
+               GRAPH ?g {
+                   { SELECT DISTINCT ?o WHERE { ?s ?p ?o }
+                     ORDER BY DESC(?o) LIMIT 5 }
+               }
+           }""",
+    )
+
+
 def q_sparql_path_range(spark, sf_dir):
     """The round-11 ``{n,m}`` path quantifier at bench scale: ancestors
     exactly 2-3 levels up the part forest, counted per ancestor, HAVING
@@ -4846,6 +4870,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_graph_topk": q_sparql_graph_topk,  # new r13
     "sparql_typed_order": q_sparql_typed_order,  # new r13
     "sparql_datetime": q_sparql_datetime,  # new r13
     "bpe_merges": q_bpe_merges,  # last green r06
@@ -9758,6 +9783,24 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_graph_topk": """
+            -- per-graph paging replay: distinct objects per named
+            -- graph, each graph's own top-5 by DESC lexical order
+            WITH """ + _SCALE_TRIPLES_SQL + """,
+            objs AS (
+                SELECT 'graph://lineitem' AS g, o FROM hp
+                UNION ALL
+                SELECT 'graph://lineitem', l_returnflag FROM lineitem
+                UNION ALL SELECT 'graph://part', o FROM ib
+                UNION ALL SELECT 'graph://part', o FROM co
+                UNION ALL SELECT 'graph://part', 'true' FROM rt
+                UNION ALL SELECT 'graph://orders', o FROM st
+            ),
+            d AS (SELECT DISTINCT g, o FROM objs)
+            SELECT g, o FROM d
+            QUALIFY row_number() OVER
+                (PARTITION BY g ORDER BY o DESC) <= 5
         """,
         "sparql_typed_order": """
             -- §15.1 VALUE ordering replay: MIN/MAX over the typed

@@ -145,7 +145,7 @@ from __future__ import annotations
 import re
 import threading
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -2724,15 +2724,13 @@ def _compile_subquery(
         # ?var (gvar threads into _compile_group), so the pipeline only
         # needs ?var projected outward and — in an aggregate subquery —
         # added to the GROUP BY keys (a global aggregate becomes the
-        # correct per-graph aggregate). LIMIT/OFFSET would page the
-        # UNION of graphs, not each graph, so they are rejected loudly.
-        if modifiers["limit"] is not None or modifiers["offset"]:
-            raise SparqlError(
-                "LIMIT/OFFSET inside a GRAPH ?var subquery would page "
-                "across graphs, not per graph — lift the subquery out "
-                "of the GRAPH clause or use GRAPH <iri>"
-            )
+        # correct per-graph aggregate). LIMIT/OFFSET page PER GRAPH
+        # (round 13): _order_page switches to a row_number window
+        # partitioned by ?var — one shuffle cuts every graph's page
+        # (a plain df.limit would page the UNION of graphs).
         modifiers = dict(modifiers)
+        if modifiers["limit"] is not None or modifiers["offset"]:
+            modifiers["graph_partition"] = gvar
         if projection is not None and not any(
             it[0] == "var" and it[1] == gvar for it in projection
         ):
@@ -3778,13 +3776,22 @@ def _solutions(
 
 
 def _order_page(
-    df: DataFrame, order: list, limit: "int | None", offset: int
+    df: DataFrame, order: list, limit: "int | None", offset: int,
+    partition: "str | None" = None,
 ) -> DataFrame:
     """ORDER BY → OFFSET → LIMIT over a solution table. With a LIMIT the
     plan is TakeOrdered (map-side partial heaps); without one a range-
     partition sort — the standard distributed total order. Keys are
     expression trees; a plain ("var", v) key gets the pointed
-    not-bound-here error, anything else compiles through _value_expr."""
+    not-bound-here error, anything else compiles through _value_expr.
+
+    ``partition`` (round 13) switches LIMIT/OFFSET to PER-GROUP paging —
+    the SPARQL §18.2.2.3 semantics of a paged subquery inside ``GRAPH
+    ?var``, which evaluates per named graph: a row_number window
+    partitioned by the graph variable, ordered by the same §15.1 keys,
+    cuts each graph's page in ONE shuffle (no per-graph loop). An
+    unordered per-graph page would be nondeterministic across runs, so
+    it demands an ORDER BY."""
     cols = []
     for key, asc in order:
         if key[0] == "var":
@@ -3808,6 +3815,20 @@ def _order_page(
         # before (bucket constant, value NULL)
         for k in _order_key_cols(c):
             cols.append(k.asc() if asc else k.desc())
+    if partition is not None and (limit is not None or offset):
+        if not order:
+            raise SparqlError(
+                "LIMIT/OFFSET inside a GRAPH ?var subquery pages PER "
+                "GRAPH and needs an ORDER BY to be deterministic"
+            )
+        rn = F.row_number().over(
+            Window.partitionBy(partition).orderBy(*cols)
+        )
+        df = df.withColumn("__pg_rn", rn)
+        cond = F.col("__pg_rn") > F.lit(offset or 0)
+        if limit is not None:
+            cond = cond & (F.col("__pg_rn") <= F.lit((offset or 0) + limit))
+        return df.filter(cond).drop("__pg_rn")
     if order:
         df = df.orderBy(*cols)
     if offset:
@@ -3989,7 +4010,9 @@ def _finish_select(
 
     def _apply_order_limit(df: DataFrame) -> DataFrame:
         return _order_page(
-            df, modifiers["order"], modifiers["limit"], modifiers["offset"]
+            df, modifiers["order"], modifiers["limit"],
+            modifiers["offset"],
+            partition=modifiers.get("graph_partition"),
         )
 
     if modifiers["distinct"]:

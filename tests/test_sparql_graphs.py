@@ -427,8 +427,39 @@ def test_subquery_inside_graph_var_joins_outer(quads):
     ]
 
 
-def test_subquery_limit_inside_graph_var_rejected(quads):
-    with pytest.raises(SparqlError, match="page across graphs"):
+def test_subquery_limit_inside_graph_var_pages_per_graph(quads):
+    """Round 13 (flips the former rejection): LIMIT inside a GRAPH ?g
+    subquery pages PER GRAPH — a row_number window partitioned by ?g
+    cuts each graph's page, not a page of the union."""
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s ?v WHERE { GRAPH ?g { "
+        "{ SELECT ?s ?v WHERE { ?s ex:score ?v } "
+        "ORDER BY DESC(?v) ?s LIMIT 1 } } }",
+        prefixes=PFX,
+    ).collect()
+    # each graph's own top-score row: G1 -> (b, 7), G2 -> (a, 9)
+    assert sorted((r.g, r.s[-1], r.v) for r in got) == [
+        (G1, "b", "7"), (G2, "a", "9"),
+    ]
+
+
+def test_subquery_offset_inside_graph_var_pages_per_graph(quads):
+    got = sparql_select(
+        quads,
+        "SELECT ?g ?s WHERE { GRAPH ?g { "
+        "{ SELECT ?s WHERE { ?s ex:score ?v } "
+        "ORDER BY DESC(?v) ?s OFFSET 1 } } }",
+        prefixes=PFX,
+    ).collect()
+    # G1's second-ranked score row survives; G2 has only one score row
+    assert sorted((r.g, r.s[-1]) for r in got) == [(G1, "a")]
+
+
+def test_subquery_limit_inside_graph_var_demands_order(quads):
+    """An UNORDERED per-graph page would be nondeterministic — loud
+    error instead of an arbitrary pick."""
+    with pytest.raises(SparqlError, match="needs an ORDER BY"):
         sparql_select(
             quads,
             "SELECT ?g ?s WHERE { GRAPH ?g { "
