@@ -1224,6 +1224,74 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def _nquads_file(spark, sf_dir):
+    """Serialize the scale QUAD store to an actual on-disk N-Quads
+    dataset (round-13 verdict ask #7) — named-graph lines carry their
+    ``<g>`` fourth term, DEFAULT-graph rows (g NULL) emit plain triple
+    lines — written DISTRIBUTED as a text dataset, same caching and
+    ECHAR escaping as :func:`_ntriples_file`; retailPrice again rides
+    as a typed ``^^xsd:decimal`` literal so the encoded-term model is
+    proven through the .nq parse too."""
+    import hashlib
+    import os
+
+    path = "/tmp/bio2bel_nq_v1_{}".format(
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        q = _scale_quads(spark, sf_dir)
+        esc = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
+                '"', '\\\\"',
+            ),
+            "\n", r"\\n",
+        )
+        obj = F.when(
+            F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+            F.concat(F.lit("<"), F.col("o"), F.lit(">")),
+        ).when(
+            F.col("p") == "http://ex.org/retailPrice",
+            F.concat(
+                F.lit('"'), esc,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
+            ),
+        ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+        gterm = F.when(
+            F.col("g").isNotNull(),
+            F.concat(F.lit(" <"), F.col("g"), F.lit(">")),
+        ).otherwise(F.lit(""))
+        line = F.concat(
+            F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
+            F.lit("> "), obj, gterm, F.lit(" ."),
+        )
+        q.select(line.alias("value")).write.mode("overwrite").text(path)
+    return path
+
+
+def q_sparql_nquads_file(spark, sf_dir):
+    """The distributed N-Quads PARSE path proven at bench scale (round-13
+    verdict ask #7): the ~1.4M-quad store round-trips through an actual
+    .nq dataset on disk — write once (cached), then ``read_nquads``
+    line-regex parse feeding a per-graph, per-predicate count, UNIONed
+    with the DEFAULT graph's counts (lines WITHOUT a fourth term must
+    land in the default graph — a mis-tagged line moves a count between
+    rows and breaks the hash). The oracle replays every predicate
+    family's count from the parquet the file was derived from."""
+    from bio2bel_spark.ingest import read_nquads
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        read_nquads(spark, _nquads_file(spark, sf_dir)),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?g ?p (COUNT(?s) AS ?n) WHERE {
+               { GRAPH ?g { ?s ?p ?o } }
+               UNION
+               { ?s ?p ?o . BIND("default" AS ?g) }
+           } GROUP BY ?g ?p""",
+    )
+
+
 def q_sparql_graph_topk(spark, sf_dir):
     """Per-graph paging driver-checked at bench scale (round-13 verdict
     ask #3, flipping the round-12 rejection): a DISTINCT + ORDER BY +
@@ -4870,6 +4938,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_nquads_file": q_sparql_nquads_file,  # new r13
     "sparql_graph_topk": q_sparql_graph_topk,  # new r13
     "sparql_typed_order": q_sparql_typed_order,  # new r13
     "sparql_datetime": q_sparql_datetime,  # new r13
@@ -9783,6 +9852,35 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_nquads_file": """
+            -- the .nq dataset is a lossless serialization of the quad
+            -- store; per-(graph, predicate) counts replay from the
+            -- parquet sources, the default graph tagged 'default'
+            SELECT * FROM (
+                SELECT 'graph://lineitem' AS g,
+                       'http://ex.org/hasPart' AS p,
+                       COUNT(*)::BIGINT AS n FROM lineitem
+                UNION ALL
+                SELECT 'graph://lineitem', 'http://ex.org/returnedAs',
+                       COUNT(*)::BIGINT FROM lineitem
+                UNION ALL
+                SELECT 'graph://part', 'http://ex.org/inBrand',
+                       COUNT(*)::BIGINT FROM part
+                UNION ALL
+                SELECT 'graph://part', 'http://ex.org/childOf',
+                       COUNT(*)::BIGINT FROM part WHERE p_partkey >= 10
+                UNION ALL
+                SELECT 'graph://part', 'http://ex.org/isRoot',
+                       COUNT(*)::BIGINT FROM part
+                WHERE p_partkey BETWEEN 1 AND 9
+                UNION ALL
+                SELECT 'graph://orders', 'http://ex.org/status',
+                       COUNT(*)::BIGINT FROM orders
+                UNION ALL
+                SELECT 'default', 'http://ex.org/retailPrice',
+                       COUNT(*)::BIGINT FROM part
+            )
         """,
         "sparql_graph_topk": """
             -- per-graph paging replay: distinct objects per named

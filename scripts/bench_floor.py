@@ -70,6 +70,11 @@ FLOOR_SET = [
     "sparql_graph_path",
     "sparql_ntriples_file",
     "sparql_arith",
+    # round-13 bench-scale SPARQL surface
+    "sparql_typed_order",
+    "sparql_datetime",
+    "sparql_graph_topk",
+    "sparql_nquads_file",
 ]
 
 N_RUNS = 3
@@ -127,6 +132,20 @@ def main() -> int:
         lines.append(f"| {name} | {best:.2f} | {ld:.1f} |")
     lines.append("")
     block = "\n".join(lines)
+
+    # machine-readable floors for bench.py's loadavg retry gate (round
+    # 13): merge-update so queries floored in earlier rounds keep their
+    # entries when a later FLOOR_SET no longer lists them
+    import json
+
+    floors_path = os.path.join(HERE, "FLOORS.json")
+    floors = {}
+    if os.path.exists(floors_path):
+        floors = json.load(open(floors_path))
+    floors.update({name: round(best, 2) for name, best, _ in rows})
+    with open(floors_path, "w") as fh:
+        json.dump(floors, fh, indent=1, sort_keys=True)
+    print(f"floors written to FLOORS.json ({len(floors)} total)")
 
     plans = open(os.path.join(HERE, "PLANS.md")).read()
     if SECTION in plans:
