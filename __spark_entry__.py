@@ -1224,6 +1224,31 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_sparql_construct_quads(spark, sf_dir):
+    """CONSTRUCT with GRAPH templates at bench scale (round-13 verdict
+    ask #8): a store-to-store transform over the ~1.4M-quad store — the
+    variable-graph template ``GRAPH ?g {...}`` scatters each solution's
+    derived quad into the graph its own binding names, while the
+    outside-GRAPH template triple lands in the DEFAULT graph (g NULL).
+    One solution scan feeds both templates (persist-shared projections,
+    union + dedup = the only added shuffle). The oracle replays both
+    template instantiations from the part table."""
+    from bio2bel_spark.sparql import sparql_construct
+
+    return sparql_construct(
+        _scale_quads(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT {
+               GRAPH ?g { ?part ex:tierBrand ?brand . }
+               ?part ex:audited "true" .
+           }
+           WHERE {
+               GRAPH ?g { ?part ex:inBrand ?brand }
+               FILTER(STRSTARTS(?brand, "Brand#1"))
+           }""",
+    )
+
+
 def _nquads_file(spark, sf_dir):
     """Serialize the scale QUAD store to an actual on-disk N-Quads
     dataset (round-13 verdict ask #7) — named-graph lines carry their
@@ -4938,6 +4963,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_construct_quads": q_sparql_construct_quads,  # new r13
     "sparql_nquads_file": q_sparql_nquads_file,  # new r13
     "sparql_graph_topk": q_sparql_graph_topk,  # new r13
     "sparql_typed_order": q_sparql_typed_order,  # new r13
@@ -9852,6 +9878,22 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_construct_quads": """
+            -- quad-template replay: the GRAPH ?g scatter (every inBrand
+            -- fact lives in graph://part) plus the default-graph
+            -- audited marker; CONSTRUCT is set semantics but these
+            -- instantiations are already distinct
+            SELECT * FROM (
+                SELECT 'graph://part' AS g,
+                       'part://'||p_partkey AS s,
+                       'http://ex.org/tierBrand' AS p, p_brand AS o
+                FROM part WHERE p_brand LIKE 'Brand#1%'
+                UNION ALL
+                SELECT CAST(NULL AS VARCHAR), 'part://'||p_partkey,
+                       'http://ex.org/audited', 'true'
+                FROM part WHERE p_brand LIKE 'Brand#1%'
+            )
         """,
         "sparql_nquads_file": """
             -- the .nq dataset is a lossless serialization of the quad

@@ -637,12 +637,14 @@ class _Parser:
     def parse_construct(self):
         """``PREFIX* CONSTRUCT { template } WHERE { group } [ORDER/
         LIMIT/OFFSET]`` — the graph-building query form. The template is
-        plain triples only (vars, IRIs, prefixed names, literals)."""
+        a QUAD block (round 13): plain triples, plus ``GRAPH term
+        { triples }`` sub-blocks that emit into named graphs — the
+        store-to-store transform form over a quad store."""
         prefixes = self.parse_prefixes()
         if not self.at_keyword("CONSTRUCT"):
             raise SparqlError("expected CONSTRUCT")
         self.next()
-        template = self.parse_template_block("CONSTRUCT template")
+        template = self.parse_quad_block("CONSTRUCT template")
         if not self.at_keyword("WHERE"):
             raise SparqlError("CONSTRUCT needs WHERE { ... }")
         self.next()
@@ -4217,7 +4219,15 @@ def sparql_construct(
     unioned instantiations. Plan shape: the solution table is computed
     ONCE, each template triple is a projection of it, and the union +
     dropDuplicates is the only added shuffle. ``ORDER BY``/``LIMIT``/
-    ``OFFSET`` page the solution sequence before instantiation."""
+    ``OFFSET`` page the solution sequence before instantiation.
+
+    QUAD templates (round 13): ``GRAPH term { triples }`` sub-blocks in
+    the template emit into named graphs — the result is then a
+    ``(g, s, p, o)`` DataFrame (g NULL = default graph for triples
+    outside any GRAPH block), a store-to-store transform whose output
+    feeds straight back into the quad-store query/UPDATE forms. A
+    template with no GRAPH block keeps the plain ``(s, p, o)``
+    schema."""
     toks = _tokenize(query)
     declared, template, group, order, limit, offset = _Parser(
         toks
@@ -4228,7 +4238,10 @@ def sparql_construct(
     # emits the constant into every instantiated triple) — admit those
     # names; _solutions re-projects every binding as a constant column
     template_vars = {
-        t[1] for tri in template for t in tri if t[0] == "var"
+        t[1]
+        for tri in template
+        for t in tri
+        if t is not None and t[0] == "var"
     }
     out, _ = _solutions(
         triples, group, pfx, bindings, max_path_depth,
@@ -4253,7 +4266,15 @@ def sparql_construct(
 
             out = tracked_persist(out)
 
-    return _instantiate_template(out, template, pfx).dropDuplicates()
+    if any(g is not None for g, _s, _p, _o in template):
+        # at least one GRAPH block: emit QUADS (outside-GRAPH triples
+        # target the default graph — with_g None -> g NULL)
+        return _instantiate_quads(
+            out, template, pfx, with_g=None
+        ).dropDuplicates()
+    return _instantiate_template(
+        out, [q[1:] for q in template], pfx
+    ).dropDuplicates()
 
 
 def _validate_template(template, columns, label: str) -> None:

@@ -75,6 +75,7 @@ FLOOR_SET = [
     "sparql_datetime",
     "sparql_graph_topk",
     "sparql_nquads_file",
+    "sparql_construct_quads",
 ]
 
 N_RUNS = 3

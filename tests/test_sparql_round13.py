@@ -448,3 +448,99 @@ def test_insert_data_comma_sugar(spark):
         (EX + "x", EX + "p", "1"),
         (EX + "x", EX + "p", "2"),
     }
+
+
+# ------------------------------- CONSTRUCT with GRAPH templates (ask #8)
+
+
+def test_construct_graph_template_emits_quads(spark):
+    from bio2bel_spark.sparql import sparql_construct
+
+    triples = spark.createDataFrame(
+        [
+            (EX + "a", EX + "score", "5"),
+            (EX + "b", EX + "score", "7"),
+        ],
+        "s string, p string, o string",
+    )
+    got = sparql_construct(
+        triples,
+        f"""PREFIX ex: <{EX}>
+            CONSTRUCT {{
+                GRAPH <{EX}g/scores> {{ ?s ex:hadScore ?v . }}
+                ?s ex:seen "true" .
+            }}
+            WHERE {{ ?s ex:score ?v }}""",
+    )
+    assert got.columns == ["g", "s", "p", "o"]
+    rows = {(r.g, r.s, r.p, r.o) for r in got.collect()}
+    assert rows == {
+        (EX + "g/scores", EX + "a", EX + "hadScore", "5"),
+        (EX + "g/scores", EX + "b", EX + "hadScore", "7"),
+        # outside-GRAPH template triples land in the DEFAULT graph
+        (None, EX + "a", EX + "seen", "true"),
+        (None, EX + "b", EX + "seen", "true"),
+    }
+
+
+def test_construct_variable_graph_template(spark):
+    """GRAPH ?g in the template routes each solution's quads into the
+    graph its own binding names — a per-row scatter."""
+    from bio2bel_spark.sparql import sparql_construct
+
+    quads = spark.createDataFrame(
+        [
+            ("http://g.org/one", EX + "a", EX + "score", "5"),
+            ("http://g.org/two", EX + "b", EX + "score", "7"),
+        ],
+        "g string, s string, p string, o string",
+    )
+    got = sparql_construct(
+        quads,
+        f"""PREFIX ex: <{EX}>
+            CONSTRUCT {{ GRAPH ?g {{ ?s ex:copied "yes" . }} }}
+            WHERE {{ GRAPH ?g {{ ?s ex:score ?v }} }}""",
+    )
+    rows = {(r.g, r.s, r.o) for r in got.collect()}
+    assert rows == {
+        ("http://g.org/one", EX + "a", "yes"),
+        ("http://g.org/two", EX + "b", "yes"),
+    }
+
+
+def test_construct_without_graph_keeps_triple_schema(spark):
+    from bio2bel_spark.sparql import sparql_construct
+
+    triples = spark.createDataFrame(
+        [(EX + "a", EX + "score", "5")],
+        "s string, p string, o string",
+    )
+    got = sparql_construct(
+        triples,
+        f"PREFIX ex: <{EX}> "
+        "CONSTRUCT { ?s ex:hadScore ?v . } WHERE { ?s ex:score ?v }",
+    )
+    assert got.columns == ["s", "p", "o"]
+    assert got.collect()[0].o == "5"
+
+
+def test_construct_quads_roundtrip_into_graph_query(spark):
+    """Store-to-store: the quad CONSTRUCT's output is immediately
+    queryable with GRAPH clauses — the round-trip the form exists for."""
+    from bio2bel_spark.sparql import sparql_construct, sparql_select
+
+    triples = spark.createDataFrame(
+        [(EX + "a", EX + "score", "5"), (EX + "b", EX + "flag", "x")],
+        "s string, p string, o string",
+    )
+    built = sparql_construct(
+        triples,
+        f"""PREFIX ex: <{EX}>
+            CONSTRUCT {{ GRAPH <{EX}g/s> {{ ?s ex:v ?v . }} }}
+            WHERE {{ ?s ex:score ?v }}""",
+    )
+    back = sparql_select(
+        built,
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{EX}v> ?v }} }}",
+    ).collect()
+    assert [(r.g, _local(r.s)) for r in back] == [(EX + "g/s", "a")]
