@@ -1124,13 +1124,57 @@ def q_sparql_scale_path(spark, sf_dir):
     )
 
 
+def _rdf_lines_write(df, path):
+    """Shared N-Triples/N-Quads line serializer (round 13 — one copy
+    for both file formats): IRIs bracket, retailPrice rides as a TYPED
+    ``^^xsd:decimal`` literal, every other object is a quoted literal
+    with N-Triples ECHAR escaping — backslash first, then quote and
+    newline; without it a value containing '"' would emit a line the
+    read-back regex silently drops (a hash mismatch with no error
+    anywhere). Escapes survive the round trip AS escapes
+    (read_ntriples/read_nquads keep raw bodies), lossless for the
+    quote-free TPC-H values proven here. A ``g`` column, when present,
+    emits as the N-Quads fourth term — default-graph rows (g NULL)
+    stay plain triple lines. Written DISTRIBUTED as a text dataset (a
+    directory of part files; both readers scan directories)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
+            '"', '\\\\"',
+        ),
+        "\n", r"\\n",
+    )
+    obj = F.when(
+        F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
+        F.concat(F.lit("<"), F.col("o"), F.lit(">")),
+    ).when(
+        F.col("p") == "http://ex.org/retailPrice",
+        F.concat(
+            F.lit('"'), esc,
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
+        ),
+    ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    parts = [
+        F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
+        F.lit("> "), obj,
+    ]
+    if "g" in df.columns:
+        parts.append(
+            F.when(
+                F.col("g").isNotNull(),
+                F.concat(F.lit(" <"), F.col("g"), F.lit(">")),
+            ).otherwise(F.lit(""))
+        )
+    parts.append(F.lit(" ."))
+    line = F.concat(*parts)
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
 def _ntriples_file(spark, sf_dir):
     """Serialize the scale graph to an actual on-disk N-Triples dataset
-    (round-12 verdict ask #7) — one ``<s> <p> <o|"o"> .`` line per
-    triple, written DISTRIBUTED as a text dataset (a directory of part
-    files; read_ntriples scans directories the same way). Deterministic
-    content keyed by sf_dir and cached under /tmp, so repeat runs pay
-    only the read path being proven."""
+    (round-12 verdict ask #7) via :func:`_rdf_lines_write`.
+    Deterministic content keyed by sf_dir and cached under /tmp, so
+    repeat runs pay only the read path being proven."""
     import hashlib
     import os
 
@@ -1138,38 +1182,7 @@ def _ntriples_file(spark, sf_dir):
         hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        t = _scale_triples(spark, sf_dir)
-        # N-Triples ECHAR escaping for literal objects: backslash first,
-        # then quote and newline — without it a value containing '"'
-        # would emit a line the read-back regex silently drops (a hash
-        # mismatch with no error anywhere). Escapes survive the round
-        # trip AS escapes (read_ntriples keeps raw bodies), which is
-        # lossless for the quote-free TPC-H values proven here.
-        esc = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
-                '"', '\\\\"',
-            ),
-            "\n", r"\\n",
-        )
-        # retailPrice serializes as a TYPED literal so the encoded-term
-        # model (and its isNumeric/value-compare semantics) is proven
-        # through the real file parse, not just createDataFrame fixtures
-        obj = F.when(
-            F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
-            F.concat(F.lit("<"), F.col("o"), F.lit(">")),
-        ).when(
-            F.col("p") == "http://ex.org/retailPrice",
-            F.concat(
-                F.lit('"'), esc,
-                F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
-            ),
-        ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-        line = F.concat(
-            F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
-            F.lit("> "), obj, F.lit(" ."),
-        )
-        t.select(line.alias("value")).write.mode("overwrite").text(path)
+        _rdf_lines_write(_scale_triples(spark, sf_dir), path)
     return path
 
 
@@ -1251,12 +1264,10 @@ def q_sparql_construct_quads(spark, sf_dir):
 
 def _nquads_file(spark, sf_dir):
     """Serialize the scale QUAD store to an actual on-disk N-Quads
-    dataset (round-13 verdict ask #7) — named-graph lines carry their
-    ``<g>`` fourth term, DEFAULT-graph rows (g NULL) emit plain triple
-    lines — written DISTRIBUTED as a text dataset, same caching and
-    ECHAR escaping as :func:`_ntriples_file`; retailPrice again rides
-    as a typed ``^^xsd:decimal`` literal so the encoded-term model is
-    proven through the .nq parse too."""
+    dataset (round-13 verdict ask #7) via :func:`_rdf_lines_write` —
+    named-graph lines carry their ``<g>`` fourth term, DEFAULT-graph
+    rows (g NULL) emit plain triple lines; same caching scheme as
+    :func:`_ntriples_file`."""
     import hashlib
     import os
 
@@ -1264,33 +1275,7 @@ def _nquads_file(spark, sf_dir):
         hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        q = _scale_quads(spark, sf_dir)
-        esc = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("o"), r"\\", r"\\\\"),
-                '"', '\\\\"',
-            ),
-            "\n", r"\\n",
-        )
-        obj = F.when(
-            F.col("o").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"),
-            F.concat(F.lit("<"), F.col("o"), F.lit(">")),
-        ).when(
-            F.col("p") == "http://ex.org/retailPrice",
-            F.concat(
-                F.lit('"'), esc,
-                F.lit('"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
-            ),
-        ).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-        gterm = F.when(
-            F.col("g").isNotNull(),
-            F.concat(F.lit(" <"), F.col("g"), F.lit(">")),
-        ).otherwise(F.lit(""))
-        line = F.concat(
-            F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"),
-            F.lit("> "), obj, gterm, F.lit(" ."),
-        )
-        q.select(line.alias("value")).write.mode("overwrite").text(path)
+        _rdf_lines_write(_scale_quads(spark, sf_dir), path)
     return path
 
 
@@ -4963,11 +4948,11 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
-    "sparql_construct_quads": q_sparql_construct_quads,  # new r13
-    "sparql_nquads_file": q_sparql_nquads_file,  # new r13
-    "sparql_graph_topk": q_sparql_graph_topk,  # new r13
-    "sparql_typed_order": q_sparql_typed_order,  # new r13
-    "sparql_datetime": q_sparql_datetime,  # new r13
+    "sparql_construct_quads": q_sparql_construct_quads,  # never driver-checked
+    "sparql_nquads_file": q_sparql_nquads_file,  # never driver-checked
+    "sparql_graph_topk": q_sparql_graph_topk,  # never driver-checked
+    "sparql_typed_order": q_sparql_typed_order,  # never driver-checked
+    "sparql_datetime": q_sparql_datetime,  # never driver-checked
     "bpe_merges": q_bpe_merges,  # last green r06
     "psi_drift": q_psi_drift,  # last green r06
     "zipf_fit": q_zipf_fit,  # last green r06
@@ -5013,12 +4998,12 @@ QUERIES: dict[str, Callable] = {
     "decontaminate": q_decontaminate,  # last green r09
     "corpus_report": q_corpus_report,  # last green r09
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
+    # ---- end of the driver's 50-query correctness window ----
     "cms_counts": q_cms_counts,  # last green r09
     "bloom_decontaminate": q_bloom_decontaminate,  # last green r09
     "kmv_distinct": q_kmv_distinct,  # last green r09
     "kmv_grouped": q_kmv_grouped,  # last green r09
     "hll_distinct": q_hll_distinct,  # last green r09
-    # ---- end of the driver's 50-query correctness window ----
     "pack_chunks": q_pack_chunks,  # last green r09
     "chunk_spans": q_chunk_spans,  # last green r09
     "sliding_windows": q_sliding_windows,  # last green r09
@@ -9951,7 +9936,9 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
                 SELECT p_brand AS brand,
                        MIN(p_size) AS lo_v, MAX(p_size) AS hi_v,
-                       COUNT(*)::BIGINT AS n
+                       -- the subquery's COUNT re-enters the binding
+                       -- table as its LEXICAL string (engine invariant)
+                       CAST(COUNT(*) AS VARCHAR) AS n
                 FROM part GROUP BY 1)
             SELECT brand,
                    '"' || lo_v ||

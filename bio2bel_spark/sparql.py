@@ -187,18 +187,19 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if kind in ("ws", "comment"):
             continue
         if kind == "var" and m.group()[1:].startswith(
-            ("__path_", "__having_", "__exists_", "__tv_")
+            ("__path_", "__having_", "__exists_", "__tv_", "__pg_")
         ):
             # reserved for planner internals (property-path desugaring /
             # HAVING hidden aggregate columns / EXISTS filter markers /
-            # trailing-VALUES join columns) — a user variable with any
-            # of these prefixes would be silently dropped by the
-            # internals cleanup or collide with a synthesized column;
-            # reject it loudly up front
+            # trailing-VALUES join columns / per-graph paging row
+            # numbers) — a user variable with any of these prefixes
+            # would be silently dropped by the internals cleanup or
+            # collide with a synthesized column; reject it loudly up
+            # front
             raise SparqlError(
                 f"variable {m.group()!r} uses a reserved '__path_'/"
-                "'__having_'/'__exists_'/'__tv_' prefix (planner "
-                "internals); rename it"
+                "'__having_'/'__exists_'/'__tv_'/'__pg_' prefix "
+                "(planner internals); rename it"
             )
         out.append((kind, m.group()))
     out.append(("eof", ""))
@@ -404,10 +405,16 @@ def _order_key_cols(c: Column) -> "list[Column]":
     nulls-first-asc / nulls-last-desc placement, matching §15.1's
     "unbound precedes everything" under ASC."""
     s = c.cast("string")
-    tn = F.when(
+    # the lexical form must ALSO pass _NUMERIC_SHAPE — the same gate as
+    # _num — so ORDER BY/MIN/MAX and FILTER agree on what is numeric
+    # ("NaN"^^xsd:double or " 5"^^xsd:integer would slip through a bare
+    # try_cast and sort in the numeric bucket while comparisons call
+    # them type errors); a malformed typed numeric sorts lexically
+    tn_lex = F.when(
         s.startswith('"') & s.rlike(_TYPED_NUM_SHAPE),
         F.regexp_replace(s, _TYPED_NUM_STRIP, "$1"),
-    ).try_cast("double")
+    )
+    tn = F.when(tn_lex.rlike(_NUMERIC_SHAPE), tn_lex).try_cast("double")
     td = F.when(
         s.startswith('"') & s.rlike(_TYPED_DT_SHAPE), _dt_val(s)
     ).cast("double")
@@ -546,22 +553,30 @@ class _Parser:
             if v == ".":
                 self.next()
                 continue
-            s = self.parse_term()
-            while True:
-                p = self.parse_verb_term()
-                add(s, p, self.parse_term())
-                while self.peek()[1] == ",":
-                    self.next()
-                    add(s, p, self.parse_term())
-                if self.peek()[1] != ";":
-                    break
-                while self.peek()[1] == ";":
-                    self.next()
-                if self.peek()[1] in (".", "}"):
-                    break
+            self.parse_po_list(self.parse_term(), add)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
         return template
+
+    def parse_po_list(self, s, add) -> None:
+        """One subject's predicate-object list with the Turtle sugar —
+        ``;`` chains verbs, ``,`` chains objects, ``;;`` and a trailing
+        ``;`` before ``.``/``}`` are tolerated per Turtle — invoking
+        ``add(s, p, o)`` per desugared triple. ONE grammar shared by
+        the template and quad-template forms (the group-pattern form
+        has its own loop because its verbs are property PATHS)."""
+        while True:
+            p = self.parse_verb_term()
+            add(s, p, self.parse_term())
+            while self.peek()[1] == ",":
+                self.next()
+                add(s, p, self.parse_term())
+            if self.peek()[1] != ";":
+                break
+            while self.peek()[1] == ";":
+                self.next()
+            if self.peek()[1] in (".", "}"):
+                break
 
     def parse_graph_name(self, allow_var: bool = True):
         """``?var`` (when allowed) / ``<iri>`` / ``prefix:name`` — the
@@ -608,28 +623,14 @@ class _Parser:
                 inner = self.parse_template_block(what, ground=ground)
                 template.extend((gterm, s, p, o) for s, p, o in inner)
                 continue
-            s = self.parse_term()
-            while True:  # Turtle ';' / ',' sugar, same as the triple form
-                p = self.parse_verb_term()
-                objs = [self.parse_term()]
-                while self.peek()[1] == ",":
-                    self.next()
-                    objs.append(self.parse_term())
-                for o in objs:
-                    if ground and any(
-                        t[0] == "var" for t in (s, p, o)
-                    ):
-                        raise SparqlError(
-                            f"{what} triples must be ground "
-                            "(no variables)"
-                        )
-                    template.append((None, s, p, o))
-                if self.peek()[1] != ";":
-                    break
-                while self.peek()[1] == ";":
-                    self.next()
-                if self.peek()[1] in (".", "}"):
-                    break
+            def addq(s, p, o):
+                if ground and any(t[0] == "var" for t in (s, p, o)):
+                    raise SparqlError(
+                        f"{what} triples must be ground (no variables)"
+                    )
+                template.append((None, s, p, o))
+
+            self.parse_po_list(self.parse_term(), addq)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
         return template
@@ -1622,15 +1623,18 @@ def _string_token_value(v: str) -> str:
     spelled the tag."""
     if v.endswith('"'):
         return _unquote(v)
+    # classify the lang-tagged form FIRST: a lang-tagged literal whose
+    # CONTENT contains '^^' ("a^^b"@en) must not trip the prefixed-
+    # datatype rejection below
+    m = re.fullmatch(r'(".*")@(' + _LANGTAG + r")", v, re.DOTALL)
+    if m:
+        return m.group(1) + "@" + m.group(2).lower()
     if "^^" in v and not v.endswith(">"):
         raise SparqlError(
             f"typed literal {v!r} uses a prefixed datatype name; write "
             "the datatype as a full <...> IRI (prefixes are not in "
             "scope for datatype resolution)"
         )
-    m = re.fullmatch(r'(".*")@(' + _LANGTAG + r")", v, re.DOTALL)
-    if m:
-        return m.group(1) + "@" + m.group(2).lower()
     return v
 
 

@@ -352,6 +352,37 @@ SHOWCASE = {
         "added exchange. Both ops' WHERE filters (StringStartsWith, "
         "EqualTo) push into the parquet scans."
     ),
+    "sparql_typed_order": (
+        "SPARQL 15.1 VALUE ordering stays codegen-side: MIN/MAX compile "
+        "to min_by/max_by over the (bucket, value, raw) key struct — "
+        "ONE partial+final aggregation exchange, no extra pass — and "
+        "the outer ORDER BY ... LIMIT 10 is a TakeOrderedAndProject "
+        "over the expanded key triple (map-side heaps, never a full "
+        "sort). The key's regexp gates are single-pass regexp_replace "
+        "strips (operand appears once — the round-12 codegen lesson)."
+    ),
+    "sparql_datetime": (
+        "xsd:dateTime comparisons are pure Catalyst: the FILTER "
+        "boundary compiles to a cast-to-timestamp comparison inside "
+        "the scan-side Filter (whole-stage codegen, no UDF), MIN(?t) "
+        "is min_by over the instant-valued key struct in the SAME "
+        "single aggregation exchange as the COUNT."
+    ),
+    "sparql_graph_topk": (
+        "Per-graph paging is ONE window, not a per-graph loop: "
+        "DISTINCT (g, o) is one aggregation exchange, then row_number "
+        "over (PARTITION BY g ORDER BY key-triple DESC) cuts every "
+        "graph's page in a single hash-partitioned shuffle on g — the "
+        "same plan at 3 graphs or 3 million."
+    ),
+    "sparql_construct_quads": (
+        "The quad CONSTRUCT computes the WHERE solutions ONCE "
+        "(persist-shared InMemoryRelation), each template quad is a "
+        "projection of it — the variable-graph scatter is just "
+        "projecting the bound g column — and the set-semantics dedup "
+        "is the single added exchange. The brand filter "
+        "(StringStartsWith) pushes into the parquet scan."
+    ),
 }
 
 

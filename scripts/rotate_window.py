@@ -85,7 +85,22 @@ def main() -> int:
     m, entries = parse_queries_block(src)
     greens = last_green_rounds()
     ordered = rotated_order(entries, greens)
-    if [k for k, _ in ordered[:WINDOW]] == [k for k, _ in entries[:WINDOW]]:
+    # the skip test must ALSO verify the window-end marker sits exactly
+    # after entry WINDOW: inserting new queries at the head keeps the
+    # order stalest-first but silently pushes the marker comment deeper,
+    # misdocumenting which queries the driver actually checks (round-13
+    # review finding)
+    marker = "end of the driver's 50-query correctness window"
+    pos = m.group(2).find(marker)
+    before_marker = (
+        len(re.findall(r'^    "[a-z0-9_]+":', m.group(2)[:pos], re.M))
+        if pos != -1
+        else -1
+    )
+    if (
+        [k for k, _ in ordered[:WINDOW]] == [k for k, _ in entries[:WINDOW]]
+        and before_marker == WINDOW
+    ):
         print("window already stalest-first; no rewrite")
         return 0
     lines = [

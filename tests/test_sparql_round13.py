@@ -544,3 +544,62 @@ def test_construct_quads_roundtrip_into_graph_query(spark):
         f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{EX}v> ?v }} }}",
     ).collect()
     assert [(r.g, _local(r.s)) for r in back] == [(EX + "g/s", "a")]
+
+
+# -------------------------------- round-13 review-pass regressions
+
+
+def test_pg_prefix_reserved(typed):
+    """?__pg_rn would collide with the per-graph paging row-number
+    column — rejected at tokenize time like the other internals."""
+    from bio2bel_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="reserved"):
+        sparql_select(
+            typed, "SELECT ?__pg_rn WHERE { ?s ex:price ?__pg_rn }",
+            prefixes=PFX,
+        )
+
+
+def test_lang_literal_with_caret_content(spark):
+    """A lang-tagged literal whose CONTENT contains '^^' must classify
+    as lang-tagged (and lowercase its tag), not trip the prefixed-
+    datatype rejection."""
+    triples = spark.createDataFrame(
+        [(EX + "x", EX + "label", '"a^^b"@en')],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        triples,
+        'SELECT ?s WHERE { ?s ex:label "a^^b"@EN }',
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.s) for r in got] == ["x"]
+
+
+def test_order_key_agrees_with_num_on_malformed_typed(spark):
+    """ORDER BY/MIN/MAX use the same numeric gate as FILTER: a typed
+    literal whose lexical fails _NUMERIC_SHAPE ("NaN"^^xsd:double)
+    sorts LEXICALLY (bucket 0), exactly as comparisons call it a type
+    error — the two layers never disagree on what is numeric."""
+    rows = [
+        (EX + "a", EX + "v", f'"NaN"^^<{XSD}double>'),
+        (EX + "b", EX + "v", f'"9"^^<{XSD}integer>'),
+        (EX + "c", EX + "v", f'"10"^^<{XSD}integer>'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    row = sparql_select(
+        df,
+        "SELECT (MAX(?x) AS ?hi) WHERE { ?s ex:v ?x }",
+        prefixes=PFX,
+    ).collect()[0]
+    # numeric bucket wins over the lexical bucket under MAX; NaN stays
+    # in the lexical bucket instead of polluting the numeric extremes
+    assert row.hi == f'"10"^^<{XSD}integer>'
+    got = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:v ?x } ORDER BY ?x",
+        prefixes=PFX,
+    ).collect()
+    # lexical bucket ("NaN" encoded) first under ASC, then 9 < 10
+    assert [_local(r.s) for r in got] == ["a", "b", "c"]
