@@ -1237,6 +1237,29 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_sparql_bnode_iri(spark, sf_dir):
+    """Round-13 grammar/builtin round-out at bench scale: a blank-node
+    property list subject (``[ a ex:Part ; ... ]`` — a fresh scoped
+    variable per SPARQL §4.1.4, never projected) over the typed
+    substrate, a typed-numeric FILTER, and IRI(CONCAT(...,
+    ENCODE_FOR_URI(?brand))) constructing groupable IRI terms ('#' in
+    the brand percent-encodes to %23 per XPath fn:encode-for-uri). The
+    oracle replays the encode with replace(brand, '#', '%23') — the
+    only non-unreserved byte in TPC-H brand strings."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_typed_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?u (COUNT(?sz) AS ?n) WHERE {
+               [ a ex:Part ; ex:inBrand ?brand ; ex:size ?sz ] .
+               FILTER(?sz > 45)
+               BIND(IRI(CONCAT("http://ex.org/brand/",
+                               ENCODE_FOR_URI(?brand))) AS ?u)
+           } GROUP BY ?u""",
+    )
+
+
 def q_sparql_construct_quads(spark, sf_dir):
     """CONSTRUCT with GRAPH templates at bench scale (round-13 verdict
     ask #8): a store-to-store transform over the ~1.4M-quad store — the
@@ -4948,6 +4971,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_bnode_iri": q_sparql_bnode_iri,  # never driver-checked
     "sparql_construct_quads": q_sparql_construct_quads,  # never driver-checked
     "sparql_nquads_file": q_sparql_nquads_file,  # never driver-checked
     "sparql_graph_topk": q_sparql_graph_topk,  # never driver-checked
@@ -4997,8 +5021,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r09
     "decontaminate": q_decontaminate,  # last green r09
     "corpus_report": q_corpus_report,  # last green r09
-    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
     # ---- end of the driver's 50-query correctness window ----
+    "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
     "cms_counts": q_cms_counts,  # last green r09
     "bloom_decontaminate": q_bloom_decontaminate,  # last green r09
     "kmv_distinct": q_kmv_distinct,  # last green r09
@@ -9863,6 +9887,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_bnode_iri": """
+            -- bnode-list desugaring replay: every part matches the
+            -- class triple; fn:encode-for-uri leaves [A-Za-z0-9_.~-]
+            -- untouched, so only '#' encodes in 'Brand#NN'
+            SELECT 'http://ex.org/brand/'
+                   || replace(p_brand, '#', '%23') AS u,
+                   COUNT(*)::BIGINT AS n
+            FROM part WHERE p_size > 45 GROUP BY 1
         """,
         "sparql_construct_quads": """
             -- quad-template replay: the GRAPH ?g scatter (every inBrand

@@ -170,7 +170,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/|^+?-])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].,;=<>!*/|^+?-])
     """,
     re.VERBOSE,
 )
@@ -219,6 +219,14 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 #: MIN — a deterministic, spec-valid choice of representative)
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
+#: keywords that START a non-triple group element — a bare
+#: ``[ po-list ]`` subject followed by one of these (legal SPARQL: no
+#: '.' needed before a GraphPatternNotTriples) ends its triples block
+#: instead of being read as a verb
+_ELEMENT_KEYWORDS = {
+    "OPTIONAL", "FILTER", "BIND", "MINUS", "VALUES", "GRAPH", "UNION",
+}
+
 #: value-returning scalar functions (BIND expressions; boolean-returning
 #: FILTER functions live in _compile_filter)
 _VALUE_FNS = {
@@ -228,6 +236,7 @@ _VALUE_FNS = {
     "STRLANG", "STRDT",
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "IRI", "URI", "ENCODE_FOR_URI",
 }
 
 #: boolean-returning functions legal in FILTER (and, via _operand, as
@@ -1204,105 +1213,140 @@ class _Parser:
             elif self.at_keyword("VALUES"):
                 self.next()
                 elements.append(self.parse_values())
+            elif self.peek()[1] == "[":
+                # blank-node property list as SUBJECT: '[ po-list ]'
+                # (optionally followed by its own po-list). A pattern
+                # bnode is just a fresh scoped variable (§4.1.4).
+                s = self.parse_bnode_property_list(elements)
+                kind2, v2 = self.peek()
+                if not (
+                    v2 in (".", "}", "{")
+                    or (
+                        kind2 == "keyword"
+                        and v2.upper() in _ELEMENT_KEYWORDS
+                    )
+                ):
+                    self.parse_group_po_list(s, elements)
             else:
                 s = self.parse_term() if self.peek()[1] != "^" else None
                 if s is None:
                     raise SparqlError(
                         "a triple pattern must start with a subject term"
                     )
+                self.parse_group_po_list(s, elements)
 
-                def emit(o, segs):
-                    plain = (
-                        len(segs) == 1
-                        and not segs[0]["inverse"]
-                        and not segs[0]["negated"]
-                        and not segs[0]["plus"]
-                        and not segs[0]["star"]
-                        and not segs[0]["qmark"]
-                        and segs[0]["range"] is None
-                        and len(segs[0]["preds"]) == 1
-                    )
-                    if plain:
-                        elements.append(
-                            ("triple", s, segs[0]["preds"][0], o)
-                        )
-                        return
-                    # property path — desugar into chained per-hop
-                    # elements through fresh internal variables (each
-                    # plain hop stays one pushable scan + hash join;
-                    # modified hops compile to a derived (s, o)
-                    # relation; SPARQL path-internal bindings are
-                    # anonymous, so the vars never project)
-                    for seg in segs:
-                        for p in seg["preds"]:
-                            if p[0] == "var":
-                                raise SparqlError(
-                                    "variable predicates are not "
-                                    "supported inside property paths"
-                                )
-                    cur = s
-                    for idx, seg in enumerate(segs):
-                        if idx == len(segs) - 1:
-                            nxt = o
-                        else:
-                            nxt = ("var", f"__path_{self.fresh}")
-                            self.fresh += 1
-                        modified = (
-                            seg["plus"] or seg["star"] or seg["qmark"]
-                            or seg["negated"] or seg["range"] is not None
-                        )
-                        if (
-                            not seg["inverse"] and not modified
-                            and len(seg["preds"]) == 1
-                        ):
-                            elements.append(
-                                ("triple", cur, seg["preds"][0], nxt)
-                            )
-                        elif (
-                            seg["inverse"] and not modified
-                            and len(seg["preds"]) == 1
-                        ):
-                            # pure inverse: just a swapped pattern scan
-                            elements.append(
-                                ("triple", nxt, seg["preds"][0], cur)
-                            )
-                        else:
-                            elements.append(("pathhop", cur, seg, nxt))
-                        cur = nxt
+    def parse_bnode_property_list(self, elements) -> tuple:
+        """``[ po-list ]`` — an anonymous blank node in a PATTERN is a
+        fresh non-projected variable (SPARQL §4.1.4 scopes pattern
+        bnodes as variables); the property list inside desugars against
+        it with the full path/sugar grammar, its triples appended to
+        ``elements``. ``[]`` alone is just the fresh variable. The
+        ``__path_`` prefix rides the existing internals cleanup, so the
+        variable never projects."""
+        self.expect("[")
+        b = ("var", f"__path_bn{self.fresh}")
+        self.fresh += 1
+        if self.peek()[1] != "]":
+            self.parse_group_po_list(b, elements)
+        self.expect("]")
+        return b
 
-                # Turtle sugar (round 13): ';' chains predicate-object
-                # lists on ONE subject, ',' chains objects on one
-                # (subject, path) — pure desugaring to repeated-subject
-                # triples, so every sugared form compiles to exactly
-                # the plan its spelled-out form does
-                while True:
-                    segs = [self.parse_path_unit()]
-                    while self.peek()[1] == "/":
-                        self.next()
-                        segs.append(self.parse_path_unit())
-                    if len(segs) > 1 and any(
-                        sg["bare_alt"] for sg in segs
-                    ):
-                        # SPARQL gives '|' lower precedence than '/':
-                        # 'a|b/c' means 'a|(b/c)', not the hop-level
-                        # '(a|b)/c' this desugaring would produce —
-                        # demand parentheses
+    def parse_group_po_list(self, s, elements) -> None:
+        """One subject's predicate-object list inside a GROUP pattern:
+        verbs are property PATHS (hence separate from the template-form
+        parse_po_list), objects may be nested ``[ po-list ]`` blank
+        nodes, and the Turtle ``;``/``,`` sugar applies — pure
+        desugaring to repeated-subject triples, so every sugared form
+        compiles to exactly the plan its spelled-out form does."""
+
+        def emit(o, segs):
+            plain = (
+                len(segs) == 1
+                and not segs[0]["inverse"]
+                and not segs[0]["negated"]
+                and not segs[0]["plus"]
+                and not segs[0]["star"]
+                and not segs[0]["qmark"]
+                and segs[0]["range"] is None
+                and len(segs[0]["preds"]) == 1
+            )
+            if plain:
+                elements.append(("triple", s, segs[0]["preds"][0], o))
+                return
+            # property path — desugar into chained per-hop elements
+            # through fresh internal variables (each plain hop stays
+            # one pushable scan + hash join; modified hops compile to
+            # a derived (s, o) relation; SPARQL path-internal bindings
+            # are anonymous, so the vars never project)
+            for seg in segs:
+                for p in seg["preds"]:
+                    if p[0] == "var":
                         raise SparqlError(
-                            "unparenthesized '|' inside a '/' sequence "
-                            "diverges from SPARQL precedence ('a|b/c' "
-                            "means 'a|(b/c)'); parenthesize — e.g. "
-                            "'(a|b)/c'"
+                            "variable predicates are not supported "
+                            "inside property paths"
                         )
-                    emit(self.parse_term(), segs)
-                    while self.peek()[1] == ",":
-                        self.next()
-                        emit(self.parse_term(), segs)
-                    if self.peek()[1] != ";":
-                        break
-                    while self.peek()[1] == ";":  # ';;' is legal Turtle
-                        self.next()
-                    if self.peek()[1] in (".", "}"):
-                        break  # trailing ';' before the terminator
+            cur = s
+            for idx, seg in enumerate(segs):
+                if idx == len(segs) - 1:
+                    nxt = o
+                else:
+                    nxt = ("var", f"__path_{self.fresh}")
+                    self.fresh += 1
+                modified = (
+                    seg["plus"] or seg["star"] or seg["qmark"]
+                    or seg["negated"] or seg["range"] is not None
+                )
+                if (
+                    not seg["inverse"] and not modified
+                    and len(seg["preds"]) == 1
+                ):
+                    elements.append(
+                        ("triple", cur, seg["preds"][0], nxt)
+                    )
+                elif (
+                    seg["inverse"] and not modified
+                    and len(seg["preds"]) == 1
+                ):
+                    # pure inverse: just a swapped pattern scan
+                    elements.append(
+                        ("triple", nxt, seg["preds"][0], cur)
+                    )
+                else:
+                    elements.append(("pathhop", cur, seg, nxt))
+                cur = nxt
+
+        while True:
+            segs = [self.parse_path_unit()]
+            while self.peek()[1] == "/":
+                self.next()
+                segs.append(self.parse_path_unit())
+            if len(segs) > 1 and any(sg["bare_alt"] for sg in segs):
+                # SPARQL gives '|' lower precedence than '/': 'a|b/c'
+                # means 'a|(b/c)', not the hop-level '(a|b)/c' this
+                # desugaring would produce — demand parentheses
+                raise SparqlError(
+                    "unparenthesized '|' inside a '/' sequence "
+                    "diverges from SPARQL precedence ('a|b/c' means "
+                    "'a|(b/c)'); parenthesize — e.g. '(a|b)/c'"
+                )
+            emit(self.parse_pattern_object(elements), segs)
+            while self.peek()[1] == ",":
+                self.next()
+                emit(self.parse_pattern_object(elements), segs)
+            if self.peek()[1] != ";":
+                break
+            while self.peek()[1] == ";":  # ';;' is legal Turtle
+                self.next()
+            if self.peek()[1] in (".", "}"):
+                break  # trailing ';' before the terminator
+
+    def parse_pattern_object(self, elements):
+        """An OBJECT inside a group pattern: a plain term, or a nested
+        ``[ po-list ]`` blank-node property list (fresh scoped
+        variable, inner triples appended to ``elements``)."""
+        if self.peek()[1] == "[":
+            return self.parse_bnode_property_list(elements)
+        return self.parse_term()
 
     def parse_path_unit(self) -> dict:
         """One path hop: ``['^'] ( pred | '(' pred ('|' pred)* ')' )
@@ -2456,6 +2500,7 @@ def _value_expr(expr, bound: set[str]) -> Column:
             "STRBEFORE", "STRAFTER", "STRLANG", "STRDT",
             "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
             "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+            "IRI", "URI", "ENCODE_FOR_URI",
         ):
             # the string functions operate on the LEXICAL form — a typed
             # or lang-tagged literal contributes its quoted content, not
@@ -2538,6 +2583,24 @@ def _value_expr(expr, bound: set[str]) -> Column:
             ).otherwise(F.when(a0.isNotNull(), F.lit("")))
         if fn == "STR":
             return a0.cast("string")
+        if fn in ("IRI", "URI"):
+            # §17.4.2.8: the string model stores IRIs as their plain
+            # string, so the constructor IS the lexical form (stripped
+            # above) — IRI of an IRI is identity, IRI of a string
+            # literal builds the IRI term. No base resolution: a
+            # relative argument would need a BASE, out of subset.
+            return a0.cast("string")
+        if fn == "ENCODE_FOR_URI":
+            # §17.4.2.10 = XPath fn:encode-for-uri: percent-encode all
+            # but the RFC 3986 unreserved set [A-Za-z0-9_.~-]. Spark's
+            # url_encode is java.net.URLEncoder (form encoding), whose
+            # three divergences are fixed up literally: '+' (its space
+            # spelling; a literal '+' in the input was already encoded
+            # to %2B) -> %20, bare '*' -> %2A, '%7E' -> '~'.
+            enc = F.url_encode(a0.cast("string"))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            return F.replace(enc, F.lit("%7E"), F.lit("~"))
         if fn in ("STRLANG", "STRDT"):
             # constructors for the ENCODED-TERM model: the lexical form
             # (first arg, encoding stripped above) re-wrapped with a

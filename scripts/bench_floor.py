@@ -76,6 +76,7 @@ FLOOR_SET = [
     "sparql_graph_topk",
     "sparql_nquads_file",
     "sparql_construct_quads",
+    "sparql_bnode_iri",
 ]
 
 N_RUNS = 3

@@ -603,3 +603,116 @@ def test_order_key_agrees_with_num_on_malformed_typed(spark):
     ).collect()
     # lexical bucket ("NaN" encoded) first under ASC, then 9 < 10
     assert [_local(r.s) for r in got] == ["a", "b", "c"]
+
+
+# --------------------------- blank-node property lists (round 13)
+
+
+def test_bnode_property_list_as_subject(zoo):
+    """'[ a ex:Dog ; ex:name ?n ]' — the bnode is a fresh scoped
+    variable joining the inner patterns."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { [ a ex:Dog ; ex:name ?n ] . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_bnode_property_list_as_object(zoo):
+    """'?x ex:likes [ ex:name ?n ]' — nested bnode object."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?x ?n WHERE { ?x ex:likes [ ex:name ?n ] . }",
+        prefixes=PFX,
+    ).collect()
+    assert [(_local(r.x), r.n) for r in got] == [("rex", "Tom")]
+
+
+def test_bnode_subject_with_following_po_list(zoo):
+    """'[ a ex:Dog ] ex:name ?n' — the bracketed subject takes its own
+    predicate-object list after the ']'."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { [ a ex:Dog ] ex:name ?n . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_empty_bnode_is_fresh_variable(zoo):
+    """'[] ex:name ?n' matches every subject with a name."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { [] ex:name ?n . }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted(r.n for r in got) == ["Rex", "Tom"]
+
+
+def test_bnode_never_projects_under_select_star(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT * WHERE { [ ex:name ?n ] . }",
+        prefixes=PFX,
+    )
+    assert got.columns == ["n"]
+
+
+def test_bnode_with_path_verb(zoo):
+    """Paths work inside the bracket: '[ ex:subClassOf+ ex:Thing ]'
+    binds the bnode to every strict descendant class of Thing."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { "
+        "[ a ex:Dog ; ex:name ?n ; ex:likes ?t ] . "
+        "?t a/ex:subClassOf* ?c . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_nested_bnodes(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { [ ex:likes [ ex:name ?n ] ] . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Tom"]
+
+
+# ----------------------------- IRI()/URI() + ENCODE_FOR_URI (round 13)
+
+
+def test_iri_constructor_builds_joinable_iri(zoo):
+    """IRI(CONCAT(...)) constructs a term that joins pattern-bound
+    IRIs — the string model stores IRIs as plain strings."""
+    got = sparql_select(
+        zoo,
+        'SELECT ?n WHERE { ?x ex:name ?n . '
+        'FILTER(?x = IRI(CONCAT("http://ex.org/", "rex"))) }',
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_iri_of_typed_literal_strips_encoding(typed):
+    got = sparql_select(
+        typed,
+        "SELECT ?u WHERE { ?m ex:label ?l . "
+        'FILTER(LANG(?l) = "fr") BIND(URI(?l) AS ?u) }',
+        prefixes=PFX,
+    ).collect()
+    assert [r.u for r in got] == ["chat"]
+
+
+def test_encode_for_uri_xpath_semantics(zoo):
+    """fn:encode-for-uri: space -> %20 (never '+'), unreserved
+    [A-Za-z0-9_.~-] untouched, everything else percent-encoded."""
+    got = sparql_select(
+        zoo,
+        'SELECT ?e WHERE { ?x a ex:Dog . '
+        'BIND(ENCODE_FOR_URI("a b~c*d+e_f.g-h/i") AS ?e) }',
+        prefixes=PFX,
+    ).collect()
+    assert [r.e for r in got] == ["a%20b~c%2Ad%2Be_f.g-h%2Fi"]
