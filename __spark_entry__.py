@@ -1237,6 +1237,25 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_sparql_distinct_agg(spark, sf_dir):
+    """SUM/AVG(DISTINCT) at bench scale (round 13): per-brand sum and
+    mean over the DISTINCT typed size terms — collect_set + array fold
+    (bounded by <=50 distinct sizes per brand, the same state shape as
+    GROUP_CONCAT DISTINCT), one aggregation exchange. Canonical integer
+    lexicals make term-distinct == value-distinct, so the oracle is
+    DuckDB's SUM(DISTINCT)/AVG(DISTINCT) directly."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_typed_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?brand (SUM(DISTINCT ?sz) AS ?tot)
+                  (AVG(DISTINCT ?sz) AS ?mean) (COUNT(?sz) AS ?n)
+           WHERE { [ ex:inBrand ?brand ; ex:size ?sz ] . }
+           GROUP BY ?brand""",
+    )
+
+
 def q_sparql_bnode_iri(spark, sf_dir):
     """Round-13 grammar/builtin round-out at bench scale: a blank-node
     property list subject (``[ a ex:Part ; ... ]`` — a fresh scoped
@@ -4971,6 +4990,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_distinct_agg": q_sparql_distinct_agg,  # never driver-checked
     "sparql_bnode_iri": q_sparql_bnode_iri,  # never driver-checked
     "sparql_construct_quads": q_sparql_construct_quads,  # never driver-checked
     "sparql_nquads_file": q_sparql_nquads_file,  # never driver-checked
@@ -5020,8 +5040,8 @@ QUERIES: dict[str, Callable] = {
     "tfidf_top_terms": q_tfidf_top_terms,  # last green r09
     "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r09
     "decontaminate": q_decontaminate,  # last green r09
-    "corpus_report": q_corpus_report,  # last green r09
     # ---- end of the driver's 50-query correctness window ----
+    "corpus_report": q_corpus_report,  # last green r09
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
     "cms_counts": q_cms_counts,  # last green r09
     "bloom_decontaminate": q_bloom_decontaminate,  # last green r09
@@ -9887,6 +9907,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_distinct_agg": """
+            -- canonical integer lexicals: term-distinct == value-
+            -- distinct, so DuckDB's DISTINCT aggregates replay exactly
+            SELECT p_brand AS brand,
+                   CAST(SUM(DISTINCT p_size) AS DOUBLE) AS tot,
+                   CAST(AVG(DISTINCT p_size) AS DOUBLE) AS mean,
+                   COUNT(*)::BIGINT AS n
+            FROM part GROUP BY 1
         """,
         "sparql_bnode_iri": """
             -- bnode-list desugaring replay: every part matches the

@@ -74,7 +74,9 @@ Supported subset (everything the reference's queries use, plus FILTER)::
   xsd-numeric and xsd:dateTime typed literals compare by value, other
   terms lexically — identical to DuckDB over VARCHAR on untyped data),
   ``SAMPLE`` (evaluated as MIN —
-  deterministic and spec-valid) and ``GROUP_CONCAT`` (incl. ``DISTINCT``
+  deterministic and spec-valid); ``DISTINCT`` works in COUNT,
+  SUM/AVG (term-multiset dedup via collect_set + array fold),
+  MIN/MAX (a no-op on extrema) and ``GROUP_CONCAT`` (incl. ``DISTINCT``
   and ``; SEPARATOR="s"``; values join in SORTED order — the spec leaves
   order undefined, sorting makes it deterministic across partitions).
   Compiled to one ``groupBy().agg()`` —
@@ -234,7 +236,7 @@ _VALUE_FNS = {
     "IF", "COALESCE", "STRBEFORE", "STRAFTER",
     "ABS", "ROUND", "CEIL", "FLOOR", "LANG", "DATATYPE",
     "STRLANG", "STRDT",
-    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "IRI", "URI", "ENCODE_FOR_URI",
 }
@@ -254,7 +256,7 @@ _BOOL_FNS = {
 #: downstream joins keep SPARQL's compatible-mapping (IS NULL OR =) form.
 _NULL_INTRODUCING_FNS = {
     "LANG", "DATATYPE", "ABS", "ROUND", "CEIL", "FLOOR",
-    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
 }
 
 #: the xsd:dateTime lexical space (optional fractional seconds and
@@ -346,14 +348,17 @@ _TYPED_NUM_STRIP = (
     + _XSD_NUM_LOCAL + r")>$"
 )
 
-#: encoded ``^^xsd:dateTime`` literal — shape test and one-pass strip
-#: (same regexp_replace identity-on-non-match pattern as the numeric
-#: strips, for the same codegen reason)
+#: encoded ``^^xsd:dateTime`` / ``^^xsd:date`` literal — shape test and
+#: one-pass strip (same regexp_replace identity-on-non-match pattern as
+#: the numeric strips, for the same codegen reason). xsd:date joins the
+#: temporal category with its midnight instant (``"2020-01-01"`` casts
+#: to 00:00:00) — a documented approximation of XPath, which leaves
+#: date-vs-dateTime comparison undefined.
 _TYPED_DT_SHAPE = (
-    r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$'
+    r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$'
 )
 _TYPED_DT_STRIP = (
-    r'^"(.*)"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$'
+    r'^"(.*)"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$'
 )
 
 
@@ -2499,7 +2504,7 @@ def _value_expr(expr, bound: set[str]) -> Column:
             "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
             "STRBEFORE", "STRAFTER", "STRLANG", "STRDT",
             "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
-            "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+            "TZ", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
             "IRI", "URI", "ENCODE_FOR_URI",
         ):
             # the string functions operate on the LEXICAL form — a typed
@@ -2653,6 +2658,14 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 a0.rlike(_XSD_DATETIME_SHAPE),
                 F.regexp_extract(a0, _XSD_DATETIME_SHAPE, idx),
             ).try_cast("int")
+        if fn == "TZ":
+            # §17.4.5.8: the timezone PART of the dateTime lexical form
+            # — "Z", "+hh:mm"/"-hh:mm", or "" when absent; a
+            # non-dateTime argument is the expression error -> NULL
+            return F.when(
+                a0.rlike(_XSD_DATETIME_SHAPE),
+                F.regexp_extract(a0, r"(Z|[+-]\d{2}:\d{2})$", 1),
+            )
         if fn in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
             h = a0.cast("string")
             if fn == "MD5":
@@ -3347,10 +3360,34 @@ def _agg_column(
     if fn == "GROUP_CONCAT":
         bag = F.collect_set(col) if distinct else F.collect_list(col)
         return F.array_join(F.array_sort(bag), sep)
+    if distinct and fn in ("SUM", "AVG"):
+        # §18.5.1 Distinct: dedup the TERM multiset, then aggregate —
+        # collect_set (bounded by distinct terms per group, exactly
+        # like GROUP_CONCAT DISTINCT) then an array fold over the
+        # numeric values; non-numeric terms contribute NULL and are
+        # skipped (try_cast — consistent with the engine's
+        # sum-ignores-bad-values reading), an all-skipped group is
+        # NULL (grouped) / 0.0 (the global empty-input rule below)
+        nums = F.filter(
+            F.transform(
+                F.collect_set(col),
+                lambda x: _lex(x).try_cast("double"),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        total = F.when(
+            F.size(nums) > 0,
+            F.aggregate(nums, F.lit(0.0), lambda a, x: a + x),
+        )
+        if fn == "AVG":
+            total = total / F.size(nums)
+        return total if grouped else F.coalesce(total, F.lit(0.0))
+    if distinct and fn in ("MIN", "MAX"):
+        distinct = False  # Distinct never changes an extremum
     if distinct:
         raise SparqlError(
             f"{fn}(DISTINCT ...) is outside the subset "
-            "(COUNT and GROUP_CONCAT only)"
+            "(COUNT, SUM, AVG, MIN, MAX and GROUP_CONCAT)"
         )
     if fn == "SUM":
         # _lex: a typed numeric ("5"^^xsd:integer) sums by its lexical

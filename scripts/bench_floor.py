@@ -77,6 +77,7 @@ FLOOR_SET = [
     "sparql_nquads_file",
     "sparql_construct_quads",
     "sparql_bnode_iri",
+    "sparql_distinct_agg",
 ]
 
 N_RUNS = 3

@@ -297,10 +297,13 @@ def test_aggregate_errors(typed_triples):
             "GROUP BY ?e",
             prefixes=PFX,
         )
-    with pytest.raises(SparqlError, match="COUNT and GROUP_CONCAT only"):
+    # round 13 flips the former SUM(DISTINCT) rejection: it now
+    # aggregates the deduped TERM multiset (test_sparql_round13.py
+    # pins the values); distinct SAMPLE stays out of the subset
+    with pytest.raises(SparqlError, match="DISTINCT"):
         sparql_select(
             typed_triples,
-            "SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?e ex:score ?v }",
+            "SELECT (SAMPLE(DISTINCT ?v) AS ?s) WHERE { ?e ex:score ?v }",
             prefixes=PFX,
         )
 

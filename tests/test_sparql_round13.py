@@ -716,3 +716,77 @@ def test_encode_for_uri_xpath_semantics(zoo):
         prefixes=PFX,
     ).collect()
     assert [r.e for r in got] == ["a%20b~c%2Ad%2Be_f.g-h%2Fi"]
+
+
+# ----------------- SUM/AVG DISTINCT, xsd:date, TZ (round-13 round-out)
+
+
+def test_sum_avg_distinct_over_terms(spark):
+    """SUM/AVG(DISTINCT ?v) dedup the TERM multiset first: duplicate
+    terms collapse, distinct lexicals of one value both count."""
+    rows = [
+        (EX + "a", EX + "v", f'"5"^^<{XSD}integer>'),
+        (EX + "b", EX + "v", f'"5"^^<{XSD}integer>'),   # duplicate term
+        (EX + "c", EX + "v", f'"05"^^<{XSD}integer>'),  # distinct term
+        (EX + "d", EX + "v", f'"3"^^<{XSD}integer>'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    row = sparql_select(
+        df,
+        "SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a) "
+        "WHERE { ?x ex:v ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    # distinct terms: {"5", "05", "3"} -> values 5 + 5 + 3 = 13
+    assert float(row.s) == 13.0
+    assert abs(float(row.a) - 13.0 / 3) < 1e-9
+
+
+def test_min_distinct_is_min(spark):
+    df = spark.createDataFrame(
+        [(EX + "a", EX + "v", "x"), (EX + "b", EX + "v", "y")],
+        "s string, p string, o string",
+    )
+    row = sparql_select(
+        df, "SELECT (MIN(DISTINCT ?v) AS ?m) WHERE { ?s ex:v ?v }",
+        prefixes=PFX,
+    ).collect()[0]
+    assert row.m == "x"
+
+
+def test_xsd_date_compares_by_value(spark):
+    """xsd:date joins the temporal category: "2024-02-01" < "2024-10-1"
+    wait — canonical lexicals only; value order differs from lexical
+    when mixing date and dateTime spellings of one timeline."""
+    rows = [
+        (EX + "a", EX + "d", f'"2024-03-05"^^<{XSD}date>'),
+        (EX + "b", EX + "d", f'"2024-03-04T23:00:00"^^<{XSD}dateTime>'),
+        (EX + "c", EX + "d", f'"2024-03-06"^^<{XSD}date>'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:d ?t . "
+        f'FILTER(?t < "2024-03-05T12:00:00"^^<{XSD}dateTime>) }}',
+        prefixes=PFX,
+    ).collect()
+    # date "2024-03-05" = midnight instant < noon; b's 23:00 of the
+    # 4th also earlier; c later
+    assert sorted(_local(r.s) for r in got) == ["a", "b"]
+
+
+def test_tz_accessor(spark):
+    rows = [
+        (EX + "a", EX + "t", f'"2024-01-01T00:00:00Z"^^<{XSD}dateTime>'),
+        (EX + "b", EX + "t", f'"2024-01-01T00:00:00+05:30"^^<{XSD}dateTime>'),
+        (EX + "c", EX + "t", f'"2024-01-01T00:00:00"^^<{XSD}dateTime>'),
+        (EX + "d", EX + "t", "not-a-time"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s ?z WHERE { ?s ex:t ?t . BIND(TZ(?t) AS ?z) }",
+        prefixes=PFX,
+    ).collect()
+    by = {_local(r.s): r.z for r in got}
+    assert by == {"a": "Z", "b": "+05:30", "c": "", "d": None}
