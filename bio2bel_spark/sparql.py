@@ -221,14 +221,6 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 #: MIN — a deterministic, spec-valid choice of representative)
 _AGG_FNS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
-#: keywords that START a non-triple group element — a bare
-#: ``[ po-list ]`` subject followed by one of these (legal SPARQL: no
-#: '.' needed before a GraphPatternNotTriples) ends its triples block
-#: instead of being read as a verb
-_ELEMENT_KEYWORDS = {
-    "OPTIONAL", "FILTER", "BIND", "MINUS", "VALUES", "GRAPH", "UNION",
-}
-
 #: value-returning scalar functions (BIND expressions; boolean-returning
 #: FILTER functions live in _compile_filter)
 _VALUE_FNS = {
@@ -476,6 +468,20 @@ class _Parser:
     def at_keyword(self, word: str) -> bool:
         kind, v = self.peek()
         return kind == "keyword" and v.upper() == word
+
+    def at_verb_start(self) -> bool:
+        """Can the next token start a VERB (property path) of a triple?
+        The closed whitelist of path-unit starters — var / IRI /
+        prefixed name / the Turtle ``a`` / '(' '^' '!'. Decides whether
+        a bare ``[ po-list ]`` subject takes a following
+        predicate-object list or ends its triples block (legal SPARQL
+        needs no '.' before the next non-triple element)."""
+        kind, v = self.peek()
+        return (
+            kind in ("var", "iri", "pname")
+            or (kind, v) == ("keyword", "a")
+            or v in ("(", "^", "!")
+        )
 
     # -- query ----------------------------------------------------------
     def parse_prefixes(self) -> dict:
@@ -1223,14 +1229,7 @@ class _Parser:
                 # (optionally followed by its own po-list). A pattern
                 # bnode is just a fresh scoped variable (§4.1.4).
                 s = self.parse_bnode_property_list(elements)
-                kind2, v2 = self.peek()
-                if not (
-                    v2 in (".", "}", "{")
-                    or (
-                        kind2 == "keyword"
-                        and v2.upper() in _ELEMENT_KEYWORDS
-                    )
-                ):
+                if self.at_verb_start():
                     self.parse_group_po_list(s, elements)
             else:
                 s = self.parse_term() if self.peek()[1] != "^" else None
@@ -1342,8 +1341,10 @@ class _Parser:
                 break
             while self.peek()[1] == ";":  # ';;' is legal Turtle
                 self.next()
-            if self.peek()[1] in (".", "}"):
-                break  # trailing ';' before the terminator
+            if self.peek()[1] in (".", "}", "]"):
+                break  # trailing ';' before the terminator (']' ends
+                # a blank-node property list — grammar rule [77]
+                # allows the trailing ';' there too)
 
     def parse_pattern_object(self, elements):
         """An OBJECT inside a group pattern: a plain term, or a nested
@@ -2500,12 +2501,33 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 *[_value_expr(a, bound).cast("string") for a in args]
             )
         a0 = _value_expr(args[0], bound)
+        if fn in ("IRI", "URI"):
+            # §17.4.2.8: defined ONLY for IRIs, simple literals and
+            # xsd:string — a blank node, lang-tagged or non-string
+            # typed literal is the spec's expression error (NULL,
+            # matching rdflib leaving the variable unbound). The
+            # constructed term is the lexical form (the string model
+            # stores IRIs as plain strings); no base resolution —
+            # relative IRIs need a BASE, out of subset.
+            s_ = a0.cast("string")
+            enc = s_.startswith('"') & s_.rlike(_ENC_LIT_SHAPE)
+            return F.when(
+                ~s_.rlike(_BLANK_SHAPE)
+                & (
+                    ~enc
+                    | (
+                        F.regexp_extract(s_, _ENC_LIT_SHAPE, _ENC_DT_G)
+                        == _XSD_STRING
+                    )
+                ),
+                _lex(s_),
+            )
         if fn in (
             "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
             "STRBEFORE", "STRAFTER", "STRLANG", "STRDT",
             "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
             "TZ", "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
-            "IRI", "URI", "ENCODE_FOR_URI",
+            "ENCODE_FOR_URI",
         ):
             # the string functions operate on the LEXICAL form — a typed
             # or lang-tagged literal contributes its quoted content, not
@@ -2587,13 +2609,6 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 ),
             ).otherwise(F.when(a0.isNotNull(), F.lit("")))
         if fn == "STR":
-            return a0.cast("string")
-        if fn in ("IRI", "URI"):
-            # §17.4.2.8: the string model stores IRIs as their plain
-            # string, so the constructor IS the lexical form (stripped
-            # above) — IRI of an IRI is identity, IRI of a string
-            # literal builds the IRI term. No base resolution: a
-            # relative argument would need a BASE, out of subset.
             return a0.cast("string")
         if fn == "ENCODE_FOR_URI":
             # §17.4.2.10 = XPath fn:encode-for-uri: percent-encode all

@@ -696,14 +696,20 @@ def test_iri_constructor_builds_joinable_iri(zoo):
     assert [r.n for r in got] == ["Rex"]
 
 
-def test_iri_of_typed_literal_strips_encoding(typed):
+def test_iri_of_xsd_string_literal_strips_encoding(spark):
+    """URI of an xsd:string-typed literal is in the §17.4.2.8 domain
+    and constructs from the lexical form; a lang-tagged argument is an
+    error (see test_iri_of_blank_or_lang_term_is_error)."""
+    df = spark.createDataFrame(
+        [(EX + "m", EX + "code", f'"target"^^<{XSD}string>')],
+        "s string, p string, o string",
+    )
     got = sparql_select(
-        typed,
-        "SELECT ?u WHERE { ?m ex:label ?l . "
-        'FILTER(LANG(?l) = "fr") BIND(URI(?l) AS ?u) }',
+        df,
+        "SELECT ?u WHERE { ?m ex:code ?c . BIND(URI(?c) AS ?u) }",
         prefixes=PFX,
     ).collect()
-    assert [r.u for r in got] == ["chat"]
+    assert [r.u for r in got] == ["target"]
 
 
 def test_encode_for_uri_xpath_semantics(zoo):
@@ -755,9 +761,10 @@ def test_min_distinct_is_min(spark):
 
 
 def test_xsd_date_compares_by_value(spark):
-    """xsd:date joins the temporal category: "2024-02-01" < "2024-10-1"
-    wait — canonical lexicals only; value order differs from lexical
-    when mixing date and dateTime spellings of one timeline."""
+    """xsd:date joins the temporal value category: a date compares as
+    its midnight instant, so it orders correctly against dateTime
+    spellings of the same timeline (lexical comparison across the two
+    forms is meaningless)."""
     rows = [
         (EX + "a", EX + "d", f'"2024-03-05"^^<{XSD}date>'),
         (EX + "b", EX + "d", f'"2024-03-04T23:00:00"^^<{XSD}dateTime>'),
@@ -790,3 +797,33 @@ def test_tz_accessor(spark):
     ).collect()
     by = {_local(r.s): r.z for r in got}
     assert by == {"a": "Z", "b": "+05:30", "c": "", "d": None}
+
+
+def test_trailing_semicolon_inside_bnode_list(zoo):
+    """Grammar rule [77] allows the trailing ';' inside '[ ... ]'."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n WHERE { [ a ex:Dog ; ex:name ?n ; ] . }",
+        prefixes=PFX,
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_iri_of_blank_or_lang_term_is_error(spark):
+    """IRI() is defined only for IRIs / simple literals / xsd:string —
+    a blank node or lang-tagged literal is an expression error (the
+    BIND variable stays unbound), matching rdflib."""
+    rows = [
+        (EX + "a", EX + "v", "_:b1"),
+        (EX + "b", EX + "v", '"chat"@fr'),
+        (EX + "c", EX + "v", f'"x"^^<{XSD}string>'),
+        (EX + "d", EX + "v", EX + "ok"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s ?u WHERE { ?s ex:v ?v . BIND(IRI(?v) AS ?u) }",
+        prefixes=PFX,
+    ).collect()
+    by = {_local(r.s): r.u for r in got}
+    assert by == {"a": None, "b": None, "c": "x", "d": EX + "ok"}
