@@ -1237,6 +1237,27 @@ def q_sparql_graph_path(spark, sf_dir):
     )
 
 
+def q_sparql_tz_histogram(spark, sf_dir):
+    """TZ() + blank-node LABELS at bench scale (round 13): the timezone
+    spelling histogram of the per-order typed instants — the _:o label
+    is a scoped variable (SPARQL §4.1.4) joining the two patterns, TZ
+    reads each lexical's timezone part ("Z" for odd order keys,
+    "+02:00" for even — the two spelling families of
+    _scale_datetime_triples), grouped with a per-family MIN instant.
+    The oracle replays the parity split."""
+    from bio2bel_spark.sparql import sparql_select
+
+    return sparql_select(
+        _scale_datetime_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?z (COUNT(?t) AS ?n) (MIN(?t) AS ?first) WHERE {
+               _:o ex:placedAt ?t ;
+                   ex:status ?st .
+               BIND(TZ(?t) AS ?z)
+           } GROUP BY ?z""",
+    )
+
+
 def q_sparql_distinct_agg(spark, sf_dir):
     """SUM/AVG(DISTINCT) at bench scale (round 13): per-brand sum and
     mean over the DISTINCT typed size terms — collect_set + array fold
@@ -4990,6 +5011,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
+    "sparql_tz_histogram": q_sparql_tz_histogram,  # never driver-checked
     "sparql_distinct_agg": q_sparql_distinct_agg,  # never driver-checked
     "sparql_bnode_iri": q_sparql_bnode_iri,  # never driver-checked
     "sparql_construct_quads": q_sparql_construct_quads,  # never driver-checked
@@ -5039,8 +5061,8 @@ QUERIES: dict[str, Callable] = {
     "lm_perplexity": q_lm_perplexity,  # last green r09
     "tfidf_top_terms": q_tfidf_top_terms,  # last green r09
     "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r09
-    "decontaminate": q_decontaminate,  # last green r09
     # ---- end of the driver's 50-query correctness window ----
+    "decontaminate": q_decontaminate,  # last green r09
     "corpus_report": q_corpus_report,  # last green r09
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
     "cms_counts": q_cms_counts,  # last green r09
@@ -9907,6 +9929,32 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_retailprice > 950.0 AND p_partkey % 2 = 0
             GROUP BY 1
+        """,
+        "sparql_tz_histogram": """
+            -- parity split replay: odd keys spell Z, even +02:00; the
+            -- per-family MIN is the earliest INSTANT re-encoded, ties
+            -- broken by the serialization (engine key struct field 3)
+            WITH inst AS (
+                SELECT CASE WHEN o_orderkey % 2 = 1
+                            THEN 'Z' ELSE '+02:00' END AS z,
+                       o_orderdate
+                         + INTERVAL (o_orderkey % 24) HOUR AS t,
+                       CASE WHEN o_orderkey % 2 = 1
+                            THEN '"' || strftime(
+                                   o_orderdate
+                                     + INTERVAL (o_orderkey % 24) HOUR,
+                                   '%Y-%m-%dT%H:%M:%S')
+                                 || 'Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+                            ELSE '"' || strftime(
+                                   o_orderdate
+                                     + INTERVAL (o_orderkey % 24 + 2) HOUR,
+                                   '%Y-%m-%dT%H:%M:%S')
+                                 || '+02:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+                       END AS ser
+                FROM orders)
+            SELECT z, COUNT(*)::BIGINT AS n,
+                   first(ser ORDER BY t, ser) AS "first"
+            FROM inst GROUP BY z
         """,
         "sparql_distinct_agg": """
             -- canonical integer lexicals: term-distinct == value-

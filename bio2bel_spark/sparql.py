@@ -573,6 +573,8 @@ class _Parser:
             if v == ".":
                 self.next()
                 continue
+            if v == "[":
+                _reject_template_bnode(("pname", "_", ""))
             self.parse_po_list(self.parse_term(), add)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
@@ -584,13 +586,25 @@ class _Parser:
         ``;`` before ``.``/``}`` are tolerated per Turtle — invoking
         ``add(s, p, o)`` per desugared triple. ONE grammar shared by
         the template and quad-template forms (the group-pattern form
-        has its own loop because its verbs are property PATHS)."""
+        has its own loop because its verbs are property PATHS).
+        Blank-node forms are rejected POINTEDLY here: in a template
+        they would mint fresh blank nodes per solution (rdflib
+        semantics), which this engine does not do."""
+        _reject_template_bnode(s)
         while True:
             p = self.parse_verb_term()
-            add(s, p, self.parse_term())
+            if self.peek()[1] == "[":
+                _reject_template_bnode(("pname", "_", ""))
+            o = self.parse_term()
+            _reject_template_bnode(o)
+            add(s, p, o)
             while self.peek()[1] == ",":
                 self.next()
-                add(s, p, self.parse_term())
+                if self.peek()[1] == "[":
+                    _reject_template_bnode(("pname", "_", ""))
+                o = self.parse_term()
+                _reject_template_bnode(o)
+                add(s, p, o)
             if self.peek()[1] != ";":
                 break
             while self.peek()[1] == ";":
@@ -650,6 +664,8 @@ class _Parser:
                     )
                 template.append((None, s, p, o))
 
+            if v == "[":
+                _reject_template_bnode(("pname", "_", ""))
             self.parse_po_list(self.parse_term(), addq)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
@@ -1237,7 +1253,7 @@ class _Parser:
                     raise SparqlError(
                         "a triple pattern must start with a subject term"
                     )
-                self.parse_group_po_list(s, elements)
+                self.parse_group_po_list(_bnode_label_var(s), elements)
 
     def parse_bnode_property_list(self, elements) -> tuple:
         """``[ po-list ]`` — an anonymous blank node in a PATTERN is a
@@ -1347,12 +1363,13 @@ class _Parser:
                 # allows the trailing ';' there too)
 
     def parse_pattern_object(self, elements):
-        """An OBJECT inside a group pattern: a plain term, or a nested
+        """An OBJECT inside a group pattern: a plain term, a nested
         ``[ po-list ]`` blank-node property list (fresh scoped
-        variable, inner triples appended to ``elements``)."""
+        variable, inner triples appended to ``elements``), or a
+        ``_:label`` blank-node label (scoped variable)."""
         if self.peek()[1] == "[":
             return self.parse_bnode_property_list(elements)
-        return self.parse_term()
+        return _bnode_label_var(self.parse_term())
 
     def parse_path_unit(self) -> dict:
         """One path hop: ``['^'] ( pred | '(' pred ('|' pred)* ')' )
@@ -1689,6 +1706,32 @@ def _string_token_value(v: str) -> str:
 
 
 # ------------------------------------------------------------------- compiler
+
+
+def _reject_template_bnode(term) -> None:
+    """Loud, pointed rejection of blank-node forms (``_:label`` /
+    ``[ ... ]``) in TEMPLATE positions — per spec they mint a FRESH
+    blank node per solution, which the string-term engine does not
+    model; without this check a ``_:label`` dies later with a baffling
+    "undeclared prefix '_'" error."""
+    if term[0] == "pname" and term[1] == "_":
+        raise SparqlError(
+            "blank nodes in CONSTRUCT/UPDATE templates would mint a "
+            "fresh blank node per solution (out of subset); use an "
+            "explicit IRI or variable instead"
+        )
+
+
+def _bnode_label_var(term):
+    """A ``_:label`` in a query PATTERN is a scoped variable, not a
+    reference to any data blank node (SPARQL §4.1.4) — map it to a
+    deterministic internal variable (same label = same variable across
+    the query, so shared labels join; the ``__path_`` prefix keeps it
+    non-projected). Template positions reject labels instead (rdflib
+    MINTS fresh bnodes there — out of subset)."""
+    if term[0] == "pname" and term[1] == "_":
+        return ("var", f"__path_bnl_{term[2]}")
+    return term
 
 
 def _resolve(term, prefixes: dict[str, str]):

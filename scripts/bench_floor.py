@@ -78,6 +78,7 @@ FLOOR_SET = [
     "sparql_construct_quads",
     "sparql_bnode_iri",
     "sparql_distinct_agg",
+    "sparql_tz_histogram",
 ]
 
 N_RUNS = 3

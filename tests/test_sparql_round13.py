@@ -827,3 +827,54 @@ def test_iri_of_blank_or_lang_term_is_error(spark):
     ).collect()
     by = {_local(r.s): r.u for r in got}
     assert by == {"a": None, "b": None, "c": "x", "d": EX + "ok"}
+
+
+# ------------------------------ blank-node LABELS (round 13)
+
+
+def test_bnode_label_is_scoped_variable(zoo):
+    """_:x in a pattern is a scoped variable — same label joins."""
+    got = sparql_select(
+        zoo,
+        "SELECT ?n ?t WHERE { _:x ex:name ?n . _:x ex:likes ?t . }",
+        prefixes=PFX,
+    ).collect()
+    assert [(r.n, _local(r.t)) for r in got] == [("Rex", "tom")]
+
+
+def test_bnode_labels_never_project(zoo):
+    got = sparql_select(
+        zoo, "SELECT * WHERE { _:s ex:name ?n }", prefixes=PFX
+    )
+    assert got.columns == ["n"]
+
+
+def test_distinct_bnode_labels_are_distinct_vars(zoo):
+    got = sparql_select(
+        zoo,
+        "SELECT ?a ?b WHERE { _:x ex:name ?a . _:y ex:name ?b . "
+        'FILTER(?a < ?b) }',
+        prefixes=PFX,
+    ).collect()
+    assert [(r.a, r.b) for r in got] == [("Rex", "Tom")]
+
+
+def test_bnode_label_in_template_pointed_error(zoo):
+    from bio2bel_spark.sparql import SparqlError, sparql_construct
+
+    with pytest.raises(SparqlError, match="fresh blank node"):
+        sparql_construct(
+            zoo,
+            f"PREFIX ex: <{EX}> "
+            "CONSTRUCT { _:r ex:of ?x } WHERE { ?x a ex:Dog }",
+        )
+
+
+def test_bnode_list_in_template_pointed_error(spark, zoo):
+    from bio2bel_spark.sparql import SparqlError, sparql_update
+
+    with pytest.raises(SparqlError, match="fresh blank node"):
+        sparql_update(
+            zoo,
+            f"INSERT DATA {{ [ <{EX}p> \"1\" ] . }}",
+        )
