@@ -448,6 +448,20 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.fresh = 0  # fresh internal vars for property-path desugaring
+        self.base: "str | None" = None  # BASE <iri> for relative IRIs
+
+    def resolve_iri(self, raw: str) -> str:
+        """Content of an ``<...>`` token, resolved against ``BASE`` when
+        one is declared and the IRI is relative (RFC 3986 via urljoin —
+        identity for absolute inputs, including urn: forms). Without a
+        BASE, a relative IRI passes through verbatim (the pre-round-13
+        behavior: it simply matches nothing)."""
+        v = raw[1:-1]
+        if self.base is not None and not re.match(_IRI_SHAPE, v):
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, v)
+        return v
 
     def peek(self) -> tuple[str, str]:
         # clamp at the sentinel: a malformed query that consumes past the
@@ -485,16 +499,26 @@ class _Parser:
 
     # -- query ----------------------------------------------------------
     def parse_prefixes(self) -> dict:
+        """``BASE <iri>`` / ``PREFIX p: <iri>`` declarations, in any
+        interleaving; each BASE governs the IRIs that FOLLOW it
+        (including later PREFIX expansions), per the SPARQL grammar."""
         prefixes: dict[str, str] = {}
-        while self.at_keyword("PREFIX"):
+        while self.at_keyword("PREFIX") or self.at_keyword("BASE"):
+            is_base = self.at_keyword("BASE")
             self.next()
+            if is_base:
+                kind, iri = self.next()
+                if kind != "iri":
+                    raise SparqlError(f"bad BASE iri {iri!r}")
+                self.base = self.resolve_iri(iri)
+                continue
             kind, pname = self.next()
             if kind != "pname" or not pname.endswith(":"):
                 raise SparqlError(f"bad PREFIX name {pname!r}")
             kind, iri = self.next()
             if kind != "iri":
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
-            prefixes[pname[:-1]] = iri[1:-1]
+            prefixes[pname[:-1]] = self.resolve_iri(iri)
         return prefixes
 
     def parse_ask(self):
@@ -525,7 +549,7 @@ class _Parser:
                 terms.append(("var", v[1:]))
             elif kind == "iri":
                 self.next()
-                terms.append(("const", v[1:-1]))
+                terms.append(("const", self.resolve_iri(v)))
             elif kind == "pname":
                 self.next()
                 pre, _, local = v.partition(":")
@@ -621,7 +645,7 @@ class _Parser:
             return ("var", gv[1:])
         if gkind == "iri":
             self.next()
-            return ("const", gv[1:-1])
+            return ("const", self.resolve_iri(gv))
         if gkind == "pname":
             self.next()
             pre, _, local = gv.partition(":")
@@ -930,7 +954,7 @@ class _Parser:
                 target = from_named
             kind, v = self.next()
             if kind == "iri":
-                target.append(("const", v[1:-1]))
+                target.append(("const", self.resolve_iri(v)))
             elif kind == "pname":
                 pre, _, local = v.partition(":")
                 target.append(("pname", pre, local))
@@ -1498,7 +1522,7 @@ class _Parser:
         if kind == "var":
             return ("var", v[1:])
         if kind == "iri":
-            return ("const", v[1:-1])
+            return ("const", self.resolve_iri(v))
         if kind == "pname":
             pre, _, local = v.partition(":")
             return ("pname", pre, local)
@@ -1656,7 +1680,7 @@ class _Parser:
             # the string model stores IRIs as their plain string — an
             # <iri> in an expression is exactly that string literal
             self.next()
-            return ("lit", v[1:-1])
+            return ("lit", self.resolve_iri(v))
         if kind == "pname":
             # expressions compile without a prefix table in scope —
             # point at the working spelling instead of a generic error

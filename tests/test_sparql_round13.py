@@ -878,3 +878,43 @@ def test_bnode_list_in_template_pointed_error(spark, zoo):
             zoo,
             f"INSERT DATA {{ [ <{EX}p> \"1\" ] . }}",
         )
+
+
+# ---------------------------------------- BASE declaration (round 13)
+
+
+def test_base_resolves_relative_iris(zoo):
+    got = sparql_select(
+        zoo,
+        "BASE <http://ex.org/> "
+        "SELECT ?n WHERE { <rex> <name> ?n }",
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_base_leaves_absolute_iris_alone(zoo):
+    got = sparql_select(
+        zoo,
+        "BASE <http://other.example/> "
+        f"SELECT ?n WHERE {{ <{EX}rex> <{EX}name> ?n }}",
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_base_governs_following_prefix(zoo):
+    """A PREFIX declared AFTER the BASE resolves against it."""
+    got = sparql_select(
+        zoo,
+        "BASE <http://ex.org/root> PREFIX e: </> "
+        "SELECT ?n WHERE { e:rex e:name ?n }",
+    ).collect()
+    assert [r.n for r in got] == ["Rex"]
+
+
+def test_relative_iri_without_base_passes_verbatim(zoo):
+    """Pre-round-13 behavior preserved: no BASE -> relative IRIs match
+    nothing instead of erroring."""
+    got = sparql_select(
+        zoo, "SELECT ?n WHERE { <rex> <name> ?n }"
+    ).collect()
+    assert got == []
