@@ -449,6 +449,48 @@ class _Parser:
         self.i = 0
         self.fresh = 0  # fresh internal vars for property-path desugaring
         self.base: "str | None" = None  # BASE <iri> for relative IRIs
+        # blank-node LABEL scoping (§19.6): labels may not recur across
+        # basic graph patterns; each parse_group call is one scope
+        self._scope_stack: list[int] = [0]
+        self._next_scope = 1
+        self._bnl_seen: dict[str, int] = {}
+
+    def bnode_label_var(self, term):
+        """A ``_:label`` in a query PATTERN is a scoped variable, not a
+        reference to any data blank node (SPARQL §4.1.4) — map it to a
+        deterministic internal variable (same label = same variable
+        within its group, so shared labels join; the ``__path_`` prefix
+        keeps it non-projected). Reusing a label across GROUP
+        boundaries (OPTIONAL/UNION/MINUS bodies are separate basic
+        graph patterns) is the spec's §19.6 syntax error — rejected
+        loudly rather than silently compiling a cross-group join.
+        Template positions reject labels instead (rdflib MINTS fresh
+        bnodes there — out of subset)."""
+        if term[0] == "pname" and term[1] == "_":
+            scope = self._scope_stack[-1]
+            prev = self._bnl_seen.setdefault(term[2], scope)
+            if prev != scope:
+                raise SparqlError(
+                    f"blank-node label _:{term[2]} recurs in a "
+                    "different basic graph pattern (SPARQL §19.6 "
+                    "syntax error); rename one occurrence"
+                )
+            return ("var", f"__path_bnl_{term[2]}")
+        return term
+
+    def resolve_string_token(self, v: str) -> str:
+        """_string_token_value plus BASE resolution of a RELATIVE
+        datatype IRI inside the encoded ``"lex"^^<dt>`` form — the
+        ``^^<...>`` suffix rides inside the string token, so the plain
+        IRI-token resolution sites never see it."""
+        val = _string_token_value(v)
+        if self.base is not None:
+            m = re.fullmatch(r'(".*"\^\^)<(.*)>', val, re.DOTALL)
+            if m and not re.match(_IRI_SHAPE, m.group(2)):
+                from urllib.parse import urljoin
+
+                return f"{m.group(1)}<{urljoin(self.base, m.group(2))}>"
+        return val
 
     def resolve_iri(self, raw: str) -> str:
         """Content of an ``<...>`` token, resolved against ``BASE`` when
@@ -510,7 +552,17 @@ class _Parser:
                 kind, iri = self.next()
                 if kind != "iri":
                     raise SparqlError(f"bad BASE iri {iri!r}")
-                self.base = self.resolve_iri(iri)
+                resolved = self.resolve_iri(iri)
+                if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", resolved):
+                    # urljoin is INERT for non-hierarchical schemes
+                    # (urn:, mailto:) — relative IRIs would silently
+                    # pass through unresolved and match nothing
+                    raise SparqlError(
+                        f"BASE <{resolved}> is not a hierarchical IRI "
+                        "(scheme://...); relative references cannot "
+                        "resolve against it"
+                    )
+                self.base = resolved
                 continue
             kind, pname = self.next()
             if kind != "pname" or not pname.endswith(":"):
@@ -598,7 +650,7 @@ class _Parser:
                 self.next()
                 continue
             if v == "[":
-                _reject_template_bnode(("pname", "_", ""))
+                _reject_template_bnode()
             self.parse_po_list(self.parse_term(), add)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
@@ -617,18 +669,10 @@ class _Parser:
         _reject_template_bnode(s)
         while True:
             p = self.parse_verb_term()
-            if self.peek()[1] == "[":
-                _reject_template_bnode(("pname", "_", ""))
-            o = self.parse_term()
-            _reject_template_bnode(o)
-            add(s, p, o)
+            add(s, p, self.parse_template_object())
             while self.peek()[1] == ",":
                 self.next()
-                if self.peek()[1] == "[":
-                    _reject_template_bnode(("pname", "_", ""))
-                o = self.parse_term()
-                _reject_template_bnode(o)
-                add(s, p, o)
+                add(s, p, self.parse_template_object())
             if self.peek()[1] != ";":
                 break
             while self.peek()[1] == ";":
@@ -689,7 +733,7 @@ class _Parser:
                 template.append((None, s, p, o))
 
             if v == "[":
-                _reject_template_bnode(("pname", "_", ""))
+                _reject_template_bnode()
             self.parse_po_list(self.parse_term(), addq)
         if not template:
             raise SparqlError(f"{what} needs at least one triple")
@@ -1185,6 +1229,14 @@ class _Parser:
 
     # -- group ----------------------------------------------------------
     def parse_group(self) -> list:
+        self._scope_stack.append(self._next_scope)
+        self._next_scope += 1
+        try:
+            return self._parse_group_body()
+        finally:
+            self._scope_stack.pop()
+
+    def _parse_group_body(self) -> list:
         self.expect("{")
         if self.at_keyword("SELECT"):
             # subquery: { SELECT ... } — a group that IS a nested query.
@@ -1264,6 +1316,14 @@ class _Parser:
             elif self.at_keyword("VALUES"):
                 self.next()
                 elements.append(self.parse_values())
+            elif self.at_keyword("SERVICE"):
+                # without this check the keyword would die deep in
+                # subject parsing with a baffling "bad term" error
+                raise SparqlError(
+                    "SERVICE (federated query) is out of scope for a "
+                    "single-store engine; materialize the remote data "
+                    "as a local table and join it instead"
+                )
             elif self.peek()[1] == "[":
                 # blank-node property list as SUBJECT: '[ po-list ]'
                 # (optionally followed by its own po-list). A pattern
@@ -1277,7 +1337,9 @@ class _Parser:
                     raise SparqlError(
                         "a triple pattern must start with a subject term"
                     )
-                self.parse_group_po_list(_bnode_label_var(s), elements)
+                self.parse_group_po_list(
+                    self.bnode_label_var(s), elements
+                )
 
     def parse_bnode_property_list(self, elements) -> tuple:
         """``[ po-list ]`` — an anonymous blank node in a PATTERN is a
@@ -1386,6 +1448,15 @@ class _Parser:
                 # a blank-node property list — grammar rule [77]
                 # allows the trailing ';' there too)
 
+    def parse_template_object(self):
+        """An OBJECT in a TEMPLATE position: a plain term; blank-node
+        forms reject pointedly (see _reject_template_bnode)."""
+        if self.peek()[1] == "[":
+            _reject_template_bnode()
+        o = self.parse_term()
+        _reject_template_bnode(o)
+        return o
+
     def parse_pattern_object(self, elements):
         """An OBJECT inside a group pattern: a plain term, a nested
         ``[ po-list ]`` blank-node property list (fresh scoped
@@ -1393,7 +1464,7 @@ class _Parser:
         ``_:label`` blank-node label (scoped variable)."""
         if self.peek()[1] == "[":
             return self.parse_bnode_property_list(elements)
-        return _bnode_label_var(self.parse_term())
+        return self.bnode_label_var(self.parse_term())
 
     def parse_path_unit(self) -> dict:
         """One path hop: ``['^'] ( pred | '(' pred ('|' pred)* ')' )
@@ -1527,7 +1598,7 @@ class _Parser:
             pre, _, local = v.partition(":")
             return ("pname", pre, local)
         if kind == "string":
-            return ("const", _string_token_value(v))
+            return ("const", self.resolve_string_token(v))
         if kind == "number":
             return ("const", v)
         raise SparqlError(f"bad term {v!r}")
@@ -1672,7 +1743,7 @@ class _Parser:
             return ("var", v[1:])
         if kind == "string":
             self.next()
-            return ("lit", _string_token_value(v))
+            return ("lit", self.resolve_string_token(v))
         if kind == "number":
             self.next()
             return ("lit", float(v) if "." in v else int(v))
@@ -1732,30 +1803,19 @@ def _string_token_value(v: str) -> str:
 # ------------------------------------------------------------------- compiler
 
 
-def _reject_template_bnode(term) -> None:
-    """Loud, pointed rejection of blank-node forms (``_:label`` /
-    ``[ ... ]``) in TEMPLATE positions — per spec they mint a FRESH
-    blank node per solution, which the string-term engine does not
-    model; without this check a ``_:label`` dies later with a baffling
-    "undeclared prefix '_'" error."""
-    if term[0] == "pname" and term[1] == "_":
+def _reject_template_bnode(term=None) -> None:
+    """Loud, pointed rejection of blank-node forms (``_:label``, or the
+    ``[ ... ]`` bracket form signalled by ``term=None``) in TEMPLATE
+    positions — per spec they mint a FRESH blank node per solution,
+    which the string-term engine does not model; without this check a
+    ``_:label`` dies later with a baffling "undeclared prefix '_'"
+    error."""
+    if term is None or (term[0] == "pname" and term[1] == "_"):
         raise SparqlError(
             "blank nodes in CONSTRUCT/UPDATE templates would mint a "
             "fresh blank node per solution (out of subset); use an "
             "explicit IRI or variable instead"
         )
-
-
-def _bnode_label_var(term):
-    """A ``_:label`` in a query PATTERN is a scoped variable, not a
-    reference to any data blank node (SPARQL §4.1.4) — map it to a
-    deterministic internal variable (same label = same variable across
-    the query, so shared labels join; the ``__path_`` prefix keeps it
-    non-projected). Template positions reject labels instead (rdflib
-    MINTS fresh bnodes there — out of subset)."""
-    if term[0] == "pname" and term[1] == "_":
-        return ("var", f"__path_bnl_{term[2]}")
-    return term
 
 
 def _resolve(term, prefixes: dict[str, str]):

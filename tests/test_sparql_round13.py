@@ -918,3 +918,55 @@ def test_relative_iri_without_base_passes_verbatim(zoo):
         zoo, "SELECT ?n WHERE { <rex> <name> ?n }"
     ).collect()
     assert got == []
+
+
+def test_service_pointed_rejection(zoo):
+    from bio2bel_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="federated query"):
+        sparql_select(
+            zoo,
+            "SELECT ?s WHERE { SERVICE <http://remote/sparql> "
+            "{ ?s ?p ?o } }",
+            prefixes=PFX,
+        )
+
+
+def test_bnode_label_reuse_across_groups_rejected(zoo):
+    """§19.6: a blank-node label may not recur in a different basic
+    graph pattern — loud error, not a silent cross-group join."""
+    from bio2bel_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="19.6"):
+        sparql_select(
+            zoo,
+            "SELECT ?n ?m WHERE { _:x ex:name ?n "
+            "OPTIONAL { _:x ex:likes ?m } }",
+            prefixes=PFX,
+        )
+
+
+def test_base_resolves_datatype_iri_inside_literal(spark):
+    """A RELATIVE datatype IRI rides inside the string token — BASE
+    must reach it too."""
+    df = spark.createDataFrame(
+        [(EX + "s", EX + "p", f'"5"^^<{EX}t>')],
+        "s string, p string, o string",
+    )
+    got = sparql_select(
+        df,
+        f'BASE <{EX}> SELECT ?s WHERE {{ ?s <p> "5"^^<t> }}',
+    ).collect()
+    assert [_local(r.s) for r in got] == ["s"]
+
+
+def test_non_hierarchical_base_rejected(zoo):
+    """urljoin is inert for urn:/mailto: bases — loud error instead of
+    silently-unresolved relative IRIs."""
+    from bio2bel_spark.sparql import SparqlError
+
+    with pytest.raises(SparqlError, match="hierarchical"):
+        sparql_select(
+            zoo,
+            "BASE <urn:example:> SELECT ?n WHERE { <rex> <name> ?n }",
+        )
