@@ -2473,6 +2473,10 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
                 # ("(?)" would be a Java regex syntax error)
                 return _lex(a0).rlike(pat)
             return _lex(a0).rlike(f"(?{flags}){pat}")
+        if fn in _VALUE_FNS:
+            # a VALUE function in boolean position — §17.2.2 effective
+            # boolean value of its result (FILTER(STRLEN(?s)) etc.)
+            return _ebv(_value_expr(expr, bound))
         if len(args) != 2 or args[1][0] != "lit":
             raise SparqlError(f"{fn} needs (?var, \"literal\")")
         lit = str(args[1][1])
@@ -2500,7 +2504,38 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
             "aggregate calls are only valid inside HAVING constraints "
             "and SELECT expressions"
         )
+    if kind in ("var", "lit", "call", "arith"):
+        # §17.2.2 effective boolean value: FILTER(?x) / FILTER(expr)
+        # over a VALUE — booleans by their lexical value, numerics by
+        # != 0, other literals by non-emptiness; an IRI or blank term
+        # is the spec's type error -> NULL -> effective false
+        return _ebv(_value_expr(expr, bound))
     raise SparqlError(f"unsupported filter expression {expr!r}")
+
+
+def _ebv(c: Column) -> Column:
+    """§17.2.2 effective boolean value of a term/value column:
+    ``"true"``/``"false"`` (plain or ``^^xsd:boolean``) by value,
+    numerics (typed or numeric-shaped plain — the string model's
+    documented approximation) by ``!= 0``, any other literal by
+    non-emptiness of its lexical form; IRIs and blank nodes are the
+    spec's type error (NULL -> effective false in FILTER). Note one
+    engine-consistent deviation: a PLAIN ``"false"`` string evaluates
+    false (the model stores booleans as their lexical form — BIND'd
+    comparisons produce exactly these strings), where a spec engine
+    tracking xsd:string would answer true (non-empty)."""
+    s = c.cast("string")
+    lex = F.lower(_lex(s))
+    num = _num(s)
+    return (
+        F.when(
+            s.rlike(_IRI_SHAPE) | s.rlike(_BLANK_SHAPE),
+            F.lit(None).cast("boolean"),
+        )
+        .when(lex.isin(["true", "false"]), lex == "true")
+        .when(num.isNotNull(), num != 0)
+        .otherwise(F.length(lex) != 0)
+    )
 
 
 def _maybe_encoded(term) -> bool:

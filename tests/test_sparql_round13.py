@@ -970,3 +970,59 @@ def test_non_hierarchical_base_rejected(zoo):
             zoo,
             "BASE <urn:example:> SELECT ?n WHERE { <rex> <name> ?n }",
         )
+
+
+# ----------------------- effective boolean value §17.2.2 (round 13)
+
+
+def test_filter_bare_variable_ebv(spark):
+    rows = [
+        (EX + "a", EX + "flag", "true"),
+        (EX + "b", EX + "flag", "false"),
+        (EX + "c", EX + "flag", f'"true"^^<{XSD}boolean>'),
+        (EX + "d", EX + "flag", "0"),       # numeric zero -> false
+        (EX + "e", EX + "flag", "7"),       # numeric nonzero -> true
+        (EX + "f", EX + "flag", ""),        # empty literal -> false
+        (EX + "g", EX + "flag", "yes"),     # non-empty literal -> true
+        (EX + "h", EX + "flag", EX + "x"),  # IRI -> type error -> false
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:flag ?v . FILTER(?v) }",
+        prefixes=PFX,
+    ).collect()
+    assert sorted(_local(r.s) for r in got) == ["a", "c", "e", "g"]
+
+
+def test_filter_negated_ebv_and_value_call(spark):
+    """!?v and FILTER(STRLEN(?s)) — EBV composes with ! and value
+    calls (numeric EBV of the length)."""
+    rows = [
+        (EX + "a", EX + "name", ""),
+        (EX + "b", EX + "name", "bob"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:name ?n . FILTER(STRLEN(?n)) }",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.s) for r in got] == ["b"]
+    got2 = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:name ?n . FILTER(!?n) }",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.s) for r in got2] == ["a"]
+
+
+def test_ebv_in_boolean_combination(spark):
+    rows = [(EX + "a", EX + "v", "1"), (EX + "b", EX + "v", "0")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        'SELECT ?s WHERE { ?s ex:v ?v . FILTER(?v || ?v = "0") }',
+        prefixes=PFX,
+    ).collect()
+    assert sorted(_local(r.s) for r in got) == ["a", "b"]
