@@ -1277,6 +1277,40 @@ def q_sparql_distinct_agg(spark, sf_dir):
     )
 
 
+def q_sparql_agg_roundtrip(spark, sf_dir):
+    """Typed aggregate OUTPUT lexicals (round-14): CONSTRUCT per-brand
+    size totals from an aggregated subquery — SUM over ``"N"^^
+    xsd:integer`` terms re-enters the term world as the canonical
+    ``"T"^^xsd:integer`` literal (sparql.py _agg_term_form), not a lossy
+    plain ``"T.0"`` — then RE-LOAD the constructed graph and
+    re-aggregate per leading brand digit. The DATATYPE guard WITNESSES
+    the typed form: plain-lexical totals would fail the filter and
+    empty the result. Oracle: DuckDB replays both aggregation levels
+    straight off part (integer SUM is associative, so the two-level
+    rollup equals the direct per-digit sum)."""
+    from bio2bel_spark.sparql import sparql_construct, sparql_select
+
+    derived = sparql_construct(
+        _scale_typed_triples(spark, sf_dir),
+        """PREFIX ex: <http://ex.org/>
+           CONSTRUCT { ?brand ex:sizeTotal ?tot }
+           WHERE { { SELECT ?brand (SUM(?sz) AS ?tot) WHERE {
+               ?part ex:inBrand ?brand . ?part ex:size ?sz
+           } GROUP BY ?brand } }""",
+    )
+    return sparql_select(
+        derived,
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?g (SUM(?t) AS ?grand) (COUNT(?t) AS ?nbrands)
+           WHERE {
+               ?brand ex:sizeTotal ?t .
+               FILTER(DATATYPE(?t) =
+                   <http://www.w3.org/2001/XMLSchema#integer>)
+               BIND(SUBSTR(?brand, 7, 1) AS ?g)
+           } GROUP BY ?g""",
+    )
+
+
 def q_sparql_bnode_iri(spark, sf_dir):
     """Round-13 grammar/builtin round-out at bench scale: a blank-node
     property list subject (``[ a ex:Part ; ... ]`` — a fresh scoped
@@ -5011,57 +5045,7 @@ QUERIES: dict[str, Callable] = {
     # driver-checked lead, then ascending last-green round. The
     # ledger-freshness test asserts this invariant; regenerate with
     #   python scripts/rotate_window.py
-    "sparql_tz_histogram": q_sparql_tz_histogram,  # never driver-checked
-    "sparql_distinct_agg": q_sparql_distinct_agg,  # never driver-checked
-    "sparql_bnode_iri": q_sparql_bnode_iri,  # never driver-checked
-    "sparql_construct_quads": q_sparql_construct_quads,  # never driver-checked
-    "sparql_nquads_file": q_sparql_nquads_file,  # never driver-checked
-    "sparql_graph_topk": q_sparql_graph_topk,  # never driver-checked
-    "sparql_typed_order": q_sparql_typed_order,  # never driver-checked
-    "sparql_datetime": q_sparql_datetime,  # never driver-checked
-    "bpe_merges": q_bpe_merges,  # last green r06
-    "psi_drift": q_psi_drift,  # last green r06
-    "zipf_fit": q_zipf_fit,  # last green r06
-    "target_encoding": q_target_encoding,  # last green r06
-    "k_core": q_k_core,  # last green r06
-    "k_hop_profile": q_k_hop_profile,  # last green r06
-    "pathway_enrichment": q_pathway_enrichment,  # last green r06
-    "forecast_revenue": q_forecast_revenue,  # last green r07
-    "indra_statements": q_indra_statements,  # last green r07
-    "media_features": q_media_features,  # last green r07
-    "event_sessions": q_event_sessions,  # last green r07
-    "audio_features": q_audio_features,  # last green r07
-    "image_features": q_image_features,  # last green r07
-    "video_features": q_video_features,  # last green r07
-    "image_phash_pairs": q_image_phash_pairs,  # last green r07
-    "triangle_count": q_triangle_count,  # last green r07
-    "sparql_values": q_sparql_values,  # last green r09
-    "sparql_path": q_sparql_path,  # last green r09
-    "sparql_path_plus": q_sparql_path_plus,  # last green r09
-    "selection_pipeline_packed": q_selection_pipeline_packed,  # last green r09
-    "perplexity_maintenance": q_perplexity_maintenance,  # last green r09
-    "dsir_maintenance": q_dsir_maintenance,  # last green r09
-    "sparql_topk": q_sparql_topk,  # last green r09
-    "quality_gate": q_quality_gate,  # last green r09
-    "selection_pipeline": q_selection_pipeline,  # last green r09
-    "compression_ratio": q_compression_ratio,  # last green r09
-    "sparql_optional_filter": q_sparql_optional_filter,  # last green r09
-    "sparql_union": q_sparql_union,  # last green r09
-    "dsir_weights": q_dsir_weights,  # last green r09
-    "dsir_select": q_dsir_select,  # last green r09
-    "perplexity_buckets": q_perplexity_buckets,  # last green r09
-    "bpe_encode": q_bpe_encode,  # last green r09
-    "embedding_quantize": q_embedding_quantize,  # last green r09
-    "quantized_recall": q_quantized_recall,  # last green r09
-    "knn_join": q_knn_join,  # last green r09
-    "fuzzy_join": q_fuzzy_join,  # last green r09
-    "pack_first_fit": q_pack_first_fit,  # last green r09
-    "heavy_hitters": q_heavy_hitters,  # last green r09
-    "hll_grouped": q_hll_grouped,  # last green r09
-    "lm_perplexity": q_lm_perplexity,  # last green r09
-    "tfidf_top_terms": q_tfidf_top_terms,  # last green r09
-    "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r09
-    # ---- end of the driver's 50-query correctness window ----
+    "sparql_agg_roundtrip": q_sparql_agg_roundtrip,  # never driver-checked
     "decontaminate": q_decontaminate,  # last green r09
     "corpus_report": q_corpus_report,  # last green r09
     "embedding_near_pairs_probe2": q_embedding_near_pairs_probe2,  # last green r09
@@ -5111,6 +5095,7 @@ QUERIES: dict[str, Callable] = {
     "minhash_signatures": q_minhash_signatures,  # last green r10
     "relation_dispatch": q_relation_dispatch,  # last green r10
     "kg_edge_list": q_kg_edge_list,  # last green r10
+    # ---- end of the driver's 50-query correctness window ----
     "kg_triples": q_kg_triples,  # last green r10
     "kg_descendants": q_kg_descendants,  # last green r10
     "events_hourly": q_events_hourly,  # last green r10
@@ -5236,6 +5221,56 @@ QUERIES: dict[str, Callable] = {
     "table_diff": q_table_diff,  # last green r12
     "cdc_apply": q_cdc_apply,  # last green r12
     "lsh_recall": q_lsh_recall,  # last green r12
+    "sparql_tz_histogram": q_sparql_tz_histogram,  # last green r13
+    "sparql_distinct_agg": q_sparql_distinct_agg,  # last green r13
+    "sparql_bnode_iri": q_sparql_bnode_iri,  # last green r13
+    "sparql_construct_quads": q_sparql_construct_quads,  # last green r13
+    "sparql_nquads_file": q_sparql_nquads_file,  # last green r13
+    "sparql_graph_topk": q_sparql_graph_topk,  # last green r13
+    "sparql_typed_order": q_sparql_typed_order,  # last green r13
+    "sparql_datetime": q_sparql_datetime,  # last green r13
+    "bpe_merges": q_bpe_merges,  # last green r13
+    "psi_drift": q_psi_drift,  # last green r13
+    "zipf_fit": q_zipf_fit,  # last green r13
+    "target_encoding": q_target_encoding,  # last green r13
+    "k_core": q_k_core,  # last green r13
+    "k_hop_profile": q_k_hop_profile,  # last green r13
+    "pathway_enrichment": q_pathway_enrichment,  # last green r13
+    "forecast_revenue": q_forecast_revenue,  # last green r13
+    "indra_statements": q_indra_statements,  # last green r13
+    "media_features": q_media_features,  # last green r13
+    "event_sessions": q_event_sessions,  # last green r13
+    "audio_features": q_audio_features,  # last green r13
+    "image_features": q_image_features,  # last green r13
+    "video_features": q_video_features,  # last green r13
+    "image_phash_pairs": q_image_phash_pairs,  # last green r13
+    "triangle_count": q_triangle_count,  # last green r13
+    "sparql_values": q_sparql_values,  # last green r13
+    "sparql_path": q_sparql_path,  # last green r13
+    "sparql_path_plus": q_sparql_path_plus,  # last green r13
+    "selection_pipeline_packed": q_selection_pipeline_packed,  # last green r13
+    "perplexity_maintenance": q_perplexity_maintenance,  # last green r13
+    "dsir_maintenance": q_dsir_maintenance,  # last green r13
+    "sparql_topk": q_sparql_topk,  # last green r13
+    "quality_gate": q_quality_gate,  # last green r13
+    "selection_pipeline": q_selection_pipeline,  # last green r13
+    "compression_ratio": q_compression_ratio,  # last green r13
+    "sparql_optional_filter": q_sparql_optional_filter,  # last green r13
+    "sparql_union": q_sparql_union,  # last green r13
+    "dsir_weights": q_dsir_weights,  # last green r13
+    "dsir_select": q_dsir_select,  # last green r13
+    "perplexity_buckets": q_perplexity_buckets,  # last green r13
+    "bpe_encode": q_bpe_encode,  # last green r13
+    "embedding_quantize": q_embedding_quantize,  # last green r13
+    "quantized_recall": q_quantized_recall,  # last green r13
+    "knn_join": q_knn_join,  # last green r13
+    "fuzzy_join": q_fuzzy_join,  # last green r13
+    "pack_first_fit": q_pack_first_fit,  # last green r13
+    "heavy_hitters": q_heavy_hitters,  # last green r13
+    "hll_grouped": q_hll_grouped,  # last green r13
+    "lm_perplexity": q_lm_perplexity,  # last green r13
+    "tfidf_top_terms": q_tfidf_top_terms,  # last green r13
+    "dedup_quality_survivor": q_dedup_quality_survivor,  # last green r13
 }
 
 
@@ -9955,6 +9990,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT z, COUNT(*)::BIGINT AS n,
                    first(ser ORDER BY t, ser) AS "first"
             FROM inst GROUP BY z
+        """,
+        "sparql_agg_roundtrip": """
+            -- two-level rollup replay: per-brand integer SUMs re-enter
+            -- as "T"^^xsd:integer terms and re-aggregate per leading
+            -- brand digit; integer SUM is associative so the direct
+            -- per-digit sum is identical
+            SELECT substr(p_brand, 7, 1) AS g,
+                   CAST(SUM(p_size) AS DOUBLE) AS grand,
+                   COUNT(DISTINCT p_brand)::BIGINT AS nbrands
+            FROM part GROUP BY 1
         """,
         "sparql_distinct_agg": """
             -- canonical integer lexicals: term-distinct == value-

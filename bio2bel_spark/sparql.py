@@ -315,6 +315,17 @@ _TYPED_NUM_SHAPE = (
     r'^".*"\^\^<http://www\.w3\.org/2001/XMLSchema#('
     + _XSD_NUM_LOCAL + r")>$"
 )
+#: the xsd INTEGER family (xsd:integer and its derived types) — the
+#: §17.3/XPath type-promotion lattice collapsed to three rungs for
+#: aggregate OUTPUT typing: integer < decimal < double (float promotes
+#: to double; rdflib does the same collapse for op:numeric-add results)
+_XSD_INT_DT_SHAPE = (
+    r"^http://www\.w3\.org/2001/XMLSchema#(integer|int|long|short|byte|"
+    r"negativeInteger|nonNegativeInteger|nonPositiveInteger|"
+    r"positiveInteger|unsignedLong|unsignedInt|unsignedShort|"
+    r"unsignedByte)$"
+)
+_XSD_PFX = "http://www.w3.org/2001/XMLSchema#"
 
 
 #: graph-scoped node encoding for property paths inside ``GRAPH ?var``:
@@ -1443,10 +1454,12 @@ class _Parser:
                 break
             while self.peek()[1] == ";":  # ';;' is legal Turtle
                 self.next()
-            if self.peek()[1] in (".", "}", "]"):
-                break  # trailing ';' before the terminator (']' ends
-                # a blank-node property list — grammar rule [77]
-                # allows the trailing ';' there too)
+            if not self.at_verb_start():
+                break  # trailing ';' before whatever ends the triples
+                # block: '.', '}', ']' (a blank-node property list —
+                # grammar rule [77] allows the trailing ';' there too),
+                # or a keyword like FILTER/OPTIONAL — GroupGraphPatternSub
+                # allows a non-triples element with NO '.' after the ';'
 
     def parse_template_object(self):
         """An OBJECT in a TEMPLATE position: a plain term; blank-node
@@ -2407,6 +2420,12 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
             i[0] == "lit"
             and isinstance(i[1], str)
             and not i[1].startswith('"')
+            # a NUMERIC-SHAPED plain member ("5") must take the cmp
+            # chain too: FILTER(?v = "5") matches "1"^^xsd:integer
+            # terms by VALUE via the typed-numeric branch, and
+            # §17.4.1.9 defines IN as exactly that chained '=' — the
+            # isin fast-path would match only the plain term "5"
+            and not re.match(_NUMERIC_SHAPE, i[1])
             for i in items
         ):
             c = _operand(term, bound).isin([i[1] for i in items])
@@ -3015,7 +3034,12 @@ def _compile_subquery(
     if internals:
         out = out.drop(*internals)
     out = _finish_select(
-        out, projection, modifiers, prefixes, inner_nullable
+        out, projection, modifiers, prefixes, inner_nullable,
+        # subquery values re-enter the binding table as TERMS: SUM/AVG
+        # over all-typed-numeric groups come out as canonical typed
+        # literals (see _agg_term_form) so CONSTRUCT/UPDATE templates
+        # fed from an aggregated subquery round-trip losslessly
+        term_form=True,
     )
     nullable: set[str] = set()
     if projection is None:
@@ -3568,15 +3592,90 @@ def _agg_column(
         )
     if fn == "SUM":
         # _lex: a typed numeric ("5"^^xsd:integer) sums by its lexical
-        # form; plain terms are untouched (identity)
-        s = F.sum(_lex(col).cast("double"))
+        # form; plain terms are untouched (identity). try_cast (NOT
+        # cast): a non-numeric term is SKIPPED rather than an ANSI
+        # CAST_INVALID_INPUT runtime crash — the same
+        # sum-ignores-bad-values reading the DISTINCT branch above
+        # implements, so SUM and SUM(DISTINCT) agree on mixed columns
+        # (rdflib's unbound-on-error is approximated by both).
+        s = F.sum(_lex(col).try_cast("double"))
         return s if grouped else F.coalesce(s, F.lit(0.0))
     if fn == "AVG":
-        a = F.avg(_lex(col).cast("double"))
+        a = F.avg(_lex(col).try_cast("double"))
         return a if grouped else F.coalesce(a, F.lit(0.0))
     if fn == "MIN" or fn == "SAMPLE":
         return F.min_by(col, _order_key_struct(col))
     return F.max_by(col, _order_key_struct(col))  # MAX
+
+
+def _agg_type_bucket(col: Column) -> Column:
+    """Numeric-TYPE bucket of one term, for aggregate OUTPUT typing
+    (§17.3 / XPath op:numeric-add promotion, collapsed to three rungs):
+    NULL = the term does not contribute to SUM/AVG (its lexical form
+    fails the numeric try_cast — the same contribution gate as
+    :func:`_agg_column`), 1 = xsd:integer family, 2 = xsd:decimal,
+    3 = xsd:double/xsd:float, 0 = everything else that still sums
+    (a PLAIN numeric-shaped term, or a non-numeric datatype whose
+    lexical form casts — the string model's documented reading)."""
+    dt = F.regexp_extract(col, _ENC_LIT_SHAPE, _ENC_DT_G)
+    return (
+        F.when(_lex(col).try_cast("double").isNull(), F.lit(None))
+        .when(dt.rlike(_XSD_INT_DT_SHAPE), F.lit(1))
+        .when(dt == _XSD_PFX + "decimal", F.lit(2))
+        .when(
+            (dt == _XSD_PFX + "double") | (dt == _XSD_PFX + "float"),
+            F.lit(3),
+        )
+        .otherwise(F.lit(0))
+    )
+
+
+def _agg_term_form(val: Column, fn: str, col: Column) -> Column:
+    """Wrap a SUM/AVG value into its TERM form for results that re-enter
+    the term world (subquery projections — and through them CONSTRUCT /
+    UPDATE templates): when EVERY contributing term was a TYPED numeric
+    literal, the result is a canonical typed literal — ``"10"^^
+    xsd:integer`` for an all-integer SUM, ``xsd:decimal`` when decimals
+    join in (AVG of integers is decimal, per XPath's op:numeric-divide),
+    ``xsd:double`` once a double/float contributes — so a CONSTRUCTed
+    aggregate re-loads and re-aggregates losslessly instead of decaying
+    to a plain ``"10.0"``. Any PLAIN contributor keeps the plain
+    double-lexical output (byte-identical to the pre-round-14 cast, so
+    queries over untyped data keep their oracle hashes). The bucket
+    min/max ride the SAME groupBy().agg() — no extra shuffle. The
+    integer lexical try_casts to BIGINT; a magnitude past 2^63 falls
+    back to the double form (the value was double-approximate anyway).
+    Decimal/double lexicals are Spark's double-to-string — value-
+    preserving and re-parseable, not XSD-canonical ("10.0", "2.5";
+    scientific notation past 1e16)."""
+    bucket = _agg_type_bucket(col)
+    bmin, bmax = F.min(bucket), F.max(bucket)
+    ival = val.try_cast("bigint")
+    int_lex = F.concat(
+        F.lit('"'), ival.cast("string"),
+        F.lit(f'"^^<{_XSD_PFX}integer>'),
+    )
+    dec_lex = F.concat(
+        F.lit('"'), val.cast("string"),
+        F.lit(f'"^^<{_XSD_PFX}decimal>'),
+    )
+    dbl_lex = F.concat(
+        F.lit('"'), val.cast("string"),
+        F.lit(f'"^^<{_XSD_PFX}double>'),
+    )
+    if fn == "AVG":
+        typed = F.when(bmax <= 2, dec_lex).otherwise(dbl_lex)
+    else:  # SUM
+        typed = (
+            F.when((bmax == 1) & ival.isNotNull(), int_lex)
+            .when(bmax == 2, dec_lex)
+            .otherwise(dbl_lex)
+        )
+    return (
+        F.when(val.isNull(), F.lit(None).cast("string"))
+        .when(bmin >= 1, typed)
+        .otherwise(val.cast("string"))
+    )
 
 
 def _having_aggs(expr, found: list) -> None:
@@ -3653,7 +3752,7 @@ def _rewrite_having(expr, aliases: dict):
 
 def _apply_aggregation(
     out: DataFrame, projection, group_by: list, having=None,
-    extend_specs=None,
+    extend_specs=None, term_form: bool = False,
 ) -> "tuple[DataFrame, dict]":
     """GROUP BY / aggregate SELECT / HAVING over the compiled binding
     table — ONE ``groupBy().agg()`` (map-side partial aggregation for
@@ -3741,10 +3840,12 @@ def _apply_aggregation(
                 "column needs a distinct name"
             )
         seen.add(alias)
-        exprs.append(
-            _agg_column(out, fn, distinct, arg, sep, bool(group_by))
-            .alias(alias)
-        )
+        agg = _agg_column(out, fn, distinct, arg, sep, bool(group_by))
+        if term_form and fn in ("SUM", "AVG") and arg is not None:
+            # subquery results re-enter the term world: emit the typed
+            # term form (see _agg_term_form) instead of a bare DOUBLE
+            agg = _agg_term_form(agg, fn, F.col(arg))
+        exprs.append(agg.alias(alias))
     # direct aggregate calls inside HAVING ride the SAME aggregation as
     # hidden columns (dropped post-filter)
     having_aliases = {
@@ -4191,7 +4292,7 @@ def _apply_dataset_clauses(triples: DataFrame, modifiers, pfx) -> DataFrame:
 
 def _finish_select(
     out: DataFrame, projection, modifiers: dict, pfx=None,
-    nullable: "set[str] | None" = None,
+    nullable: "set[str] | None" = None, term_form: bool = False,
 ) -> DataFrame:
     """The post-WHERE SELECT pipeline (shared by the top-level query and
     subqueries), in the spec's stage order: aggregation + HAVING
@@ -4220,7 +4321,7 @@ def _finish_select(
     where_nullable = set(nullable or ())
     if agg_items or group_by or extend_specs:
         out, extend_aliases = _apply_aggregation(
-            out, projection, group_by, having, extend_specs
+            out, projection, group_by, having, extend_specs, term_form
         )
         # re-derive nullability through the aggregation stage: a plain
         # group key stays nullable (grouping keeps a NULL-keyed group), a
