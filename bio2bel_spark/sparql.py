@@ -254,8 +254,9 @@ _NULL_INTRODUCING_FNS = {
 #: the xsd:dateTime lexical space (optional fractional seconds and
 #: Z / ±hh:mm offset) — groups 1-6 are the YEAR..SECONDS components
 _XSD_DATETIME_SHAPE = (
-    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
-    r"(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?$"
+    r"^(-?\d{4,})-(\d{2})-(\d{2})T(\d{2}):(\d{2})"
+    r":(\d{2}(?:\.\d+)?)"  # group 6 = "ss[.fff]" — SECONDS reads the
+    r"(?:Z|[+-]\d{2}:\d{2})?$"  # fraction too (§17.4.5.6 xsd:decimal)
 )
 
 #: functions whose result is ALWAYS numeric (or NULL) — arithmetic over
@@ -326,6 +327,26 @@ _XSD_INT_DT_SHAPE = (
     r"unsignedByte)$"
 )
 _XSD_PFX = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _numeric_const_forms(v: str) -> "list[str]":
+    """The term spellings a NUMERIC-shaped constant matches in a triple
+    PATTERN position (round 14): its plain lexical AND its canonical
+    Turtle-typed encoding — a bare ``42`` in query text is
+    ``"42"^^xsd:integer`` per the SPARQL/Turtle grammars (§2.3.2), and
+    an N-Triples/Turtle scan stores exactly that serialization, so a
+    plain-equality match would silently miss every typed row. The
+    category follows the Turtle lexer: no '.'/exponent = integer, '.'
+    without exponent = decimal, exponent = double. Canonical form only
+    ("042"^^xsd:integer does not match 42 — term-level matching stays
+    string equality, documented)."""
+    if re.fullmatch(r"[+-]?\d+", v):
+        dt = "integer"
+    elif "e" not in v and "E" not in v:
+        dt = "decimal"
+    else:
+        dt = "double"
+    return [v, f'"{v}"^^<{_XSD_PFX}{dt}>']
 
 
 #: graph-scoped node encoding for property paths inside ``GRAPH ?var``:
@@ -455,11 +476,20 @@ def _order_key_struct(c: Column) -> Column:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(
+        self, tokens: list[tuple[str, str]],
+        prefixes: "dict[str, str] | None" = None,
+    ):
         self.toks = tokens
         self.i = 0
         self.fresh = 0  # fresh internal vars for property-path desugaring
         self.base: "str | None" = None  # BASE <iri> for relative IRIs
+        # every prefix visible AT PARSE TIME — the programmatic
+        # ``prefixes=`` seed plus each PREFIX declaration as it is
+        # consumed. parse_primary resolves prefixed names inside
+        # EXPRESSIONS from this (pattern-position pnames keep their
+        # later _resolve path, identical result).
+        self.declared: dict[str, str] = dict(prefixes or {})
         # blank-node LABEL scoping (§19.6): labels may not recur across
         # basic graph patterns; each parse_group call is one scope
         self._scope_stack: list[int] = [0]
@@ -582,6 +612,7 @@ class _Parser:
             if kind != "iri":
                 raise SparqlError(f"bad PREFIX iri {iri!r}")
             prefixes[pname[:-1]] = self.resolve_iri(iri)
+            self.declared[pname[:-1]] = prefixes[pname[:-1]]
         return prefixes
 
     def parse_ask(self):
@@ -1305,9 +1336,19 @@ class _Parser:
                     self.next()
                     elements.append(("exists", self.parse_group()))
                     continue
-                self.expect("(")
-                expr = self.parse_or()
-                self.expect(")")
+                kindf, vf = self.peek()
+                if (
+                    kindf == "keyword"
+                    and vf.upper() in (_BOOL_FNS | _VALUE_FNS)
+                ):
+                    # grammar rule [68] Constraint: a bare BuiltInCall
+                    # needs no extra parens — ``FILTER regex(?x, "^A")``
+                    # is the spec's own §3.1 spelling
+                    expr = self.parse_primary()
+                else:
+                    self.expect("(")
+                    expr = self.parse_or()
+                    self.expect(")")
                 elements.append(("filter", expr))
             elif self.at_keyword("BIND"):
                 self.next()
@@ -1766,11 +1807,18 @@ class _Parser:
             self.next()
             return ("lit", self.resolve_iri(v))
         if kind == "pname":
-            # expressions compile without a prefix table in scope —
-            # point at the working spelling instead of a generic error
+            # round 14: resolve from the parse-time prefix table (the
+            # programmatic seed + every PREFIX consumed so far) — the
+            # string model stores IRIs as plain strings, so xsd:integer
+            # in STRDT(...) is exactly the expanded-IRI string literal
+            pre, _, local = v.partition(":")
+            if pre in self.declared:
+                self.next()
+                return ("lit", self.declared[pre] + local)
             raise SparqlError(
-                f"prefixed name {v!r} is not supported inside "
-                "expressions; write the full <...> IRI"
+                f"prefixed name {v!r} uses a prefix not declared "
+                "before this expression; add the PREFIX declaration "
+                "or write the full <...> IRI"
             )
         raise SparqlError(f"bad filter primary {v!r}")
 
@@ -1852,7 +1900,14 @@ def _compile_triple(triples: DataFrame, s, p, o, g=None) -> DataFrame:
     cols, filters, seen = [], [], {}
     for pos, term in terms:
         if term[0] == "const":
-            filters.append(F.col(pos) == F.lit(term[1]))
+            v = term[1]
+            if isinstance(v, str) and re.match(_NUMERIC_SHAPE, v):
+                # a numeric-shaped constant matches its plain AND its
+                # canonical typed spelling (see _numeric_const_forms) —
+                # still a pushable isin scan predicate
+                filters.append(F.col(pos).isin(_numeric_const_forms(v)))
+            else:
+                filters.append(F.col(pos) == F.lit(v))
         else:
             var = term[1]
             if var in seen:  # repeated var: equality within the pattern
@@ -2428,7 +2483,24 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
             and not re.match(_NUMERIC_SHAPE, i[1])
             for i in items
         ):
-            c = _operand(term, bound).isin([i[1] for i in items])
+            # ... but the fast-path must still agree with the cmp chain
+            # on TYPED data rows (round-14 differential finding): the
+            # chain calls "40"^^xsd:integer = "eta" a §17.4.1.7 type
+            # error (NULL -> the row drops under IN AND under NOT IN),
+            # while a bare isin answered False (NOT IN kept the row).
+            # Typed-numeric / typed-dateTime shaped rows — exactly the
+            # shapes the chain's value branches fire on — short-circuit
+            # to NULL; everything else keeps the raw isin (for positive
+            # IN the two forms are observably identical: error and
+            # false both drop).
+            opc = _operand(term, bound)
+            s = opc.cast("string")
+            typed_err = s.startswith('"') & (
+                s.rlike(_TYPED_NUM_SHAPE) | s.rlike(_TYPED_DT_SHAPE)
+            )
+            c = F.when(
+                typed_err, F.lit(None).cast("boolean")
+            ).otherwise(opc.isin([i[1] for i in items]))
         else:
             c = None
             for i in items:
@@ -2533,25 +2605,27 @@ def _compile_filter(expr, bound: set[str], markers=None) -> Column:
 
 
 def _ebv(c: Column) -> Column:
-    """§17.2.2 effective boolean value of a term/value column:
-    ``"true"``/``"false"`` (plain or ``^^xsd:boolean``) by value,
-    numerics (typed or numeric-shaped plain — the string model's
-    documented approximation) by ``!= 0``, any other literal by
-    non-emptiness of its lexical form; IRIs and blank nodes are the
-    spec's type error (NULL -> effective false in FILTER). Note one
-    engine-consistent deviation: a PLAIN ``"false"`` string evaluates
-    false (the model stores booleans as their lexical form — BIND'd
-    comparisons produce exactly these strings), where a spec engine
-    tracking xsd:string would answer true (non-empty)."""
+    """§17.2.2 effective boolean value of a term/value column: a TYPED
+    ``xsd:boolean`` literal by VALUE (lexical space true/false/1/0;
+    an ill-formed lexical is the spec's false), numerics (typed or
+    numeric-shaped plain — the string model's documented approximation)
+    by ``!= 0``, any other literal by non-emptiness of its lexical
+    form; IRIs and blank nodes are the spec's type error (NULL ->
+    effective false in FILTER). Round 14 closed the plain-``"false"``
+    deviation: BIND'd boolean expressions now materialize as typed
+    ``"false"^^xsd:boolean`` terms (see :func:`_materialize_value`), so
+    a PLAIN ``"false"`` string is just a non-empty string literal —
+    EBV true, exactly what a spec engine tracking xsd:string answers."""
     s = c.cast("string")
-    lex = F.lower(_lex(s))
+    lex = _lex(s)
+    dt = F.regexp_extract(s, _ENC_LIT_SHAPE, _ENC_DT_G)
     num = _num(s)
     return (
         F.when(
             s.rlike(_IRI_SHAPE) | s.rlike(_BLANK_SHAPE),
             F.lit(None).cast("boolean"),
         )
-        .when(lex.isin(["true", "false"]), lex == "true")
+        .when(dt == _XSD_PFX + "boolean", lex.isin(["true", "1"]))
         .when(num.isNotNull(), num != 0)
         .otherwise(F.length(lex) != 0)
     )
@@ -2598,6 +2672,38 @@ def _lit_arg(fn: str, term):
     if term[0] != "lit":
         raise SparqlError(f"{fn} expects a literal here, got {term!r}")
     return term[1]
+
+
+def _is_boolean_expr(expr) -> bool:
+    """Is this expression BOOLEAN-valued (a comparison, &&/||/!, IN, or
+    a boolean builtin)? Static and exact: the grammar gives every node
+    kind a fixed result category (IF/COALESCE pass term values through
+    and are NOT boolean)."""
+    return expr[0] in ("cmp", "and", "or", "not", "in", "exists_expr") or (
+        expr[0] == "call" and expr[1] in _BOOL_FNS
+    )
+
+
+def _materialize_value(expr, bound: set[str]) -> Column:
+    """Compile an expression INTO the binding table (BIND / SELECT
+    expressions / computed GROUP BY keys): a BOOLEAN-valued expression
+    materializes as the canonical typed literal ``"true"^^xsd:boolean``
+    / ``"false"^^xsd:boolean`` (round 14) — DATATYPE() answers
+    xsd:boolean and §17.2.2 EBV reads it by VALUE, while a PLAIN data
+    literal ``"false"`` keeps the spec's non-empty-string EBV (the
+    pre-round-14 plain-"false" deviation is gone). A NULL (error)
+    condition stays NULL = unbound. Everything else keeps the plain
+    string cast (the all-string binding-table invariant: a native
+    int/boolean column joined with pattern-bound string data would
+    coerce the string side and crash under ANSI mode)."""
+    val = _value_expr(expr, bound)
+    if _is_boolean_expr(expr):
+        return F.when(
+            val, F.lit(f'"true"^^<{_XSD_PFX}boolean>')
+        ).otherwise(
+            F.when(~val, F.lit(f'"false"^^<{_XSD_PFX}boolean>'))
+        )
+    return val.cast("string")
 
 
 def _value_expr(expr, bound: set[str]) -> Column:
@@ -2672,14 +2778,14 @@ def _value_expr(expr, bound: set[str]) -> Column:
                 )
             cond = _compile_filter(args[0], bound)
             return F.when(
-                cond, _value_expr(args[1], bound).cast("string")
-            ).otherwise(_value_expr(args[2], bound).cast("string"))
+                cond, _materialize_value(args[1], bound)
+            ).otherwise(_materialize_value(args[2], bound))
         if fn == "COALESCE":
             # spec §17.4.1.3: any number of arguments, one included
             if len(args) < 1:
                 raise SparqlError("COALESCE takes at least one argument")
             return F.coalesce(
-                *[_value_expr(a, bound).cast("string") for a in args]
+                *[_materialize_value(a, bound) for a in args]
             )
         a0 = _value_expr(args[0], bound)
         if fn in ("IRI", "URI"):
@@ -2843,17 +2949,21 @@ def _value_expr(expr, bound: set[str]) -> Column:
             # normalize a timezone-offset lexical to the session zone
             # and shift HOURS/DAY (XPath reads the value's own
             # components). Non-datetime input is the expression error
-            # -> NULL. SECONDS truncates to the integer second — the
-            # spec's xsd:decimal fractional part is a documented
-            # approximation.
+            # -> NULL. SECONDS carries the spec's xsd:decimal FRACTION
+            # ("...:13.815-05:00" -> 13.815, §17.4.5.6) — its capture
+            # group includes it, and it casts double where the integer
+            # components cast int.
             idx = {
                 "YEAR": 1, "MONTH": 2, "DAY": 3,
                 "HOURS": 4, "MINUTES": 5, "SECONDS": 6,
             }[fn]
-            return F.when(
+            part = F.when(
                 a0.rlike(_XSD_DATETIME_SHAPE),
                 F.regexp_extract(a0, _XSD_DATETIME_SHAPE, idx),
-            ).try_cast("int")
+            )
+            return part.try_cast(
+                "double" if fn == "SECONDS" else "int"
+            )
         if fn == "TZ":
             # §17.4.5.8: the timezone PART of the dateTime lexical form
             # — "Z", "+hh:mm"/"-hh:mm", or "" when absent; a
@@ -3426,7 +3536,7 @@ def _compile_group(
             # (and break the VARCHAR lexicographic oracle parity)
             current = current.withColumn(
                 var,
-                _value_expr(expr, set(current.columns)).cast("string"),
+                _materialize_value(expr, set(current.columns)),
             )
             # an expression over possibly-unbound sources can itself be
             # unbound (spec: expression error -> var unbound = NULL); so
@@ -3802,7 +3912,7 @@ def _apply_aggregation(
             )
         # string-cast for the same binding-table invariant as BIND
         out = out.withColumn(
-            gname, _value_expr(gexpr, set(out.columns)).cast("string")
+            gname, _materialize_value(gexpr, set(out.columns))
         )
         keys.append(gname)
     group_by = keys
@@ -4176,12 +4286,22 @@ def _order_page(
     cuts each graph's page in ONE shuffle (no per-graph loop). An
     unordered per-graph page would be nondeterministic across runs, so
     it demands an ORDER BY."""
+    from pyspark.sql.types import NumericType
+
     cols = []
     for key, asc in order:
         if key[0] == "var":
             if key[1] not in df.columns:
                 raise SparqlError(f"ORDER BY var ?{key[1]} not bound here")
             c = F.col(key[1])
+            if isinstance(df.schema[key[1]].dataType, NumericType):
+                # a NATIVE numeric column — a COUNT/SUM/AVG aggregate
+                # alias — orders by VALUE (round-14 differential
+                # finding: the string-key expansion sorted counts
+                # lexically, "10" < "9"); NULLS FIRST asc / LAST desc
+                # keeps the unbound placement of the term keys
+                cols.append(c.asc() if asc else c.desc())
+                continue
         else:
             # an expression key referencing an unbound (or projected-out,
             # under DISTINCT) variable gets the same pointed error as a
@@ -4241,7 +4361,9 @@ def sparql_select(
     per projected variable, named after the variable.
     """
     toks = _tokenize(query)
-    declared, projection, group, modifiers = _Parser(toks).parse_query()
+    declared, projection, group, modifiers = _Parser(
+        toks, prefixes
+    ).parse_query()
     pfx = dict(prefixes or {})
     pfx.update(declared)
     triples = _apply_dataset_clauses(triples, modifiers, pfx)
@@ -4364,7 +4486,7 @@ def _finish_select(
             rewritten = _rewrite_having(expr, extend_aliases)
             out = out.withColumn(
                 alias,
-                _value_expr(rewritten, set(out.columns)).cast("string"),
+                _materialize_value(rewritten, set(out.columns)),
             )
         if extend_aliases:
             out = out.drop(*extend_aliases.values())
@@ -4509,7 +4631,7 @@ def sparql_ask(
     reference src/bio2bel/sources/rhea.py:38-47 runs arbitrary rdflib
     query forms, ASK included)."""
     toks = _tokenize(query)
-    declared, group = _Parser(toks).parse_ask()
+    declared, group = _Parser(toks, prefixes).parse_ask()
     pfx = dict(prefixes or {})
     pfx.update(declared)
     out, _ = _solutions(triples, group, pfx, bindings, max_path_depth)
@@ -4547,7 +4669,7 @@ def sparql_describe(
         quads = triples
         triples = triples.filter(F.col("g").isNull()).drop("g")
     toks = _tokenize(query)
-    declared, terms, group = _Parser(toks).parse_describe()
+    declared, terms, group = _Parser(toks, prefixes).parse_describe()
     pfx = dict(prefixes or {})
     pfx.update(declared)
     consts = [str(_resolve(t, pfx)[1]) for t in terms if t[0] != "var"]
@@ -4612,7 +4734,7 @@ def sparql_construct(
     schema."""
     toks = _tokenize(query)
     declared, template, group, order, limit, offset = _Parser(
-        toks
+        toks, prefixes
     ).parse_construct()
     pfx = dict(prefixes or {})
     pfx.update(declared)
@@ -4768,7 +4890,7 @@ def sparql_update(
     """
     has_g = "g" in triples.columns
     toks = _tokenize(query)
-    ops = _Parser(toks).parse_update()
+    ops = _Parser(toks, prefixes).parse_update()
     per_op_vars = [_update_op_vars(op) for _, op in ops]
     if bindings:
         unknown = sorted(set(bindings) - set().union(*per_op_vars))

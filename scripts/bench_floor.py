@@ -81,7 +81,14 @@ FLOOR_SET = [
     "sparql_tz_histogram",
 ]
 
+#: round 14 (verdict ask #1): EVERY registry query gets a quiet-host
+#: floor, so bench.py's >2x-floor retry gate covers the whole surface —
+#: the round-13 lsh_recall 15.4s weather reading had no floor and
+#: slipped through. Queries in the plan-heavy FLOOR_SET above keep
+#: min-of-N_RUNS; the long tail gets min-of-N_RUNS_TAIL (the tail is
+#: 180+ queries — one extra run each costs ~5 quiet-host minutes).
 N_RUNS = 3
+N_RUNS_TAIL = 2
 MARK = "<!-- MANUAL EVIDENCE (preserved by dump_plans.py) -->"
 SECTION = "## Quiet-host floor"
 
@@ -104,26 +111,30 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    names = FLOOR_SET + [n for n in qs if n not in FLOOR_SET]
     rows = []
-    for name in FLOOR_SET:
+    for name in names:
         fn = qs[name]
+        n_runs = N_RUNS if name in FLOOR_SET else N_RUNS_TAIL
         samples, loads = [], []
-        for _ in range(N_RUNS):
+        for _ in range(n_runs):
             loads.append(os.getloadavg()[0])
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
             release_cached(spark)
         rows.append((name, min(samples), max(loads)))
-        print(f"{name}: min-of-{N_RUNS} {min(samples):.2f}s "
+        print(f"{name}: min-of-{n_runs} {min(samples):.2f}s "
               f"(samples {['%.2f' % s for s in samples]}, "
-              f"loadavg<= {max(loads):.1f})")
+              f"loadavg<= {max(loads):.1f})", flush=True)
     spark.stop()
 
     lines = [
         SECTION,
         "",
-        f"Round {tag} floor: min-of-{N_RUNS} per query at sf0.1, fresh",
+        f"Round {tag} floor: FULL registry ({len(rows)} queries) —",
+        f"min-of-{N_RUNS} for the plan-heavy FLOOR_SET, "
+        f"min-of-{N_RUNS_TAIL} for the tail — at sf0.1, fresh",
         "session, recorded only when start loadavg <= 2 (this sample",
         f"started at loadavg {start_load:.1f}; the per-query max column",
         "includes the floor run's own 32-core load). Compare bench",

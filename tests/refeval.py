@@ -145,20 +145,22 @@ def is_typed_dt(t) -> bool:
 
 
 def ebv(t):
-    """§17.2.2 EBV, with the engine's two documented readings: numerics
-    by value (typed OR numeric-shaped plain), and plain "false"/"true"
-    by boolean value (the stored-lexical-form deviation)."""
+    """§17.2.2 EBV, mirroring the round-14 engine: typed xsd:boolean by
+    VALUE (true/1; ill-formed = false), numerics by value (typed OR
+    numeric-shaped plain — the string model's documented reading), any
+    other literal by non-emptiness (a PLAIN "false" is a non-empty
+    string = true, per spec)."""
     if t is None:
         return None
     if _IRI.match(t) or _BLANK.match(t):
         return None  # type error
-    low = lex(t).lower()
-    if low in ("true", "false"):
-        return low == "true"
+    m = _ENC.match(t)
+    if m and m.group(3) == XSD + "boolean":
+        return m.group(1) in ("true", "1")
     n = num(t)
     if n is not None:
         return n != 0
-    return len(low) != 0
+    return len(lex(t)) != 0
 
 
 def _cmp3(op, a, b):
@@ -178,6 +180,14 @@ def _cmp3(op, a, b):
     return a >= b
 
 
+def _numval(v):
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    return num(v)
+
+
 def _operand(node, row):
     kind = node[0]
     if kind == "var":
@@ -192,9 +202,10 @@ def eval_cmp(op, lnode, rnode, row):
     instants; else raw serialization comparison."""
     lv, rv = _operand(lnode, row), _operand(rnode, row)
     if lnode[0] == "numlit" or rnode[0] == "numlit":
-        ln = lv if lnode[0] == "numlit" else num(lv)
-        rn = rv if rnode[0] == "numlit" else num(rv)
-        return _cmp3(op, ln, rn)
+        # a HAVING operand may be a native aggregate value (int/float)
+        # rather than a term string — hence _numval, mirroring the
+        # engine's native hidden aggregate columns
+        return _cmp3(op, _numval(lv), _numval(rv))
     if lv is None or rv is None:
         return None
     if is_typed_numeric(lv) or is_typed_numeric(rv):
@@ -294,6 +305,10 @@ def order_key(t):
     0 = everything else lexically."""
     if t is None:
         return None
+    if isinstance(t, (int, float)):
+        # a NATIVE aggregate value (COUNT alias) orders by value — the
+        # engine sorts native numeric columns directly (round 14)
+        return (1, float(t), "")
     if is_typed_numeric(t):
         n = num(t)
         if n is not None:
@@ -309,17 +324,14 @@ def _sort_rows(rows, order):
     """Stable multi-key sort honoring Spark's null placement: NULLS
     FIRST ascending, NULLS LAST descending."""
     for var, asc in reversed(order):
-        def key(row, var=var, asc=asc):
+        def key(row, var=var):
             k = order_key(row.get(var))
-            if k is None:
-                return (0 if asc else 1, (0, 0.0, ""))
-            return (1 if asc else 0, k)
+            # unbound carries the SMALLEST flag in both directions:
+            # ascending (reverse=False) puts it first, descending
+            # (reverse=True) puts it last — Spark's null placement
+            return (0, (0, 0.0, "")) if k is None else (1, k)
 
         rows = sorted(rows, key=key, reverse=not asc)
-        if not asc:
-            # reverse=True flips the whole tuple; the null flag above
-            # already accounts for that (nulls sort LAST descending)
-            pass
     return rows
 
 

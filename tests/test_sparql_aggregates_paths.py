@@ -496,10 +496,14 @@ def test_bind_opens_a_group_and_booleans(typed_triples):
         'BIND (?v >= "3" AS ?big) }',
         prefixes=PFX,
     )
-    # materialized BIND columns are STRING (the binding-table invariant):
-    # booleans take their lexical form
+    # materialized BIND columns are STRING (the binding-table
+    # invariant); a BOOLEAN expression materializes as the canonical
+    # TYPED term (round 14) so DATATYPE() and §17.2.2 EBV read it by
+    # value — not the bare lexical it was before
+    xb = "http://www.w3.org/2001/XMLSchema#boolean"
     assert {(_local(r.e), r.big) for r in got.collect()} == {
-        ("a", "true"), ("b", "true"), ("c", "false"),
+        ("a", f'"true"^^<{xb}>'), ("b", f'"true"^^<{xb}>'),
+        ("c", f'"false"^^<{xb}>'),
     }
 
 

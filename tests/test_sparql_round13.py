@@ -977,9 +977,13 @@ def test_non_hierarchical_base_rejected(zoo):
 
 def test_filter_bare_variable_ebv(spark):
     rows = [
-        (EX + "a", EX + "flag", "true"),
-        (EX + "b", EX + "flag", "false"),
+        (EX + "a", EX + "flag", "true"),    # plain non-empty -> true
+        (EX + "b", EX + "flag", "false"),   # plain non-empty -> true
+        # (round 14: the plain-"false" by-value deviation is GONE —
+        # BIND'd booleans are typed terms now, so a plain "false" is
+        # just a non-empty string, per the spec's xsd:string EBV)
         (EX + "c", EX + "flag", f'"true"^^<{XSD}boolean>'),
+        (EX + "c2", EX + "flag", f'"false"^^<{XSD}boolean>'),  # by VALUE
         (EX + "d", EX + "flag", "0"),       # numeric zero -> false
         (EX + "e", EX + "flag", "7"),       # numeric nonzero -> true
         (EX + "f", EX + "flag", ""),        # empty literal -> false
@@ -992,7 +996,7 @@ def test_filter_bare_variable_ebv(spark):
         "SELECT ?s WHERE { ?s ex:flag ?v . FILTER(?v) }",
         prefixes=PFX,
     ).collect()
-    assert sorted(_local(r.s) for r in got) == ["a", "c", "e", "g"]
+    assert sorted(_local(r.s) for r in got) == ["a", "b", "c", "e", "g"]
 
 
 def test_filter_negated_ebv_and_value_call(spark):

@@ -238,3 +238,85 @@ def test_subquery_count_stays_plain(typed_prices):
         prefixes=PFX,
     ).collect()
     assert got[0].n == "8"
+
+
+# ----------------------------- 5. ORDER BY a native aggregate alias
+
+
+def test_order_by_count_alias_sorts_by_value(spark):
+    """ORDER BY ?n where ?n aliases COUNT must sort 2 < 10 numerically —
+    the string-key expansion used to sort counts lexically ("10" < "2").
+    Round-14 differential-harness finding."""
+    rows = [(EX + "s1", EX + "p", f"o{i}") for i in range(10)]
+    rows += [(EX + "s2", EX + "p", "oa"), (EX + "s2", EX + "p", "ob")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:p ?o } "
+        "GROUP BY ?s ORDER BY ASC(?n)",
+        prefixes=PFX,
+    ).collect()
+    assert [(_local(r.s), r.n) for r in got] == [("s2", 2), ("s1", 10)]
+
+
+# ------------------- 6. numeric pattern constants match typed spellings
+
+
+def test_numeric_pattern_constant_matches_typed_and_plain(spark):
+    """A bare 42 in a triple PATTERN is "42"^^xsd:integer per the
+    Turtle/SPARQL grammars — it must match the typed serialization an
+    N-Triples scan stores, and (documented model rule) the plain
+    spelling too. Non-canonical spellings stay unmatched."""
+    rows = [
+        (EX + "a", EX + "p", f'"42"^^<{XSD}integer>'),
+        (EX + "b", EX + "p", "42"),
+        (EX + "c", EX + "p", f'"042"^^<{XSD}integer>'),  # non-canonical
+        (EX + "d", EX + "p", f'"4.2"^^<{XSD}decimal>'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df, "SELECT ?s WHERE { ?s ex:p 42 }", prefixes=PFX
+    ).collect()
+    assert sorted(_local(r.s) for r in got) == ["a", "b"]
+    got = sparql_select(
+        df, "SELECT ?s WHERE { ?s ex:p 4.2 }", prefixes=PFX
+    ).collect()
+    assert [_local(r.s) for r in got] == ["d"]
+
+
+# -------------------------- 7. typed boolean BINDs + spec plain-"false"
+
+
+def test_bind_boolean_roundtrips_through_ebv(spark):
+    """BIND(?v > 3 AS ?f) materializes "true"/"false"^^xsd:boolean terms;
+    FILTER(?f) reads them by VALUE and DATATYPE answers xsd:boolean —
+    closing the round-13 plain-"false" EBV deviation without losing the
+    BIND -> FILTER round-trip it existed for."""
+    rows = [(EX + "a", EX + "v", "5"), (EX + "b", EX + "v", "2")]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s ?d WHERE { ?s ex:v ?v . BIND(?v > 3 AS ?f) "
+        "BIND(DATATYPE(?f) AS ?d) FILTER(?f) }",
+        prefixes=PFX,
+    ).collect()
+    assert [(_local(r.s), r.d) for r in got] == [
+        ("a", f"{XSD}boolean")
+    ]
+
+
+def test_plain_false_string_is_ebv_true(spark):
+    """A PLAIN "false" data literal is a non-empty string — EBV true,
+    per the spec's xsd:string rule (the round-13 deviation is gone)."""
+    rows = [
+        (EX + "a", EX + "flag", "false"),
+        (EX + "b", EX + "flag", ""),
+        (EX + "c", EX + "flag", f'"false"^^<{XSD}boolean>'),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string")
+    got = sparql_select(
+        df,
+        "SELECT ?s WHERE { ?s ex:flag ?v . FILTER(?v) }",
+        prefixes=PFX,
+    ).collect()
+    assert [_local(r.s) for r in got] == ["a"]

@@ -374,7 +374,9 @@ def test_datetime_accessors(spark):
         prefixes=PFX,
     ).collect()
     by = {_local(r.s): (r.y, r.mo, r.d, r.h, r.mi, r.sec) for r in got}
-    assert by["a"] == ("2024", "3", "5", "10", "11", "12")
+    # SECONDS is the spec's xsd:decimal — fraction-bearing, so a whole
+    # second reads 12.0 (round 14; YEAR..MINUTES stay integers)
+    assert by["a"] == ("2024", "3", "5", "10", "11", "12.0")
     assert by["b"] == (None,) * 6  # non-datetime -> expression error
 
 
