@@ -2605,12 +2605,18 @@ def q_selection_pipeline(spark, sf_dir):
     from bio2bel_spark.operators.cleaning import quality_gate
     from bio2bel_spark.operators.textquality import dsir_select
 
+    from bio2bel_spark.operators.caching import tracked_persist
+
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # the gated id set feeds every downstream consumer of `kept` (the DSIR
+    # raw fit, the en-slice target fit, the doc-gram scoring stream and the
+    # final enrichment join) — pinned so the Gopher gate's corpus pass runs
+    # once, not once per consumer (r14 plan audit: 170-340 Exchanges here)
     kept_ids = (
         quality_gate(docs, min_tokens=40)
         .where(F.col("keep"))
         .select("doc_id")
-    )
+    ).transform(tracked_persist)
     kept = docs.join(kept_ids, "doc_id")
     return dsir_select(
         kept, kept.where(F.col("lang") == "en"), k=40, seed=0,
@@ -2628,12 +2634,18 @@ def q_selection_pipeline_packed(spark, sf_dir):
     from bio2bel_spark.operators.packing import pack_concat_chunks
     from bio2bel_spark.operators.textquality import dsir_select
 
+    from bio2bel_spark.operators.caching import tracked_persist
+
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # the gated id set feeds every downstream consumer of `kept` (the DSIR
+    # raw fit, the en-slice target fit, the doc-gram scoring stream and the
+    # final enrichment join) — pinned so the Gopher gate's corpus pass runs
+    # once, not once per consumer (r14 plan audit: 170-340 Exchanges here)
     kept_ids = (
         quality_gate(docs, min_tokens=40)
         .where(F.col("keep"))
         .select("doc_id")
-    )
+    ).transform(tracked_persist)
     kept = docs.join(kept_ids, "doc_id")
     sel = dsir_select(
         kept, kept.where(F.col("lang") == "en"), k=40, seed=0,
@@ -2662,17 +2674,25 @@ def q_selection_pipeline_tokens(spark, sf_dir):
     from bio2bel_spark.operators.packing import pack_concat_chunks
     from bio2bel_spark.operators.textquality import dsir_select
 
+    from bio2bel_spark.operators.caching import tracked_persist
+
     docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # the gated id set feeds every downstream consumer of `kept` (the DSIR
+    # raw fit, the en-slice target fit, the doc-gram scoring stream and the
+    # final enrichment join) — pinned so the Gopher gate's corpus pass runs
+    # once, not once per consumer (r14 plan audit: 170-340 Exchanges here)
     kept_ids = (
         quality_gate(docs, min_tokens=40)
         .where(F.col("keep"))
         .select("doc_id")
-    )
+    ).transform(tracked_persist)
     kept = docs.join(kept_ids, "doc_id")
+    # sel (40 rows) feeds the BPE word stream AND the final token join —
+    # pinned so the whole gate→DSIR→top-k head executes once, not twice
     sel = dsir_select(
         kept, kept.where(F.col("lang") == "en"), k=40, seed=0,
         buckets=512, alpha=1.0,
-    )
+    ).transform(tracked_persist)
     merges = bpe_learn_merges(docs, n_merges=6)
     words = sel.select(
         "doc_id",

@@ -122,7 +122,8 @@ def drop_boilerplate_lines(
 
 
 def repetition_features(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Gopher-style within-document repetition metrics, per doc:
 
@@ -133,7 +134,9 @@ def repetition_features(
 
     All three are ``1 - distinct/total`` computed with higher-order
     functions on the split arrays — a pure projection, no shuffle, no UDF.
-    Rounded to 6dp for cross-engine float parity.
+    Rounded to 6dp for cross-engine float parity. ``keep`` passes extra
+    input columns through (the fusion seam :func:`quality_gate` uses to
+    stack the other pure-projection signal block on top without a join).
     """
 
     def frac(arr: Column) -> Column:
@@ -147,6 +150,7 @@ def repetition_features(
     # per array element (O(tokens²) — the classic HOF re-evaluation trap)
     arrs = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.filter(
             F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
             lambda x: x != "",
@@ -167,6 +171,7 @@ def repetition_features(
     ).otherwise(F.array().cast("array<string>"))
     return arrs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         frac(F.col("__lines")).alias("dup_line_frac"),
         frac(w).alias("dup_word_frac"),
         frac(grams2).alias("dup_2gram_frac"),
@@ -181,8 +186,12 @@ def top_word_fraction(
     characters in the most common word" family).
 
     Explode + count is map-side combinable on (doc, word); the per-doc
-    argmax is a ``max(struct(n, word))`` in one aggregation — no window, no
-    second shuffle. Ties break to the lexicographically largest word (struct
+    argmax AND the per-doc word total both come out of ONE second
+    aggregation over the (doc, word) counts — ``total`` is the sum of the
+    per-word counts, so the naive second explode pass over the corpus and
+    the totals join are algebraically redundant (round-14: one corpus
+    explode + two combinable aggs, down from two explodes + three aggs +
+    a join). Ties break to the lexicographically largest word (struct
     comparison order), which is deterministic and SQL-replayable.
     """
     words = (
@@ -195,17 +204,13 @@ def top_word_fraction(
         .filter(F.col("word") != "")
     )
     counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("n"))
-    totals = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("total"))
-    best = counts.groupBy(id_col).agg(
-        F.max(F.struct(F.col("n"), F.col("word"))).alias("__b")
-    )
-    return (
-        best.join(totals, id_col)
-        .select(
-            F.col(id_col),
-            F.col("__b.word").alias("top_word"),
-            F.round(F.col("__b.n") / F.col("total"), 6).alias("top_word_frac"),
-        )
+    return counts.groupBy(id_col).agg(
+        F.max(F.struct(F.col("n"), F.col("word"))).alias("__b"),
+        F.sum("n").alias("__total"),
+    ).select(
+        F.col(id_col),
+        F.col("__b.word").alias("top_word"),
+        F.round(F.col("__b.n") / F.col("__total"), 6).alias("top_word_frac"),
     )
 
 
@@ -325,21 +330,26 @@ def quality_gate(
     exactly replayable cross-engine.
 
     Scale shape: two of the three signal blocks are pure projections
-    (:func:`repetition_features`, ``textquality.quality_features``); the
-    top-word share is one map-side-combinable aggregation; the gate is
-    then two equi-joins on the doc id. Linear, no Python, no windows.
+    (:func:`repetition_features`, ``textquality.quality_features``), so
+    they are FUSED into one stacked projection over a single corpus scan
+    (round-14: the earlier qf-join-rep cost a second scan plus an equi-join
+    for columns that never needed one); the top-word share is one
+    map-side-combinable aggregation; the gate is then one equi-join on the
+    doc id. Linear, no Python, no windows.
     """
     from bio2bel_spark.operators.textquality import quality_features
 
-    qf = quality_features(docs, text_col, id_col)
-    rep = repetition_features(docs, text_col, id_col)
+    rep = repetition_features(docs, text_col, id_col, keep=(text_col,))
+    qf = quality_features(
+        rep, text_col, id_col,
+        keep=("dup_line_frac", "dup_word_frac", "dup_2gram_frac"),
+    )
     tw = top_word_fraction(docs, text_col, id_col).select(
         id_col, "top_word_frac"
     )
     lo_mwl, hi_mwl = mean_word_len_range
     joined = (
-        qf.join(rep, id_col)
-        .join(tw, id_col, "left")
+        qf.join(tw, id_col, "left")
         .withColumn(
             "__twf", F.coalesce("top_word_frac", F.lit(0.0))
         )

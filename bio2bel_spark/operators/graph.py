@@ -533,17 +533,26 @@ def triangle_count(
     Input edges may be directed/duplicated; they are canonicalized to
     undistinct undirected pairs first. Self-loops are dropped.
     """
+    from bio2bel_spark.operators.caching import tracked_persist
+
     a, b = F.col(src), F.col(dst)
+    # und feeds the degree count, the orientation join and the final
+    # tagged union; o feeds both wedge sides and the closing join — each
+    # is O(m) and narrow, and without pinning every reference re-executes
+    # the whole upstream (r14 plan audit: 64 duplicate scans / 130
+    # Exchanges). Same persistence envelope as the components operator.
     und = (
         edges.select(
             F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .transform(tracked_persist)
     )
+    # both endpoints counted in ONE pass over und (explode), not a
+    # union of two selects that would read it twice
     deg = (
-        und.select(F.col("u").alias("n"))
-        .unionAll(und.select(F.col("v").alias("n")))
+        und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -558,7 +567,7 @@ def triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
-    )
+    ).transform(tracked_persist)
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(
         y,

@@ -251,15 +251,27 @@ def lm_model(
         F.count(F.lit(1)).cast("long").alias("c_bi")
     )
     ref_uni = reference.select(F.explode(tokens(text_col)).alias("w1"))
+    # the unigram table feeds BOTH the scoring join and the vocabulary
+    # size, so it is always pinned (bounded by |vocab| rows — never the
+    # corpus); without the pin each reference re-runs the corpus explode
+    from bio2bel_spark.operators.caching import tracked_persist
+
     uni_counts = ref_uni.groupBy("w1").agg(
         F.count(F.lit(1)).cast("long").alias("c_uni")
-    )
-    vocab = ref_uni.agg(F.count_distinct("w1").cast("double").alias("__v"))
+    ).transform(tracked_persist)
+    # |vocab| == the row count of the unigram table — deriving it there
+    # instead of count_distinct over ref_uni removes a third full
+    # explode pass over the reference corpus (identical value by
+    # construction: uni_counts has exactly one row per distinct w1)
+    vocab = uni_counts.agg(F.count(F.lit(1)).cast("double").alias("__v"))
     model = {"bi": bi_counts, "uni": uni_counts, "vocab": vocab}
     if persist:
-        from bio2bel_spark.operators.caching import tracked_persist
-
-        model = {k: v.transform(tracked_persist) for k, v in model.items()}
+        # uni is already pinned above — re-persisting logs a CacheManager
+        # warning and does nothing
+        model = {
+            k: (v if k == "uni" else v.transform(tracked_persist))
+            for k, v in model.items()
+        }
     return model
 
 
@@ -860,7 +872,19 @@ def _dsir_score(
 ) -> DataFrame:
     """Score ``docs`` against raw/target bucket-count tables ``rc (b, c_r)``
     / ``tc (b, c_t)`` — the shared back half of :func:`dsir_log_weights`
-    and the incremental-state scorer :func:`dsir_weights_from_state`."""
+    and the incremental-state scorer :func:`dsir_weights_from_state`.
+
+    ``rc``/``tc`` are each consumed TWICE (the smoothing-total scalar and
+    the per-bucket log-ratio) — without persistence every reference
+    re-executes whatever produced them, which for :func:`dsir_log_weights`
+    is a full corpus gram-hash pass each (round-14 plan audit: 16 parquet
+    scans / 40 Exchanges in ``dsir_weights``). Both tables are bounded by
+    ``buckets`` rows, so pinning them is O(buckets) memory at any corpus
+    size and collapses the duplicated fits to one each."""
+    from bio2bel_spark.operators.caching import tracked_persist
+
+    rc = rc.transform(tracked_persist)
+    tc = tc.transform(tracked_persist)
     b_col = _hashed_gram_buckets(text_col, buckets, include_bigrams)
     totals = (
         rc.agg(F.sum("c_r").alias("n_r"))
@@ -975,9 +999,16 @@ def ccnet_perplexity_buckets(
     the doc stream. No full-corpus sort, no single-reducer window over
     data rows.
     """
+    # scored feeds BOTH the threshold histogram and the final bucketing —
+    # without persistence the whole LM-scoring pipeline (two corpus
+    # explodes + two joins) executes twice. The pinned projection is four
+    # narrow columns per doc (id, lang, ppl, milli-key), the lightweight
+    # proxy the guide's decide-on-small-rows pattern calls for.
+    from bio2bel_spark.operators.caching import tracked_persist
+
     scored = _ppl_scored(
         docs, reference, text_col, id_col, lang_col, alpha
-    )
+    ).transform(tracked_persist)
     hist = (
         scored.where(F.col("__m").isNotNull())
         .groupBy(lang_col, "__m")
