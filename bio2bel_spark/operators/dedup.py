@@ -1037,15 +1037,21 @@ def winnowing_fingerprints(
     ≈ ``2·n/window``-sized) fingerprint set. Memory per row is the token
     array — the same envelope as the MinHash signature operator.
 
-    The window-min selection is ONE ``aggregate`` fold over the gram-hash
-    array carrying a ``window``-wide ring buffer — the same single-pass
-    shape as :func:`minhash_signature`, and for the same reason: the
-    obvious nesting (``transform(windows, j -> array_min(slice(hashes,
-    j, w)))``) lets Catalyst's projection collapse inline the whole md5
-    gram pipeline inside the per-window lambda and re-evaluate it once
-    per window position — O(n²) md5 work (measured: 223 s vs ~1 s at
-    sf0.1). As the fold's INPUT, the hash array is evaluated exactly once
-    per row.
+    The window-min selection is ``transform(windows, j ->
+    array_min(slice(hashes, j, w)))`` over a gram-hash array that has been
+    MATERIALIZED as a bound attribute behind a Generate barrier
+    (``explode(array(hs))`` — fan-out 1, no shuffle). The barrier is what
+    makes that formulation safe: written inline, Catalyst's projection
+    collapse substitutes the whole md5 gram pipeline into the per-window
+    lambda and re-evaluates it once per window position — O(n²) md5 work
+    (measured: 223 s vs ~1 s at sf0.1). Behind the barrier the hashes are
+    evaluated exactly once per row and each window costs one O(w) slice.
+
+    (Round 14: this replaces an ``aggregate`` ring-buffer fold that was
+    output-identical but appended each window minimum with ``concat`` —
+    an O(grams²) array-copy per document plus per-element struct churn;
+    the barrier+transform form measured 9.8× faster at sf0.1, 7.44 s →
+    0.76 s on the augmented corpus, byte-identical output.)
     """
     h = _hasher(backend)
     toks = F.split(normalize_text(text_col), " ")
@@ -1065,35 +1071,21 @@ def winnowing_fingerprints(
             lambda i: h(F.concat_ws(" ", F.slice(F.col("__toks"), i, k))),
         ).alias("__hs"),
     )
-    empty = F.array().cast("array<long>")
-    init = F.struct(empty.alias("buf"), empty.alias("mins"))
-
-    def step(acc, hv):
-        grown = F.concat(acc["buf"], F.array(hv))
-        buf = F.when(F.size(grown) > window, F.slice(grown, 2, window)).otherwise(
-            grown
-        )
-        mins = F.when(
-            F.size(buf) == window,
-            F.concat(acc["mins"], F.array(F.array_min(buf))),
-        ).otherwise(acc["mins"])
-        return F.struct(buf.alias("buf"), mins.alias("mins"))
-
+    # Generate barrier: __hs becomes a bound attribute of a real child
+    # operator, so the references below cannot be collapse-inlined into
+    # the md5 gram pipeline (fan-out 1, no shuffle, no materialization)
+    bound = grams.select(id_col, F.explode(F.array("__hs")).alias("__hs"))
+    n = F.size(F.col("__hs"))
     # short documents (fewer grams than the window) degenerate to the
-    # single global minimum — the buffer holds all grams in that case
-    fps = grams.select(
-        id_col,
-        F.array_distinct(
-            F.aggregate(
-                F.col("__hs"),
-                init,
-                step,
-                lambda acc: F.when(
-                    F.size(acc["mins"]) > 0, acc["mins"]
-                ).otherwise(F.array(F.array_min(acc["buf"]))),
-            )
-        ).alias("__fps"),
-    )
+    # single global minimum — same as a ring buffer that never fills
+    mins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, window)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("__hs"))))
+    fps = bound.select(id_col, F.array_distinct(mins).alias("__fps"))
     return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))
 
 
