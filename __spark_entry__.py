@@ -333,7 +333,11 @@ def q_relation_dispatch(spark, sf_dir):
     dispatch counts per (relation, variant_kind) including the reject path."""
     from bio2bel_spark.sources.intact import relation_table
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # _spread: the per-row dispatch-code projection + broadcast-join probe
+    # otherwise run on the single sf scan partition; no-op at scale.
+    li = _spread(
+        spark, _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    )
     psi = F.element_at(
         F.array(*[F.lit(c) for c in _DISPATCH_CODES]),
         (F.pmod(F.col("l_orderkey") + F.col("l_partkey"), F.lit(8)) + 1).cast("int"),
@@ -1059,10 +1063,16 @@ def _scale_triples(spark, sf_dir):
         *t(("part://", "p_partkey"), "retailPrice",
            F.col("p_retailprice").cast("string"))
     )
-    return (
+    # _spread: every pattern's predicate-equality filter pushes BELOW the
+    # repartition into the pruned union branch, so pushdown is preserved;
+    # without it the per-term expression pipelines (serialization, regex
+    # datatype parsing, typed ordering keys) run on the 1-2 partitions the
+    # single-row-group sf parquet scans produce. No-op at scale.
+    return _spread(
+        spark,
         has_part.unionByName(shipped).unionByName(in_brand)
         .unionByName(child_of).unionByName(is_root).unionByName(status)
-        .unionByName(price)
+        .unionByName(price),
     )
 
 
@@ -1567,11 +1577,15 @@ def _scale_typed_triples(spark, sf_dir):
         F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("p"),
         F.lit(ex + "Part").alias("o"),
     )
-    return (
+    # _spread: see _scale_triples — pattern filters push below the
+    # repartition; parallelizes the typed-term regex pipelines locally,
+    # no-op at scale.
+    return _spread(
+        spark,
         price.unionByName(size)
         .unionByName(name)
         .unionByName(in_brand)
-        .unionByName(rdf_type)
+        .unionByName(rdf_type),
     )
 
 
@@ -1697,7 +1711,10 @@ def _scale_datetime_triples(spark, sf_dir):
         s, F.lit(ex + "status").alias("p"),
         F.col("o_orderstatus").alias("o"),
     )
-    return placed.unionByName(status)
+    # _spread: see _scale_triples — the TZ()/dateTime regex parse and the
+    # typed-MIN sort-aggregate downstream otherwise run on the single
+    # partition the orders.parquet scan produces. No-op at scale.
+    return _spread(spark, placed.unionByName(status))
 
 
 def q_sparql_datetime(spark, sf_dir):
@@ -2118,15 +2135,22 @@ def q_kg_descendants(spark, sf_dir):
 
 
 def _spread(spark, df):
-    """Repartition an expression-heavy input to full parallelism.
+    """Repartition an expression-heavy input to full parallelism — only
+    when the input actually arrives with fewer partitions than cores.
 
     The driver's small tables arrive as single-row-group parquet files → 1-2
     scan partitions, which would run the per-row hash pipelines on 1-2 of the
-    32 cores. At production scale inputs arrive in many splits and this is a
-    no-op decision; the tiny shuffle here expresses the requirement (heavy
-    map stages need partitions ≈ cores) without touching global scan config.
+    32 cores. At production scale inputs arrive in many splits, the
+    partition count already exceeds defaultParallelism, and this returns the
+    input untouched — no shuffle of the large side is ever added at scale
+    (which matters for probe-before-exchange patterns like the Bloom
+    prefilter). The tiny local shuffle expresses the requirement (heavy map
+    stages need partitions ≈ cores) without touching global scan config.
     """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def _docs_augmented(spark, sf_dir):
@@ -2464,8 +2488,11 @@ def q_hll_grouped(spark, sf_dir):
         hll_state_grouped,
     )
 
+    # _spread: the per-row md5 register hash otherwise runs on the single
+    # sf scan partition; no-op at scale.
     state = hll_state_grouped(
-        _t(spark, sf_dir, "lineitem"), "l_partkey", by="l_returnflag"
+        _spread(spark, _t(spark, sf_dir, "lineitem")),
+        "l_partkey", by="l_returnflag",
     )
     return hll_estimate_grouped(state, by="l_returnflag")
 
@@ -2752,7 +2779,7 @@ def _docs_multiline(spark, sf_dir):
     """documents wrapped with deterministic boilerplate lines: a shared promo
     header on every doc and a footer shared by the even half — the input a
     C4-style line-dedup stage expects."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.concat_ws(
@@ -3185,7 +3212,8 @@ def q_embedding_quantize(spark, sf_dir):
     smaller quantized store."""
     from bio2bel_spark.operators.similarity import quantization_report
 
-    return quantization_report(_t(spark, sf_dir, "embeddings"))
+    # _spread: per-row array quantize/dequantize folds; no-op at scale.
+    return quantization_report(_spread(spark, _t(spark, sf_dir, "embeddings")))
 
 
 def q_quantized_recall(spark, sf_dir):
@@ -3196,7 +3224,9 @@ def q_quantized_recall(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return quantized_recall(emb, query, k=10)
+    # _spread: quantize + two cosine passes are per-row array folds that
+    # otherwise run on the single sf scan partition; no-op at scale.
+    return quantized_recall(_spread(spark, emb), query, k=10)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -3424,7 +3454,10 @@ def q_audio_features(spark, sf_dir):
         decode_features,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread BEFORE synthesis: WAV bytes are generated after the
+    # repartition (no payload shuffled) and the decode gets all cores;
+    # no-op at scale.
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     audio = audio_from_documents(docs.select("doc_id"))
     feats = decode_features(audio, backend="wav")
     # features is array<float>; cast to double BEFORE rounding so the 4dp
@@ -3452,7 +3485,10 @@ def q_image_phash_pairs(spark, sf_dir):
         image_near_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # _spread BEFORE raster synthesis (see q_image_features); no-op at scale.
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    )
     media = image_from_documents(docs)
     twins = image_from_documents(
         docs.filter(F.col("doc_id") % 50 == 0)
@@ -3526,7 +3562,11 @@ def q_image_features(spark, sf_dir):
 
     # every 10th document: raster generate+decode is genuinely per-pixel
     # work, and the bench measures the pipeline shape, not a pixel farm
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    # _spread BEFORE raster synthesis: the per-pixel generate+decode passes
+    # get all cores and no raster byte is shuffled; no-op at scale.
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    )
     imgs = image_from_documents(docs.select("doc_id", "n_chars"))
     out = decode_resize_features(imgs, max_side=64)
     return out.select(
@@ -3797,7 +3837,9 @@ def q_quantile_sketch_grouped(spark, sf_dir):
         quantile_sample_state_grouped,
     )
 
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    # _spread: per-row rid hashing + the window partial otherwise run on
+    # the single sf scan partition; no-op at scale.
+    li = _spread(spark, _t(spark, sf_dir, "lineitem")).withColumn(
         "rid", F.concat_ws(":", "l_orderkey", "l_linenumber")
     )
     st = quantile_sample_state_grouped(
@@ -3815,7 +3857,9 @@ def q_kmv_grouped(spark, sf_dir):
         kmv_state_grouped,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # _spread: per-row md5 hashing on the single sf scan partition
+    # otherwise; no-op at scale.
+    ev = _spread(spark, _t(spark, sf_dir, "events"))
     st = kmv_state_grouped(ev, "user_id", "event_type", k=64)
     return kmv_estimate_grouped(st, "event_type", k=64)
 
@@ -3827,7 +3871,11 @@ def q_bloom_decontaminate(spark, sf_dir):
     flagged/total counts."""
     from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the md5-over-full-text probe is the per-row cost and the sf
+    # parquet scans as 1 partition; no-op at scale. Backend stays md5 —
+    # the flag column IS the result here and the DuckDB oracle replays the
+    # md5 bit positions exactly.
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
     state = bloom_state(bench, "text", m=1 << 16, k=4)
     probed = bloom_probe(
@@ -3849,7 +3897,10 @@ def q_kmv_distinct(spark, sf_dir):
     SQL — the portable HLL below fixes that with an md5-based register)."""
     from bio2bel_spark.operators.sketch import kmv_distinct
 
-    return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=256)
+    # _spread: per-row md5 hashing; no-op at scale.
+    return kmv_distinct(
+        _spread(spark, _t(spark, sf_dir, "lineitem")), "l_partkey", k=256
+    )
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -3858,7 +3909,10 @@ def q_hll_distinct(spark, sf_dir):
     (modulo a 4dp rounding on the final float)."""
     from bio2bel_spark.operators.sketch import hll_distinct
 
-    return hll_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", b=9)
+    # _spread: per-row md5 register hashing; no-op at scale.
+    return hll_distinct(
+        _spread(spark, _t(spark, sf_dir, "lineitem")), "l_partkey", b=9
+    )
 
 
 def q_hash_split_counts(spark, sf_dir):
@@ -4063,7 +4117,9 @@ def q_psi_drift(spark, sf_dir):
     baseline-decile bins — the corpus/feature drift monitor."""
     from bio2bel_spark.operators.stats import psi_report
 
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread: the decile partial-aggregation and bin-assignment otherwise
+    # run on the single sf scan partition; no-op at scale.
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     cut = F.lit("1996-01-01").cast("timestamp")
     base = li.where(F.col("l_shipdate") < cut).select(
         F.col("l_extendedprice").alias("v")
@@ -4771,15 +4827,25 @@ def q_bloom_join(spark, sf_dir):
     what the SQL oracle checks."""
     from bio2bel_spark.operators.sketch import bloom_filtered_join
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice", "l_quantity"
+    # _spread: the md5/xxhash probe is the per-row cost and the sf parquet
+    # scans as 1 partition; at scale _spread is a no-op (no added shuffle
+    # of the large side). xxhash64 backend: codegen-native double hashing —
+    # the joined RESULT is hash-family-independent (no false negatives),
+    # only the false-positive set changes, and those drop out of the join.
+    li = _spread(
+        spark,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_quantity"
+        ),
     )
     small = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 4)
         .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
     )
-    joined = bloom_filtered_join(li, small, on="l_partkey", m=1 << 16)
+    joined = bloom_filtered_join(
+        li, small, on="l_partkey", m=1 << 16, backend="xxhash64"
+    )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
@@ -4987,7 +5053,13 @@ def q_equiheight_histogram(spark, sf_dir):
     return flag — every bin carries ~10% of the rows regardless of skew."""
     from bio2bel_spark.operators.stats import equiheight_histogram
 
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # _spread: the per-row bin-assignment fold (and the percentile partial
+    # aggregation) otherwise run on the single sf scan partition; no-op at
+    # scale.
+    li = _spread(
+        spark,
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
+    )
     return equiheight_histogram(li, "l_extendedprice", by="l_returnflag")
 
 
@@ -4997,7 +5069,12 @@ def q_hilbert_layout(spark, sf_dir):
     the reflect/rotate fold (any level wrong moves rows across buckets)."""
     from bio2bel_spark.operators.layout import hilbert_layout
 
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # _spread: per-row normalization, the broadcast-join probe and the
+    # range-partition sampling pass otherwise run on the single partition
+    # the sf lineitem scan produces; no-op at scale.
+    li = _spread(
+        spark, _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    )
     h = hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=8)
     return (
         h.groupBy(F.shiftrightunsigned(F.col("__h"), 8).alias("bucket"))
@@ -5022,8 +5099,12 @@ def q_hilbert_layout_3d(spark, sf_dir):
     CTEs."""
     from bio2bel_spark.operators.layout import hilbert_layout
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_quantity"
+    # _spread: same rationale as q_hilbert_layout.
+    li = _spread(
+        spark,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        ),
     )
     h = hilbert_layout(
         li, ["l_partkey", "l_suppkey", "l_quantity"], bits=5

@@ -188,6 +188,18 @@ def read_obo(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 
 # ---------------------------------------------------------------- N-Triples (S7)
 
+def _spread_lines(spark: SparkSession, lines: DataFrame) -> DataFrame:
+    """Raw text lines repartitioned to full parallelism — only when the
+    file arrives in fewer splits than cores (one mid-sized ``.nt``/``.nq``
+    file → 1-2 scan partitions, which would run the per-line term-regex
+    parse nearly single-core). At scale inputs come as many splits and
+    this returns the scan untouched: parsing stays shuffle-free."""
+    n = spark.sparkContext.defaultParallelism
+    if lines.rdd.getNumPartitions() >= n:
+        return lines
+    return lines.repartition(n)
+
+
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """N-Triples file → ``triples(s, p, o)`` DataFrame (S7).
 
@@ -196,7 +208,7 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     Parsing is distributed: each line is independent, so we read as text and
     extract with JVM-side regexps — no driver bottleneck at 100 TB.
     """
-    lines = spark.read.text(path)
+    lines = _spread_lines(spark, spark.read.text(path))
     pat = r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"
     df = lines.select(
         F.regexp_extract("value", pat, 1).alias("s_raw"),
@@ -256,7 +268,7 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     outside GRAPH match the default graph, ``GRAPH ?g``/``GRAPH <iri>``
     match the named graphs). Parsing is distributed line-regex, same as
     :func:`read_ntriples`."""
-    lines = spark.read.text(path)
+    lines = _spread_lines(spark, spark.read.text(path))
     pat = (
         r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+"
         r"(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@" + _LANGTAG + r")?)"
