@@ -88,7 +88,10 @@ def _propagate_min_labels(
     improved flag rides through the checkpoint so the convergence test reads
     the materialized result instead of re-running the join.
     """
-    sym = sym.localCheckpoint(eager=True)
+    # pre-partition the loop-invariant edge list on the probe key before
+    # truncating its lineage: every propagation round then exchanges only
+    # the label table, never the (big) edge side.
+    sym = sym.repartition("b").localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
     def _step(lbls: DataFrame) -> DataFrame:
@@ -233,10 +236,15 @@ def pagerank(
     """
     from bio2bel_spark.operators.caching import tracked_persist
 
+    # both loop-invariant sides are persisted PRE-PARTITIONED on their
+    # join key (guide: operations keyed the same way share one exchange):
+    # each round then exchanges only the rank table — the edge list, the
+    # big side at scale, is never re-shuffled inside the loop.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .repartition("node")
         .transform(tracked_persist)
     )
     n = nodes.count()
@@ -244,6 +252,7 @@ def pagerank(
     ed = (
         edges.select(src, dst)
         .join(deg, src)
+        .repartition(src)
         .transform(tracked_persist)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -746,11 +755,14 @@ def k_hop_profile(
     from bio2bel_spark.operators.caching import tracked_persist
 
     a, b = F.col(src), F.col(dst)
+    # persisted PRE-PARTITIONED on the probe key: each hop exchanges only
+    # the frontier, never the (big) symmetric edge list.
     sym = (
         edges.select(a.alias("u"), b.alias("v"))
         .unionAll(edges.select(b.alias("u"), a.alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition("u")
         .transform(tracked_persist)
     )
     seed_col = seeds.columns[0]

@@ -81,9 +81,13 @@ def main() -> int:
             release_cached(spark)
             best = float("inf")
             for _ in range(args.runs):
-                df = qs[name](spark, sf_dir)
+                # construction INSIDE the timer, exactly like bench.py /
+                # bench_floor.py: iterative queries do real work (eager
+                # checkpoints, convergence counts) while building the frame
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                qs[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             release_cached(spark)
             best = round(best, 2)
