@@ -200,6 +200,70 @@ def _spread_lines(spark: SparkSession, lines: DataFrame) -> DataFrame:
     return lines.repartition(n)
 
 
+#: group separator for the one-pass line parse — U+001F cannot appear in a
+#: well-formed IRI and is only LEGALLY raw inside literal bodies, which the
+#: fallback guard below detects per line
+_GSEP = "\x1f"
+
+
+def _grouped_lines(lines: DataFrame, pat: str, n: int) -> tuple:
+    """Parse ``n`` capture groups of anchored ``pat`` with ONE regex
+    execution per line: rewrite the matched line to its groups joined by
+    ``_GSEP``, split, and return ``(projected_lines, [group_cols])`` — vs
+    ``n`` separate ``regexp_extract`` calls, each a full match of the
+    same pattern (the parse is the per-byte cost of the read path, so at
+    100 TB this cuts the regex work n-fold).
+
+    Two shape constraints learned by measurement (round 14):
+
+    - The split array is materialized as its OWN projected column
+      (``__parts``), NOT inlined per group column: ``CollapseProject``
+      refuses to inline a non-cheap alias referenced more than once, so
+      the replace+split runs once per line per operator, while Spark's
+      codegen subexpression elimination would NOT have deduplicated it —
+      it skips everything under a ``CASE WHEN`` branch, and an inlined
+      variant re-ran the full pattern for every downstream reference
+      (2x slower on the .nq path).
+    - The raw-0x1F fallback (legal inside literal bodies, pathological)
+      is a per-GROUP ``regexp_extract`` inside the rare branch of a tiny
+      per-column conditional, so expression trees stay small enough for
+      whole-stage codegen's 64 KB method limit.
+
+    Non-matching lines pass through ``regexp_replace`` unchanged, so
+    group 1 is the raw line and groups 2+ are '' — the callers'
+    ``p_raw != ''`` guard drops them exactly as with ``regexp_extract``.
+    A non-participating optional group renders as '' in the replacement,
+    matching ``regexp_extract``'s '' for the same group."""
+    value = F.col("value")
+    tmpl = _GSEP.join(f"${i}" for i in range(1, n + 1))
+    parts = F.split(F.regexp_replace(value, pat, tmpl), _GSEP)
+    # Always-true monotonically_increasing_id() guard = a PUSHDOWN
+    # BARRIER, not real branching: __parts never depends on it (the id is
+    # nonnegative, so >= -1 always holds), but a non-deterministic
+    # projection field stops Catalyst from (a) collapsing this project
+    # into consumers and (b) pushing consumer predicates below it — both
+    # of which would INLINE the replace+split into every downstream
+    # reference (measured: a SPARQL consumer's plan carried 30 copies,
+    # each a full pattern execution per line). With the barrier the parse
+    # is one regex execution per line, and consumer filters evaluate
+    # against the cheap parsed columns above it. rand()-based guards do
+    # NOT work here: Spark 4's optimizer strips them and re-inlines.
+    projected = lines.select(
+        "value",
+        F.when(
+            F.monotonically_increasing_id() >= F.lit(-1).cast("long"),
+            parts,
+        ).alias("__parts"),
+    )
+    cols = [
+        F.when(
+            value.contains(_GSEP), F.regexp_extract(value, pat, i)
+        ).otherwise(F.try_element_at(F.col("__parts"), F.lit(i)))
+        for i in range(1, n + 1)
+    ]
+    return projected, cols
+
+
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """N-Triples file → ``triples(s, p, o)`` DataFrame (S7).
 
@@ -210,10 +274,9 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """
     lines = _spread_lines(spark, spark.read.text(path))
     pat = r"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"
-    df = lines.select(
-        F.regexp_extract("value", pat, 1).alias("s_raw"),
-        F.regexp_extract("value", pat, 2).alias("p_raw"),
-        F.regexp_extract("value", pat, 3).alias("o_raw"),
+    grouped, (s_raw, p_raw, o_raw) = _grouped_lines(lines, pat, 3)
+    df = grouped.select(
+        s_raw.alias("s_raw"), p_raw.alias("p_raw"), o_raw.alias("o_raw")
     ).filter(F.col("p_raw") != "")
     return df.select(
         _term_col(F.col("s_raw")).alias("s"),
@@ -274,11 +337,10 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
         r"(<[^>]*>|_:\S+|\".*\"(?:\^\^<[^>]*>|@" + _LANGTAG + r")?)"
         r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
     )
-    df = lines.select(
-        F.regexp_extract("value", pat, 1).alias("s_raw"),
-        F.regexp_extract("value", pat, 2).alias("p_raw"),
-        F.regexp_extract("value", pat, 3).alias("o_raw"),
-        F.regexp_extract("value", pat, 4).alias("g_raw"),
+    grouped, (s_raw, p_raw, o_raw, g_raw) = _grouped_lines(lines, pat, 4)
+    df = grouped.select(
+        s_raw.alias("s_raw"), p_raw.alias("p_raw"),
+        o_raw.alias("o_raw"), g_raw.alias("g_raw"),
     ).filter(F.col("p_raw") != "")
     return df.select(
         F.when(F.col("g_raw") == "", F.lit(None)).otherwise(
