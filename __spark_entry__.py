@@ -333,11 +333,10 @@ def q_relation_dispatch(spark, sf_dir):
     dispatch counts per (relation, variant_kind) including the reject path."""
     from bio2bel_spark.sources.intact import relation_table
 
-    # _spread: the per-row dispatch-code projection + broadcast-join probe
-    # otherwise run on the single sf scan partition; no-op at scale.
-    li = _spread(
-        spark, _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    )
+    # no _spread: the dispatch-code projection is cheap arithmetic — the
+    # r14 interleaved A/B read 1.49s with the local round-robin exchange
+    # vs 1.32s without (plans/r14/ab_spread_results.log)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     psi = F.element_at(
         F.array(*[F.lit(c) for c in _DISPATCH_CODES]),
         (F.pmod(F.col("l_orderkey") + F.col("l_partkey"), F.lit(8)) + 1).cast("int"),
@@ -1063,16 +1062,17 @@ def _scale_triples(spark, sf_dir):
         *t(("part://", "p_partkey"), "retailPrice",
            F.col("p_retailprice").cast("string"))
     )
-    # _spread: every pattern's predicate-equality filter pushes BELOW the
-    # repartition into the pruned union branch, so pushdown is preserved;
-    # without it the per-term expression pipelines (serialization, regex
-    # datatype parsing, typed ordering keys) run on the 1-2 partitions the
-    # single-row-group sf parquet scans produce. No-op at scale.
-    return _spread(
-        spark,
+    # no _spread: the plain-triple term pipelines are cheap concat/cast
+    # work — the r14 interleaved A/B showed the local round-robin exchange
+    # LOSES for every `_scale_triples` consumer (sparql_scale_bgp 1.85s →
+    # 1.23s without, scale_builtins 6.0 → 3.8, arith 2.2 → 1.1,
+    # update_graph 2.5 → 1.3; plans/r14/ab_spread_results.log). The
+    # heavy-regex datetime substrate keeps its spread
+    # (`_scale_datetime_triples`), where the A/B goes the other way.
+    return (
         has_part.unionByName(shipped).unionByName(in_brand)
         .unionByName(child_of).unionByName(is_root).unionByName(status)
-        .unionByName(price),
+        .unionByName(price)
     )
 
 
@@ -1577,15 +1577,15 @@ def _scale_typed_triples(spark, sf_dir):
         F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("p"),
         F.lit(ex + "Part").alias("o"),
     )
-    # _spread: see _scale_triples — pattern filters push below the
-    # repartition; parallelizes the typed-term regex pipelines locally,
-    # no-op at scale.
-    return _spread(
-        spark,
+    # no _spread: see _scale_triples — the typed-term pipelines lose with
+    # the local exchange too (distinct_agg 0.85s → 0.61 without,
+    # typed_literals 2.84 → 2.09, bnode_iri 1.10 → 0.79;
+    # plans/r14/ab_spread_results.log)
+    return (
         price.unionByName(size)
         .unionByName(name)
         .unionByName(in_brand)
-        .unionByName(rdf_type),
+        .unionByName(rdf_type)
     )
 
 
@@ -2161,7 +2161,12 @@ def _docs_augmented(spark, sf_dir):
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.upper(F.col("text")).alias("text"),
     )
-    return _spread(spark, docs.unionByName(dups))
+    # no _spread here: most consumers' per-row work is too light to pay for
+    # the local round-robin exchange (dedup_exact 0.63s → 0.30 without,
+    # lsh_fast 1.70 → 0.93, split_leakage 2.02 → 1.34;
+    # plans/r14/ab_spread_results.log). The two consumers the A/B showed
+    # gaining (ngram_jaccard_pairs, lsh_recall) spread at their call site.
+    return docs.unionByName(dups)
 
 
 _AUG_SQL = """
@@ -2611,7 +2616,9 @@ def q_perplexity_maintenance(spark, sf_dir):
         perplexity_histogram_state,
     )
 
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread (r14 A/B: 2.63s with vs 2.23 without — the per-increment
+    # slices are too small to pay for the exchange)
+    docs = _t(spark, sf_dir, "documents")
     # the frozen reference LM is fit ONCE (persisted) and shared by every
     # increment and the final bucketing — the maintainer's cost shape
     model = lm_model(docs, persist=True)
@@ -2764,7 +2771,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (shingle inverted index)."""
     from bio2bel_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs_augmented(spark, sf_dir), threshold=0.5)
+    # _spread: the shingle md5 pipeline is heavy enough to want all cores
+    # (r14 A/B: 1.35s spread vs 1.80 without)
+    return ngram_jaccard_pairs(
+        _spread(spark, _docs_augmented(spark, sf_dir)), threshold=0.5
+    )
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -2779,7 +2790,10 @@ def _docs_multiline(spark, sf_dir):
     """documents wrapped with deterministic boilerplate lines: a shared promo
     header on every doc and a footer shared by the even half — the input a
     C4-style line-dedup stage expects."""
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: line-splitting consumers lose with the local exchange
+    # (line_dedup 1.06s → 0.67 without, training_pipeline 1.52 → 1.16;
+    # plans/r14/ab_spread_results.log)
+    d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.concat_ws(
@@ -3281,7 +3295,7 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    assigned = ivf_assign(_spread(spark, emb), n_clusters=8)
+    assigned = ivf_assign(emb, n_clusters=8)  # r14 A/B: 0.92s → 0.77 unspread
     # centroids stay a DataFrame end-to-end: ranking happens via the same
     # cosine column expr (no Python loop; the window is over 8 rows)
     cents = (
@@ -3485,10 +3499,9 @@ def q_image_phash_pairs(spark, sf_dir):
         image_near_pairs,
     )
 
-    # _spread BEFORE raster synthesis (see q_image_features); no-op at scale.
-    docs = _spread(
-        spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    )
+    # no _spread: the %10 slice is small enough that the exchange loses
+    # (r14 A/B: 1.09s with vs 0.59 without)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     media = image_from_documents(docs)
     twins = image_from_documents(
         docs.filter(F.col("doc_id") % 50 == 0)
@@ -3537,10 +3550,9 @@ def q_png_phash_pairs(spark, sf_dir):
         png_from_documents,
     )
 
-    docs = _spread(
-        spark,
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
-    )
+    # no _spread: unlike png_features this touches only the %10 slice twice
+    # and the exchange loses (r14 A/B: 0.66s with vs 0.41 without)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     media = png_from_documents(docs)
     twins = png_from_documents(
         docs.filter(F.col("doc_id") % 50 == 0)
@@ -3857,9 +3869,9 @@ def q_kmv_grouped(spark, sf_dir):
         kmv_state_grouped,
     )
 
-    # _spread: per-row md5 hashing on the single sf scan partition
-    # otherwise; no-op at scale.
-    ev = _spread(spark, _t(spark, sf_dir, "events"))
+    # no _spread: events is tiny and the exchange dominates (r14 A/B:
+    # 0.47s with vs 0.24 without)
+    ev = _t(spark, sf_dir, "events")
     st = kmv_state_grouped(ev, "user_id", "event_type", k=64)
     return kmv_estimate_grouped(st, "event_type", k=64)
 
@@ -3871,11 +3883,10 @@ def q_bloom_decontaminate(spark, sf_dir):
     flagged/total counts."""
     from bio2bel_spark.operators.sketch import bloom_probe, bloom_state
 
-    # _spread: the md5-over-full-text probe is the per-row cost and the sf
-    # parquet scans as 1 partition; no-op at scale. Backend stays md5 —
+    # no _spread (r14 A/B: 1.16s with vs 1.04 without). Backend stays md5 —
     # the flag column IS the result here and the DuckDB oracle replays the
     # md5 bit positions exactly.
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
     state = bloom_state(bench, "text", m=1 << 16, k=4)
     probed = bloom_probe(
@@ -3897,10 +3908,8 @@ def q_kmv_distinct(spark, sf_dir):
     SQL — the portable HLL below fixes that with an md5-based register)."""
     from bio2bel_spark.operators.sketch import kmv_distinct
 
-    # _spread: per-row md5 hashing; no-op at scale.
-    return kmv_distinct(
-        _spread(spark, _t(spark, sf_dir, "lineitem")), "l_partkey", k=256
-    )
+    # no _spread (r14 A/B: 0.92s with vs 0.66 without)
+    return kmv_distinct(_t(spark, sf_dir, "lineitem"), "l_partkey", k=256)
 
 
 def q_hll_distinct(spark, sf_dir):
@@ -4109,7 +4118,8 @@ def q_zipf_fit(spark, sf_dir):
     'is this even language' gate (slope near -1 for natural text)."""
     from bio2bel_spark.operators.textquality import zipf_fit
 
-    return zipf_fit(_spread(spark, _t(spark, sf_dir, "documents")), top_n=300)
+    # no _spread (r14 A/B: 0.35s with vs 0.28 without)
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=300)
 
 
 def q_psi_drift(spark, sf_dir):
@@ -4117,9 +4127,9 @@ def q_psi_drift(spark, sf_dir):
     baseline-decile bins — the corpus/feature drift monitor."""
     from bio2bel_spark.operators.stats import psi_report
 
-    # _spread: the decile partial-aggregation and bin-assignment otherwise
-    # run on the single sf scan partition; no-op at scale.
-    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
+    # no _spread: bin assignment is cheap arithmetic (r14 A/B: 2.46s with
+    # vs 1.45 without)
+    li = _t(spark, sf_dir, "lineitem")
     cut = F.lit("1996-01-01").cast("timestamp")
     base = li.where(F.col("l_shipdate") < cut).select(
         F.col("l_extendedprice").alias("v")
@@ -4182,8 +4192,12 @@ def q_lsh_recall(spark, sf_dir):
     exact-truth side is the expensive part)."""
     from bio2bel_spark.operators.dedup import lsh_recall_report
 
+    # _spread: the exact-truth shingle side wants all cores (r14 A/B:
+    # 3.67s spread vs 4.84 without)
     return lsh_recall_report(
-        _docs_augmented(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+        _spread(
+            spark, _docs_augmented(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+        )
     )
 
 
@@ -4245,7 +4259,8 @@ def q_srp_near_pairs(spark, sf_dir):
     pigeonhole)."""
     from bio2bel_spark.operators.similarity import srp_near_pairs
 
-    emb = _spread(spark, _emb_augmented(spark, sf_dir))
+    # no _spread (r14 A/B: 1.56s with vs 1.00 without)
+    emb = _emb_augmented(spark, sf_dir)
     return srp_near_pairs(emb, bits=32, dim=64, seed=13, max_hamming=3)
 
 
@@ -4287,7 +4302,9 @@ def q_bm25_search(spark, sf_dir):
     keyword-search complement of the ANN tier; postings-only shuffle."""
     from bio2bel_spark.operators.textquality import bm25_scores
 
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread (r14 A/B: 1.75s with vs 0.75 without — postings-only
+    # shuffle; the tokenize projection is cheap)
+    docs = _t(spark, sf_dir, "documents")
     return bm25_scores(docs, ["fast", "join", "spark"])
 
 
@@ -4321,7 +4338,9 @@ def q_compression_ratio(spark, sf_dir):
     twin — zlib is not expressible in DuckDB, exactness unit-tested)."""
     from bio2bel_spark.operators.cleaning import compression_ratio
 
-    return compression_ratio(_spread(spark, _t(spark, sf_dir, "documents")))
+    # no _spread (r14 A/B: 0.79s with vs 0.45 without — Arrow batching
+    # amortizes the zlib cost below the exchange price locally)
+    return compression_ratio(_t(spark, sf_dir, "documents"))
 
 
 def q_cooccurrence_pmi(spark, sf_dir):
@@ -4329,7 +4348,8 @@ def q_cooccurrence_pmi(spark, sf_dir):
     linear pair generation (bounded probe explode + equi-join back)."""
     from bio2bel_spark.operators.textquality import cooccurrence_pmi
 
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread (r14 A/B: 1.13s with vs 0.84 without)
+    docs = _t(spark, sf_dir, "documents")
     return cooccurrence_pmi(docs, window=3, min_count=5)
 
 
@@ -4431,7 +4451,8 @@ def q_hard_negative_samples(spark, sf_dir):
     own IVF cluster — semantically close, no RNG, map-only assignment."""
     from bio2bel_spark.operators.similarity import hard_negative_samples
 
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    # no _spread (r14 A/B: 1.29s with vs 1.16 without)
+    emb = _t(spark, sf_dir, "embeddings")
     return hard_negative_samples(emb, n_clusters=8, k=2, seed=11)
 
 
@@ -4605,14 +4626,12 @@ def q_fuzzy_join(spark, sf_dir):
     The scalable form of the reference's string-at-a-time grounding."""
     from bio2bel_spark.operators.dedup import fuzzy_join
 
+    # no _spread on either side (r14 A/B: 1.41s with vs 0.81 without)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    left = _spread(spark, docs)
-    right = _spread(
-        spark,
-        docs.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 50000).alias("doc_id"),
-            F.upper(F.col("text")).alias("text"),
-        ),
+    left = docs
+    right = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
     )
     return fuzzy_join(left, right, threshold=0.5)
 
@@ -4623,14 +4642,14 @@ def q_decontaminate(spark, sf_dir):
     left-anti)."""
     from bio2bel_spark.operators.dedup import decontaminate
 
+    # no _spread on either side (r14 A/B: 0.87s with vs 0.76 without)
     docs = _t(spark, sf_dir, "documents")
-    corpus = _spread(spark, docs.select("doc_id", "source", "text"))
-    bench = _spread(
-        spark,
+    corpus = docs.select("doc_id", "source", "text")
+    bench = (
         docs.filter(F.col("doc_id") % 7 == 0).select(
             (F.col("doc_id") + 50000).alias("doc_id"),
             F.upper(F.col("text")).alias("text"),
-        ),
+        )
     )
     clean, _hits = decontaminate(corpus, bench, threshold=0.5)
     return clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
@@ -4750,7 +4769,8 @@ def q_vocab_divergence(spark, sf_dir):
     each slice's unigram distribution against the whole corpus."""
     from bio2bel_spark.operators.textquality import vocab_divergence
 
-    return vocab_divergence(_spread(spark, _t(spark, sf_dir, "documents")), by="source")
+    # no _spread (r14 A/B: 0.75s with vs 0.55 without)
+    return vocab_divergence(_t(spark, sf_dir, "documents"), by="source")
 
 
 def q_oov_rate(spark, sf_dir):
@@ -5069,12 +5089,9 @@ def q_hilbert_layout(spark, sf_dir):
     the reflect/rotate fold (any level wrong moves rows across buckets)."""
     from bio2bel_spark.operators.layout import hilbert_layout
 
-    # _spread: per-row normalization, the broadcast-join probe and the
-    # range-partition sampling pass otherwise run on the single partition
-    # the sf lineitem scan produces; no-op at scale.
-    li = _spread(
-        spark, _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    )
+    # no _spread: the fold is cheap bit arithmetic (r14 A/B: 2.89s with vs
+    # 2.49 without)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     h = hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=8)
     return (
         h.groupBy(F.shiftrightunsigned(F.col("__h"), 8).alias("bucket"))
@@ -5099,12 +5116,10 @@ def q_hilbert_layout_3d(spark, sf_dir):
     CTEs."""
     from bio2bel_spark.operators.layout import hilbert_layout
 
-    # _spread: same rationale as q_hilbert_layout.
-    li = _spread(
-        spark,
-        _t(spark, sf_dir, "lineitem").select(
-            "l_partkey", "l_suppkey", "l_quantity"
-        ),
+    # no _spread: same A/B direction as q_hilbert_layout (3.54s with vs
+    # 3.10 without)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
     )
     h = hilbert_layout(
         li, ["l_partkey", "l_suppkey", "l_quantity"], bits=5
