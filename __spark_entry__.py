@@ -4788,7 +4788,9 @@ def q_zorder(spark, sf_dir):
     from bio2bel_spark.operators.layout import zorder_layout
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    z = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8)
+    # partition=False: the probe aggregates the codes — the range exchange
+    # (plus its sampling recompute of the child) would be pure overhead
+    z = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8, partition=False)
     return (
         z.groupBy(F.shiftrightunsigned(F.col("__z"), 8).alias("bucket"))
         .agg(
@@ -5092,7 +5094,8 @@ def q_hilbert_layout(spark, sf_dir):
     # no _spread: the fold is cheap bit arithmetic (r14 A/B: 2.89s with vs
     # 2.49 without)
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    h = hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=8)
+    # partition=False: see q_zorder (3.0 s -> 2.26 s at sf0.1)
+    h = hilbert_layout(li, ["l_partkey", "l_suppkey"], bits=8, partition=False)
     return (
         h.groupBy(F.shiftrightunsigned(F.col("__h"), 8).alias("bucket"))
         .agg(
@@ -5121,8 +5124,9 @@ def q_hilbert_layout_3d(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
+    # partition=False: see q_zorder
     h = hilbert_layout(
-        li, ["l_partkey", "l_suppkey", "l_quantity"], bits=5
+        li, ["l_partkey", "l_suppkey", "l_quantity"], bits=5, partition=False
     )
     return (
         h.groupBy(F.shiftrightunsigned(F.col("__h"), 7).alias("bucket"))

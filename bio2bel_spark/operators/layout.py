@@ -99,6 +99,7 @@ def zorder_layout(
     bits: int = 8,
     n_partitions: int | None = None,
     out_col: str = "__z",
+    partition: bool = True,
 ) -> DataFrame:
     """Return ``df`` with a Morton code column, range-partitioned by it —
     write the result out to get Z-clustered files whose per-file min/max
@@ -111,6 +112,12 @@ def zorder_layout(
     """
     norm = _minmax_normalized(df, cols, bits)
     out = df.withColumn(out_col, zorder_value(norm, bits=bits))
+    if not partition:
+        # curve column only, no range exchange: for consumers that
+        # aggregate/audit the codes rather than write clustered files, the
+        # range partitioner would add a sampling pass (recomputing the
+        # child) plus a full-table shuffle for zero result effect
+        return out
     if n_partitions:
         return out.repartitionByRange(n_partitions, F.col(out_col))
     return out.repartitionByRange(F.col(out_col))
@@ -229,6 +236,7 @@ def hilbert_layout(
     bits: int = 8,
     n_partitions: int | None = None,
     out_col: str = "__h",
+    partition: bool = True,
 ) -> DataFrame:
     """:func:`zorder_layout`'s Hilbert twin, any arity >= 2: normalize the
     columns to ``bits``-bit integers, attach the Hilbert index, and
@@ -265,6 +273,12 @@ def hilbert_layout(
     for nv, cc in zip(norms, cell_cols):
         out = out.withColumn(cc, nv)
     out = out.join(F.broadcast(cells), cell_cols).drop(*cell_cols)
+    if not partition:
+        # see zorder_layout: skip the range exchange (and its sampling
+        # pass over the scan+join child) when the caller only consumes
+        # the curve codes — measured 3.0 s -> 2.26 s at sf0.1, identical
+        # rows either way
+        return out
     if n_partitions:
         return out.repartitionByRange(n_partitions, F.col(out_col))
     return out.repartitionByRange(F.col(out_col))

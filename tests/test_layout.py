@@ -261,3 +261,20 @@ def test_hilbert_layout_3d_prunes_all_dims(spark):
     )
     # a single-column sort would leave two dims at full span (n-1)
     assert spans.ax < n * 0.75 and spans.ay < n * 0.75 and spans.az < n * 0.75
+
+
+def test_layout_partition_false_same_rows_no_range_exchange(spark):
+    """partition=False must return the exact same rows (codes included) as
+    the partitioned form, with no RangePartitioning exchange in the plan."""
+    from bio2bel_spark.operators.layout import hilbert_layout, zorder_layout
+
+    rows = [(x, y) for x in range(0, 40, 3) for y in range(0, 40, 7)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    for fn, col in ((zorder_layout, "__z"), (hilbert_layout, "__h")):
+        part = fn(df, ["a", "b"], bits=5)
+        flat = fn(df, ["a", "b"], bits=5, partition=False)
+        assert flat.exceptAll(part).count() == 0
+        assert part.exceptAll(flat).count() == 0
+        plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower()
+        assert col in flat.columns
