@@ -495,15 +495,26 @@ def q_k_core(spark, sf_dir):
     iterative peeling to the unique fixpoint; (node, core degree)."""
     from bio2bel_spark.operators.graph import k_core
 
-    m = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
-        )
-        .distinct()
+    # peel on LONG node ids (o -> 2*key, p -> 2*key+1) and rebuild the
+    # "o:"/"p:" strings only on the k-core result: every shuffle inside the
+    # peel loop (degree agg, anti-joins, per-round checkpoints) then moves
+    # 8-byte longs instead of variable-width strings, and the input distinct
+    # is left to k_core's own canonicalize+distinct (one exchange, not two).
+    # Bijective encoding, so the peeled node set and degrees are identical.
+    m = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey").cast("long") * 2).alias("src"),
+        (F.col("l_partkey").cast("long") * 2 + 1).alias("dst"),
     )
-    return k_core(m, k=_KCORE_K)
+    core = k_core(m, k=_KCORE_K)
+    return core.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("o:"), (F.col("node") / 2).cast("long")),
+        )
+        .otherwise(F.concat(F.lit("p:"), ((F.col("node") - 1) / 2).cast("long")))
+        .alias("node"),
+        "degree",
+    )
 
 
 def _k_core_sql(k: int = _KCORE_K, rounds: int = 12) -> str:

@@ -653,10 +653,16 @@ def k_core(
         )
 
     def _peel(e: DataFrame) -> DataFrame:
-        keep = _deg(e).filter(F.col("d") >= k).select("n")
+        # anti-join on the SUB-k node set, not semi-join on the survivors:
+        # after the first round only a thin fringe peels away each pass, so
+        # the join's built side is the small (often broadcastable) dropped
+        # set instead of the nearly-full surviving node set — AQE picks the
+        # strategy from the actual size either way, but only this
+        # orientation ever gets a broadcast on a big graph.
+        drop = _deg(e).filter(F.col("d") < k).select("n")
         return e.join(
-            keep.withColumnRenamed("n", "u"), "u", "left_semi"
-        ).join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            drop.withColumnRenamed("n", "u"), "u", "left_anti"
+        ).join(drop.withColumnRenamed("n", "v"), "v", "left_anti")
 
     # two peel rounds per convergence barrier (same trade as
     # _propagate_min_labels): the count() is the dominant per-round cost

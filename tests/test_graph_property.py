@@ -116,6 +116,16 @@ def test_k_core_peels_chain_keeps_clique(spark):
     assert got == {0: 2, 1: 2, 2: 2}
 
 
+def test_k_core_cascades_to_empty(spark):
+    """A chain fully unravels under k=2 — the anti-join peel's extreme
+    case where the 'dropped' side grows to the whole node set."""
+    from bio2bel_spark.operators.graph import k_core
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    assert k_core(df, k=2).count() == 0
+
+
 def _k_hop_model(edges, seeds, max_hops):
     adj: dict = {}
     for a, b in edges:
