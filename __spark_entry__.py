@@ -2929,14 +2929,20 @@ def q_curation_pipeline_v2(spark, sf_dir):
 
     # 1. contamination scan: drop training docs that heavily overlap bench
     cont = ngram_contamination(docs, bench, n=8)
+    # pin the TINY contaminated-id list before the anti-join: the optimizer
+    # pushes LeftAnti below the augmented corpus's union, so without the pin
+    # each union branch builds its own broadcast of the whole 8-gram md5
+    # contamination sweep — the sweep runs once per branch (r14 stage
+    # profile: two ~7s broadcast-build stages for one logical sweep)
+    cont_ids = (
+        cont.where(F.col("hit_frac") >= 0.5).select("doc_id")
+    ).transform(tracked_persist)
     # the gated corpus feeds FOUR consumers (split projection, LSH
     # banding, verify shingles, the train assembly) — without persistence
     # each one would re-run the 8-gram md5 contamination sweep
-    clean = docs.join(
-        cont.where(F.col("hit_frac") >= 0.5).select("doc_id"),
-        "doc_id",
-        "left_anti",
-    ).transform(tracked_persist)
+    clean = docs.join(cont_ids, "doc_id", "left_anti").transform(
+        tracked_persist
+    )
     # 2. split-leakage gate: cross-split verified near-dups poison eval,
     # so the TRAIN side of each leaky pair drops
     splits = clean.select(

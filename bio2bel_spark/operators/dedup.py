@@ -1137,11 +1137,17 @@ def ngram_contamination(
 
     # n_grams comes from counting the exploded rows (the grams are distinct
     # already), NOT from a second size(__hs) reference — a sibling reference
-    # would make projection collapse re-evaluate the md5 gram pipeline twice
-    tr = grams(train, True).select(id_col, F.explode("__hs").alias("__h"))
+    # would make projection collapse re-evaluate the md5 gram pipeline twice.
+    # explode_OUTER, not explode: plain explode makes the optimizer infer a
+    # `size(__hs) > 0` filter and push it below the projection (and below any
+    # repartition), re-inlining the ENTIRE md5 gram pipeline into a Filter —
+    # the corpus pays the gram hash twice, once of them before the data is
+    # spread across tasks. The `__ng >= 1` guard already proves __hs is
+    # non-null and non-empty, so outer explode emits the identical row set.
+    tr = grams(train, True).select(id_col, F.explode_outer("__hs").alias("__h"))
     be = (
         grams(bench, False)
-        .select(F.explode("__hs").alias("__h"))
+        .select(F.explode_outer("__hs").alias("__h"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

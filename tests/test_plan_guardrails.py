@@ -55,6 +55,30 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
             assert node not in plan, f"{name}: {node} in plan"
 
 
+def test_ngram_contamination_hashes_grams_once_per_side(spark, sf_dir):
+    """The gram md5 pipeline must appear exactly once per side (train +
+    bench) in the physical plan. A plain ``explode`` lets the optimizer
+    infer a ``size(__hs) > 0`` filter and push it below the projection,
+    re-inlining the ENTIRE md5 gram pipeline into a Filter — the corpus
+    pays the gram hash twice, part of it on the pre-repartition partition
+    layout (measured 4.9s → 1.4s at sf0.1 when removed)."""
+    from bio2bel_spark.operators.dedup import ngram_contamination
+    from bio2bel_spark.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0)
+    plan = (
+        ngram_contamination(docs, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("md5(") == 2, (
+        "gram hash pipeline duplicated (inferred-filter pushdown?):"
+        f" {plan.count('md5(')} md5 sites"
+    )
+
+
 def test_asof_join_is_single_shuffle(spark, sf_dir):
     """The union-sort as-of join must cost exactly one exchange for the
     union'd stream (plus nothing quadratic) — the property that makes it
