@@ -420,7 +420,10 @@ class KnowledgeGraph:
             new = step.join(reached, "node", "left_anti").localCheckpoint(eager=True)
             if new.limit(1).count() == 0:
                 break
-            reached = reached.union(new).localCheckpoint(eager=True)
+            # both sides already checkpointed: keep the reached set a flat
+            # union of pinned per-round deltas instead of re-materializing
+            # the whole accumulated set every round
+            reached = reached.union(new)
             frontier = new
         return reached
 
@@ -794,7 +797,8 @@ def k_hop_profile(
                 F.count(F.lit(1)).alias("n_new_nodes"),
             )
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # flat union of pinned deltas — see descendants()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     if not out:
         return seeds.sparkSession.createDataFrame(

@@ -2000,7 +2000,11 @@ def _pair_closure(rel: DataFrame, max_depth: int) -> DataFrame:
         )
         if new.limit(1).count() == 0:
             return paths
-        paths = paths.union(new).localCheckpoint(eager=True)
+        # union of two ALREADY-checkpointed frames: no re-checkpoint — the
+        # plan stays a flat union of O(rounds) checkpointed leaves, and the
+        # per-round materialization job (a full copy of the growing closure)
+        # is saved. The delta (`new`) is what must be pinned, and is.
+        paths = paths.union(new)
     # one more probe round decides converged-exactly-at-the-bound vs not
     _closure_stats["pair_rounds"] += 1
     final = _compose(paths).join(paths, ["__ps", "__po"], "left_anti")
@@ -2049,7 +2053,10 @@ def _closure_from(rel: DataFrame, start: str, max_depth: int) -> DataFrame:
             return reached.select(
                 F.lit(start).alias("__ps"), F.col("__n").alias("__po")
             )
-        reached = reached.union(new).localCheckpoint(eager=True)
+        # no re-checkpoint of the union: both sides are checkpointed, so
+        # the accumulated reached set stays a flat union of O(depth)
+        # pinned deltas (saves one materialization job per BFS round)
+        reached = reached.union(new)
         frontier = new
     final = (
         frontier.join(
@@ -2098,7 +2105,8 @@ def _closure_from_multi(
         )
         if new.limit(1).count() == 0:
             return reached.select("__ps", F.col("__n").alias("__po"))
-        reached = reached.union(new).localCheckpoint(eager=True)
+        # flat union of pinned deltas — see _closure_from
+        reached = reached.union(new)
         frontier = new
     final = (
         frontier.join(
