@@ -411,11 +411,15 @@ def q_pagerank(spark, sf_dir):
     6dp round carries signal."""
     from bio2bel_spark.operators.graph import pagerank
 
+    # bipartite ids ride as LONGS (order 2k, part 2k+1) through all ten
+    # power-iteration shuffles — 8-byte keys instead of 'o:<id>' strings
+    # (guide §2.3 narrower types; same trick as the k_core peel). The
+    # string node labels are rebuilt only on the final rank table.
     m = (
         _t(spark, sf_dir, "lineitem")
         .select(
-            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("a"),
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("b"),
+            (F.col("l_orderkey") * 2).alias("a"),
+            (F.col("l_partkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
@@ -424,8 +428,14 @@ def q_pagerank(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     n = F.lit(pr.count())
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("CAST(node DIV 2 AS STRING)")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("CAST(node DIV 2 AS STRING)"))
+    )
     return pr.select(
-        "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
+        node_str.alias("node"), F.round(F.col("rank") * n, 6).alias("rank_scaled")
     )
 
 
@@ -478,16 +488,24 @@ def q_k_hop_profile(spark, sf_dir):
     three part nodes) — the expansion-rate feature for sampling curricula."""
     from bio2bel_spark.operators.graph import k_hop_profile
 
+    # long-encoded bipartite ids (order 2k, part 2k+1) through the 3 BFS
+    # hops — 8-byte keys in every frontier shuffle instead of 'o:<id>'
+    # strings; seed labels are rebuilt on the tiny 9-row result
     m = (
         _t(spark, sf_dir, "lineitem")
         .select(
-            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
-            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    seeds = spark.createDataFrame([("p:1",), ("p:2",), ("p:3",)], "seed string")
-    return k_hop_profile(m, seeds, max_hops=3)
+    seeds = spark.createDataFrame([(3,), (5,), (7,)], "seed long")
+    prof = k_hop_profile(m, seeds, max_hops=3)
+    return prof.select(
+        F.concat(F.lit("p:"), F.expr("CAST(seed DIV 2 AS STRING)")).alias("seed"),
+        "hop",
+        "n_new_nodes",
+    )
 
 
 def q_k_core(spark, sf_dir):
