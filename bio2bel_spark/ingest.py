@@ -189,15 +189,21 @@ def read_obo(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------- N-Triples (S7)
 
 def _spread_lines(spark: SparkSession, lines: DataFrame) -> DataFrame:
-    """Raw text lines repartitioned to full parallelism — only when the
-    file arrives in fewer splits than cores (one mid-sized ``.nt``/``.nq``
-    file → 1-2 scan partitions, which would run the per-line term-regex
-    parse nearly single-core). At scale inputs come as many splits and
-    this returns the scan untouched: parsing stays shuffle-free."""
-    n = spark.sparkContext.defaultParallelism
-    if lines.rdd.getNumPartitions() >= n:
-        return lines
-    return lines.repartition(n)
+    """Raw text lines, UNSPREAD (identity). A round-11 version
+    repartitioned a partition-deficient file scan to full parallelism so
+    the then per-group regex parse (3-4 full-pattern executions per
+    line) would not run nearly single-core. The round-14 one-pass parse
+    (:func:`_grouped_lines`: ONE regexp_replace+split per line) cut the
+    per-line CPU below what a keyless round-robin exchange of the raw
+    lines costs — every keyless ``repartition(n)`` also pays a local
+    sort of its input (sortBeforeRepartition) — and each BGP self-join
+    side shuffled the whole file again. Interleaved same-session A/B
+    (3 rounds, quiet host): ``sparql_ntriples_file`` no-spread wins every
+    round (5.96 vs 21.25, 3.24 vs 5.58, 3.61 vs 4.21 s), same for
+    ``sparql_nquads_file`` (3.30 vs 5.32, 2.74 vs 3.00 s). At production
+    scale the file arrives as many splits and parse parallelism comes
+    from the splits themselves — the exchange was always local-only."""
+    return lines
 
 
 #: group separator for the one-pass line parse — U+001F cannot appear in a
