@@ -651,9 +651,17 @@ def simhash(col, bits: int = 32, token_sep: str = " ", backend: str = "md5") -> 
     """
     col = F.col(col) if isinstance(col, str) else col
     hashes = F.transform(F.split(normalize_text(col), token_sep), _hasher(backend))
-    # bit j of h = (h div 2^j) mod 2 — shiftright/shiftleft take only literal
-    # shift amounts, so shifts by a lambda-bound column use arithmetic
-    pow2 = lambda j: F.pow(F.lit(2.0), j).cast("long")  # noqa: E731
+    # bit j of h = (h >>> j) & 1. The python wrappers for shiftleft /
+    # shiftrightunsigned only accept literal shift amounts, but the
+    # underlying Catalyst expressions are plain binary ops — call_function
+    # reaches them with a lambda-bound column shift, replacing the old
+    # pow(2.0, j) double-exponentiation + double-division per token per bit.
+    sru = lambda h, j: F.call_function(  # noqa: E731
+        "shiftrightunsigned", h.cast("long"), j.cast("int")
+    )
+    shl1 = lambda j: F.call_function(  # noqa: E731
+        "shiftleft", F.lit(1).cast("long"), j.cast("int")
+    )
     idx = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.aggregate(
         hashes,
@@ -661,12 +669,16 @@ def simhash(col, bits: int = 32, token_sep: str = " ", backend: str = "md5") -> 
         lambda acc, h: F.zip_with(
             acc,
             idx,
-            lambda c, j: c
-            + F.when((h.cast("long") / pow2(j)).cast("long") % 2 == 1, 1).otherwise(-1),
+            # +1 when bit set, -1 when clear: c + 2*bit - 1, branch-free
+            lambda c, j: c - 1 + 2 * (sru(h, j) % 2),
         ),
     )
     return F.aggregate(
-        F.zip_with(counts, idx, lambda c, j: F.when(c > 0, pow2(j)).otherwise(0)),
+        F.zip_with(
+            counts,
+            idx,
+            lambda c, j: F.when(c > 0, shl1(j)).otherwise(F.lit(0).cast("long")),
+        ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

@@ -133,8 +133,9 @@ def hilbert_value(x: Column, y: Column, bits: int = 8) -> Column:
     §16) expressed as ONE ``aggregate`` fold over the level sequence
     carrying ``(x, y, d)`` — state evaluates once per level, so the
     expression stays linear in ``bits`` (an unrolled column expression
-    would triple per level). Shift-by-column is unavailable in codegen,
-    so bit tests use division arithmetic like the simhash operator.
+    would triple per level). Bit tests use integer shifts by the bound
+    level column via ``call_function`` (the python shift wrappers only
+    accept literal amounts; the Catalyst expressions do not care).
     """
     levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
     init = F.struct(
@@ -146,9 +147,13 @@ def hilbert_value(x: Column, y: Column, bits: int = 8) -> Column:
     full = F.lit((1 << bits) - 1).cast("long")  # reflection uses the FULL grid
 
     def step(acc, i):
-        s = F.pow(F.lit(2.0), i).cast("long")
-        rx = (acc["x"] / s).cast("long") % 2
-        ry = (acc["y"] / s).cast("long") % 2
+        # s = 1 << i; bit tests via integer shifts (the python shiftleft /
+        # shiftrightunsigned wrappers only take literal shift amounts, but
+        # call_function reaches the Catalyst binary expressions with the
+        # lambda-bound level column — no pow/double-division per level)
+        s = F.call_function("shiftleft", F.lit(1).cast("long"), i.cast("int"))
+        rx = F.call_function("shiftrightunsigned", acc["x"], i.cast("int")) % 2
+        ry = F.call_function("shiftrightunsigned", acc["y"], i.cast("int")) % 2
         d = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
         refl = rx == 1
         xr = F.when(refl, full - acc["x"]).otherwise(acc["x"])
@@ -174,8 +179,8 @@ def hilbert_value_nd(cols: Sequence[Column], bits: int = 8) -> Column:
     level sequence carrying the d coordinates as a struct (state evaluates
     once per level); the dimension loop, Gray chain, and interleave are
     Python-unrolled over the fold's BOUND accumulator variable, so nothing
-    re-evaluates per term. Bit tests inside the fold use division
-    arithmetic (shift-by-column is unavailable in codegen). Note the
+    re-evaluates per term. Bit tests inside the fold use integer shifts by
+    the bound level column (``call_function``, as in 2-D). Note the
     d = 2 orientation differs from :func:`hilbert_value` (both are true
     Hilbert curves; locality properties are identical).
 
@@ -192,11 +197,16 @@ def hilbert_value_nd(cols: Sequence[Column], bits: int = 8) -> Column:
     )
 
     def step(acc, q):
-        big_q = F.pow(F.lit(2.0), q).cast("long")
+        # 1 << q and bit tests via integer shifts (see hilbert_value)
+        big_q = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), q.cast("int")
+        )
         p = big_q - 1
         xs = [acc[f"x{i}"] for i in range(n)]
         for i in range(n):
-            hi_bit = ((xs[i] / big_q).cast("long") % 2) == 1
+            hi_bit = (
+                F.call_function("shiftrightunsigned", xs[i], q.cast("int")) % 2
+            ) == 1
             if i == 0:
                 # t = (x0 ^ x0) & p = 0: the else-branch is a no-op
                 xs[0] = F.when(hi_bit, xs[0].bitwiseXOR(p)).otherwise(xs[0])

@@ -1,5 +1,5 @@
-"""Round-14 optimization profiler: for each named query, capture
-``.explain("formatted")`` to ``plans/r14/<query>_<tag>.txt`` and time the
+"""Optimization profiler: for each named query, capture
+``.explain("formatted")`` to ``plans/<round>/<query>_<tag>.txt`` and time the
 noop-sink execution (min of N runs) at $SPARK_GRAFT_SF_DIR.
 
 Usage:
@@ -28,6 +28,7 @@ sys.path.insert(0, HERE)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", dest="round_dir", default="r15")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--no-time", action="store_true")
@@ -53,7 +54,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    outdir = os.path.join(HERE, "plans", "r14")
+    outdir = os.path.join(HERE, "plans", args.round_dir)
     os.makedirs(outdir, exist_ok=True)
 
     results = {}
