@@ -1237,10 +1237,16 @@ def q_sparql_ntriples_file(spark, sf_dir):
     counts; the oracle replays the counts from the parquet the file was
     derived from, so the file layer must be lossless to hash-match."""
     from bio2bel_spark.ingest import read_ntriples
+    from bio2bel_spark.operators.caching import tracked_persist
     from bio2bel_spark.sparql import sparql_select
 
+    # pin the PARSED triple table so the two BGP patterns share ONE text
+    # scan + line parse (un-pinned, each self-join side re-reads and
+    # re-parses the whole file — 2 full parses for 2 patterns, N for N)
     return sparql_select(
-        read_ntriples(spark, _ntriples_file(spark, sf_dir)),
+        read_ntriples(spark, _ntriples_file(spark, sf_dir)).transform(
+            tracked_persist
+        ),
         """PREFIX ex: <http://ex.org/>
            SELECT ?brand (COUNT(?part) AS ?n) WHERE {
                ?part ex:inBrand ?brand .
@@ -1425,10 +1431,15 @@ def q_sparql_nquads_file(spark, sf_dir):
     rows and breaks the hash). The oracle replays every predicate
     family's count from the parquet the file was derived from."""
     from bio2bel_spark.ingest import read_nquads
+    from bio2bel_spark.operators.caching import tracked_persist
     from bio2bel_spark.sparql import sparql_select
 
+    # pin the PARSED quad table: the two UNION branches otherwise each
+    # re-read and re-parse the whole .nq file (see q_sparql_ntriples_file)
     return sparql_select(
-        read_nquads(spark, _nquads_file(spark, sf_dir)),
+        read_nquads(spark, _nquads_file(spark, sf_dir)).transform(
+            tracked_persist
+        ),
         """PREFIX ex: <http://ex.org/>
            SELECT ?g ?p (COUNT(?s) AS ?n) WHERE {
                { GRAPH ?g { ?s ?p ?o } }

@@ -149,25 +149,30 @@ def min_label_components(
     the label (vs. a hash) makes the component id meaningful — for dedup it
     IS the surviving doc id.
 
-    Adaptive tier (the AQE-style runtime pivot): the pair list is
-    materialized once anyway (the symmetrize union reads it twice), so its
-    size is known before choosing a strategy. At or below
+    Adaptive tier (the AQE-style runtime pivot): a bounded
+    ``limit(threshold+1)`` collect probes the pair-list size. At or below
     ``driver_threshold`` pairs the transfer is bounded (≲ a few MB) and
     latency dominates data — a driver union-find resolves the components
     in ONE collect instead of per-iteration shuffle rounds (dedup batches:
-    dozens of verified pairs, ~2 s of pure job latency saved per call).
-    Above it the distributed min-label propagation runs as before; both
+    dozens of verified pairs, ~2 s of pure job latency saved per call),
+    and that probe is the only execution of the upstream pipeline. Above
+    it the pair list is checkpointed once (the symmetrize union reads it
+    twice) and the distributed min-label propagation runs as before; both
     tiers produce the identical min-label result.
     """
     from pyspark.sql import types as T
 
-    # materialize the pair list ONCE before symmetrizing: the union reads
-    # `pairs` twice, and without this the whole upstream pipeline (e.g. an
-    # LSH+verify chain) executes once per branch
-    pairs = pairs.select(src, dst).localCheckpoint(eager=True)
+    pairs = pairs.select(src, dst)
     # ONE bounded action decides the tier AND feeds the driver tier: a
     # limit(threshold+1) collect is complete when the result fits, and the
-    # +1 sentinel row proves overflow without counting the full table
+    # +1 sentinel row proves overflow without counting the full table.
+    # The collect runs on the UN-checkpointed pipeline: in the driver tier
+    # (the common dedup-batch case) that makes it the only execution —
+    # checkpointing first would materialize the whole LSH+verify chain a
+    # second time just to read it back once. At scale the distributed tier
+    # fires instead, and executeTake's incremental strategy overflows the
+    # threshold after a handful of partitions, so the probe stays bounded
+    # before the one real materialization below.
     head = pairs.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         parent: dict = {}
@@ -200,6 +205,10 @@ def min_label_components(
             ]
         )
         return pairs.sparkSession.createDataFrame(rows, schema)
+    # distributed tier: materialize the pair list ONCE before symmetrizing —
+    # the union reads `pairs` twice, and without this the whole upstream
+    # pipeline (e.g. an LSH+verify chain) executes once per branch
+    pairs = pairs.localCheckpoint(eager=True)
     sym = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
